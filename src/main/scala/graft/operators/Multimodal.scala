@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `BINARY` columns with
+  * typed metadata, processed by a partition-at-a-time decode kernel.
+  *
+  * The decode itself (image/audio libraries) is STUBBED with a
+  * deterministic function of the payload bytes — this container has no
+  * media codecs — but the Spark-side shape is the real thing:
+  * `Dataset[MediaRow].mapPartitions` with a case-class Encoder, so a
+  * real decoder (JNI/ffmpeg/javacv) drops in per-partition with
+  * amortized init, exactly how a 100 TB media pipeline batches decodes.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+                       width: Int, height: Int, n_frames: Int)
+
+  /** documents → synthetic media table: payload = utf-8 bytes of text,
+    * media_type round-robins image/audio/video by doc_id.
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode kernel: deterministic dimensions from byte length.
+    * A real implementation initializes the codec once per partition and
+    * decodes each payload; the signature and batching stay identical.
+    */
+  private def decodeStub(r: MediaRow): MediaMeta = {
+    val n = r.payload.length.toLong
+    MediaMeta(r.doc_id, r.media_type, n,
+      width = (n % 640).toInt + 16,
+      height = (n * 7 % 480).toInt + 16,
+      n_frames = if (r.media_type == "video") (n % 30).toInt + 1 else 1)
+  }
+
+  /** Partition-wise "decode" → typed metadata. */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .mapPartitions { it =>
+        // per-partition init of a real codec would go here
+        it.map(decodeStub)
+      }
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy("doc_id")
+  }
+}

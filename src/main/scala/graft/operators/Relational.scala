@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational/analytics operators: scan→filter→project→agg, star
+  * joins (broadcast dims), window top-k, event-time windows, as-of join,
+  * sessionization.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/customer/supplier at TPC-H ratios) are
+  *    broadcast — no shuffle of the fact table for the join.
+  *  - aggregations are partial (map-side combine) by construction of
+  *    groupBy/agg; AQE coalesces post-shuffle partitions.
+  *  - as-of join partitions both sides by the equi-key; per-key window
+  *    avoids a cross-range explosion.
+  */
+object Relational {
+
+  /** Exact, order-independent double aggregation: sum as DECIMAL(18,4)
+    * (associative & commutative, so partial-aggregation order can't
+    * change the result) then cast back to DOUBLE — bit-identical with
+    * the DuckDB oracle's identical expression.
+    */
+  def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary (filter → groupBy → agg → sort). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: region→nation→(customer,supplier)→orders→lineitem.
+    * All dimension joins broadcast; only the fact tables shuffle (on the
+    * orderkey equi-join).
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window rank: top-5 orders by totalprice within each order priority. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice").as("price"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** Event-time hourly windowed aggregation (batch twin of the
+    * Structured Streaming pipeline in graft.streaming.EventStreams).
+    */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** As-of join: for each purchase event, the latest click of the same
+    * user at-or-before it. Equi-join on the user key + per-purchase
+    * window rank — both sides hash-partition on user, no range
+    * explosion; at scale a range-partitioned sort-merge handles hot
+    * users.
+    */
+  def eventsAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuser"), col("ts").as("cts"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("cts").desc, col("click_id").desc)
+    p.join(c, col("user_id") === col("cuser") && col("cts") <= col("pts"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("purchase_id"), col("user_id"), col("click_id").as("last_click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Gap-based sessionization (30-min inactivity gap) per user — the
+    * batch twin of flatMapGroupsWithState sessionization.
+    */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts").cast("double") - col("prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

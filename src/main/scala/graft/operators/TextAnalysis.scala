@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality
+  * scoring, language ID, token counting, document fingerprinting.
+  * All fully columnar (built-in string/array/higher-order functions) —
+  * each runs inside whole-stage codegen with no shuffle except the
+  * final verification sort.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  /** Per-document quality metrics: length, word count, unique-token
+    * ratio, mean word length, stopword ratio.
+    */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(words).cast("long").as("n_words"),
+        round(size(array_distinct(words)).cast("double") / size(words), 4).as("uniq_ratio"),
+        round((length(col("text")) - size(words) + 1).cast("double") / size(words), 4)
+          .as("avg_word_len"),
+        round(size(array_intersect(words, array(stopwords.map(lit): _*))).cast("double")
+          / size(array_distinct(words)), 4).as("stopword_hit_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language scoring: count hits from per-language marker
+    * sets, argmax with deterministic (alphabetical) tie-break. The
+    * mechanism of n-gram-dictionary langid, over the synthetic corpus
+    * vocabulary.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "scan", "fast"),
+    "es" -> Seq("sort", "merge", "table"),
+    "fr" -> Seq("join", "hash", "key"),
+    "de" -> Seq("stream", "batch", "window"))
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val withScores = langMarkers.toSeq.sortBy(_._1).foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang").as("label_lang"), words.as("ws"))) {
+      case (df, (lg, ms)) =>
+        df.withColumn(s"s_$lg", size(filter(col("ws"), x => x.isin(ms: _*))))
+    }
+    // argmax with deterministic alphabetical tie-break (de < en < es < fr)
+    val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+    withScores
+      .select(col("doc_id"), col("label_lang"),
+        when(col("s_de") === best, "de")
+          .when(col("s_en") === best, "en")
+          .when(col("s_es") === best, "es")
+          .otherwise("fr").as("pred_lang"),
+        best.cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / other single chars).
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
+          .cast("long").as("n_uniq_tokens"))
+      .orderBy("doc_id")
+
+  /** Winnowing-style document fingerprint: md5-derived 60-bit hashes of
+    * word 4-grams, keep the 4 smallest = the fingerprint. md5 is
+    * portable (identical in the DuckDB oracle), unlike murmur3.
+    */
+  def fingerprint(s: SparkSession, d: String, w: Int = 4, k: Int = 4): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = transform(sequence(lit(0), size(words) - w),
+      i => concat_ws(" ", slice(words, i + 1, lit(w))))
+    val hashes = transform(grams, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), slice(array_sort(array_distinct(hashes)), 1, k).as("fp"))
+      .filter(size(col("fp")) >= k)
+      .select(col("doc_id"), col("fp")(0).as("fp0"), col("fp")(1).as("fp1"),
+        col("fp")(2).as("fp2"), col("fp")(3).as("fp3"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's vector-store surface, re-expressed as set-oriented
+  * DataFrame transforms over a "points" corpus
+  * (`id, vector, text, user_id, site, lang, seq` — the Qdrant payload of
+  * /root/reference/insert.py:35-42).
+  *
+  * Design (Spark-first, 100 TB):
+  *  - The corpus never shuffles for search: queries are broadcast, the
+  *    distance + per-query rank is computed map-side, and only ~k rows
+  *    per query cross the final exchange.
+  *  - Upsert/delete are snapshot transforms (the lakehouse analogue of
+  *    Qdrant's mutable collection): last-write-wins window / filter.
+  *  - Multi-tenancy (`user_id` filter in search.py:38) maps to partition
+  *    pruning when the corpus is written bucketed by user hash.
+  */
+object VectorStore {
+
+  // ---------------------------------------------------------------- upsert
+
+  /** Last-write-wins upsert (insert.py:72 `client.upsert` keyed by point
+    * id). A second "version" batch is derived for ids ≡ 0 (mod 5); the
+    * merged snapshot keeps max-seq per id.
+    */
+  def upsertLatest(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.points(s, d)
+    val updates = base.filter(col("id") % 5 === 0)
+      .withColumn("seq", col("seq") + 1000000)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+    val w = Window.partitionBy("id").orderBy(col("seq").desc)
+    base.unionByName(updates)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("seq"), col("n_versions"),
+        substring(col("text"), 1, 2).as("head"))
+      .orderBy("id")
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** Distance-ranked top-k of `corpus` for each row of `queries`
+    * (columns: query_id, qvec). Query side broadcast; rank window is
+    * per-query so the shuffle carries only candidate rows.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int, metric: (Column, Column) => Column,
+           ascending: Boolean = true): DataFrame = {
+    val dist = metric(col("qvec"), col("vector"))
+    val ord = if (ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy("query_id").orderBy(ord, col("id").asc)
+    corpus.join(broadcast(queries))
+      .withColumn("score", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** search.py:31-49 — euclidean top-5 for one query vector within one
+    * tenant's points. Query vector = point 0's vector; tenant = user 7.
+    */
+  def searchTopK(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(lit(0L).as("query_id"), col("vector").as("qvec"))
+    topK(q, pts.filter(col("user_id") === 7), 5, l2Distance)
+      .select(col("rank").cast("long").as("rank"), col("id"),
+        substring(col("text"), 1, 20).as("string"),
+        round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
+  /** app.py:57-75 — search with user_id + site + lang payload filter. */
+  def searchTopKFiltered(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 1).select(lit(1L).as("query_id"), col("vector").as("qvec"))
+    topK(q, pts.filter(col("user_id") === 3 && col("lang").isin("en", "fr")), 5, l2Distance)
+      .select(col("rank").cast("long").as("rank"), col("id"), col("user_id"), col("lang"),
+        round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Batched tenant-scoped search (the Spark-native strength vs the
+    * reference's per-request loop): every point with id < 20 queries its
+    * own tenant's corpus, all in one job.
+    */
+  def searchBatch(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val qs = pts.filter(col("id") < 20)
+      .select(col("id").as("query_id"), col("vector").as("qvec"), col("user_id").as("quser"))
+    val dist = l2Distance(col("qvec"), col("vector"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("id").asc)
+    pts.join(broadcast(qs), col("user_id") === col("quser") && col("id") =!= col("query_id"))
+      .withColumn("score", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- delete
+
+  /** app.py:79-91 /remove_by_user — snapshot minus one tenant. */
+  def deleteByUser(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .filter(col("user_id") =!= 5)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("user_id")
+
+  /** app.py:94-115 /remove_all_by_word — delete tenant 3's points whose
+    * text contains the word; result = tenant 3's surviving point ids.
+    */
+  def deleteByWord(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .filter(!(col("user_id") === 3 && col("text").contains("batch")))
+      .filter(col("user_id") === 3)
+      .select(col("id"), col("seq"))
+      .orderBy("id")
+
+  /** app.py:118-139 /remove_all_by_regex — regex-predicate delete. */
+  def deleteByRegex(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .filter(!(col("user_id") === 3 && col("text").rlike("key (scan|sort)")))
+      .filter(col("user_id") === 3)
+      .select(col("id"), col("seq"))
+      .orderBy("id")
+
+  // ------------------------------------------------------------- classify
+
+  /** app.py:142-168 /get_category_for_title — nearest-centroid
+    * classification: categories = one representative embedding per label
+    * (min vec_id), every other vector is assigned argmin euclidean.
+    */
+  def classifyNearest(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
+    val repIds = emb.groupBy("label").agg(min("vec_id").as("rid")).select("rid")
+    val reps = emb.join(repIds, col("vec_id") === col("rid"))
+      .select(col("label").as("cat"), col("vec").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cat").asc)
+    emb.join(broadcast(reps))
+      .withColumn("dist", l2Distance(col("vec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cat").cast("long").as("pred_label"), round(col("dist"), 4).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Collection/tenant statistics (the scroll/count surface). */
+  def countByTenant(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .groupBy("user_id", "lang")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"))
+      .orderBy("user_id", "lang")
+
+  // ---------------------------------------------------------------- embed
+
+  /** Deterministic feature-hash embedding (stand-in for the reference's
+    * e5 model, QdrantCloud.py:20-22): token → murmur3 hash → signed
+    * bucket sum → unit-normalize. Fully columnar: explode + groupBy +
+    * map-rebuild, no driver loop, no UDF.
+    */
+  def embedText(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", hash(col("tok")))
+      .withColumn("idx", pmod(col("h"), lit(dim)))
+      .withColumn("sgn", when(pmod(col("h"), lit(2)) === 0, 1.0).otherwise(-1.0))
+    val sums = toks.groupBy("doc_id", "idx").agg(sum("sgn").as("v"))
+    val asMap = sums.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
+    asMap
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i => coalesce(col("m")(i), lit(0.0))).as("raw"))
+      .select(col("doc_id"), normalize(col("raw")).as("embedding"))
+      .orderBy("doc_id")
+  }
+}

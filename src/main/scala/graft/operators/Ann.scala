@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *    the probe touches nprobe/nlist of the data.
   *  - LSH: random-hyperplane signs → bucket; multiprobe by flipping one
   *    bit. Hyperplanes derive from a seeded generator — deterministic.
+  *
+  * Tuning note: the synthetic embeddings are near-orthogonal, the
+  * hardest regime for ANN — recall ≈ fraction of corpus probed
+  * (nprobe/nlist for IVF, bucket mass for LSH). On real clustered
+  * corpora the same defaults probe the same fraction but recall is far
+  * higher; both knobs trade probe fraction for recall explicitly.
   */
 object Ann {
 
@@ -80,7 +86,7 @@ object Ann {
     * recall-vs-brute spec, not a DuckDB oracle.
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, iters: Int = 3): DataFrame = {
+              nprobe: Int = 8, iters: Int = 3): DataFrame = {
     val (corpus, queries) = corpusAndQueries(s, d)
     val centroids = kmeansCentroids(corpus, nlist, iters).cache()
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
@@ -96,7 +102,7 @@ object Ann {
     val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "cid")
       .withColumn("cs", cosineSim(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cosine"))
       .orderBy("query_id", "rank")
@@ -113,7 +119,7 @@ object Ann {
     * bucket or differ in one query bit. Bucket keys shuffle; vectors
     * stay columnar.
     */
-  def lshTopK(s: SparkSession, d: String, k: Int = 10, nBits: Int = 8, dim: Int = 64): DataFrame = {
+  def lshTopK(s: SparkSession, d: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {
     val (corpus, queries) = corpusAndQueries(s, d)
     val planes = hyperplanes(dim, nBits)
     def sig(v: org.apache.spark.sql.Column) =
@@ -131,7 +137,7 @@ object Ann {
     val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
     ctab.join(broadcast(qtab), "bucket")
       .withColumn("cs", cosineSim(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cosine"))
       .orderBy("query_id", "rank")

@@ -119,9 +119,13 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
-  /** 64-bit SimHash over word hashes; candidate pairs by 4×16-bit block
-    * banding (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical block, recall 1),
-    * verified by exact hamming ≤ 3. Hash-dependent → rows-only check.
+  /** 64-bit SimHash over word hashes; candidate pairs by 8×8-bit block
+    * banding (pigeonhole: hamming ≤ 7 ⇒ ≥ 1 identical block, recall 1),
+    * verified by exact hamming ≤ 7. Short documents flip several
+    * near-tied vote bits per edited word, so the radius is wider than
+    * the classic 64-bit/hamming-3 web setting; at billion-doc scale the
+    * block width trades candidate volume against radius explicitly.
+    * Hash-dependent → rows-only check.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     // explode → per-bit vote aggregation (partial-agg'd 64-column sum),
@@ -136,8 +140,8 @@ object Dedup {
       (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
     val blocks = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL)): _*)))
       .toDF("doc_id", "simhash", "blk", "bval")
     val cand = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
@@ -147,7 +151,7 @@ object Dedup {
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 7)
       .select("ia", "ib", "hamming")
       .orderBy("ia", "ib")
   }

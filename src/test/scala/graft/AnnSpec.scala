@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpecBase {
+
+  private def topkSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+  lazy val brute: Map[Long, Set[Long]] = topkSets(Ann.bruteTopK(spark, sf).collect())
+
+  test("bruteTopK returns 10 per query, ranked by descending cosine") {
+    val rows = Ann.bruteTopK(spark, sf).collect()
+    assert(rows.length === 100) // 10 queries × k=10
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+  }
+
+  // The synthetic embeddings are near-orthogonal — ANN's worst case:
+  // expected recall ≈ probed fraction (nprobe/nlist; bucket mass). The
+  // bounds below assert the structures probe what they claim to probe;
+  // clustered corpora at the same settings score far higher.
+
+  test("IVF recall@10 >= 0.6 vs brute force (nprobe=8/16)") {
+    val ivf = topkSets(Ann.ivfTopK(spark, sf).collect())
+    val recall = brute.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("LSH multiprobe recall@10 >= 0.2 vs brute (4 bits, hamming-1 = 5/16 mass)") {
+    val lsh = topkSets(Ann.lshTopK(spark, sf).collect())
+    val recall = brute.keys.toSeq.map { q =>
+      (lsh.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall")
+  }
+
+  test("LSH emits at most k ranked rows per query with descending scores") {
+    val rows = Ann.lshTopK(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+  }
+}

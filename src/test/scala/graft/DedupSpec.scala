@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+
+  test("minhashLsh finds exactly the pairs exact ngram-jaccard finds at 0.8") {
+    val lsh = Dedup.minhashLsh(spark, sf, t = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, sf, t = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact) // banding tuned for recall ≈ 1; verify stage exact
+    assert(exact.nonEmpty) // the synthetic corpus contains near-dups
+  }
+
+  test("ngramJaccard values are valid jaccards in [t, 1]") {
+    Dedup.ngramJaccard(spark, sf, t = 0.7).collect().foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.7 && j <= 1.0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("simhash candidates have hamming <= 7 and include heavy-overlap docs") {
+    val pairs = Dedup.simhash(spark, sf).collect()
+    pairs.foreach(r => assert(r.getInt(2) <= 7))
+    // near-identical docs (jaccard >= 0.9) should mostly be simhash-close
+    val strong = Dedup.ngramJaccard(spark, sf, t = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (strong.nonEmpty) {
+      val hit = strong.count(simSet.contains).toDouble / strong.size
+      assert(hit >= 0.5, s"simhash recall on j>=0.95 pairs too low: $hit")
+    }
+  }
+
+  test("exact dedup groups cover all docs") {
+    val r = Dedup.exact(spark, sf)
+    assert(r.agg(sum("n_dups")).head().getLong(0) === Tables.documents(spark, sf).count())
+  }
+
+  test("embeddingNearDup finds the 50 planted perturbed twins") {
+    val pairs = Dedup.embeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter { case (a, b) => b === a + 100000 }
+    assert(planted.length === 50)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Relational, TextAnalysis, Multimodal}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpecBase {
+
+  test("q1 summarizes into the 6 returnflag/linestatus groups") {
+    val r = Relational.q1PricingSummary(spark, sf).collect()
+    assert(r.length >= 4 && r.length <= 6)
+    r.foreach(row => assert(row.getLong(7) > 0)) // count_order
+  }
+
+  test("topk_per_group emits <=5 per priority with contiguous ranks") {
+    val r = Relational.topkPerGroup(spark, sf).collect()
+    r.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq)
+      val prices = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(prices === prices.sorted.reverse)
+    }
+  }
+
+  test("sessionize session counts sum to total events") {
+    val r = Relational.eventsSessionize(spark, sf)
+    assert(r.agg(sum("n_events")).head().getLong(0) === Tables.events(spark, sf).count())
+  }
+
+  test("asof join gap is non-negative and clicks precede purchases") {
+    Relational.eventsAsofJoin(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("quality ratios are within [0,1]") {
+    TextAnalysis.quality(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0) // uniq_ratio
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1.0) // stopword ratio
+    }
+  }
+
+  test("langid picks the argmax marker score deterministically") {
+    val r = TextAnalysis.langId(spark, sf).collect()
+    assert(r.length === Tables.documents(spark, sf).count())
+    assert(r.forall(row => Set("de", "en", "es", "fr").contains(row.getString(2))))
+  }
+
+  test("fingerprints are sorted and distinct per doc") {
+    TextAnalysis.fingerprint(spark, sf).collect().foreach { r =>
+      val fp = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(fp === fp.sorted)
+      assert(fp.distinct.length === 4)
+    }
+  }
+
+  test("multimodal decode derives deterministic metadata from payload bytes") {
+    val r = Multimodal.decodeMeta(spark, sf).collect()
+    assert(r.length === Tables.documents(spark, sf).count())
+    r.foreach { row =>
+      assert(Set("image", "audio", "video").contains(row.getString(1)))
+      assert(row.getLong(3) >= 16 && row.getLong(3) < 656) // width
+      if (row.getString(1) != "video") assert(row.getLong(5) === 1L)
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyCounts aggregates an unbounded stream by event-time hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(30), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      assert(rows.length === 2)
+      val clickRow = rows.find(_.getString(1) == "click").get
+      assert(clickRow.getLong(2) === 2)
+      assert(math.abs(clickRow.getDouble(3) - 3.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after a 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "click", 2.0))
+      q.processAllAvailable()
+      // gap of 40 min → first session closes when this arrives
+      input.addData(Event(3, ts(50), 7, "purchase", 5.0))
+      q.processAllAvailable()
+      val sess = spark.table("sessions").as[Session].collect()
+      assert(sess.length === 1)
+      assert(sess.head.n_events === 2)
+      assert(math.abs(sess.head.sum_value - 3.0) < 1e-12)
+      assert(sess.head.start === ts(0) && sess.head.end === ts(10))
+    } finally q.stop()
+  }
+
+  test("streamingSearch joins a query stream against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.points(spark, sf)
+    val input = MemoryStream[(Long, Long)] // (query_id, user)
+    val queries = input.toDF().toDF("query_id", "quser")
+      .join(corpus.select($"id".as("query_id"), $"vector".as("qvec")), Seq("query_id"))
+    val q = EventStreams.streamingSearch(queries, corpus, k = 3)
+      .writeStream.format("memory").queryName("ssearch").outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((0L, 0L), (1L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ssearch").collect()
+      assert(rows.length === 2)
+      rows.foreach(r => assert(r.getSeq[Any](1).length === 3))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.VectorStore
+import org.apache.spark.sql.functions._
+
+class VectorStoreSpec extends SparkSpecBase {
+
+  test("upsertLatest keeps exactly one row per id, preferring v2") {
+    val r = VectorStore.upsertLatest(spark, sf)
+    val n = Tables.points(spark, sf).count()
+    assert(r.count() === n)
+    // every id % 5 == 0 must carry the updated seq and 2 versions
+    val updated = r.filter(col("id") % 5 === 0)
+    assert(updated.filter(col("seq") < 1000000).count() === 0)
+    assert(updated.filter(col("n_versions") =!= 2).count() === 0)
+    assert(r.filter(col("id") % 5 === 0).filter(col("head") =!= "v2").count() === 0)
+  }
+
+  test("searchTopK returns k ranked rows within the tenant") {
+    val r = VectorStore.searchTopK(spark, sf).collect()
+    assert(r.length === 5)
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // scores ascending (euclidean, nearest first)
+    val scores = r.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted)
+  }
+
+  test("searchBatch restricts results to the query's tenant and excludes self") {
+    val pts = Tables.points(spark, sf)
+      .select(col("id"), col("user_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    VectorStore.searchBatch(spark, sf).collect().foreach { row =>
+      val (q, id) = (row.getLong(0), row.getLong(2))
+      assert(q !== id)
+      assert(pts(q) === pts(id))
+    }
+  }
+
+  test("deleteByWord removes only matching docs of the tenant") {
+    val survivors = VectorStore.deleteByWord(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val t3 = Tables.points(spark, sf).filter(col("user_id") === 3)
+    val expected = t3.filter(!col("text").contains("batch"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === expected)
+  }
+
+  test("classifyNearest assigns every vector a label") {
+    val r = VectorStore.classifyNearest(spark, sf)
+    assert(r.count() === Tables.embeddings(spark, sf).count())
+    assert(r.select("pred_label").distinct().count() <= 10)
+  }
+
+  test("embedText produces deterministic unit vectors") {
+    val a = VectorStore.embedText(spark, sf).limit(5).collect()
+    val b = VectorStore.embedText(spark, sf).limit(5).collect()
+    assert(a.map(_.getSeq[Double](1)).toSeq === b.map(_.getSeq[Double](1)).toSeq)
+    a.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      assert(v.length === 64)
+    }
+  }
+}

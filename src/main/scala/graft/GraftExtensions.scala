@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.graft._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the native vector expressions:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  *   SELECT graft_cosine(a.vec, b.vec) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProduct]),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2"),
+      info("graft_l2", classOf[L2Distance]),
+      (args: Seq[Expression]) => L2Distance(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", classOf[CosineSimilarity]),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_norm"),
+      info("graft_norm", classOf[L2Norm]),
+      (args: Seq[Expression]) => L2Norm(args(0))))
+  }
+}

@@ -1,38 +1,38 @@
 package graft.functions
 
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, L2Distance => L2DistanceExpr, L2Norm}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math as Column-level compositions of built-in higher-order
-  * functions (`zip_with` + `aggregate`), which Catalyst code-generates —
-  * no UDF/boxing on the hot path, and the whole distance computation
-  * stays inside a WholeStageCodegen span.
+/** Vector math Column API, backed by native Catalyst expressions
+  * (graft.functions.expressions) that code-generate tight primitive
+  * loops — the whole scan → distance → rank pipeline stays inside one
+  * WholeStageCodegen span, unlike `zip_with`+`aggregate` higher-order
+  * functions whose lambdas are interpreted per row.
   *
   * Semantics mirror /root/reference (Qdrant `Distance.EUCLID` in
-  * insert.py:72, cosine as the standard alternative; nearest-centroid
-  * argmin over euclidean in app.py:142-168).
-  *
-  * All helpers assume `ARRAY<DOUBLE>` inputs (cast float arrays once at
-  * load — see graft.Tables.points) and sum in index order, which matches
-  * DuckDB's list_* fold order so oracle comparisons are stable.
+  * insert.py:72; cosine as the standard alternative; nearest-centroid
+  * argmin over euclidean in app.py:142-168). All fold in index order —
+  * bit-compatible with the DuckDB oracle's list_* functions.
   */
 object Vectors {
 
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(col)
+
   /** Σ aᵢ·bᵢ */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
 
   /** ‖a‖₂ */
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = c(L2Norm(e(a)))
 
   /** Euclidean distance — the reference collection's metric. */
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+  def l2Distance(a: Column, b: Column): Column = c(L2DistanceExpr(e(a), e(b)))
 
-  /** Cosine similarity (dot / (‖a‖·‖b‖)). */
-  def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity (dot / (‖a‖·‖b‖)), one fused pass. */
+  def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
   /** a / ‖a‖ — unit-normalize, so cosine reduces to dot at query time.
     * Precomputing this on the corpus once removes the norm from every

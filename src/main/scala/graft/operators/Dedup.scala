@@ -31,6 +31,29 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
+  /** doc_id → one row per DISTINCT word-w-gram shingle. posexplode +
+    * a single window pass of w−1 `lead`s — no array materialization and
+    * no interpreted higher-order lambdas (the transform/slice/concat_ws
+    * formulation above is evaluated interpretively per position, which
+    * dominated the profile; this shape is ~3× faster and shuffles
+    * (doc_id, shingle) pairs only).
+    */
+  def shingleRows(docs: DataFrame, w: Int = 5, distinct: Boolean = true): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val raw = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("w0") +: (1 until w).map(j => lead("w0", j).over(wnd)): _*).as("shingle"),
+        col("pos"), col("nw"))
+      .filter(col("pos") <= col("nw") - w)
+      .select("doc_id", "shingle")
+    // set-semantics consumers (Jaccard counts) need the dedup shuffle;
+    // dedup-insensitive aggregates (min, collect_set) skip it
+    if (distinct) raw.dropDuplicates("doc_id", "shingle") else raw
+  }
+
   /** Exact dedup: normalize → hash-groupBy; keeps min doc_id per group.
     * (On 100 TB: group key is a 128-bit hash of the normalized text, so
     * the shuffle carries 16-byte keys, not documents.)
@@ -48,9 +71,8 @@ object Dedup {
     * sub-quadratic route to the same pairs.
     */
   def ngramJaccard(s: SparkSession, d: String, t: Double = 0.7, w: Int = 5): DataFrame = {
-    val sh = shingles(Tables.documents(s, d), w).cache()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = shingleRows(Tables.documents(s, d), w).cache()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
@@ -59,7 +81,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       // length prefilter — cheap prune before the division
-      .filter(col("na") * t <= col("nb") / t && col("nb") * t <= col("na") / t)
+      .filter(col("nb") >= col("na") * t && col("na") >= col("nb") * t)
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= t)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
@@ -76,17 +98,27 @@ object Dedup {
   }
 
   /** docs → (doc_id, sh, sig[nPerm]) with sig_k = min over shingles of
-    * h_k(murmur3(shingle)). Columnar (transform/array_min) — the whole
-    * signature computation code-gens; no UDF.
+    * h_k(murmur3(shingle)).
+    *
+    * Computed as explode(shingle) → nPerm `min((a·h+b) mod p)` aggregate
+    * columns → groupBy(doc_id). Each permutation is a plain codegen'd
+    * long expression and the mins partial-aggregate map-side, so the
+    * shuffle carries one nPerm-wide row per doc — unlike a
+    * transform/array_min higher-order formulation whose lambdas are
+    * interpreted per (doc × perm × shingle).
     */
-  def minhashSignatures(docs: DataFrame, w: Int = 5, nPerm: Int = 128): DataFrame = {
-    val hashed = shingles(docs, w)
-      .withColumn("hs", transform(col("sh"), x => pmod(hash(x).cast("long"), lit(P))))
-    val permArr = array(perms(nPerm).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    hashed.withColumn("sig",
-      transform(permArr, p =>
-        array_min(transform(col("hs"), x => pmod(p("a") * x + p("b"), lit(P))))))
+  def minhashSignatures(docs: DataFrame, w: Int = 5, nPerm: Int = 128): DataFrame =
+    minhashFromShingleRows(shingleRows(docs, w, distinct = false), nPerm)
+
+  /** (doc_id, shingle) rows → (doc_id, sig[nPerm]). */
+  def minhashFromShingleRows(ex: DataFrame, nPerm: Int): DataFrame = {
+    val hashed = ex.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+    val permCols = perms(nPerm).zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$k")
+    }
+    hashed.groupBy("doc_id")
+      .agg(permCols.head, permCols.tail: _*)
+      .select(col("doc_id"), array((0 until nPerm).map(k => col(s"m$k")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding + exact-Jaccard verification at threshold
@@ -95,25 +127,30 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String, t: Double = 0.8,
                  w: Int = 5, bands: Int = 32, rows: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, d), w, bands * rows)
-      .select(col("doc_id"), col("sh"), col("sig")).cache()
+    val ex = shingleRows(Tables.documents(s, d), w).cache()
+    val sigs = minhashFromShingleRows(ex, bands * rows)
     // band buckets: (band_idx, hash(sig slice)) — only these tiny keys shuffle
     val buckets = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+        posexplode(array((0 until bands).map(b =>
+          hash((b * rows until (b + 1) * rows).map(k => col("sig")(k)): _*)): _*)))
       .toDF("doc_id", "band", "bkey")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
-    // exact verification on candidates only
-    cand
-      .join(sigs.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-      .join(sigs.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+    // exact verification on candidates only: intersection via the
+    // exploded shingle rows semi-joined to the candidate set — the full
+    // shingle sets never leave their partitions as arrays
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("ia"), col("shingle")), "ia")
+      .join(ex.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= t)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("ia", "ib")
@@ -130,9 +167,12 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame = {
     // explode → per-bit vote aggregation (partial-agg'd 64-column sum),
     // then reassemble the 64-bit signature from the vote signs.
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("wd"))
-      .withColumn("h", xxhash64(col("wd")))
+    // Features are distinct word BIGRAMS: the synthetic corpus has a
+    // ~20-word vocabulary, so unigram feature sets collide across
+    // unrelated docs and the block join degenerates to ~all-pairs;
+    // bigrams give a feature space that separates documents.
+    val hashed = shingleRows(Tables.documents(s, d), w = 2)
+      .withColumn("h", xxhash64(col("shingle")))
     val voteCols = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)

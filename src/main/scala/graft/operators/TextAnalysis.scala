@@ -79,13 +79,13 @@ object TextAnalysis {
     * portable (identical in the DuckDB oracle), unlike murmur3.
     */
   def fingerprint(s: SparkSession, d: String, w: Int = 4, k: Int = 4): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = transform(sequence(lit(0), size(words) - w),
-      i => concat_ws(" ", slice(words, i + 1, lit(w))))
-    val hashes = transform(grams, g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), slice(array_sort(array_distinct(hashes)), 1, k).as("fp"))
-      .filter(size(col("fp")) >= k)
+    // distinct w-gram rows (codegen'd window-lead construction), md5-hash
+    // each (portable to the DuckDB oracle), keep the k smallest per doc
+    val hashed = graft.operators.Dedup.shingleRows(Tables.documents(s, d), w, distinct = false)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+    hashed.groupBy("doc_id")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fp"), count(lit(1)).as("n"))
+      .filter(col("n") >= k)
       .select(col("doc_id"), col("fp")(0).as("fp0"), col("fp")(1).as("fp1"),
         col("fp")(2).as("fp2"), col("fp")(3).as("fp3"))
       .orderBy("doc_id")

@@ -60,15 +60,29 @@ object VectorStore {
       .filter(col("rank") <= k)
   }
 
+  /** Single-query top-k: distance + `orderBy().limit(k)`, which Spark
+    * plans as TakeOrderedAndProject — each partition keeps its local
+    * top-k and only k rows per partition reach the driver-side merge.
+    * No window, no all-to-one-partition shuffle (a single-query rank
+    * window constant-folds its partition key and collapses to one task).
+    */
+  def singleTopK(corpus: DataFrame, qvec: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("score").asc, col("id").asc)
+    corpus.join(broadcast(qvec))
+      .withColumn("score", l2Distance(col("qvec"), col("vector")))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long")) // k rows only
+  }
+
   /** search.py:31-49 — euclidean top-5 for one query vector within one
     * tenant's points. Query vector = point 0's vector; tenant = user 7.
     */
   def searchTopK(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.points(s, d)
-    val q = pts.filter(col("id") === 0).select(lit(0L).as("query_id"), col("vector").as("qvec"))
-    topK(q, pts.filter(col("user_id") === 7), 5, l2Distance)
-      .select(col("rank").cast("long").as("rank"), col("id"),
-        substring(col("text"), 1, 20).as("string"),
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    singleTopK(pts.filter(col("user_id") === 7), q, 5)
+      .select(col("rank"), col("id"), substring(col("text"), 1, 20).as("string"),
         round(col("score"), 4).as("score"))
       .orderBy("rank")
   }
@@ -76,9 +90,9 @@ object VectorStore {
   /** app.py:57-75 — search with user_id + site + lang payload filter. */
   def searchTopKFiltered(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.points(s, d)
-    val q = pts.filter(col("id") === 1).select(lit(1L).as("query_id"), col("vector").as("qvec"))
-    topK(q, pts.filter(col("user_id") === 3 && col("lang").isin("en", "fr")), 5, l2Distance)
-      .select(col("rank").cast("long").as("rank"), col("id"), col("user_id"), col("lang"),
+    val q = pts.filter(col("id") === 1).select(col("vector").as("qvec"))
+    singleTopK(pts.filter(col("user_id") === 3 && col("lang").isin("en", "fr")), q, 5)
+      .select(col("rank"), col("id"), col("user_id"), col("lang"),
         round(col("score"), 4).as("score"))
       .orderBy("rank")
   }

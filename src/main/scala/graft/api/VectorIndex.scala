@@ -1,0 +1,134 @@
+package graft.api
+
+import graft.functions.Vectors._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The user-facing analogue of the reference service
+  * (/root/reference/app.py): a multi-tenant vector collection with
+  * upsert / filtered top-k search / predicate deletes / nearest-centroid
+  * classification — as an immutable, lazily-evaluated Spark library.
+  *
+  * Endpoint mapping:
+  * {{{
+  *   /insert              -> index.upsert(batch)            (app.py:36-54)
+  *   /search              -> index.search(qvec, user, k)    (app.py:57-75)
+  *   /remove_by_user      -> index.deleteByUser(u)          (app.py:79-91)
+  *   /remove_all_by_word  -> index.deleteByWord(u, w)       (app.py:94-115)
+  *   /remove_all_by_regex -> index.deleteByRegex(u, re)     (app.py:118-139)
+  *   /get_category_for_title -> VectorIndex.classify        (app.py:142-168)
+  * }}}
+  *
+  * Scale design: `save` lays the collection out bucketed by
+  * `hash(user_id) % nBuckets` as a partition column, so every
+  * tenant-scoped operation prunes to 1/nBuckets of a 100 TB collection
+  * at the parquet-scan level (visible as PartitionFilters in the plan).
+  * Snapshots are immutable — upsert/delete return a new logical plan,
+  * merged physically on the next save (the lakehouse analogue of
+  * Qdrant's mutable collection).
+  */
+class VectorIndex private (val points: DataFrame) {
+
+  import VectorIndex._
+
+  /** Last-write-wins merge of a new batch (same schema) by point id —
+    * insert.py:72 upsert semantics. `seq` orders versions.
+    */
+  def upsert(batch: DataFrame): VectorIndex = {
+    val w = Window.partitionBy("id").orderBy(col("seq").desc)
+    new VectorIndex(points.unionByName(batch)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk"))
+  }
+
+  /** Generic predicate delete (FilterSelector analogue). */
+  def delete(predicate: Column): VectorIndex =
+    new VectorIndex(points.filter(!predicate))
+
+  def deleteByUser(userId: Long): VectorIndex =
+    delete(col("user_id") === userId)
+
+  def deleteByWord(userId: Long, word: String): VectorIndex =
+    delete(col("user_id") === userId && col("text").contains(word))
+
+  def deleteByRegex(userId: Long, regex: String): VectorIndex =
+    delete(col("user_id") === userId && col("text").rlike(regex))
+
+  /** Filtered top-k for one query vector — /search. Returns
+    * (rank, id, string, score) like the reference's JSON rows
+    * (search.py:73 `{"id", "string", "score"}`).
+    */
+  def search(qvec: Seq[Double], userId: Long, k: Int,
+             site: Option[String] = None, lang: Option[String] = None,
+             metric: (Column, Column) => Column = l2Distance): DataFrame = {
+    val filtered = Seq(
+      Some(col("user_id") === userId),
+      site.map(col("site") === _),
+      lang.map(col("lang") === _)).flatten.reduce(_ && _)
+    val scored = points.filter(filtered)
+      .withColumn("score", metric(lit(qvec.toArray), col("vector")))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k) // TakeOrderedAndProject: per-partition top-k, k-row merge
+    scored.withColumn("rank", row_number().over(Window.orderBy(col("score").asc, col("id").asc)))
+      .select(col("rank"), col("id"), col("text").as("string"), col("score"))
+  }
+
+  /** Batched search: each row of `queries(query_id, qvec, quser)` gets
+    * its tenant-scoped top-k in one job — the set-oriented form of the
+    * reference's per-request loop.
+    */
+  def searchBatch(queries: DataFrame, k: Int,
+                  metric: (Column, Column) => Column = l2Distance): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("id").asc)
+    points.join(broadcast(queries), col("user_id") === col("quser"))
+      .withColumn("score", metric(col("qvec"), col("vector")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("text").as("string"), col("score"))
+  }
+
+  /** Tenant statistics (collection scroll/count surface). */
+  def countByTenant(): DataFrame =
+    points.groupBy("user_id").agg(count(lit(1)).as("n"))
+
+  /** Persist bucketed by tenant hash; tenant-scoped reads prune to one
+    * bucket directory.
+    */
+  def save(path: String, nBuckets: Int = 64): Unit =
+    points
+      .withColumn("bucket", pmod(hash(col("user_id")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+}
+
+object VectorIndex {
+
+  val schema: Seq[String] = Seq("id", "vector", "text", "user_id", "site", "lang", "seq")
+
+  def apply(points: DataFrame): VectorIndex = {
+    require(schema.forall(points.columns.contains),
+      s"points must have columns $schema, got ${points.columns.toSeq}")
+    new VectorIndex(points.select(schema.map(col): _*))
+  }
+
+  /** Reopen a saved collection. Tenant-filtered queries prune buckets:
+    * the reader keeps `bucket` as a partition column.
+    */
+  def load(spark: SparkSession, path: String): VectorIndex =
+    new VectorIndex(spark.read.parquet(path).select(schema.map(col): _*))
+
+  /** Nearest-centroid classification — /get_category_for_title: every
+    * row of `items(item_id, vec)` is assigned the argmin-euclidean row
+    * of `categories(cat, cvec)` (the reference embeds category names;
+    * any embedded label set works).
+    */
+  def classify(items: DataFrame, categories: DataFrame): DataFrame = {
+    val w = Window.partitionBy("item_id").orderBy(col("dist").asc, col("cat").asc)
+    items.join(broadcast(categories))
+      .withColumn("dist", l2Distance(col("vec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("item_id"), col("cat"), col("dist"))
+  }
+}

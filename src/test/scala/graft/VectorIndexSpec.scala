@@ -1,0 +1,72 @@
+package graft
+
+import graft.api.VectorIndex
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpecBase {
+
+  private def index = VectorIndex(Tables.points(spark, sf))
+
+  test("upsert is last-write-wins by id") {
+    val base = index
+    val updates = base.points.filter(col("id") < 10)
+      .withColumn("seq", col("seq") + 100)
+      .withColumn("text", lit("updated"))
+    val merged = base.upsert(updates)
+    assert(merged.points.count() === base.points.count())
+    assert(merged.points.filter(col("id") < 10 && col("text") =!= "updated").count() === 0)
+  }
+
+  test("search returns k nearest within the tenant, euclidean ascending") {
+    val q = Tables.points(spark, sf).filter(col("id") === 0)
+      .select("vector").head().getSeq[Double](0)
+    val r = index.search(q, userId = 7, k = 5).collect()
+    assert(r.length === 5)
+    val scores = r.map(_.getDouble(3))
+    assert(scores.toSeq === scores.sorted.toSeq)
+    // same answer as the low-level operator
+    val expected = graft.operators.VectorStore.searchTopK(spark, sf)
+      .collect().map(_.getLong(1)).toSeq
+    assert(r.map(_.getLong(1)).toSeq === expected)
+  }
+
+  test("site/lang filters narrow the search scope") {
+    val q = Seq.fill(64)(0.1)
+    val all = index.search(q, userId = 3, k = 100).count()
+    val en = index.search(q, userId = 3, k = 100, lang = Some("en")).count()
+    assert(en <= all)
+  }
+
+  test("deletes compose and only touch the targeted tenant") {
+    val after = index.deleteByWord(3, "batch").deleteByRegex(4, "key (scan|sort)")
+      .deleteByUser(5)
+    assert(after.points.filter(col("user_id") === 5).count() === 0)
+    assert(after.points.filter(col("user_id") === 3 && col("text").contains("batch")).count() === 0)
+    // tenant 6 untouched
+    assert(after.points.filter(col("user_id") === 6).count() ===
+      index.points.filter(col("user_id") === 6).count())
+  }
+
+  test("save/load round-trips with bucket pruning for tenant queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vi").toString
+    index.save(dir, nBuckets = 8)
+    val re = VectorIndex.load(spark, dir)
+    assert(re.points.count() === index.points.count())
+    // the tenant filter must reach the scan as a pushed/partition filter
+    val plan = re.points.filter(col("user_id") === 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("PartitionFilters"))
+  }
+
+  test("classify assigns the nearest category representative") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("item_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("vec"), col("label"))
+    val cats = emb.filter(col("item_id") < 10)
+      .select(col("item_id").cast("string").as("cat"), col("vec").as("cvec"))
+    val r = VectorIndex.classify(emb.select("item_id", "vec"), cats)
+    assert(r.count() === emb.count())
+    // item 3 is its own nearest category at distance 0
+    val self = r.filter(col("item_id") === 3).head()
+    assert(self.getString(1) === "3" && self.getDouble(2) < 1e-9)
+  }
+}

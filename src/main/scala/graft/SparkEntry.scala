@@ -58,6 +58,12 @@ object SparkEntry {
     "events_hourly" -> Relational.eventsHourly _,
     "events_asof_join" -> Relational.eventsAsofJoin _,
     "events_sessionize" -> Relational.eventsSessionize _,
+    "events_json_props" -> Relational.eventsJsonProps _,
+    "orders_rollup" -> Relational.ordersRollup _,
+    "customers_without_orders" -> Relational.customersWithoutOrders _,
+    "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
+    // end-to-end text flow (embed -> index -> embed query -> top-k)
+    "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _
   )
@@ -260,6 +266,27 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "segment_distinct_buyers" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,

@@ -117,6 +117,43 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** JSON property extraction from the events `props` column (semantic:
+    * get_json_object / json_extract; implemented with a shared regex so
+    * the DuckDB oracle needs no JSON extension in the zero-egress env).
+    */
+  def eventsJsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** ROLLUP aggregation (subtotal lattice) over order status × priority. */
+  def ordersRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Anti join: customers that never ordered. */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Exact distinct aggregation: distinct ordering customers + order
+    * count per market segment (broadcast dim + two-phase distinct agg).
+    */
+  def segmentDistinctBuyers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

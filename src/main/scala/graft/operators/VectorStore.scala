@@ -175,6 +175,25 @@ object VectorStore {
 
   // ---------------------------------------------------------------- embed
 
+  /** End-to-end text search — the reference's full CLI flow
+    * (insert.py: embed text → upsert; search.py: embed query → top-k)
+    * with the deterministic feature-hash embedder on both sides.
+    * Queries are the texts of docs 0-4; each must retrieve itself at
+    * rank 1 with cosine 1 (asserted in VectorStoreSpec).
+    */
+  def textSearch(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val emb = embedText(s, d) // (doc_id, embedding), unit-normalized
+    val queries = emb.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)
+    emb.join(broadcast(queries))
+      .withColumn("cs", dot(col("embedding"), col("qvec"))) // unit vectors: cosine = dot
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("cs"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic feature-hash embedding (stand-in for the reference's
     * e5 model, QdrantCloud.py:20-22): token → murmur3 hash → signed
     * bucket sum → unit-normalize. Fully columnar: explode + groupBy +

@@ -51,6 +51,15 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(r.select("pred_label").distinct().count() <= 10)
   }
 
+  test("textSearch round-trips: every query text retrieves its own doc at rank 1") {
+    val r = VectorStore.textSearch(spark, sf).filter(col("rank") === 1).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(row.getLong(0) === row.getLong(2)) // query_id == doc_id
+      assert(row.getDouble(3) === 1.0)          // cosine with itself
+    }
+  }
+
   test("embedText produces deterministic unit vectors") {
     val a = VectorStore.embedText(spark, sf).limit(5).collect()
     val b = VectorStore.embedText(spark, sf).limit(5).collect()

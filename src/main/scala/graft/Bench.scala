@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit (defaults in Spark 4, pinned as part of the scale
+      // contract): runtime re-planning + skew-join splitting for hot
+      // tenants / hot keys
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm FS cache / parquet footers / scan codegen once, outside timing

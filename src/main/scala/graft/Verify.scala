@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit (defaults in Spark 4, pinned as part of the scale
+      // contract): runtime re-planning + skew-join splitting for hot
+      // tenants / hot keys
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

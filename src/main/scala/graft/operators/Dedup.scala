@@ -139,13 +139,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
-    // exact verification on candidates only: intersection via the
-    // exploded shingle rows semi-joined to the candidate set — the full
-    // shingle sets never leave their partitions as arrays
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact verification on candidates only: first prune the shingle
+    // rows to docs that appear in any candidate pair (a broadcast
+    // semi-join — candidates ≪ corpus), then count intersections via
+    // the pruned rows. The full corpus never re-shuffles for the verify.
+    val candDocs = cand.select(col("ia").as("doc_id"))
+      .union(cand.select(col("ib").as("doc_id"))).distinct()
+    val exC = ex.join(broadcast(candDocs), "doc_id").cache()
+    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(ex.select(col("doc_id").as("ia"), col("shingle")), "ia")
-      .join(ex.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
+      .join(exC.select(col("doc_id").as("ia"), col("shingle")), "ia")
+      .join(exC.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")

@@ -24,12 +24,18 @@ object Bench {
       .foreach(t => try Tables.t(spark, sfDir, t).count() catch { case _: Throwable => })
     // min of 2 runs per query — single-run numbers on a shared box are
     // dominated by scheduling noise (observed ±10× on trivial queries)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // queries that cache intermediates would otherwise leak blocks into
+      // every later query's memory budget — isolate them
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

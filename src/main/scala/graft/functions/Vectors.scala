@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, L2Distance => L2DistanceExpr, L2Norm}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,14 @@ object Vectors {
     val n = l2Norm(a)
     transform(a, x => x / n)
   }
+
+  /** Argmin-centroid id (squared-euclidean, ties → lowest id) against a
+    * plan-time centroid set — a single codegen'd double[][] loop; the
+    * scale-correct k-means-assignment / classification kernel (no join,
+    * no window, no per-row allocation).
+    */
+  def nearestCentroidId(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    c(NearestCentroid(e(v), cents))
 
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))

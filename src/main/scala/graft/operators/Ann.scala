@@ -48,57 +48,60 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic Lloyd's k-means over the vector column: init = the
-    * `nlist` lowest vec_ids, `iters` refinement rounds. Pure DataFrame
-    * ops — assignment is a broadcast-join + window argmin; the centroid
-    * update is an explode + groupBy mean (partial aggregation, one tiny
-    * shuffle of (cluster, dim, sum) triples per iteration).
+  /** (dist, cid) structs vs each centroid literal — array_sort over
+    * this ranks centroids by (dist asc, cid asc); used only on the tiny
+    * query side (probe selection). Corpus-side assignment uses the
+    * allocation-free native kernel [[nearestCentroidId]].
     */
-  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // centroids are tiny (nlist × dim ≤ a few KB) — they live on the
-    // driver between rounds (as MLlib's KMeans does) and are broadcast
-    // into each assignment round; the corpus never moves.
+  private def centroidStructs(v: org.apache.spark.sql.Column,
+                              cents: Seq[(Long, Seq[Double])]) =
+    array(cents.map { case (cid, cv) =>
+      struct(l2Distance(v, array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Deterministic Lloyd's k-means over the vector column: init = the
+    * `nlist` lowest vec_ids, `iters` refinement rounds. Centroids are
+    * tiny (nlist × dim ≤ a few KB) — they live on the driver between
+    * rounds (as MLlib's KMeans does) and enter each round as literals in
+    * a codegen'd argmin expression, so assignment is a pure map pass
+    * over the corpus (no join, no window sort, no shuffle). The centroid
+    * update is an explode + groupBy mean: one shuffle of partial
+    * (cluster, dim, sum) triples per iteration.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec")).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF("cid", "cvec")
-      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-      val assigned = corpus.join(broadcast(cdf))
-        .withColumn("dist", l2Distance(col("vec"), col("cvec")))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("cid"), col("vec"))
-      // per-dim means: partial-aggregated (cid, dim, sum) triples only
-      val means = assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+      val means = corpus
+        .select(nearestCentroidId(col("vec"), cents).as("cid"),
+          posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy("cid", "dim").agg(avg("v").as("m"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
         .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    cents.toDF("cid", "cvec")
+    cents
   }
 
   /** IVF top-k: assign corpus to nearest of `nlist` centroids, probe the
-    * `nprobe` closest lists per query. Approximate — validated by a
-    * recall-vs-brute spec, not a DuckDB oracle.
+    * `nprobe` closest lists per query. Assignment and probe selection
+    * are both driver-literal argmin/arg-sort expressions (map-side);
+    * the only shuffles are the k-means update and the final per-query
+    * top-k rank. Approximate — validated by a recall-vs-brute spec, not
+    * a DuckDB oracle.
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 8, iters: Int = 3): DataFrame = {
     val (corpus, queries) = corpusAndQueries(s, d)
-    val centroids = kmeansCentroids(corpus, nlist, iters).cache()
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cid").asc)
-    val assigned = corpus.join(broadcast(centroids))
-      .withColumn("cdist", l2Distance(col("vec"), col("cvec")))
-      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("vec"), col("cid"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cid").asc)
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("cdist", l2Distance(col("qvec"), col("cvec")))
-      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cid"))
+    val cents = kmeansCentroids(corpus, nlist, iters)
+    val assigned = corpus.select(col("vec_id"), col("vec"),
+      nearestCentroidId(col("vec"), cents).as("cid"))
+    // nprobe closest lists per query: sort the centroid structs, slice,
+    // explode — still a pure projection over the (tiny) query side
+    val probes = queries.select(col("query_id"), col("qvec"),
+        explode(slice(array_sort(centroidStructs(col("qvec"), cents)), 1, nprobe)
+          .getField("cid")).as("cid"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "cid")
       .withColumn("cs", cosineSim(col("vec"), col("qvec")))

@@ -154,13 +154,20 @@ object VectorStore {
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
     val repIds = emb.groupBy("label").agg(min("vec_id").as("rid")).select("rid")
     val reps = emb.join(repIds, col("vec_id") === col("rid"))
-      .select(col("label").as("cat"), col("vec").as("cvec"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cat").asc)
-    emb.join(broadcast(reps))
-      .withColumn("dist", l2Distance(col("vec"), col("cvec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cat").cast("long").as("pred_label"), round(col("dist"), 4).as("dist"))
+      .select(col("label").cast("long").as("cat"), col("vec").as("cvec"))
+    // categories are tiny (one representative per label) — collect them
+    // and classify with the native argmin kernel: a pure map pass over
+    // the corpus instead of a corpus×categories join + per-vector window
+    // sort. Ties break (dist asc, cat asc) in both formulations.
+    val cents: Seq[(Long, Seq[Double])] = reps.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val predicted = emb.select(col("vec_id"), col("vec"),
+      nearestCentroidId(col("vec"), cents).as("pred_label"))
+    // one broadcast hash join (corpus row → its single predicted rep)
+    // recovers the winning distance for the output
+    predicted.join(broadcast(reps), col("pred_label") === col("cat"))
+      .select(col("vec_id"), col("pred_label"),
+        round(l2Distance(col("vec"), col("cvec")), 4).as("dist"))
       .orderBy("vec_id")
   }
 

@@ -111,6 +111,62 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Argmin-centroid id under squared-euclidean (≡ euclidean argmin) for
+  * a fixed, plan-time centroid set (k-means assignment / nearest-
+  * centroid classification). The centroid matrix rides along as a
+  * codegen reference object — one tight double[][] loop per row, no
+  * per-row struct/array allocation, no join, no shuffle. Ties break to
+  * the lowest centroid id (centroids iterated in ascending-id order).
+  */
+case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val sorted = cents.sortBy(_._1)
+  @transient private lazy val mat: Array[Array[Double]] = sorted.map(_._2.toArray).toArray
+  @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < mat.length) {
+      val cv = mat(c); val n = math.min(x.numElements(), cv.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d0 = x.getDouble(i) - cv(i); s += d0 * d0; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("cmat", mat, "double[][]")
+      val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n"); val d0 = ctx.freshName("d0")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $matRef.length; $c++) {
+         |  double[] $cv = $matRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d0 = $a.getDouble($i) - $cv[$i]; $s += $d0 * $d0;
+         |  }
+         |  if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |}
+         |${ev.value} = $idsRef[$best];
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ‖a‖₂ (unary). */
 case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))

@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     // ann
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langId _,
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
+    "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -59,6 +61,7 @@ object SparkEntry {
     "events_asof_join" -> Relational.eventsAsofJoin _,
     "events_sessionize" -> Relational.eventsSessionize _,
     "events_json_props" -> Relational.eventsJsonProps _,
+    "events_quantiles" -> Relational.eventsQuantiles _,
     "orders_rollup" -> Relational.ordersRollup _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -153,6 +156,25 @@ object SparkEntry {
         |GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_ngram_jaccard" -> jaccardOracle(0.7),
+    // connected components via recursive CTE over the exact-Jaccard
+    // pair graph (the Spark side reaches the same pair set through
+    // MinHash+LSH, recall ≈ 1, then min-label propagation)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT ia, ib FROM inter JOIN sizes sa ON ia = sa.doc_id
+         |  JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE sb.n >= sa.n * 0.8 AND sa.n >= sb.n * 0.8
+         |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+         |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |pert AS (SELECT vec_id + 100000 AS vec_id, list_concat([vec[1] + 0.01], vec[2:]) AS vec
@@ -207,6 +229,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
         |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3
         |FROM h WHERE len(hs) >= 4 ORDER BY doc_id""".stripMargin,
+    "docs_sample_hash" ->
+      """SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) AS bucket FROM documents)
+        |WHERE bucket < 6553 ORDER BY doc_id""".stripMargin,
+    "events_quantiles" ->
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs FROM events GROUP BY 1)
+        |SELECT event_type, (i - 1)::BIGINT AS qi, round(qs[i], 4) AS qv
+        |FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        |ORDER BY event_type, qi""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

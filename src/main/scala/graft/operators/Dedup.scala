@@ -199,6 +199,40 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
+  /** Connected components over the near-dup pair graph → canonical
+    * cluster id (min doc_id in the component) per clustered doc — the
+    * step after pair finding in a real dedup pipeline (keep one doc per
+    * cluster). Iterative min-label propagation: each round joins the
+    * edge list to current labels and takes the per-node min; converges
+    * in ≤ diameter rounds (near-dup components are shallow — a handful
+    * of rounds). Only (node, label) pairs shuffle. At extreme scale the
+    * same loop upgrades to alternating large-star/small-star (O(log n)
+    * rounds, same join shape).
+    */
+  def dupClusters(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(s, d, t).select(col("ia"), col("ib"))
+    val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val propagated = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(propagated)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-duplicates ≥ 0.99. The corpus is the
     * embeddings table plus a deterministic perturbed copy (first
     * component +0.01, id +100000) so near-dup positives exist in the

@@ -154,6 +154,20 @@ object Relational {
       .agg(countDistinct(col("o_custkey")).as("n_buyers"), count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
 
+  /** Exact interpolated percentiles of event value per type. Exact
+    * `percentile` here because the oracle needs determinism; the 100 TB
+    * path swaps in `percentile_approx` (t-digest sketch, mergeable in
+    * partial aggregation) — same query shape, bounded memory.
+    */
+  def eventsQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("qi", "qv")))
+      .select(col("event_type"), col("qi").cast("long").as("qi"),
+        round(col("qv"), 4).as("qv"))
+      .orderBy("event_type", "qi")
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

@@ -74,6 +74,19 @@ object TextAnalysis {
           .cast("long").as("n_uniq_tokens"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-bucket sampling — the reproducible alternative
+    * to rand()-based sampling for training-data pipelines (same sample
+    * on every run, every engine, any partitioning; sampling joins stay
+    * consistent across tables). Bucket = first 4 hex chars of md5(text)
+    * as an integer in [0, 65536); keep bucket < rate·65536.
+    */
+  def sampleHash(s: SparkSession, d: String, rate: Double = 0.1): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+      .filter(col("bucket") < lit((rate * 65536).toLong))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
   /** Winnowing-style document fingerprint: md5-derived 60-bit hashes of
     * word 4-grams, keep the 4 smallest = the fingerprint. md5 is
     * portable (identical in the DuckDB oracle), unlike murmur3.

@@ -40,6 +40,24 @@ class DedupSpec extends SparkSpecBase {
     assert(r.agg(sum("n_dups")).head().getLong(0) === Tables.documents(spark, sf).count())
   }
 
+  test("dupClusters labels every paired doc with its component's min doc_id") {
+    val pairs = Dedup.minhashLsh(spark, sf, t = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force union-find on the driver as the oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    assert(clusters === expected)
+    assert(clusters.nonEmpty)
+  }
+
   test("embeddingNearDup finds the 50 planted perturbed twins") {
     val pairs = Dedup.embeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -62,6 +62,25 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("sampleHash is deterministic and near the target rate") {
+    val a = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))
+    val b = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq) // same sample on every run
+    val total = Tables.documents(spark, sf).count().toDouble
+    val rate = a.length / total
+    assert(rate > 0.02 && rate < 0.25, s"10% hash sample rate off: $rate")
+  }
+
+  test("eventsQuantiles emits 4 monotonically increasing quantiles per type") {
+    val rows = Relational.eventsQuantiles(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)))
+    rows.foreach { case (t, qs) =>
+      assert(qs.length === 4, s"$t")
+      assert(qs.sliding(2).forall(p => p(0) <= p(1)), s"$t quantiles not monotone: $qs")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_norm"),
       info("graft_norm", classOf[L2Norm]),
       (args: Seq[Expression]) => L2Norm(args(0))))
+    // whole-operator plan: TopKPerKey (partial-heap → exchange → final-heap)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.plans.TopKPerKeyStrategy)
   }
 }

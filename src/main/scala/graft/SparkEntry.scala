@@ -57,6 +57,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
     "q5_region_revenue" -> Relational.q5RegionRevenue _,
     "topk_per_group" -> Relational.topkPerGroup _,
+    "topk_per_group_fast" -> Relational.topkPerGroupFast _,
     "events_hourly" -> Relational.eventsHourly _,
     "events_asof_join" -> Relational.eventsAsofJoin _,
     "events_sessionize" -> Relational.eventsSessionize _,
@@ -274,6 +275,12 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
         |SELECT o_orderpriority, rk, o_orderkey, o_totalprice AS price FROM r
         |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
+    "topk_per_group_fast" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice AS price FROM r
+        |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -87,6 +87,20 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Top-5 orders by totalprice per priority via the custom TopKPerKey
+    * physical operator (graft.plans.TopK) — same rows as [[topkPerGroup]]
+    * minus the rank column, but planned as partial-heap → exchange →
+    * final-heap: no per-group window sort, and only ≤ k rows per
+    * (key × partition) cross the shuffle.
+    */
+  def topkPerGroupFast(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice").as("price"))
+      .orderBy("o_orderpriority", "o_orderkey")
+
   /** Event-time hourly windowed aggregation (batch twin of the
     * Structured Streaming pipeline in graft.streaming.EventStreams).
     */

@@ -96,22 +96,26 @@ object Dedup {
     Seq.fill(n)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** docs → (doc_id, sh, sig[nPerm]) with sig_k = min over shingles of
-    * h_k(murmur3(shingle)).
+  /** docs → (doc_id, sig[nPerm]) with sig_k = min over shingles of
+    * h_k(xxhash64(shingle)).
     *
     * Computed as explode(shingle) → nPerm `min((a·h+b) mod p)` aggregate
     * columns → groupBy(doc_id). Each permutation is a plain codegen'd
     * long expression and the mins partial-aggregate map-side, so the
     * shuffle carries one nPerm-wide row per doc — unlike a
     * transform/array_min higher-order formulation whose lambdas are
-    * interpreted per (doc × perm × shingle).
+    * interpreted per (doc × perm × shingle). min is duplicate-
+    * insensitive, so the raw (non-distinct) shingle stream feeds it —
+    * no corpus-wide dedup shuffle anywhere in the signature path.
     */
   def minhashSignatures(docs: DataFrame, w: Int = 5, nPerm: Int = 128): DataFrame =
-    minhashFromShingleRows(shingleRows(docs, w, distinct = false), nPerm)
+    minhashFromHashedRows(
+      shingleRows(docs, w, distinct = false)
+        .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h")),
+      nPerm)
 
-  /** (doc_id, shingle) rows → (doc_id, sig[nPerm]). */
-  def minhashFromShingleRows(ex: DataFrame, nPerm: Int): DataFrame = {
-    val hashed = ex.withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+  /** (doc_id, h) hashed-shingle rows → (doc_id, sig[nPerm]). */
+  def minhashFromHashedRows(hashed: DataFrame, nPerm: Int): DataFrame = {
     val permCols = perms(nPerm).zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$k")
     }
@@ -126,8 +130,15 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String, t: Double = 0.8,
                  w: Int = 5, bands: Int = 32, rows: Int = 4): DataFrame = {
-    val ex = shingleRows(Tables.documents(s, d), w).cache()
-    val sigs = minhashFromShingleRows(ex, bands * rows)
+    // shingles are reduced to 64-bit hashes IMMEDIATELY — every shuffle
+    // downstream (signature agg, verify dedup, intersection join)
+    // carries (long, long) rows, never shingle strings. Set semantics on
+    // hashes ≡ set semantics on shingles up to a ~n²/2⁶⁴ collision
+    // probability (vanishing at per-doc shingle counts).
+    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+      .cache()
+    val sigs = minhashFromHashedRows(ex, bands * rows)
     // band buckets: (band_idx, hash(sig slice)) — only these tiny keys shuffle
     val buckets = sigs.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
@@ -140,15 +151,17 @@ object Dedup {
       .distinct()
     // exact verification on candidates only: first prune the shingle
     // rows to docs that appear in any candidate pair (a broadcast
-    // semi-join — candidates ≪ corpus), then count intersections via
-    // the pruned rows. The full corpus never re-shuffles for the verify.
+    // semi-join — candidates ≪ corpus), THEN deduplicate — the
+    // set-semantics shuffle touches only candidate docs' hashed
+    // shingles, never the full corpus.
     val candDocs = cand.select(col("ia").as("doc_id"))
       .union(cand.select(col("ib").as("doc_id"))).distinct()
-    val exC = ex.join(broadcast(candDocs), "doc_id").cache()
+    val exC = ex.join(broadcast(candDocs), "doc_id")
+      .dropDuplicates("doc_id", "h").cache()
     val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(exC.select(col("doc_id").as("ia"), col("shingle")), "ia")
-      .join(exC.select(col("doc_id").as("ib"), col("shingle")), Seq("ib", "shingle"))
+      .join(exC.select(col("doc_id").as("ia"), col("h")), "ia")
+      .join(exC.select(col("doc_id").as("ib"), col("h")), Seq("ib", "h"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
@@ -174,8 +187,11 @@ object Dedup {
     // ~20-word vocabulary, so unigram feature sets collide across
     // unrelated docs and the block join degenerates to ~all-pairs;
     // bigrams give a feature space that separates documents.
-    val hashed = shingleRows(Tables.documents(s, d), w = 2)
-      .withColumn("h", xxhash64(col("shingle")))
+    // hash bigrams to 64-bit BEFORE the distinct: the set-semantics
+    // shuffle carries (long, long) rows, not bigram strings
+    val hashed = shingleRows(Tables.documents(s, d), w = 2, distinct = false)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .dropDuplicates("doc_id", "h")
     val voteCols = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
@@ -215,6 +231,14 @@ object Dedup {
     val pairs = minhashLsh(s, d, t).select(col("ia"), col("ib"))
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").localCheckpoint(true)
+    // HYBRID: the near-dup pair graph is normally ≪ the corpus (it holds
+    // only docs with a ≥t twin). When the edge list fits one task, a
+    // single-pass executor-side union-find replaces an O(log d)-round
+    // distributed loop — one job instead of ~2 per round. The iterative
+    // pointer-doubling path below remains the route for pathological
+    // pair graphs (e.g. crawl corpora that are 50% boilerplate dups).
+    val nEdges = edges.count()
+    if (nEdges <= 10000000L) return unionFindLocal(s, edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
@@ -230,12 +254,13 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       // pointer jump: a label is itself a node id, so follow one hop of
-      // the label function — label := label(label)
+      // the label function — label := label(label). Not checkpointed:
+      // its only input (prop) is, so the plan stays two joins deep; the
+      // convergence count below is the one job that materializes it.
       val jumped = prop.as("a")
         .join(prop.select(col("id").as("label"), col("label").as("ll")).as("b"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
       val changed = jumped.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels = jumped
@@ -243,6 +268,37 @@ object Dedup {
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Small-graph path: weighted-by-min union-find with path compression
+    * over the coalesced edge list — one executor task, one job. Roots
+    * are always the component-min id (union attaches the larger root
+    * under the smaller), so find(x) = canonical cluster id directly.
+    */
+  private def unionFindLocal(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          parent(x) = r
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // find() writes parent(x) for every endpoint it sees (roots map
+        // to themselves), so the key set is exactly the node set
+        parent.keysIterator.map(id => (id, find(id)))
+      }
+      .toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
   }
 

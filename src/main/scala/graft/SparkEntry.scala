@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
+    "text_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     // ann
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -52,6 +53,8 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
+    "text_vocabulary" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -60,6 +63,7 @@ object SparkEntry {
     "topk_per_group_fast" -> Relational.topkPerGroupFast _,
     "events_hourly" -> Relational.eventsHourly _,
     "events_asof_join" -> Relational.eventsAsofJoin _,
+    "events_range_join" -> Relational.eventsRangeJoin _,
     "events_sessionize" -> Relational.eventsSessionize _,
     "events_json_props" -> Relational.eventsJsonProps _,
     "events_quantiles" -> Relational.eventsQuantiles _,
@@ -176,6 +180,49 @@ object SparkEntry {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH ${SHINGLES(8)},
+         |ev AS (SELECT s.doc_id, s.shingle FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+         |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+         |tr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+         |  WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')),
+         |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM ev GROUP BY 1),
+         |hits AS (SELECT e.doc_id, count(DISTINCT e.shingle) AS n_hit,
+         |    count(DISTINCT t.doc_id) AS n_train_docs
+         |  FROM ev e JOIN tr t ON e.shingle = t.shingle GROUP BY 1)
+         |SELECT s.doc_id, s.n_ngrams, coalesce(h.n_hit, 0) AS n_hit,
+         |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / s.n_ngrams, 4) AS hit_ratio
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_vocabulary" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "text_bm25" -> {
+      val terms = Seq("join", "hash", "scan", "merge")
+      val tfs = terms.map(t =>
+        s"len(list_filter(words, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n  ")
+      val dfs = terms.map(t => s"sum((tf_$t > 0)::BIGINT)::DOUBLE AS df_$t").mkString(", ")
+      val score = terms.map(t =>
+        s"ln(1 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, len(words)::DOUBLE AS dl,
+         |  $tfs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM base),
+         |scored AS (SELECT doc_id, round($score, 4) AS bm25 FROM base, stats)
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "events_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, count(c.ts) AS n_clicks,
+        |  CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
     "dedup_embedding" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |pert AS (SELECT vec_id + 100000 AS vec_id, list_concat([vec[1] + 0.01], vec[2:]) AS vec

@@ -302,6 +302,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train→eval DECONTAMINATION: per eval-split document, how much of it
+    * appears verbatim (word-8-gram granularity) in the train split — the
+    * standard benchmark-leakage check run before training. Output: every
+    * eval doc with its distinct-8-gram count, how many of those 8-grams
+    * occur in ANY train doc, how many distinct train docs share one, and
+    * the hit ratio (the number a pipeline thresholds on, e.g. ≥ 0.5 ⇒
+    * drop from eval / flag train doc).
+    *
+    * Scale shape: both sides reduce to (doc_id, xxhash64(8-gram)) rows
+    * before any shuffle; the overlap join keys on the 8-byte hash. The
+    * train side at 100 TB stays fully distributed — no per-doc state, no
+    * driver collection; skewed grams (boilerplate) are AQE-split.
+    */
+  def decontaminate(s: SparkSession, d: String, w: Int = 8,
+                    evalSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(part: DataFrame) =
+      shingleRows(part, w, distinct = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val ev = grams(docs.filter(col("source").isin(evalSources: _*)))
+      .dropDuplicates("doc_id", "h")
+    val tr = grams(docs.filter(!col("source").isin(evalSources: _*)))
+      .select(col("h"), col("doc_id").as("train_id"))
+    val sizes = ev.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val hits = ev.join(tr, "h")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_hit"), countDistinct("train_id").as("n_train_docs"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_ngrams"), 4).as("hit_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-duplicates ≥ 0.99. The corpus is the
     * embeddings table plus a deterministic perturbed copy (first
     * component +0.01, id +100000) so near-dup positives exist in the

@@ -131,6 +131,31 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Point-in-interval RANGE JOIN: for every purchase event, the count
+    * and value of the same user's clicks in the hour before it. Plans as
+    * an equi-join on `user_id` with the time range as a post-join
+    * predicate — at scale both sides hash-partition on the (high-
+    * cardinality) user key, so each range comparison is local to a
+    * partition and hot users are AQE-skew-split. For a PURE range join
+    * (no equi key) the same operator composes with interval bucketing:
+    * join on floor(ts / bucket) ∈ {lo_bucket .. hi_bucket} to regain an
+    * equi key, then apply the exact range predicate.
+    */
+  def eventsRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("ts").as("cts"), col("value"))
+    p.join(c, col("user_id") === col("cuser") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") < col("pts"),
+        "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(col("cts")).as("n_clicks"),
+        coalesce(decSum(col("value")), lit(0.0)).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
   /** JSON property extraction from the events `props` column (semantic:
     * get_json_object / json_extract; implemented with a shared regex so
     * the DuckDB oracle needs no JSON extension in the zero-egress env).

@@ -87,6 +87,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary with term and document frequencies, top-N by
+    * term frequency (the tokenizer-training / BPE-prep pass). Total
+    * order: (tf DESC, token ASC). Scale: explode → partial-agg'd
+    * groupBy(token) — the shuffle carries (token, partial tf, partial
+    * doc set) only; top-N plans as TakeOrderedAndProject (per-partition
+    * heaps, N-row merge). Exact per-token distinct-doc counts require
+    * the (token, doc_id) dedup; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (HLL) to keep df single-pass.
+    */
+  def vocabulary(s: SparkSession, d: String, topN: Int = 100): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topN)
+
+  /** BM25 keyword search (k1 = 1.2, b = 0.75, Lucene-style
+    * idf = ln(1 + (N − df + ½)/(df + ½))): top-k docs for a bag of query
+    * terms. Fully columnar and JOIN-FREE on the corpus: per-term tf is
+    * `size(filter(words, = term))` (codegen'd, no explode/shuffle of
+    * the corpus), corpus stats (N, avgdl, per-term df) reduce to ONE
+    * scalar row cross-joined back (a broadcast). Per-doc score is a
+    * fixed-order sum of per-term score expressions — deterministic
+    * regardless of partitioning (the oracle evaluates the identical
+    * expression tree). Top-k plans as TakeOrderedAndProject.
+    */
+  def bm25Search(s: SparkSession, d: String,
+                 terms: Seq[String] = Seq("join", "hash", "scan", "merge"),
+                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = split(col("text"), " ")
+    val tfCols = terms.map(t => size(filter(words, x => x === t)).cast("double").as(s"tf_$t"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id") +: size(words).cast("double").as("dl") +: tfCols: _*)
+    val aggCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).cast("double").as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * (col(s"tf_$t") * (k1 + 1)) /
+        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Winnowing-style document fingerprint: md5-derived 60-bit hashes of
     * word 4-grams, keep the 4 smallest = the fingerprint. md5 is
     * portable (identical in the DuckDB oracle), unlike murmur3.

@@ -81,6 +81,55 @@ class OperatorsSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
   }
 
+  test("vocabulary tf >= df > 0 and covers every distinct token") {
+    val r = TextAnalysis.vocabulary(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= row.getLong(2) && row.getLong(2) > 0,
+        s"token ${row.getString(0)}: tf ${row.getLong(1)} df ${row.getLong(2)}")
+    }
+    // tf over the whole vocab = total token count
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    if (r.length < 100) assert(r.map(_.getLong(1)).sum === totalTokens)
+  }
+
+  test("bm25 scores are positive, descending, and rank tf-heavy docs first") {
+    val r = TextAnalysis.bm25Search(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val scores = r.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(scores.forall(_ > 0))
+  }
+
+  test("decontaminate reports every eval doc with a sane hit ratio") {
+    val r = graft.operators.Dedup.decontaminate(spark, sf).collect()
+    val nEval = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2", "src3")).count()
+    assert(r.length === nEval)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1)) // n_hit <= n_ngrams
+      val ratio = row.getDouble(4)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (row.getLong(2) == 0) assert(row.getLong(3) === 0L)
+    }
+  }
+
+  test("range join click counts match a per-row recount") {
+    val r = Relational.eventsRangeJoin(spark, sf)
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(r.count() === purchases) // left join keeps every purchase
+    // spot-check: total joined clicks equals the pair-count of the inner join
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val expected = p.join(c, col("pu") === col("cu") &&
+      col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") < col("pts")).count()
+    assert(r.agg(sum("n_clicks")).head().getLong(0) === expected)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

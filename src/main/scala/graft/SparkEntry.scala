@@ -70,6 +70,9 @@ object SparkEntry {
     "orders_rollup" -> Relational.ordersRollup _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
+    // embedding-column maintenance
+    "emb_label_centroids" -> Embeddings.labelCentroids _,
+    "emb_quantize_sq" -> Embeddings.quantizeSq _,
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     // multimodal
@@ -231,6 +234,23 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, list_cosine_similarity(a.vec, b.vec) AS cs
         |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, round(cs, 4) AS cosine FROM p WHERE cs >= 0.99 ORDER BY ia, ib""".stripMargin,
+    "emb_label_centroids" ->
+      """WITH vals AS (SELECT label,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  unnest([x::DOUBLE for x in embedding]) AS v FROM embeddings)
+        |SELECT label, dim::BIGINT AS dim,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6) AS mean,
+        |  count(*) AS n
+        |FROM vals GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_quantize_sq" ->
+      """WITH vals AS (SELECT vec_id,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  unnest([x::DOUBLE for x in embedding]) AS v FROM embeddings),
+        |bounds AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM vals GROUP BY 1)
+        |SELECT vec_id, v.dim::BIGINT AS dim,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(floor((v - lo) / (hi - lo) * 256), 255)::BIGINT END AS code
+        |FROM vals v JOIN bounds b ON v.dim = b.dim ORDER BY vec_id, dim""".stripMargin,
     "ann_brute_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),

@@ -130,6 +130,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r.agg(sum("n_clicks")).head().getLong(0) === expected)
   }
 
+  test("label centroids cover every (label, dim) cell with consistent counts") {
+    val emb = Tables.embeddings(spark, sf)
+    val nLabels = emb.select("label").distinct().count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val r = graft.operators.Embeddings.labelCentroids(spark, sf)
+    assert(r.count() === nLabels * dim)
+    // per-label n is constant across dims and sums to the corpus size
+    val ns = r.groupBy("label").agg(countDistinct("n").as("k"), first("n").as("n")).collect()
+    assert(ns.forall(_.getLong(1) === 1L))
+    assert(ns.map(_.getLong(2)).sum === emb.count())
+  }
+
+  test("scalar quantization codes are in [0,255] and hit both endpoints per dim") {
+    val r = graft.operators.Embeddings.quantizeSq(spark, sf).cache()
+    val mm = r.agg(min("code"), max("code")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 255L)
+    // every dimension's min value quantizes to 0 and max to 255
+    val perDim = r.groupBy("dim").agg(min("code").as("lo"), max("code").as("hi")).collect()
+    perDim.foreach { row =>
+      assert(row.getLong(1) === 0L && row.getLong(2) === 255L, s"dim ${row.getLong(0)}")
+    }
+    r.unpersist()
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -67,6 +67,9 @@ object SparkEntry {
     "events_sessionize" -> Relational.eventsSessionize _,
     "events_json_props" -> Relational.eventsJsonProps _,
     "events_quantiles" -> Relational.eventsQuantiles _,
+    "events_moving_avg" -> Relational.eventsMovingAvg _,
+    "events_approx_users" -> Relational.eventsApproxUsers _,
+    "part_price_histogram" -> ((s: SparkSession, d: String) => Relational.partPriceHistogram(s, d)),
     "orders_rollup" -> Relational.ordersRollup _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -378,6 +381,20 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_window,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "part_price_histogram" ->
+      """WITH b AS (SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi FROM part)
+        |SELECT least(floor((p_retailprice - lo) / (hi - lo) * 20), 19)::BIGINT AS bucket,
+        |  count(*) AS n
+        |FROM part, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

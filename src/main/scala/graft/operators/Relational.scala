@@ -168,6 +168,72 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Sliding-window moving aggregate: per user, the running count and
+    * average of `value` over the last 10 events (ROWS frame). The sum is
+    * DECIMAL inside the frame: engines disagree on sliding-frame DOUBLE
+    * summation order (Spark recomputes left-to-right, DuckDB uses a
+    * segment tree), and DECIMAL addition is order-independent. At scale
+    * the window shuffles once on user_id; frames never cross partitions.
+    */
+  def eventsMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_window"),
+        (sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mavg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Equi-width histogram over part retail price: global [min, max]
+    * bounds (one tiny agg row, broadcast back) → 20 buckets. The classic
+    * two-pass distributed histogram — the bounds pass reduces to one row,
+    * the bucket pass is map-side + one partial-agg'd groupBy.
+    */
+  def partPriceHistogram(s: SparkSession, d: String, nBuckets: Int = 20): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice").as("v"))
+    val bounds = p.agg(min("v").as("lo"), max("v").as("hi"))
+    p.crossJoin(broadcast(bounds))
+      .select(least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBuckets),
+        lit(nBuckets - 1.0)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Approximate distinct users per event type — HyperLogLog++ at 2%
+    * target error. THE cardinality primitive at 100 TB: single-pass, a
+    * few KB of sketch state per group crossing the shuffle, vs the
+    * (group, user) dedup exchange exact distinct needs. Sketch internals
+    * are engine-specific → rows-only check + a tolerance spec against
+    * the exact count.
+    */
+  def eventsApproxUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Salted join — the manual skew-breaker for hot keys (the fallback
+    * when AQE's runtime skew split can't apply, e.g. non-shuffle-join
+    * strategies or aggregation-after-join pipelines). The skewed left
+    * side gets a deterministic salt in [0, salt); the right side
+    * replicates each row to every salt value; the join keys on
+    * (key, salt), spreading one hot key over `salt` reducers. Result ≡
+    * the unsalted join (spec-verified).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                 rightKey: String, salt: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(col(leftKey), monotonically_increasing_id()), lit(salt)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** ROLLUP aggregation (subtotal lattice) over order status × priority. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

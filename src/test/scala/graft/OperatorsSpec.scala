@@ -154,6 +154,40 @@ class OperatorsSpec extends SparkSpecBase {
     r.unpersist()
   }
 
+  test("moving average window never exceeds 10 rows and matches value bounds") {
+    val r = Relational.eventsMovingAvg(spark, sf).collect()
+    assert(r.length === Tables.events(spark, sf).count())
+    r.foreach { row =>
+      assert(row.getLong(2) >= 1L && row.getLong(2) <= 10L)
+    }
+  }
+
+  test("price histogram buckets partition the part table") {
+    val r = Relational.partPriceHistogram(spark, sf).collect()
+    assert(r.map(_.getLong(1)).sum === Tables.part(spark, sf).count())
+    assert(r.forall(row => row.getLong(0) >= 0 && row.getLong(0) <= 19))
+  }
+
+  test("approx distinct users is within 5% of exact") {
+    val approx = Relational.eventsApproxUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$t: approx $a exact $e")
+    }
+  }
+
+  test("salted join equals the unsalted join") {
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+    val salted = Relational.saltedJoin(orders, cust, "o_custkey", "c_custkey").count()
+    assert(salted === plain)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

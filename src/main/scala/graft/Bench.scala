@@ -33,9 +33,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      // queries that cache intermediates would otherwise leak blocks into
-      // every later query's memory budget — isolate them
+      // queries that cache/localCheckpoint intermediates would otherwise
+      // leak blocks into every later query's memory budget — clearCache
+      // only drops Dataset caches, so also unpersist every lingering RDD
+      // (checkpoint blocks included) to isolate queries
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -85,6 +85,23 @@ object Sources {
     docs.repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(path)
 
+  /** Hash-bucketed table sink: parquet bucketed (and sorted) by the join
+    * key. Two tables bucketed by the same key into the same bucket count
+    * join WITHOUT a shuffle — the storage layout IS the exchange, paid
+    * once at write time and amortized over every later join/aggregation
+    * on that key. This is the 100 TB answer for the always-joined pairs
+    * (orders⋈customer, points⋈tenant metadata): at 1000 executors the
+    * fact-table exchange is the single most expensive stage a naive plan
+    * runs, and a bucketed layout deletes it. Verified by SourcesSpec:
+    * the bucketed join plan contains zero ShuffleExchange operators.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Streaming parquet sink with checkpointed exactly-once file commits. */
   def writeEventsStream(events: DataFrame, path: String, checkpoint: String) =
     events.writeStream

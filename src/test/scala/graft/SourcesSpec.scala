@@ -60,4 +60,26 @@ class SourcesSpec extends SparkSpecBase {
     val q = graft.operators.TextAnalysis.quality(spark, sf)
     assert(q.count() > 0)
   }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    Sources.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)
+    Sources.writeBucketed(Tables.customer(spark, sf), "customer_b", "c_custkey", 4)
+    // force the shuffle-based strategy: broadcast would mask bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expected)
+      // and a key-grouped aggregation over one bucketed table: no exchange
+      val agg = spark.table("orders_b").groupBy("o_custkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

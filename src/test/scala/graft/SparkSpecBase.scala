@@ -21,5 +21,6 @@ object SparkSpecBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${System.nanoTime()}")
     .getOrCreate()
 }

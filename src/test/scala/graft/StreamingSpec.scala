@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution matches clicks in the hour before a purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 1.0),   // 45 min before purchase → match
+        Event(11, ts(30), 1, "click", 2.0),  // 15 min before → match
+        Event(12, ts(30), 2, "click", 9.0),  // other user → no match
+        Event(13, ts(50), 1, "click", 3.0))  // after purchase → no match
+      purchases.addData(Event(20, ts(45), 1, "purchase", 99.0))
+      q.processAllAvailable()
+      // advance both watermarks so the joinable window is closed and emitted
+      clicks.addData(Event(14, ts(300), 3, "click", 0.0))
+      purchases.addData(Event(21, ts(300), 3, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      val matched = rows.filter(_.getLong(0) == 20L).map(_.getLong(2)).sorted
+      assert(matched.toSeq === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("streamingSearch joins a query stream against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.points(spark, sf)

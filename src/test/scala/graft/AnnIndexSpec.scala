@@ -1,0 +1,53 @@
+package graft
+
+import graft.api.AnnIndex
+import graft.functions.Vectors._
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpecBase {
+
+  private lazy val corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+
+  private def tmp(n: String) =
+    java.nio.file.Files.createTempDirectory(s"annidx-$n").toString + "/idx"
+
+  test("build persists nlist partitions and centroids round-trip via load") {
+    val path = tmp("roundtrip")
+    val built = AnnIndex.build(corpus, path, nlist = 8)
+    assert(built.centroids.length === 8)
+    val loaded = AnnIndex.load(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq === (0 until 8))
+    (built.centroids zip loaded.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq) // centroids survive the round-trip exactly
+    }
+    // every corpus row landed in exactly one list
+    assert(spark.read.parquet(path).count() === corpus.count())
+  }
+
+  test("search prunes partitions and finds an indexed vector via its own list") {
+    val path = tmp("search")
+    val idx = AnnIndex.build(corpus, path, nlist = 8)
+    val qvec = corpus.filter(col("vec_id") === 42).head().getSeq[Double](1)
+    val hits = idx.search(qvec, k = 5, nprobe = 2)
+    // the probed list containing vec 42 must return it at rank 1 (cos = 1)
+    val top = hits.head()
+    assert(top.getLong(0) === 42L)
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-9)
+    // partition pruning reaches the scan
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list#"), plan)
+  }
+
+  test("probing all lists equals brute force exactly") {
+    val path = tmp("full")
+    val idx = AnnIndex.build(corpus, path, nlist = 4)
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    val ivf = idx.search(qvec, k = 10, nprobe = 4).collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = corpus.select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+}

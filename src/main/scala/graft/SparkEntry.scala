@@ -79,7 +79,9 @@ object SparkEntry {
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     // multimodal
-    "mm_decode_meta" -> Multimodal.decodeMeta _
+    "mm_decode_meta" -> Multimodal.decodeMeta _,
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -417,6 +419,21 @@ object SparkEntry {
         |  (strlen(text) % 640 + 16)::BIGINT AS width,
         |  (strlen(text) * 7 % 480 + 16)::BIGINT AS height,
         |  (CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE 1 END)::BIGINT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, strlen(text)::BIGINT AS bl,
+        |  (strlen(text) % 30 + 1)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, bl,
+        |  unnest(list_distinct([(j * (n - 1)) // 3 for j in [0, 1, 2, 3]])) AS fi FROM v)
+        |SELECT doc_id, fi::BIGINT AS frame_idx, (bl * 31 + fi)::BIGINT AS frame_key
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id, (strlen(text) % 640 + 16)::BIGINT AS width,
+        |  (strlen(text) * 7 % 480 + 16)::BIGINT AS height FROM documents)
+        |SELECT doc_id, width, height,
+        |  floor(width * (224.0 / greatest(width, height)))::BIGINT AS out_w,
+        |  floor(height * (224.0 / greatest(width, height)))::BIGINT AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -59,4 +59,46 @@ object Multimodal {
         col("n_frames").cast("long").as("n_frames"))
       .orderBy("doc_id")
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_key: Long)
+
+  /** Uniform FRAME SAMPLING from video payloads: up to `k` evenly-spaced
+    * frame indices per video (always including first and last frame),
+    * one output row per sampled frame — the 1→N flatMap shape of a real
+    * frame extractor (which would emit decoded tensors; the stub emits a
+    * deterministic frame key). Rows fan out partition-locally; no
+    * shuffle until a downstream consumer asks for one.
+    */
+  def frameSample(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("media_type") === "video")
+      .as[MediaRow]
+      .flatMap { r =>
+        val meta = decodeStub(r)
+        val n = meta.n_frames.toLong
+        (0 until k).map(j => j.toLong * (n - 1) / math.max(k - 1, 1))
+          .distinct
+          .map(i => Frame(r.doc_id, i, meta.byte_len * 31 + i))
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Aspect-preserving RESIZE planning: fit each image/frame into a
+    * `target`×`target` box (scale = target / max(w, h), floor to
+    * pixels) — the geometry pass a preprocessing pipeline runs before
+    * the actual resample kernel. Pure column arithmetic over the decoded
+    * metadata; the kernel slot stays in mapPartitions.
+    */
+  def resizePlan(s: SparkSession, d: String, target: Int = 224): DataFrame = {
+    import s.implicits._
+    val meta = mediaTable(s, d).mapPartitions(_.map(decodeStub)).toDF()
+    val scale = lit(target.toDouble) / greatest(col("width"), col("height"))
+    meta.select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        floor(col("width") * scale).as("out_w"),
+        floor(col("height") * scale).as("out_h"))
+      .orderBy("doc_id")
+  }
 }

@@ -71,11 +71,14 @@ object SparkEntry {
     "events_approx_users" -> Relational.eventsApproxUsers _,
     "part_price_histogram" -> ((s: SparkSession, d: String) => Relational.partPriceHistogram(s, d)),
     "orders_rollup" -> Relational.ordersRollup _,
+    "orders_count_distribution" -> Relational.ordersCountDistribution _,
+    "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
+    "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     // multimodal
@@ -404,6 +407,19 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "orders_count_distribution" ->
+      """WITH c AS (SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers FROM c
+        |GROUP BY 1 ORDER BY n_orders DESC""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey AS p_key,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN pa ON l_partkey = p_key
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

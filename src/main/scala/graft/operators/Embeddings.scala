@@ -56,4 +56,42 @@ object Embeddings {
             lit(255.0)).cast("long")).as("code"))
       .orderBy("vec_id", "dim")
   }
+
+  /** Two-stage QUANTIZED search (SQ + rerank — how Qdrant-class engines
+    * search compressed collections): stage 1 ranks the whole corpus by
+    * cosine against int8-RECONSTRUCTED vectors and keeps `rerank`
+    * candidates; stage 2 rescores only those against the exact floats.
+    * At scale stage 1 reads the 4×-smaller code column (the dominant
+    * cost of brute scoring is scan I/O) and stage 2 touches `rerank`
+    * rows. The per-dim bounds are the persisted quantizer state — dim
+    * doubles, centroid-style driver residents. Approximate → recall
+    * spec, not a DuckDB oracle.
+    */
+  def sqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
+                     k: Int = 10, rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val b = emb.select(posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("dim").collect()
+    val lo = b.map(_.getDouble(1))
+    val rng = b.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-300))
+    val loA = array(lo.map(lit).toIndexedSeq: _*)
+    val rngA = array(rng.map(lit).toIndexedSeq: _*)
+    // reconstruct: code = floor((v-lo)/rng*256) clamped; v' = lo + (code+0.5)/256*rng
+    val codes = zip_with(zip_with(col("vec"), loA, (v, l) => v - l), rngA,
+      (dlt, r) => least(floor(dlt / r * 256), lit(255.0)))
+    val approx = zip_with(zip_with(codes, rngA, (c, r) => (c + 0.5) / 256 * r), loA,
+      (x, l) => x + l)
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val q = array(qvec.map(lit): _*)
+    val candidates = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosineSim(approx, q).as("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col("vec_id"))
+      .limit(rerank)
+    emb.join(broadcast(candidates.select("vec_id")), "vec_id")
+      .select(col("vec_id"), round(cosineSim(col("vec"), q), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -234,6 +234,34 @@ object Relational {
       .drop("__salt")
   }
 
+  /** TPC-H Q13-style distribution: orders-per-customer histogram via
+    * LEFT join + two-level aggregation (customers with zero orders land
+    * in the 0 bucket). The second groupBy is over an already-reduced
+    * (customer-cardinality) input — both shuffles carry key+count only.
+    */
+  def ordersCountDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders").desc)
+
+  /** TPC-H Q17-style correlated aggregate: lineitems whose quantity is
+    * below 20% of their part's average quantity. The correlated
+    * subquery decorrelates to a per-part aggregate joined back to the
+    * fact table — the aggregate side is part-cardinality (≪ lineitem)
+    * and broadcasts. avg is an exact DECIMAL-sum mean.
+    */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val partAvg = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(partAvg), col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** ROLLUP aggregation (subtotal lattice) over order status × priority. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -54,6 +54,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "text_vocabulary" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
+    "text_ngram_counts" -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -72,6 +73,7 @@ object SparkEntry {
     "part_price_histogram" -> ((s: SparkSession, d: String) => Relational.partPriceHistogram(s, d)),
     "orders_rollup" -> Relational.ordersRollup _,
     "orders_count_distribution" -> Relational.ordersCountDistribution _,
+    "events_pivot" -> Relational.eventsPivot _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -209,6 +211,20 @@ object SparkEntry {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "text_ngram_counts" ->
+      """WITH sh AS (SELECT doc_id,
+        |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM sh GROUP BY 1 ORDER BY tf DESC, ngram LIMIT 50""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("join", "hash", "scan", "merge")
       val tfs = terms.map(t =>

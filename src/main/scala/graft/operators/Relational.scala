@@ -262,6 +262,23 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** PIVOT: per-user event counts spread across event-type columns (the
+    * wide-format export consumers ask of an event store). Spark's
+    * `pivot` with an EXPLICIT value list — never the value-discovering
+    * overload, which runs an extra distinct job over the fact table at
+    * 100 TB. One partial-agg'd shuffle on user_id.
+    */
+  def eventsPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("view").as("n_view"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+      .orderBy("user_id")
+
   /** ROLLUP aggregation (subtotal lattice) over order status × priority. */
   def ordersRollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -137,6 +137,18 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-level n-gram frequency table (top-N word bigrams with doc
+    * frequency) — phrase mining / collocation statistics over the
+    * training corpus. Same partial-agg'd shape as [[vocabulary]], fed by
+    * the codegen'd shingle expansion from Dedup.shingleRows.
+    */
+  def ngramCounts(s: SparkSession, d: String, w: Int = 2, topN: Int = 50): DataFrame =
+    graft.operators.Dedup.shingleRows(Tables.documents(s, d), w, distinct = false)
+      .groupBy(col("shingle").as("ngram"))
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("ngram"))
+      .limit(topN)
+
   /** Winnowing-style document fingerprint: md5-derived 60-bit hashes of
     * word 4-grams, keep the 4 smallest = the fingerprint. md5 is
     * portable (identical in the DuckDB oracle), unlike murmur3.

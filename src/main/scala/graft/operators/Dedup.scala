@@ -228,7 +228,11 @@ object Dedup {
     * (node, label) pairs shuffle; the edge list is materialized once.
     */
   def dupClusters(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    // materialize the pair list BEFORE the symmetrizing union: `pairs`
+    // appears twice in the union plan, and without the checkpoint the
+    // whole LSH pair-finding DAG executes twice (measured 2× cost)
     val pairs = minhashLsh(s, d, t).select(col("ia"), col("ib"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").localCheckpoint(true)
     // HYBRID: the near-dup pair graph is normally ≪ the corpus (it holds

@@ -189,7 +189,10 @@ object VectorStore {
     * rank 1 with cosine 1 (asserted in VectorStoreSpec).
     */
   def textSearch(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val emb = embedText(s, d) // (doc_id, embedding), unit-normalized
+    // cached: the plan references the embedding DAG twice (corpus side
+    // and query side) — without the cache both run the full two-shuffle
+    // feature-hash embedding
+    val emb = embedText(s, d).cache() // (doc_id, embedding), unit-normalized
     val queries = emb.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
     val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)

@@ -35,6 +35,7 @@ object SparkEntry {
     "vs_classify_nearest" -> VectorStore.classifyNearest _,
     "vs_count_by_tenant" -> VectorStore.countByTenant _,
     "vs_embed_text" -> ((s: SparkSession, d: String) => VectorStore.embedText(s, d)),
+    "vs_merge_stats" -> VectorStore.mergeStats _,
     // dedup
     "dedup_exact" -> Dedup.exact _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -169,6 +170,15 @@ object SparkEntry {
       s"""WITH $PTS
          |SELECT user_id, lang, count(*) AS n, min(id) AS min_id FROM pts
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vs_merge_stats" ->
+      s"""WITH $PTS,
+         |batch AS (SELECT id, user_id FROM pts WHERE id % 5 = 0
+         |  UNION ALL SELECT id + 1000000, user_id FROM pts WHERE id % 7 = 3),
+         |m AS (SELECT coalesce(b.user_id, u.user_id) AS user_id,
+         |  CASE WHEN b.id IS NOT NULL AND u.id IS NOT NULL THEN 'updated'
+         |       WHEN b.id IS NULL THEN 'inserted' ELSE 'untouched' END AS op
+         |  FROM pts b FULL OUTER JOIN batch u ON b.id = u.id)
+         |SELECT user_id, op, count(*) AS n FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
         |GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,

@@ -93,7 +93,10 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 8, iters: Int = 3): DataFrame = {
-    val (corpus, queries) = corpusAndQueries(s, d)
+    val (corpus0, queries) = corpusAndQueries(s, d)
+    // cached: k-means runs iters+1 actions over the corpus, then the
+    // probe scan reads it once more — cache instead of re-scanning
+    val corpus = corpus0.cache()
     val cents = kmeansCentroids(corpus, nlist, iters)
     val assigned = corpus.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("cid"))

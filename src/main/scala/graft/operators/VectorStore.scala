@@ -204,6 +204,30 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** MERGE statistics: apply an upsert batch to the collection snapshot
+    * and report, per tenant, how many points were inserted (new ids) vs
+    * updated (replaced ids) vs untouched — the bookkeeping a mutable
+    * vector collection (reference: qdrant upsert, insert.py:72) surfaces
+    * after a batch load. One outer join keyed on point id; both sides
+    * shuffle once on the key (or zero times with an id-bucketed layout).
+    */
+  def mergeStats(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.points(s, d)
+    val batch = base.filter(col("id") % 5 === 0)
+      .select(col("id"), col("user_id")) // every 5th point re-upserted
+      .unionByName(base.filter(col("id") % 7 === 3)
+        .select((col("id") + 1000000).as("id"), col("user_id"))) // new ids
+    base.select(col("id"), col("user_id").as("base_user"), lit(1).as("in_base"))
+      .join(batch.select(col("id"), col("user_id").as("batch_user"), lit(1).as("in_batch")),
+        Seq("id"), "full_outer")
+      .select(coalesce(col("base_user"), col("batch_user")).as("user_id"),
+        when(col("in_base").isNotNull && col("in_batch").isNotNull, "updated")
+          .when(col("in_base").isNull, "inserted")
+          .otherwise("untouched").as("op"))
+      .groupBy("user_id", "op").agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "op")
+  }
+
   /** Deterministic feature-hash embedding (stand-in for the reference's
     * e5 model, QdrantCloud.py:20-22): token → murmur3 hash → signed
     * bucket sum → unit-normalize. Fully columnar: explode + groupBy +

@@ -75,6 +75,8 @@ object SparkEntry {
     "orders_rollup" -> Relational.ordersRollup _,
     "orders_count_distribution" -> Relational.ordersCountDistribution _,
     "events_pivot" -> Relational.eventsPivot _,
+    "events_gap_fill" -> Relational.eventsGapFill _,
+    "orders_ntile" -> Relational.ordersNtile _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -412,6 +414,24 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_gap_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |g AS (SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+        |h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n, coalesce(h.sv, 0.0) AS sum_value
+        |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
+    "orders_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile, row_number() OVER w AS rk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, rk""".stripMargin,
     "events_moving_avg" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_window,

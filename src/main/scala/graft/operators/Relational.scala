@@ -262,6 +262,45 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Time-series GAP FILLING: the dense (event_type × hour) grid over
+    * the observed time range, zero-filled where no events landed — what
+    * downstream anomaly detection / charting expects from an event
+    * store. The grid generates from one broadcast bounds row
+    * (sequence + explode ≈ generate_series); observed hourly aggregates
+    * left-join onto it. Grid cardinality is types × hours — tiny next
+    * to the events themselves at any scale.
+    */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sv"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** NTILE quartiles of order value within each priority class plus the
+    * order's exact rank — window-rank breadth beyond row_number
+    * (deterministic: the window order is a total order).
+    */
+  def ordersNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        row_number().over(w).cast("long").as("rk"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** PIVOT: per-user event counts spread across event-type columns (the
     * wide-format export consumers ask of an event store). Spark's
     * `pivot` with an EXPLICIT value list — never the value-discovering

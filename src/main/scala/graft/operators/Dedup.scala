@@ -242,7 +242,16 @@ object Dedup {
     // pointer-doubling path below remains the route for pathological
     // pair graphs (e.g. crawl corpora that are 50% boilerplate dups).
     val nEdges = edges.count()
-    if (nEdges <= 10000000L) return unionFindLocal(s, edges)
+    if (nEdges <= 10000000L) unionFindLocal(s, edges)
+    else labelPropagation(s, edges)
+  }
+
+  /** Scale path: distributed pointer-doubling min-label propagation over
+    * a (src, dst) edge list (must be symmetric). Equivalent to
+    * [[unionFindLocal]] — EquivalenceSpec checks both against a
+    * reference on random graphs.
+    */
+  private[graft] def labelPropagation(s: SparkSession, edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
@@ -280,7 +289,7 @@ object Dedup {
     * are always the component-min id (union attaches the larger root
     * under the smaller), so find(x) = canonical cluster id directly.
     */
-  private def unionFindLocal(s: SparkSession, edges: DataFrame): DataFrame = {
+  private[graft] def unionFindLocal(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
     edges.select(col("src"), col("dst")).as[(Long, Long)]
       .coalesce(1)

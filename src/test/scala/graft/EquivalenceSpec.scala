@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Relational}
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence checks between alternative implementations of
+  * the same semantics — the paths a scale-dependent dispatch picks
+  * between must agree on EVERY input, not just the planted test corpus.
+  */
+class EquivalenceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Reference connected components (driver-side BFS). */
+  private def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val label = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (start <- nodes.sorted if !label.contains(start)) {
+      // BFS the whole component, label with its min node id
+      val comp = scala.collection.mutable.Set(start)
+      val queue = scala.collection.mutable.Queue(start)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        adj.getOrElse(u, Nil).foreach(v => if (comp.add(v)) queue.enqueue(v))
+      }
+      val m = comp.min
+      comp.foreach(n => label(n) = m)
+    }
+    label.toMap
+  }
+
+  test("union-find and label propagation agree with reference BFS on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(30)
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      val expected = referenceComponents(pairs).toSeq.sorted
+      val edges = pairs.toDF("ia", "ib")
+      val sym = edges.select($"ia".as("src"), $"ib".as("dst"))
+        .union(edges.select($"ib", $"ia")).localCheckpoint(true)
+      val uf = Dedup.unionFindLocal(spark, sym).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val lp = Dedup.labelPropagation(spark, sym).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(uf === expected, s"union-find diverged on trial $trial: $pairs")
+      assert(lp === expected, s"label propagation diverged on trial $trial: $pairs")
+    }
+  }
+
+  test("TopKPerKey custom operator matches the window formulation on random data") {
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.fill(500)((s"g${rnd.nextInt(7)}", rnd.nextInt(1000).toLong, rnd.nextLong()))
+    val df = rows.toDF("key", "value", "payload").localCheckpoint(true)
+    val fast = graft.plans.TopK.perKey(df, Seq(col("key")),
+        Seq(col("value").desc, col("payload")), k = 5)
+      .select("key", "value", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("value").desc, col("payload"))
+    val windowed = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("key", "value", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fast === windowed)
+  }
+
+  test("salted join equals plain join on skewed random data") {
+    val rnd = new scala.util.Random(7)
+    // 80% of left rows share one hot key — the regime saltedJoin exists for
+    val left = Seq.fill(400)(if (rnd.nextInt(5) > 0) 1L else rnd.nextInt(20).toLong)
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("lk", "lv")
+    val right = (0L until 20L).map(k => (k, s"r$k")).toDF("rk", "rv")
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select("lv", "rv").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Relational.saltedJoin(left, right, "lk", "rk", salt = 4)
+      .select("lv", "rv").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted === plain)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.api
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composed pipeline a user of
+  * this library runs nightly over raw ingested documents —
+  *
+  *   quality gate → exact dedup → near-dup clustering (keep one doc per
+  *   cluster) → benchmark-decontamination gate → deterministic sample →
+  *   lang-partitioned curated parquet + a per-stage attrition report.
+  *
+  * Every stage is one of the library's verified operators; the pipeline
+  * only wires them. Scale shape: stages communicate by doc_id sets
+  * (broadcast semi-/anti-joins — the full text crosses no shuffle after
+  * the ingest scan until the final write), and each gate is cheap
+  * relative to the signature work it reuses.
+  */
+object CuratePipeline {
+
+  case class Report(nInput: Long, nAfterQuality: Long, nAfterExactDedup: Long,
+                    nAfterNearDedup: Long, nAfterDecontam: Long, nSampled: Long)
+
+  def curate(s: SparkSession, d: String, outPath: String,
+             minWords: Int = 5, minUniqRatio: Double = 0.1,
+             nearDupThreshold: Double = 0.8, contamRatio: Double = 0.5,
+             sampleRate: Double = 1.0): Report = {
+    val docs = Tables.documents(s, d).cache()
+    val nInput = docs.count()
+
+    // 1. quality gate — columnar metrics, map-side only
+    val words = split(col("text"), " ")
+    val quality = docs.filter(size(words) >= minWords &&
+      size(array_distinct(words)).cast("double") / size(words) >= minUniqRatio)
+    val nQuality = quality.count()
+
+    // 2. exact dedup — keep the min doc_id of each normalized-text group
+    val keepExact = quality
+      .groupBy(md5(lower(trim(col("text")))).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val afterExact = quality.join(broadcast(keepExact), "doc_id").cache()
+    val nExact = afterExact.count()
+
+    // 3. near-dup clustering — drop every clustered doc except its
+    // canonical (min-id) representative
+    val clusters = Dedup.dupClusters(s, d, nearDupThreshold)
+    val dropNear = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val afterNear = afterExact.join(broadcast(dropNear), Seq("doc_id"), "left_anti").cache()
+    val nNear = afterNear.count()
+
+    // 4. decontamination gate — drop eval-split docs that leak from train
+    val contaminated = Dedup.decontaminate(s, d)
+      .filter(col("hit_ratio") >= contamRatio).select("doc_id")
+    val afterDecontam = afterNear.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val nDecontam = afterDecontam.count()
+
+    // 5. deterministic hash sample + curated write, partitioned by lang
+    val sampled =
+      if (sampleRate >= 1.0) afterDecontam
+      else afterDecontam
+        .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+        .filter(col("bucket") < lit((sampleRate * 65536).toLong)).drop("bucket")
+    val nSampled = sampled.count()
+    sampled.repartition(col("lang"))
+      .write.partitionBy("lang").mode("overwrite").parquet(outPath)
+
+    docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
+    Report(nInput, nQuality, nExact, nNear, nDecontam, nSampled)
+  }
+}

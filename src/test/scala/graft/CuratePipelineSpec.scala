@@ -1,0 +1,39 @@
+package graft
+
+import graft.api.CuratePipeline
+import org.apache.spark.sql.functions._
+
+class CuratePipelineSpec extends SparkSpecBase {
+
+  test("curation attrition is monotone and the curated corpus round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString + "/corpus"
+    val r = CuratePipeline.curate(spark, sf, out)
+    assert(r.nInput > 0)
+    assert(r.nInput >= r.nAfterQuality)
+    assert(r.nAfterQuality >= r.nAfterExactDedup)
+    assert(r.nAfterExactDedup >= r.nAfterNearDedup)
+    assert(r.nAfterNearDedup >= r.nAfterDecontam)
+    assert(r.nAfterDecontam === r.nSampled) // sampleRate = 1.0
+    val back = spark.read.parquet(out)
+    assert(back.count() === r.nSampled)
+    // curated output keeps the canonical schema and lang partitioning
+    assert(back.columns.toSet === Set("doc_id", "text", "lang", "source", "n_chars"))
+    // near-dedup really dropped non-canonical cluster members
+    val clusters = graft.operators.Dedup.dupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clusters.intersect(kept).isEmpty)
+  }
+
+  test("curation is deterministic across runs with sampling") {
+    val out1 = java.nio.file.Files.createTempDirectory("cur1").toString + "/c"
+    val out2 = java.nio.file.Files.createTempDirectory("cur2").toString + "/c"
+    val r1 = CuratePipeline.curate(spark, sf, out1, sampleRate = 0.5)
+    val r2 = CuratePipeline.curate(spark, sf, out2, sampleRate = 0.5)
+    assert(r1 === r2)
+    val a = spark.read.parquet(out1).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -56,6 +56,8 @@ object SparkEntry {
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "text_vocabulary" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
+    "text_repetition" -> TextAnalysis.repetition _,
+    "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -237,6 +239,28 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS n_signup,
         |  count(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH sh AS (SELECT doc_id,
+        |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |c AS (SELECT doc_id, ngram, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams,
+        |  round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH s AS (SELECT doc_id, lang AS label_lang,
+        |  len(list_filter(words, x -> x IN ('stream','batch','window')))::BIGINT AS s_de,
+        |  len(list_filter(words, x -> x IN ('the','scan','fast')))::BIGINT AS s_en,
+        |  len(list_filter(words, x -> x IN ('sort','merge','table')))::BIGINT AS s_es,
+        |  len(list_filter(words, x -> x IN ('join','hash','key')))::BIGINT AS s_fr
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)),
+        |p AS (SELECT label_lang,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang FROM s)
+        |SELECT label_lang, pred_lang, count(*) AS n FROM p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_bm25" -> {
       val terms = Seq("join", "hash", "scan", "merge")
       val tfs = terms.map(t =>

@@ -149,6 +149,32 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("ngram"))
       .limit(topN)
 
+  /** Repetition scoring (the Gopher/MassiveText "repeated n-gram
+    * fraction" quality rule): per document, the most frequent bigram's
+    * share of all bigram occurrences — high values flag boilerplate /
+    * degenerate repetition for the quality gate. One partial-agg'd
+    * groupBy over (doc, bigram) counts, then a per-doc max.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.operators.Dedup
+      .shingleRows(Tables.documents(s, d), w = 2, distinct = false)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+      .select(col("doc_id"), col("top_bigram_n"), col("n_bigrams"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID CONFUSION MATRIX: predicted vs labeled language counts
+    * over the corpus — the evaluation artifact a langid gate ships with.
+    * Reduces the per-doc langId output to lang² cells.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy("label_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("label_lang", "pred_lang")
+
   /** Winnowing-style document fingerprint: md5-derived 60-bit hashes of
     * word 4-grams, keep the 4 smallest = the fingerprint. md5 is
     * portable (identical in the DuckDB oracle), unlike murmur3.

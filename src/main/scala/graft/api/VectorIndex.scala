@@ -74,6 +74,21 @@ class VectorIndex private (val points: DataFrame) {
       .select(col("rank"), col("id"), col("text").as("string"), col("score"))
   }
 
+  /** Text-query search — the full /search flow (search.py:31-49): embed
+    * the query string with the SAME deterministic feature-hash embedder
+    * the collection was built with, then run the filtered top-k. The
+    * single-row query embedding runs as a tiny Spark job (one collect),
+    * keeping query- and corpus-embedding code identical by construction.
+    */
+  def searchText(query: String, userId: Long, k: Int): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val qvec = graft.operators.VectorStore
+      .embedDocs(Seq((0L, query)).toDF("doc_id", "text"))
+      .head().getSeq[Double](1)
+    search(qvec, userId, k)
+  }
+
   /** Batched search: each row of `queries(query_id, qvec, quser)` gets
     * its tenant-scoped top-k in one job — the set-oriented form of the
     * reference's per-request loop.
@@ -110,6 +125,19 @@ object VectorIndex {
     require(schema.forall(points.columns.contains),
       s"points must have columns $schema, got ${points.columns.toSeq}")
     new VectorIndex(points.select(schema.map(col): _*))
+  }
+
+  /** Build a collection FROM RAW TEXTS — the /insert flow (app.py:36-54
+    * embeds each text then upserts the point): embed every document with
+    * the deterministic feature-hash embedder and assemble the point
+    * schema. `docs` needs (doc_id, text, user_id, site, lang).
+    */
+  def fromTexts(docs: DataFrame): VectorIndex = {
+    val emb = graft.operators.VectorStore.embedDocs(docs)
+    VectorIndex(docs
+      .join(emb, "doc_id")
+      .select(col("doc_id").as("id"), col("embedding").as("vector"), col("text"),
+        col("user_id"), col("site"), col("lang"), col("doc_id").as("seq")))
   }
 
   /** Reopen a saved collection. Tenant-filtered queries prune buckets:

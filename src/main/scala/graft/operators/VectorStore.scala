@@ -233,8 +233,14 @@ object VectorStore {
     * bucket sum → unit-normalize. Fully columnar: explode + groupBy +
     * map-rebuild, no driver loop, no UDF.
     */
-  def embedText(s: SparkSession, d: String, dim: Int = 64): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def embedText(s: SparkSession, d: String, dim: Int = 64): DataFrame =
+    embedDocs(Tables.documents(s, d), dim)
+
+  /** Embed any (doc_id, text) DataFrame — the reusable core of
+    * [[embedText]] (also powers VectorIndex.fromTexts / searchText).
+    */
+  def embedDocs(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", hash(col("tok")))
       .withColumn("idx", pmod(col("h"), lit(dim)))

@@ -57,6 +57,19 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") || plan.contains("PartitionFilters"))
   }
 
+  test("fromTexts + searchText: a document's own text retrieves it at rank 1") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 20).as("user_id"),
+        col("source").as("site"), col("lang"))
+    val index = VectorIndex.fromTexts(docs)
+    assert(index.points.count() === docs.count())
+    val probe = docs.filter(col("doc_id") === 13).head()
+    val hits = index.searchText(probe.getString(1), userId = 13 % 20, k = 3).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getLong(1) === 13L, s"self-retrieval failed: ${hits.toSeq}")
+    assert(hits.head.getDouble(3) < 1e-9) // identical text → distance 0
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -78,6 +78,8 @@ object SparkEntry {
     "orders_count_distribution" -> Relational.ordersCountDistribution _,
     "events_pivot" -> Relational.eventsPivot _,
     "events_gap_fill" -> Relational.eventsGapFill _,
+    "events_retention" -> Relational.eventsRetention _,
+    "docs_embedding_coverage" -> Relational.docsEmbeddingCoverage _,
     "orders_ntile" -> Relational.ordersNtile _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "customers_without_orders" -> Relational.customersWithoutOrders _,
@@ -449,6 +451,23 @@ object SparkEntry {
         |SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n, coalesce(h.sv, 0.0) AS sum_value
         |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
         |ORDER BY 1, 2""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events),
+        |active AS (SELECT hour, count(DISTINCT user_id) AS n_active FROM act GROUP BY 1),
+        |ret AS (SELECT a.hour, count(DISTINCT a.user_id) AS n_retained
+        |  FROM act a JOIN act b ON a.user_id = b.user_id
+        |    AND b.hour = a.hour + INTERVAL 1 HOUR
+        |  GROUP BY 1)
+        |SELECT active.hour, n_active, coalesce(n_retained, 0) AS n_retained
+        |FROM active LEFT JOIN ret ON active.hour = ret.hour ORDER BY active.hour""".stripMargin,
+    "docs_embedding_coverage" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_embedding,
+        |  CAST(count(*) - sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_ntile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  ntile(4) OVER w AS quartile, row_number() OVER w AS rk

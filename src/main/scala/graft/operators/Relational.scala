@@ -301,6 +301,44 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Hour-over-hour RETENTION: per hour, distinct active users and how
+    * many of them are active again in the NEXT hour — the cohort-style
+    * self-join every engagement dashboard runs. The distinct activity
+    * set reduces events to (user, hour) first, so the self-join input is
+    * bounded by users×hours, not events.
+    */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .distinct().cache()
+    val active = act.groupBy("hour").agg(countDistinct("user_id").as("n_active"))
+    val retained = act
+      .join(act.select(col("user_id"),
+        (col("hour") - expr("INTERVAL 1 HOUR")).as("hour")), Seq("user_id", "hour"))
+      .groupBy("hour").agg(countDistinct("user_id").as("n_retained"))
+    active.join(retained, Seq("hour"), "left")
+      .select(col("hour"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("hour")
+  }
+
+  /** Embedding-coverage AUDIT: per language, how many documents have a
+    * matching embedding row — the referential-integrity check a
+    * text+vector store runs after every load (reference stores text and
+    * vector atomically per point; a lakehouse keeps them in joined
+    * tables and must audit the join).
+    */
+  def docsEmbeddingCoverage(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), lit(1L).as("has")),
+        Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has"), lit(0L))).as("n_with_embedding"))
+      .select(col("lang"), col("n_docs"), col("n_with_embedding"),
+        (col("n_docs") - col("n_with_embedding")).as("n_missing"))
+      .orderBy("lang")
+
   /** PIVOT: per-user event counts spread across event-type columns (the
     * wide-format export consumers ask of an event store). Spark's
     * `pivot` with an EXPLICIT value list — never the value-discovering

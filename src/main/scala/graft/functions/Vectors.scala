@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,11 @@ object Vectors {
     */
   def nearestCentroidId(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
     c(NearestCentroid(e(v), cents))
+
+  /** Jaccard of two sorted distinct ARRAY<LONG> columns (merge walk,
+    * one codegen'd pass) — the candidate-verify kernel for dedup.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
 
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))

@@ -149,24 +149,21 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
-    // exact verification on candidates only: first prune the shingle
-    // rows to docs that appear in any candidate pair (a broadcast
-    // semi-join — candidates ≪ corpus), THEN deduplicate — the
-    // set-semantics shuffle touches only candidate docs' hashed
-    // shingles, never the full corpus.
+    // exact verification on candidates only: prune the shingle stream to
+    // docs in any candidate pair (broadcast semi-join — candidates ≪
+    // corpus), reduce each to ONE sorted distinct-hash array, then score
+    // each pair with the native merge-walk kernel (graft_jaccard) — one
+    // codegen'd O(|A|+|B|) pass per pair instead of a per-shingle join +
+    // groupBy count. Array size is bounded by doc length; the row-join
+    // verify shape remains the fallback for pathological megadocs.
     val candDocs = cand.select(col("ia").as("doc_id"))
       .union(cand.select(col("ib").as("doc_id"))).distinct()
-    val exC = ex.join(broadcast(candDocs), "doc_id")
-      .dropDuplicates("doc_id", "h").cache()
-    val sizes = exC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(exC.select(col("doc_id").as("ia"), col("h")), "ia")
-      .join(exC.select(col("doc_id").as("ib"), col("h")), Seq("ib", "h"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    val docArrs = ex.join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("hs"))
+    cand
+      .join(docArrs.select(col("doc_id").as("ia"), col("hs").as("ha")), "ia")
+      .join(docArrs.select(col("doc_id").as("ib"), col("hs").as("hb")), "ib")
+      .withColumn("jaccard", jaccardSorted(col("ha"), col("hb")))
       .filter(col("jaccard") >= t)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("ia", "ib")

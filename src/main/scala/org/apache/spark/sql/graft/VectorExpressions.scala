@@ -167,6 +167,57 @@ case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Jaccard similarity of two SORTED, DISTINCT long arrays via a single
+  * merge walk — |A∩B| / |A∪B| in O(|A|+|B|) with no allocation. The
+  * verify kernel for signature-based dedup when per-doc sorted hash
+  * arrays are precomputed (sort_array(collect_set(xxhash64(shingle)))):
+  * a candidate pair costs one codegen'd loop instead of a per-shingle
+  * join + groupBy count.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |long $inter = 0L; int $i = 0; int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($na == 0 && $nb == 0) ? 0.0
+         |  : (double) $inter / ($na + $nb - $inter);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** ‖a‖₂ (unary). */
 case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))

@@ -6,8 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
+case class StreamPoint(id: Long, vector: Seq[Double], text: String, user_id: Long,
+                       site: String, lang: String, seq: Long)
+
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
+  import org.apache.spark.sql.functions.col
 
   private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
 
@@ -90,6 +94,31 @@ class StreamingSpec extends SparkSpecBase {
       val rows = spark.table("attrib").collect()
       val matched = rows.filter(_.getLong(0) == 20L).map(_.getLong(2)).sorted
       assert(matched.toSeq === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
+  test("upsertStream applies micro-batch upserts to the persisted snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.VectorIndex
+    val base = java.nio.file.Files.createTempDirectory("vidx").toString
+    val snap = base + "/snap"
+    VectorIndex(Tables.points(spark, sf)).save(snap)
+    val n0 = VectorIndex.load(spark, snap).points.count()
+    val input = MemoryStream[StreamPoint]
+    val q = EventStreams.upsertStream(input.toDF(), snap, base + "/ckpt").start()
+    try {
+      val vec = Seq.fill(64)(0.1)
+      input.addData(
+        StreamPoint(0, vec, "updated point", 0, "s", "en", 999999999L), // replaces id 0
+        StreamPoint(900001, vec, "new point", 3, "s", "en", 1L))        // inserts
+      q.processAllAvailable()
+      val after = VectorIndex.load(spark, snap)
+      assert(after.points.count() === n0 + 1) // one insert, one replace
+      assert(after.points.filter(col("id") === 0).head().getString(2) === "updated point")
+      // a second batch over the rotated snapshot still works (exactly-once path)
+      input.addData(StreamPoint(900002, vec, "another", 3, "s", "en", 1L))
+      q.processAllAvailable()
+      assert(VectorIndex.load(spark, snap).points.count() === n0 + 2)
     } finally q.stop()
   }
 

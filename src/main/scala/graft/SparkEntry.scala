@@ -93,7 +93,8 @@ object SparkEntry {
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
-    "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d))
+    "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
+    "mm_feature_extract" -> Multimodal.featureExtract _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -539,6 +540,15 @@ object SparkEntry {
         |SELECT doc_id, width, height,
         |  floor(width * (224.0 / greatest(width, height)))::BIGINT AS out_w,
         |  floor(height * (224.0 / greatest(width, height)))::BIGINT AS out_h
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """WITH chars AS (SELECT doc_id,
+        |  unnest([ascii(c) // 16 for c in string_split(text, '')]) AS bucket
+        |  FROM documents),
+        |counts AS (SELECT doc_id, bucket, count(*) AS n FROM chars GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, unnest(range(0, 8)) AS dim FROM documents)
+        |SELECT g.doc_id, g.dim::BIGINT AS dim, coalesce(c.n, 0) AS count
+        |FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.bucket
+        |ORDER BY g.doc_id, g.dim""".stripMargin
   )
 }

@@ -85,6 +85,32 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  case class FeatRow(doc_id: Long, feat: Seq[Long])
+
+  /** FEATURE EXTRACTION from the binary payload: a fixed-dim descriptor
+    * per media row via the partition-at-a-time kernel (here: an 8-bin
+    * byte-range histogram — deterministic and engine-checkable; a real
+    * extractor returns an embedding tensor with the identical Spark
+    * shape). Output is exploded to (doc_id, dim, count) rows so the
+    * descriptor is schema-stable for any dim count.
+    */
+  def featureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .mapPartitions { it =>
+        // per-partition init of a real feature model would go here
+        it.map { r =>
+          val h = new Array[Long](8)
+          r.payload.foreach(b => h((b & 0x7f) / 16) += 1)
+          FeatRow(r.doc_id, h.toSeq)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), posexplode(col("feat")).as(Seq("dim", "count")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("count"))
+      .orderBy("doc_id", "dim")
+  }
+
   /** Aspect-preserving RESIZE planning: fit each image/frame into a
     * `target`×`target` box (scale = target / max(w, h), floor to
     * pixels) — the geometry pass a preprocessing pipeline runs before

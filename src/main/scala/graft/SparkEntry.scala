@@ -79,6 +79,7 @@ object SparkEntry {
     "events_pivot" -> Relational.eventsPivot _,
     "events_gap_fill" -> Relational.eventsGapFill _,
     "events_retention" -> Relational.eventsRetention _,
+    "events_anomaly" -> ((s: SparkSession, d: String) => Relational.eventsAnomaly(s, d)),
     "docs_embedding_coverage" -> Relational.docsEmbeddingCoverage _,
     "orders_ntile" -> Relational.ordersNtile _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
@@ -452,6 +453,18 @@ object SparkEntry {
         |SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n, coalesce(h.sv, 0.0) AS sum_value
         |FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
         |ORDER BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type,
+        |  sum(n)::DOUBLE / count(*) AS mean,
+        |  sqrt(greatest(sum(n * n)::DOUBLE / count(*)
+        |    - (sum(n)::DOUBLE / count(*)) * (sum(n)::DOUBLE / count(*)), 0.0)) AS sd
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n, round((h.n - s.mean) / s.sd, 4) AS zscore
+        |FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        |WHERE s.sd > 0 AND abs(h.n - s.mean) > 2.0 * s.sd
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events),
         |active AS (SELECT hour, count(DISTINCT user_id) AS n_active FROM act GROUP BY 1),

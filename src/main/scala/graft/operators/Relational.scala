@@ -301,6 +301,31 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Hourly ANOMALY DETECTION: hours whose event count deviates more
+    * than 2σ from that event type's mean hourly count. Mean and
+    * variance derive from exact integer sums (Σn, Σn²) — identical
+    * doubles on any engine and any partitioning — then one broadcast
+    * join back to the hourly series. The two-pass shape (stats pass →
+    * score pass) is the distributed z-score idiom at any scale.
+    */
+  def eventsAnomaly(s: SparkSession, d: String, z: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")).cache()
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("h")).as("mean"),
+        sqrt(greatest(col("s2").cast("double") / col("h") -
+          (col("s1").cast("double") / col("h")) * (col("s1").cast("double") / col("h")),
+          lit(0.0))).as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0 && abs(col("n") - col("mean")) > lit(z) * col("sd"))
+      .select(col("event_type"), col("hour"), col("n"),
+        round((col("n") - col("mean")) / col("sd"), 4).as("zscore"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Hour-over-hour RETENTION: per hour, distinct active users and how
     * many of them are active again in the NEXT hour — the cohort-style
     * self-join every engagement dashboard runs. The distinct activity

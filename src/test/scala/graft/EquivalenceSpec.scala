@@ -67,6 +67,23 @@ class EquivalenceSpec extends SparkSpecBase {
     assert(fast === windowed)
   }
 
+  test("native jaccardSorted equals Scala set arithmetic on random arrays") {
+    import graft.functions.Vectors.jaccardSorted
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(50) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      (a, b, expected)
+    }
+    cases.toDF("a", "b", "expected")
+      .select(jaccardSorted(col("a"), col("b")).as("j"), col("expected"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
   test("salted join equals plain join on skewed random data") {
     val rnd = new scala.util.Random(7)
     // 80% of left rows share one hot key — the regime saltedJoin exists for

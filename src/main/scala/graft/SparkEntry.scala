@@ -71,6 +71,7 @@ object SparkEntry {
     "events_sessionize" -> Relational.eventsSessionize _,
     "events_json_props" -> Relational.eventsJsonProps _,
     "events_quantiles" -> Relational.eventsQuantiles _,
+    "events_quantiles_approx" -> Relational.eventsQuantilesApprox _,
     "events_moving_avg" -> Relational.eventsMovingAvg _,
     "events_approx_users" -> Relational.eventsApproxUsers _,
     "part_price_histogram" -> ((s: SparkSession, d: String) => Relational.partPriceHistogram(s, d)),

@@ -301,6 +301,22 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Approximate per-group percentiles via percentile_approx (the
+    * KLL/GK-style mergeable sketch): single pass, constant state per
+    * group crossing the shuffle — the 100 TB alternative to
+    * [[eventsQuantiles]]' exact sort-based interpolation. Sketch
+    * internals are engine-specific → rows-only + tolerance spec.
+    */
+  def eventsQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("qi", "qv")))
+      .select(col("event_type"), col("qi").cast("long").as("qi"),
+        round(col("qv"), 4).as("qv"))
+      .orderBy("event_type", "qi")
+
   /** Hourly ANOMALY DETECTION: hours whose event count deviates more
     * than 2σ from that event type's mean hourly count. Mean and
     * variance derive from exact integer sums (Σn, Σn²) — identical

@@ -204,6 +204,48 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("approx quantiles track the exact quantiles within tolerance") {
+    val exact = Relational.eventsQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Relational.eventsQuantilesApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact((r.getString(0), r.getLong(1)))
+      // high-accuracy sketch on small data: within 5% of range or close abs
+      assert(math.abs(r.getDouble(2) - e) <= math.max(0.05 * math.abs(e), 0.5),
+        s"${r.getString(0)} q${r.getLong(1)}: approx ${r.getDouble(2)} exact $e")
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10000")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "5000")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      // one hot key carrying ~90% of rows, with a payload to fatten bytes
+      val left = (1 to 20000).map(i =>
+        (if (i % 10 != 0) 1L else (i % 50).toLong, "x" * 60)).toDF("k", "pad")
+      val right = (0L until 50L).map(k => (k, s"r$k")).toDF("rk", "rv")
+      val joined = left.join(right, col("k") === col("rk")).select("k", "pad", "rv")
+      // collect() executes THIS queryExecution, letting AQE finalize it
+      // (count() would build and execute a different plan instance)
+      assert(joined.collect().length === 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -85,6 +85,17 @@ object Sources {
     docs.repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(path)
 
+  /** ORC round-trip — the alternate columnar format Spark ships with
+    * (predicate pushdown + column pruning work the same as parquet).
+    * Lets the engine sit on top of ORC-based lakes without conversion.
+    */
+  def writeDocumentsOrc(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").orc(path)
+
+  def readDocumentsOrc(spark: SparkSession, path: String): DataFrame =
+    canonical(spark.read.schema(documentsSchema.add("n_chars", LongType)).orc(path)
+      .drop("n_chars"))
+
   /** Hash-bucketed table sink: parquet bucketed (and sorted) by the join
     * key. Two tables bucketed by the same key into the same bucket count
     * join WITHOUT a shuffle — the storage layout IS the exchange, paid

@@ -61,6 +61,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(q.count() > 0)
   }
 
+  test("ORC sink/source round-trips with pushdown intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("orc")
+    val docs = Tables.documents(spark, sf)
+    Sources.writeDocumentsOrc(docs, dir)
+    val back = Sources.readDocumentsOrc(spark, dir)
+    assert(back.count() === docs.count())
+    val plan = back.filter(col("doc_id") === 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+  }
+
+  test("operators tolerate null and empty text") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val weird = Seq((1L, null.asInstanceOf[String], "en", "s"),
+      (2L, "", "en", "s"), (3L, "one two three", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // columnar text ops must not throw on null/empty — null rows yield
+    // null metrics, empty rows yield zero-ish metrics
+    val q = weird.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .collect().sortBy(_.getLong(0))
+    assert(q.length === 3)
+    // shingling skips null/short docs instead of crashing
+    val sh = graft.operators.Dedup.shingleRows(weird, w = 2, distinct = false)
+      .collect().map(_.getLong(0)).distinct.sorted
+    assert(sh.toSeq === Seq(3L))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     Sources.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 4)

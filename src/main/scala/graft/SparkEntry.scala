@@ -54,6 +54,8 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
+    "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
+    "docs_stats_by_source" -> TextAnalysis.statsBySource _,
     "text_vocabulary" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
     "text_repetition" -> TextAnalysis.repetition _,
@@ -366,6 +368,21 @@ object SparkEntry {
       """SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang,
         |  CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) AS bucket FROM documents)
         |WHERE bucket < 6553 ORDER BY doc_id""".stripMargin,
+    "docs_sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "docs_stats_by_source" ->
+      """WITH m AS (SELECT source, len(words)::BIGINT AS nw,
+        |  len(list_distinct(words))::BIGINT AS nu, length(text)::BIGINT AS nc
+        |  FROM (SELECT source, text, string_split(text, ' ') AS words FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(nw AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_words,
+        |  CAST(sum(CAST(nc AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_chars,
+        |  CAST(sum(CAST(nu AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(nw AS DECIMAL(18,4))) AS DOUBLE) AS uniq_per_word
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_quantiles" ->
       """WITH q AS (SELECT event_type,
         |  quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs FROM events GROUP BY 1)

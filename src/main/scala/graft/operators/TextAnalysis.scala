@@ -87,6 +87,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** EXACT-SIZE stratified sample: the N deterministically-first docs
+    * per language, ordered by md5(text) — reproducible like
+    * [[sampleHash]] but with guaranteed per-stratum counts (what a
+    * balanced eval-set build needs). Window rank per stratum; at scale
+    * this is TopKPerKey-shaped (only ≤ N rows per (lang × partition)
+    * need to survive the partial rank).
+    */
+  def sampleStratified(s: SparkSession, d: String, perLang: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perLang)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Per-source corpus PROFILE: doc counts and mean quality metrics per
+    * source — the corpus report card after every ingest. Double means
+    * are exact DECIMAL sums over integer-derived metrics divided by
+    * counts (order-independent, engine-exact).
+    */
+  def statsBySource(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("source"), size(words).cast("long").as("nw"),
+        size(array_distinct(words)).cast("long").as("nu"), length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("nw").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("mean_words"),
+        (sum(col("nc").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("mean_chars"),
+        (sum(col("nu").cast("decimal(18,4)")).cast("double") /
+          sum(col("nw").cast("decimal(18,4)")).cast("double")).as("uniq_per_word"))
+      .orderBy("source")
+  }
+
   /** Corpus vocabulary with term and document frequencies, top-N by
     * term frequency (the tokenizer-training / BPE-prep pass). Total
     * order: (tf DESC, token ASC). Scale: explode → partial-agg'd

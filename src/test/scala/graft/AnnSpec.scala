@@ -31,6 +31,18 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("IVF recall grows monotonically with nprobe and reaches 1.0 at full probe") {
+    val recalls = Seq(2, 4, 8, 16).map { np =>
+      val ivf = topkSets(Ann.ivfTopK(spark, sf, nprobe = np).collect())
+      brute.keys.toSeq.map { q =>
+        (ivf.getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+      }.sum / brute.size
+    }
+    // the knob must actually trade probe fraction for recall
+    recalls.sliding(2).foreach(p => assert(p(0) <= p(1) + 1e-9, s"recall curve $recalls"))
+    assert(math.abs(recalls.last - 1.0) < 1e-9, s"full probe must be exact: $recalls")
+  }
+
   test("LSH multiprobe recall@10 >= 0.2 vs brute (4 bits, hamming-1 = 5/16 mass)") {
     val lsh = topkSets(Ann.lshTopK(spark, sf).collect())
     val recall = brute.keys.toSeq.map { q =>

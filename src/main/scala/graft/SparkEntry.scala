@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "text_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     // ann

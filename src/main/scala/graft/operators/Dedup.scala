@@ -347,22 +347,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-duplicates ≥ 0.99. The corpus is the
-    * embeddings table plus a deterministic perturbed copy (first
+  /** The near-dup evaluation corpus: the embeddings table plus a
+    * deterministic perturbed copy of the first 50 vectors (first
     * component +0.01, id +100000) so near-dup positives exist in the
-    * synthetic data. Blocked all-pairs here; the ANN/LSH path
-    * (Ann.scala) is the sub-quadratic route at 100 TB.
+    * synthetic data.
     */
-  def embeddingNearDup(s: SparkSession, d: String, t: Double = 0.99): DataFrame = {
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val perturbed = emb.filter(col("vec_id") < 50)
       .select((col("vec_id") + 100000).as("vec_id"),
         concat(array(col("vec")(0) + 0.01), slice(col("vec"), 2, 10000)).as("vec"))
-    val all = emb.unionByName(perturbed)
+    emb.unionByName(perturbed)
+  }
+
+  /** Embedding-cosine near-duplicates ≥ 0.99, exact blocked all-pairs —
+    * the oracle-checkable baseline. [[embeddingNearDupLsh]] is the
+    * sub-quadratic route at 100 TB.
+    */
+  def embeddingNearDup(s: SparkSession, d: String, t: Double = 0.99): DataFrame = {
+    val all = nearDupCorpus(s, d)
     all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
         cosineSim(col("a.vec"), col("b.vec")).as("cs"))
+      .filter(col("cs") >= t)
+      .select(col("ia"), col("ib"), round(col("cs"), 4).as("cosine"))
+      .orderBy("ia", "ib")
+  }
+
+  /** SUB-QUADRATIC embedding near-dup: random-hyperplane LSH bucketing
+    * with hamming-1 multiprobe → candidate pairs → exact-cosine verify.
+    * Two vectors at cosine ≥ 0.99 disagree on a sign bit only when a
+    * hyperplane nearly grazes both (P ≈ acos(0.99)/π ≈ 4.5% per bit),
+    * so own-bucket + one-bit-flip probing catches essentially all true
+    * pairs while candidate volume scales with bucket occupancy, not n².
+    * The corpus shuffles only (bucket, id) pairs; exact verification
+    * touches candidates only — the same prune-then-verify shape as
+    * [[minhashLsh]]. Approximate → recall spec, not a DuckDB oracle.
+    */
+  def embeddingNearDupLsh(s: SparkSession, d: String, t: Double = 0.99,
+                          nBits: Int = 12, dim: Int = 64): DataFrame = {
+    val all = nearDupCorpus(s, d).cache()
+    val rnd = new scala.util.Random(11)
+    val planes = Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    def sig(v: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(dot(v, array(p.map(lit): _*)) >= 0, shiftleft(lit(1), i)).otherwise(0)
+      }.reduce(_ + _)
+    // multiprobe: each vector posts to its own bucket and every
+    // hamming-1 neighbor — colliding posts ⇒ candidate pair
+    val posts = all.select(col("vec_id"), sig(col("vec")).as("b0"))
+      .select(col("vec_id"), explode(array(col("b0") +:
+        (0 until nBits).map(i => col("b0").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+    cand
+      .join(all.select(col("vec_id").as("ia"), col("vec").as("va")), "ia")
+      .join(all.select(col("vec_id").as("ib"), col("vec").as("vb")), "ib")
+      .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("cs"))
       .filter(col("cs") >= t)
       .select(col("ia"), col("ib"), round(col("cs"), 4).as("cosine"))
       .orderBy("ia", "ib")

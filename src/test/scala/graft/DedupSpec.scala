@@ -58,6 +58,16 @@ class DedupSpec extends SparkSpecBase {
     assert(clusters.nonEmpty)
   }
 
+  test("LSH-bucketed embedding near-dup recalls the exact pair set sub-quadratically") {
+    val exact = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verify step makes every emitted pair exact
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("embeddingNearDup finds the 50 planted perturbed twins") {
     val pairs = Dedup.embeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

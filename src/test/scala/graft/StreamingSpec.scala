@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize flushes a departed user's session when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0))
+      q.processAllAvailable()
+      // user 7 never returns; another user's events advance the
+      // watermark past end(10) + gap(30) + delay(60) ⇒ timeout flush
+      input.addData(Event(3, ts(200), 8, "click", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(210), 8, "click", 0.5)) // one more batch to fire timeouts
+      q.processAllAvailable()
+      val sess = spark.table("sessions_wm").as[Session].collect().filter(_.user_id == 7)
+      assert(sess.length === 1, s"expected user 7's session flushed: ${sess.toSeq}")
+      assert(sess.head.n_events === 2 && sess.head.end === ts(10))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-deliveries of the same event id within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors._
 
@@ -29,12 +29,19 @@ class AnnIndex(spark: SparkSession, path: String,
       (d, cid)
     }.sortBy(identity).take(nprobe).map(_._2).toSeq
 
-  /** Top-k cosine search probing `nprobe` inverted lists. */
-  def search(qvec: Seq[Double], k: Int = 10, nprobe: Int = 4): DataFrame = {
+  /** Top-k cosine search probing `nprobe` inverted lists, with an
+    * optional payload predicate (tenant/metadata filter — the
+    * reference's `Filter(must=[user_id, ...])`, search.py:31-49).
+    * The predicate applies INSIDE the probed scan, so it composes with
+    * the list-partition pruning and pushes to parquet where possible.
+    */
+  def search(qvec: Seq[Double], k: Int = 10, nprobe: Int = 4,
+             filter: Option[Column] = None): DataFrame = {
     val probes = nearestLists(qvec, nprobe)
     val q = array(qvec.map(lit): _*)
-    spark.read.parquet(path)
+    val scan = spark.read.parquet(path)
       .filter(col("list").isin(probes: _*)) // partition-pruned scan
+    filter.fold(scan)(scan.filter)
       .select(col("vec_id"), cosineSim(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -44,7 +51,8 @@ class AnnIndex(spark: SparkSession, path: String,
 object AnnIndex {
 
   /** Fit the coarse quantizer and persist the partitioned layout.
-    * `corpus` must have (vec_id BIGINT, vec ARRAY<DOUBLE>).
+    * `corpus` must have (vec_id BIGINT, vec ARRAY<DOUBLE>); any extra
+    * columns ride along as payload and are filterable at search time.
     */
   def build(corpus: DataFrame, path: String, nlist: Int = 16,
             seed: Long = 42L, maxIter: Int = 5): AnnIndex = {
@@ -55,7 +63,7 @@ object AnnIndex {
       .setFeaturesCol("features").setPredictionCol("list")
       .fit(feat)
     model.transform(feat)
-      .select(col("vec_id"), col("vec"), col("list"))
+      .drop("features")
       .write.mode("overwrite").partitionBy("list").parquet(path)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }

@@ -39,6 +39,19 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("list#"), plan)
   }
 
+  test("payload filter composes with probe pruning") {
+    val path = tmp("filtered")
+    val withPayload = corpus.withColumn("tenant", col("vec_id") % 4)
+    val idx = AnnIndex.build(withPayload, path, nlist = 4)
+    val qvec = corpus.filter(col("vec_id") === 42).head().getSeq[Double](1)
+    val hits = AnnIndex.load(spark, path)
+      .search(qvec, k = 20, nprobe = 4, filter = Some(col("tenant") === 1))
+      .collect()
+    assert(hits.nonEmpty)
+    // every hit obeys the tenant predicate (vec_id % 4 == 1)
+    hits.foreach(r => assert(r.getLong(0) % 4 === 1L, s"tenant leak: ${r.getLong(0)}"))
+  }
+
   test("probing all lists equals brute force exactly") {
     val path = tmp("full")
     val idx = AnnIndex.build(corpus, path, nlist = 4)

@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "text_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
     // ann
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -115,6 +116,24 @@ object SparkEntry {
        | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
        |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE len(sh) > 0)""".stripMargin
   }
+
+  /** Shared recursive-CTE cluster construction: exact-Jaccard ≥ 0.8 pair
+    * graph → transitive reachability (`reach(id, r)`).
+    */
+  private lazy val CLUSTERS_CTE: String =
+    s"""${SHINGLES(5)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT ia, ib FROM inter JOIN sizes sa ON ia = sa.doc_id
+       |  JOIN sizes sb ON ib = sb.doc_id
+       |  WHERE sb.n >= sa.n * 0.8 AND sa.n >= sb.n * 0.8
+       |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+       |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
 
   private def jaccardOracle(t: Double): String =
     s"""WITH ${SHINGLES(5)},
@@ -198,23 +217,21 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle(0.7),
     // connected components via recursive CTE over the exact-Jaccard
     // pair graph (the Spark side reaches the same pair set through
-    // MinHash+LSH, recall ≈ 1, then min-label propagation)
+    // MinHash+LSH, recall ≈ 1, then union-find / label propagation)
     "dedup_clusters" ->
-      s"""WITH RECURSIVE ${SHINGLES(5)},
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |p AS (SELECT ia, ib FROM inter JOIN sizes sa ON ia = sa.doc_id
-         |  JOIN sizes sb ON ib = sb.doc_id
-         |  WHERE sb.n >= sa.n * 0.8 AND sa.n >= sb.n * 0.8
-         |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
-         |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+      s"""WITH RECURSIVE $CLUSTERS_CTE
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $CLUSTERS_CTE,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words FROM documents),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id, q.n_words,
+         |  row_number() OVER (PARTITION BY cl.cluster_id
+         |    ORDER BY q.n_words DESC, cl.doc_id ASC) AS r
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, n_words FROM rk WHERE r = 1
+         |ORDER BY cluster_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH ${SHINGLES(8)},
          |ev AS (SELECT s.doc_id, s.shingle FROM sh s JOIN documents d ON s.doc_id = d.doc_id

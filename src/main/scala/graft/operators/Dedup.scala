@@ -347,6 +347,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** KEEP-BEST dedup policy: within each near-dup cluster, keep the
+    * highest-quality member (longest in words, ties to lowest doc_id) —
+    * what production pipelines actually retain, vs the canonical-min-id
+    * convenience of [[dupClusters]]. One window rank over the
+    * cluster-assignment output joined to a words-count projection.
+    */
+  def keepBest(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    val clusters = dupClusters(s, d, t)
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_words").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_words"))
+      .orderBy("cluster_id")
+  }
+
   /** The near-dup evaluation corpus: the embeddings table plus a
     * deterministic perturbed copy of the first 50 vectors (first
     * component +0.01, id +100000) so near-dup positives exist in the

@@ -28,11 +28,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      var times = Seq(run(), run())
+      // shared-box noise guard: if the two runs disagree badly, the
+      // slower one hit a contention spike — buy one more sample
+      if (times.max > times.min * 1.5 && times.max > 1.0) times :+= run()
       // queries that cache/localCheckpoint intermediates would otherwise
       // leak blocks into every later query's memory budget — clearCache
       // only drops Dataset caches, so also unpersist every lingering RDD

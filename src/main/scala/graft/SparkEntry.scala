@@ -66,6 +66,7 @@ object SparkEntry {
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
+    "q4_order_priority" -> Relational.q4OrderPriority _,
     "q5_region_revenue" -> Relational.q5RegionRevenue _,
     "topk_per_group" -> Relational.topkPerGroup _,
     "topk_per_group_fast" -> Relational.topkPerGroupFast _,
@@ -425,6 +426,11 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

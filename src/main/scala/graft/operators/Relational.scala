@@ -234,6 +234,20 @@ object Relational {
       .drop("__salt")
   }
 
+  /** TPC-H Q4-style EXISTS: orders (per priority) having at least one
+    * returned lineitem — the LEFT SEMI join shape (the probe side
+    * contributes existence only; no fact-table row multiplication, and
+    * the build side reduces to distinct keys before the join at scale).
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q13-style distribution: orders-per-customer histogram via
     * LEFT join + two-level aggregation (customers with zero orders land
     * in the 0 bucket). The second groupBy is over an already-reduced

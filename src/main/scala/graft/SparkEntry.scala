@@ -34,7 +34,7 @@ object SparkEntry {
     "vs_delete_by_regex" -> VectorStore.deleteByRegex _,
     "vs_classify_nearest" -> VectorStore.classifyNearest _,
     "vs_count_by_tenant" -> VectorStore.countByTenant _,
-    "vs_embed_text" -> ((s: SparkSession, d: String) => VectorStore.embedText(s, d)),
+    "vs_embed_text" -> ((s: SparkSession, d: String) => VectorStore.embedTextFlat(s, d)),
     "vs_merge_stats" -> VectorStore.mergeStats _,
     // dedup
     "dedup_exact" -> Dedup.exact _,
@@ -270,7 +270,9 @@ object SparkEntry {
         |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS ngram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
         |c AS (SELECT doc_id, ngram, count(*) AS c FROM sh GROUP BY 1, 2)
-        |SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams,
+        |-- sum(BIGINT) is HUGEINT in DuckDB -> float64 in the driver's
+        |-- pandas compare; cast back so the value-hash sees an integer
+        |SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_lang_confusion" ->
@@ -473,8 +475,8 @@ object SparkEntry {
         |  FROM events),
         |s AS (SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800 THEN 1 ELSE 0 END AS new_sess FROM e),
         |g AS (SELECT user_id, event_id, value,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -3,6 +3,7 @@ package graft.api
 import graft.Tables
 import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the composed pipeline a user of
@@ -36,18 +37,29 @@ object CuratePipeline {
       size(array_distinct(words)).cast("double") / size(words) >= minUniqRatio)
     val nQuality = quality.count()
 
-    // 2. exact dedup — keep the min doc_id of each normalized-text group
-    val keepExact = quality
-      .groupBy(md5(lower(trim(col("text")))).as("k"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val afterExact = quality.join(broadcast(keepExact), "doc_id").cache()
+    // 2. exact dedup — keep the min-doc_id row of each normalized-text
+    // group via a window rank: one hash shuffle on the text key, no join
+    // and no broadcast (a keep-set broadcast would be corpus-sized —
+    // nearly every doc is its own group — far past any driver/broadcast
+    // limit at 100 TB)
+    val byKey = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+    val afterExact = quality
+      .withColumn("__rk", row_number().over(byKey))
+      .filter(col("__rk") === 1).drop("__rk").cache()
     val nExact = afterExact.count()
 
-    // 3. near-dup clustering — drop every clustered doc except its
-    // canonical (min-id) representative
+    // 3. near-dup clustering — keep one SURVIVING doc per cluster.
+    // Clusters come from the raw corpus, so the raw canonical (min-id)
+    // member may already be gone (quality/exact gates); choosing the
+    // representative among survivors guarantees every cluster with any
+    // surviving member keeps exactly one. Cluster membership ≪ corpus
+    // (only near-dup docs appear), so both joins broadcast.
     val clusters = Dedup.dupClusters(s, d, nearDupThreshold)
-    val dropNear = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val survivingMembers = afterExact.select("doc_id").join(broadcast(clusters), "doc_id")
+    val byCluster = Window.partitionBy("cluster_id").orderBy("doc_id")
+    val dropNear = survivingMembers
+      .withColumn("__rk", row_number().over(byCluster))
+      .filter(col("__rk") > 1).select("doc_id")
     val afterNear = afterExact.join(broadcast(dropNear), Seq("doc_id"), "left_anti").cache()
     val nNear = afterNear.count()
 

@@ -141,10 +141,41 @@ object VectorIndex {
   }
 
   /** Reopen a saved collection. Tenant-filtered queries prune buckets:
-    * the reader keeps `bucket` as a partition column.
+    * the reader keeps `bucket` as a partition column. If the path holds
+    * rotated generations (streaming upsert maintenance), the newest
+    * COMMITTED generation is read — see [[resolveSnapshot]].
     */
   def load(spark: SparkSession, path: String): VectorIndex =
-    new VectorIndex(spark.read.parquet(path).select(schema.map(col): _*))
+    new VectorIndex(
+      spark.read.parquet(resolveSnapshot(spark, path)).select(schema.map(col): _*))
+
+  private val GenPrefix = "gen-"
+
+  /** Generation directory name for a rotation id — zero-padded so
+    * lexicographic order ≡ numeric order.
+    */
+  def generationDir(id: Long): String = f"$GenPrefix$id%012d"
+
+  /** Resolve a snapshot root to its live data directory. A root written
+    * by plain [[VectorIndex.save]] IS the data. A root maintained by
+    * streaming rotation holds numbered `gen-N` subdirectories; the live
+    * one is the newest with a `_SUCCESS` marker — the parquet job's own
+    * single-file commit, atomic on HDFS and object stores alike. A crash
+    * mid-write leaves an uncommitted (ignored) generation; readers never
+    * observe a missing or half-rotated snapshot, unlike delete-then-
+    * rename rotation.
+    */
+  def resolveSnapshot(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return path
+    val committed = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+    if (committed.isEmpty) path
+    else committed.maxBy(_.getName).toString
+  }
 
   /** Nearest-centroid classification — /get_category_for_title: every
     * row of `items(item_id, vec)` is assigned the argmin-euclidean row

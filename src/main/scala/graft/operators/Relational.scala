@@ -221,12 +221,18 @@ object Relational {
     * side gets a deterministic salt in [0, salt); the right side
     * replicates each row to every salt value; the join keys on
     * (key, salt), spreading one hot key over `salt` reducers. Result ≡
-    * the unsalted join (spec-verified).
+    * the unsalted join (spec-verified). The salt must be DETERMINISTIC
+    * per row: a nondeterministic salt (e.g. monotonically_increasing_id)
+    * feeding a shuffle can re-salt rows differently on task retry /
+    * stage recomputation, duplicating or dropping join rows under
+    * partial shuffle re-execution. We hash the row's full content —
+    * stable across recomputation; identical rows sharing a salt value
+    * only costs spread, never correctness.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
                  rightKey: String, salt: Int = 8): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(hash(col(leftKey), monotonically_increasing_id()), lit(salt)))
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated,

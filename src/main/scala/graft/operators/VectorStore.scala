@@ -236,6 +236,18 @@ object VectorStore {
   def embedText(s: SparkSession, d: String, dim: Int = 64): DataFrame =
     embedDocs(Tables.documents(s, d), dim)
 
+  /** Driver-checkable shape of [[embedText]]: one (doc_id, dim, value)
+    * row per vector component. The compare layer sorts/hashes scalar
+    * columns — a raw ARRAY column is opaque to it (pandas can't sort
+    * ndarray cells), so the verification dump flattens.
+    */
+  def embedTextFlat(s: SparkSession, d: String, dim: Int = 64): DataFrame =
+    embedText(s, d, dim)
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(col("v"), 6).as("value"))
+      .orderBy("doc_id", "dim")
+
   /** Embed any (doc_id, text) DataFrame — the reusable core of
     * [[embedText]] (also powers VectorIndex.fromTexts / searchText).
     */

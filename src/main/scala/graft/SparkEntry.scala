@@ -43,6 +43,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_embedding_ivf" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupIvf(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "text_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
@@ -63,6 +65,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetition _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
+    "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -86,6 +89,8 @@ object SparkEntry {
     "events_gap_fill" -> Relational.eventsGapFill _,
     "events_retention" -> Relational.eventsRetention _,
     "events_anomaly" -> ((s: SparkSession, d: String) => Relational.eventsAnomaly(s, d)),
+    "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
+    "events_sliding_value" -> ((s: SparkSession, d: String) => Relational.eventsSlidingValue(s, d)),
     "docs_embedding_coverage" -> Relational.docsEmbeddingCoverage _,
     "orders_ntile" -> Relational.ordersNtile _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
@@ -97,11 +102,13 @@ object SparkEntry {
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
+    "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
-    "mm_feature_extract" -> Multimodal.featureExtract _
+    "mm_feature_extract" -> Multimodal.featureExtract _,
+    "mm_dedup_bytes" -> Multimodal.dedupBytes _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -135,6 +142,25 @@ object SparkEntry {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
+
+  /** BM25 scored-corpus CTE chain (k1=1.2, b=0.75, Lucene idf) — shared
+    * by the text_bm25 and vs_hybrid_search oracles; mirrors
+    * TextAnalysis.bm25Search's expression tree term by term.
+    */
+  private lazy val BM25_SCORED: String = {
+    val terms = Seq("join", "hash", "scan", "merge")
+    val tfs = terms.map(t =>
+      s"len(list_filter(words, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n  ")
+    val dfs = terms.map(t => s"sum((tf_$t > 0)::BIGINT)::DOUBLE AS df_$t").mkString(", ")
+    val score = terms.map(t =>
+      s"ln(1 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * 2.2) / " +
+        s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+    s"""base AS (SELECT doc_id, len(words)::DOUBLE AS dl,
+       |  $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM base),
+       |scored AS (SELECT doc_id, round($score, 4) AS bm25 FROM base, stats)""".stripMargin
+  }
 
   private def jaccardOracle(t: Double): String =
     s"""WITH ${SHINGLES(5)},
@@ -216,6 +242,15 @@ object SparkEntry {
         |GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_ngram_jaccard" -> jaccardOracle(0.7),
+    "dedup_containment" ->
+      s"""WITH ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT ia, ib, c::DOUBLE / least(sa.n, sb.n) AS containment
+         |  FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id)
+         |SELECT ia, ib, round(containment, 4) AS containment FROM p
+         |WHERE containment >= 0.9 ORDER BY ia, ib""".stripMargin,
     // connected components via recursive CTE over the exact-Jaccard
     // pair graph (the Spark side reaches the same pair set through
     // MinHash+LSH, recall ≈ 1, then union-find / label propagation)
@@ -275,6 +310,18 @@ object SparkEntry {
         |SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token,
+        |  round(tf * ln((n_docs + 1) / (df + 1)), 4) AS tfidf
+        |  FROM tf JOIN dft USING (token), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, token ASC) AS rk FROM scored)
+        |SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
     "text_lang_confusion" ->
       """WITH s AS (SELECT doc_id, lang AS label_lang,
         |  len(list_filter(words, x -> x IN ('stream','batch','window')))::BIGINT AS s_de,
@@ -289,22 +336,28 @@ object SparkEntry {
         |       ELSE 'fr' END AS pred_lang FROM s)
         |SELECT label_lang, pred_lang, count(*) AS n FROM p
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "text_bm25" -> {
-      val terms = Seq("join", "hash", "scan", "merge")
-      val tfs = terms.map(t =>
-        s"len(list_filter(words, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n  ")
-      val dfs = terms.map(t => s"sum((tf_$t > 0)::BIGINT)::DOUBLE AS df_$t").mkString(", ")
-      val score = terms.map(t =>
-        s"ln(1 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * 2.2) / " +
-          s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, len(words)::DOUBLE AS dl,
-         |  $tfs
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, $dfs FROM base),
-         |scored AS (SELECT doc_id, round($score, 4) AS bm25 FROM base, stats)
+    "text_bm25" ->
+      s"""WITH $BM25_SCORED
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    },
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "vs_hybrid_search" ->
+      s"""WITH $BM25_SCORED,
+         |kwr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_kw
+         |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 20)),
+         |emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |q AS (SELECT vec AS qv FROM emb WHERE doc_id = 0),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+         |  FROM (SELECT e.doc_id, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
+         |        FROM emb e, q WHERE e.doc_id <> 0 ORDER BY cosine DESC, doc_id LIMIT 20)),
+         |f AS (SELECT coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+         |  coalesce(kwr.rank_kw, 0) AS rank_kw, coalesce(vr.rank_vec, 0) AS rank_vec,
+         |  round(coalesce(CAST(1 AS DOUBLE) / (60 + kwr.rank_kw), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + vr.rank_vec), 0), 6) AS rrf
+         |  FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+         |SELECT rank, doc_id, rank_kw, rank_vec, rrf FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
     "events_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
         |  WHERE event_type = 'purchase'),
@@ -509,6 +562,24 @@ object SparkEntry {
         |FROM hourly h JOIN stats s ON h.event_type = s.event_type
         |WHERE s.sd > 0 AND abs(h.n - s.mean) > 2.0 * s.sd
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch(ts) AS tse FROM events),
+        |t1 AS (SELECT user_id, min(tse) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(tse) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE event_type = 'click' AND tse > t1.t AND tse <= t1.t + 86400 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(tse) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND tse > t2.t AND tse <= t2.t + 86400 GROUP BY 1)
+        |SELECT 1::BIGINT AS stage, count(*) AS n_users FROM t1
+        |UNION ALL SELECT 2::BIGINT, count(*) FROM t2
+        |UNION ALL SELECT 3::BIGINT, count(*) FROM t3 ORDER BY stage""".stripMargin,
+    "events_sliding_value" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events),
         |active AS (SELECT hour, count(DISTINCT user_id) AS n_active FROM act GROUP BY 1),
@@ -598,6 +669,12 @@ object SparkEntry {
         |  floor(width * (224.0 / greatest(width, height)))::BIGINT AS out_w,
         |  floor(height * (224.0 / greatest(width, height)))::BIGINT AS out_h
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_dedup_bytes" ->
+      """WITH m AS (SELECT doc_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+        |  md5(text) AS digest FROM documents)
+        |SELECT media_type, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM m GROUP BY media_type, digest ORDER BY media_type, keep_id""".stripMargin,
     "mm_feature_extract" ->
       """WITH chars AS (SELECT doc_id,
         |  unnest([ascii(c) // 16 for c in string_split(text, '')]) AS bucket

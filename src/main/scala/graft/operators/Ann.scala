@@ -53,8 +53,8 @@ object Ann {
     * query side (probe selection). Corpus-side assignment uses the
     * allocation-free native kernel [[nearestCentroidId]].
     */
-  private def centroidStructs(v: org.apache.spark.sql.Column,
-                              cents: Seq[(Long, Seq[Double])]) =
+  private[operators] def centroidStructs(v: org.apache.spark.sql.Column,
+                                         cents: Seq[(Long, Seq[Double])]) =
     array(cents.map { case (cid, cv) =>
       struct(l2Distance(v, array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
     }: _*)

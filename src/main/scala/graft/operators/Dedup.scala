@@ -87,6 +87,29 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
+  /** N-gram CONTAINMENT similarity join: |A∩B| / min(|A|, |B|) ≥ t —
+    * catches SUBSET duplicates Jaccard misses (a short doc quoted whole
+    * inside a long one has Jaccard ≈ |A|/|B| but containment 1; LLM
+    * training corpora are full of these). Same candidate shape as
+    * [[ngramJaccard]] but deliberately WITHOUT the length prefilter:
+    * containment is length-asymmetric by design.
+    */
+  def containment(s: SparkSession, d: String, t: Double = 0.9, w: Int = 5): DataFrame = {
+    val ex = shingleRows(Tables.documents(s, d), w).cache()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= t)
+      .select(col("ia"), col("ib"), round(col("containment"), 4).as("containment"))
+      .orderBy("ia", "ib")
+  }
+
   /** MinHash permutation parameters: h_k(x) = (a_k·x + b_k) mod p, over
     * murmur3 shingle hashes. Fixed seed → fully deterministic.
     */
@@ -137,10 +160,11 @@ object Dedup {
   /** Session-scoped memo of verified pair lists: the pair list is the
     * shared upstream of [[minhashLsh]] / [[dupClusters]] / [[keepBest]]
     * / CuratePipeline, and a real pipeline computes it ONCE per corpus
-    * snapshot, not once per consumer. The materialized artifact is tiny
-    * (near-dup pairs only), so memoizing the localCheckpoint'ed result
-    * trades a few KB of executor storage for re-running the whole
-    * signature pipeline per consumer.
+    * snapshot, not once per consumer. The artifact is tiny (near-dup
+    * pairs only) and held as a CACHED DataFrame, not a localCheckpoint:
+    * cache keeps the lineage, so if an outer harness evicts all storage
+    * between queries the next consumer transparently recomputes instead
+    * of failing on a truncated-lineage checkpoint block.
     */
   private val pairMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Double, Int, Int, Int), DataFrame]
@@ -195,7 +219,8 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("ha"), col("hb")))
       .filter(col("jaccard") >= t)
       .select(col("ia"), col("ib"), col("jaccard"))
-      .localCheckpoint(true) // eager: the memo hands out a materialized artifact
+      .cache()
+    verified.count() // eager: the memo hands out a materialized artifact
     ex.unpersist()
     verified
   }
@@ -433,6 +458,37 @@ object Dedup {
     * touches candidates only — the same prune-then-verify shape as
     * [[minhashLsh]]. Approximate → recall spec, not a DuckDB oracle.
     */
+  /** IVF-BUCKETED embedding near-dup (SURVEY §7.1's round-2 item): the
+    * k-means coarse quantizer as the candidate blocker. Every vector
+    * posts to its 2 nearest centroids (2-probe handles twins straddling
+    * a Voronoi boundary); same-list pairs are verified with exact
+    * cosine. vs [[embeddingNearDupLsh]]: data-adaptive blocks — on
+    * clustered real corpora the candidate volume tracks cluster
+    * occupancy, and the SAME centroids/layout already exist when an
+    * AnnIndex was built, so near-dup verification rides the index build
+    * for free. Emitted pairs ⊂ exact set; recall spec vs the planted
+    * twins, not a DuckDB oracle.
+    */
+  def embeddingNearDupIvf(s: SparkSession, d: String, t: Double = 0.99,
+                          nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val all = nearDupCorpus(s, d).cache()
+    val cents = Ann.kmeansCentroids(all, nlist, iters)
+    val posts = all.select(col("vec_id"),
+      explode(slice(array_sort(Ann.centroidStructs(col("vec"), cents)), 1, 2)
+        .getField("cid")).as("cid"))
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+    cand
+      .join(all.select(col("vec_id").as("ia"), col("vec").as("va")), "ia")
+      .join(all.select(col("vec_id").as("ib"), col("vec").as("vb")), "ib")
+      .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("cs"))
+      .filter(col("cs") >= t)
+      .select(col("ia"), col("ib"), round(col("cs"), 4).as("cosine"))
+      .orderBy("ia", "ib")
+  }
+
   def embeddingNearDupLsh(s: SparkSession, d: String, t: Double = 0.99,
                           nBits: Int = 12, dim: Int = 64): DataFrame = {
     val all = nearDupCorpus(s, d).cache()

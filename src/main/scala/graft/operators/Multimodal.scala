@@ -111,6 +111,20 @@ object Multimodal {
       .orderBy("doc_id", "dim")
   }
 
+  /** EXACT MEDIA DEDUP: duplicate groups by md5 of the raw payload bytes
+    * — the first gate of a media-ingest pipeline (byte-identical
+    * re-crawls/re-uploads), run BEFORE any decode so dup payloads are
+    * never decoded twice. The shuffle carries (16-byte digest,
+    * media_type) keys, never payloads; per-type grouping keeps
+    * cross-modal hash collisions (and stats) separate.
+    */
+  def dedupBytes(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).toDF()
+      .groupBy(col("media_type"), md5(col("payload")).as("digest"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("media_type"), col("keep_id"), col("n_copies"))
+      .orderBy("media_type", "keep_id")
+
   /** Aspect-preserving RESIZE planning: fit each image/frame into a
     * `target`×`target` box (scale = target / max(w, h), floor to
     * pixels) — the geometry pass a preprocessing pipeline runs before

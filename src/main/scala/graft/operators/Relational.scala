@@ -254,6 +254,54 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Ordered FUNNEL analysis: users progressing view → click → purchase,
+    * each step within `windowSec` of the previous step's first event —
+    * the conversion query behind every product-analytics dashboard.
+    * Stage timestamps chain through per-user min-aggregates: t1 = first
+    * view; t2 = first click in (t1, t1+w]; t3 = first purchase in
+    * (t2, t2+w]. Scale shape: events reduce to one (user, t) row per
+    * stage BEFORE each join, every join/agg keys on user_id (one
+    * co-partitioned exchange chain), and each stage's event_type filter
+    * reaches the parquet scan as a pushed predicate.
+    */
+  def eventsFunnel(s: SparkSession, d: String, windowSec: Int = 86400): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("double").as("tse"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tse").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("tse") > col("t1") && col("tse") <= col("t1") + windowSec)
+      .groupBy("user_id").agg(min("tse").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("tse") > col("t2") && col("tse") <= col("t2") + windowSec)
+      .groupBy("user_id").agg(min("tse").as("t3"))
+    t1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users")).select(lit(3L).as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** TIME-RANGE sliding window (RANGE frame): per event, the count and
+    * exact decimal sum of the same user's values in the trailing hour
+    * INCLUDING the current event — the time-based twin of the ROWS-frame
+    * [[eventsMovingAvg]]. The frame bound is in epoch MICROS (integer —
+    * a double ORDER BY key would make frame membership float-sensitive).
+    * One shuffle on user_id; the frame scan is a per-partition sorted
+    * sliding aggregate.
+    */
+  def eventsSlidingValue(s: SparkSession, d: String, windowSec: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** TPC-H Q13-style distribution: orders-per-customer histogram via
     * LEFT join + two-level aggregation (customers with zero orders land
     * in the 0 bucket). The second groupBy is over an already-reduced

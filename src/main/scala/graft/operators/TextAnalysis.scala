@@ -174,6 +174,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1)), smoothed)
+    * — the per-doc keyword/topic signal a curation pipeline attaches
+    * before clustering or routing. Scale shape: per-(doc, token) tf and
+    * per-token df are both partial-agg'd; the tf⋈df join keys on token
+    * (dictionary-sized right side — broadcastable when the vocabulary
+    * fits, shuffle join otherwise); corpus size N is a one-row aggregate
+    * cross-joined back (broadcast). The per-doc top-k rank is
+    * TopKPerKey-shaped. Ranking uses the ROUNDED score so rank order is
+    * engine-portable (ulp differences in ln can't flip adjacent ranks).
+    */
+  def tfidfTop(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(stats))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Corpus-level n-gram frequency table (top-N word bigrams with doc
     * frequency) — phrase mining / collocation statistics over the
     * training corpus. Same partial-agg'd shape as [[vocabulary]], fed by

@@ -204,6 +204,44 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** HYBRID SEARCH: reciprocal-rank fusion (RRF, Cormack et al.) of the
+    * BM25 keyword ranking and the embedding-cosine ranking — what a
+    * production vector store actually serves (the reference's /search is
+    * pure-vector; BM25 + RRF is the standard hybrid upgrade). Each
+    * ranker contributes 1/(rrfK + rank) for its top-`depth` docs; docs
+    * are ranked by the summed score. Both ranker outputs are ≤ depth
+    * rows, so the fusion join/rank is driver-trivial no matter the
+    * corpus size; ranks come from ROUNDED scores so they are
+    * engine-portable. Missing-from-a-ranker is rank 0 (contributes
+    * nothing) — the standard RRF convention.
+    */
+  def hybridSearch(s: SparkSession, d: String, k: Int = 10, depth: Int = 20,
+                   rrfK: Int = 60): DataFrame = {
+    val wKw = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val kw = TextAnalysis.bm25Search(s, d, k = depth)
+      .withColumn("rank_kw", row_number().over(wKw).cast("long"))
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    val wVec = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val vec = emb.filter(col("doc_id") =!= 0).crossJoin(broadcast(qvec))
+      .select(col("doc_id"), round(cosineSim(col("vec"), col("qvec")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(depth)
+      .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+    val wFused = Window.orderBy(col("rrf").desc, col("doc_id"))
+    kw.select(col("doc_id"), col("rank_kw"))
+      .join(vec.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wFused).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("rank_kw"), lit(0L)).as("rank_kw"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
+      .orderBy("rank")
+  }
+
   /** MERGE statistics: apply an upsert batch to the collection snapshot
     * and report, per tenant, how many points were inserted (new ids) vs
     * updated (replaced ids) vs untouched — the bookkeeping a mutable

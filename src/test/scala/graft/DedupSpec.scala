@@ -74,4 +74,26 @@ class DedupSpec extends SparkSpecBase {
     val planted = pairs.filter { case (a, b) => b === a + 100000 }
     assert(planted.length === 50)
   }
+
+  test("IVF-bucketed embedding near-dup recalls the exact pair set sub-quadratically") {
+    val exact = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Dedup.embeddingNearDupIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact)) // verify step makes every emitted pair exact
+    val recall = if (exact.isEmpty) 1.0 else (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
+  }
+
+  test("containment pairs include every Jaccard>=0.9 pair and score in (0,1]") {
+    val cont = Dedup.containment(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    cont.foreach { case (_, c) => assert(c >= 0.9 && c <= 1.0) }
+    // containment >= jaccard pointwise, so the j>=0.9 pair set is a subset
+    val jacc = Dedup.ngramJaccard(spark, sf, t = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contKeys = cont.map(_._1).toSet
+    assert(jacc.subsetOf(contKeys),
+      s"missing ${(jacc -- contKeys).take(5)} of ${jacc.size} jaccard pairs")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, TextAnalysis, Multimodal}
+import graft.operators.{Relational, TextAnalysis, Multimodal, VectorStore}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpecBase {
@@ -244,6 +244,57 @@ class OperatorsSpec extends SparkSpecBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val stages = Relational.eventsFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(stages.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(stages.sliding(2).forall { case Array((_, a), (_, b)) => b <= a })
+  }
+
+  test("sliding time window always contains the current event and only the trailing hour") {
+    val rows = Relational.eventsSlidingValue(spark, sf).collect()
+    assert(rows.forall(_.getLong(2) >= 1)) // frame includes current row
+    // cross-check one user against a brute-force recount
+    val ev = Tables.events(spark, sf).filter(col("user_id") === 3)
+      .select(col("event_id"), unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byId = ev.toMap
+    rows.filter(r => byId.contains(r.getLong(1))).foreach { r =>
+      val t = byId(r.getLong(1))
+      val expect = ev.count { case (_, u) => u >= t - 3600000000L && u <= t }
+      assert(r.getLong(2) === expect, s"event ${r.getLong(1)}")
+    }
+  }
+
+  test("tfidf top terms are rank-contiguous with non-increasing scores per doc") {
+    val rows = TextAnalysis.tfidfTop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) <= w(0)))
+    }
+  }
+
+  test("hybrid search fuses both rankers (rrf consistent with ranks)") {
+    val rows = VectorStore.hybridSearch(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (kw, vec, rrf) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val expect = (if (kw > 0) 1.0 / (60 + kw) else 0.0) +
+        (if (vec > 0) 1.0 / (60 + vec) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-6)
+      assert(kw > 0 || vec > 0) // every fused doc came from some ranker
+    }
+  }
+
+  test("media byte-dedup groups partition the corpus and respect media_type") {
+    val groups = Multimodal.dedupBytes(spark, sf).collect()
+    val total = groups.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    assert(groups.forall(r => Set("image", "audio", "video")(r.getString(0))))
   }
 
   test("flagship entry returns rows") {

@@ -90,6 +90,7 @@ object SparkEntry {
     "events_retention" -> Relational.eventsRetention _,
     "events_anomaly" -> ((s: SparkSession, d: String) => Relational.eventsAnomaly(s, d)),
     "events_funnel" -> ((s: SparkSession, d: String) => Relational.eventsFunnel(s, d)),
+    "events_cube" -> Relational.eventsCube _,
     "events_sliding_value" -> ((s: SparkSession, d: String) => Relational.eventsSlidingValue(s, d)),
     "docs_embedding_coverage" -> Relational.docsEmbeddingCoverage _,
     "orders_ntile" -> Relational.ordersNtile _,
@@ -100,6 +101,8 @@ object SparkEntry {
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
+    "emb_pq_codes" -> ((s: SparkSession, d: String) => Embeddings.pqCodes(s, d)),
+    "emb_pq_search" -> ((s: SparkSession, d: String) => Embeddings.pqSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
@@ -562,6 +565,13 @@ object SparkEntry {
         |FROM hourly h JOIN stats s ON h.event_type = s.event_type
         |WHERE s.sd > 0 AND abs(h.n - s.mean) > 2.0 * s.sd
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    "events_cube" ->
+      """SELECT event_type, hod, CAST(GROUPING(event_type, hod) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, date_part('hour', ts)::BIGINT AS hod, value FROM events)
+        |GROUP BY CUBE(event_type, hod)
+        |ORDER BY gid, event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch(ts) AS tse FROM events),
         |t1 AS (SELECT user_id, min(tse) AS t FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -57,6 +57,84 @@ object Embeddings {
       .orderBy("vec_id", "dim")
   }
 
+  /** PRODUCT QUANTIZATION (PQ — the other compression scheme Qdrant-class
+    * engines offer besides SQ): split each vector into `m` sub-vectors,
+    * k-means each subspace to `k` codewords, store the per-subspace
+    * codeword id — m small ints per vector (vs 4·dim bytes of floats).
+    * Codebooks are m×k×(dim/m) doubles: driver-resident quantizer state,
+    * same size class as IVF centroids. Assignment is one map pass with
+    * all m argmin expressions in a single projection (no join, no
+    * shuffle). K-means is seed-deterministic but hash-shaped → rows-only
+    * + reconstruction/recall specs, no DuckDB oracle.
+    */
+  def pqCodebooks(s: SparkSession, d: String, m: Int = 8, k: Int = 16,
+                  iters: Int = 3): Seq[(Int, Seq[(Long, Seq[Double])])] = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = emb.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec"))
+      j -> Ann.kmeansCentroids(sliced, k, iters)
+    }
+  }
+
+  /** (vec_id, subspace, code) PQ code rows for the whole corpus. */
+  def pqCodes(s: SparkSession, d: String, m: Int = 8, k: Int = 16): DataFrame =
+    pqCodesWith(s, d, pqCodebooks(s, d, m, k), m)
+
+  private def pqCodesWith(s: SparkSession, d: String,
+                          books: Seq[(Int, Seq[(Long, Seq[Double])])], m: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    val sub = dim / m
+    val codeCols = books.map { case (j, cents) =>
+      nearestCentroidId(slice(col("vec"), j * sub + 1, sub), cents).as(s"c$j")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j => col(s"c$j")): _*)).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** PQ-ADC search + exact rerank: per query, an m×k table of
+    * query-subvector→codeword squared L2 distances (broadcast — it IS
+    * the asymmetric-distance-computation lookup table); each corpus
+    * vector's approximate distance is the sum of its m table entries
+    * (exploded codes ⋈ broadcast table → groupBy sum — only (id, sub,
+    * code) rows shuffle, never vectors). The `rerank` best candidates
+    * are rescored against exact floats, like [[sqRerankSearch]].
+    */
+  def pqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
+               rerank: Int = 50, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val sub = qvec.length / m
+    val books = pqCodebooks(s, d, m, nCodes)
+    val adc = books.flatMap { case (j, cents) =>
+      val q = qvec.slice(j * sub, (j + 1) * sub)
+      cents.map { case (cid, c) =>
+        (j.toLong, cid, q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.toDF("subspace", "code", "qdist")
+    val approx = pqCodesWith(s, d, books, m)
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(adc), Seq("subspace", "code"))
+      .groupBy("vec_id").agg(sum("qdist").as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col("vec_id"))
+      .limit(rerank)
+    val q = array(qvec.map(lit): _*)
+    emb.join(broadcast(approx.select("vec_id")), "vec_id")
+      .select(col("vec_id"), round(l2Distance(col("vec"), q), 4).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Two-stage QUANTIZED search (SQ + rerank — how Qdrant-class engines
     * search compressed collections): stage 1 ranks the whole corpus by
     * cosine against int8-RECONSTRUCTED vectors and keeps `rerank`

@@ -254,6 +254,23 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** CUBE lattice over (event_type × hour-of-day): all four grouping
+    * sets in one pass (the OLAP dashboard query under every
+    * "by-type-by-hour with totals" view). Spark expands the cube into
+    * grouping sets BEFORE the exchange, so partial aggregation still
+    * applies to every set; the shuffle carries (type, hod, gid, partial)
+    * rows only — completing the grouping-analytics family next to
+    * [[ordersRollup]].
+    */
+  def eventsCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"), col("value"))
+      .cube("event_type", "hod")
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        decSum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("hod"), col("gid"), col("n"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("hod").asc_nulls_first)
+
   /** Ordered FUNNEL analysis: users progressing view → click → purchase,
     * each step within `windowSec` of the previous step's first event —
     * the conversion query behind every product-analytics dashboard.

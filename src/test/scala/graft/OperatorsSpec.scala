@@ -297,6 +297,35 @@ class OperatorsSpec extends SparkSpecBase {
     assert(groups.forall(r => Set("image", "audio", "video")(r.getString(0))))
   }
 
+  test("pq codes cover every (vector, subspace) cell with codes in range") {
+    val r = graft.operators.Embeddings.pqCodes(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(r.length === n * 8)
+    assert(r.forall(row => row.getLong(2) >= 0 && row.getLong(2) < 16))
+  }
+
+  test("pq-adc search with exact rerank recalls most of the exact L2 top-k") {
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2Distance(col("vec"), array(qv.map(lit): _*)).as("dd"))
+      .orderBy(col("dd").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // near-orthogonal synthetic vectors are the hardest ANN regime
+    // (distances concentrate, so coarse-codebook ADC ranking approaches
+    // chance — same caveat as Ann's tuning note). A fine codebook
+    // (4-d subspaces, k=32 on the 50-vector test corpus) keeps
+    // quantization error below the distance spread; the recall floor
+    // tests ADC's machinery, not the synthetic corpus's (absent)
+    // cluster structure.
+    val pq = graft.operators.Embeddings.pqSearch(spark, sf, rerank = 15, m = 16, nCodes = 32)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

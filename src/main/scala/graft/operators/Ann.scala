@@ -68,6 +68,21 @@ object Ann {
     * update is an explode + groupBy mean: one shuffle of partial
     * (cluster, dim, sum) triples per iteration.
     */
+  /** Driver-side memo of trained coarse quantizers: centroids are
+    * MODEL STATE (trained once per corpus snapshot, applied by every
+    * consumer — probe, assignment, near-dup blocking), and retraining
+    * per query re-runs iters×(assign+update) jobs for an identical
+    * result. Values are plain driver Seqs — no Spark storage to evict.
+    */
+  private val centMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int, Int), Seq[(Long, Seq[Double])]]
+
+  private[operators] def kmeansCentroidsCached(s: SparkSession, key: String,
+                                               corpus: => DataFrame, nlist: Int,
+                                               iters: Int): Seq[(Long, Seq[Double])] =
+    centMemo.getOrElseUpdate((System.identityHashCode(s), key, nlist, iters),
+      kmeansCentroids(corpus, nlist, iters))
+
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec")).collect().toSeq.zipWithIndex
@@ -97,7 +112,7 @@ object Ann {
     // cached: k-means runs iters+1 actions over the corpus, then the
     // probe scan reads it once more — cache instead of re-scanning
     val corpus = corpus0.cache()
-    val cents = kmeansCentroids(corpus, nlist, iters)
+    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
     val assigned = corpus.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("cid"))
     // nprobe closest lists per query: sort the centroid structs, slice,

@@ -472,7 +472,7 @@ object Dedup {
   def embeddingNearDupIvf(s: SparkSession, d: String, t: Double = 0.99,
                           nlist: Int = 16, iters: Int = 3): DataFrame = {
     val all = nearDupCorpus(s, d).cache()
-    val cents = Ann.kmeansCentroids(all, nlist, iters)
+    val cents = Ann.kmeansCentroidsCached(s, s"neardup-ivf:$d", all, nlist, iters)
     val posts = all.select(col("vec_id"),
       explode(slice(array_sort(Ann.centroidStructs(col("vec"), cents)), 1, 2)
         .getField("cid")).as("cid"))

@@ -76,7 +76,7 @@ object Embeddings {
     val sub = dim / m
     (0 until m).map { j =>
       val sliced = emb.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec"))
-      j -> Ann.kmeansCentroids(sliced, k, iters)
+      j -> Ann.kmeansCentroidsCached(s, s"pq:$d:$m:$j", sliced, k, iters)
     }
   }
 

@@ -395,6 +395,23 @@ object SparkEntry {
         |  CASE WHEN hi = lo THEN 0
         |       ELSE least(floor((v - lo) / (hi - lo) * 256), 255)::BIGINT END AS code
         |FROM vals v JOIN bounds b ON v.dim = b.dim ORDER BY vec_id, dim""".stripMargin,
+    "emb_sq_rerank" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |vals AS (SELECT vec_id, unnest(range(0, len(vec))) AS dim, unnest(vec) AS v FROM emb),
+        |bdim AS (SELECT dim, min(v) AS lo, greatest(max(v) - min(v), 1e-300) AS rng
+        |  FROM vals GROUP BY dim),
+        |b AS (SELECT list(lo ORDER BY dim) AS lo, list(rng ORDER BY dim) AS rng FROM bdim),
+        |recon AS (SELECT e.vec_id,
+        |  list_transform(list_zip(e.vec, b.lo, b.rng),
+        |    t -> t[2] + (least(floor((t[1] - t[2]) / t[3] * 256), 255) + 0.5) / 256 * t[3]) AS rv
+        |  FROM emb e, b),
+        |q AS (SELECT vec AS qv FROM emb WHERE vec_id = 0),
+        |cand AS (SELECT r.vec_id, round(list_cosine_similarity(r.rv, q.qv), 4) AS ac
+        |  FROM recon r, q WHERE r.vec_id <> 0
+        |  ORDER BY ac DESC, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
+        |FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_brute_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),

@@ -142,8 +142,10 @@ object Embeddings {
     * At scale stage 1 reads the 4×-smaller code column (the dominant
     * cost of brute scoring is scan I/O) and stage 2 touches `rerank`
     * rows. The per-dim bounds are the persisted quantizer state — dim
-    * doubles, centroid-style driver residents. Approximate → recall
-    * spec, not a DuckDB oracle.
+    * doubles, centroid-style driver residents. The reconstruction is
+    * deterministic double math and stage 1 ranks on rounded scores, so
+    * the whole two-stage search is DuckDB-oracle-checkable (plus a
+    * recall spec against the uncompressed brute force).
     */
   def sqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
                      k: Int = 10, rerank: Int = 50): DataFrame = {
@@ -163,8 +165,11 @@ object Embeddings {
       (x, l) => x + l)
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
     val q = array(qvec.map(lit): _*)
+    // stage-1 ranks on the ROUNDED approx score (ties → vec_id): the
+    // candidate set is then engine-portable, which upgrades this op from
+    // a rows-only check to a full DuckDB oracle
     val candidates = emb.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), cosineSim(approx, q).as("approx_cosine"))
+      .select(col("vec_id"), round(cosineSim(approx, q), 4).as("approx_cosine"))
       .orderBy(col("approx_cosine").desc, col("vec_id"))
       .limit(rerank)
     emb.join(broadcast(candidates.select("vec_id")), "vec_id")

@@ -107,6 +107,17 @@ class VectorIndex private (val points: DataFrame) {
   def countByTenant(): DataFrame =
     points.groupBy("user_id").agg(count(lit(1)).as("n"))
 
+  /** Keyset-paginated SCROLL — the reference pages the collection with
+    * `client.scroll` to apply its word/regex deletes
+    * (/root/reference/app.py:99-107): up to `n` points with
+    * id > `afterId` in id order; the caller passes the last id back as
+    * the next cursor. Plans as a pushed id-range scan +
+    * TakeOrderedAndProject — page cost is O(page), not O(collection),
+    * at any collection size (keyset, not OFFSET, pagination).
+    */
+  def scroll(afterId: Long = -1L, n: Int = 100): DataFrame =
+    points.filter(col("id") > afterId).orderBy(col("id")).limit(n)
+
   /** Persist bucketed by tenant hash; tenant-scoped reads prune to one
     * bucket directory.
     */

@@ -288,6 +288,12 @@ object VectorStore {
 
   /** Embed any (doc_id, text) DataFrame — the reusable core of
     * [[embedText]] (also powers VectorIndex.fromTexts / searchText).
+    *
+    * ONE doc-keyed shuffle: the `dim` bucket sums are parallel
+    * conditional-sum aggregate columns (each codegen'd, each
+    * partial-aggregated map-side), so the exchange carries one dim-wide
+    * row per doc. The previous (doc, bucket)-keyed two-shuffle + map
+    * rebuild shape shipped the same data twice and paid an extra stage.
     */
   def embedDocs(docs: DataFrame, dim: Int = 64): DataFrame = {
     val toks = docs
@@ -295,13 +301,12 @@ object VectorStore {
       .withColumn("h", hash(col("tok")))
       .withColumn("idx", pmod(col("h"), lit(dim)))
       .withColumn("sgn", when(pmod(col("h"), lit(2)) === 0, 1.0).otherwise(-1.0))
-    val sums = toks.groupBy("doc_id", "idx").agg(sum("sgn").as("v"))
-    val asMap = sums.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
-    asMap
+    val bucketSums = (0 until dim).map(k =>
+      sum(when(col("idx") === k, col("sgn")).otherwise(0.0)).as(s"v$k"))
+    toks.groupBy("doc_id")
+      .agg(bucketSums.head, bucketSums.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)), i => coalesce(col("m")(i), lit(0.0))).as("raw"))
-      .select(col("doc_id"), normalize(col("raw")).as("embedding"))
+        normalize(array((0 until dim).map(k => col(s"v$k")): _*)).as("embedding"))
       .orderBy("doc_id")
   }
 }

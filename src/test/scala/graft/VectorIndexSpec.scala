@@ -70,6 +70,21 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(hits.head.getDouble(3) < 1e-9) // identical text → distance 0
   }
 
+  test("scroll pages the collection exactly once in id order") {
+    val idx = index
+    val all = idx.points.select("id").collect().map(_.getLong(0)).sorted
+    var cursor = -1L
+    var seen = Vector.empty[Long]
+    var page = idx.scroll(cursor, 7).collect().map(_.getLong(0))
+    while (page.nonEmpty) {
+      assert(page.toSeq === page.sorted.toSeq)
+      seen ++= page
+      cursor = page.last
+      page = idx.scroll(cursor, 7).collect().map(_.getLong(0))
+    }
+    assert(seen.toSeq === all.toSeq) // every point exactly once, in order
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -95,6 +95,14 @@ object SparkEntry {
     "docs_embedding_coverage" -> Relational.docsEmbeddingCoverage _,
     "orders_ntile" -> Relational.ordersNtile _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
+    "q7_nation_volume" -> ((s: SparkSession, d: String) => Relational.q7NationVolume(s, d)),
+    "q8_market_share" -> ((s: SparkSession, d: String) => Relational.q8MarketShare(s, d)),
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q12_ship_delay" -> Relational.q12ShipDelay _,
+    "q14_promo_revenue" -> ((s: SparkSession, d: String) => Relational.q14PromoRevenue(s, d)),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> Relational.q19Disjunctive _,
+    "q22_idle_balance" -> ((s: SparkSession, d: String) => Relational.q22IdleBalance(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     // embedding-column maintenance
@@ -106,6 +114,11 @@ object SparkEntry {
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
+    "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
+    // training-data pipeline additions
+    "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
+    "text_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
+    "text_dup_ngrams" -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -665,6 +678,95 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN pa ON l_partkey = p_key
         |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+    "q7_nation_volume" ->
+      """WITH n2 AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN n2 ON s_nationkey = n_nationkey),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN n2 ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation, year(l_shipdate)::BIGINT AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust ON o_custkey = c_custkey
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |WHERE l_shipdate >= '1996-01-01'::TIMESTAMP AND l_shipdate < '1998-01-01'::TIMESTAMP
+        |  AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+        |    OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH rn AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |cust AS (SELECT c_custkey FROM customer JOIN rn ON c_nationkey = n_nationkey),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |    4) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust ON o_custkey = c_custkey
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |WHERE o_orderdate >= '1996-01-01'::TIMESTAMP AND o_orderdate < '1998-01-01'::TIMESTAMP
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1997-01-01'::TIMESTAMP AND o_orderdate < '1997-04-01'::TIMESTAMP
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT floor(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) / 365.0)::BIGINT
+        |    AS delay_years,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+        |    AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |    4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1997-06-01'::TIMESTAMP AND l_shipdate < '1997-07-01'::TIMESTAMP""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |    AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM customer, ab, nation
+        |WHERE c_nationkey = n_nationkey AND c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= '2000-09-01'::TIMESTAMP)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -710,6 +812,47 @@ object SparkEntry {
         |grid AS (SELECT doc_id, unnest(range(0, 8)) AS dim FROM documents)
         |SELECT g.doc_id, g.dim::BIGINT AS dim, coalesce(c.n, 0) AS count
         |FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.bucket
-        |ORDER BY g.doc_id, g.dim""".stripMargin
+        |ORDER BY g.doc_id, g.dim""".stripMargin,
+    "docs_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |  ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
+        |    AS chunk_id
+        |  FROM t)
+        |SELECT lang, chunk_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS chunk_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(key|hash)\b'))::BIGINT AS n_masked,
+        |  md5(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g')) AS redacted_md5,
+        |  length(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g'))::BIGINT AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dup_ngrams" ->
+      s"""WITH ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY 1),
+         |shared AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN shared USING (shingle)
+         |  GROUP BY 1)
+         |SELECT s.doc_id, s.n_ngrams, coalesce(h.n_dup, 0) AS n_dup,
+         |  round(coalesce(h.n_dup, 0)::DOUBLE / s.n_ngrams, 4) AS dup_ratio
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "vs_recommend" ->
+      s"""WITH $PTS,
+         |ex AS (SELECT id, unnest(range(0, len(vector))) AS dim, unnest(vector) AS v
+         |  FROM pts WHERE id >= 1 AND id <= 8),
+         |rec0 AS (SELECT dim,
+         |  CAST(3 * sum(CASE WHEN id <= 5 THEN CAST(v AS DECIMAL(18,10))
+         |        ELSE CAST(0 AS DECIMAL(18,10)) END)
+         |    - 5 * sum(CASE WHEN id > 5 THEN CAST(v AS DECIMAL(18,10))
+         |        ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE) AS rv
+         |  FROM ex GROUP BY 1),
+         |rec AS (SELECT list(rv ORDER BY dim) AS qvec FROM rec0),
+         |scored AS (SELECT p.id, list_cosine_similarity(p.vector, r.qvec) AS cs
+         |  FROM pts p, rec r WHERE p.id < 1 OR p.id > 8),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
+         |ORDER BY rank""".stripMargin
   )
 }

@@ -401,6 +401,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide duplicate-n-gram audit (RefinedWeb/CCNet-style): per
+    * document, the fraction of its DISTINCT w-grams that also occur in
+    * at least one OTHER document. [[decontaminate]] against the corpus
+    * itself — the boilerplate/template-contamination gate.
+    *
+    * Scale shape: documents reduce to (doc_id, xxhash64(w-gram)) rows
+    * before any exchange; the occurrence count per gram is a partial-
+    * agg'd groupBy on the 8-byte hash; the join back to docs moves only
+    * (hash, n_docs≥2) pairs. Text never shuffles.
+    */
+  def dupNgramFraction(s: SparkSession, d: String, w: Int = 5): DataFrame = {
+    val grams = shingleRows(Tables.documents(s, d), w, distinct = false)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val shared = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val hits = grams.join(shared, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_ngrams"), 4)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** KEEP-BEST dedup policy: within each near-dup cluster, keep the
     * highest-quality member (longest in words, ties to lowest doc_id) —
     * what production pipelines actually retain, vs the canonical-min-id

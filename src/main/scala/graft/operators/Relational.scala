@@ -521,6 +521,182 @@ object Relational {
         round(col("qv"), 4).as("qv"))
       .orderBy("event_type", "qi")
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between a nation
+    * pair, by supplier nation × customer nation × ship year. Both
+    * nation-tagged sides are filtered to the two nations of interest
+    * BEFORE their joins, so the broadcast sides carry only the relevant
+    * keys and the fact table joins against tiny hash maps.
+    */
+  def q7NationVolume(s: SparkSession, d: String,
+                     n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(s, d).filter(col("n_name").isin(n1, n2))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style market share: of all PROMO-part revenue sold to
+    * customers of one region, the fraction supplied from one nation,
+    * per order year. Conditional decimal sums → one exact ratio per
+    * year; every dimension side broadcasts pre-filtered.
+    */
+  def q8MarketShare(s: SparkSession, d: String, region: String = "ASIA",
+                    nation: String = "NATION_5", ptype: String = "PROMO"): DataFrame = {
+    val regionNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === ptype).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        decSum(when(col("supp_nation") === nation, vol).otherwise(lit(0.0))) /
+          decSum(vol), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns in a quarter. Fact-side filters push to the scans;
+    * customer/nation broadcast; one partial-agg'd groupBy then a k-row
+    * TakeOrdered — the full ranking never materializes.
+    */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12-style shipping-delay report (adapted: this schema has no
+    * l_shipmode, so the dimension is the order→ship delay in years).
+    * Conditional counts split urgent/high priority from the rest — the
+    * classic CASE-sum pivot over one join.
+    */
+  def q12ShipDelay(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_years",
+        floor(datediff(col("l_shipdate"), col("o_orderdate")) / lit(365.0)).cast("long"))
+      .groupBy("delay_years")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("delay_years")
+
+  /** TPC-H Q14-style promo revenue share for one ship month: 100 ×
+    * promo-part revenue / total revenue, both as exact decimal sums.
+    */
+  def q14PromoRevenue(s: SparkSession, d: String, month: String = "1997-06"): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(s"$month-01").cast("timestamp") &&
+        col("l_shipdate") < add_months(lit(s"$month-01").cast("timestamp"), 1))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        decSum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+        decSum(vol), 4).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, with their customer. The heavy groupBy runs
+    * FIRST on (orderkey) — partial aggregation collapses each order's
+    * lines map-side — and only the surviving ~1% of orders join back.
+    */
+  def q18LargeOrders(s: SparkSession, d: String, threshold: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(decSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > threshold)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q19-style disjunctive predicate: revenue from three
+    * (brand × size-range × quantity-range) arms OR'd together. The
+    * whole disjunction is Catalyst-foldable: part prunes to the three
+    * brands at its scan, quantity bounds reach the lineitem scan, and
+    * the residual OR evaluates inside codegen after one broadcast join.
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val arms =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-style idle-balance report: customers with above-average
+    * positive balance and no RECENT orders (none since `since` — every
+    * customer in this corpus has some order, so recency defines idle),
+    * per nation. The global average is a one-row aggregate broadcast
+    * back (scalar-subquery decorrelation); the idleness probe is a
+    * left-anti join against the date-filtered orders key set, with the
+    * date bound pushed to the orders scan.
+    */
+  def q22IdleBalance(s: SparkSession, d: String, since: String = "2000-09-01"): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

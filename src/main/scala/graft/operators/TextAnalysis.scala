@@ -255,4 +255,44 @@ object TextAnalysis {
         col("fp")(2).as("fp2"), col("fp")(3).as("fp3"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards per language — the bin layout step before tokenize-and-
+    * concat. A doc starts a new chunk when the running token total
+    * (docs ordered by doc_id within lang) crosses the budget; exact
+    * integer window arithmetic, so the layout is reproducible anywhere.
+    *
+    * Scale shape: ONE shuffle (partition by lang, sort by doc_id) and a
+    * running-sum window; chunk stats partial-aggregate. At 100 TB the
+    * per-lang window is the bound — shard further by a stable doc-id
+    * range split per lang if one language dominates.
+    */
+  def packChunks(s: SparkSession, d: String, maxTokens: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / maxTokens))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  /** PII-style scrubbing: global regex redaction with per-doc match
+    * accounting (the mechanics of email/phone/ID masking — the pattern
+    * is a parameter; the default targets tokens that exist in the
+    * synthetic corpus so the check is non-degenerate). Pure map-side
+    * codegen'd string work; output carries an md5 of the redacted text
+    * so the full scrubbed corpus never moves through the verifier.
+    */
+  def piiRedact(s: SparkSession, d: String,
+                pattern: String = "\\b(key|hash)\\b", mask: String = "<MASK>"): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_masked"),
+        md5(regexp_replace(col("text"), pattern, mask)).as("redacted_md5"),
+        length(regexp_replace(col("text"), pattern, mask)).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
 }

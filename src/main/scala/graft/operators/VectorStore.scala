@@ -116,6 +116,44 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Qdrant-style /recommend: rank the corpus by similarity to the mean
+    * of positive example vectors MINUS the mean of negative example
+    * vectors (Qdrant's average_vector recommendation strategy — the
+    * natural extension of the reference's pure-vector /search).
+    *
+    * The recommendation vector is computed distributed (posexplode →
+    * per-dim aggregate → 1-row collect) and broadcast; the corpus scan
+    * then ranks by native codegen'd cosine with a TakeOrdered k-row cut.
+    * Cross-engine exactness: cosine is scale-invariant, so instead of
+    * dividing the two means (decimal division scales differ across
+    * engines) we use the integer-weighted difference
+    * n_neg·Σpos − n_pos·Σneg — exact DECIMAL arithmetic, same direction.
+    */
+  def recommend(s: SparkSession, d: String, k: Int = 10,
+                posIds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+                negIds: Seq[Long] = Seq(6L, 7L, 8L)): DataFrame = {
+    val pts = Tables.points(s, d)
+    val dec = "decimal(18,10)"
+    val exampleIds = (posIds ++ negIds).map(Long.box)
+    val isPos = col("id").isin(posIds.map(Long.box): _*)
+    val ex = pts.filter(col("id").isin(exampleIds: _*))
+      .select(col("id"), posexplode(col("vector")).as(Seq("dim", "v")))
+    val recDims = ex.groupBy("dim").agg(
+      ((lit(negIds.size) * sum(when(isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))) -
+        (lit(posIds.size) * sum(when(!isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))))
+        .cast("double").as("rv"))
+    val qvec = recDims.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x.getField("rv")).as("qvec"))
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    pts.filter(!col("id").isin(exampleIds: _*)).join(broadcast(qvec))
+      .withColumn("score", cosineSim(col("qvec"), col("vector")))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------------------- delete
 
   /** app.py:79-91 /remove_by_user — snapshot minus one tenant. */

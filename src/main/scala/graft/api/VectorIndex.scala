@@ -89,6 +89,43 @@ class VectorIndex private (val points: DataFrame) {
     search(qvec, userId, k)
   }
 
+  /** Positive/negative example recommendation — Qdrant's /recommend
+    * (average_vector strategy): rank by cosine similarity to
+    * mean(positive example vectors) − mean(negative example vectors),
+    * excluding the examples themselves. Example vectors are looked up
+    * in the collection by point id, the recommendation direction is
+    * computed distributed (posexplode → per-dim aggregate → one-row
+    * broadcast), and the corpus ranks with a k-row TakeOrdered cut —
+    * the corpus never shuffles. Cosine is scale-invariant, so the
+    * means are combined in the exact integer-weighted decimal form
+    * n_neg·Σpos − n_pos·Σneg (no division; reproducible anywhere).
+    */
+  def recommend(posIds: Seq[Long], negIds: Seq[Long] = Nil, k: Int = 10,
+                userId: Option[Long] = None): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    val dec = "decimal(18,10)"
+    val exampleIds = (posIds ++ negIds).map(Long.box)
+    val isPos = col("id").isin(posIds.map(Long.box): _*)
+    val negWeight = math.max(negIds.size, 1) // no negatives: rec = Σpos
+    val ex = points.filter(col("id").isin(exampleIds: _*))
+      .select(col("id"), posexplode(col("vector")).as(Seq("dim", "v")))
+    val recDims = ex.groupBy("dim").agg(
+      ((lit(negWeight) * sum(when(isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))) -
+        (lit(posIds.size) * sum(when(!isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))))
+        .cast("double").as("rv"))
+    val qvec = recDims.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x.getField("rv")).as("qvec"))
+    val base = userId.map(u => points.filter(col("user_id") === u)).getOrElse(points)
+    base.filter(!col("id").isin(exampleIds: _*))
+      .join(broadcast(qvec))
+      .withColumn("score", cosineSim(col("qvec"), col("vector")))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("text").as("string"), col("score"))
+  }
+
   /** Batched search: each row of `queries(query_id, qvec, quser)` gets
     * its tenant-scoped top-k in one job — the set-oriented form of the
     * reference's per-request loop.

@@ -85,6 +85,30 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(seen.toSeq === all.toSeq) // every point exactly once, in order
   }
 
+  test("recommend matches the operator and excludes example points") {
+    val r = index.recommend(posIds = Seq(1L, 2L, 3L, 4L, 5L), negIds = Seq(6L, 7L, 8L))
+      .collect()
+    assert(r.length === 10)
+    assert(r.forall(row => row.getLong(1) < 1 || row.getLong(1) > 8))
+    val expected = graft.operators.VectorStore.recommend(spark, sf)
+      .collect().map(_.getLong(1)).toSeq
+    assert(r.map(_.getLong(1)).toSeq === expected)
+  }
+
+  test("recommend with only positives ranks by similarity to their mean") {
+    val pos = Seq(10L)
+    val r = index.recommend(posIds = pos, k = 3).collect()
+    // nearest neighbor of a single positive example = cosine top-k of
+    // that example's own vector
+    val q = Tables.points(spark, sf).filter(col("id") === 10)
+      .select("vector").head().getSeq[Double](0)
+    val brute = index.points.filter(col("id") =!= 10)
+      .withColumn("cs", graft.functions.Vectors.cosineSim(lit(q.toArray), col("vector")))
+      .orderBy(col("cs").desc, col("id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r.map(_.getLong(1)).toSeq === brute)
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

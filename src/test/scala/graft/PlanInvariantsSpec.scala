@@ -22,8 +22,12 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  // formatted mode: executedPlan.toString truncates scan metadata
+  // (spark.sql.maxMetadataStringLength = 100), silently hiding long
+  // pushed-filter lists from the assertions below
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
 
   // Plan-SHAPE regressions: these are the scale properties §5.1 claims.
   // A refactor that silently loses one (filter stops reaching the scan,
@@ -53,14 +57,69 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed below shuffle:\n$p")
   }
 
+  /** Shuffle-exchange count in a FORMATTED plan: count the `(n) Exchange`
+    * detail headers only (each operator prints twice — tree and detail —
+    * and BroadcastExchange must not count as a shuffle).
+    */
+  private def nShuffles(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).size
+
   test("bm25 never shuffles the corpus (one scalar-stats exchange, top-k as TakeOrdered)") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
-    val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 2, s"$exchanges exchanges in bm25 plan:\n$p")
+    assert(nShuffles(p) <= 2, s"${nShuffles(p)} shuffles in bm25 plan:\n$p")
   }
 
   test("topk_per_group_fast plans the custom heap operator") {
     assert(plan("topk_per_group_fast").contains("TopKPerKey"))
+  }
+
+  test("q7/q8/q10 star joins stay all-broadcast with pushed scan filters") {
+    for (q <- Seq("q7_nation_volume", "q8_market_share", "q10_returned_items")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q dimension join degraded to SMJ:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins:\n$p")
+    }
+    assert(plan("q7_nation_volume").contains("In(n_name"),
+      "nation IN-list no longer reaches the nation scan")
+  }
+
+  test("q18 aggregates lineitem BEFORE joining back to orders") {
+    // the heavy groupBy must run on the raw scan side, not after a join
+    val p = plan("q18_large_orders")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected join above (consuming) the aggregate in:\n$p") // tree prints top-down
+  }
+
+  test("q19 pushes the brand/size and quantity disjunction arms into both scans") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), s"brand arm not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), s"quantity bound not pushed:\n$p")
+  }
+
+  test("q22 idleness probe is a broadcast anti join on the date-filtered orders side") {
+    val p = plan("q22_idle_balance")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-09-01"),
+      s"recency bound not pushed to the orders scan:\n$p")
+  }
+
+  test("pii redact is map-side only (sole exchange is the verification sort)") {
+    val p = plan("text_pii_redact")
+    assert(nShuffles(p) <= 1, s"unexpected shuffle in:\n$p")
+  }
+
+  test("pack_chunks runs on one data shuffle (lang window) plus the output sort") {
+    val p = plan("docs_pack_chunks")
+    assert(nShuffles(p) <= 2, s"extra shuffles in:\n$p")
+  }
+
+  test("recommend cuts the corpus with TakeOrdered and prunes example ids at the scan") {
+    val p = plan("vs_recommend")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Not(In(doc_id") || p.contains("Not(In(vec_id"),
+      s"example-id exclusion not pushed to the scan:\n$p")
   }
 }

@@ -117,6 +117,7 @@ object SparkEntry {
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
+    "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
     "text_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "text_dup_ngrams" -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
     // multimodal
@@ -822,6 +823,18 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, chunk_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS chunk_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "docs_mix_sources" ->
+      """WITH counts AS (SELECT source, count(*) AS n_in FROM documents GROUP BY 1),
+        |wts AS (SELECT source, n_in, CAST(sqrt(n_in) AS DECIMAL(18,10)) AS w FROM counts),
+        |tot AS (SELECT sum(w) AS tw FROM wts),
+        |rates AS (SELECT source, n_in,
+        |  least(1.0::DOUBLE, 200.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) / n_in) AS rate
+        |  FROM wts, tot),
+        |sel AS (SELECT d.source FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE CAST('0x' || substring(md5(d.text), 1, 4) AS BIGINT) < r.rate * 65536.0),
+        |oc AS (SELECT source, count(*) AS n_out FROM sel GROUP BY 1)
+        |SELECT r.source, r.n_in, coalesce(oc.n_out, 0) AS n_out, round(r.rate, 4) AS rate
+        |FROM rates r LEFT JOIN oc ON r.source = oc.source ORDER BY r.source""".stripMargin,
     "text_pii_redact" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(key|hash)\b'))::BIGINT AS n_masked,

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation: the composed pipeline a user of
   * this library runs nightly over raw ingested documents —
   *
-  *   quality gate → exact dedup → near-dup clustering (keep one doc per
-  *   cluster) → benchmark-decontamination gate → deterministic sample →
-  *   lang-partitioned curated parquet + a per-stage attrition report.
+  *   PII scrub (optional) → quality gate → exact dedup → near-dup
+  *   clustering (keep one doc per cluster) → boilerplate gate (optional,
+  *   corpus-wide duplicate-n-gram fraction) → benchmark-decontamination
+  *   gate → deterministic sample → lang-partitioned curated parquet +
+  *   a per-stage attrition report.
   *
   * Every stage is one of the library's verified operators; the pipeline
   * only wires them. Scale shape: stages communicate by doc_id sets
@@ -22,13 +24,23 @@ import org.apache.spark.sql.functions._
 object CuratePipeline {
 
   case class Report(nInput: Long, nAfterQuality: Long, nAfterExactDedup: Long,
-                    nAfterNearDedup: Long, nAfterDecontam: Long, nSampled: Long)
+                    nAfterNearDedup: Long, nAfterBoilerplate: Long,
+                    nAfterDecontam: Long, nSampled: Long)
 
   def curate(s: SparkSession, d: String, outPath: String,
              minWords: Int = 5, minUniqRatio: Double = 0.1,
              nearDupThreshold: Double = 0.8, contamRatio: Double = 0.5,
-             sampleRate: Double = 1.0): Report = {
-    val docs = Tables.documents(s, d).cache()
+             sampleRate: Double = 1.0,
+             piiPattern: Option[String] = None, piiMask: String = "<MASK>",
+             maxDupNgramRatio: Double = 1.0): Report = {
+    val raw = Tables.documents(s, d)
+    // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
+    // masked) applied before anything hashes the text, so dedup keys,
+    // n-gram gates, and the curated output all see the scrubbed form.
+    val docs = piiPattern
+      .map(p => raw.withColumn("text", regexp_replace(col("text"), p, piiMask)))
+      .getOrElse(raw)
+      .cache()
     val nInput = docs.count()
 
     // 1. quality gate — columnar metrics, map-side only
@@ -63,13 +75,25 @@ object CuratePipeline {
     val afterNear = afterExact.join(broadcast(dropNear), Seq("doc_id"), "left_anti").cache()
     val nNear = afterNear.count()
 
-    // 4. decontamination gate — drop eval-split docs that leak from train
+    // 4. boilerplate gate — drop docs dominated by corpus-wide repeated
+    // n-grams (templates/navigation chrome that near-dup clustering
+    // misses because no single pair is similar enough)
+    val afterBoiler =
+      if (maxDupNgramRatio >= 1.0) afterNear
+      else {
+        val boiler = Dedup.dupNgramFraction(s, d)
+          .filter(col("dup_ratio") > maxDupNgramRatio).select("doc_id")
+        afterNear.join(broadcast(boiler), Seq("doc_id"), "left_anti")
+      }
+    val nBoiler = afterBoiler.count()
+
+    // 5. decontamination gate — drop eval-split docs that leak from train
     val contaminated = Dedup.decontaminate(s, d)
       .filter(col("hit_ratio") >= contamRatio).select("doc_id")
-    val afterDecontam = afterNear.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val afterDecontam = afterBoiler.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     val nDecontam = afterDecontam.count()
 
-    // 5. deterministic hash sample + curated write, partitioned by lang
+    // 6. deterministic hash sample + curated write, partitioned by lang
     val sampled =
       if (sampleRate >= 1.0) afterDecontam
       else afterDecontam
@@ -80,6 +104,6 @@ object CuratePipeline {
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
-    Report(nInput, nQuality, nExact, nNear, nDecontam, nSampled)
+    Report(nInput, nQuality, nExact, nNear, nBoiler, nDecontam, nSampled)
   }
 }

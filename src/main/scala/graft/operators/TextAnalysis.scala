@@ -280,6 +280,41 @@ object TextAnalysis {
       .orderBy("lang", "chunk_id")
   }
 
+  /** Temperature-based source mixing: the multi-source rebalancing step
+    * of training-corpus assembly (α = 0.5 "square-root" temperature —
+    * upweights small sources, downweights dominant ones). Per-source
+    * acceptance rate = budget · w_s / (Σw · n_s) with w_s = √n_s, capped
+    * at 1; selection is a deterministic md5-bucket sample, so the mixed
+    * corpus is reproducible across runs, partitionings, and engines.
+    *
+    * Exactness: √n is correctly-rounded IEEE (identical everywhere);
+    * the weights are summed as DECIMAL(18,10) so the normalizer doesn't
+    * depend on partial-aggregation order. Scale shape: one tiny
+    * per-source aggregate broadcast back over the corpus scan — the
+    * docs themselves never shuffle.
+    */
+  def mixSources(s: SparkSession, d: String, budget: Long = 200L): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wts = docs.groupBy("source").agg(count(lit(1)).as("n_in"))
+      .withColumn("w", sqrt(col("n_in")).cast("decimal(18,10)"))
+    val tot = wts.agg(sum("w").as("tw"))
+    val rates = wts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget.toDouble) * col("w").cast("double") / col("tw").cast("double") /
+          col("n_in")))
+      .select("source", "n_in", "rate")
+    val selected = docs
+      .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("rate") * lit(65536.0))
+      .groupBy("source").agg(count(lit(1)).as("n_out"))
+    rates.join(selected, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        round(col("rate"), 4).as("rate"))
+      .orderBy("source")
+  }
+
   /** PII-style scrubbing: global regex redaction with per-doc match
     * accounting (the mechanics of email/phone/ID masking — the pattern
     * is a parameter; the default targets tokens that exist in the

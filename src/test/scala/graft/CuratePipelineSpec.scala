@@ -12,7 +12,8 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(r.nInput >= r.nAfterQuality)
     assert(r.nAfterQuality >= r.nAfterExactDedup)
     assert(r.nAfterExactDedup >= r.nAfterNearDedup)
-    assert(r.nAfterNearDedup >= r.nAfterDecontam)
+    assert(r.nAfterNearDedup >= r.nAfterBoilerplate)
+    assert(r.nAfterBoilerplate >= r.nAfterDecontam)
     assert(r.nAfterDecontam === r.nSampled) // sampleRate = 1.0
     val back = spark.read.parquet(out)
     assert(back.count() === r.nSampled)
@@ -24,6 +25,26 @@ class CuratePipelineSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(clusters.intersect(kept).isEmpty)
+  }
+
+  test("pii scrub masks every match in the curated output") {
+    val out = java.nio.file.Files.createTempDirectory("curpii").toString + "/c"
+    CuratePipeline.curate(spark, sf, out, piiPattern = Some("\\b(key|hash)\\b"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("text").rlike("\\b(key|hash)\\b")).count() === 0)
+    assert(back.filter(col("text").contains("<MASK>")).count() > 0)
+  }
+
+  test("boilerplate gate drops exactly the high-dup-ngram docs") {
+    val out = java.nio.file.Files.createTempDirectory("curboil").toString + "/c"
+    val r = CuratePipeline.curate(spark, sf, out, maxDupNgramRatio = 0.5)
+    val boiler = graft.operators.Dedup.dupNgramFraction(spark, sf)
+      .filter(col("dup_ratio") > 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(boiler.nonEmpty, "gate is vacuous at this corpus — lower the threshold")
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(boiler.intersect(kept).isEmpty)
+    assert(r.nAfterBoilerplate < r.nAfterNearDedup)
   }
 
   test("curation is deterministic across runs with sampling") {

@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output must reach stdout RAW (no "[info] " logger prefix):
 // the bench/verify drivers parse the JSON line Bench prints.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" line so the
+// JSON line Bench prints is the LAST line of stdout (drivers that
+// parse the final line instead of grepping for '{' still succeed).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

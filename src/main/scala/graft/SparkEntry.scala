@@ -103,18 +103,23 @@ object SparkEntry {
     "q18_large_orders" -> ((s: SparkSession, d: String) => Relational.q18LargeOrders(s, d)),
     "q19_disjunctive" -> Relational.q19Disjunctive _,
     "q22_idle_balance" -> ((s: SparkSession, d: String) => Relational.q22IdleBalance(s, d)),
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.q15TopSupplier(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
+    "emb_bq_search" -> ((s: SparkSession, d: String) => Embeddings.bqRerankSearch(s, d)),
     "emb_pq_codes" -> ((s: SparkSession, d: String) => Embeddings.pqCodes(s, d)),
     "emb_pq_search" -> ((s: SparkSession, d: String) => Embeddings.pqSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
+    "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
+    "vs_facet_counts" -> VectorStore.facetCounts _,
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
@@ -424,6 +429,17 @@ object SparkEntry {
         |  FROM recon r, q WHERE r.vec_id <> 0
         |  ORDER BY ac DESC, vec_id LIMIT 50)
         |SELECT e.vec_id, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
+        |FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "emb_bq_search" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec AS qv FROM emb WHERE vec_id = 0),
+        |ham AS (SELECT e.vec_id,
+        |  len(list_filter(list_zip(e.vec, q.qv), t -> (t[1] >= 0) <> (t[2] >= 0)))::BIGINT
+        |    AS hamming
+        |  FROM emb e, q WHERE e.vec_id <> 0),
+        |cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id LIMIT 100)
+        |SELECT e.vec_id, c.hamming, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
         |FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_brute_topk" ->
@@ -768,6 +784,24 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= '2000-09-01'::TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01'::TIMESTAMP AND l_shipdate < '1998-01-01'::TIMESTAMP
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01'::TIMESTAMP AND l_shipdate < '1997-04-01'::TIMESTAMP
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -866,6 +900,25 @@ object SparkEntry {
          |  FROM pts p, rec r WHERE p.id < 1 OR p.id > 8),
          |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
-         |ORDER BY rank""".stripMargin
+         |ORDER BY rank""".stripMargin,
+    "vs_search_groups" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.site, p.id, round(list_distance(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY site ORDER BY score ASC, id ASC)
+         |    AS hit_rank FROM scored),
+         |hits AS (SELECT * FROM h WHERE hit_rank <= 2),
+         |tg AS (SELECT site, score AS best_score FROM hits WHERE hit_rank = 1),
+         |g AS (SELECT site,
+         |  row_number() OVER (ORDER BY best_score ASC, site ASC) AS group_rank FROM tg)
+         |SELECT g.group_rank, hits.site, hits.hit_rank, hits.id, hits.score
+         |FROM hits JOIN g ON hits.site = g.site
+         |WHERE g.group_rank <= 3
+         |ORDER BY group_rank, hit_rank""".stripMargin,
+    "vs_facet_counts" ->
+      s"""WITH $PTS
+         |SELECT site, lang, count(*) AS n, count(DISTINCT user_id) AS n_tenants
+         |FROM pts WHERE lang IN ('en', 'fr') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

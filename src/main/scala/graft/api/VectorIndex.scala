@@ -144,6 +144,40 @@ class VectorIndex private (val points: DataFrame) {
   def countByTenant(): DataFrame =
     points.groupBy("user_id").agg(count(lit(1)).as("n"))
 
+  /** Grouped search — Qdrant's search_groups API: the top `nGroups`
+    * values of `groupField` ranked by their best hit's distance to
+    * `qvec`, with each group's `perGroup` best hits. The per-group cut
+    * happens inside the distance scan's exchange (WindowGroupLimit), so
+    * only perGroup×groups rows reach the tiny group-ranking step.
+    */
+  def searchGroups(qvec: Seq[Double], groupField: String = "site",
+                   nGroups: Int = 3, perGroup: Int = 2,
+                   userId: Option[Long] = None): DataFrame = {
+    val base = userId.map(u => points.filter(col("user_id") === u)).getOrElse(points)
+    val inGroup = Window.partitionBy(groupField).orderBy(col("score").asc, col("id").asc)
+    val hits = base
+      .withColumn("score", l2Distance(lit(qvec.toArray), col("vector")))
+      .withColumn("hit_rank", row_number().over(inGroup).cast("long"))
+      .filter(col("hit_rank") <= perGroup)
+    val byBest = Window.orderBy(col("best_score").asc, col(groupField).asc)
+    val top = hits.filter(col("hit_rank") === 1)
+      .select(col(groupField), col("score").as("best_score"))
+      .withColumn("group_rank", row_number().over(byBest).cast("long"))
+      .filter(col("group_rank") <= nGroups)
+    hits.join(broadcast(top.select(groupField, "group_rank")), groupField)
+      .select(col("group_rank"), col(groupField), col("hit_rank"), col("id"),
+        col("text").as("string"), col("score"))
+      .orderBy("group_rank", "hit_rank")
+  }
+
+  /** Facet counts — Qdrant's facet API: distinct values of a payload
+    * field with point counts, under an optional filter predicate.
+    */
+  def facet(field: String, filter: Column = lit(true)): DataFrame =
+    points.filter(filter)
+      .groupBy(col(field)).agg(count(lit(1)).as("n"))
+      .orderBy(col(field))
+
   /** Keyset-paginated SCROLL — the reference pages the collection with
     * `client.scroll` to apply its word/regex deletes
     * (/root/reference/app.py:99-107): up to `n` points with

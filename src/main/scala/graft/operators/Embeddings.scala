@@ -135,6 +135,40 @@ object Embeddings {
       .limit(k)
   }
 
+  /** BINARY QUANTIZATION search (the 32×-compression tier Qdrant-class
+    * engines offer above SQ/PQ): each dimension collapses to its sign
+    * bit; stage 1 ranks the corpus by HAMMING distance to the query's
+    * sign vector (integer — engine-exact, no float comparison anywhere),
+    * stage 2 rescores the best `rerank` candidates against exact floats.
+    * At scale stage 1 scans dim/8 bytes per vector (the sign bitmap is
+    * the stored artifact) and the popcount loop is branchless; here the
+    * bit codes derive inline from the float column so the whole search
+    * is one scan + a k-row TakeOrdered — and fully DuckDB-oracle-
+    * checkable because sign+count is deterministic.
+    */
+  def bqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
+                     k: Int = 10, rerank: Int = 100): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val q = array(qvec.map(lit): _*)
+    // hamming = #dims whose sign bit differs from the query's — exact
+    // integer arithmetic via a zip_with + aggregate over {0,1} longs
+    val hamming = aggregate(
+      zip_with(col("vec"), q, (a, b) =>
+        when((a >= 0) =!= (b >= 0), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val candidates = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), hamming.as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(rerank)
+    emb.join(broadcast(candidates), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        round(cosineSim(col("vec"), q), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Two-stage QUANTIZED search (SQ + rerank — how Qdrant-class engines
     * search compressed collections): stage 1 ranks the whole corpus by
     * cosine against int8-RECONSTRUCTED vectors and keeps `rerank`

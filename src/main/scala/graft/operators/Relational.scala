@@ -697,6 +697,41 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-style forecast-revenue change: one scan, every predicate
+    * (date range, discount band, quantity cap) pushed to the parquet
+    * reader, one global decimal-sum aggregate — the purest
+    * pushdown-then-reduce query in the suite. At 100 TB this reads only
+    * row groups whose min/max stats overlap the predicate.
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 25)
+      .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over a quarter,
+    * then the supplier(s) achieving the maximum (the view + scalar
+    * subquery of the original, decorrelated). The revenue aggregate is
+    * supplier-cardinality — the one-row max broadcasts back onto it, so
+    * the fact table is scanned once and never joined at full width.
+    */
+  def q15TopSupplier(s: SparkSession, d: String, quarter: String = "1997-01-01"): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(quarter).cast("timestamp") &&
+        col("l_shipdate") < add_months(lit(quarter).cast("timestamp"), 3))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .cache()
+    val top = rev.agg(max("total_revenue").as("max_rev"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("total_revenue"), 4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

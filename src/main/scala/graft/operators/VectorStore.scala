@@ -209,6 +209,49 @@ object VectorStore {
       .orderBy("vec_id")
   }
 
+  /** Qdrant-style GROUPED search (search_groups API): top-`nGroups`
+    * payload groups for one query, each represented by its `perGroup`
+    * best hits — "best restaurants by neighborhood" over vectors. Two
+    * stacked window ranks: within-group hit rank (cutting each group to
+    * `perGroup` rows BEFORE anything global), then groups ranked by
+    * their best hit's score. Scale shape: the per-group cut happens in
+    * the same exchange as the distance scan (WindowGroupLimit pushes the
+    * rank filter pre-shuffle), so at most `perGroup`×groups rows survive
+    * to the tiny group-ranking step — the corpus never sorts globally.
+    */
+  def searchGroups(s: SparkSession, d: String, queryId: Long = 0,
+                   nGroups: Int = 3, perGroup: Int = 2): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === queryId).select(col("vector").as("qvec"))
+    val inGroup = Window.partitionBy("site").orderBy(col("score").asc, col("id").asc)
+    val hits = pts.filter(col("id") =!= queryId).join(broadcast(q))
+      .withColumn("score", round(l2Distance(col("qvec"), col("vector")), 4))
+      .withColumn("hit_rank", row_number().over(inGroup).cast("long"))
+      .filter(col("hit_rank") <= perGroup)
+    // groups ordered by their best (rank-1) hit — rounded scores make
+    // the group ordering engine-portable; ties break on site name
+    val byBest = Window.orderBy(col("best_score").asc, col("site").asc)
+    val topGroups = hits.filter(col("hit_rank") === 1)
+      .select(col("site"), col("score").as("best_score"))
+      .withColumn("group_rank", row_number().over(byBest).cast("long"))
+      .filter(col("group_rank") <= nGroups)
+    hits.join(broadcast(topGroups.select("site", "group_rank")), "site")
+      .select(col("group_rank"), col("site"), col("hit_rank"), col("id"), col("score"))
+      .orderBy("group_rank", "hit_rank")
+  }
+
+  /** Qdrant-style FACET counts (facet API): distinct values of a payload
+    * field with their point counts under a filter — the aggregation
+    * behind every filter sidebar. One partial-agg'd groupBy over the
+    * filtered scan; the filter pushes to the reader.
+    */
+  def facetCounts(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("site"), col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_tenants"))
+      .orderBy("site", "lang")
+
   // ---------------------------------------------------------------- stats
 
   /** Collection/tenant statistics (the scroll/count surface). */

@@ -204,6 +204,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("bq rerank search recalls the exact brute-force top-k") {
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val q = array(qvec.map(lit): _*)
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.operators.Embeddings.bqRerankSearch(spark, sf, queryId = 0)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    // sign bits keep only direction octants — coarser than SQ, but the
+    // 100-candidate rerank should still recover most of the true top-10
+    assert(recall >= 0.5, s"BQ rerank recall too low: $recall")
+  }
+
   test("approx quantiles track the exact quantiles within tolerance") {
     val exact = Relational.eventsQuantiles(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -122,4 +122,21 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("Not(In(doc_id") || p.contains("Not(In(vec_id"),
       s"example-id exclusion not pushed to the scan:\n$p")
   }
+
+  test("q6 pushes every predicate to the lineitem scan (pure pushdown-then-reduce)") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") && p.contains("LessThan(l_quantity"),
+      s"predicates missing from PushedFilters:\n$p")
+  }
+
+  test("bq search cuts the hamming stage with TakeOrdered (no global sort)") {
+    val p = plan("emb_bq_search")
+    assert(p.contains("TakeOrderedAndProject"), s"coarse stage sorts globally:\n$p")
+  }
+
+  test("grouped search cuts per-group hits before the group-rank step") {
+    val p = plan("vs_search_groups")
+    assert(p.contains("WindowGroupLimit"), s"per-group cut not pushed:\n$p")
+  }
 }

@@ -109,6 +109,33 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(r.map(_.getLong(1)).toSeq === brute)
   }
 
+  test("searchGroups returns top groups by best hit with per-group cut") {
+    val q = Tables.points(spark, sf).filter(col("id") === 0)
+      .select("vector").head().getSeq[Double](0)
+    val r = index.searchGroups(q, nGroups = 3, perGroup = 2).collect()
+    assert(r.nonEmpty && r.length <= 6)
+    // group ranks are 1..n, hit ranks within each group are 1..perGroup
+    val byGroup = r.groupBy(_.getLong(0))
+    assert(byGroup.keySet.subsetOf(Set(1L, 2L, 3L)))
+    byGroup.values.foreach { hits =>
+      assert(hits.map(_.getLong(2)).sorted.toSeq === (1L to hits.length).toSeq)
+      // one site per group
+      assert(hits.map(_.getString(1)).distinct.length === 1)
+    }
+    // groups are ordered by their best (rank-1) hit score ascending
+    val bestScores = r.filter(_.getLong(2) == 1).sortBy(_.getLong(0)).map(_.getDouble(5))
+    assert(bestScores.sorted.toSeq === bestScores.toSeq)
+  }
+
+  test("facet counts match a direct groupBy under the same filter") {
+    val got = index.facet("lang", col("user_id") === 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Tables.points(spark, sf).filter(col("user_id") === 3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_norm"),
       info("graft_norm", classOf[L2Norm]),
       (args: Seq[Expression]) => L2Norm(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", classOf[Normalize]),
+      (args: Seq[Expression]) => Normalize(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", classOf[JaccardSorted]),
       (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))

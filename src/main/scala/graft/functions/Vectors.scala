@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -38,10 +38,7 @@ object Vectors {
     * Precomputing this on the corpus once removes the norm from every
     * query-point distance evaluation (O(d) per pair saved at 100 TB).
     */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    transform(a, x => x / n)
-  }
+  def normalize(a: Column): Column = c(Normalize(e(a)))
 
   /** Argmin-centroid id (squared-euclidean, ties → lowest id) against a
     * plan-time centroid set — a single codegen'd double[][] loop; the

@@ -382,9 +382,18 @@ object VectorStore {
       .withColumn("h", hash(col("tok")))
       .withColumn("idx", pmod(col("h"), lit(dim)))
       .withColumn("sgn", when(pmod(col("h"), lit(2)) === 0, 1.0).otherwise(-1.0))
+    // two-level aggregation: token rows first collapse to (doc, bucket)
+    // partial sums IN THE SAME exchange (map-side combine on the
+    // composite key), then the dim-wide row assembles from ≤ dim rows
+    // per doc. The assembly's `dim` conditional-sum columns evaluate
+    // over docs×dim rows — NOT per token; running them directly on the
+    // token stream costs dim× more expression evaluations (measured
+    // ~2.4× wall at sf0.1, dim=64). ±1-integer sums in double are
+    // order-exact, so the split changes nothing numerically.
     val bucketSums = (0 until dim).map(k =>
-      sum(when(col("idx") === k, col("sgn")).otherwise(0.0)).as(s"v$k"))
-    toks.groupBy("doc_id")
+      sum(when(col("idx") === k, col("s")).otherwise(0.0)).as(s"v$k"))
+    toks.groupBy("doc_id", "idx").agg(sum("sgn").as("s"))
+      .groupBy("doc_id")
       .agg(bucketSums.head, bucketSums.tail: _*)
       .select(col("doc_id"),
         normalize(array((0 until dim).map(k => col(s"v$k")): _*)).as("embedding"))

@@ -218,6 +218,52 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** a / ‖a‖₂ — unit-normalize in ONE fused pass (norm loop + scale loop).
+  * The composable formulation `transform(a, x => x / graft_norm(a))`
+  * re-evaluates the norm — itself an O(d) loop over the (possibly
+  * freshly assembled) array — inside the per-element lambda, i.e. O(d²)
+  * interpreted work per row; the optimizer then duplicates the whole
+  * expression into inferred filters (e.g. `size(e) > 0` before a
+  * posexplode), doubling it again. This expression is O(d), codegen'd,
+  * and cheap enough to duplicate. Zero-norm inputs divide to NaN —
+  * identical to the transform formulation's x/0.0.
+  */
+case class Normalize(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_normalize"
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i); $s += $v * $v;
+         |}
+         |double $nrm = java.lang.Math.sqrt($s);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) / $nrm; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ‖a‖₂ (unary). */
 case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))

@@ -22,8 +22,18 @@ class VectorsSpec extends SparkSpecBase {
 
   test("normalize yields unit vectors") {
     val df = Seq(Tuple1(Seq(3.0, 4.0))).toDF("a")
+    val r = df.select(normalize(col("a")).as("u")).head().getSeq[Double](0)
+    assert(r === Seq(0.6, 0.8))
     val n = df.select(l2Norm(normalize(col("a"))).as("n")).head().getDouble(0)
     assert(math.abs(n - 1.0) < 1e-12)
+    // interpreted path (nullSafeEval) agrees with codegen
+    val expr = org.apache.spark.sql.graft.Normalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val out = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    assert(out.toSeq === Seq(0.6, 0.8))
   }
 
   test("jaccardSorted merge walk matches set arithmetic, codegen and interpreted") {

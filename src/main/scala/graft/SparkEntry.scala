@@ -66,6 +66,7 @@ object SparkEntry {
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
+    "text_lm_score" -> TextAnalysis.lmScore _,
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -105,6 +106,7 @@ object SparkEntry {
     "q22_idle_balance" -> ((s: SparkSession, d: String) => Relational.q22IdleBalance(s, d)),
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.q15TopSupplier(s, d)),
+    "events_zorder_stats" -> ((s: SparkSession, d: String) => Relational.eventsZorderStats(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     // embedding-column maintenance
@@ -784,6 +786,31 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= '2000-09-01'::TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_lm_score" ->
+      """WITH b AS (SELECT doc_id,
+        |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS bg,
+        |  unnest([words[i] for i in range(1, len(words))]) AS w1
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |  CAST(round(-log2(c2.c2::DOUBLE / c1.c1), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_zorder_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+        |bd AS (SELECT min(user_id) lu, max(user_id) hu, min(hr) lh, max(hr) hh FROM e),
+        |q AS (SELECT ((user_id - lu) * 65535) // (hu - lu) AS qx,
+        |  ((hr - lh) * 65535) // (hh - lh) AS qy FROM e, bd),
+        |z AS (SELECT qx, qy,
+        |  CAST(list_sum([((qx >> i) & 1) * (1::BIGINT << (2*i))
+        |    + ((qy >> i) & 1) * (1::BIGINT << (2*i+1)) for i in range(0, 16)]) AS BIGINT) AS zv
+        |  FROM q)
+        |SELECT zv >> 27 AS bucket, count(*) AS n,
+        |  min(qx) AS min_u, max(qx) AS max_u, min(qy) AS min_h, max(qy) AS max_h
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
         |    AS revenue,

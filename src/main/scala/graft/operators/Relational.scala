@@ -732,6 +732,35 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Z-ORDER layout audit: quantize (user_id × event hour) to a 16-bit
+    * grid over global bounds, interleave to the Morton z-value
+    * (graft.sources.Sources.zvalue — the key writeZOrdered lays files
+    * out by), and report each of the 32 leading-bit buckets with its
+    * row count and per-dimension coordinate envelope. The envelope IS
+    * the point: every bucket (≈ file) spans a small rectangle of BOTH
+    * dimensions, which is what lets parquet min/max stats prune
+    * two-dimensional predicates at 100 TB. All arithmetic is exact
+    * integer math — bounds pass (one broadcast row) + map pass + one
+    * partial-agg'd groupBy.
+    */
+  def eventsZorderStats(s: SparkSession, d: String, bits: Int = 16): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+    val bounds = ev.agg(min("user_id").as("lu"), max("user_id").as("hu"),
+      min("hr").as("lh"), max("hr").as("hh"))
+    val m = (1L << bits) - 1
+    ev.crossJoin(broadcast(bounds))
+      .select(expr(s"((user_id - lu) * ${m}L) div (hu - lu)").as("qx"),
+        expr(s"((hr - lh) * ${m}L) div (hh - lh)").as("qy"))
+      .select(col("qx"), col("qy"),
+        graft.sources.Sources.zvalue(col("qx"), col("qy"), bits).as("zv"))
+      .groupBy(shiftright(col("zv"), 2 * bits - 5).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("qx").as("min_u"), max("qx").as("max_u"),
+        min("qy").as("min_h"), max("qy").as("max_h"))
+      .orderBy("bucket")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

@@ -230,6 +230,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-bigram LANGUAGE-MODEL quality score (the KenLM-style
+    * perplexity gate of LLM data pipelines, self-trained): train an MLE
+    * bigram model on the corpus itself — p(w₂|w₁) = c(w₁w₂)/c(w₁·) —
+    * and score each document by its average per-bigram negative log₂
+    * probability. Low = stereotyped/templated text, high = unusual
+    * token transitions; pipelines threshold both tails.
+    *
+    * Cross-engine determinism: each bigram's −log₂p is rounded to 6dp
+    * and summed as DECIMAL (order-independent), so partial-aggregation
+    * order can't move the result. Scale shape: the model IS two
+    * count aggregates over the bigram stream (no driver state, any
+    * corpus size); the score join keys on the bigram/context strings —
+    * at 100 TB both reduce to 8-byte hashes first and the counts table
+    * stays fully distributed (vocabulary² never materializes anywhere).
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val bigrams = graft.operators.Dedup
+      .shingleRows(Tables.documents(s, d), w = 2, distinct = false)
+      .select(col("doc_id"), col("shingle").as("bg"),
+        split(col("shingle"), " ")(0).as("w1"))
+      .cache()
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, "bg")
+      .join(c1, "w1")
+      .withColumn("nll",
+        round(-log2(col("c2").cast("double") / col("c1")), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum("nll").cast("double") / count(lit(1))).as("avg_raw"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("avg_raw"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID CONFUSION MATRIX: predicted vs labeled language counts
     * over the corpus — the evaluation artifact a langid gate ships with.
     * Reduces the per-doc langId output to lang² cells.

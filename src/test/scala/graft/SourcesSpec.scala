@@ -111,4 +111,26 @@ class SourcesSpec extends SparkSpecBase {
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-ordered layout bounds BOTH dimensions per file (2-D locality)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("zorder")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+    Sources.writeZOrdered(ev, "user_id", "hr", dir, nFiles = 16)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).as("su"), (max("hr") - min("hr")).as("sh"))
+      .collect()
+    val g = ev.agg(max("user_id") - min("user_id"), max("hr") - min("hr")).head()
+    val (gu, gh) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+    val avgU = perFile.map(_.getLong(1)).sum.toDouble / perFile.length / gu
+    val avgH = perFile.map(_.getLong(2)).sum.toDouble / perFile.length / gh
+    // a single-column sort bounds one dimension and leaves the other at
+    // ~full span; the z-order layout must shrink BOTH well below it
+    assert(avgU <= 0.6 && avgH <= 0.6, s"poor 2-D locality: u=$avgU h=$avgH")
+    // row fidelity: nothing lost or duplicated by the layout write
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
 }

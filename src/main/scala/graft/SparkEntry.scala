@@ -67,6 +67,7 @@ object SparkEntry {
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     "text_lm_score" -> TextAnalysis.lmScore _,
+    "docs_chunk_overlap" -> ((s: SparkSession, d: String) => TextAnalysis.chunkOverlap(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -786,6 +787,15 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= '2000-09-01'::TIMESTAMP)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, ws, n,
+        |  unnest(range(0, (n - 1) // 40 + 1)) AS chunk_id FROM w)
+        |SELECT doc_id, chunk_id,
+        |  len(ws[chunk_id*40+1 : least(chunk_id*40+50, n)])::BIGINT AS n_words,
+        |  md5(array_to_string(ws[chunk_id*40+1 : least(chunk_id*40+50, n)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_lm_score" ->
       """WITH b AS (SELECT doc_id,
         |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS bg,

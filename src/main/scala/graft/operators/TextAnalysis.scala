@@ -230,6 +230,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Overlapping-window CHUNKER (the RAG/embedding-prep step between a
+    * document store and a vector index): split each document into
+    * `size`-word chunks every `stride` words (size − stride words of
+    * overlap so no semantic boundary is lost), emitting (doc, chunk_id,
+    * n_words, md5-of-chunk). The reference embeds whole texts
+    * (insert.py:60-75); real corpora must chunk first — this is the 1→N
+    * flatMap that feeds VectorStore.embedDocs / VectorIndex.fromTexts.
+    * Map-side only (sequence + posexplode + slice, all codegen'd
+    * builtins); the md5 stands in for shipping chunk text so the
+    * verification dump stays narrow.
+    */
+  def chunkOverlap(s: SparkSession, d: String, chunkWords: Int = 50,
+                   stride: Int = 40): DataFrame = {
+    val ws = split(col("text"), " ")
+    val chunk = slice(col("ws"), col("k").cast("int") * stride + 1, lit(chunkWords))
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("n"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $stride"))).as("k"), col("ws"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        size(chunk).cast("long").as("n_words"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Corpus-bigram LANGUAGE-MODEL quality score (the KenLM-style
     * perplexity gate of LLM data pipelines, self-trained): train an MLE
     * bigram model on the corpus itself — p(w₂|w₁) = c(w₁w₂)/c(w₁·) —

@@ -34,6 +34,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("anomalyStream flags a spike hour once the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    // hour-ALIGNED event times (the shared ts() helper's base sits
+    // mid-hour, which would split each synthetic hour across buckets)
+    def hts(h: Long, sec: Long): Timestamp =
+      new Timestamp(1700002800000L + h * 3600000L + sec * 1000L)
+    try {
+      // hours 0..9 alternate 2 and 4 events (mean 3, sd 1); hour 10 spikes to 12
+      var id = 0L
+      val baseline = (0 until 10).flatMap { h =>
+        val c = if (h % 2 == 0) 2 else 4
+        (0 until c).map { i => id += 1; Event(id, hts(h, i), 1, "a", 1.0) }
+      }
+      val spike = (0 until 12).map { i => id += 1; Event(id, hts(10, i), 1, "a", 1.0) }
+      input.addData(baseline ++ spike)
+      q.processAllAvailable()
+      // far-future events on another key advance the watermark; extra
+      // batches let the event-time timeouts fire and drain closed hours
+      (0 until 3).foreach { k =>
+        id += 1
+        input.addData(Event(id, hts(20, k), 2, "b", 1.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("anomalies")
+        .as[EventStreams.HourScore].collect().filter(_.event_type == "a")
+        .sortBy(_.hour.getTime)
+      assert(rows.length === 11, s"expected all 11 hours closed: ${rows.length}")
+      assert(rows.map(_.n).toSeq === Seq(2L, 4L, 2L, 4L, 2L, 4L, 2L, 4L, 2L, 4L, 12L))
+      val spikeRow = rows.last
+      assert(spikeRow.is_anomaly && spikeRow.zscore > 2.0,
+        s"spike hour not flagged: $spikeRow")
+      // every baseline hour scores within the normal band
+      assert(rows.init.forall(!_.is_anomaly), s"false positives: ${rows.init.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after a 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -155,6 +155,30 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** SMALL-FILE COMPACTION — the maintenance job every streaming or
+    * incremental sink eventually needs: a micro-batch writer (e.g.
+    * writeEventsStream, upsertStream) accretes thousands of KB-sized
+    * files, and at 100 TB the scan's task-per-file scheduling and
+    * footer reads dominate. Rewrites a parquet directory into
+    * ≈`targetBytes` files: file count = ceil(input bytes / target),
+    * rows re-distributed round-robin (repartition without keys — no
+    * skew, no sort), committed to a new generation directory so readers
+    * of the old layout are never disturbed. Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Streaming parquet sink with checkpointed exactly-once file commits. */
   def writeEventsStream(events: DataFrame, path: String, checkpoint: String) =
     events.writeStream

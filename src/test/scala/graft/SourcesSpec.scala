@@ -112,6 +112,22 @@ class SourcesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction rewrites a fragmented directory into few files, data intact") {
+    import org.apache.spark.sql.functions.col
+    val frag = tmpDir("frag"); val out = tmpDir("compacted")
+    // simulate a micro-batch sink: 64 tiny files
+    Tables.events(spark, sf).repartition(64).write.mode("overwrite").parquet(frag)
+    val beforeFiles = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(beforeFiles === 64)
+    Sources.compact(spark, frag, out, targetBytes = 512L * 1024)
+    val afterFiles = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(afterFiles < beforeFiles / 4, s"still fragmented: $afterFiles files")
+    // nothing lost, nothing duplicated
+    val a = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    val b = Tables.events(spark, sf).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("z-ordered layout bounds BOTH dimensions per file (2-D locality)") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("zorder")

@@ -115,6 +115,7 @@ object SparkEntry {
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
     "emb_bq_search" -> ((s: SparkSession, d: String) => Embeddings.bqRerankSearch(s, d)),
+    "emb_mrl_search" -> ((s: SparkSession, d: String) => Embeddings.mrlSearch(s, d)),
     "emb_pq_codes" -> ((s: SparkSession, d: String) => Embeddings.pqCodes(s, d)),
     "emb_pq_search" -> ((s: SparkSession, d: String) => Embeddings.pqSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
@@ -123,6 +124,7 @@ object SparkEntry {
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
+    "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
@@ -443,6 +445,16 @@ object SparkEntry {
         |  FROM emb e, q WHERE e.vec_id <> 0),
         |cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id LIMIT 100)
         |SELECT e.vec_id, c.hamming, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
+        |FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "emb_mrl_search" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec AS qv, vec[1:16] AS qp FROM emb WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.vec[1:16], q.qp), 4) AS pc
+        |  FROM emb e, q WHERE e.vec_id <> 0
+        |  ORDER BY pc DESC, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
         |FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_brute_topk" ->
@@ -956,6 +968,10 @@ object SparkEntry {
     "vs_facet_counts" ->
       s"""WITH $PTS
          |SELECT site, lang, count(*) AS n, count(DISTINCT user_id) AS n_tenants
-         |FROM pts WHERE lang IN ('en', 'fr') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM pts WHERE lang IN ('en', 'fr') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vs_scroll_page" ->
+      s"""WITH $PTS
+         |SELECT id, user_id, seq FROM pts WHERE id > 100
+         |ORDER BY id LIMIT 50""".stripMargin
   )
 }

@@ -106,4 +106,40 @@ object CuratePipeline {
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
     Report(nInput, nQuality, nExact, nNear, nBoiler, nDecontam, nSampled)
   }
+
+  /** The full switch-over flow: curate a raw corpus, CHUNK the curated
+    * documents into overlapping windows, embed every chunk with the
+    * deterministic feature-hash embedder, and return a searchable
+    * [[VectorIndex]] over the chunks — raw documents in, the reference
+    * service's collection out, entirely as one Spark job graph.
+    *
+    * Point ids are doc_id·2¹⁶ + chunk_id (stable, collision-free for
+    * corpora under 2⁴⁷ docs with <65536 chunks each); the tenant key
+    * carries through from doc_id like Tables.points. Scale shape: the
+    * chunker is a map-side flatMap, the embedder is the single-exchange
+    * two-level aggregation, and the index build adds nothing on top —
+    * curated text shuffles exactly once (on doc_id for the embed).
+    */
+  def curateToIndex(s: SparkSession, d: String, curatedPath: String,
+                    chunkWords: Int = 50, stride: Int = 40,
+                    minWords: Int = 5): VectorIndex = {
+    curate(s, d, curatedPath, minWords = minWords)
+    val curated = s.read.parquet(curatedPath)
+    val ws = split(col("text"), " ")
+    val chunk = slice(col("ws"), col("k").cast("int") * stride + 1, lit(chunkWords))
+    val chunks = curated
+      .select(col("doc_id"), col("lang"), col("source"), ws.as("ws"),
+        size(ws).cast("long").as("n"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $stride"))).as("k"), col("ws"))
+      .select((col("doc_id") * 65536 + col("k")).as("id"),
+        concat_ws(" ", chunk).as("text"),
+        (col("doc_id") % 20).as("user_id"),
+        col("source").as("site"), col("lang"),
+        (col("doc_id") * 65536 + col("k")).as("seq"))
+    val embedded = graft.operators.VectorStore
+      .embedDocs(chunks.select(col("id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("id"), col("embedding").as("vector"))
+    VectorIndex(chunks.join(embedded, "id"))
+  }
 }

@@ -135,6 +135,34 @@ object Embeddings {
       .limit(k)
   }
 
+  /** MATRYOSHKA (MRL-style) truncated-prefix search: stage 1 ranks the
+    * corpus by cosine over only the FIRST `prefixDim` vector components
+    * (matryoshka-trained embeddings front-load information, so a short
+    * prefix preserves ranking), stage 2 rescores `rerank` candidates at
+    * full dimension. The adaptive-retrieval pattern modern embedding
+    * models ship with: stage 1 reads prefixDim/dim of the vector bytes —
+    * with a column layout that stores the prefix separately, the coarse
+    * scan I/O drops proportionally at 100 TB. Stage 1 ranks on rounded
+    * scores (ties → vec_id), so the whole search is oracle-checkable.
+    */
+  def mrlSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
+                rerank: Int = 50, prefixDim: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qPre = array(qvec.take(prefixDim).map(lit): _*)
+    val qFull = array(qvec.map(lit): _*)
+    val candidates = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosineSim(slice(col("vec"), 1, prefixDim), qPre), 4).as("pre_cosine"))
+      .orderBy(col("pre_cosine").desc, col("vec_id"))
+      .limit(rerank)
+    emb.join(broadcast(candidates.select("vec_id")), "vec_id")
+      .select(col("vec_id"), round(cosineSim(col("vec"), qFull), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** BINARY QUANTIZATION search (the 32×-compression tier Qdrant-class
     * engines offer above SQ/PQ): each dimension collapses to its sign
     * bit; stage 1 ranks the corpus by HAMMING distance to the query's

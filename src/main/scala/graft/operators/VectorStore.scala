@@ -252,6 +252,20 @@ object VectorStore {
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_tenants"))
       .orderBy("site", "lang")
 
+  /** Keyset SCROLL page (the reference pages its collection with
+    * client.scroll to drive word/regex deletes — app.py:99-107): one
+    * page of `n` points after cursor `afterId`, in id order. Plans as a
+    * pushed id-range scan + TakeOrderedAndProject — O(page) whatever
+    * the collection size (keyset, never OFFSET). The library form is
+    * VectorIndex.scroll; this is its driver-checked shape.
+    */
+  def scrollPage(s: SparkSession, d: String, afterId: Long = 100, n: Int = 50): DataFrame =
+    Tables.points(s, d)
+      .filter(col("id") > afterId)
+      .select(col("id"), col("user_id"), col("seq"))
+      .orderBy("id")
+      .limit(n)
+
   // ---------------------------------------------------------------- stats
 
   /** Collection/tenant statistics (the scroll/count surface). */

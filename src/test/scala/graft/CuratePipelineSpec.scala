@@ -27,6 +27,28 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(clusters.intersect(kept).isEmpty)
   }
 
+  test("curateToIndex yields a searchable chunk index over the curated corpus") {
+    val out = java.nio.file.Files.createTempDirectory("c2i").toString + "/corpus"
+    val index = CuratePipeline.curateToIndex(spark, sf, out)
+    val pts = index.points.cache()
+    val nCurated = spark.read.parquet(out).count()
+    // every curated doc contributes >= 1 chunk; ids encode (doc, chunk)
+    assert(pts.count() >= nCurated)
+    assert(pts.select(countDistinct(expr("id div 65536"))).head().getLong(0) === nCurated)
+    // chunks carry unit-normalized vectors and the tenant key derivation
+    val n0 = pts.select(graft.functions.Vectors.l2Norm(col("vector"))).head().getDouble(0)
+    assert(math.abs(n0 - 1.0) < 1e-9)
+    assert(pts.filter(col("user_id") =!= expr("(id div 65536) % 20")).count() === 0)
+    // a chunk's own text must retrieve that chunk at rank 1, cosine ~1
+    val probe = pts.orderBy("id").select("id", "text", "user_id").head()
+    val hits = index.searchText(probe.getString(1), probe.getLong(2), k = 1)
+      .collect()
+    assert(hits.nonEmpty && hits.head.getLong(1) === probe.getLong(0),
+      s"self-retrieval failed: ${hits.toSeq} vs ${probe.getLong(0)}")
+    pts.unpersist()
+    ()
+  }
+
   test("pii scrub masks every match in the curated output") {
     val out = java.nio.file.Files.createTempDirectory("curpii").toString + "/c"
     CuratePipeline.curate(spark, sf, out, piiPattern = Some("\\b(key|hash)\\b"))

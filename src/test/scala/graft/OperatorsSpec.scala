@@ -204,6 +204,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("mrl prefix search recalls the exact brute-force top-k") {
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val q = array(qvec.map(lit): _*)
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.operators.Embeddings.mrlSearch(spark, sf, queryId = 0)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got intersect brute).size.toDouble / brute.size
+    // synthetic embeddings aren't matryoshka-trained, so a 16-dim prefix
+    // is a weak but non-random ranker; the 50-candidate rerank recovers
+    assert(recall >= 0.3, s"MRL rerank recall too low: $recall")
+  }
+
   test("bq rerank search recalls the exact brute-force top-k") {
     import graft.functions.Vectors._
     val emb = Tables.embeddings(spark, sf)

@@ -46,10 +46,28 @@ object Bench {
       // by benching one name via SPARK_GRAFT_ONLY.
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(rs: Map[String, Double]): String = {
+      val qs = rs.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail → file (the line below stays parseable even
+    // from a bounded log-tail capture; 100+ query entries would push the
+    // final line past a 2000-char window and truncate its head).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/bench_full.json"), line(results))
+    // ONE compact JSON line, LAST on stdout: total + headline queries
+    // (one per operator family, including every historically slow query).
+    val headline = Set(
+      "q1_pricing_summary", "q5_region_revenue", "q18_large_orders",
+      "topk_per_group_fast", "events_sessionize", "events_asof_join",
+      "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
+      "text_bm25", "text_lm_score", "vs_search_batch", "vs_embed_text",
+      "ann_brute_topk", "ann_ivf_topk", "emb_pq_search", "emb_bq_search",
+      "mm_feature_extract")
+    println(line(results.filter { case (k, _) => headline.contains(k) }))
     spark.stop()
   }
 }

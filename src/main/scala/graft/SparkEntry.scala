@@ -107,6 +107,7 @@ object SparkEntry {
     "q22_idle_balance" -> ((s: SparkSession, d: String) => Relational.q22IdleBalance(s, d)),
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.q15TopSupplier(s, d)),
+    "q21_waiting_supplier" -> ((s: SparkSession, d: String) => Relational.q21WaitingSupplier(s, d)),
     "events_zorder_stats" -> ((s: SparkSession, d: String) => Relational.eventsZorderStats(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -125,6 +126,8 @@ object SparkEntry {
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
     "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
+    "vs_set_payload" -> VectorStore.setPayload _,
+    "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
@@ -851,6 +854,19 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH po AS (SELECT l_orderkey,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN l_suppkey END) AS n_late,
+        |  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -972,6 +988,23 @@ object SparkEntry {
     "vs_scroll_page" ->
       s"""WITH $PTS
          |SELECT id, user_id, seq FROM pts WHERE id > 100
-         |ORDER BY id LIMIT 50""".stripMargin
+         |ORDER BY id LIMIT 50""".stripMargin,
+    "vs_set_payload" ->
+      s"""WITH $PTS,
+         |patch AS (SELECT id AS u_id, 'curated' AS u_site, upper(lang) AS u_lang
+         |  FROM pts WHERE id % 7 = 0)
+         |SELECT id, user_id, coalesce(u_site, site) AS site,
+         |  coalesce(u_lang, lang) AS lang, seq
+         |FROM pts LEFT JOIN patch ON id = u_id ORDER BY id""".stripMargin,
+    "vs_distance_matrix" ->
+      s"""WITH $PTS,
+         |smp AS (SELECT id, vector FROM pts WHERE id < 20),
+         |pairs AS (SELECT a.id AS a_id, b.id AS b_id,
+         |  round(list_cosine_similarity(a.vector, b.vector), 4) AS cosine
+         |  FROM smp a JOIN smp b ON a.id <> b.id),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk FROM pairs)
+         |SELECT a_id, b_id, cosine, rk FROM r WHERE rk <= 5
+         |ORDER BY a_id, rk""".stripMargin
   )
 }

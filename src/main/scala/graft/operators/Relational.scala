@@ -697,6 +697,42 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q21-style sole-late-supplier analysis (adapted: lateness =
+    * shipped > `lateDays` after the order date; this schema carries no
+    * commit/receipt dates, mirroring the delay adaptation of
+    * [[q12ShipDelay]]): suppliers who were the ONLY late supplier on a
+    * multi-supplier order, ranked by how many orders they held up. The
+    * classic formulation is EXISTS (another supplier on the order) AND
+    * NOT EXISTS (another late supplier); both existence probes collapse
+    * into ONE aggregation over each order's lineitems — per order:
+    * distinct suppliers, distinct late suppliers, and the sole late
+    * supplier id — so lineitem crosses a single orderkey exchange
+    * instead of being re-shuffled by a semi-join + anti-join pair. The
+    * per-supplier tally is supplier-cardinality and broadcasts onto the
+    * (small) supplier dim; the final cut is a 20-row TakeOrdered.
+    */
+  def q21WaitingSupplier(s: SparkSession, d: String, lateDays: Int = 90): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
+    val perOrder = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+    val numwait = perOrder
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+    Tables.supplier(s, d)
+      .join(broadcast(numwait), col("s_suppkey") === col("late_supp"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** TPC-H Q6-style forecast-revenue change: one scan, every predicate
     * (date range, discount band, quantity cap) pushed to the parquet
     * reader, one global decimal-sum aggregate — the purest

@@ -266,6 +266,52 @@ object VectorStore {
       .orderBy("id")
       .limit(n)
 
+  /** Qdrant set_payload analogue (/points/payload): a batch of payload
+    * PATCHES merges into the collection — points named by the batch get
+    * the provided payload fields overwritten, every other field (and the
+    * vector) passes through, absent points are untouched. The patch
+    * batch derives deterministically here (ids ≡ 0 mod 7: site :=
+    * "curated", lang upper-cased) so the oracle re-derives it. Scale
+    * shape: a payload patch is a bounded client batch ≪ corpus, so this
+    * is a map-side broadcast LEFT join + per-field coalesce — the corpus
+    * is rewritten in place without a shuffle, the delete/upsert snapshot
+    * model applied to payload mutation.
+    */
+  def setPayload(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val patch = pts.filter(col("id") % 7 === 0)
+      .select(col("id").as("u_id"), lit("curated").as("u_site"),
+        upper(col("lang")).as("u_lang"))
+    pts.join(broadcast(patch), col("id") === col("u_id"), "left")
+      .select(col("id"), col("user_id"),
+        coalesce(col("u_site"), col("site")).as("site"),
+        coalesce(col("u_lang"), col("lang")).as("lang"), col("seq"))
+      .orderBy("id")
+  }
+
+  /** Qdrant distance-matrix API analogue (/points/search/matrix): over a
+    * deterministic sample of the collection, each member's top-`k`
+    * nearest OTHER members by cosine — the pairwise-similarity artifact
+    * behind cluster/diversity diagnostics. The sample is bounded by the
+    * API contract (Qdrant caps it), so the matrix is a broadcast
+    * nested-loop over sample×sample with a per-point rank — the corpus
+    * itself is pruned to the sample at the scan and never joined
+    * pairwise. Rank on 4dp-rounded scores (ties → neighbor id) keeps
+    * the cut engine-portable.
+    */
+  def distanceMatrix(s: SparkSession, d: String, sampleN: Long = 20, k: Int = 5): DataFrame = {
+    val sample = Tables.points(s, d).filter(col("id") < sampleN)
+    val other = sample.select(col("id").as("b_id"), col("vector").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    sample.select(col("id").as("a_id"), col("vector").as("a_vec"))
+      .join(broadcast(other), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineSim(col("a_vec"), col("b_vec")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("a_id", "rk")
+  }
+
   // ---------------------------------------------------------------- stats
 
   /** Collection/tenant statistics (the scroll/count surface). */

@@ -96,4 +96,28 @@ class EquivalenceSpec extends SparkSpecBase {
       .select("lv", "rv").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(salted === plain)
   }
+
+  test("q21 single-aggregation collapse equals the classic semi+anti join formulation") {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      .cache()
+    // EXISTS another supplier on the order, NOT EXISTS another LATE supplier
+    val l1 = li.filter(col("late")).select("ok", "sk").distinct()
+    val others = li.select(col("ok").as("ok2"), col("sk").as("sk2")).distinct()
+    val classic = l1
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(li.filter(col("late")).select(col("ok").as("ok3"), col("sk").as("sk3")).distinct(),
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy("sk").agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sf), col("sk") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val collapsed = Relational.q21WaitingSupplier(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    li.unpersist()
+    assert(collapsed === classic)
+  }
 }

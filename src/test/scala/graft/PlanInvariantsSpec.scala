@@ -139,4 +139,29 @@ class PlanInvariantsSpec extends SparkSpecBase {
     val p = plan("vs_search_groups")
     assert(p.contains("WindowGroupLimit"), s"per-group cut not pushed:\n$p")
   }
+
+  test("q21 collapses both existence probes into one per-order aggregation") {
+    val p = plan("q21_waiting_supplier")
+    // the classic formulation re-shuffles lineitem through a semi+anti
+    // join pair; the collapse leaves only the orderkey join/agg chain,
+    // the tiny supplier-tally exchange, and the 20-row TakeOrdered
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"existence probes planned as joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"final cut sorts globally:\n$p")
+    assert(nShuffles(p) <= 3, s"${nShuffles(p)} shuffles in q21 plan:\n$p")
+  }
+
+  test("set_payload merges the patch by broadcast (corpus never hash-shuffles)") {
+    val p = plan("vs_set_payload")
+    assert(p.contains("BroadcastHashJoin"), s"patch merge degraded:\n$p")
+    // sole exchange is the verification-layer output sort
+    assert(nShuffles(p) <= 1, s"${nShuffles(p)} shuffles in set_payload plan:\n$p")
+  }
+
+  test("distance matrix prunes the corpus to the sample at both scans") {
+    val p = plan("vs_distance_matrix")
+    assert(p.contains("LessThan(doc_id,20)") || p.contains("LessThan(vec_id,20)"),
+      s"sample bound not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"pairwise join shape changed:\n$p")
+  }
 }

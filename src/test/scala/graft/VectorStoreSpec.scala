@@ -45,6 +45,43 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(survivors === expected)
   }
 
+  test("setPayload patches exactly the named ids and passes everything else through") {
+    val r = VectorStore.setPayload(spark, sf).cache()
+    val pts = Tables.points(spark, sf)
+    assert(r.count() === pts.count())
+    // patched rows carry the new fields
+    assert(r.filter(col("id") % 7 === 0)
+      .filter(col("site") =!= "curated" || col("lang") =!= upper(col("lang")))
+      .count() === 0)
+    // unpatched rows are byte-identical on the payload fields
+    val orig = pts.select(col("id"), col("site").as("o_site"), col("lang").as("o_lang"))
+    assert(r.filter(col("id") % 7 =!= 0).join(orig, "id")
+      .filter(col("site") =!= col("o_site") || col("lang") =!= col("o_lang"))
+      .count() === 0)
+    r.unpersist()
+    ()
+  }
+
+  test("distanceMatrix ranks k symmetric neighbors per sample member") {
+    val r = VectorStore.distanceMatrix(spark, sf).cache()
+    assert(r.select("a_id").distinct().count() === 20)
+    assert(r.groupBy("a_id").count().filter(col("count") =!= 5).count() === 0)
+    // per member: ranks are 1..k with cosine non-increasing in rank
+    r.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to 5L))
+      val cos = byRank.map(_.getDouble(2)).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+    // cosine is symmetric: mirrored pairs present in the cut agree exactly
+    val scores = r.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    scores.foreach { case ((a, b), c) =>
+      scores.get((b, a)).foreach(c2 => assert(c === c2))
+    }
+    r.unpersist()
+    ()
+  }
+
   test("classifyNearest assigns every vector a label") {
     val r = VectorStore.classifyNearest(spark, sf)
     assert(r.count() === Tables.embeddings(spark, sf).count())

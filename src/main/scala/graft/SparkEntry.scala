@@ -127,6 +127,7 @@ object SparkEntry {
     "vs_facet_counts" -> VectorStore.facetCounts _,
     "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
     "vs_set_payload" -> VectorStore.setPayload _,
+    "vs_discover" -> ((s: SparkSession, d: String) => VectorStore.discover(s, d)),
     "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
@@ -996,6 +997,22 @@ object SparkEntry {
          |SELECT id, user_id, coalesce(u_site, site) AS site,
          |  coalesce(u_lang, lang) AS lang, seq
          |FROM pts LEFT JOIN patch ON id = u_id ORDER BY id""".stripMargin,
+    "vs_discover" ->
+      s"""WITH $PTS,
+         |tv AS (SELECT vector AS t FROM pts WHERE id = 0),
+         |p1 AS (SELECT vector AS p FROM pts WHERE id = 1),
+         |n1 AS (SELECT vector AS n FROM pts WHERE id = 2),
+         |p2 AS (SELECT vector AS p FROM pts WHERE id = 3),
+         |n2 AS (SELECT vector AS n FROM pts WHERE id = 4)
+         |SELECT id,
+         |  round(least(0, round(list_cosine_similarity(vector, p1.p), 4)
+         |      - round(list_cosine_similarity(vector, n1.n), 4))
+         |    + least(0, round(list_cosine_similarity(vector, p2.p), 4)
+         |      - round(list_cosine_similarity(vector, n2.n), 4)), 4) AS ctx_score,
+         |  round(list_cosine_similarity(vector, tv.t), 4) AS target_cos
+         |FROM pts, tv, p1, n1, p2, n2
+         |WHERE id NOT IN (0, 1, 2, 3, 4)
+         |ORDER BY ctx_score DESC, target_cos DESC, id LIMIT 10""".stripMargin,
     "vs_distance_matrix" ->
       s"""WITH $PTS,
          |smp AS (SELECT id, vector FROM pts WHERE id < 20),

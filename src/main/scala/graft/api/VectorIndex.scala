@@ -126,6 +126,33 @@ class VectorIndex private (val points: DataFrame) {
       .select(col("rank"), col("id"), col("text").as("string"), col("score"))
   }
 
+  /** Discovery search (Qdrant /points/discover): rank by the context
+    * score Σ min(0, cos(v,pos)−cos(v,neg)) over example pairs, then by
+    * similarity to `targetId`'s vector. Example vectors collect once
+    * (a bounded client batch) and inline as literals — one map pass over
+    * the (optionally tenant-pruned) corpus + a k-row TakeOrdered.
+    */
+  def discover(targetId: Long, pairs: Seq[(Long, Long)], k: Int = 10,
+               userId: Option[Long] = None): DataFrame = {
+    require(pairs.nonEmpty, "discover needs at least one context pair")
+    val exIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).map(Long.box)
+    val vecs = points.filter(col("id").isin(exIds: _*))
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
+    val ctx = pairs.map { case (p, n) =>
+      least(lit(0.0), cosineSim(col("vector"), litVec(p)) -
+        cosineSim(col("vector"), litVec(n)))
+    }.reduce(_ + _)
+    val base = userId.map(u => points.filter(col("user_id") === u)).getOrElse(points)
+    base.filter(!col("id").isin(exIds: _*))
+      .withColumn("ctx_score", ctx)
+      .withColumn("target_cos", cosineSim(col("vector"), litVec(targetId)))
+      .orderBy(col("ctx_score").desc, col("target_cos").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("text").as("string"), col("ctx_score"), col("target_cos"))
+  }
+
   /** Batched search: each row of `queries(query_id, qvec, quser)` gets
     * its tenant-scoped top-k in one job — the set-oriented form of the
     * reference's per-request loop.

@@ -154,6 +154,39 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant discovery search (/points/discover): rank the collection by
+    * a CONTEXT of (positive, negative) example pairs, tie-broken by
+    * similarity to a target vector. Each pair contributes
+    * min(0, cos(v,pos) − cos(v,neg)) — zero when the candidate sits on
+    * the positive side of the pair, a penalty proportional to how far
+    * it leans negative otherwise (Qdrant's published context-score).
+    * The example vectors are a bounded client batch: they collect once
+    * and inline into the scan projection as literals, so the whole
+    * search is one map pass + a k-row TakeOrdered — the corpus never
+    * shuffles. Pair terms subtract 4dp-rounded cosines (scalar IEEE ops,
+    * engine-portable) so the ranking is oracle-checkable.
+    */
+  def discover(s: SparkSession, d: String, targetId: Long = 0,
+               pairs: Seq[(Long, Long)] = Seq((1L, 2L), (3L, 4L)),
+               k: Int = 10): DataFrame = {
+    val pts = Tables.points(s, d)
+    val exIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).map(Long.box)
+    val vecs = pts.filter(col("id").isin(exIds: _*))
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
+    val ctx = pairs.map { case (p, n) =>
+      least(lit(0.0), round(cosineSim(col("vector"), litVec(p)), 4) -
+        round(cosineSim(col("vector"), litVec(n)), 4))
+    }.reduce(_ + _)
+    pts.filter(!col("id").isin(exIds: _*))
+      .withColumn("ctx_score", round(ctx, 4))
+      .withColumn("target_cos", round(cosineSim(col("vector"), litVec(targetId)), 4))
+      .orderBy(col("ctx_score").desc, col("target_cos").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("ctx_score"), col("target_cos"))
+  }
+
   // ---------------------------------------------------------------- delete
 
   /** app.py:79-91 /remove_by_user — snapshot minus one tenant. */

@@ -30,6 +30,24 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(r.map(_.getLong(1)).toSeq === expected)
   }
 
+  test("discover agrees with the operator ranking and scopes to the tenant") {
+    val got = index.discover(targetId = 0, pairs = Seq((1L, 2L), (3L, 4L)))
+      .collect()
+    // same candidate set and order as the driver-checked operator (the
+    // operator ranks on 4dp-rounded scores; agreement on ids tolerates
+    // only boundary flips, absent on this corpus)
+    val op = graft.operators.VectorStore.discover(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq === op)
+    // ctx_score is non-positive and non-increasing down the ranking
+    val ctx = got.map(_.getDouble(2)).toSeq
+    assert(ctx.forall(_ <= 1e-12) && ctx === ctx.sorted.reverse)
+    // tenant scoping prunes the corpus
+    val scoped = index.discover(0, Seq((1L, 2L)), k = 100, userId = Some(7))
+    assert(scoped.count() <=
+      Tables.points(spark, sf).filter(col("user_id") === 7).count())
+  }
+
   test("site/lang filters narrow the search scope") {
     val q = Seq.fill(64)(0.1)
     val all = index.search(q, userId = 3, k = 100).count()

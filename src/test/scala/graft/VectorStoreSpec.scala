@@ -82,6 +82,29 @@ class VectorStoreSpec extends SparkSpecBase {
     ()
   }
 
+  test("discover matches a driver-side context-pair brute force") {
+    val pts = Tables.points(spark, sf).select(col("id"), col("vector"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pts.keys.filterNot(Set(0L, 1L, 2L, 3L, 4L)).toSeq
+      .map { id =>
+        val v = pts(id)
+        val ctx = math.min(0.0, r4(cos(v, pts(1L))) - r4(cos(v, pts(2L)))) +
+          math.min(0.0, r4(cos(v, pts(3L))) - r4(cos(v, pts(4L))))
+        (id, r4(ctx), r4(cos(v, pts(0L))))
+      }
+      .sortBy { case (id, c, t) => (-c, -t, id) }.take(10)
+    val got = VectorStore.discover(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
   test("classifyNearest assigns every vector a label") {
     val r = VectorStore.classifyNearest(spark, sf)
     assert(r.count() === Tables.embeddings(spark, sf).count())

@@ -137,8 +137,34 @@ object Dedup {
         .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h")),
       nPerm)
 
-  /** (doc_id, h) hashed-shingle rows → (doc_id, sig[nPerm]). */
+  /** (doc_id, h) hashed-shingle rows → (doc_id, sig[nPerm]).
+    *
+    * One [[org.apache.spark.sql.graft.MinHashAgg]] typed aggregate, not
+    * nPerm declarative `min(pmod(a·h+b, p))` columns: 128 aggregate
+    * fields exceed spark.sql.codegen.maxFields, silently dropping the
+    * aggregation out of whole-stage codegen into interpreted+boxed
+    * evaluation (~10⁹ allocations at sf0.1 — GC dominated the whole
+    * dedup family). The typed buffer is one field, update is a
+    * primitive loop, and partial aggregation still applies
+    * (ObjectHashAggregate), so the shuffle still carries one row per
+    * (doc × partition). Signatures are bit-identical to the declarative
+    * form — EquivalenceSpec proves it on random inputs.
+    */
   def minhashFromHashedRows(hashed: DataFrame, nPerm: Int): DataFrame = {
+    val ps = perms(nPerm)
+    val agg = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.MinHashAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("h")),
+        ps.map(_._1).toArray, ps.map(_._2).toArray, P)
+        .toAggregateExpression())
+    hashed.groupBy("doc_id").agg(agg.as("sig"))
+  }
+
+  /** The nPerm-column declarative formulation — kept as the equivalence
+    * oracle for [[minhashFromHashedRows]] (same permutations, same
+    * output, but falls out of codegen past ~100 fields).
+    */
+  private[graft] def minhashFromHashedRowsDeclarative(hashed: DataFrame, nPerm: Int): DataFrame = {
     val permCols = perms(nPerm).zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$k")
     }

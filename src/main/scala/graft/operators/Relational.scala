@@ -714,14 +714,22 @@ object Relational {
   def q21WaitingSupplier(s: SparkSession, d: String, lateDays: Int = 90): DataFrame = {
     val late = col("l_shipdate") >
       col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
-    val perOrder = Tables.lineitem(s, d)
+    // two-level aggregation, NOT two countDistincts: multi-distinct
+    // aggregation plans an Expand that replicates every joined row per
+    // distinct path. Level 1 reduces to one (order, supplier, was-late)
+    // row — partial-agg'd on the join's orderkey partitioning — so the
+    // order-level rollup sees supplier-cardinality input and no Expand.
+    val perSupp = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("is_late"))
+    val perOrder = perSupp
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
     val numwait = perOrder
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("late_supp"))

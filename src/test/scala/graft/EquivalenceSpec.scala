@@ -97,6 +97,22 @@ class EquivalenceSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("typed MinHashAgg signatures are bit-identical to the declarative min columns") {
+    val rnd = new scala.util.Random(99)
+    val hashed = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextLong() & Long.MaxValue))
+      .toDF("doc_id", "h")
+      // the typed aggregate consumes the mod-P reduced hash, like the
+      // production path in minhashPairsUncached
+      .select(col("doc_id"), pmod(col("h"), lit(2147483647L)).as("h"))
+      .cache()
+    val typed = Dedup.minhashFromHashedRows(hashed, 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val decl = Dedup.minhashFromHashedRowsDeclarative(hashed, 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    hashed.unpersist()
+    assert(typed === decl)
+  }
+
   test("q21 single-aggregation collapse equals the classic semi+anti join formulation") {
     val li = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))

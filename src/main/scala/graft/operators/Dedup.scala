@@ -160,6 +160,36 @@ object Dedup {
     hashed.groupBy("doc_id").agg(agg.as("sig"))
   }
 
+  /** (doc_id, sig) → exploded LSH band buckets (doc_id, band, bkey):
+    * band b's key is the hash of signature rows [b·rows, (b+1)·rows) —
+    * only these tiny (long, int, long) rows ever shuffle for the
+    * candidate join.
+    */
+  private[graft] def bandBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          hash((b * rows until (b + 1) * rows).map(k => col("sig")(k)): _*)): _*)))
+      .toDF("doc_id", "band", "bkey")
+
+  /** Per-doc near-dup state in ONE aggregation pass: the minhash
+    * signature (candidate generation) AND the sorted distinct
+    * shingle-hash array (exact-Jaccard verification) — the row a
+    * STREAMING near-dup gate persists per surviving doc
+    * ([[graft.streaming.EventStreams.nearDupGateStream]]).
+    */
+  private[graft] def signatureState(docs: DataFrame, w: Int, nPerm: Int): DataFrame = {
+    val hashed = shingleRows(docs, w, distinct = false)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val ps = perms(nPerm)
+    val sigAgg = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.MinHashAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(pmod(col("h"), lit(P))),
+        ps.map(_._1).toArray, ps.map(_._2).toArray, P)
+        .toAggregateExpression())
+    hashed.groupBy("doc_id")
+      .agg(sigAgg.as("sig"), array_sort(collect_set(col("h"))).as("hs"))
+  }
+
   /** The nPerm-column declarative formulation — kept as the equivalence
     * oracle for [[minhashFromHashedRows]] (same permutations, same
     * output, but falls out of codegen past ~100 fields).
@@ -218,11 +248,7 @@ object Dedup {
       .cache()
     val sigs = minhashFromHashedRows(
       ex.select(col("doc_id"), pmod(col("h"), lit(P)).as("h")), bands * rows)
-    // band buckets: (band_idx, hash(sig slice)) — only these tiny keys shuffle
-    val buckets = sigs.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          hash((b * rows until (b + 1) * rows).map(k => col("sig")(k)): _*)): _*)))
-      .toDF("doc_id", "band", "bkey")
+    val buckets = bandBuckets(sigs, bands, rows)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -183,6 +183,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupGateStream suppresses near-dups within and across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndgate").toString
+    val store = base + "/store"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupGateStream(
+      input.toDF().toDF("doc_id", "text"), store, base + "/ckpt").start()
+    def accepted(): Set[Long] =
+      spark.read.parquet(store + "/batch-*").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    try {
+      val t1 = "a b c d e f g h i j k l"
+      input.addData(
+        1L -> t1,
+        2L -> "z y x w v u t s r q p o",
+        5L -> (t1 + " m")) // within-batch near-dup of 1 (J = 8/9)
+      q.processAllAvailable()
+      assert(accepted() === Set(1L, 2L))
+      input.addData(
+        3L -> (t1 + " n"),              // cross-batch near-dup of accepted 1
+        4L -> "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12") // novel
+      q.processAllAvailable()
+      assert(accepted() === Set(1L, 2L, 4L))
+      // survivor state carries both signature and verify arrays
+      val row = spark.read.parquet(store + "/batch-*").filter($"doc_id" === 4L).head()
+      assert(row.getSeq[Long](1).length === 128)
+      assert(row.getSeq[Long](2).nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingSearch joins a query stream against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.points(spark, sf)

@@ -712,19 +712,21 @@ object Relational {
     * (small) supplier dim; the final cut is a 20-row TakeOrdered.
     */
   def q21WaitingSupplier(s: SparkSession, d: String, lateDays: Int = 90): DataFrame = {
-    val late = col("l_shipdate") >
-      col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
     // two-level aggregation, NOT two countDistincts: multi-distinct
     // aggregation plans an Expand that replicates every joined row per
-    // distinct path. Level 1 reduces to one (order, supplier, was-late)
-    // row — partial-agg'd on the join's orderkey partitioning — so the
-    // order-level rollup sees supplier-cardinality input and no Expand.
+    // distinct path. Level 1 reduces raw lineitems to one (order,
+    // supplier, last-ship) row BEFORE any join — a supplier lands late
+    // iff its LATEST lineitem does, so max(l_shipdate) carries the
+    // whole lateness decision and orders joins the already-reduced set
+    // (partial-agg'd map-side; the only wide exchange in the plan).
     val perSupp = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(late).as("is_late"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("last_ship") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("is_late"))
     val perOrder = perSupp
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),

@@ -158,6 +158,18 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(nShuffles(p) <= 1, s"${nShuffles(p)} shuffles in set_payload plan:\n$p")
   }
 
+  test("minhash signature aggregation stays a single-field typed aggregate") {
+    // 128 declarative min-columns would exceed spark.sql.codegen.maxFields
+    // and silently fall back to interpreted evaluation (the round-2 GC
+    // regression); the typed buffer plans as ObjectHashAggregate
+    val p = graft.operators.Dedup
+      .minhashSignatures(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"typed aggregate not planned:\n$p")
+    assert(p.contains("minhashagg") || p.contains("MinHashAgg"),
+      s"MinHashAgg missing from plan:\n$p")
+  }
+
   test("distance matrix prunes the corpus to the sample at both scans") {
     val p = plan("vs_distance_matrix")
     assert(p.contains("LessThan(doc_id,20)") || p.contains("LessThan(vec_id,20)"),

@@ -119,6 +119,7 @@ object SparkEntry {
     "emb_mrl_search" -> ((s: SparkSession, d: String) => Embeddings.mrlSearch(s, d)),
     "emb_pq_codes" -> ((s: SparkSession, d: String) => Embeddings.pqCodes(s, d)),
     "emb_pq_search" -> ((s: SparkSession, d: String) => Embeddings.pqSearch(s, d)),
+    "emb_ivfpq_search" -> ((s: SparkSession, d: String) => Embeddings.ivfPqSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),

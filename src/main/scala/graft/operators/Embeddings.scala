@@ -135,6 +135,61 @@ object Embeddings {
       .limit(k)
   }
 
+  /** IVF-PQ composite search — the FAISS-style tiered index, composing
+    * the two scale levers the suite provides separately: stage 0 prunes
+    * the corpus to the query's `nprobe` nearest k-means lists (IVF —
+    * touches nprobe/nlist of the data; with the list-partitioned layout
+    * of AnnIndex this is partition pruning at the scan), stage 1 ranks
+    * the survivors by PQ asymmetric distance (reads m code bytes per
+    * vector, not the full dim), stage 2 reranks the top `rerank`
+    * exactly. The coarse quantizer is the SAME memoized model the IVF
+    * probe path trains (one quantizer per corpus snapshot — shared
+    * model state, like a real index build); probe selection for the
+    * single query is driver-side argsort over the tiny centroid set,
+    * entering the plan as an IN-list filter. Approximate (k-means +
+    * codebook dependent) → recall spec, not a DuckDB oracle.
+    */
+  def ivfPqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
+                  rerank: Int = 50, nlist: Int = 16, nprobe: Int = 4,
+                  m: Int = 8, nCodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val cents = Ann.kmeansCentroidsCached(s, s"ivf:$d",
+      emb.filter(col("vec_id") >= 10), nlist, iters = 3)
+    val probeIds = cents
+      .map { case (cid, c) =>
+        (cid, c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1)
+    val survivors = emb
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        nearestCentroidId(col("vec"), cents).as("cid"))
+      .filter(col("cid").isin(probeIds.map(Long.box): _*))
+      .select("vec_id")
+    val sub = qvec.length / m
+    val books = pqCodebooks(s, d, m, nCodes)
+    val adc = books.flatMap { case (j, cs) =>
+      val q = qvec.slice(j * sub, (j + 1) * sub)
+      cs.map { case (cid, c) =>
+        (j.toLong, cid, q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.toDF("subspace", "code", "qdist")
+    val coarse = pqCodesWith(s, d, books, m)
+      .join(survivors, "vec_id")
+      .join(broadcast(adc), Seq("subspace", "code"))
+      .groupBy("vec_id").agg(sum("qdist").as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col("vec_id"))
+      .limit(rerank)
+    val q = array(qvec.map(lit): _*)
+    emb.join(broadcast(coarse.select("vec_id")), "vec_id")
+      .select(col("vec_id"), round(l2Distance(col("vec"), q), 4).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** MATRYOSHKA (MRL-style) truncated-prefix search: stage 1 ranks the
     * corpus by cosine over only the FIRST `prefixDim` vector components
     * (matryoshka-trained embeddings front-load information, so a short

@@ -204,6 +204,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("ivf-pq composite search recalls the exact L2 top-k within its probes") {
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2Distance(col("vec"), array(qv.map(lit): _*)).as("dd"))
+      .orderBy(col("dd").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // wide probes on the small test corpus: isolate the PQ ranking loss
+    // from coarse-pruning loss (the IVF recall/nprobe tradeoff has its
+    // own monotonicity spec in AnnSpec)
+    val got = graft.operators.Embeddings
+      .ivfPqSearch(spark, sf, queryId = 0, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+    // tighter probing returns a subset drawn from the probed lists only
+    val narrow = graft.operators.Embeddings
+      .ivfPqSearch(spark, sf, queryId = 0, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow.size === 10)
+  }
+
   test("mrl prefix search recalls the exact brute-force top-k") {
     import graft.functions.Vectors._
     val emb = Tables.embeddings(spark, sf)

@@ -108,6 +108,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.q15TopSupplier(s, d)),
     "q21_waiting_supplier" -> ((s: SparkSession, d: String) => Relational.q21WaitingSupplier(s, d)),
+    "events_heavy_users" -> ((s: SparkSession, d: String) => Relational.eventsHeavyUsers(s, d)),
     "events_zorder_stats" -> ((s: SparkSession, d: String) => Relational.eventsZorderStats(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
@@ -856,6 +857,21 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    // valid in the sketch's EXACT regime: per-type user cardinality at
+    // the verify SF (150) is under the sketch capacity (256), so
+    // Misra-Gries never decrements and reported counts equal truth; the
+    // over-capacity sketch regime is spec-bounded instead (sf0.1 has
+    // 1500 users)
+    "events_heavy_users" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS approx_n
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |r AS (SELECT c.event_type, n.n_events, c.user_id, c.approx_n,
+        |  row_number() OVER (PARTITION BY c.event_type
+        |    ORDER BY c.approx_n DESC, c.user_id) AS rk
+        |  FROM c JOIN n USING (event_type))
+        |SELECT event_type, n_events, user_id, approx_n, rk FROM r WHERE rk <= 10
+        |ORDER BY event_type, rk""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH po AS (SELECT l_orderkey,
         |  count(DISTINCT l_suppkey) AS n_supp,

@@ -807,6 +807,37 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** APPROXIMATE HEAVY HITTERS per event type: the top-k users by a
+    * Misra-Gries frequent-items sketch
+    * ([[org.apache.spark.sql.graft.FreqSketchAgg]]) — the bounded-state
+    * answer to "who dominates this stream?", completing the mergeable-
+    * sketch family next to HLL distinct counts (`events_approx_users`)
+    * and t-digest quantiles (`events_quantiles_approx`). An exact
+    * per-user groupBy shuffles key-cardinality rows; the sketch crosses
+    * the exchange as ONE ≤`capacity`-entry map per group whatever the
+    * user cardinality, with the MG guarantee: every reported count is
+    * within n/capacity of truth and no key with true count > n/capacity
+    * is missed (OperatorsSpec asserts the bound against exact counts).
+    * Merge-order sensitive → rows-only check, not a DuckDB oracle.
+    */
+  def eventsHeavyUsers(s: SparkSession, d: String, k: Int = 10,
+                       capacity: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, FreqSketchAgg}
+    val sketch = ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(col("user_id")), capacity)
+        .toAggregateExpression())
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("approx_n").desc, col("user_id"))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sketch.as("sketch"), count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        explode(col("sketch")).as(Seq("user_id", "approx_n")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("event_type", "rk")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user — the
     * batch twin of flatMapGroupsWithState sessionization.
     */

@@ -204,6 +204,48 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("heavy-hitters sketch honors the Misra-Gries error bound vs exact counts") {
+    val got = graft.operators.Relational.eventsHeavyUsers(spark, sf).collect()
+    assert(got.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      val (tpe, nType, user, approx) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val err = math.abs(approx - exact((tpe, user)))
+      // MG guarantee: reported counts are within n/capacity of truth
+      assert(err <= nType / 256.0 + 1,
+        s"MG bound violated for ($tpe, $user): approx=$approx err=$err n=$nType")
+    }
+    // per-type output is exactly the top-k cut with ranks 1..k
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length))
+    }
+  }
+
+  test("freq sketch keeps the MG bound when cardinality exceeds capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge, FreqSketchAgg}
+    // skewed stream: one dominant key, 2000 tail keys, capacity 64
+    val rnd = new scala.util.Random(5)
+    val data = Seq.fill(20000)(
+      if (rnd.nextInt(10) < 3) 1L else 100L + rnd.nextInt(2000))
+    val sketch = ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(col("k")), 64).toAggregateExpression())
+    val got = data.toDF("k").repartition(8) // force partial sketches + merge cuts
+      .agg(sketch.as("s"))
+      .select(explode(col("s")).as(Seq("k", "c"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.size <= 64)
+    // the dominant key survives with an n/capacity-accurate count, and
+    // MG counts never exceed the truth
+    assert(got.contains(1L), s"dominant key evicted: $got")
+    assert(exact(1L) - got(1L) <= 20000 / 64 + 1)
+    got.foreach { case (k, c) => assert(c <= exact(k)) }
+  }
+
   test("ivf-pq composite search recalls the exact L2 top-k within its probes") {
     import graft.functions.Vectors._
     val emb = Tables.embeddings(spark, sf)

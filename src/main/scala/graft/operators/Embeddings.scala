@@ -140,14 +140,20 @@ object Embeddings {
     * the corpus to the query's `nprobe` nearest k-means lists (IVF —
     * touches nprobe/nlist of the data; with the list-partitioned layout
     * of AnnIndex this is partition pruning at the scan), stage 1 ranks
-    * the survivors by PQ asymmetric distance (reads m code bytes per
-    * vector, not the full dim), stage 2 reranks the top `rerank`
-    * exactly. The coarse quantizer is the SAME memoized model the IVF
-    * probe path trains (one quantizer per corpus snapshot — shared
-    * model state, like a real index build); probe selection for the
-    * single query is driver-side argsort over the tiny centroid set,
-    * entering the plan as an IN-list filter. Approximate (k-means +
-    * codebook dependent) → recall spec, not a DuckDB oracle.
+    * the survivors by PQ asymmetric distance over RESIDUAL codes —
+    * codebooks are trained on (v − list centroid), the faithful FAISS
+    * design (residuals concentrate near 0, so a k-entry codebook covers
+    * them far better than raw vectors) — stage 2 reranks the top
+    * `rerank` exactly. Because candidates in list l are coded against
+    * c_l, the query builds one tiny ADC table PER PROBED LIST from its
+    * own residual (q − c_l): nprobe·m·nCodes entries, broadcast. The
+    * coarse quantizer is the SAME memoized model the IVF probe path
+    * trains (one quantizer per corpus snapshot); probe selection is
+    * driver-side argsort over the tiny centroid set, entering the plan
+    * as an IN-list filter. At index scale the residual codes are
+    * precomputed columns of the list-partitioned layout — here they
+    * derive on the fly. Approximate (k-means + codebook dependent) →
+    * recall spec, not a DuckDB oracle.
     */
   def ivfPqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
                   rerank: Int = 50, nlist: Int = 16, nprobe: Int = 4,
@@ -163,23 +169,45 @@ object Embeddings {
         (cid, c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1)
-    val survivors = emb
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"),
-        nearestCentroidId(col("vec"), cents).as("cid"))
-      .filter(col("cid").isin(probeIds.map(Long.box): _*))
-      .select("vec_id")
+    // residual frame: v − centroid(list(v)), the codebook training and
+    // coding input (assignment is the native argmin kernel; the
+    // centroid literal dispatches on cid)
+    val centArr = cents.foldLeft(lit(null).cast("array<double>")) {
+      case (acc, (cid, c)) =>
+        when(col("cid") === cid, array(c.map(lit): _*)).otherwise(acc)
+    }
+    def residuals(base: DataFrame): DataFrame = base
+      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), centArr, (a, b) => a - b).as("vec"))
     val sub = qvec.length / m
-    val books = pqCodebooks(s, d, m, nCodes)
-    val adc = books.flatMap { case (j, cs) =>
-      val q = qvec.slice(j * sub, (j + 1) * sub)
-      cs.map { case (cid, c) =>
-        (j.toLong, cid, q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val books = (0 until m).map { j =>
+      j -> Ann.kmeansCentroidsCached(s, s"pqres:$d:$m:$j",
+        residuals(emb.filter(col("vec_id") >= 10))
+          .select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
+        nCodes, iters = 3)
+    }
+    // per-probed-list ADC tables from the query's own residual q − c_l
+    val adc = probeIds.flatMap { cid =>
+      val c = cents.find(_._1 == cid).get._2
+      val qres = qvec.zip(c).map { case (a, b) => a - b }
+      books.flatMap { case (j, cs) =>
+        val q = qres.slice(j * sub, (j + 1) * sub)
+        cs.map { case (code, bc) =>
+          (cid, j.toLong, code, q.zip(bc).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
       }
-    }.toDF("subspace", "code", "qdist")
-    val coarse = pqCodesWith(s, d, books, m)
-      .join(survivors, "vec_id")
-      .join(broadcast(adc), Seq("subspace", "code"))
+    }.toDF("cid", "subspace", "code", "qdist")
+    // survivors of the probed lists, coded against their list centroid
+    val codeCols = books.map { case (j, cs) =>
+      nearestCentroidId(slice(col("vec"), j * sub + 1, sub), cs).as(s"c$j")
+    }
+    val coarse = residuals(emb.filter(col("vec_id") =!= queryId))
+      .filter(col("cid").isin(probeIds.map(Long.box): _*))
+      .select(col("vec_id") +: col("cid") +: codeCols: _*)
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until m).map(j => col(s"c$j")): _*)).as(Seq("subspace", "code")))
+      .join(broadcast(adc), Seq("cid", "subspace", "code"))
       .groupBy("vec_id").agg(sum("qdist").as("approx_d2"))
       .orderBy(col("approx_d2").asc, col("vec_id"))
       .limit(rerank)

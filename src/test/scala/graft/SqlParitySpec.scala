@@ -40,6 +40,25 @@ class SqlParitySpec extends SparkSpecBase {
     assert(sql.map(_.toString).toSeq === df.map(_.toString).toSeq)
   }
 
+  test("spark.sql q21 matches the DataFrame operator") {
+    view("lineitem"); view("orders"); view("supplier")
+    val sql = spark.sql(
+      """WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*) AS n_supp,
+        |    sum(CASE WHEN last_ship > o_orderdate + INTERVAL 90 DAYS
+        |      THEN 1L ELSE 0L END) AS n_late,
+        |    max(CASE WHEN last_ship > o_orderdate + INTERVAL 90 DAYS
+        |      THEN l_suppkey END) AS late_supp
+        |  FROM ps JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin).collect()
+    val df = Relational.q21WaitingSupplier(spark, sf).collect()
+    assert(sql.map(_.toString).toSeq === df.map(_.toString).toSeq)
+  }
+
   test("spark.sql window top-k matches topk_per_group") {
     view("orders")
     val sql = spark.sql(

@@ -67,6 +67,9 @@ object SparkEntry {
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
     "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     "text_lm_score" -> TextAnalysis.lmScore _,
+    "text_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "text_token_entropy" -> TextAnalysis.tokenEntropy _,
+    "text_ccnet_buckets" -> TextAnalysis.ccnetBuckets _,
     "docs_chunk_overlap" -> ((s: SparkSession, d: String) => TextAnalysis.chunkOverlap(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -112,8 +115,12 @@ object SparkEntry {
     "events_zorder_stats" -> ((s: SparkSession, d: String) => Relational.eventsZorderStats(s, d)),
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
+    "orders_basket_pairs" -> ((s: SparkSession, d: String) => Relational.basketPairs(s, d)),
+    "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
+    "emb_dim_stats" -> Embeddings.dimStats _,
+    "emb_norm_stats" -> Embeddings.normStats _,
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
     "emb_bq_search" -> ((s: SparkSession, d: String) => Embeddings.bqRerankSearch(s, d)),
@@ -408,6 +415,28 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, list_cosine_similarity(a.vec, b.vec) AS cs
         |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
         |SELECT ia, ib, round(cs, 4) AS cosine FROM p WHERE cs >= 0.99 ORDER BY ia, ib""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH vals AS (SELECT unnest(range(0, len(embedding))) AS dim,
+        |  unnest([CAST(x::DOUBLE AS DECIMAL(18,10)) for x in embedding]) AS v
+        |  FROM embeddings)
+        |SELECT dim::BIGINT AS dim, count(*) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean,
+        |  CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v,
+        |  round((CAST(sum(v*v) AS DOUBLE)
+        |    - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
+        |    / count(*), 6) AS variance
+        |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_norm_stats" ->
+      """WITH vals AS (SELECT label, vec_id,
+        |  unnest([x::DOUBLE for x in embedding]) AS v FROM embeddings),
+        |n AS (SELECT label, vec_id,
+        |  CAST(round(sqrt(CAST(sum(CAST(v AS DECIMAL(18,10)) * CAST(v AS DECIMAL(18,10)))
+        |    AS DOUBLE)), 4) AS DECIMAL(18,4)) AS norm
+        |  FROM vals GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(norm) AS DOUBLE) / count(*), 4) AS mean_norm,
+        |  CAST(min(norm) AS DOUBLE) AS min_norm, CAST(max(norm) AS DOUBLE) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_label_centroids" ->
       """WITH vals AS (SELECT label,
         |  unnest(range(0, len(embedding))) AS dim,
@@ -827,6 +856,63 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH m AS (SELECT doc_id, len(words)::BIGINT AS n_words,
+        |  round((length(text) - len(words) + 1)::DOUBLE / len(words), 4) AS mean_word_len,
+        |  round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |    / len(words), 4) AS alpha_ratio,
+        |  len(list_intersect(list_distinct(words),
+        |    ['the','a','an','and','or','of','to','in','is','on']))::BIGINT AS n_stop_hits
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_hits,
+        |  CAST(n_words BETWEEN 15 AND 100000 AND mean_word_len BETWEEN 2.0 AND 10.0
+        |    AND alpha_ratio >= 0.8 AND n_stop_hits >= 2 AS BIGINT) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_uniq,
+        |  CAST(sum(CAST(round(c * log2(c::DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_uniq,
+        |  round(log2(n_tokens::DOUBLE) - sum_clc / n_tokens, 4) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_ccnet_buckets" ->
+      """WITH b AS (SELECT doc_id,
+        |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS bg,
+        |  unnest([words[i] for i in range(1, len(words))]) AS w1
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |  CAST(round(-log2(c2.c2::DOUBLE / c1.c1), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)),
+        |l AS (SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+        |  FROM t GROUP BY 1),
+        |j AS (SELECT l.doc_id, d.lang, l.avg_nll,
+        |  ntile(3) OVER (PARTITION BY d.lang ORDER BY l.avg_nll ASC, l.doc_id ASC) AS nt
+        |  FROM l JOIN documents d USING (doc_id))
+        |SELECT lang, ['head','middle','tail'][nt] AS bucket, count(*) AS n_docs,
+        |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "orders_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |f AS (SELECT pk FROM i GROUP BY 1 HAVING count(*) >= 2),
+        |p AS (SELECT ok, pk FROM i JOIN f USING (pk)),
+        |s AS (SELECT a.pk AS part1, b.pk AS part2, count(*) AS support
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT part1, part2, support FROM s WHERE support >= 2
+        |ORDER BY support DESC, part1, part2 LIMIT 50""".stripMargin,
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "events_zorder_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
         |bd AS (SELECT min(user_id) lu, max(user_id) hu, min(hr) lh, max(hr) hh FROM e),

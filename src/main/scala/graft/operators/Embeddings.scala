@@ -35,6 +35,58 @@ object Embeddings {
         round(col("mean_raw"), 6).as("mean"), col("n"))
       .orderBy("label", "dim")
 
+  /** Per-DIMENSION distribution audit: n/mean/min/max/variance for every
+    * embedding component — the collapse/anisotropy health check run
+    * before indexing a new embedding model (a dimension with ~zero
+    * variance is dead weight in every distance computation) and the
+    * input statistics for whitening/SQ bound selection. Exactness: sums
+    * of v and v² are DECIMAL over exactly-widened float32 inputs, so
+    * mean and the E[x²]−E[x]² variance are engine-exact at 6dp. Scale
+    * shape: one posexplode + dim-keyed partial agg — the exchange
+    * carries dim rows per partition, never vectors.
+    */
+  def dimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("decimal(18,10)").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        (sum("v").cast("double") / count(lit(1))).as("mean_raw"),
+        min("v").cast("double").as("min_v"), max("v").cast("double").as("max_v"),
+        // v is DECIMAL(18,10) → v·v is exact at scale 20; the sum stays
+        // decimal (order-independent), so E[x²] − E[x]² is engine-exact
+        ((sum(col("v") * col("v")).cast("double") -
+          sum("v").cast("double") * sum("v").cast("double") / count(lit(1)))
+          / count(lit(1))).as("var_raw"))
+      .select(col("dim"), col("n"), round(col("mean_raw"), 6).as("mean"),
+        col("min_v"), col("max_v"), // exact decimal→double, no rounding needed
+        round(col("var_raw"), 6).as("variance"))
+      .orderBy("dim")
+
+  /** Per-label vector-NORM audit: count, mean/min/max L2 norm — the
+    * embedding-hygiene check (un-normalized or near-zero vectors poison
+    * cosine ranking; a label whose norms drift flags a bad ingest
+    * batch). Each vector's Σv² accumulates in DECIMAL (exact), the
+    * norm is one correctly-rounded sqrt, then per-label stats round to
+    * 4dp before the decimal mean so aggregation order is immaterial.
+    * Scale shape: norm is map-side per row; one label-keyed partial agg.
+    */
+  def normStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "vec_id")
+      .agg(round(sqrt(sum(col("v").cast("decimal(18,10)") * col("v").cast("decimal(18,10)"))
+        .cast("double")), 4).cast("decimal(18,4)").as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum("norm").cast("double") / count(lit(1))).as("mean_raw"),
+        min("norm").cast("double").as("min_norm"),
+        max("norm").cast("double").as("max_norm"))
+      .select(col("label"), col("n_vecs"), round(col("mean_raw"), 4).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy("label")
+
   /** Scalar quantization to int8: per-dimension global [min, max] over
     * the corpus, code = floor((v − min)/(max − min)·256) clamped to
     * [0, 255]. floor (not round) keeps the engine-independent double

@@ -853,4 +853,56 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** MARKET-BASKET pair mining: part pairs co-ordered in the same order,
+    * with support (distinct-order count), top-N by support. The a-priori
+    * property drives the scale shape: a pair can reach `minSupport`
+    * only if BOTH parts individually do, so the (orderkey-keyed)
+    * self-join runs over the frequency-pruned item stream — at 100 TB
+    * the prune typically drops the long tail of single-occurrence items
+    * before any pairing. The per-order pair expansion is bounded by
+    * basket size (TPC-H-ish baskets ≤ 7 items → ≤ 21 pairs/order).
+    */
+  def basketPairs(s: SparkSession, d: String, minSupport: Long = 2,
+                  topN: Int = 50): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .dropDuplicates("ok", "pk")
+    val frequent = items.groupBy("pk").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport).select("pk")
+    val pruned = items.join(broadcast(frequent), "pk").select("ok", "pk")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part1"), col("b.pk").as("part2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("part1"), col("part2"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q9-style PRODUCT PROFIT by supplier nation × order year,
+    * adapted to this schema (no partsupp: supply cost modeled as
+    * 60% of the part's retail price — the fixed-margin convention).
+    * Part filter = name contains a token (Q9's LIKE '%green%');
+    * the filtered part set and the supplier→nation map broadcast, the
+    * only exchange is the final (nation, year) aggregate, and profit
+    * sums in DECIMAL so the result is engine-exact. Ref: the classic
+    * profit rollup pattern over a star schema.
+    */
+  def q9ProfitNation(s: SparkSession, d: String, nameToken: String = "widget"): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_name").contains(nameToken))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

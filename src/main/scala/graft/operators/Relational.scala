@@ -865,15 +865,32 @@ object Relational {
     */
   def basketPairs(s: SparkSession, d: String, minSupport: Long = 2,
                   topN: Int = 50): DataFrame = {
-    val items = Tables.lineitem(s, d)
+    // ONE orderkey shuffle assembles each basket (collect_set is
+    // dedup-insensitive — no separate distinct pass); pair expansion is
+    // map-side over the sorted basket array (≤ C(basket,2) pairs, the
+    // lambda cost is bounded by basket size so interpreted evaluation
+    // is immaterial here — the join formulation would shuffle the item
+    // stream twice more and sort both sides)
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .dropDuplicates("ok", "pk")
-    val frequent = items.groupBy("pk").agg(count(lit(1)).as("n"))
+      .groupBy("ok").agg(array_sort(collect_set("pk")).as("ps"))
+    // distinct-order item support falls out of the exploded baskets;
+    // the a-priori prune (both members individually frequent) runs as
+    // two broadcast semi-joins on the pair stream BEFORE the support
+    // exchange, so rare-item pairs never cross the shuffle
+    val frequent = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport).select("pk")
-    val pruned = items.join(broadcast(frequent), "pk").select("ok", "pk")
-    pruned.as("a").join(pruned.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part1"), col("b.pk").as("part2"))
+    val pairs = baskets.filter(size(col("ps")) >= 2)
+      .select(explode(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("part1"), y.as("part2"))))).as("grp"))
+      .select(explode(col("grp")).as("p"))
+      .select(col("p.part1").as("part1"), col("p.part2").as("part2"))
+    pairs
+      .join(broadcast(frequent.select(col("pk").as("part1"))), "part1")
+      .join(broadcast(frequent.select(col("pk").as("part2"))), "part2")
+      .groupBy("part1", "part2")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("part1"), col("part2"))

@@ -117,6 +117,8 @@ object SparkEntry {
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     "orders_basket_pairs" -> ((s: SparkSession, d: String) => Relational.basketPairs(s, d)),
     "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
+    "events_markov" -> Relational.eventsMarkov _,
+    "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_dim_stats" -> Embeddings.dimStats _,
@@ -138,6 +140,8 @@ object SparkEntry {
     "vs_set_payload" -> VectorStore.setPayload _,
     "vs_discover" -> ((s: SparkSession, d: String) => VectorStore.discover(s, d)),
     "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
+    "vs_multivec_maxsim" -> ((s: SparkSession, d: String) => VectorStore.multivecMaxSim(s, d)),
+    "vs_sparse_search" -> ((s: SparkSession, d: String) => VectorStore.sparseSearch(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
@@ -856,6 +860,50 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vs_multivec_maxsim" ->
+      """WITH t AS (SELECT vec_id // 4 AS doc, vec_id AS tid,
+        |  embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT tid AS qt, vec AS qvec FROM t WHERE doc = 0),
+        |m AS (SELECT c.doc, q.qt,
+        |  CAST(round(max(list_cosine_similarity(c.vec, q.qvec)), 6) AS DECIMAL(18,6)) AS mx6
+        |  FROM t c, q WHERE c.doc <> 0 GROUP BY 1, 2),
+        |sc AS (SELECT doc, sum(mx6) AS s FROM m GROUP BY 1)
+        |SELECT doc, round(CAST(s AS DOUBLE), 4) AS maxsim
+        |FROM sc ORDER BY s DESC, doc LIMIT 10""".stripMargin,
+    "vs_sparse_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |wt AS (SELECT doc_id, term,
+        |  round(tf * ln((n_docs + 1) / (df + 1)), 6) AS w
+        |  FROM tf JOIN dft USING (term), n),
+        |q AS (SELECT term, w AS qw FROM wt WHERE doc_id = 0),
+        |sc AS (SELECT wt.doc_id,
+        |  sum(CAST(round(wt.w * q.qw, 6) AS DECIMAL(18,6))) AS s
+        |  FROM wt JOIN q USING (term) WHERE wt.doc_id <> 0 GROUP BY 1)
+        |SELECT doc_id, round(CAST(s AS DOUBLE), 4) AS score
+        |FROM sc WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 4) AS p
+        |FROM t JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "orders_yoy_growth" ->
+      """WITH y AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, o_year, revenue,
+        |  round(revenue / lag(revenue) OVER (PARTITION BY nation ORDER BY o_year) - 1, 4)
+        |    AS growth
+        |FROM y ORDER BY nation, o_year""".stripMargin,
     "text_gopher_rules" ->
       """WITH m AS (SELECT doc_id, len(words)::BIGINT AS n_words,
         |  round((length(text) - len(words) + 1)::DOUBLE / len(words), 4) AS mean_word_len,

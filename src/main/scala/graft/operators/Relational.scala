@@ -897,6 +897,51 @@ object Relational {
       .limit(topN)
   }
 
+  /** Event-type MARKOV TRANSITION matrix: per user, order events by
+    * time and count consecutive (from → to) type transitions, with the
+    * row-conditional probability p(to | from) — the user-journey
+    * transition model behind next-action prediction and funnel design.
+    * Scale shape: ONE user-keyed window pass (lead) reduces the stream
+    * to type-pair rows; the pair aggregate and the per-from totals both
+    * partial-aggregate, and the totals table is |types|² → broadcast.
+    */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Year-over-year REVENUE GROWTH per customer nation: yearly decimal-
+    * exact revenue, then growth = rev/lag(rev) − 1 over the per-nation
+    * year series (the KPI trend shape: heavy fact aggregation first,
+    * window over the tiny aggregate). First year of each nation is
+    * NULL growth.
+    */
+  def ordersYoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    // customer is fact-sized at scale: no broadcast hint — the planner
+    // picks broadcast at small SF and shuffle-hash beyond the threshold
+    val yearly = Tables.orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy("nation").orderBy("o_year")
+    yearly
+      .withColumn("growth",
+        round(col("revenue") / lag(col("revenue"), 1).over(w) - 1, 4))
+      .orderBy("nation", "o_year")
+  }
+
   /** TPC-H Q9-style PRODUCT PROFIT by supplier nation × order year,
     * adapted to this schema (no partsupp: supply cost modeled as
     * 60% of the part's retail price — the fixed-margin convention).

@@ -492,4 +492,70 @@ object VectorStore {
         normalize(array((0 until dim).map(k => col(s"v$k")): _*)).as("embedding"))
       .orderBy("doc_id")
   }
+
+  /** MULTIVECTOR late-interaction search (Qdrant's multivector max_sim
+    * comparator — the ColBERT scoring model): each document is a BAG of
+    * token vectors; score(q, doc) = Σ over query tokens of the best
+    * cosine against any doc token. Here consecutive groups of `tokens`
+    * vec_ids form one multivector document; the query is one group.
+    *
+    * Scale shape: the query's token vectors broadcast (bounded batch);
+    * every (corpus token × query token) cosine is map-side; the per-
+    * (doc, qtoken) max and per-doc sum both partial-aggregate, so the
+    * only exchange carries ≤ docs×tokens tiny rows and the final cut is
+    * a k-row TakeOrdered. Per-token maxes round to 6dp and sum as
+    * DECIMAL — engine-exact ranking.
+    */
+  def multivecMaxSim(s: SparkSession, d: String, queryDoc: Long = 0,
+                     k: Int = 10, tokens: Int = 4): DataFrame = {
+    val toks = Tables.embeddings(s, d)
+      .select(expr(s"vec_id div $tokens").as("doc"),
+        col("vec_id").as("tid"), col("embedding"))
+    val q = toks.filter(col("doc") === queryDoc)
+      .select(col("tid").as("qt"), col("embedding").as("qvec"))
+    toks.filter(col("doc") =!= queryDoc)
+      .join(broadcast(q))
+      .withColumn("cos", cosineSim(col("qvec"), col("embedding")))
+      .groupBy("doc", "qt")
+      .agg(max("cos").as("mx"))
+      .withColumn("mx6", round(col("mx"), 6).cast("decimal(18,6)"))
+      .groupBy("doc").agg(sum("mx6").as("sc"))
+      .orderBy(col("sc").desc, col("doc"))
+      .limit(k)
+      .select(col("doc"), round(col("sc").cast("double"), 4).as("maxsim"))
+  }
+
+  /** SPARSE-vector search via INVERTED POSTING LISTS (the SPLADE/BM25
+    * sparse tier of hybrid retrieval engines; Qdrant sparse vectors):
+    * documents and query are sparse (term → weight) maps — tf·idf
+    * weights here — and score = the sparse dot product, computed as a
+    * posting-list join on term. This is the canonical sparse-search
+    * scale shape: the corpus-side weight table is term-keyed (the
+    * inverted index), only the query's terms' posting lists are ever
+    * read (broadcast semi-join), and the per-doc partial sums reduce
+    * map-side. The corpus never shuffles; state per query is its term
+    * list. Products round to 6dp and sum as DECIMAL — engine-exact.
+    */
+  def sparseSearch(s: SparkSession, d: String, queryDoc: Long = 0,
+                   k: Int = 10): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val weights = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("w"))
+    val q = weights.filter(col("doc_id") === queryDoc)
+      .select(col("term"), col("w").as("qw"))
+    weights.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(q), "term")
+      .withColumn("prod", round(col("w") * col("qw"), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id").agg(sum("prod").as("sc"))
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("sc").cast("double"), 4).as("score"))
+  }
 }

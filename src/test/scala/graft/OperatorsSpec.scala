@@ -523,6 +523,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(expected > 0)
   }
 
+  test("markov transition probabilities sum to 1 per from-type") {
+    val rows = Relational.eventsMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // total transitions = total events − one per active user
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      assert(math.abs(ts.map(_._3).sum - 1.0) < 0.01)
+    }
+  }
+
+  test("yoy growth matches the revenue ratio of consecutive years") {
+    val rows = Relational.ordersYoyGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, ys) =>
+      val sorted = ys.sortBy(_._2)
+      assert(sorted.head._4.isNaN) // first year has no prior
+      sorted.sliding(2).foreach {
+        case Array((_, y1, r1, _), (_, y2, r2, g)) if y2 == y1 + 1 =>
+          assert(math.abs(g - (r2 / r1 - 1)) < 1e-3)
+        case _ =>
+      }
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

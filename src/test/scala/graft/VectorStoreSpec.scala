@@ -120,6 +120,44 @@ class VectorStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("multivec maxsim equals the brute-force late-interaction recompute") {
+    val tokens = 4
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byDoc = vecs.groupBy(_._1 / tokens).view.mapValues(_.values.toSeq).toMap
+    val qt = byDoc(0L)
+    val expected = byDoc.filter(_._1 != 0L).map { case (doc, dts) =>
+      doc -> qt.map(q => dts.map(t => cos(q, t)).max).map(m => math.rint(m * 1e6) / 1e6).sum
+    }
+    VectorStore.multivecMaxSim(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - expected(r.getLong(0))) < 1e-3,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("sparse search scores equal the brute-force tf-idf dot product") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val tf = docs.map { case (id, ws) => id -> ws.groupBy(identity).view.mapValues(_.size).toMap }
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    def w(c: Int, t: String): Double =
+      math.rint(c * math.log((n + 1.0) / (df(t) + 1.0)) * 1e6) / 1e6
+    val q = tf(0L).map { case (t, c) => t -> w(c, t) }
+    val r = VectorStore.sparseSearch(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val d = tf(row.getLong(0))
+      val score = q.collect { case (t, qw) if d.contains(t) =>
+        math.rint(w(d(t), t) * qw * 1e6) / 1e6 }.sum
+      assert(math.abs(row.getDouble(1) - score) < 1e-3, s"doc ${row.getLong(0)}")
+    }
+  }
+
   test("embedText produces deterministic unit vectors") {
     val a = VectorStore.embedText(spark, sf).limit(5).collect()
     val b = VectorStore.embedText(spark, sf).limit(5).collect()

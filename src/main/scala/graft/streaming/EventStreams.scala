@@ -196,11 +196,16 @@ object EventStreams {
     * cross-batch join shuffles only (band, bkey) keys; verification
     * touches only candidate hash arrays. Exactly-once: batchIds are
     * monotonic per checkpoint and a replayed batch overwrites its own
-    * directory (idempotent); a batch directory is live only once its
-    * parquet job's `_SUCCESS` marker exists. At corpus scale the store
-    * reads stay pruned by persisting the band-bucket inversion as the
-    * layout (the same trick as the tenant-hash bucket index) rather
-    * than re-deriving buckets per batch.
+    * directory (idempotent); a batch directory is live only once BOTH
+    * its `state` and `buckets` parquet jobs' `_SUCCESS` markers exist.
+    *
+    * The store persists its own BAND-BUCKET INVERSION: each batch dir
+    * carries `state` (doc_id, sig, hs) AND `buckets` (band, bkey,
+    * doc_id) — the cross-batch candidate join reads the tiny 3-column
+    * inversion instead of re-deriving band hashes from every stored
+    * 128-int signature on every batch (the persisted-index trick of the
+    * tenant-hash bucket layout). Verification then pulls `hs` arrays
+    * only (column-pruned) for the candidate ids.
     */
   def nearDupGateStream(docs: DataFrame, storePath: String, checkpoint: String,
                         t: Double = 0.8, w: Int = 5,
@@ -215,14 +220,16 @@ object EventStreams {
         val state = Dedup.signatureState(batch, w, bands * rows)
           .localCheckpoint(true) // small per-batch artifact, reused 4×
         val bk = Dedup.bandBuckets(state.select("doc_id", "sig"), bands, rows)
-        // committed store = union of batch-N dirs carrying _SUCCESS
+        // committed store = batch-N dirs whose state AND buckets jobs
+        // both finished (each carries its own _SUCCESS)
         val root = new org.apache.hadoop.fs.Path(storePath)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val committed: Seq[String] =
           if (!fs.exists(root)) Nil
           else fs.listStatus(root).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-") &&
-              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "state/_SUCCESS")) &&
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "buckets/_SUCCESS")))
             .map(_.getPath.toString).sorted
         def verifiedDrops(cand: DataFrame, keepSide: DataFrame): DataFrame = cand
           .join(keepSide.select(col("doc_id").as("ia"), col("hs").as("ha")), "ia")
@@ -236,13 +243,17 @@ object EventStreams {
                 col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib")).distinct(),
           state)
-        // cross-store: any batch doc near-dup of an accepted doc drops
+        // cross-store: any batch doc near-dup of an accepted doc drops.
+        // Candidates come from the PERSISTED bucket inversion — the
+        // stored signatures are never re-hashed; `state` is read for
+        // `hs` (column-pruned) only where a candidate id matched.
         val crossDrops =
           if (committed.isEmpty) withinDrops.limit(0)
           else {
-            val store = s.read.parquet(committed: _*)
+            val store = s.read.parquet(committed.map(_ + "/state"): _*)
+            val storeBuckets = s.read.parquet(committed.map(_ + "/buckets"): _*)
             verifiedDrops(
-              Dedup.bandBuckets(store.select("doc_id", "sig"), bands, rows)
+              storeBuckets
                 .select(col("doc_id").as("ia"), col("band"), col("bkey"))
                 .join(bk, Seq("band", "bkey"))
                 .select(col("ia"), col("doc_id").as("ib")).distinct(),
@@ -250,8 +261,13 @@ object EventStreams {
           }
         val survivors = state
           .join(withinDrops.unionByName(crossDrops).distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // consumed by both writes below
+        val dir = new org.apache.hadoop.fs.Path(root, f"batch-$batchId%012d")
         survivors.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(root, f"batch-$batchId%012d").toString)
+          .parquet(new org.apache.hadoop.fs.Path(dir, "state").toString)
+        Dedup.bandBuckets(survivors.select("doc_id", "sig"), bands, rows)
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(dir, "buckets").toString)
         ()
       }
   }

@@ -218,7 +218,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = EventStreams.nearDupGateStream(
       input.toDF().toDF("doc_id", "text"), store, base + "/ckpt").start()
     def accepted(): Set[Long] =
-      spark.read.parquet(store + "/batch-*").select("doc_id")
+      spark.read.parquet(store + "/batch-*/state").select("doc_id")
         .collect().map(_.getLong(0)).toSet
     try {
       val t1 = "a b c d e f g h i j k l"
@@ -234,9 +234,14 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(accepted() === Set(1L, 2L, 4L))
       // survivor state carries both signature and verify arrays
-      val row = spark.read.parquet(store + "/batch-*").filter($"doc_id" === 4L).head()
+      val row = spark.read.parquet(store + "/batch-*/state").filter($"doc_id" === 4L).head()
       assert(row.getSeq[Long](1).length === 128)
       assert(row.getSeq[Long](2).nonEmpty)
+      // the persisted bucket inversion covers every accepted doc
+      val bks = spark.read.parquet(store + "/batch-*/buckets")
+      assert(bks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L, 4L))
+      assert(bks.groupBy("doc_id").count().collect().forall(_.getLong(1) === 32L))
     } finally q.stop()
   }
 

@@ -142,6 +142,8 @@ object SparkEntry {
     "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
     "vs_multivec_maxsim" -> ((s: SparkSession, d: String) => VectorStore.multivecMaxSim(s, d)),
     "vs_sparse_search" -> ((s: SparkSession, d: String) => VectorStore.sparseSearch(s, d)),
+    "vs_search_threshold" -> ((s: SparkSession, d: String) => VectorStore.searchThreshold(s, d)),
+    "vs_scroll_order_by" -> ((s: SparkSession, d: String) => VectorStore.scrollOrderBy(s, d)),
     // training-data pipeline additions
     "docs_pack_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.packChunks(s, d)),
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
@@ -1141,6 +1143,18 @@ object SparkEntry {
       s"""WITH $PTS
          |SELECT id, user_id, seq FROM pts WHERE id > 100
          |ORDER BY id LIMIT 50""".stripMargin,
+    "vs_search_threshold" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.id, list_cosine_similarity(p.vector, q.qvec) AS cs
+         |  FROM pts p, q WHERE p.user_id = 7 AND p.id <> 0)
+         |SELECT id, round(cs, 4) AS score FROM scored WHERE cs >= 0.05
+         |ORDER BY cs DESC, id""".stripMargin,
+    "vs_scroll_order_by" ->
+      s"""WITH $PTS
+         |SELECT site, id, user_id, lang FROM pts
+         |WHERE site > 'src12' OR (site = 'src12' AND id > 120)
+         |ORDER BY site, id LIMIT 50""".stripMargin,
     "vs_set_payload" ->
       s"""WITH $PTS,
          |patch AS (SELECT id AS u_id, 'curated' AS u_site, upper(lang) AS u_lang

@@ -493,6 +493,41 @@ object VectorStore {
       .orderBy("doc_id")
   }
 
+  /** Score-THRESHOLD search (Qdrant's `score_threshold` search param):
+    * every point of the tenant whose cosine to the query clears τ,
+    * best-first — the "give me everything similar enough" mode, where
+    * the result size is data-driven rather than k. Same corpus shape as
+    * top-k search (map-side distance, tenant filter pushed to the
+    * scan); the cut is a filter, so no rank state exists at all and the
+    * output exchange carries only qualifying rows.
+    */
+  def searchThreshold(s: SparkSession, d: String, tau: Double = 0.05): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    pts.filter(col("user_id") === 7 && col("id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("score", cosineSim(col("qvec"), col("vector")))
+      .filter(col("score") >= tau)
+      .orderBy(col("score").desc, col("id"))
+      .select(col("id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Scroll with ORDER BY a payload field (Qdrant's scroll `order_by` +
+    * keyset continuation): one page of points ordered by (site, id),
+    * resuming after a (site, id) cursor. Plans as a pushed residual
+    * filter + TakeOrderedAndProject — each partition yields at most one
+    * page and only page-sized row sets merge, O(page) at any collection
+    * size (the payload-ordered twin of [[scrollPage]]).
+    */
+  def scrollOrderBy(s: SparkSession, d: String, afterSite: String = "src12",
+                    afterId: Long = 120, page: Int = 50): DataFrame =
+    Tables.points(s, d)
+      .filter(col("site") > afterSite ||
+        (col("site") === afterSite && col("id") > afterId))
+      .orderBy(col("site"), col("id"))
+      .limit(page)
+      .select(col("site"), col("id"), col("user_id"), col("lang"))
+
   /** MULTIVECTOR late-interaction search (Qdrant's multivector max_sim
     * comparator — the ColBERT scoring model): each document is a BAG of
     * token vectors; score(q, doc) = Σ over query tokens of the best

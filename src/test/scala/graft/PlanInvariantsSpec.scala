@@ -170,6 +170,51 @@ class PlanInvariantsSpec extends SparkSpecBase {
       s"MinHashAgg missing from plan:\n$p")
   }
 
+  test("basket pairs assemble on one basket exchange with a TakeOrdered cut") {
+    val p = plan("orders_basket_pairs")
+    // pair expansion must be map-side Generates over the basket array —
+    // a join-based expansion would re-shuffle the item stream
+    assert(!p.contains("SortMergeJoin"), s"pair expansion degraded to a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N sorts globally:\n$p")
+    // the static plan prints the basket subtree once per consumer; the
+    // scale property is the RUNTIME stage count — AQE's exchange reuse
+    // must collapse the repeated basket exchange into shared stages
+    val df = SparkEntry.queries("orders_basket_pairs")(spark, sf)
+    df.collect()
+    val stages = """ShuffleQueryStage \d+""".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toSet
+    assert(stages.size <= 4,
+      s"${stages.size} distinct shuffle stages executed: $stages")
+  }
+
+  test("sparse search reads posting lists via broadcast (corpus-side join stays term-keyed)") {
+    val p = plan("vs_sparse_search")
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
+  }
+
+  test("multivec maxsim broadcasts query tokens and cuts with TakeOrdered") {
+    val p = plan("vs_multivec_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query-token join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side join degraded:\n$p")
+  }
+
+  test("q9 keeps part and supplier broadcast with the name filter pushed") {
+    val p = plan("q9_profit_nation")
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"part name filter not pushed to the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("dim stats aggregate exchanges dim-keyed partials, not vectors") {
+    val p = plan("emb_dim_stats")
+    // partial HashAggregate must sit below the (sole data) exchange
+    assert(nShuffles(p) <= 2, s"${nShuffles(p)} shuffles in dim-stats plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("distance matrix prunes the corpus to the sample at both scans") {
     val p = plan("vs_distance_matrix")
     assert(p.contains("LessThan(doc_id,20)") || p.contains("LessThan(vec_id,20)"),

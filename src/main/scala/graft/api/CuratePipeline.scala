@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation: the composed pipeline a user of
   * this library runs nightly over raw ingested documents —
   *
-  *   PII scrub (optional) → quality gate → exact dedup → near-dup
-  *   clustering (keep one doc per cluster) → boilerplate gate (optional,
-  *   corpus-wide duplicate-n-gram fraction) → benchmark-decontamination
-  *   gate → deterministic sample → lang-partitioned curated parquet +
-  *   a per-stage attrition report.
+  *   PII scrub (optional) → quality gate (+ optional Gopher rule
+  *   battery) → exact dedup → near-dup clustering (keep one doc per
+  *   cluster) → boilerplate gate (optional, corpus-wide duplicate-n-gram
+  *   fraction) → benchmark-decontamination gate → deterministic sample →
+  *   lang-partitioned curated parquet + a per-stage attrition report.
   *
   * Every stage is one of the library's verified operators; the pipeline
   * only wires them. Scale shape: stages communicate by doc_id sets
@@ -32,7 +32,8 @@ object CuratePipeline {
              nearDupThreshold: Double = 0.8, contamRatio: Double = 0.5,
              sampleRate: Double = 1.0,
              piiPattern: Option[String] = None, piiMask: String = "<MASK>",
-             maxDupNgramRatio: Double = 1.0): Report = {
+             maxDupNgramRatio: Double = 1.0,
+             gopherGate: Boolean = false): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
     // masked) applied before anything hashes the text, so dedup keys,
@@ -43,10 +44,15 @@ object CuratePipeline {
       .cache()
     val nInput = docs.count()
 
-    // 1. quality gate — columnar metrics, map-side only
+    // 1. quality gate — columnar metrics, map-side only; the optional
+    // Gopher rule battery composes as one more filter column on the
+    // same scan (no join, no extra pass)
     val words = split(col("text"), " ")
-    val quality = docs.filter(size(words) >= minWords &&
+    val quality0 = docs.filter(size(words) >= minWords &&
       size(array_distinct(words)).cast("double") / size(words) >= minUniqRatio)
+    val quality =
+      if (gopherGate) quality0.filter(TextAnalysis.gopherPassExpr(minWords = 1))
+      else quality0
     val nQuality = quality.count()
 
     // 2. exact dedup — keep the min-doc_id row of each normalized-text

@@ -409,6 +409,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The conjunctive [[gopherRules]] verdict as a reusable boolean
+    * Column over a `text` field — the form a pipeline drops straight
+    * into a `.filter` (no join, no extra pass; the gate rides whatever
+    * scan already reads the text). Same thresholds and same rounded
+    * metrics as the query, so gate and audit artifact agree exactly.
+    */
+  def gopherPassExpr(minWords: Long = 15, maxWords: Long = 100000,
+                     minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                     minAlpha: Double = 0.8, minStopHits: Int = 2)
+      : org.apache.spark.sql.Column = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast("long")
+    val meanLen = round((length(col("text")) - size(ws) + 1).cast("double") / size(ws), 4)
+    val alpha = round(size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
+    val stops = size(array_intersect(ws, array(stopwords.map(lit): _*)))
+    nWords.between(minWords, maxWords) && meanLen.between(minMeanLen, maxMeanLen) &&
+      alpha >= minAlpha && stops >= minStopHits
+  }
+
   /** Per-document TOKEN ENTROPY — Shannon entropy of the within-doc
     * word distribution (degenerate/templated text scores low; a
     * standard quality signal next to `repetition`). H = log₂n −

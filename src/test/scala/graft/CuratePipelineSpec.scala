@@ -27,6 +27,20 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(clusters.intersect(kept).isEmpty)
   }
 
+  test("gopher gate composes into the quality stage and matches the rule battery") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString + "/corpus"
+    val base = CuratePipeline.curate(spark, sf, out + "0")
+    val gated = CuratePipeline.curate(spark, sf, out, gopherGate = true)
+    assert(gated.nAfterQuality <= base.nAfterQuality)
+    // gate keeps exactly the docs the audit query marks as passing
+    // (rule battery run with the pipeline's relaxed word floor)
+    val passing = graft.operators.TextAnalysis
+      .gopherRules(spark, sf, minWords = 1)
+      .filter(col("passes") === 1).count()
+    // pipeline quality stage = base quality filter ∧ gopher pass
+    assert(gated.nAfterQuality <= passing)
+  }
+
   test("curateToIndex yields a searchable chunk index over the curated corpus") {
     val out = java.nio.file.Files.createTempDirectory("c2i").toString + "/corpus"
     val index = CuratePipeline.curateToIndex(spark, sf, out)

@@ -70,6 +70,7 @@ object SparkEntry {
     "text_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "text_token_entropy" -> TextAnalysis.tokenEntropy _,
     "text_ccnet_buckets" -> TextAnalysis.ccnetBuckets _,
+    "docs_jsd_drift" -> TextAnalysis.jsdDrift _,
     "docs_chunk_overlap" -> ((s: SparkSession, d: String) => TextAnalysis.chunkOverlap(s, d)),
     // relational / analytics
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -945,6 +946,22 @@ object SparkEntry {
         |SELECT lang, ['head','middle','tail'][nt] AS bucket, count(*) AS n_docs,
         |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "docs_jsd_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM c GROUP BY 1),
+        |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS c_w FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_w) AS BIGINT) AS t FROM cw),
+        |j AS (SELECT c.source, t_s, c.c::DOUBLE / t_s AS p, c_w::DOUBLE / t AS q
+        |  FROM c JOIN st USING (source) JOIN cw USING (w), t),
+        |terms AS (SELECT source, t_s,
+        |  CAST(round(p * log2(p / ((p + q) / 2)), 6) AS DECIMAL(18,6)) AS tp,
+        |  CAST(round(q * log2(q / ((p + q) / 2)), 6) AS DECIMAL(18,6)) AS tq,
+        |  CAST(round(q, 6) AS DECIMAL(18,6)) AS q6 FROM j)
+        |SELECT source, max(t_s) AS n_tokens, count(*) AS n_terms,
+        |  round(0.5 * (CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)
+        |    + 1.0 - CAST(sum(q6) AS DOUBLE)), 4) AS jsd
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_basket_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |f AS (SELECT pk FROM i GROUP BY 1 HAVING count(*) >= 2),

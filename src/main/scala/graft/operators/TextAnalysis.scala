@@ -476,6 +476,43 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** Per-source DISTRIBUTION DRIFT: Jensen-Shannon divergence of each
+    * source's word distribution from the whole-corpus distribution —
+    * the mixture-monitoring metric a multi-source training pipeline
+    * tracks (a source whose JSD jumps got a bad crawl/extractor change).
+    *
+    * JSD(P‖Q) = ½ΣP·log₂(P/M) + ½ΣQ·log₂(Q/M), M=(P+Q)/2. The Q-side
+    * sum over words ABSENT from the source reduces analytically to
+    * (1 − Σ_{w∈s} Q(w)) — each missing word contributes exactly Q·log₂2
+    * — so no source×vocabulary cross join ever materializes. Per-term
+    * values round to 6dp and sum as DECIMAL (engine-exact); scale shape:
+    * one (source, word) partial-agg'd exchange, a word-keyed join to the
+    * corpus counts, and a per-source reduce.
+    */
+  def jsdDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val srcTot = tok.groupBy("source").agg(sum("c").as("t_s"))
+    val corpus = tok.groupBy("w").agg(sum("c").as("c_w"))
+    val tot = corpus.agg(sum("c_w").as("t"))
+    tok.join(broadcast(srcTot), "source").join(corpus, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("c").cast("double") / col("t_s"))
+      .withColumn("q", col("c_w").cast("double") / col("t"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("tp", round(col("p") * log2(col("p") / col("m")), 6).cast("decimal(18,6)"))
+      .withColumn("tq", round(col("q") * log2(col("q") / col("m")), 6).cast("decimal(18,6)"))
+      .withColumn("q6", round(col("q"), 6).cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(max("t_s").as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum("tp").cast("double").as("sp"), sum("tq").cast("double").as("sq"),
+        sum("q6").cast("double").as("cov"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(lit(0.5) * (col("sp") + col("sq") + lit(1.0) - col("cov")), 4).as("jsd"))
+      .orderBy("source")
+  }
+
   /** PII-style scrubbing: global regex redaction with per-doc match
     * accounting (the mechanics of email/phone/ID masking — the pattern
     * is a parameter; the default targets tokens that exist in the

@@ -550,6 +550,28 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("jsd drift is within [0,1] and matches a brute-force recompute") {
+    val rows = TextAnalysis.jsdDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, j) => assert(n > 0 && j >= -1e-9 && j <= 1 + 1e-9) }
+    // brute-force JSD for one source over the full vocabulary
+    val toks = Tables.documents(spark, sf).collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(3), w)))
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = rows.head._1
+    val pc = bySrc(src).groupBy(identity).view.mapValues(_.size.toDouble / bySrc(src).size).toMap
+    val all = toks.map(_._2)
+    val qc = all.groupBy(identity).view.mapValues(_.size.toDouble / all.size).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val jsd = 0.5 * qc.keys.map { w =>
+      val (p, q) = (pc.getOrElse(w, 0.0), qc(w))
+      val m = (p + q) / 2
+      (if (p > 0) p * lg2(p / m) else 0.0) + q * lg2(q / m)
+    }.sum
+    assert(math.abs(rows.head._3 - jsd) < 1e-2, s"$src: ${rows.head._3} vs $jsd")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -120,6 +120,8 @@ object SparkEntry {
     "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
     "events_markov" -> Relational.eventsMarkov _,
     "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
+    "orders_window_stats" -> Relational.ordersWindowStats _,
+    "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_dim_stats" -> Embeddings.dimStats _,
@@ -630,10 +632,10 @@ object SparkEntry {
         |SELECT purchase_id, user_id, click_id AS last_click_id, gap AS gap_us
         |FROM j WHERE rk = 1 ORDER BY purchase_id""".stripMargin,
     "events_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS tse,
-        |  lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tse,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
-        |s AS (SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e),
         |g AS (SELECT user_id, event_id, value,
         |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
@@ -896,6 +898,26 @@ object SparkEntry {
         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
         |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 4) AS p
         |FROM t JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "orders_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  first_value(o_orderkey) OVER w2 AS cheapest_key,
+        |  last_value(o_orderkey) OVER w2 AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "docs_set_ops" ->
+      """WITH a AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE source = 'src0'),
+        |b AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE source = 'src1'),
+        |c AS (SELECT count(*) AS n_common FROM (SELECT w FROM a INTERSECT SELECT w FROM b)),
+        |oa AS (SELECT count(*) AS n_only_a FROM (SELECT w FROM a EXCEPT SELECT w FROM b)),
+        |ob AS (SELECT count(*) AS n_only_b FROM (SELECT w FROM b EXCEPT SELECT w FROM a))
+        |SELECT n_only_a, n_common, n_only_b FROM oa, c, ob""".stripMargin,
     "orders_yoy_growth" ->
       """WITH y AS (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -843,10 +843,14 @@ object Relational {
     */
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // gap test in exact integer MICROS (unix_micros), not double seconds:
+    // a double ts.cast loses ulps at 1e9-second epochs and a gap of
+    // exactly 30 min could fall either side of the boundary per engine
     Tables.events(s, d)
-      .withColumn("prev_ts", lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ts").isNull || col("ts").cast("double") - col("prev_ts") > 1800, 1)
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum("new_sess").over(byUser))
       .groupBy("user_id", "session_id")
@@ -895,6 +899,45 @@ object Relational {
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("part1"), col("part2"))
       .limit(topN)
+  }
+
+  /** Window-function BREADTH in one pass: percent_rank, cume_dist, and
+    * the partition's first/last order key over the price-ordered frame,
+    * per priority — the analytic-function surface beyond row_number/
+    * rank/ntile the engine must plan in a single Window operator (one
+    * exchange, one sort, all four functions evaluated together).
+    */
+  def ordersWindowStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        first(col("o_orderkey")).over(full).as("cheapest_key"),
+        last(col("o_orderkey")).over(full).as("priciest_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** SET-OPERATION corpus compare: the distinct-token overlap between
+    * two sources via INTERSECT / EXCEPT (the set-algebra operators a
+    * relational engine owes its users) reduced to one row of counts.
+    * Scale shape: both sides reduce to distinct token sets (partial-
+    * agg'd) before the set ops; the three counts reduce to one row each
+    * and cross-join broadcast into the single output row.
+    */
+  def docsSetOps(s: SparkSession, d: String,
+                 srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    def toks(src: String): DataFrame = Tables.documents(s, d)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val (a, b) = (toks(srcA), toks(srcB))
+    val common = a.intersect(b).agg(count(lit(1)).as("n_common"))
+    val onlyA = a.except(b).agg(count(lit(1)).as("n_only_a"))
+    val onlyB = b.except(a).agg(count(lit(1)).as("n_only_b"))
+    onlyA.crossJoin(common).crossJoin(onlyB)
+      .select(col("n_only_a"), col("n_common"), col("n_only_b"))
   }
 
   /** Event-type MARKOV TRANSITION matrix: per user, order events by

@@ -216,6 +216,32 @@ class VectorIndex private (val points: DataFrame) {
   def scroll(afterId: Long = -1L, n: Int = 100): DataFrame =
     points.filter(col("id") > afterId).orderBy(col("id")).limit(n)
 
+  /** Scroll ordered by a payload FIELD (Qdrant scroll `order_by`):
+    * one page in (field, id) order resuming after a (fieldValue, id)
+    * cursor. Same keyset shape as [[scroll]] — pushed residual filter +
+    * TakeOrderedAndProject, O(page) anywhere in the collection.
+    */
+  def scrollBy(field: String, afterValue: String, afterId: Long,
+               n: Int = 100): DataFrame =
+    points.filter(col(field) > afterValue ||
+        (col(field) === afterValue && col("id") > afterId))
+      .orderBy(col(field), col("id")).limit(n)
+
+  /** Score-THRESHOLD search (Qdrant's `score_threshold`): every point of
+    * the tenant within distance τ of the query (or above τ for
+    * similarity metrics via `ascending = false`), best-first. The cut
+    * is a filter — result size is data-driven, no rank state.
+    */
+  def searchThreshold(qvec: Seq[Double], userId: Long, tau: Double,
+                      metric: (Column, Column) => Column = l2Distance,
+                      ascending: Boolean = true): DataFrame = {
+    val scored = points.filter(col("user_id") === userId)
+      .withColumn("score", metric(lit(qvec.toArray), col("vector")))
+      .filter(if (ascending) col("score") <= tau else col("score") >= tau)
+    scored.orderBy(if (ascending) col("score").asc else col("score").desc, col("id").asc)
+      .select(col("id"), col("text").as("string"), col("score"))
+  }
+
   /** Persist bucketed by tenant hash; tenant-scoped reads prune to one
     * bucket directory.
     */

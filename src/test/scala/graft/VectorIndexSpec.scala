@@ -154,6 +154,35 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("searchThreshold returns exactly the points within the radius") {
+    val qvec = Tables.points(spark, sf).filter(col("id") === 0)
+      .head().getSeq[Double](1)
+    val r = index.searchThreshold(qvec, userId = 7, tau = 5.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // every hit within radius, sorted ascending
+    assert(r.forall(_._2 <= 5.0))
+    assert(r.map(_._2).toSeq === r.map(_._2).sorted.toSeq)
+    // agrees with top-k search truncated at the radius
+    val topAll = index.search(qvec, userId = 7, k = 1000)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+      .filter(_._2 <= 5.0)
+    assert(r.map(_._1).toSet === topAll.map(_._1).toSet)
+  }
+
+  test("scrollBy pages the collection in payload-field order with a keyset cursor") {
+    val page1 = index.scrollBy("site", "", -1L, n = 20).collect()
+      .map(r => (r.getString(4), r.getLong(0))) // (site, id) — schema order
+    assert(page1.length === 20)
+    assert(page1.toSeq === page1.sortBy(identity).toSeq)
+    val (ls, li) = page1.last
+    val page2 = index.scrollBy("site", ls, li, n = 20).collect()
+      .map(r => (r.getString(4), r.getLong(0)))
+    assert(page2.length === 20)
+    // strictly after the cursor, no overlap
+    assert(page2.forall(p => p._1 > ls || (p._1 == ls && p._2 > li)))
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -122,6 +122,8 @@ object SparkEntry {
     "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
     "orders_window_stats" -> Relational.ordersWindowStats _,
     "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),
+    "customer_rfm" -> ((s: SparkSession, d: String) => Relational.customerRfm(s, d)),
+    "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_dim_stats" -> Embeddings.dimStats _,
@@ -898,6 +900,26 @@ object SparkEntry {
         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
         |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 4) AS p
         |FROM t JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "customer_rfm" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |  count(*) AS freq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(freq, 0.5) AS f_med,
+        |  quantile_cont(monetary, 0.5) AS m_med FROM pc)
+        |SELECT CAST(last_order >= '2000-01-01'::TIMESTAMP AS BIGINT) AS r,
+        |  CAST(freq > f_med AS BIGINT) AS f,
+        |  CAST(monetary > m_med AS BIGINT) AS m,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM pc, med GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH wf AS (SELECT w, count(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |p AS (SELECT c, unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+        |  FROM wf WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "orders_window_stats" ->
       """SELECT o_orderkey, o_orderpriority,
         |  round(percent_rank() OVER w, 4) AS pr,

@@ -901,6 +901,36 @@ object Relational {
       .limit(topN)
   }
 
+  /** RFM customer segmentation: recency (last order after a cutoff) ×
+    * frequency (above-median order count) × monetary (above-median
+    * revenue) → 8 segments with size and exact decimal revenue. The
+    * scale-safe bucketing shape: medians are ONE broadcast row (exact
+    * interpolated percentile over the per-customer aggregate), and
+    * bucket assignment is a map-side CASE — no global sort/ntile over
+    * the customer dimension ever happens.
+    */
+  def customerRfm(s: SparkSession, d: String,
+                  recencyCutoff: String = "2000-01-01"): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("freq"),
+        decSum(col("o_totalprice")).as("monetary"))
+    val meds = perCust.agg(
+      expr("percentile(freq, 0.5)").as("f_med"),
+      expr("percentile(monetary, 0.5)").as("m_med"))
+    perCust.crossJoin(broadcast(meds))
+      .select(
+        (col("last_order") >= lit(recencyCutoff).cast("timestamp")).cast("long").as("r"),
+        (col("freq") > col("f_med")).cast("long").as("f"),
+        (col("monetary") > col("m_med")).cast("long").as("m"),
+        col("monetary"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("r", "f", "m")
+  }
+
   /** Window-function BREADTH in one pass: percent_rank, cume_dist, and
     * the partition's first/last order key over the price-ordered frame,
     * per priority — the analytic-function surface beyond row_number/

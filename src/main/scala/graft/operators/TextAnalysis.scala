@@ -476,6 +476,27 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** BPE MERGE-PAIR counts — the first iteration of byte-pair-encoding
+    * tokenizer training: corpus-frequency-weighted counts of adjacent
+    * symbol (char) pairs within words, top-N merge candidates. The
+    * real-BPE scale trick is structural here: the corpus first reduces
+    * to its (word, count) VOCABULARY (one partial-agg'd exchange over
+    * token hashes), and the pair expansion runs over vocabulary rows —
+    * 10⁵-ish entries — never over the 100 TB token stream.
+    */
+  def bpePairs(s: SparkSession, d: String, topN: Int = 50): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("c"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** Per-source DISTRIBUTION DRIFT: Jensen-Shannon divergence of each
     * source's word distribution from the whole-corpus distribution —
     * the mixture-monitoring metric a multi-source training pipeline

@@ -868,15 +868,24 @@ object Relational {
     * basket size (TPC-H-ish baskets ≤ 7 items → ≤ 21 pairs/order).
     */
   def basketPairs(s: SparkSession, d: String, minSupport: Long = 2,
-                  topN: Int = 50): DataFrame = {
+                  topN: Int = 50): DataFrame =
+    basketPairsOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      minSupport, topN)
+
+  /** Core of [[basketPairs]] over any (ok, pk) item stream — also the
+    * randomized-equivalence surface (EquivalenceSpec checks it against
+    * the naive distinct + self-join formulation).
+    */
+  def basketPairsOf(items: DataFrame, minSupport: Long = 2,
+                    topN: Int = 50): DataFrame = {
     // ONE orderkey shuffle assembles each basket (collect_set is
     // dedup-insensitive — no separate distinct pass); pair expansion is
     // map-side over the sorted basket array (≤ C(basket,2) pairs, the
     // lambda cost is bounded by basket size so interpreted evaluation
     // is immaterial here — the join formulation would shuffle the item
     // stream twice more and sort both sides)
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val baskets = items
       .groupBy("ok").agg(array_sort(collect_set("pk")).as("ps"))
     // distinct-order item support falls out of the exploded baskets;
     // the a-priori prune (both members individually frequent) runs as

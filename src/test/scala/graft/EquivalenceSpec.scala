@@ -136,4 +136,24 @@ class EquivalenceSpec extends SparkSpecBase {
     li.unpersist()
     assert(collapsed === classic)
   }
+
+  test("basket-pair mining equals the naive distinct + self-join formulation on random baskets") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val items = Seq.fill(300 + rnd.nextInt(200)) {
+        (rnd.nextInt(60).toLong, (rnd.nextInt(15) + 1).toLong) // (ok, pk), dup-prone
+      }
+      val df = items.toDF("ok", "pk")
+      val fast = Relational.basketPairsOf(df, minSupport = 2, topN = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // naive: distinct items, self-join on ok, count distinct orders
+      val dist = items.distinct
+      val byOk = dist.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val naive = byOk.values.flatMap { b =>
+        b.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 2).map { case ((a, b), n) => (a, b, n) }.toSet
+      assert(fast === naive, s"trial $trial diverged")
+    }
+  }
 }

@@ -143,6 +143,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("activeUsersStream counts distinct users per hour within sketch error") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.activeUsersStream(input.toDF())
+      .writeStream.format("memory").queryName("dau")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // hour 1: users 1..40 (two events each); hour 2: users 1..5
+      val h1 = (1 to 40).flatMap(u =>
+        Seq(Event(u * 2L, ts(u % 50), u, "click", 1.0),
+          Event(u * 2L + 1, ts((u + 3) % 50), u, "view", 1.0)))
+      val h2 = (1 to 5).map(u => Event(1000L + u, ts(70 + u), u, "click", 1.0))
+      input.addData(h1 ++ h2)
+      q.processAllAvailable()
+      val rows = spark.table("dau").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1.getTime)
+      assert(rows.length === 2)
+      // HLL++ at 2% rsd is exact-ish at these cardinalities
+      assert(math.abs(rows.head._2 - 40L) <= 2, s"hour1: ${rows.head}")
+      assert(rows.head._3 === 80L)
+      assert(math.abs(rows.last._2 - 5L) <= 1, s"hour2: ${rows.last}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-deliveries of the same event id within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -123,6 +123,7 @@ object SparkEntry {
     "orders_window_stats" -> Relational.ordersWindowStats _,
     "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),
     "customer_rfm" -> ((s: SparkSession, d: String) => Relational.customerRfm(s, d)),
+    "q16_part_suppliers" -> Relational.q16PartSuppliers _,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -900,6 +901,16 @@ object SparkEntry {
         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
         |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 4) AS p
         |FROM t JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "q16_part_suppliers" ->
+      """WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey, l_suppkey FROM supplies
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "customer_rfm" ->
       """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
         |  count(*) AS freq,

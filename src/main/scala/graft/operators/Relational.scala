@@ -910,6 +910,32 @@ object Relational {
       .limit(topN)
   }
 
+  /** TPC-H Q16-style SUPPLIER-COUNT per part group, adapted to this
+    * schema: the part↔supplier "supplies" relation derives from
+    * observed lineitems (no partsupp table), "complaint" suppliers
+    * (negative balance) are excluded by a broadcast anti join, and the
+    * exclusion brand/type prune the part scan. Shape: the fact stream
+    * reduces to DISTINCT (part, supplier) pairs FIRST (partial-agg'd),
+    * then joins the filtered part dim and counts distinct suppliers per
+    * (brand, type, size).
+    */
+  def q16PartSuppliers(s: SparkSession, d: String): DataFrame = {
+    val supplies = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complaints = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    supplies
+      .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** RFM customer segmentation: recency (last order after a cutoff) ×
     * frequency (above-median order count) × monetary (above-median
     * revenue) → 8 segments with size and exact decimal revenue. The

@@ -215,6 +215,35 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a selective dim filter should inject a runtime
+    // bloom filter on the fact side's join key (row-group skipping at
+    // the scan) when the join can't broadcast. Thresholds are forced so
+    // the behavior is observable at test SF.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      val sel = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = Tables.lineitem(spark, sf)
+        .join(sel, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("distance matrix prunes the corpus to the sample at both scans") {
     val p = plan("vs_distance_matrix")
     assert(p.contains("LessThan(doc_id,20)") || p.contains("LessThan(vec_id,20)"),

@@ -124,6 +124,7 @@ object SparkEntry {
     "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),
     "customer_rfm" -> ((s: SparkSession, d: String) => Relational.customerRfm(s, d)),
     "q16_part_suppliers" -> Relational.q16PartSuppliers _,
+    "q2_min_cost_supplier" -> ((s: SparkSession, d: String) => Relational.q2MinCostSupplier(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -901,6 +902,20 @@ object SparkEntry {
         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
         |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 4) AS p
         |FROM t JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, n_name AS nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |pc AS (SELECT p_partkey, p_name, s_suppkey, s_name, nation,
+        |  round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size % 5 = 0
+        |  JOIN rs ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |mc AS (SELECT p_partkey AS mk, min(unit_cost) AS min_cost FROM pc GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, nation, unit_cost
+        |FROM pc JOIN mc ON p_partkey = mk AND unit_cost = min_cost
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin,
     "q16_part_suppliers" ->
       """WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |ok AS (SELECT l_partkey, l_suppkey FROM supplies

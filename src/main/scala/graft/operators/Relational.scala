@@ -910,6 +910,42 @@ object Relational {
       .limit(topN)
   }
 
+  /** TPC-H Q2-style MIN-COST SUPPLIER per part (adapted: unit cost =
+    * min observed l_extendedprice/l_quantity over the pair's lineitems;
+    * region-scoped suppliers; no partsupp). The classic correlated
+    * `cost = (SELECT min ...)` decorrelates into a per-part min
+    * aggregate joined back — the same broadcast-scalar shape as q17 but
+    * keyed per part: per-pair costs partial-aggregate, the per-part min
+    * is vocabulary-small, and the equality join back picks the winning
+    * supplier rows. Deterministic 4dp-rounded costs; ties keep every
+    * achieving supplier (classic Q2 also returns ties).
+    */
+  def q2MinCostSupplier(s: SparkSession, d: String, region: String = "EUROPE",
+                        sizeMod: Int = 5, limitN: Int = 100): DataFrame = {
+    val regionSup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === region),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+    val parts = Tables.part(s, d).filter(col("p_size") % sizeMod === 0)
+      .select("p_partkey", "p_name")
+    val pairCost = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("nation"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("unit_cost"))
+    val minCost = pairCost.groupBy(col("p_partkey").as("mk"))
+      .agg(min("unit_cost").as("min_cost"))
+    pairCost.join(minCost,
+        col("p_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("nation"), col("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+      .limit(limitN)
+  }
+
   /** TPC-H Q16-style SUPPLIER-COUNT per part group, adapted to this
     * schema: the part↔supplier "supplies" relation derives from
     * observed lineitems (no partsupp table), "complaint" suppliers

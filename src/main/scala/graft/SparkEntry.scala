@@ -125,6 +125,9 @@ object SparkEntry {
     "customer_rfm" -> ((s: SparkSession, d: String) => Relational.customerRfm(s, d)),
     "q16_part_suppliers" -> Relational.q16PartSuppliers _,
     "q2_min_cost_supplier" -> ((s: SparkSession, d: String) => Relational.q2MinCostSupplier(s, d)),
+    "q11_important_stock" -> ((s: SparkSession, d: String) => Relational.q11ImportantStock(s, d)),
+    "q20_excess_suppliers" -> ((s: SparkSession, d: String) => Relational.q20ExcessSuppliers(s, d)),
+    "events_path_topn" -> ((s: SparkSession, d: String) => Relational.eventsPathTopN(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -156,6 +159,9 @@ object SparkEntry {
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
     "text_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "text_dup_ngrams" -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
+    "docs_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
+    "docs_quality_model" -> ((s: SparkSession, d: String) => QualityModel.qualityScore(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -926,6 +932,35 @@ object SparkEntry {
         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q11_important_stock" ->
+      """WITH ns AS (SELECT s_suppkey FROM supplier JOIN nation
+        |    ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |v AS (SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS value
+        |  FROM lineitem JOIN ns ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tot FROM v)
+        |SELECT partkey, round(value, 4) AS value FROM v, t
+        |WHERE value > 0.001 * tot ORDER BY value DESC, partkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH big AS (SELECT DISTINCT l_suppkey FROM (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  WHERE l_shipdate >= '1997-01-01'::TIMESTAMP
+        |    AND l_shipdate < '1998-01-01'::TIMESTAMP
+        |  GROUP BY 1, 2) q WHERE qty > 50)
+        |SELECT s_suppkey, s_name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+        |ORDER BY s_suppkey""".stripMargin,
+    "events_path_topn" ->
+      """WITH p AS (SELECT user_id, event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, count(*) AS n FROM p WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin,
     "customer_rfm" ->
       """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
         |  count(*) AS freq,
@@ -1181,6 +1216,25 @@ object SparkEntry {
         |  md5(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g')) AS redacted_md5,
         |  length(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g'))::BIGINT AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_dsir_weights" ->
+      """WITH tb AS (SELECT doc_id, source,
+        |    CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |ca AS (SELECT b, count(*) AS c_all FROM tb GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS c_tgt FROM tb
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM tb),
+        |nt AS (SELECT count(*) AS n_tgt FROM tb
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (SELECT ca.b, CAST(round(
+        |    log2((coalesce(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 256)) -
+        |    log2((c_all + 1)::DOUBLE / (n_all + 256)), 6) AS DECIMAL(18,6)) AS r
+        |  FROM ca LEFT JOIN ct ON ca.b = ct.b, na, nt),
+        |db AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(n * r AS DECIMAL(18,6))) AS DOUBLE), 4) AS dsir_weight
+        |FROM db JOIN r USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH ${SHINGLES(5)},
          |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY 1),

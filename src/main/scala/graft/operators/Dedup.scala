@@ -570,6 +570,47 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
+    * the embedding space, then WITHIN each cluster greedily prune
+    * vectors that have a near-duplicate (cosine ≥ t) of higher
+    * priority, where priority = closer to the cluster centroid (the
+    * kept member of every near-dup group is its most "prototypical"
+    * example; 6dp-rounded distances, id tiebreak → deterministic).
+    * Emits every vector with its cluster and keep verdict — the
+    * retention-policy twin of [[embeddingNearDupIvf]]'s pair listing.
+    *
+    * Scale shape: clustering is the same driver-sized seeded k-means
+    * the IVF index build uses (assignment = one codegen'd map pass);
+    * the quadratic compare is confined per cluster (n²/k vs n² —
+    * SemDeDup's actual trick), and only (id, cluster, cdist) tuples
+    * shuffle for the compare join, with vectors re-attached to
+    * candidates only. k-means + hash-partitioned clusters → no DuckDB
+    * oracle; rows-only + DedupSpec (drops are exactly the lower-
+    * priority members of exact near-dup pairs within a cluster).
+    */
+  def semanticDedup(s: SparkSession, d: String, t: Double = 0.99,
+                    nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val all = nearDupCorpus(s, d).cache()
+    val cents = Ann.kmeansCentroidsCached(s, s"semdedup:$d", all, nlist, iters)
+    val assigned = all
+      .select(col("vec_id"), col("vec"),
+        array_sort(Ann.centroidStructs(col("vec"), cents))(0).as("nc"))
+      .select(col("vec_id"), col("vec"), col("nc").getField("cid").as("cluster"),
+        round(col("nc").getField("d"), 6).as("cdist"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          (col("a.cdist") < col("b.cdist") ||
+            (col("a.cdist") === col("b.cdist") && col("a.vec_id") < col("b.vec_id"))))
+      .filter(cosineSim(col("a.vec"), col("b.vec")) >= t)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dropped"), lit(false)).as(("dropped")))
+      .withColumn("kept", !col("dropped")).drop("dropped")
+      .orderBy("vec_id")
+  }
+
   def embeddingNearDupLsh(s: SparkSession, d: String, t: Double = 0.99,
                           nBits: Int = 12, dim: Int = 64): DataFrame = {
     val all = nearDupCorpus(s, d).cache()

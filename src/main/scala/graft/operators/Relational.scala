@@ -1111,4 +1111,85 @@ object Relational {
         lit(0.6) * col("p_retailprice") * col("l_quantity")).as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
+
+  /** TPC-H Q11-style IMPORTANT STOCK: parts whose supply value from a
+    * set of nations exceeds a fraction of that scope's total (adapted:
+    * value = observed lineitem revenue, no partsupp). The classic
+    * `HAVING sum > (SELECT frac * sum ...)` scalar subquery
+    * decorrelates to a ONE-ROW total broadcast back over the per-part
+    * aggregate — two map passes over the (nation-pruned) fact stream,
+    * one tiny exchange for the total. The nation filter reaches the
+    * fact side through a broadcast semi-shaped join on the ~100-row
+    * supplier map, never a shuffle. Ref: insert.py's per-tenant corpus
+    * accounting is the same filtered-total shape.
+    */
+  def q11ImportantStock(s: SparkSession, d: String,
+                        nations: Seq[String] = Seq("NATION_3", "NATION_7"),
+                        fraction: Double = 0.001): DataFrame = {
+    val scopedSup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, d)
+      .join(broadcast(scopedSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+    val total = perPart.agg(sum(col("value").cast("decimal(18,4)"))
+      .cast("double").as("tot"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > lit(fraction) * col("tot"))
+      .select(col("l_partkey").as("partkey"), round(col("value"), 4).as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** TPC-H Q20-style EXCESS SUPPLIERS: suppliers who shipped more than
+    * `minQty` units of some promo-type part in one year — the
+    * part-scoped, year-scoped volume probe behind the classic "who can
+    * take a big order" query (adapted: shipped volume stands in for
+    * availqty; no partsupp). Shape: the promo part dim prunes the fact
+    * scan via broadcast, the (supplier × part) volumes partial-
+    * aggregate before their one exchange, and the surviving supplier
+    * ids (a handful) broadcast-SEMI-join the supplier dim — the fact
+    * table is touched once, the dims never shuffle.
+    */
+  def q20ExcessSuppliers(s: SparkSession, d: String, year: Int = 1997,
+                         partType: String = "PROMO", minQty: Double = 50): DataFrame = {
+    val promoParts = Tables.part(s, d).filter(col("p_type") === partType)
+      .select("p_partkey")
+    val bigShippers = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(decSum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > minQty)
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(bigShippers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Top event-type PATHS: the most common 3-step user journeys
+    * (consecutive event-type triples per user in time order) — the
+    * sequence-mining view behind funnel design and next-action models
+    * (the n-gram generalization of [[eventsMarkov]]'s bigram
+    * transitions). Shape: ONE user-keyed window pass (two stacked
+    * lead()s share the same sort), then a partial-agg'd count over the
+    * |types|³-bounded path vocabulary and a k-row TakeOrdered — the
+    * event stream crosses the wire once however large.
+    */
+  def eventsPathTopN(s: SparkSession, d: String, topN: Int = 25): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(w).as("step2"),
+        lead(col("event_type"), 2).over(w).as("step3"))
+      .filter(col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topN)
+  }
 }

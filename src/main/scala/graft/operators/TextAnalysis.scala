@@ -549,4 +549,49 @@ object TextAnalysis {
         md5(regexp_replace(col("text"), pattern, mask)).as("redacted_md5"),
         length(regexp_replace(col("text"), pattern, mask)).cast("long").as("redacted_len"))
       .orderBy("doc_id")
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by
+    * log p_target(doc) − log p_raw(doc) under hashed-token bag models —
+    * the data-selection signal used to upsample target-domain-like text
+    * when composing a pretraining mix. Features are md5-hash buckets
+    * (portable across engines), both unigram models are add-one
+    * smoothed, and the per-bucket log-ratio is 6dp-rounded DECIMAL so
+    * the per-doc sum is order-independent and engine-exact.
+    *
+    * Scale shape: BOTH models are B-row aggregates (B=256 buckets —
+    * constant however large the corpus) built by partial-agg'd counts;
+    * scoring is per-doc bucket counts (partial-agg'd on the doc key)
+    * joined to the BROADCAST ratio table — the corpus crosses the wire
+    * once, reduced to (doc, bucket, n) rows.
+    */
+  def dsirWeights(s: SparkSession, d: String,
+                  targetSources: Seq[String] = Seq("src0", "src1", "src2"),
+                  buckets: Int = 256): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def toks(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", conv(substring(md5(col("w")), 1, 4), 16, 10)
+        .cast("long") % buckets)
+    val all = toks(docs)
+    val tgt = toks(docs.filter(col("source").isin(targetSources: _*)))
+    def model(t: DataFrame): DataFrame = t.groupBy("b").agg(count(lit(1)).as("c"))
+    val nAll = all.agg(count(lit(1)).as("n_all"))
+    val nTgt = tgt.agg(count(lit(1)).as("n_tgt"))
+    val ratio = model(all).withColumnRenamed("c", "c_all")
+      .join(model(tgt).withColumnRenamed("c", "c_tgt"), Seq("b"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(nAll).crossJoin(nTgt)
+      .select(col("b"), round(
+          log2((col("c_tgt") + lit(1)).cast("double") / (col("n_tgt") + lit(buckets))) -
+          log2((col("c_all") + lit(1)).cast("double") / (col("n_all") + lit(buckets))), 6)
+        .cast("decimal(18,6)").as("r"))
+    all.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        round(sum((col("n") * col("r")).cast("decimal(18,6)")).cast("double"), 4)
+          .as("dsir_weight"))
+      .orderBy("doc_id")
+  }
 }

@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
   }
 
+  test("semanticDedup drops exactly the lower-priority members of clustered near-dup pairs") {
+    val out = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val exact = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCluster = exact.filter { case (a, b) => out(a)._1 == out(b)._1 }
+    assert(sameCluster.nonEmpty) // the planted twins co-cluster
+    // a near-dup pair sharing a cluster never survives whole
+    sameCluster.foreach { case (a, b) =>
+      assert(!(out(a)._2 && out(b)._2), s"near-dup pair ($a,$b) both kept")
+    }
+    // and nothing is dropped without a same-cluster near-dup justifying it
+    val inPair = sameCluster.flatMap(p => Seq(p._1, p._2)).toSet
+    out.collect { case (id, (_, false)) => id }
+      .foreach(id => assert(inPair(id), s"$id dropped without a near-dup"))
+  }
+
   test("containment pairs include every Jaccard>=0.9 pair and score in (0,1]") {
     val cont = Dedup.containment(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))

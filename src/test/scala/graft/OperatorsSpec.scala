@@ -572,6 +572,56 @@ class OperatorsSpec extends SparkSpecBase {
     assert(math.abs(rows.head._3 - jsd) < 1e-2, s"$src: ${rows.head._3} vs $jsd")
   }
 
+  test("distilled quality classifier beats the majority baseline on rule labels") {
+    val rows = graft.operators.QualityModel.qualityScore(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    val acc = rows.count(r => r.getLong(1) == r.getLong(3)).toDouble / n
+    val posRate = rows.count(_.getLong(1) == 1L).toDouble / n
+    val majority = math.max(posRate, 1 - posRate)
+    assert(acc > majority || acc == 1.0, s"classifier acc $acc <= majority $majority")
+  }
+
+  test("dsir weights: target-source docs score higher on average than the rest") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val tgt = Set("src0", "src1", "src2")
+    val (in, out) = w.partition { case (id, _) => tgt(docs(id)) }
+    assert(in.nonEmpty && out.nonEmpty)
+    val (mIn, mOut) = (in.map(_._2).sum / in.size, out.map(_._2).sum / out.size)
+    assert(mIn > mOut, s"target mean $mIn !> other mean $mOut")
+  }
+
+  test("q11: every kept part's value exceeds the fraction of the recomputed total") {
+    val rows = Relational.q11ImportantStock(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // recompute the unfiltered per-part totals and scope total
+    val all = Relational.q11ImportantStock(spark, sf, fraction = 0.0).collect()
+      .map(r => r.getDouble(1))
+    val tot = all.sum
+    rows.foreach { case (pk, v) => assert(v > 0.001 * tot * 0.999, s"part $pk") }
+    assert(rows.map(_._2).sum <= tot + 1e-6)
+  }
+
+  test("events path top-n: counts descending, triples valid, bounded by topN") {
+    val rows = Relational.eventsPathTopN(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      assert(types(r.getString(0)) && types(r.getString(1)) && types(r.getString(2)))
+    }
+    val ns = rows.map(_.getLong(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

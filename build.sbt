@@ -42,4 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pinned to Xmx: a growing heap full-GCs on every expansion step.
   "-XX:+UseParallelGC",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 100+ distinct whole-stage-codegen'd plans in one JVM overflow the
+  // default 240m JIT code cache; once full, new hot loops run
+  // interpreted. Headroom keeps late-session queries compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,6 +27,7 @@ object Bench {
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -37,6 +38,19 @@ object Bench {
       // shared-box noise guard: if the two runs disagree badly, the
       // slower one hit a contention spike — buy one more sample
       if (times.max > times.min * 1.5 && times.max > 1.0) times :+= run()
+      // ContextCleaner removes dead broadcast/shuffle/cache blocks only
+      // when a GC runs; with ParallelGC on a pinned 16g heap a
+      // 100+-query session can go minutes without one, accumulating
+      // every past query's broadcasts in the unified memory manager
+      // until execution memory starves (observed: a 1.5s-isolated query
+      // timing 22s late in the run). A periodic-GC timer is the wrong
+      // tool HERE — its multi-second full-GC pauses land inside timed
+      // queries at random (observed 0.3s queries timing 13s). Collect
+      // explicitly BETWEEN queries instead: pauses stay untimed, and
+      // the cleaner's async drain gets a head start before the next
+      // timing window.
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       // Caches and memoized artifacts survive across queries DELIBERATELY:
       // the dedup family (minhash_lsh / clusters / keep_best) shares one
       // materialized pair list in any real deployment, and evicting it

@@ -162,6 +162,7 @@ object SparkEntry {
     "docs_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "docs_quality_model" -> ((s: SparkSession, d: String) => QualityModel.qualityScore(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => Ann.nnDescentGraph(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),

@@ -163,4 +163,69 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** NN-DESCENT approximate k-NN GRAPH construction (Dong et al. 2011)
+    * — the batch primitive that graph-based ANN indexes (HNSW /
+    * DiskANN / NSG builders) consume: every vector's k nearest
+    * neighbors, refined by the "neighbors of neighbors are likely
+    * neighbors" iteration. Init seeds each node's list from its IVF
+    * co-bucket peers (the same seeded k-means blocker the index build
+    * uses); each round then joins the CURRENT k-regular edge list to
+    * itself (undirected — forward ∪ reverse edges, as the paper
+    * prescribes), rescores the expanded candidates with exact cosine,
+    * and truncates back to k via the TopKPerKey physical operator (≤ k
+    * rows per node cross each round's exchange).
+    *
+    * Scale shape: state between rounds is the edge list — n·k rows, not
+    * n² — and a round's candidate expansion is ≤ n·(2k)² rows, LINEAR
+    * in n for fixed k; each round localCheckpoints so lineage stays
+    * flat over any round count. Convergence is data-adaptive (hub-y
+    * real corpora converge in 2-3 rounds; the near-orthogonal synthetic
+    * embeddings are the worst case, which the recall spec tracks as
+    * monotone improvement over init). Approximate + hash-seeded →
+    * rows-only + AnnSpec recall/shape checks, no DuckDB oracle.
+    */
+  def nnDescentGraph(s: SparkSession, d: String, k: Int = 10, rounds: Int = 2,
+                     nlist: Int = 0, iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec")).cache()
+    // Init cost is Σ|bucket|² ≈ n²/nlist — nlist must GROW with n to
+    // keep the seeding linear-ish. √n lists ⇒ √n-sized buckets ⇒ n^1.5
+    // init pairs (and at real scale you size nlist = n/targetBucket,
+    // with per-bucket candidate sampling as NN-descent implementations
+    // do). nlist=0 (default) = pick √n, floor 16.
+    val lists = if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cents = kmeansCentroidsCached(s, s"nndescent:$d:$lists", emb, lists, iters)
+    val posts = emb.select(col("vec_id"),
+      explode(slice(array_sort(centroidStructs(col("vec"), cents)), 1, 2)
+        .getField("cid")).as("cid"))
+    val init = posts.as("a").join(posts.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst")).distinct()
+    // exact-rescore candidates, keep each node's k best (heap operator:
+    // only <= k rows per (node x partition) reach the exchange)
+    def topK(cand: DataFrame): DataFrame =
+      graft.plans.TopK.perKey(
+        cand
+          .join(emb.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
+          .join(emb.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
+          .select(col("src"), col("dst"),
+            round(cosineSim(col("sv"), col("dv")), 6).as("cs")),
+        Seq(col("src")), Seq(col("cs").desc, col("dst").asc), k)
+    var knn = topK(init).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val und = knn.select("src", "dst")
+        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      val expanded = und.as("e1").join(und.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      knn = topK(und.union(expanded).distinct()).localCheckpoint()
+    }
+    val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
+    knn.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("src").as("vec_id"), col("rk"), col("dst").as("neighbor_id"),
+        round(col("cs"), 4).as("cosine"))
+      .orderBy("vec_id", "rk")
+  }
 }

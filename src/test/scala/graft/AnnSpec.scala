@@ -59,4 +59,41 @@ class AnnSpec extends SparkSpecBase {
       assert(cs === cs.sorted.reverse)
     }
   }
+
+  test("nn-descent knn graph: k-regular, self-free, recall improves over init") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    // ground truth: brute-force k-nn graph over the embedding corpus
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.Vectors.toDouble(col("embedding")).as("vec"))
+    val n = emb.count().toInt
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        graft.functions.Vectors.cosineSim(col("a.vec"), col("b.vec")).as("cs"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cs").desc, col("dst").asc)))
+      .filter(col("rk") <= k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val g = df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      brute.keys.toSeq.map { v =>
+        (g.getOrElse(v, Set.empty) & brute(v)).size.toDouble / brute(v).size
+      }.sum / brute.size
+    }
+    val refined = Ann.nnDescentGraph(spark, sf, k = k, rounds = 2)
+    val rows = refined.collect()
+    // shape: <= k neighbors each, no self loops, scores descending per node
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= k)
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+    assert(rows.groupBy(_.getLong(0)).size === n) // every vector has a list
+    val r0 = recall(Ann.nnDescentGraph(spark, sf, k = k, rounds = 0))
+    val r2 = recall(refined)
+    assert(r2 >= r0 - 1e-9, s"descent hurt recall: $r2 < $r0")
+    assert(r2 >= 0.5, s"nn-descent recall@$k $r2 (init $r0)")
+  }
 }

@@ -40,7 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // seconds of jvmGCTime from trivial cached-read stages; ParallelGC
   // trades pause latency (irrelevant for batch) for throughput. Xms
   // pinned to Xmx: a growing heap full-GCs on every expansion step.
-  "-XX:+UseParallelGC",
+  sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // 100+ distinct whole-stage-codegen'd plans in one JVM overflow the
   // default 240m JIT code cache; once full, new hot loops run

@@ -27,7 +27,6 @@ object Bench {
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -45,12 +44,14 @@ object Bench {
       // until execution memory starves (observed: a 1.5s-isolated query
       // timing 22s late in the run). A periodic-GC timer is the wrong
       // tool HERE — its multi-second full-GC pauses land inside timed
-      // queries at random (observed 0.3s queries timing 13s). Collect
-      // explicitly BETWEEN queries instead: pauses stay untimed, and
-      // the cleaner's async drain gets a head start before the next
-      // timing window.
-      sinceGc += 1
-      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+      // queries at random (observed 0.3s queries timing 13s); G1
+      // avoids the pauses but its concurrent tax slowed every stage
+      // ~2× wall; a small ParallelGC young gen traded them for an old-
+      // gen churn collapse (38s pause). Collect explicitly BETWEEN
+      // queries when the heap is pressured: pauses stay untimed, and
+      // the cleaner's async drain runs before the next timing window.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > (6L << 30)) System.gc()
       // Caches and memoized artifacts survive across queries DELIBERATELY:
       // the dedup family (minhash_lsh / clusters / keep_best) shares one
       // materialized pair list in any real deployment, and evicting it

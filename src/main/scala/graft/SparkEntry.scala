@@ -128,11 +128,13 @@ object SparkEntry {
     "q11_important_stock" -> ((s: SparkSession, d: String) => Relational.q11ImportantStock(s, d)),
     "q20_excess_suppliers" -> ((s: SparkSession, d: String) => Relational.q20ExcessSuppliers(s, d)),
     "events_path_topn" -> ((s: SparkSession, d: String) => Relational.eventsPathTopN(s, d)),
+    "lineitem_corr_stats" -> Relational.lineitemCorrStats _,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
     "emb_dim_stats" -> Embeddings.dimStats _,
     "emb_norm_stats" -> Embeddings.normStats _,
+    "emb_outlier_audit" -> ((s: SparkSession, d: String) => Embeddings.outlierAudit(s, d)),
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
     "emb_bq_search" -> ((s: SparkSession, d: String) => Embeddings.bqRerankSearch(s, d)),
@@ -457,6 +459,50 @@ object SparkEntry {
         |  round(CAST(sum(norm) AS DOUBLE) / count(*), 4) AS mean_norm,
         |  CAST(min(norm) AS DOUBLE) AS min_norm, CAST(max(norm) AS DOUBLE) AS max_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_outlier_audit" ->
+      """WITH vals AS (SELECT vec_id, label,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  CAST(unnest([x::DOUBLE for x in embedding]) AS DECIMAL(18,10)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, CAST(sum(v) AS DOUBLE) / count(*) AS c
+        |  FROM vals GROUP BY 1, 2),
+        |dist AS (SELECT vec_id, vals.label, CAST(round(sqrt(CAST(
+        |    sum(CAST(round((v::DOUBLE - c) * (v::DOUBLE - c), 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)), 6) AS DECIMAL(18,6)) AS dist
+        |  FROM vals JOIN c ON vals.label = c.label AND vals.dim = c.dim
+        |  GROUP BY 1, 2),
+        |st AS (SELECT label, count(*) AS h, sum(dist) AS s1, sum(dist * dist) AS s2
+        |  FROM dist GROUP BY 1),
+        |sds AS (SELECT label, CAST(s1 AS DOUBLE) / h AS mean,
+        |  sqrt(greatest(CAST(s2 AS DOUBLE) / h
+        |    - (CAST(s1 AS DOUBLE) / h) * (CAST(s1 AS DOUBLE) / h), 0.0)) AS sd
+        |  FROM st)
+        |SELECT vec_id, d.label, round(CAST(dist AS DOUBLE), 4) AS dist,
+        |  round((CAST(dist AS DOUBLE) - mean) / sd, 4) AS zscore
+        |FROM dist d JOIN sds ON d.label = sds.label
+        |WHERE sd > 0 AND abs(CAST(dist AS DOUBLE) - mean) > 1.5 * sd
+        |ORDER BY vec_id""".stripMargin,
+    "lineitem_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*)
+        |    - (CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*))
+        |    * (CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / count(*)),
+        |    4) AS cov_qty_price,
+        |  round((CAST(count(*) AS DOUBLE)
+        |      * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+        |    - CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |      * CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE))
+        |    / sqrt((CAST(count(*) AS DOUBLE)
+        |        * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE))
+        |      * (CAST(count(*) AS DOUBLE)
+        |        * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+        |      - CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE))), 4)
+        |    AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_label_centroids" ->
       """WITH vals AS (SELECT label,
         |  unnest(range(0, len(embedding))) AS dim,

@@ -87,6 +87,50 @@ object Embeddings {
         col("min_norm"), col("max_norm"))
       .orderBy("label")
 
+  /** Embedding OUTLIER audit: vectors anomalously far from their
+    * label's centroid (z-score over the label's centroid-distance
+    * distribution) — the mislabeled-example / corrupt-ingest detector
+    * run over a labeled embedding corpus before training on it (the
+    * embedding-space twin of [[graft.operators.Relational.eventsAnomaly]]).
+    * Exactness: centroids come from exact DECIMAL component sums; each
+    * (v − c)² term rounds to 12dp DECIMAL before its order-independent
+    * sum; per-label distance stats aggregate 6dp-rounded DECIMAL
+    * distances — the z cut is engine-exact.
+    * Scale shape: centroids are a (labels × dim)-row broadcast; both
+    * heavy aggregates are partial-agg'd; vectors cross the wire only as
+    * (vec, label, dim, v) component rows, once.
+    */
+  def outlierAudit(s: SparkSession, d: String, z: Double = 1.5): DataFrame = {
+    val vals = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("v").cast("decimal(18,10)").as("v"))
+    val cents = vals.groupBy("label", "dim")
+      .agg((sum("v").cast("double") / count(lit(1))).as("c"))
+    val dists = vals.join(broadcast(cents), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        round((col("v").cast("double") - col("c")) * (col("v").cast("double") - col("c")), 12)
+          .cast("decimal(28,12)").as("t"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum("t").cast("double")), 6).cast("decimal(18,6)").as("dist"))
+    val stats = dists.groupBy(col("label").as("s_label"))
+      .agg(count(lit(1)).as("h"), sum("dist").as("s1"),
+        sum(col("dist") * col("dist")).as("s2"))
+      .select(col("s_label"),
+        (col("s1").cast("double") / col("h")).as("mean"),
+        sqrt(greatest(col("s2").cast("double") / col("h") -
+          (col("s1").cast("double") / col("h")) * (col("s1").cast("double") / col("h")),
+          lit(0.0))).as("sd"))
+    dists.join(broadcast(stats), col("label") === col("s_label"))
+      .filter(col("sd") > 0 &&
+        abs(col("dist").cast("double") - col("mean")) > lit(z) * col("sd"))
+      .select(col("vec_id"), col("label"),
+        round(col("dist").cast("double"), 4).as("dist"),
+        round((col("dist").cast("double") - col("mean")) / col("sd"), 4).as("zscore"))
+      .orderBy("vec_id")
+  }
+
   /** Scalar quantization to int8: per-dimension global [min, max] over
     * the corpus, code = floor((v − min)/(max − min)·256) clamped to
     * [0, 255]. floor (not round) keeps the engine-independent double

@@ -32,17 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
+  /** Hashed-BoW featurizer shared by batch fit and stream scoring. */
+  private def featurizer(numFeatures: Int): HashingTF = new HashingTF()
+    .setInputCol("tokens").setOutputCol("features").setNumFeatures(numFeatures)
+
+  /** Fit the distilled gate on a (doc_id, text) corpus; returns the
+    * trained model (dim-sized — broadcastable anywhere, including into
+    * a streaming query).
+    */
+  def fit(docs: DataFrame, numFeatures: Int = 1024, maxIter: Int = 25,
+          regParam: Double = 0.01)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    val feat = featurizer(numFeatures).transform(
+      docs.select(col("doc_id"), split(col("text"), " ").as("tokens"),
+        TextAnalysis.gopherPassExpr(minWords = 15).cast("double").as("label")))
+      .cache()
+    new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feat)
+  }
+
   def qualityScore(s: SparkSession, d: String, numFeatures: Int = 1024,
                    maxIter: Int = 25, regParam: Double = 0.01): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         split(col("text"), " ").as("tokens"),
         TextAnalysis.gopherPassExpr(minWords = 15).cast("double").as("label"))
-    val feat = new HashingTF()
-      .setInputCol("tokens").setOutputCol("features")
-      .setNumFeatures(numFeatures)
-      .transform(docs)
-      .cache()
+    val feat = featurizer(numFeatures).transform(docs).cache()
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
@@ -53,4 +70,23 @@ object QualityModel {
         col("prediction").cast("long").as("pred"))
       .orderBy("doc_id")
   }
+
+  /** STREAMING model inference: score an unbounded (doc_id, text)
+    * stream with a pre-fitted quality model — the online admission gate
+    * of a continuously-ingesting corpus (the micro-batch twin of
+    * [[qualityScore]]'s batch scoring, and the learned upgrade of the
+    * rule gates in CuratePipeline). Featurize + model.transform are
+    * both row-local map work, so the scored stream needs NO state
+    * store, no watermark, and no shuffle — the model rides to
+    * executors as a broadcast KB-sized coefficient vector however
+    * large the stream.
+    */
+  def scoreStream(docStream: DataFrame,
+                  model: org.apache.spark.ml.classification.LogisticRegressionModel,
+                  numFeatures: Int = 1024): DataFrame =
+    model.transform(featurizer(numFeatures).transform(
+        docStream.select(col("doc_id"), split(col("text"), " ").as("tokens"))))
+      .select(col("doc_id"),
+        round(vector_to_array(col("probability"))(1), 4).as("quality_score"),
+        col("prediction").cast("long").as("pred"))
 }

@@ -1171,6 +1171,40 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Distributed PEARSON CORRELATION + covariance per group, engine-
+    * exact: the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as DECIMAL (order-independent partial aggregation —
+    * the one-pass parallel form of corr), and the final r/cov derive in
+    * double from identical exact inputs on any engine. The built-in
+    * `corr`/`covar_pop` aggregates stream doubles and drift with
+    * partition order at 100 TB — this is the exact-arithmetic shape
+    * that doesn't. One partial-agg'd exchange of 6 numbers per group.
+    */
+  def lineitemCorrStats(s: SparkSession, d: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column, scale: Int = 4) =
+      c.cast(s"decimal(28,$scale)")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_quantity") * col("l_extendedprice"), 8)).as("sxy"),
+        sum(dec(col("l_quantity") * col("l_quantity"), 8)).as("sxx"),
+        sum(dec(col("l_extendedprice") * col("l_extendedprice"), 8)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))), 4)
+          .as("cov_qty_price"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 4)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Top event-type PATHS: the most common 3-step user journeys
     * (consecutive event-type triples per user in time order) — the
     * sequence-mining view behind funnel design and next-action models

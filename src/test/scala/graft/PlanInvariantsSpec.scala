@@ -250,4 +250,32 @@ class PlanInvariantsSpec extends SparkSpecBase {
       s"sample bound not pushed to the scan:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), s"pairwise join shape changed:\n$p")
   }
+
+  test("q11 fact stream joins only broadcasts; the scope total is a broadcast scalar") {
+    val p = plan("q11_important_stock")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join appeared:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row total not broadcast back:\n$p")
+  }
+
+  test("q20 probes suppliers with a broadcast semi join and pushes the ship-year bound") {
+    val p = plan("q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"supplier probe not a semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to sort-merge:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"),
+      s"ship-year bound not pushed to the lineitem scan:\n$p")
+  }
+
+  test("dsir scoring joins the broadcast ratio table (corpus reduced before exchange)") {
+    val p = plan("docs_dsir_weights")
+    assert(!p.contains("SortMergeJoin"), s"bucket-ratio join degraded to sort-merge:\n$p")
+  }
+
+  test("event paths run ONE user-keyed window pass for both leads") {
+    val p = plan("events_path_topn")
+    // two stacked lead()s must share a single Window operator/sort
+    assert("(?s)Window".r.findAllIn(p).size >= 1 &&
+      nShuffles(p) <= 2, s"stacked leads split into extra passes:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-n cut sorts globally:\n$p")
+  }
 }

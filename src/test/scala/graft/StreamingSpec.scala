@@ -270,6 +270,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quality gate scores an unbounded doc stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val model = graft.operators.QualityModel.fit(docs)
+    // stream two real corpus docs through the gate: stateless map-only
+    // inference must reproduce the batch scores bit-for-bit
+    val sample = docs.select("doc_id", "text").orderBy("doc_id").limit(2).collect()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.QualityModel
+      .scoreStream(input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("qgate").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(sample.map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.size === 2)
+      streamed.values.foreach(p => assert(p >= 0.0 && p <= 1.0))
+      val batch = graft.operators.QualityModel.qualityScore(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      streamed.foreach { case (id, p) => assert(p === batch(id), s"doc $id") }
+    } finally q.stop()
+  }
+
   test("streamingSearch joins a query stream against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Tables.points(spark, sf)

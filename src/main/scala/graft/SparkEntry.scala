@@ -161,6 +161,7 @@ object SparkEntry {
     "docs_mix_sources" -> ((s: SparkSession, d: String) => TextAnalysis.mixSources(s, d)),
     "text_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "text_dup_ngrams" -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
+    "text_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "docs_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "docs_quality_model" -> ((s: SparkSession, d: String) => QualityModel.qualityScore(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
@@ -1263,6 +1264,25 @@ object SparkEntry {
         |  md5(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g')) AS redacted_md5,
         |  length(regexp_replace(text, '\b(key|hash)\b', '<MASK>', 'g'))::BIGINT AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, greatest(len(words) - 3, 1))) AS pos,
+        |  words FROM t),
+        |gp AS (SELECT doc_id, pos, words[pos] || ' ' || words[pos+1] || ' ' ||
+        |  words[pos+2] || ' ' || words[pos+3] || ' ' || words[pos+4] AS shingle FROM g),
+        |dup AS (SELECT shingle FROM gp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM gp JOIN dup USING (shingle)),
+        |isl AS (SELECT doc_id,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+        |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp
+        |  HAVING count(*) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM gp GROUP BY 1),
+        |agg AS (SELECT doc_id, count(*) AS n_dup_runs, CAST(max(run) AS BIGINT)
+        |    AS max_run, CAST(sum(run) AS BIGINT) AS dup_grams FROM runs GROUP BY 1)
+        |SELECT s.doc_id, s.n_grams, coalesce(a.n_dup_runs, 0) AS n_dup_runs,
+        |  coalesce(a.max_run, 0) AS max_run,
+        |  round(coalesce(a.dup_grams, 0)::DOUBLE / s.n_grams, 4) AS dup_run_ratio
+        |FROM sizes s LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "docs_dsir_weights" ->
       """WITH tb AS (SELECT doc_id, source,
         |    CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 256 AS b

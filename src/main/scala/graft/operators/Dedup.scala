@@ -570,6 +570,52 @@ object Dedup {
       .orderBy("ia", "ib")
   }
 
+  /** Duplicate-SPAN structure audit (the span-level view behind
+    * substring-dedup à la Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): per document, the maximal RUNS of
+    * consecutive 5-grams that also appear in another document — where
+    * [[dupNgramFraction]] reports how MUCH of a doc is duplicated,
+    * this reports the span structure (how many contiguous runs, how
+    * long) that an excision pass would actually cut. Runs shorter than
+    * `minRun` grams are noise (single shared phrases) and are dropped.
+    *
+    * Shape: positioned grams reduce to (doc, pos, xxhash64) rows; the
+    * cross-doc duplicate set is a partial-agg'd distinct-doc count on
+    * the 8-byte hash; runs fall out of ONE per-doc window pass via the
+    * gaps-and-islands trick (pos − row_number is constant exactly on a
+    * consecutive run). Nothing wider than (doc, pos) ever shuffles.
+    */
+  def dupSpans(s: SparkSession, d: String, w: Int = 5, minRun: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - w + 1, lit(0))
+    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until w).map(j => col(s"z.w$j")): _*)).as("h"))
+      .cache()
+    val dupSet = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = grams.join(dupSet, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wdoc))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+    val agg = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_runs"), max("run").as("max_run"),
+        sum("run").as("dup_grams"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        round(coalesce(col("dup_grams"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("dup_run_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
     * the embedding space, then WITHIN each cluster greedily prune
     * vectors that have a near-duplicate (cosine ≥ t) of higher

@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
   }
 
+  test("dupSpans runs are consistent with the dup-ngram fraction audit") {
+    val spans = Dedup.dupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val ngram = Dedup.dupNgramFraction(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(spans.nonEmpty)
+    spans.foreach { case (id, (nGrams, nRuns, maxRun, ratio)) =>
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id ratio $ratio")
+      assert(maxRun <= nGrams, s"doc $id run $maxRun > $nGrams grams")
+      assert((nRuns == 0) == (maxRun == 0L), s"doc $id runs/max inconsistent")
+      // a doc with a >=3-gram duplicated run necessarily has duplicated
+      // grams in the (positionless) ngram audit; span ratio only counts
+      // run members so it can never exceed the per-gram dup ratio
+      // (modulo the audit's per-doc distinct-gram denominator, compare
+      // existence only)
+      if (nRuns > 0) assert(ngram(id) > 0.0, s"doc $id has runs but no dup grams")
+    }
+    assert(spans.exists(_._2._2 > 0)) // planted near-dups produce runs
+  }
+
   test("semanticDedup drops exactly the lower-priority members of clustered near-dup pairs") {
     val out = Dedup.semanticDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap

@@ -50,8 +50,10 @@ object Bench {
       // gen churn collapse (38s pause). Collect explicitly BETWEEN
       // queries when the heap is pressured: pauses stay untimed, and
       // the cleaner's async drain runs before the next timing window.
+      // Threshold scales with the configured heap (40% of max) — a
+      // fixed byte count silently disarms the guard on smaller heaps.
       val rt = Runtime.getRuntime
-      if (rt.totalMemory - rt.freeMemory > (6L << 30)) System.gc()
+      if (rt.totalMemory - rt.freeMemory > (rt.maxMemory * 2) / 5) System.gc()
       // Caches and memoized artifacts survive across queries DELIBERATELY:
       // the dedup family (minhash_lsh / clusters / keep_best) shares one
       // materialized pair list in any real deployment, and evicting it

@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_normalize"),
       info("graft_normalize", classOf[Normalize]),
       (args: Seq[Expression]) => Normalize(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_hamming_sign"),
+      info("graft_hamming_sign", classOf[HammingSign]),
+      (args: Seq[Expression]) => HammingSign(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", classOf[JaccardSorted]),
       (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))

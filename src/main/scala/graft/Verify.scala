@@ -24,15 +24,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,7 +38,26 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Write the oracle BEFORE running any query: if this JVM dies mid-run
+    // (OOM / external timeout), the driver's compare still sees every
+    // query dumped so far instead of an empty report (round-2's
+    // CORRECTNESS was `{}` — consistent with a dead run, not failures).
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // ContextCleaner drains dead broadcast blocks only after a GC; a
+      // 140-query session on a pinned ParallelGC heap can starve
+      // execution memory before one happens (see Bench's note). Collect
+      // between queries under heap pressure — nothing is timed here.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > (rt.maxMemory * 2) / 5) System.gc()
+    }
     spark.stop()
   }
 }

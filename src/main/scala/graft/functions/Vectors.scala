@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,11 @@ object Vectors {
     */
   def nearestCentroidId(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
     c(NearestCentroid(e(v), cents))
+
+  /** #dims whose sign bit differs — binary-quantization hamming distance
+    * over float vectors (integer, engine-exact), one codegen'd loop.
+    */
+  def hammingSign(a: Column, b: Column): Column = c(HammingSign(e(a), e(b)))
 
   /** Jaccard of two sorted distinct ARRAY<LONG> columns (merge walk,
     * one codegen'd pass) — the candidate-verify kernel for dedup.

@@ -359,12 +359,12 @@ object Embeddings {
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
     val q = array(qvec.map(lit): _*)
-    // hamming = #dims whose sign bit differs from the query's — exact
-    // integer arithmetic via a zip_with + aggregate over {0,1} longs
-    val hamming = aggregate(
-      zip_with(col("vec"), q, (a, b) =>
-        when((a >= 0) =!= (b >= 0), 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    // hamming = #dims whose sign bit differs from the query's — the
+    // native codegen'd HammingSign kernel (exact integer arithmetic).
+    // The zip_with+aggregate formulation of the same count ran its two
+    // lambdas interpretively per row: 9.0 s for this stage-1 scan at
+    // sf0.1 vs 0.8 s for the PQ sibling (BENCH_r02).
+    val hamming = hammingSign(col("vec"), q)
     val candidates = emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), hamming.as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id"))

@@ -218,6 +218,52 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** #dims whose SIGN BIT differs — the binary-quantization hamming
+  * distance computed straight from the float column. The `zip_with` +
+  * `aggregate` formulation of the same count evaluates two interpreted
+  * lambdas per row (BENCH_r02: 9.0 s for the BQ stage-1 scan vs 0.8 s
+  * for its PQ sibling); this is one codegen'd branchless loop
+  * (`(a>=0) != (b>=0)` compiles to a sign-bit xor). At scale the sign
+  * bitmap is the stored artifact and this kernel runs over packed
+  * longs; over the inline float column it is already scan-bound.
+  * Integer result — engine-exact, ties deterministic.
+  */
+case class HammingSign(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hamming_sign"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var h = 0L; var i = 0
+    while (i < n) {
+      if ((x.getDouble(i) >= 0) != (y.getDouble(i) >= 0)) h += 1
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (($a.getDouble($i) >= 0) != ($b.getDouble($i) >= 0)) $h++;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** a / ‖a‖₂ — unit-normalize in ONE fused pass (norm loop + scale loop).
   * The composable formulation `transform(a, x => x / graft_norm(a))`
   * re-evaluates the norm — itself an O(d) loop over the (possibly

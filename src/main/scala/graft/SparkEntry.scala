@@ -166,6 +166,7 @@ object SparkEntry {
     "docs_quality_model" -> ((s: SparkSession, d: String) => QualityModel.qualityScore(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Ann.nnDescentGraph(s, d)),
+    "ann_graph_topk" -> ((s: SparkSession, d: String) => Ann.graphTopK(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),

@@ -186,23 +186,42 @@ object Ann {
     * rows-only + AnnSpec recall/shape checks, no DuckDB oracle.
     */
   def nnDescentGraph(s: SparkSession, d: String, k: Int = 10, rounds: Int = 2,
-                     nlist: Int = 0, iters: Int = 3): DataFrame = {
+                     nlist: Int = 0, iters: Int = 3, sampleCap: Int = 0): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec")).cache()
-    // Init cost is Σ|bucket|² ≈ n²/nlist — nlist must GROW with n to
-    // keep the seeding linear-ish. √n lists ⇒ √n-sized buckets ⇒ n^1.5
-    // init pairs (and at real scale you size nlist = n/targetBucket,
-    // with per-bucket candidate sampling as NN-descent implementations
-    // do). nlist=0 (default) = pick √n, floor 16.
+    // Unsampled init cost would be Σ|bucket|² ≈ n²/nlist — n^1.5 pairs
+    // at the √n-list default, and unbounded on ONE skewed bucket. So
+    // init samples: each node pairs with its `cap` ring-successors in a
+    // hash-shuffled ordering of its bucket (+ the reverse edges) — a
+    // deterministic random sample of co-bucket peers, ≤ 2·cap init
+    // candidates per (node × probe) whatever the bucket size. This is
+    // exactly the paper's sample-K init, expressed as a window + a
+    // band-limited self-join instead of a per-bucket loop. Small
+    // buckets (|bucket| ≤ cap+1) degenerate to the full cross join.
+    // nlist=0 (default) = pick √n lists, floor 16; sampleCap=0 = 4k
+    // (the paper's sample-rate-1 init: K candidates per direction per
+    // probe; 2k left recall ~0.1 short of the unsampled init at test SF).
     val lists = if (nlist > 0) nlist
       else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cap = if (sampleCap > 0) sampleCap else 4 * k
     val cents = kmeansCentroidsCached(s, s"nndescent:$d:$lists", emb, lists, iters)
+    val knn = descendEdges(emb, cents, k, rounds, cap)
+    val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
+    knn.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("src").as("vec_id"), col("rk"), col("dst").as("neighbor_id"),
+        round(col("cs"), 4).as("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** NN-descent core: scored k-NN edge list (src, dst, cs) over any
+    * (vec_id, vec) relation — shared by [[nnDescentGraph]] (the audit
+    * view) and [[graphTopK]] (the search index build).
+    */
+  private def descendEdges(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+                           k: Int, rounds: Int, cap: Int): DataFrame = {
     val posts = emb.select(col("vec_id"),
       explode(slice(array_sort(centroidStructs(col("vec"), cents)), 1, 2)
         .getField("cid")).as("cid"))
-    val init = posts.as("a").join(posts.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst")).distinct()
     // exact-rescore candidates, keep each node's k best (heap operator:
     // only <= k rows per (node x partition) reach the exchange)
     def topK(cand: DataFrame): DataFrame =
@@ -213,7 +232,7 @@ object Ann {
           .select(col("src"), col("dst"),
             round(cosineSim(col("sv"), col("dv")), 6).as("cs")),
         Seq(col("src")), Seq(col("cs").desc, col("dst").asc), k)
-    var knn = topK(init).localCheckpoint()
+    var knn = topK(ringInitPairs(posts, cap)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val und = knn.select("src", "dst")
         .union(knn.select(col("dst").as("src"), col("src").as("dst")))
@@ -222,10 +241,121 @@ object Ann {
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
       knn = topK(und.union(expanded).distinct()).localCheckpoint()
     }
-    val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
-    knn.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("src").as("vec_id"), col("rk"), col("dst").as("neighbor_id"),
-        round(col("cs"), 4).as("cosine"))
-      .orderBy("vec_id", "rk")
+    knn
   }
+
+  /** Bounded NN-descent init: pair every bucket member with its `cap`
+    * successors on a hash-shuffled ring of the bucket (both directions
+    * emitted). Pairs per bucket ≤ 2·cap·|bucket| — LINEAR in bucket
+    * size, vs |bucket|² for the full co-bucket cross join (which one
+    * skewed bucket turns into the whole job). xxhash64 ordering makes
+    * the sample deterministic AND uniform-ish regardless of id layout.
+    */
+  private[graft] def ringInitPairs(posts: DataFrame, cap: Int): DataFrame = {
+    val ring = Window.partitionBy("cid").orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val ringed = posts.select(col("cid"), col("vec_id"),
+      row_number().over(ring).as("rn"),
+      count(lit(1)).over(Window.partitionBy("cid")).as("sz"))
+    val fwd = ringed.as("a").join(ringed.as("b"),
+        col("a.cid") === col("b.cid") &&
+          pmod(col("b.rn") - col("a.rn") + col("a.sz"), col("a.sz")).between(1, cap))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Driver-side memo of built k-NN graphs (localCheckpointed edge
+    * lists): like centroids, the graph is INDEX STATE — built once per
+    * corpus snapshot, consumed by every search — and n·k rows, safe to
+    * pin. Keyed by session identity so a fresh session rebuilds.
+    */
+  private val graphMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  /** GRAPH-ANN top-k search (the HNSW/DiskANN serving tier, batched):
+    * best-first beam traversal over the NN-descent k-NN graph. Per
+    * query: score a small deterministic ENTRY set, then each hop (1)
+    * expands the current top-`beam` frontier through the undirected
+    * edge list, (2) drops already-visited nodes (anti join on the
+    * per-query visited set), (3) exact-scores only the new candidates.
+    * After `hops` rounds the answer is the best k of everything scored.
+    *
+    * This is the batch formulation of Qdrant's HNSW serving path
+    * (/root/reference/search.py:31-49): graph quality (from the build)
+    * buys recall-at-candidate-budget that flat IVF probing can't reach
+    * on clustered corpora. Scale shape: the corpus NEVER shuffles —
+    * candidates (Q·beam·k rows/hop) broadcast to the corpus scan for
+    * vector attach, the edge list joins broadcast frontiers, and every
+    * per-query cut is the TopKPerKey heap operator. State between hops
+    * is (query, node, score) rows — Q·budget, not Q·n. Hash-seeded
+    * build + approximate ⇒ rows-only + AnnSpec recall vs equal-budget
+    * IVF; deterministic end-to-end (seeded k-means, xxhash ring,
+    * integer tie-breaks), so the driver's rows-only check is stable.
+    */
+  def graphTopK(s: SparkSession, d: String, k: Int = 10, beam: Int = 10,
+                hops: Int = 2, graphK: Int = 10, entries: Int = 32): DataFrame =
+    graphTopKWithBudget(s, d, k, beam, hops, graphK, entries)._1
+
+  /** [[graphTopK]] plus the AVERAGE per-query candidate budget actually
+    * scored (|visited| / |queries|) — the number the recall-per-budget
+    * comparison against IVF's nprobe/nlist probe fraction needs.
+    */
+  private[graft] def graphTopKWithBudget(s: SparkSession, d: String, k: Int = 10,
+                                         beam: Int = 10, hops: Int = 2,
+                                         graphK: Int = 10,
+                                         entries: Int = 32): (DataFrame, Double) = {
+    val (corpus, queries) = corpusAndQueries(s, d)
+    val emb = corpus.cache()
+    // build (or reuse) the undirected edge list over the CORPUS side
+    val edges = graphMemo.getOrElseUpdate((System.identityHashCode(s), s"$d:$graphK"), {
+      val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val cents = kmeansCentroidsCached(s, s"graph:$d:$lists", emb, lists, 3)
+      val g = descendEdges(emb, cents, graphK, rounds = 2, cap = 4 * graphK)
+        .select("src", "dst")
+      g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .localCheckpoint()
+    })
+    // exact-score a (query_id, vec_id) candidate set; candidates are
+    // Q·budget rows — ALWAYS the broadcast side; the corpus scan stays
+    // in place (no corpus shuffle anywhere in the search)
+    def score(cand: DataFrame): DataFrame =
+      emb.join(broadcast(cand), "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosineSim(col("vec"), col("qvec")), 6).as("cs"))
+    // entry set: `entries` corpus nodes in xxhash64 order scored
+    // against every query — a deterministic pseudo-random sample
+    // (id-order would bias toward whatever the id layout clusters
+    // together). This is the coarse routing HNSW's upper layers
+    // perform, collapsed to one sample: no layer hierarchy needed in
+    // batch, the hops do the descent. TakeOrdered — O(entries) rows.
+    val entry = emb.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(entries)
+      .crossJoin(queries.select(col("query_id")))
+      .select(col("query_id"), col("vec_id"))
+    var scored = score(entry).localCheckpoint()
+    var frontier = graft.plans.TopK.perKey(scored,
+      Seq(col("query_id")), Seq(col("cs").desc, col("vec_id").asc), beam)
+    var visited = scored.select("query_id", "vec_id").localCheckpoint()
+    for (_ <- 1 to hops) {
+      // frontier (Q·beam rows) broadcasts into the edge list — the
+      // only n·k-sized relation here — so expansion is map-side too
+      val cand = edges.join(
+          broadcast(frontier.select(col("query_id"), col("vec_id").as("src"))), "src")
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        .join(visited, Seq("query_id", "vec_id"), "left_anti")
+      val ns = score(cand).localCheckpoint()
+      scored = scored.union(ns).localCheckpoint()
+      visited = visited.union(ns.select("query_id", "vec_id")).localCheckpoint()
+      frontier = graft.plans.TopK.perKey(ns,
+        Seq(col("query_id")), Seq(col("cs").desc, col("vec_id").asc), beam)
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+    val result = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cs"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+    (result, visited.count().toDouble / math.max(queries.count(), 1L))
+  }
+
 }

@@ -625,14 +625,28 @@ object Dedup {
     * Emits every vector with its cluster and keep verdict — the
     * retention-policy twin of [[embeddingNearDupIvf]]'s pair listing.
     *
+    * RETENTION SEMANTICS (deliberate, stricter than greedy SemDeDup):
+    * a vector is dropped if ANY higher-priority cluster-mate is a
+    * near-dup — whether or not that mate itself survives. Greedy-
+    * against-kept (the paper's sequential scan) would re-keep the
+    * third member of an a~b, b~c chain once b is gone; resolving that
+    * needs a per-cluster sequential fixpoint that doesn't batch. The
+    * one-pass transitive drop is deterministic, order-free, and keeps
+    * the guarantee that matters for dedup (NO two kept members are
+    * near-dups) at the cost of pruning chains slightly harder — the
+    * conservative side for training-data curation.
+    *
     * Scale shape: clustering is the same driver-sized seeded k-means
     * the IVF index build uses (assignment = one codegen'd map pass);
     * the quadratic compare is confined per cluster (n²/k vs n² —
-    * SemDeDup's actual trick), and only (id, cluster, cdist) tuples
-    * shuffle for the compare join, with vectors re-attached to
-    * candidates only. k-means + hash-partitioned clusters → no DuckDB
-    * oracle; rows-only + DedupSpec (drops are exactly the lower-
-    * priority members of exact near-dup pairs within a cluster).
+    * SemDeDup's actual trick), and the compare self-join runs on the
+    * 3-column (id, cluster, cdist) projection — no vector crosses its
+    * exchange (plan-guarded); vectors re-attach to the surviving
+    * candidate PAIRS by two id-keyed joins, so the vector relation
+    * shuffles n rows once, not once per pair. k-means +
+    * hash-partitioned clusters → no DuckDB oracle; rows-only +
+    * DedupSpec (drops are exactly the lower-priority members of exact
+    * near-dup pairs within a cluster).
     */
   def semanticDedup(s: SparkSession, d: String, t: Double = 0.99,
                     nlist: Int = 16, iters: Int = 3): DataFrame = {
@@ -643,12 +657,18 @@ object Dedup {
         array_sort(Ann.centroidStructs(col("vec"), cents))(0).as("nc"))
       .select(col("vec_id"), col("vec"), col("nc").getField("cid").as("cluster"),
         round(col("nc").getField("d"), 6).as("cdist"))
-    val dropped = assigned.as("a").join(assigned.as("b"),
+    val keys = assigned.select(col("vec_id"), col("cluster"), col("cdist"))
+    val candPairs = keys.as("a").join(keys.as("b"),
         col("a.cluster") === col("b.cluster") &&
           (col("a.cdist") < col("b.cdist") ||
             (col("a.cdist") === col("b.cdist") && col("a.vec_id") < col("b.vec_id"))))
-      .filter(cosineSim(col("a.vec"), col("b.vec")) >= t)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+    val vecs = all.select(col("vec_id"), col("vec"))
+    val dropped = candPairs
+      .join(vecs.select(col("vec_id").as("ia"), col("vec").as("va")), "ia")
+      .join(vecs.select(col("vec_id").as("ib"), col("vec").as("vb")), "ib")
+      .filter(cosineSim(col("va"), col("vb")) >= t)
+      .select(col("ib").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(true))
     assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),

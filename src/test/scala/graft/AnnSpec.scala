@@ -96,4 +96,85 @@ class AnnSpec extends SparkSpecBase {
     assert(r2 >= r0 - 1e-9, s"descent hurt recall: $r2 < $r0")
     assert(r2 >= 0.5, s"nn-descent recall@$k $r2 (init $r0)")
   }
+
+  test("ring-sampled init stays linear per bucket (no |bucket|² blowup on a skewed bucket)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // worst case: ONE bucket holding all 200 nodes — the full cross
+    // join would emit 200·199 pairs; the ring cap must stay at 2·cap
+    // out-edges per node (cap forward + ≤ cap reverse)
+    val cap = 5
+    val posts = (0L until 200L).map(v => (v, 0L)).toDF("vec_id", "cid")
+    val pairs = Ann.ringInitPairs(posts, cap).cache()
+    val total = pairs.count()
+    assert(total <= 200L * 2 * cap, s"init pairs $total exceed the linear bound")
+    val maxDeg = pairs.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 2L * cap, s"node degree $maxDeg exceeds 2·cap")
+    // no self pairs, and the sample is symmetric (reverse edges present)
+    assert(pairs.filter(col("src") === col("dst")).count() === 0)
+    val rev = pairs.select(col("dst").as("src"), col("src").as("dst"))
+    assert(pairs.except(rev).count() === 0, "init sample not symmetric")
+    // a small bucket (≤ cap+1 members) still degenerates to ALL pairs
+    val small = (0L until 4L).map(v => (v, 0L)).toDF("vec_id", "cid")
+    assert(Ann.ringInitPairs(small, cap).count() === 4L * 3)
+    pairs.unpersist()
+  }
+
+  test("graph-ANN beam search: k ranked rows, sub-scan budget, recall floor (worst case)") {
+    val (res, budget) = Ann.graphTopKWithBudget(spark, sf)
+    val rows = res.collect()
+    // shape: exactly k=10 ranked rows per query, scores descending
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length === 10)
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+    // the traversal must be a genuine sub-scan: average per-query
+    // candidates scored stay under IVF's default probe fraction (8/16)
+    val n = Tables.embeddings(spark, sf).count() - 10
+    assert(budget <= 0.55 * n, s"graph scored $budget of $n per query")
+    val gr = brute.keys.toSeq.map { q =>
+      (topkSets(rows).getOrElse(q, Set.empty) & brute(q)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    // near-orthogonal embeddings are graph search's worst case (no
+    // gradient to climb — recall ≈ scored fraction); clustered-corpus
+    // superiority over IVF is the next test
+    assert(gr >= 0.5, s"graph recall $gr at budget $budget/$n")
+  }
+
+  test("graph-ANN beats-or-matches IVF on a clustered corpus at a smaller candidate budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the regime graph indexes exist for: well-clustered embeddings.
+    // 8 gaussian clusters × 80 members; queries = fresh perturbations
+    // of 8 distinct cluster centers (+2 re-used) with vec_id < 10.
+    // Corpus ids are handed out round-robin across clusters so NO id
+    // range is cluster-correlated (the entry sample must not get a
+    // free ride from the layout).
+    val rnd = new scala.util.Random(42)
+    val dim = 64; val nClusters = 8; val per = 80
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    def jitter(c: Array[Double]): Seq[Float] =
+      c.map(v => (v + 0.25 * rnd.nextGaussian()).toFloat).toSeq
+    val members = for (i <- 0 until per; c <- 0 until nClusters)
+      yield (10L + i * nClusters + c, jitter(centers(c)), c)
+    val queries = (0 until 10).map(q => (q.toLong, jitter(centers(q % nClusters)), q % nClusters))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    (queries ++ members).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cbrute = topkSets(Ann.bruteTopK(spark, dir).collect())
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      cbrute.keys.toSeq.map { q =>
+        (m.getOrElse(q, Set.empty) & cbrute(q)).size.toDouble / cbrute(q).size
+      }.sum / cbrute.size
+    val (res, budget) = Ann.graphTopKWithBudget(spark, dir)
+    val gr = recallOf(topkSets(res.collect()))
+    val ivfR = recallOf(topkSets(Ann.ivfTopK(spark, dir).collect()))
+    val n = nClusters * per
+    // IVF's default probe budget is half the corpus; the traversal must
+    // match its recall while scoring strictly less
+    assert(budget < 0.5 * n, s"graph budget $budget not below IVF's ${0.5 * n}")
+    assert(gr >= ivfR - 1e-9, s"graph recall $gr < IVF $ivfR (budget $budget/$n)")
+    assert(gr >= 0.9, s"graph recall $gr on clustered corpus (budget $budget/$n)")
+  }
 }

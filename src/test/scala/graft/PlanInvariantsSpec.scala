@@ -271,11 +271,37 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"bucket-ratio join degraded to sort-merge:\n$p")
   }
 
+  test("semantic dedup compare join carries no vector arrays across its exchange") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    // the n²/k-pair compare join must run on the (id, cluster, cdist)
+    // projection — a vector column on either side multiplies the
+    // exchange by dim×8 bytes per candidate pair at scale
+    val plan = operators.Dedup.semanticDedup(spark, sf).queryExecution.sparkPlan
+    val compares = plan.collect {
+      case j: BaseJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "cluster")) ||
+          j.condition.exists(_.references.exists(_.name == "cluster")) => j
+    }
+    assert(compares.nonEmpty, s"cluster compare join not found:\n$plan")
+    compares.foreach { j =>
+      Seq("left" -> j.left, "right" -> j.right).foreach { case (side, child) =>
+        val arrays = child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"$side side of the compare join carries array columns $arrays:\n$plan")
+      }
+    }
+  }
+
   test("event paths run ONE user-keyed window pass for both leads") {
     val p = plan("events_path_topn")
-    // two stacked lead()s must share a single Window operator/sort
-    assert("(?s)Window".r.findAllIn(p).size >= 1 &&
-      nShuffles(p) <= 2, s"stacked leads split into extra passes:\n$p")
+    // two stacked lead()s must share a single Window operator/sort —
+    // count formatted-plan OPERATOR HEADERS ("(n) Window"), so a
+    // regression that splits the leads into two Window passes fails
+    // (`Window\b` does not match WindowGroupLimit)
+    val nWindows = "\\(\\d+\\) Window\\b".r.findAllIn(p).size
+    assert(nWindows == 1, s"expected exactly one Window operator, got $nWindows:\n$p")
+    assert(nShuffles(p) <= 2, s"stacked leads split into extra passes:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-n cut sorts globally:\n$p")
   }
 }

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * merged physically on the next save (the lakehouse analogue of
   * Qdrant's mutable collection).
   */
-class VectorIndex private (val points: DataFrame) {
+class VectorIndex private (val points: DataFrame,
+                           val embedder: Embedder = FeatureHashEmbedder) {
 
   import VectorIndex._
 
@@ -39,12 +40,12 @@ class VectorIndex private (val points: DataFrame) {
     val w = Window.partitionBy("id").orderBy(col("seq").desc)
     new VectorIndex(points.unionByName(batch)
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk"))
+      .filter(col("__rk") === 1).drop("__rk"), embedder)
   }
 
   /** Generic predicate delete (FilterSelector analogue). */
   def delete(predicate: Column): VectorIndex =
-    new VectorIndex(points.filter(!predicate))
+    new VectorIndex(points.filter(!predicate), embedder)
 
   def deleteByUser(userId: Long): VectorIndex =
     delete(col("user_id") === userId)
@@ -75,16 +76,15 @@ class VectorIndex private (val points: DataFrame) {
   }
 
   /** Text-query search — the full /search flow (search.py:31-49): embed
-    * the query string with the SAME deterministic feature-hash embedder
-    * the collection was built with, then run the filtered top-k. The
-    * single-row query embedding runs as a tiny Spark job (one collect),
-    * keeping query- and corpus-embedding code identical by construction.
+    * the query string with the SAME [[Embedder]] the collection was
+    * built with, then run the filtered top-k. The single-row query
+    * embedding runs as a tiny Spark job (one collect), keeping query-
+    * and corpus-embedding code identical by construction.
     */
   def searchText(query: String, userId: Long, k: Int): DataFrame = {
     val s = points.sparkSession
     import s.implicits._
-    val qvec = graft.operators.VectorStore
-      .embedDocs(Seq((0L, query)).toDF("doc_id", "text"))
+    val qvec = embedder.embed(Seq((0L, query)).toDF("doc_id", "text"))
       .head().getSeq[Double](1)
     search(qvec, userId, k)
   }
@@ -256,33 +256,54 @@ object VectorIndex {
 
   val schema: Seq[String] = Seq("id", "vector", "text", "user_id", "site", "lang", "seq")
 
-  def apply(points: DataFrame): VectorIndex = {
+  def apply(points: DataFrame,
+            embedder: Embedder = FeatureHashEmbedder): VectorIndex = {
     require(schema.forall(points.columns.contains),
       s"points must have columns $schema, got ${points.columns.toSeq}")
-    new VectorIndex(points.select(schema.map(col): _*))
+    new VectorIndex(points.select(schema.map(col): _*), embedder)
   }
 
   /** Build a collection FROM RAW TEXTS — the /insert flow (app.py:36-54
-    * embeds each text then upserts the point): embed every document with
-    * the deterministic feature-hash embedder and assemble the point
-    * schema. `docs` needs (doc_id, text, user_id, site, lang).
+    * embeds each text then upserts the point): embed every document
+    * with `embedder` (default: the deterministic feature-hash model)
+    * and assemble the point schema. `docs` needs (doc_id, text,
+    * user_id, site, lang).
+    *
+    * `contentAddressed = true` keys points by xxhash64(text) instead
+    * of doc_id — the reference test suite's uuid3-of-text ids
+    * (/root/reference/test_qdrant.py): re-inserting the same text
+    * OVERWRITES the existing point, so duplicate texts collapse to one
+    * point at build time (last writer by doc_id order wins, exactly
+    * the serving store's upsert outcome).
     */
-  def fromTexts(docs: DataFrame): VectorIndex = {
-    val emb = graft.operators.VectorStore.embedDocs(docs)
-    VectorIndex(docs
+  def fromTexts(docs: DataFrame, embedder: Embedder = FeatureHashEmbedder,
+                contentAddressed: Boolean = false): VectorIndex = {
+    val emb = embedder.embed(docs)
+    val idCol = if (contentAddressed) xxhash64(col("text")) else col("doc_id")
+    val pts = docs
       .join(emb, "doc_id")
-      .select(col("doc_id").as("id"), col("embedding").as("vector"), col("text"),
-        col("user_id"), col("site"), col("lang"), col("doc_id").as("seq")))
+      .select(idCol.as("id"), col("embedding").as("vector"), col("text"),
+        col("user_id"), col("site"), col("lang"), col("doc_id").as("seq"))
+    val resolved = if (contentAddressed) {
+      val w = Window.partitionBy("id").orderBy(col("seq").desc)
+      pts.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+    } else pts
+    VectorIndex(resolved, embedder)
   }
 
   /** Reopen a saved collection. Tenant-filtered queries prune buckets:
     * the reader keeps `bucket` as a partition column. If the path holds
     * rotated generations (streaming upsert maintenance), the newest
-    * COMMITTED generation is read — see [[resolveSnapshot]].
+    * COMMITTED generation is read — see [[resolveSnapshot]]. The
+    * embedder is MODEL state, not data — pass the one the collection
+    * was built with (defaults to the feature-hash model).
     */
-  def load(spark: SparkSession, path: String): VectorIndex =
+  def load(spark: SparkSession, path: String,
+           embedder: Embedder = FeatureHashEmbedder): VectorIndex =
     new VectorIndex(
-      spark.read.parquet(resolveSnapshot(spark, path)).select(schema.map(col): _*))
+      spark.read.parquet(resolveSnapshot(spark, path)).select(schema.map(col): _*),
+      embedder)
 
   private val GenPrefix = "gen-"
 

@@ -88,6 +88,59 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(hits.head.getDouble(3) < 1e-9) // identical text → distance 0
   }
 
+  test("embedder seam: a custom model drives fromTexts AND searchText identically") {
+    // 4-dim character-statistics model — structurally nothing like the
+    // 64-dim feature-hash default, so the assertions below can only
+    // pass if BOTH the corpus build and the query path went through
+    // the plugged-in embedder
+    object CharStatsEmbedder extends graft.api.Embedder {
+      override def embed(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"),
+          graft.functions.Vectors.normalize(array(
+            length(col("text")).cast("double"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("double"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
+          )).as("embedding"))
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 20).as("user_id"),
+        col("source").as("site"), col("lang"))
+    val index = VectorIndex.fromTexts(docs, CharStatsEmbedder)
+    // corpus vectors come from the custom model (4 dims, not 64)
+    assert(index.points.select(size(col("vector"))).head().getInt(0) === 4)
+    val probe = docs.filter(col("doc_id") === 13).head()
+    val hits = index.searchText(probe.getString(1), userId = 13 % 20, k = 3).collect()
+    // identical text → identical 4-dim vector → distance 0 at rank 1;
+    // holds only when the query embeds with the same custom model
+    assert(hits.nonEmpty && hits.head.getDouble(3) < 1e-9,
+      s"custom-embedder self-retrieval failed: ${hits.toSeq}")
+  }
+
+  test("content-addressed fromTexts collapses duplicate texts, last writer wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same text", 5L, "a", "en"),
+      (2L, "another text", 5L, "a", "en"),
+      (3L, "the same text", 7L, "b", "en") // dup of doc 1, later writer
+    ).toDF("doc_id", "text", "user_id", "site", "lang")
+    val idx = VectorIndex.fromTexts(docs, contentAddressed = true)
+    // 3 docs, 2 distinct texts → 2 points (uuid3-of-text upsert
+    // semantics from the reference's test_qdrant.py)
+    assert(idx.points.count() === 2)
+    val dup = idx.points.filter(col("text") === "the same text").collect()
+    assert(dup.length === 1)
+    // last writer (highest seq = doc_id 3) owns the point
+    assert(dup.head.getAs[Long]("seq") === 3L)
+    assert(dup.head.getAs[Long]("user_id") === 7L)
+    // ids are content hashes: re-building from a disjoint doc_id range
+    // with the same text yields the SAME point id
+    val again = VectorIndex.fromTexts(
+      Seq((100L, "the same text", 9L, "c", "en")).toDF("doc_id", "text", "user_id", "site", "lang"),
+      contentAddressed = true)
+    assert(again.points.head().getAs[Long]("id") === dup.head.getAs[Long]("id"))
+  }
+
   test("scroll pages the collection exactly once in id order") {
     val idx = index
     val all = idx.points.select("id").collect().map(_.getLong(0)).sorted

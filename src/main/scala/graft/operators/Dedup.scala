@@ -516,11 +516,23 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates ≥ 0.99, exact blocked all-pairs —
-    * the oracle-checkable baseline. [[embeddingNearDupLsh]] is the
-    * sub-quadratic route at 100 TB.
+    * the oracle-checkable baseline, NOT the scale route: the compare is
+    * O(n²) by construction. `maxRows` guards the foot-gun — beyond it
+    * the call fails fast with a pointer to the sub-quadratic twins
+    * ([[embeddingNearDupLsh]], [[embeddingNearDupIvf]],
+    * [[semanticDedup]]) instead of launching a quadratic job that looks
+    * fine at test SF and never finishes on a real corpus. The default
+    * (1M vectors ⇒ ~5·10¹¹ pairs) is already past what a sane exact
+    * audit spends; pass a larger cap explicitly to override.
     */
-  def embeddingNearDup(s: SparkSession, d: String, t: Double = 0.99): DataFrame = {
+  def embeddingNearDup(s: SparkSession, d: String, t: Double = 0.99,
+                       maxRows: Long = 1000000L): DataFrame = {
     val all = nearDupCorpus(s, d)
+    val n = all.count()
+    require(n <= maxRows,
+      s"embeddingNearDup is exact all-pairs (O(n²)): corpus has $n vectors " +
+        s"(cap $maxRows). Use embeddingNearDupLsh / embeddingNearDupIvf / " +
+        "semanticDedup at scale, or raise maxRows explicitly.")
     all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
         cosineSim(col("a.vec"), col("b.vec")).as("cs"))

@@ -53,18 +53,26 @@ object QualityModel {
       .fit(feat)
   }
 
+  /** Batch scoring. `model = null` (default) fits fresh on this corpus;
+    * passing a pre-fitted model scores with EXACTLY that model — the
+    * batch/stream parity contract ([[scoreStream]]) is then equality by
+    * construction rather than by hoping two independent L-BFGS runs
+    * aggregate bit-identically.
+    */
   def qualityScore(s: SparkSession, d: String, numFeatures: Int = 1024,
-                   maxIter: Int = 25, regParam: Double = 0.01): DataFrame = {
+                   maxIter: Int = 25, regParam: Double = 0.01,
+                   model: org.apache.spark.ml.classification.LogisticRegressionModel = null)
+      : DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         split(col("text"), " ").as("tokens"),
         TextAnalysis.gopherPassExpr(minWords = 15).cast("double").as("label"))
     val feat = featurizer(numFeatures).transform(docs).cache()
-    val model = new LogisticRegression()
+    val m = if (model != null) model else new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
       .fit(feat)
-    model.transform(feat)
+    m.transform(feat)
       .select(col("doc_id"), col("label").cast("long").as("rule_label"),
         round(vector_to_array(col("probability"))(1), 4).as("quality_score"),
         col("prediction").cast("long").as("pred"))

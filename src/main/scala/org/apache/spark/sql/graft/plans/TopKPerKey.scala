@@ -56,8 +56,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       while (it.hasNext) {
         val row = it.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        // the projection reuses its buffer — look up with the transient
+        // key and copy ONLY on first sight of a key (one allocation per
+        // key, not per row; rows likewise copy only when they enter a
+        // heap, since the scan iterator reuses its row)
+        val key = keyProj(row)
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

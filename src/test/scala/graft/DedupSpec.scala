@@ -75,6 +75,14 @@ class DedupSpec extends SparkSpecBase {
     assert(planted.length === 50)
   }
 
+  test("embeddingNearDup refuses a corpus past its all-pairs cap, pointing at the scale twins") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(spark, sf, maxRows = 10)
+    }
+    assert(e.getMessage.contains("O(n²)") && e.getMessage.contains("embeddingNearDupLsh"),
+      s"guard message unhelpful: ${e.getMessage}")
+  }
+
   test("IVF-bucketed embedding near-dup recalls the exact pair set sub-quadratically") {
     val exact = Dedup.embeddingNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

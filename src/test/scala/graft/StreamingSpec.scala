@@ -288,8 +288,11 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(streamed.size === 2)
       streamed.values.foreach(p => assert(p >= 0.0 && p <= 1.0))
-      val batch = graft.operators.QualityModel.qualityScore(spark, sf).collect()
-        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // score batch with the SAME fitted model — parity is then a
+      // property of the scoring path, not of two independent L-BFGS
+      // fits happening to aggregate bit-identically
+      val batch = graft.operators.QualityModel.qualityScore(spark, sf, model = model)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       streamed.foreach { case (id, p) => assert(p === batch(id), s"doc $id") }
     } finally q.stop()
   }

@@ -82,7 +82,7 @@ object Bench {
       "topk_per_group_fast", "events_sessionize", "events_asof_join",
       "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
       "text_bm25", "text_lm_score", "vs_search_batch", "vs_embed_text",
-      "ann_brute_topk", "ann_ivf_topk", "emb_pq_search", "emb_bq_search",
+      "ann_brute_topk", "ann_ivf_topk", "ann_graph_topk", "emb_pq_search", "emb_bq_search",
       "mm_feature_extract")
     println(line(results.filter { case (k, _) => headline.contains(k) }))
     spark.stop()

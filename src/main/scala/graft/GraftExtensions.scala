@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hamming_sign"),
       info("graft_hamming_sign", classOf[HammingSign]),
       (args: Seq[Expression]) => HammingSign(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_embed"),
+      info("graft_embed", classOf[FeatureHashEmbed]),
+      (args: Seq[Expression]) => FeatureHashEmbed(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", classOf[JaccardSorted]),
       (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,14 @@ object Vectors {
     * one codegen'd pass) — the candidate-verify kernel for dedup.
     */
   def jaccardSorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
+
+  /** The deterministic feature-hash text embedding as ONE fused
+    * map-side kernel (split → murmur3 → signed bucket sums →
+    * normalize) — no explode, no exchange; bit-identical to the
+    * declarative explode+agg pipeline.
+    */
+  def featureHashEmbed(text: Column, dim: Int): Column =
+    c(FeatureHashEmbed(e(text), dim))
 
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))

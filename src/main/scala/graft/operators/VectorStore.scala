@@ -463,13 +463,30 @@ object VectorStore {
   /** Embed any (doc_id, text) DataFrame — the reusable core of
     * [[embedText]] (also powers VectorIndex.fromTexts / searchText).
     *
-    * ONE doc-keyed shuffle: the `dim` bucket sums are parallel
-    * conditional-sum aggregate columns (each codegen'd, each
-    * partial-aggregated map-side), so the exchange carries one dim-wide
-    * row per doc. The previous (doc, bucket)-keyed two-shuffle + map
-    * rebuild shape shipped the same data twice and paid an extra stage.
+    * ZERO shuffles: the whole split → murmur3 → signed bucket sums →
+    * normalize pipeline is ONE fused native expression
+    * ([[graft.functions.Vectors.featureHashEmbed]]) — a per-row kernel
+    * touching each character once, embarrassingly parallel at any
+    * corpus size. This replaced the declarative explode + two-level
+    * aggregation shape (kept as [[embedDocsDeclarative]] for the
+    * equivalence spec), which paid a doc-keyed exchange and dim
+    * conditional-sum evaluations per doc — 14.9 s → map-speed at
+    * sf0.1, BENCH_r02's single largest line. Output is bit-identical:
+    * same murmur3(seed 42) token hashes, same ±1 bucket sums (order-
+    * free integer-in-double arithmetic), same normalize.
     */
-  def embedDocs(docs: DataFrame, dim: Int = 64): DataFrame = {
+  def embedDocs(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id"), featureHashEmbed(col("text"), dim).as("embedding"))
+      .orderBy("doc_id")
+
+  /** The declarative explode + two-level-aggregation formulation of
+    * [[embedDocs]] — the shape an engine without per-row kernels would
+    * use. Retained as the independent reference implementation the
+    * equivalence spec checks the fused kernel against (tokenization,
+    * hashing, bucket arithmetic, and normalization all reimplemented
+    * from Spark built-ins).
+    */
+  def embedDocsDeclarative(docs: DataFrame, dim: Int = 64): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", hash(col("tok")))
@@ -478,11 +495,7 @@ object VectorStore {
     // two-level aggregation: token rows first collapse to (doc, bucket)
     // partial sums IN THE SAME exchange (map-side combine on the
     // composite key), then the dim-wide row assembles from ≤ dim rows
-    // per doc. The assembly's `dim` conditional-sum columns evaluate
-    // over docs×dim rows — NOT per token; running them directly on the
-    // token stream costs dim× more expression evaluations (measured
-    // ~2.4× wall at sf0.1, dim=64). ±1-integer sums in double are
-    // order-exact, so the split changes nothing numerically.
+    // per doc; ±1-integer sums in double are order-exact.
     val bucketSums = (0 until dim).map(k =>
       sum(when(col("idx") === k, col("s")).otherwise(0.0)).as(s"v$k"))
     toks.groupBy("doc_id", "idx").agg(sum("sgn").as("s"))

@@ -264,6 +264,81 @@ case class HammingSign(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The deterministic feature-hash text embedding fused into ONE
+  * map-side expression: split text on single spaces, Murmur3-hash each
+  * token (seed 42 — bit-identical to `functions.hash`), accumulate ±1
+  * into `pmod(h, dim)` buckets (+1 when h is even), L2-normalize.
+  *
+  * The declarative formulation (explode → (doc, bucket) partial agg →
+  * dim conditional-sum assembly) is the right shape for an engine
+  * without per-row kernels, but it pays TWO doc-keyed exchanges and
+  * dim× conditional evaluations per doc — 14.9 s at sf0.1, the
+  * single largest line of BENCH_r02. This kernel touches each
+  * character once per row with no shuffle at all; the embed stage of
+  * fromTexts / searchText / vs_embed_text becomes a pure map over the
+  * corpus — embarrassingly parallel at any scale. Bucket sums are
+  * order-free (±1 integers in double), so output is bit-identical to
+  * the declarative pipeline (EquivalenceSpec-proved).
+  */
+case class FeatureHashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(dim > 0, s"dim must be positive, got $dim")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_feature_hash_embed"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      FeatureHashEmbed.embed(s, dim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graft.FeatureHashEmbed.embed($a, $dim));
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object FeatureHashEmbed {
+  /** Shared kernel (interpreted + codegen paths): one pass over the
+    * UTF-8 bytes; token boundaries at 0x20 — byte-equivalent to
+    * `split(text, " ")`, whose default limit -1 KEEPS empty tokens
+    * (leading, interior, and trailing; "" → one empty token), so a
+    * row always hashes n_spaces+1 tokens. 0x20 never occurs inside a
+    * UTF-8 multi-byte sequence, so byte scanning ≡ character scanning.
+    */
+  def embed(s: org.apache.spark.unsafe.types.UTF8String, dim: Int): Array[Double] = {
+    val bytes = s.getBytes
+    val out = new Array[Double](dim)
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start, 42)
+        val idx = ((h % dim) + dim) % dim
+        out(idx) += (if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0)
+        start = i + 1
+      }
+      i += 1
+    }
+    var nrm = 0.0
+    var k = 0
+    while (k < dim) { nrm += out(k) * out(k); k += 1 }
+    nrm = math.sqrt(nrm) // all-cancelled sums → 0/0 = NaN, as Normalize does
+    k = 0
+    while (k < dim) { out(k) /= nrm; k += 1 }
+    out
+  }
+}
+
 /** a / ‖a‖₂ — unit-normalize in ONE fused pass (norm loop + scale loop).
   * The composable formulation `transform(a, x => x / graft_norm(a))`
   * re-evaluates the norm — itself an O(d) loop over the (possibly

@@ -113,6 +113,34 @@ class EquivalenceSpec extends SparkSpecBase {
     assert(typed === decl)
   }
 
+  test("fused feature-hash embed kernel is bit-identical to the declarative explode+agg") {
+    import graft.operators.VectorStore
+    // real corpus plus adversarial tokenization edges: empty text,
+    // all-space, leading/interior/trailing spaces, multi-byte UTF-8
+    val edge = Seq(
+      (900001L, ""), (900002L, " "), (900003L, "  "),
+      (900004L, " a"), (900005L, "a "), (900006L, "a  b "),
+      (900007L, "naïve café 日本語 emoji🙂 mix"), (900008L, "x")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edge).cache()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val fused = toMap(VectorStore.embedDocs(docs))
+    val decl = toMap(VectorStore.embedDocsDeclarative(docs))
+    docs.unpersist()
+    assert(fused.keySet === decl.keySet)
+    fused.foreach { case (id, v) =>
+      // bit-exact (same murmur3, same order-free ±1 sums, same divide);
+      // NaN-normalized all-space docs compare as NaN==NaN via toString
+      assert(v.map(_.toString) === decl(id).map(_.toString), s"doc $id")
+    }
+    // zero shuffles in the fused plan — the whole embed is map-side
+    val plan = VectorStore.embedDocs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fused embed still exchanges:\n$plan")
+  }
+
   test("q21 single-aggregation collapse equals the classic semi+anti join formulation") {
     val li = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))

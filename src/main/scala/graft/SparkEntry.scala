@@ -162,6 +162,7 @@ object SparkEntry {
     "text_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.piiRedact(s, d)),
     "text_dup_ngrams" -> ((s: SparkSession, d: String) => Dedup.dupNgramFraction(s, d)),
     "text_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "text_dedup_excise" -> ((s: SparkSession, d: String) => Dedup.exciseDupSpans(s, d)),
     "docs_dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "docs_quality_model" -> ((s: SparkSession, d: String) => QualityModel.qualityScore(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
@@ -1284,6 +1285,31 @@ object SparkEntry {
         |  coalesce(a.max_run, 0) AS max_run,
         |  round(coalesce(a.dup_grams, 0)::DOUBLE / s.n_grams, 4) AS dup_run_ratio
         |FROM sizes s LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_dedup_excise" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, greatest(len(words) - 3, 1))) AS pos,
+        |  words FROM t),
+        |gp AS (SELECT doc_id, pos, words[pos] || ' ' || words[pos+1] || ' ' ||
+        |  words[pos+2] || ' ' || words[pos+3] || ' ' || words[pos+4] AS shingle FROM g),
+        |dup AS (SELECT shingle FROM gp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM gp JOIN dup USING (shingle)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+        |runs AS (SELECT doc_id, min(pos) AS p0, count(*) AS run FROM isl
+        |  GROUP BY doc_id, grp HAVING count(*) >= 3),
+        |cov AS (SELECT DISTINCT doc_id, tpos FROM
+        |  (SELECT doc_id, unnest(range(p0, p0 + run + 4)) AS tpos FROM runs)),
+        |tok AS (SELECT doc_id, unnest(range(1, len(words) + 1)) AS tpos, words FROM t),
+        |kept AS (SELECT tok.doc_id, tok.tpos, words[tpos] AS w FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tok.doc_id AND cov.tpos = tok.tpos)),
+        |cl AS (SELECT doc_id, string_agg(w, ' ' ORDER BY tpos) AS clean_text,
+        |  count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT t.doc_id, len(words)::BIGINT AS n_tokens,
+        |  (len(words) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        |  md5(coalesce(clean_text, '')) AS clean_md5,
+        |  length(coalesce(clean_text, ''))::BIGINT AS clean_len
+        |FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
     "docs_dsir_weights" ->
       """WITH tb AS (SELECT doc_id, source,
         |    CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 256 AS b

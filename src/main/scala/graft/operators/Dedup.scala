@@ -628,6 +628,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Substring-dedup EXCISION (the removal half of Lee et al. 2022 —
+    * [[dupSpans]] is the audit): cut every token covered by a maximal
+    * run of ≥ `minRun` consecutive cross-doc-duplicated w-grams out of
+    * the document and reassemble the remaining text. A run of R grams
+    * starting at gram position p covers tokens [p, p+R+w−2]; runs can
+    * overlap, so coverage dedupes to distinct (doc, token) positions
+    * before the cut. Emits per doc the original token count, tokens
+    * removed, and md5/length of the cleaned text (the text itself stays
+    * out of the verification row — hashes compare engine-portably).
+    *
+    * Scale shape: identical to the audit up to the run list (8-byte
+    * gram hashes, (doc, pos) windows); coverage explodes each run to
+    * its ≤ run+w−1 positions (bounded by the doc's own length, linear
+    * overall); the rebuild exchanges (doc, pos, token) rows ONCE for
+    * the per-doc ordered reassembly. Deterministic and SQL-expressible
+    * end to end → full DuckDB oracle.
+    */
+  def exciseDupSpans(s: SparkSession, d: String, w: Int = 5, minRun: Int = 3): DataFrame = {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - w + 1, lit(0))
+    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until w).map(j => col(s"z.w$j")): _*)).as("h"))
+    val dupSet = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = grams.join(dupSet, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wdoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("p0"), count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+    val covered = runs
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p0") + col("run") + lit(w - 2))).as("tpos"))
+      .distinct()
+    val kept = docs.select(col("doc_id"), posexplode(ws).as(Seq("tpos", "tok")))
+      .join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val clean = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+        length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
     * the embedding space, then WITHIN each cluster greedily prune
     * vectors that have a near-duplicate (cosine ≥ t) of higher

@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpecBase {
     assert(planted.length === 50)
   }
 
+  test("excision removes tokens exactly for the docs the span audit flags") {
+    val spans = Dedup.dupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> max_run
+    val excised = Dedup.exciseDupSpans(spark, sf).collect()
+    assert(excised.map(_.getLong(0)).toSet === spans.keySet)
+    excised.foreach { r =>
+      val (doc, nTok, nRem) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val maxRun = spans(doc)
+      // a doc loses tokens iff the audit found a qualifying run; a run
+      // of R grams covers R+w-1 tokens, so removal ≥ longest run + 4
+      if (maxRun > 0) assert(nRem >= maxRun + 4 && nRem <= nTok,
+        s"doc $doc removed $nRem of $nTok with max_run $maxRun")
+      else assert(nRem === 0, s"doc $doc lost $nRem tokens but audit found no run")
+    }
+  }
+
   test("embeddingNearDup refuses a corpus past its all-pairs cap, pointing at the scale twins") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingNearDup(spark, sf, maxRows = 10)

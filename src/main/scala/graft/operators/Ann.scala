@@ -217,7 +217,7 @@ object Ann {
     * (vec_id, vec) relation — shared by [[nnDescentGraph]] (the audit
     * view) and [[graphTopK]] (the search index build).
     */
-  private def descendEdges(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+  private[graft] def descendEdges(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
                            k: Int, rounds: Int, cap: Int): DataFrame = {
     val posts = emb.select(col("vec_id"),
       explode(slice(array_sort(centroidStructs(col("vec"), cents)), 1, 2)
@@ -314,6 +314,29 @@ object Ann {
       g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         .localCheckpoint()
     })
+    beamSearch(emb, edges, entrySample(emb, entries), queries, k, beam, hops)
+  }
+
+  /** `n` corpus nodes in xxhash64 order — a deterministic pseudo-random
+    * ENTRY sample (id-order would bias toward whatever the id layout
+    * clusters together). This is the coarse routing HNSW's upper layers
+    * perform, collapsed to one sample: no layer hierarchy needed in
+    * batch, the hops do the descent. TakeOrdered — O(n) rows.
+    */
+  private[graft] def entrySample(emb: DataFrame, n: Int): DataFrame =
+    emb.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n)
+
+  /** The batched best-first traversal shared by [[graphTopK]] and the
+    * persistent `graft.api.GraphIndex`: score the entry set, then each
+    * hop expand the top-`beam` frontier through the undirected edge
+    * list (visited anti-join; only NEW candidates exact-scored), answer
+    * = best k of everything scored. Returns the ranked result plus the
+    * average per-query candidate budget actually scored.
+    */
+  private[graft] def beamSearch(emb: DataFrame, edges: DataFrame,
+                                entrySet: DataFrame, queries: DataFrame,
+                                k: Int, beam: Int, hops: Int): (DataFrame, Double) = {
     // exact-score a (query_id, vec_id) candidate set; candidates are
     // Q·budget rows — ALWAYS the broadcast side; the corpus scan stays
     // in place (no corpus shuffle anywhere in the search)
@@ -322,14 +345,7 @@ object Ann {
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("vec_id"),
           round(cosineSim(col("vec"), col("qvec")), 6).as("cs"))
-    // entry set: `entries` corpus nodes in xxhash64 order scored
-    // against every query — a deterministic pseudo-random sample
-    // (id-order would bias toward whatever the id layout clusters
-    // together). This is the coarse routing HNSW's upper layers
-    // perform, collapsed to one sample: no layer hierarchy needed in
-    // batch, the hops do the descent. TakeOrdered — O(entries) rows.
-    val entry = emb.select(col("vec_id"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(entries)
+    val entry = entrySet
       .crossJoin(queries.select(col("query_id")))
       .select(col("query_id"), col("vec_id"))
     var scored = score(entry).localCheckpoint()

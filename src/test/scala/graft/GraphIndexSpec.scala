@@ -1,0 +1,85 @@
+package graft
+
+import graft.api.GraphIndex
+import org.apache.spark.sql.functions._
+
+class GraphIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // clustered corpus — the regime a graph index exists for
+  private lazy val (corpus, queryVecs) = {
+    val rnd = new scala.util.Random(7)
+    val dim = 32; val nClusters = 8; val per = 60
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    def jitter(c: Array[Double]): Seq[Double] =
+      c.map(v => v + 0.2 * rnd.nextGaussian()).toSeq
+    val members = for (i <- 0 until per; c <- 0 until nClusters)
+      yield (10L + i.toLong * nClusters + c, jitter(centers(c)), s"site${c % 3}")
+    val qs = (0 until 5).map(q => jitter(centers(q)))
+    (members.toDF("vec_id", "vec", "site"), qs)
+  }
+
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("graft-gidx").toString
+
+  private lazy val built = GraphIndex.build(corpus, dir)
+
+  private def bruteTop(q: Seq[Double], k: Int, pred: Option[String] = None): Seq[Long] = {
+    val qc = array(q.map(lit): _*)
+    val base = pred.fold(corpus)(p => corpus.filter(col("site") === p))
+    base.select(col("vec_id"),
+        graft.functions.Vectors.cosineSim(col("vec"), qc).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id").asc).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("built index serves top-k with recall >= 0.9 vs brute force on every query") {
+    val recalls = queryVecs.map { q =>
+      val hits = built.search(q, k = 10).collect().map(_.getLong(1)).toSet
+      val exact = bruteTop(q, 10).toSet
+      (hits & exact).size.toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9, s"recalls $recalls")
+  }
+
+  test("save -> load round-trips: a reopened index returns identical results") {
+    val q = queryVecs.head
+    val before = built.search(q, k = 10).collect().toSeq
+    val reopened = GraphIndex.load(spark, dir)
+    val after = reopened.search(q, k = 10).collect().toSeq
+    assert(after === before)
+  }
+
+  test("payload post-filter returns k matching rows, all from the predicate's slice") {
+    val q = queryVecs.head
+    val hits = built.search(q, k = 5, beam = 20, hops = 3,
+      filter = Some(col("site") === "site0")).collect()
+    assert(hits.length === 5)
+    val ids = hits.map(_.getLong(1)).toSet
+    val allowed = corpus.filter(col("site") === "site0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(allowed), s"filter leak: ${ids -- allowed}")
+    // ranked descending by cosine
+    val cs = hits.sortBy(_.getLong(0)).map(_.getDouble(2)).toSeq
+    assert(cs === cs.sorted.reverse)
+  }
+
+  test("searchBatch ranks every query and the corpus never shuffles in the score plan") {
+    val queries = queryVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "qvec")
+    val res = built.searchBatch(queries, k = 3)
+    val rows = res.collect()
+    assert(rows.groupBy(_.getLong(0)).size === queryVecs.size)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length === 3) }
+    // scale guard: vectors may only move by BROADCAST (query side) —
+    // any shuffle exchange carrying an ARRAY column means the corpus
+    // (or candidate-attached vectors) crossed a hash/range exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val offenders = res.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(offenders.isEmpty, s"vector arrays crossed a shuffle:\n${offenders.mkString}")
+  }
+}

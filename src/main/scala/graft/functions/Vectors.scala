@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, SqReconstruct}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,12 @@ object Vectors {
     */
   def featureHashEmbed(text: Column, dim: Int): Column =
     c(FeatureHashEmbed(e(text), dim))
+
+  /** int8 SQ quantize-then-reconstruct in one fused codegen pass, with
+    * the per-dim (lo, range) quantizer state as plan-time arrays.
+    */
+  def sqReconstruct(a: Column, lo: Array[Double], rng: Array[Double]): Column =
+    c(SqReconstruct(e(a), lo, rng))
 
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))

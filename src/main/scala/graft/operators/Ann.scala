@@ -145,8 +145,9 @@ object Ann {
     val planes = hyperplanes(dim, nBits)
     def sig(v: org.apache.spark.sql.Column) =
       planes.zipWithIndex.map { case (p, i) =>
-        val dp = aggregate(zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
-          lit(0.0), (a, b) => a + b)
+        // native dot kernel — same index-order fold as the
+        // zip_with+aggregate formulation it replaces, inside codegen
+        val dp = dot(v, array(p.map(lit): _*))
         when(dp >= 0, shiftleft(lit(1), i)).otherwise(0)
       }.reduce(_ + _)
     val ctab = corpus.withColumn("bucket", sig(col("vec")))

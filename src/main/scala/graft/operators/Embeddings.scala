@@ -397,13 +397,11 @@ object Embeddings {
       .orderBy("dim").collect()
     val lo = b.map(_.getDouble(1))
     val rng = b.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-300))
-    val loA = array(lo.map(lit).toIndexedSeq: _*)
-    val rngA = array(rng.map(lit).toIndexedSeq: _*)
-    // reconstruct: code = floor((v-lo)/rng*256) clamped; v' = lo + (code+0.5)/256*rng
-    val codes = zip_with(zip_with(col("vec"), loA, (v, l) => v - l), rngA,
-      (dlt, r) => least(floor(dlt / r * 256), lit(255.0)))
-    val approx = zip_with(zip_with(codes, rngA, (c, r) => (c + 0.5) / 256 * r), loA,
-      (x, l) => x + l)
+    // reconstruct: code = floor((v-lo)/rng*256) clamped; v' = lo +
+    // (code+0.5)/256*rng — ONE fused codegen pass (the zip_with chain
+    // evaluated four interpreted lambdas per row; identical double
+    // sequence, so stage-1 scores and the oracle are unchanged)
+    val approx = sqReconstruct(col("vec"), lo, rng)
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
     val q = array(qvec.map(lit): _*)
     // stage-1 ranks on the ROUNDED approx score (ties → vec_id): the

@@ -339,6 +339,56 @@ object FeatureHashEmbed {
   }
 }
 
+/** int8 scalar-quantization RECONSTRUCTION fused into one pass: per
+  * dimension, code = min(⌊(v−lo)/rng·256⌋, 255), v' = lo+(code+0.5)/256·rng
+  * — the stage-1 scoring input of the SQ rerank search. The zip_with
+  * formulation chains FOUR interpreted lambdas per row (quantize two,
+  * reconstruct two); this is one codegen'd loop with the per-dim
+  * bounds riding along as reference arrays (dim doubles — the
+  * persisted quantizer state). Arithmetic is the identical double
+  * sequence, so scores are bit-equal and the DuckDB oracle is
+  * unaffected.
+  */
+case class SqReconstruct(child: Expression, lo: Array[Double], rng: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_reconstruct"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), lo.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val code = math.min(math.floor((x.getDouble(i) - lo(i)) / rng(i) * 256), 255.0)
+      out(i) = lo(i) + (code + 0.5) / 256 * rng(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val loRef = ctx.addReferenceObj("sqlo", lo, "double[]")
+      val rngRef = ctx.addReferenceObj("sqrng", rng, "double[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val code = ctx.freshName("code")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $loRef.length);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $code = java.lang.Math.min(
+         |    java.lang.Math.floor(($a.getDouble($i) - $loRef[$i]) / $rngRef[$i] * 256), 255.0);
+         |  $out[$i] = $loRef[$i] + ($code + 0.5) / 256 * $rngRef[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** a / ‖a‖₂ — unit-normalize in ONE fused pass (norm loop + scale loop).
   * The composable formulation `transform(a, x => x / graft_norm(a))`
   * re-evaluates the norm — itself an O(d) loop over the (possibly

@@ -129,6 +129,7 @@ object SparkEntry {
     "q20_excess_suppliers" -> ((s: SparkSession, d: String) => Relational.q20ExcessSuppliers(s, d)),
     "events_path_topn" -> ((s: SparkSession, d: String) => Relational.eventsPathTopN(s, d)),
     "lineitem_corr_stats" -> Relational.lineitemCorrStats _,
+    "keys_skew_audit" -> Relational.keysSkewAudit _,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -168,12 +169,16 @@ object SparkEntry {
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => Ann.nnDescentGraph(s, d)),
     "ann_graph_topk" -> ((s: SparkSession, d: String) => Ann.graphTopK(s, d)),
+    "ann_recall_eval" -> ((s: SparkSession, d: String) => Ann.recallEval(s, d)),
+    "emb_pca_project" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     "mm_feature_extract" -> Multimodal.featureExtract _,
-    "mm_dedup_bytes" -> Multimodal.dedupBytes _
+    "mm_dedup_bytes" -> Multimodal.dedupBytes _,
+    "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -506,6 +511,22 @@ object SparkEntry {
         |        * CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE))), 4)
         |    AS corr_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "keys_skew_audit" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS key_name, n_rows, n_keys, max_cnt,
+         |  round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_cnt,
+         |  round(max_cnt * CAST(n_keys AS DOUBLE) / n_rows, 4) AS skew_ratio,
+         |  p95_cnt, n_heavy_keys
+         |FROM (
+         |  WITH pk AS (SELECT $k, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |  hist AS (SELECT cnt, count(*) AS nk FROM pk GROUP BY 1),
+         |  tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+         |    CAST(sum(cnt * nk) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM hist),
+         |  cum AS (SELECT cnt, nk, CAST(sum(nk) OVER (ORDER BY cnt) AS BIGINT) AS cum FROM hist),
+         |  p95 AS (SELECT min(cnt) AS p95_cnt FROM cum, tot WHERE cum >= ceil(n_keys * 0.95)),
+         |  heavy AS (SELECT CAST(coalesce(sum(nk), 0) AS BIGINT) AS n_heavy_keys
+         |    FROM hist, tot WHERE cnt * n_keys > n_rows * 2)
+         |  SELECT * FROM tot, p95, heavy)""".stripMargin
+    }.mkString("", " UNION ALL ", " ORDER BY key_name"),
     "emb_label_centroids" ->
       """WITH vals AS (SELECT label,
         |  unnest(range(0, len(embedding))) AS dim,
@@ -1239,6 +1260,56 @@ object SparkEntry {
         |SELECT g.doc_id, g.dim::BIGINT AS dim, coalesce(c.n, 0) AS count
         |FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.bucket
         |ORDER BY g.doc_id, g.dim""".stripMargin,
+    "mm_phash_dedup" -> {
+      val sigTerms = (0 until 64).map { i =>
+        val bit = s"bit_count(ascii(substr(text, CAST(floor($i * length(text) * 1.0 / 64) AS INT) + 1, 1))) % 2"
+        // bit 63: 1::BIGINT << 63 overflows DuckDB's checked shift —
+        // add INT64_MIN instead (the same two's-complement value Spark's
+        // wrapping shiftleft produces)
+        if (i == 63) s"(CASE WHEN $bit = 1 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+        else s"(CAST($bit AS BIGINT) << $i)"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         |media AS (
+         |  SELECT doc_id, text FROM base WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT b.doc_id, upper(substr(o.text, 1, 5)) || substr(o.text, 6) AS text
+         |  FROM base b JOIN base o ON o.doc_id = b.doc_id - 1 WHERE b.doc_id % 10 = 0),
+         |sigs AS (SELECT doc_id, $sigTerms AS sig FROM media),
+         |bands AS (SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS key
+         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, a.sig AS sa, b.doc_id AS ib, b.sig AS sb
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""".stripMargin
+    },
+    "dedup_incremental" -> {
+      val w = 8
+      val gram = (0 until w).map(j => s"words[i+$j]").mkString("||' '||")
+      s"""WITH sh0 AS (SELECT doc_id, list_distinct([$gram for i in range(1, len(words) - ${w - 2})]) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE len(sh) > 0),
+         |bsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |ish AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+         |ik AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM documents WHERE doc_id % 10 <> 0),
+         |ex AS (SELECT d.doc_id, CASE WHEN ik.k IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM (SELECT doc_id, md5(lower(trim(text))) AS k FROM documents WHERE doc_id % 10 = 0) d
+         |  LEFT JOIN ik ON d.k = ik.k),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM bsh GROUP BY 1),
+         |hits AS (SELECT b.doc_id, count(*) AS n_hit FROM bsh b JOIN ish i ON b.shingle = i.shingle GROUP BY 1)
+         |SELECT ex.doc_id, CAST(ex.exact_dup AS BIGINT) AS exact_dup,
+         |  coalesce(s.n_grams, 0) AS n_grams,
+         |  CASE WHEN coalesce(s.n_grams, 0) > 0
+         |    THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams, 4) ELSE 0.0 END
+         |    AS containment,
+         |  CAST(CASE WHEN ex.exact_dup = 0 AND (CASE WHEN coalesce(s.n_grams, 0) > 0
+         |    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams ELSE 0.0 END) < 0.5
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM ex LEFT JOIN sizes s ON ex.doc_id = s.doc_id
+         |LEFT JOIN hits h ON ex.doc_id = h.doc_id
+         |ORDER BY ex.doc_id""".stripMargin
+    },
     "docs_pack_chunks" ->
       """WITH t AS (SELECT doc_id, lang,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, SqReconstruct}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, Phash64, SqReconstruct}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,11 @@ object Vectors {
     */
   def sqReconstruct(a: Column, lo: Array[Double], rng: Array[Double]): Column =
     c(SqReconstruct(e(a), lo, rng))
+
+  /** 64-bit stub perceptual hash (sampled-byte popcount parities) of an
+    * ASCII payload — the banded-hamming near-dup fingerprint.
+    */
+  def phash64(text: Column): Column = c(Phash64(e(text)))
 
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))

@@ -375,4 +375,35 @@ object Ann {
     (result, visited.count().toDouble / math.max(queries.count(), 1L))
   }
 
+  /** RECALL@k EVALUATION harness: run every approximate tier against
+    * the exact brute-force ground truth on the shared query batch and
+    * report mean recall per method — the index-tuning report an ANN
+    * deployment regenerates per corpus snapshot (the spec suite checks
+    * recall FLOORS; this op is the measurement itself, as data).
+    *
+    * Scale shape: ground truth on a SAMPLED query batch is the standard
+    * practice (exact top-k per query is one broadcast-scored scan — the
+    * corpus never shuffles, so truth costs Q/n of nothing extra); each
+    * method's hit-rate is a (query, id)-keyed join of two ≤ Q·k-row
+    * relations. Methods are approximate/hash-seeded ⇒ rows-only +
+    * AnnSpec floors, no DuckDB oracle.
+    */
+  def recallEval(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
+    val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+    def eval(name: String, res: DataFrame): DataFrame = {
+      val hits = truth.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      nTrue.join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true")), 4)
+            .as("mean_recall"))
+        .select(lit(name).as("method"), col("n_queries"), col("mean_recall"))
+    }
+    Seq(eval("brute", bruteTopK(s, d, k)),
+        eval("graph", graphTopK(s, d, k)),
+        eval("ivf", ivfTopK(s, d, k)),
+        eval("lsh", lshTopK(s, d, k)))
+      .reduce(_ unionByName _).orderBy("method")
+  }
 }

@@ -771,4 +771,50 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("cs"), 4).as("cosine"))
       .orderBy("ia", "ib")
   }
+
+  /** INCREMENTAL dedup gate: admit a NEW batch of documents against an
+    * already-ingested index corpus — the day-2 shape of every corpus
+    * build (full-corpus self-dedup runs once; every later crawl drop is
+    * batch-vs-index). Two tiers, same verdict row per batch doc:
+    * exact (128-bit content-hash anti-join) and near (fraction of the
+    * doc's distinct w-grams already present in the index vocabulary —
+    * [[decontaminate]]'s containment, aimed at ingest). `keep` is the
+    * admission verdict: no exact twin AND gram containment < `t`.
+    *
+    * Scale shape: the index side reduces to DISTINCT 16-byte text
+    * hashes and DISTINCT 8-byte gram hashes — both join keys, never
+    * text; the batch (normally ≪ index) partial-aggs per doc before
+    * the verdict join. At 100 TB the index gram vocabulary is itself a
+    * persisted bucketed relation (build once per corpus version), so an
+    * ingest batch costs one broadcast-or-bucketed hash join, no index
+    * rescan. The streaming twin is `EventStreams`' near-dup gate; this
+    * is the batch-mode contract.
+    */
+  def incrementalDedup(s: SparkSession, d: String, w: Int = 8,
+                       t: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxKeys = index.select(md5(lower(trim(col("text")))).as("k")).distinct()
+    val exact = batch.select(col("doc_id"), md5(lower(trim(col("text")))).as("k"))
+      .join(idxKeys.select(col("k"), lit(1L).as("hit")), Seq("k"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
+    val bg = shingleRows(batch, w).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val ig = shingleRows(index, w).select(xxhash64(col("shingle")).as("h")).distinct()
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = bg.join(ig, "h").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    exact
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"), 4))
+          .otherwise(0.0).as("containment"),
+        (col("exact_dup") === 0 &&
+          when(col("n_grams") > 0,
+            coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+            .otherwise(0.0) < t).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -416,4 +416,48 @@ object Embeddings {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** PCA PROJECTION of the embedding column: project every vector onto
+    * the top-`k` principal axes of the corpus — the
+    * dimensionality-reduction / whitening pre-pass of OPQ, MRL-style
+    * truncation analysis, and embedding-drift dashboards.
+    *
+    * Scale shape: the only distributed work is ONE treeAggregate pass
+    * building the d×d Gram/covariance moments (RowMatrix
+    * .computeCovariance — d² doubles per partition, independent of row
+    * count); the d×d eigendecomposition runs on the driver (breeze
+    * eigSym, d ≤ a few thousand — microseconds next to any 100-TB
+    * scan), and the k×d component matrix rides back as plan-time
+    * literal arrays into a codegen'd per-row dot — embeddings stream
+    * map-side, nothing shuffles. Eigenvector SIGN is pinned (largest-
+    * magnitude component positive) so output is deterministic across
+    * runs/partitionings.
+    */
+  def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val rm = new RowMatrix(emb.select("vec").rdd
+      .map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
+    val dim = rm.numCols().toInt
+    val mean = rm.computeColumnSummaryStatistics().mean.toArray
+    val cov = rm.computeCovariance()
+    val bm = new breeze.linalg.DenseMatrix(dim, dim, cov.toArray)
+    val es = breeze.linalg.eigSym(bm) // ascending eigenvalues
+    val comps: Seq[Array[Double]] = (0 until k).map { j =>
+      val v = Array.tabulate(dim)(r => es.eigenvectors(r, dim - 1 - j))
+      val m = v.maxBy(math.abs)
+      if (m < 0) v.map(x => -x) else v // pin sign
+    }
+    emb.select(
+      col("vec_id") +: comps.zipWithIndex.map { case (v, j) =>
+        // (vec − mean)·v = vec·v − mean·v : fold the centering into a
+        // scalar so the row work is one native dot
+        val shift = v.zip(mean).map { case (a, b) => a * b }.sum
+        round(dot(col("vec"), array(v.map(lit).toIndexedSeq: _*)) - shift, 4)
+          .as(s"p$j")
+      }: _*)
+      .orderBy("vec_id")
+  }
 }

@@ -141,4 +141,55 @@ object Multimodal {
         floor(col("height") * scale).as("out_h"))
       .orderBy("doc_id")
   }
+
+  /** PERCEPTUAL-hash NEAR-dedup: banded hamming search over a 64-bit
+    * content fingerprint — the tier [[dedupBytes]] cannot reach (a
+    * re-encoded/retouched upload changes every byte, so md5 misses it;
+    * its pHash moves only a few bits). The pHash kernel here is the
+    * decode-stub stand-in (no codecs in this container): bit i =
+    * parity-of-popcount of the payload byte sampled at position
+    * ⌊i·len/64⌋ — deterministic, locality-sensitive to small in-place
+    * edits, and exactly where a real DCT pHash drops in. Corrupted
+    * re-uploads are planted by the table builder (every 10th doc
+    * carries its predecessor's payload with the first 5 bytes
+    * case-flipped ⇒ ≤ 5 flipped bits, md5 completely different).
+    *
+    * Scale shape: fingerprints band into four 16-bit bucket keys; only
+    * (band, key, doc_id) triples shuffle, candidates are bucket-mates
+    * only (expected collisions ≈ 4·n²/2¹⁶ for unrelated docs — at
+    * larger n, widen bands or add a second hash, same plan), and the
+    * exact 64-bit hamming verify runs on the candidate pairs alone.
+    * Payloads never shuffle.
+    */
+  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(length(col("text")) >= 64).select("doc_id", "text")
+    // planted corrupted re-uploads: doc j (j%10=0) re-posts doc j-1's
+    // payload with the first 5 bytes upper-cased
+    val copies = base.as("b").filter(col("b.doc_id") % 10 === 0)
+      .join(base.as("o"), col("o.doc_id") === col("b.doc_id") - 1)
+      .select(col("b.doc_id").as("doc_id"),
+        concat(upper(substring(col("o.text"), 1, 5)),
+          substring(col("o.text"), 6, Int.MaxValue)).as("text"))
+    val media = base.filter(col("doc_id") % 10 =!= 0).unionByName(copies)
+    val sigs = media.select(col("doc_id"),
+      graft.functions.Vectors.phash64(col("text")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("a.sig").as("sa"),
+        col("b.doc_id").as("ib"), col("b.sig").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy("ia", "ib")
+  }
 }

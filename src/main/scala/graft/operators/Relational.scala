@@ -1226,4 +1226,47 @@ object Relational {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(topN)
   }
+
+  /** Shuffle-KEY SKEW AUDIT: for each candidate partition key of the
+    * fact table, the per-key row-count distribution summarized as the
+    * planner-facing numbers — key cardinality, max/avg partition load,
+    * skew ratio, the p95 key load, and how many keys exceed 2× average
+    * (AQE's skew-split candidates). This is the diagnostic you run
+    * BEFORE choosing a 100-TB bucketing/join key.
+    *
+    * Scale shape: per key column, one partial-agg'd groupBy(key) →
+    * (key, cnt), immediately re-grouped into a count-of-counts
+    * HISTOGRAM (cnt → n_keys) whose size is bounded by the number of
+    * DISTINCT load values, not the number of keys — the only relation a
+    * window ever touches is that tiny histogram, so the p95 rank scan is
+    * single-partition-safe at any key cardinality (billions of keys
+    * reduce to hundreds of histogram rows before the cumsum).
+    */
+  def keysSkewAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def audit(key: String): DataFrame = {
+      val perKey = li.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      val hist = perKey.groupBy("cnt").agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy("cnt") // histogram: |distinct load values| rows
+      val cum = hist.withColumn("cum", sum("nk").over(w))
+        .withColumn("n_keys", sum("nk").over(Window.partitionBy()))
+        .withColumn("n_rows", sum(col("cnt") * col("nk")).over(Window.partitionBy()))
+      // p95 key load: smallest cnt whose cumulative key count covers 95%
+      val p95 = cum.filter(col("cum") >= ceil(col("n_keys") * 0.95))
+        .agg(min("cnt").as("p95_cnt"))
+      val heavy = cum // keys loaded past 2× the mean per-key load
+        .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
+        .agg(coalesce(sum("nk"), lit(0L)).as("n_heavy_keys"))
+      cum.groupBy("n_keys", "n_rows").agg(max("cnt").as("max_cnt"))
+        .select(lit(key).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_cnt"),
+          round(col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 4)
+            .as("skew_ratio"))
+        .crossJoin(broadcast(p95)).crossJoin(broadcast(heavy))
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(audit)
+      .reduce(_ unionByName _)
+      .orderBy("key_name")
+  }
 }

@@ -389,6 +389,49 @@ case class SqReconstruct(child: Expression, lo: Array[Double], rng: Array[Double
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit STUB perceptual hash of a (ASCII) payload: bit i =
+  * popcount-parity of the byte sampled at position ⌊i·len/64⌋ — a
+  * deterministic, locality-sensitive stand-in for a real DCT pHash
+  * (no media codecs in this container; byte-sampling ≡ the oracle's
+  * character sampling on ASCII payloads). One generated loop; the
+  * column-expression formulation (64 substring+ascii+bit_count terms)
+  * overflows Janino's method limits and falls back to interpreted
+  * eval, which is exactly the anti-pattern §5.1 documents.
+  */
+case class Phash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_phash64"
+
+  override def nullSafeEval(a: Any): Any =
+    Phash64.hash(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.Phash64.hash($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Phash64 {
+  /** Shared kernel (interpreted + codegen paths). */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val len = bytes.length.toLong
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (len > 0) {
+        val p = (i * len / 64).toInt
+        sig |= (java.lang.Integer.bitCount(bytes(p) & 0xff) & 1).toLong << i
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
 /** a / ‖a‖₂ — unit-normalize in ONE fused pass (norm loop + scale loop).
   * The composable formulation `transform(a, x => x / graft_norm(a))`
   * re-evaluates the norm — itself an O(d) loop over the (possibly

@@ -177,4 +177,14 @@ class AnnSpec extends SparkSpecBase {
     assert(gr >= ivfR - 1e-9, s"graph recall $gr < IVF $ivfR (budget $budget/$n)")
     assert(gr >= 0.9, s"graph recall $gr on clustered corpus (budget $budget/$n)")
   }
+
+  test("recall eval reports brute at exactly 1.0 and every method in [0,1]") {
+    val rows = Ann.recallEval(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("brute", "graph", "ivf", "lsh"))
+    val m = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("brute") === 1.0) // the harness's own ground-truth identity
+    m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(m("ivf") >= 0.6) // same floor the direct IVF spec holds
+    rows.foreach(r => assert(r.getLong(1) === 10L)) // all 10 queries counted
+  }
 }

@@ -157,4 +157,18 @@ class DedupSpec extends SparkSpecBase {
     assert(jacc.subsetOf(contKeys),
       s"missing ${(jacc -- contKeys).take(5)} of ${jacc.size} jaccard pairs")
   }
+
+  test("incremental dedup verdicts are per-batch-doc and internally consistent") {
+    val docs = Tables.documents(spark, sf)
+    val nBatch = docs.filter(col("doc_id") % 10 === 0).count()
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    assert(rows.length.toLong === nBatch) // one admission verdict per batch doc
+    rows.foreach { r =>
+      val (exact, containment, keep) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(containment >= 0.0 && containment <= 1.0)
+      // keep ⇔ no exact twin AND sub-threshold gram containment
+      assert(keep === (if (exact === 0L && containment < 0.5) 1L else 0L),
+        s"inconsistent verdict row $r")
+    }
+  }
 }

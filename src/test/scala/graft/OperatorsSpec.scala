@@ -625,4 +625,47 @@ class OperatorsSpec extends SparkSpecBase {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("phash near-dedup finds the planted corrupted re-uploads, nothing random") {
+    val rows = Multimodal.phashDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // planted pair = (j-1, j) for j%10==0: case-flipping the first 5
+    // bytes flips only the bits sampled from those positions — at most
+    // 5 (shortest docs), usually 1
+    val planted = rows.filter(r => r.getLong(1) === r.getLong(0) + 1 && r.getLong(1) % 10 === 0)
+    assert(planted.nonEmpty, "no planted re-upload pair surfaced")
+    planted.foreach(r => assert(r.getLong(2) <= 5, s"planted pair drifted: $r"))
+    rows.foreach(r => assert(r.getLong(2) <= 8)) // threshold respected
+  }
+
+  test("skew audit numbers are internally consistent per key") {
+    val rows = Relational.keysSkewAudit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      val (nRows, nKeys, maxCnt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (avg, skew, p95) = (r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(nRows >= nKeys && maxCnt >= 1 && p95 <= maxCnt)
+      assert(math.abs(avg - nRows.toDouble / nKeys) < 1e-3)
+      assert(skew >= 1.0 - 1e-9) // max ≥ mean always
+    }
+  }
+
+  test("pca projections have descending variance and zero cross-covariance") {
+    val rows = Embeddings.pcaProject(spark, sf).collect()
+    val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))
+    def mean(a: Array[Double]) = a.sum / a.length
+    val vars = cols.map { c =>
+      val m = mean(c); c.map(x => (x - m) * (x - m)).sum / (c.length - 1)
+    }
+    vars.sliding(2).foreach(p => assert(p(0) >= p(1) - 1e-6, s"variance order $vars"))
+    // projections onto distinct eigenvectors of the sample covariance
+    // are exactly uncorrelated — only the 4dp output rounding remains
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val (mi, mj) = (mean(cols(i)), mean(cols(j)))
+      val cov = cols(i).zip(cols(j)).map { case (a, b) => (a - mi) * (b - mj) }.sum /
+        (cols(i).length - 1)
+      assert(math.abs(cov) < 1e-2, s"components $i,$j correlate: $cov")
+    }
+  }
 }

@@ -130,6 +130,11 @@ object SparkEntry {
     "events_path_topn" -> ((s: SparkSession, d: String) => Relational.eventsPathTopN(s, d)),
     "lineitem_corr_stats" -> Relational.lineitemCorrStats _,
     "keys_skew_audit" -> Relational.keysSkewAudit _,
+    "part_skyline" -> Relational.partSkyline _,
+    "orders_cohort_ltv" -> Relational.ordersCohortLtv _,
+    "events_session_stats" -> Relational.eventsSessionStats _,
+    "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
+    "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -527,6 +532,61 @@ object SparkEntry {
          |    FROM hist, tot WHERE cnt * n_keys > n_rows * 2)
          |  SELECT * FROM tot, p95, heavy)""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY key_name"),
+    "part_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size::BIGINT AS size FROM part)
+        |SELECT a.p_partkey, a.price, a.size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.size <= a.size
+        |    AND (b.price < a.price OR b.size < a.size))
+        |ORDER BY a.p_partkey""".stripMargin,
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS ck, date_trunc('month', o_orderdate) AS mon,
+        |  o_totalprice AS price FROM orders),
+        |f AS (SELECT ck, min(mon) AS cohort FROM o GROUP BY 1)
+        |SELECT f.cohort, date_diff('month', f.cohort, o.mon)::BIGINT AS age,
+        |  count(DISTINCT o.ck) AS n_customers, count(*) AS n_orders,
+        |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM o JOIN f ON o.ck = f.ck GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tse,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tse - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |g AS (SELECT user_id, event_id, tse,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  max(tse) - min(tse) AS dur_us FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS events_per_session,
+        |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 4) AS mean_dur_secs,
+        |  round(CAST(max(dur_us) AS DOUBLE) / 1e6, 4) AS max_dur_secs
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $CLUSTERS_CTE,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1)
+         |SELECT size, count(*) AS n_clusters,
+         |  CAST(size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((size - 1) * count(*) AS BIGINT) AS n_removed
+         |FROM cs GROUP BY size ORDER BY size""".stripMargin,
+    "emb_centroid_drift" ->
+      """WITH vals AS (SELECT vec_id, label,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  unnest([x::DOUBLE for x in embedding]) AS v FROM embeddings),
+        |cent AS (SELECT label, dim,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN CAST(v AS DECIMAL(18,10)) END) AS DOUBLE)
+        |    / count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS ma,
+        |  count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS na,
+        |  CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN CAST(v AS DECIMAL(18,10)) END) AS DOUBLE)
+        |    / count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS mb,
+        |  count(CASE WHEN vec_id % 2 <> 0 THEN 1 END) AS nb
+        |  FROM vals GROUP BY 1, 2)
+        |SELECT label, max(na) AS n_a, max(nb) AS n_b,
+        |  round(sqrt(CAST(sum(CAST((ma - mb) * (ma - mb) AS DECIMAL(28,18))) AS DOUBLE)), 4)
+        |    AS drift
+        |FROM cent GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_label_centroids" ->
       """WITH vals AS (SELECT label,
         |  unnest(range(0, len(embedding))) AS dim,

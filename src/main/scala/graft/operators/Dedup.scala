@@ -817,4 +817,23 @@ object Dedup {
             .otherwise(0.0) < t).cast("long").as("keep"))
       .orderBy("doc_id")
   }
+
+  /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over
+    * [[dupClusters]] — (cluster size → how many clusters), plus the doc
+    * and removal totals each size bucket contributes under a
+    * keep-one-per-cluster policy. This is the attrition report read
+    * before committing a dedup pass at corpus scale ("how much of the
+    * 100 TB disappears, and is it a few giant boilerplate clusters or a
+    * long pair tail?"). Scale shape: the cluster assignment reduces to
+    * (cluster, size) rows, then to |distinct sizes| rows — both
+    * exchanges carry aggregate counts, never documents.
+    */
+  def dupClusterStats(s: SparkSession, d: String, t: Double = 0.8): DataFrame =
+    dupClusters(s, d, t)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_removed"))
+      .orderBy("size")
 }

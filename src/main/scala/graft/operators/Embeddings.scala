@@ -460,4 +460,34 @@ object Embeddings {
       }: _*)
       .orderBy("vec_id")
   }
+
+  /** Embedding-distribution DRIFT monitor: per-label L2 distance between
+    * the centroids of two corpus halves (split by vec_id parity — the
+    * stand-in for "last week's snapshot vs this week's"). A label whose
+    * halves disagree flags a shifted upstream encoder or a polluted
+    * ingest — the check run before trusting an ANN index built on the
+    * older half. Exactness: both half-centroids come from order-
+    * independent DECIMAL sums (conditional aggregation, one pass — no
+    * self-join of the halves), the squared-diff sum re-enters DECIMAL,
+    * so the 4dp result is engine-exact. Scale shape: one (label, dim)
+    * exchange of partial sums, then a |labels|-row rollup.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val half = (col("vec_id") % 2 === 0)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        sum(when(half, col("v")).cast("decimal(18,10)")).as("sa"),
+        count(when(half, lit(1))).as("na"),
+        sum(when(!half, col("v")).cast("decimal(18,10)")).as("sb"),
+        count(when(!half, lit(1))).as("nb"))
+      .withColumn("diff",
+        col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb"))
+      .groupBy("label")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        round(sqrt(sum((col("diff") * col("diff")).cast("decimal(28,18)"))
+          .cast("double")), 4).as("drift"))
+      .orderBy("label")
+  }
 }

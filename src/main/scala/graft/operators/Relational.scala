@@ -1269,4 +1269,102 @@ object Relational {
       .reduce(_ unionByName _)
       .orderBy("key_name")
   }
+
+  /** SKYLINE (Pareto-optimal) query over parts: the set not dominated on
+    * (minimize retailprice, minimize size) — q dominates p iff q is ≤ p
+    * on both dimensions and strictly < on at least one; points tied on
+    * both dims are mutually non-dominating and all kept.
+    *
+    * Spark shape — the classic two-phase distributed skyline, NOT an
+    * inequality self-join (which would plan as an O(n²)
+    * BroadcastNestedLoopJoin): each partition sort-sweeps its LOCAL
+    * skyline (local domination implies global domination, so pruning is
+    * safe), then the tiny union of local skylines (O(√n)-shaped under
+    * independent dims) collapses to one task for the final sweep. The
+    * fact table is scanned once, pruned map-side; only survivors move.
+    */
+  def partSkyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // after a (price asc, size asc) sort, a point is dominated iff some
+    // strictly-cheaper point had size ≤ its size, or an equal-price
+    // point had size strictly < its size
+    def sweep(ds: org.apache.spark.sql.Dataset[(Long, Double, Long)]) =
+      ds.toDF("partkey", "price", "size")
+        .sortWithinPartitions("price", "size", "partkey")
+        .as[(Long, Double, Long)]
+        .mapPartitions { it =>
+          var bestStrict = Long.MaxValue // min size over prices < current
+          var curPrice = Double.NaN
+          var curGroupMin = Long.MaxValue // min size within current price
+          it.flatMap { case r @ (_, price, size) =>
+            if (price != curPrice) {
+              bestStrict = math.min(bestStrict, curGroupMin)
+              curPrice = price
+              curGroupMin = Long.MaxValue
+            }
+            val keep = size < bestStrict && size <= curGroupMin
+            curGroupMin = math.min(curGroupMin, size)
+            if (keep) Some(r) else None
+          }
+        }
+    val pts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .as[(Long, Double, Long)]
+    sweep(sweep(pts).coalesce(1))
+      .toDF("p_partkey", "price", "size")
+      .orderBy("p_partkey")
+  }
+
+  /** COHORT LTV: customers grouped by first-order month, revenue tracked
+    * by months-since-first-order — the standard lifetime-value retention
+    * triangle. One custkey exchange builds the cohort map (partial-agg'd
+    * min), one join back (both sides already custkey-clustered), one
+    * tiny (cohort, age) aggregate. countDistinct here plans a single
+    * Expand over the already-reduced join output, not the raw fact.
+    */
+  def ordersCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("ck"),
+      date_trunc("month", col("o_orderdate")).as("mon"),
+      col("o_totalprice").as("price"))
+    val first = o.groupBy("ck").agg(min("mon").as("cohort"))
+    o.join(first, "ck")
+      .withColumn("age", months_between(col("mon"), col("cohort")).cast("long"))
+      .groupBy("cohort", "age")
+      .agg(countDistinct("ck").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        decSum(col("price")).as("revenue"))
+      .orderBy("cohort", "age")
+  }
+
+  /** Per-user SESSION-LEVEL statistics over the gap sessionization:
+    * session count, events/session, mean and max session duration. The
+    * session assignment is [[eventsSessionize]]'s integer-micros gap
+    * test; both rollups after the window reuse its user-hash
+    * partitioning (HashPartitioning(user) satisfies the (user, session)
+    * clustering), so the whole query runs on ONE exchange. Durations
+    * aggregate as exact integer micros; the divisions are
+    * deterministic double ops on both engines.
+    */
+  def eventsSessionStats(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("total_events"),
+        round(sum("n_events").cast("double") / count(lit(1)), 4)
+          .as("events_per_session"),
+        round(sum("dur_us").cast("double") / count(lit(1)) / 1e6, 4)
+          .as("mean_dur_secs"),
+        round(max("dur_us").cast("double") / 1e6, 4).as("max_dur_secs"))
+      .orderBy("user_id")
+  }
 }

@@ -651,6 +651,61 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("skyline equals the brute-force non-dominated set") {
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominated(p: (Long, Double, Long)) = pts.exists { q =>
+      q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3)
+    }
+    val expect = pts.filterNot(dominated).map(_._1).sorted.toSeq
+    val got = Relational.partSkyline(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("cohort LTV ages are non-negative and cohort revenue totals match orders") {
+    val rows = Relational.ordersCohortLtv(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val total = rows.map(_.getLong(3)).sum // n_orders over all (cohort, age)
+    assert(total === Tables.orders(spark, sf).count())
+    // age-0 cell of each cohort holds every customer whose first order
+    // lands in that month at least once
+    rows.filter(_.getLong(1) == 0).foreach(r => assert(r.getLong(2) >= 1))
+  }
+
+  test("session stats are consistent with the sessionization") {
+    val sess = Relational.eventsSessionize(spark, sf).collect()
+    val stats = Relational.eventsSessionStats(spark, sf).collect()
+    val perUser = sess.groupBy(_.getLong(0))
+    assert(stats.length === perUser.size)
+    stats.foreach { r =>
+      val (u, nSess, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nSess === perUser(u).length)
+      assert(total === perUser(u).map(_.getLong(2)).sum)
+      assert(r.getDouble(4) <= r.getDouble(5) + 1e-9) // mean ≤ max duration
+    }
+  }
+
+  test("cluster-size histogram accounts for every clustered doc") {
+    val cl = graft.operators.Dedup.dupClusters(spark, sf)
+    val hist = graft.operators.Dedup.dupClusterStats(spark, sf).collect()
+    assert(hist.map(_.getLong(2)).sum === cl.count()) // Σ n_docs = clustered docs
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 2) // a near-dup cluster has ≥ 2 members
+      assert(r.getLong(3) === (r.getLong(0) - 1) * r.getLong(1))
+    }
+  }
+
+  test("centroid drift is non-negative and covers every label with both halves") {
+    val rows = Embeddings.centroidDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) >= 2)
+      if (r.getLong(1) > 0 && r.getLong(2) > 0) assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("pca projections have descending variance and zero cross-covariance") {
     val rows = Embeddings.pcaProject(spark, sf).collect()
     val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))

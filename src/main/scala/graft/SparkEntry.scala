@@ -134,6 +134,7 @@ object SparkEntry {
     "orders_cohort_ltv" -> Relational.ordersCohortLtv _,
     "events_session_stats" -> Relational.eventsSessionStats _,
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
+    "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance

@@ -70,6 +70,89 @@ class GraphIndex private (spark: SparkSession, path: String) {
     }
     filtered.orderBy("query_id", "rank")
   }
+
+  /** INCREMENTAL insert — the "add points to a built graph" maintenance
+    * path every serving graph index (HNSW/DiskANN style) needs between
+    * full rebuilds. Classic search-then-link: each new point
+    * beam-searches the CURRENT graph for its `graphK` approximate
+    * nearest existing nodes and links bidirectionally; nodes whose
+    * adjacency grew are then distance-prune-capped at `cap` (keep the
+    * `cap` closest — pruning may leave some links one-directional,
+    * which is the normal DiskANN-graph shape). Entry points stay fixed,
+    * so pre-insert queries route identically; new points are reached
+    * through their links.
+    *
+    * Writes a NEW immutable snapshot at `outPath` (never mutates the
+    * open index — the same snapshot-rotation discipline as the
+    * streaming index maintenance), and returns the reopened index.
+    *
+    * Scale shape: the link step is a beam search (corpus never
+    * shuffles, batch broadcasts); the prune step touches only the
+    * AFFECTED adjacency (≤ 2·|batch|·graphK source nodes), which
+    * broadcasts into the two vector-attach scans — the full edge list
+    * is never re-scored.
+    */
+  def insertTo(newVecs: DataFrame, outPath: String, graphK: Int = 10,
+               beam: Int = 10, hops: Int = 2, cap: Int = 40): GraphIndex = {
+    val spark = newVecs.sparkSession
+    val emb = vectors.select(col("vec_id"), col("vec"))
+    val q = newVecs.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val (ranked, _) = Ann.beamSearch(emb, edges, entries, q, graphK, beam, hops)
+    val oldLink = ranked.select(col("query_id").as("src"), col("vec_id").as("dst"))
+    // INTRA-BATCH links — the batch equivalent of HNSW's sequential
+    // insert, where each point also sees the points inserted before it.
+    // Without these, a batch that carries a NEW mode (a cluster the old
+    // graph has never seen) would hang every one of its points off
+    // far-away old nodes with no edges among themselves, and traversal
+    // entering the mode through one point couldn't fan out to the rest.
+    // Brute |batch|² cosines, map-side with the batch broadcast — a
+    // maintenance batch is ≪ the corpus by definition; rebuild when it
+    // isn't.
+    val newEmb = newVecs.select(col("vec_id"), col("vec"))
+    val ibScored = newEmb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosineSim(col("vec"), col("qvec")).as("cs"))
+    val ibLink = graft.plans.TopK.perKey(ibScored, Seq(col("query_id")),
+        Seq(col("cs").desc, col("vec_id").asc), graphK)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val link = oldLink.union(ibLink)
+    val bidir = link.union(link.select(col("dst").as("src"), col("src").as("dst")))
+    val mergedEdges = edges.select("src", "dst").union(bidir).distinct()
+    val mergedVecs = vectors.unionByName(newVecs, allowMissingColumns = true)
+    // degree cap: exact-cosine re-rank confined to nodes that gained an
+    // edge; their adjacency (small) broadcasts into the vector scans
+    val affected = bidir.select("src").distinct()
+    val affAdj = mergedEdges.join(affected, "src")
+    val embAll = mergedVecs.select(col("vec_id"), col("vec"))
+    val withSv = embAll.select(col("vec_id").as("src"), col("vec").as("sv"))
+      .join(broadcast(affAdj), "src")
+    val scored = embAll.select(col("vec_id").as("dst"), col("vec").as("dv"))
+      .join(broadcast(withSv), "dst")
+      .withColumn("cs", graft.functions.Vectors.cosineSim(col("sv"), col("dv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
+    val prunedAff = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).select("src", "dst")
+    val kept = mergedEdges.join(affected, Seq("src"), "left_anti").union(prunedAff)
+    // ORPHAN REPAIR: in a dense region the cap prune can strip EVERY
+    // incoming edge of a new point (each of its link targets preferred
+    // closer peers), leaving it unreachable by traversal. Re-add the
+    // single best backlink (nearest neighbor → new point) for any new
+    // point with zero surviving incoming edges — one edge of slack over
+    // `cap` on that neighbor, bounded by |batch|.
+    val newIds = newVecs.select(col("vec_id").as("nid"))
+    val reachable = kept.join(broadcast(newIds), col("dst") === col("nid"))
+      .select("nid").distinct()
+    val orphans = newIds.join(reachable, Seq("nid"), "left_anti")
+    val repair = ranked.filter(col("rank") === 1)
+      .join(broadcast(orphans), col("query_id") === col("nid"))
+      .select(col("vec_id").as("src"), col("query_id").as("dst"))
+    kept.union(repair).distinct()
+      .write.mode("overwrite").parquet(s"$outPath/edges")
+    entries.write.mode("overwrite").parquet(s"$outPath/entries")
+    mergedVecs.write.mode("overwrite").parquet(s"$outPath/vectors")
+    new GraphIndex(spark, outPath)
+  }
 }
 
 object GraphIndex {

@@ -818,6 +818,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-FILTER ingest gate — the CONSTANT-STATE twin of
+    * [[incrementalDedup]]'s near tier. The index's 8-gram vocabulary
+    * collapses into ONE mergeable bloom filter (a ~MB binary, built by
+    * the engine's own BloomFilterAggregate — see
+    * [[org.apache.spark.sql.graft.BloomBridge]]); an ingest batch then
+    * estimates each doc's gram containment with a codegen'd map-side
+    * membership probe. No join against the gram vocabulary at all: at
+    * 100 TB the exact tier's vocabulary relation is a bucketed
+    * multi-GB table, while this gate's whole index state rides in a
+    * plan literal — the shape a streaming admission filter or a
+    * front-line "probably new?" router needs.
+    *
+    * Error is ONE-SIDED: the filter has no false negatives, so the
+    * bloom containment estimate is ≥ the exact containment — a doc this
+    * gate admits (`keep = 1`) is admitted by the exact gate too; a few
+    * clean docs may be over-rejected at the false-positive rate (sized
+    * by `estimatedItems`). DedupSpec pins both properties.
+    */
+  def bloomGate(s: SparkSession, d: String, w: Int = 8, t: Double = 0.5,
+                estimatedItems: Long = 1L << 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    // bounded model state: the filter binary (not the gram set) comes to
+    // the driver — same discipline as centroid/quantizer artifacts
+    val bf: Array[Byte] = shingleRows(index, w)
+      .select(xxhash64(col("shingle")).as("h"))
+      .agg(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(col("h"), estimatedItems).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    shingleRows(batch, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(org.apache.spark.sql.graft.BloomBridge.mightContain(bf, col("h"))
+          .cast("long")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("containment_est"),
+        (col("n_hit").cast("double") / col("n_grams") < t).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over
     * [[dupClusters]] — (cluster size → how many clusters), plus the doc
     * and removal totals each size bucket contributes under a

@@ -171,4 +171,43 @@ class DedupSpec extends SparkSpecBase {
         s"inconsistent verdict row $r")
     }
   }
+
+  test("bloom gate has no false negatives, bounded false positives, and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val bg = Dedup.shingleRows(batch, 8)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val ig = Dedup.shingleRows(index, 8)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val exactHits = bg.join(ig, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nMember = bg.join(ig, "h").count()
+    val nGramRows = bg.count()
+    val rows = Dedup.bloomGate(spark, sf).collect()
+    var bloomHits = 0L
+    rows.foreach { r =>
+      val (doc, nGrams, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      bloomHits += nHit
+      // one-sided error: every true member gram probes true
+      assert(nHit >= exactHits.getOrElse(doc, 0L), s"false negative on doc $doc")
+      assert(nHit <= nGrams)
+    }
+    // false-positive rate over the non-member gram rows
+    val fp = (bloomHits - nMember).toDouble / math.max(1L, nGramRows - nMember)
+    assert(fp < 0.05, s"bloom FP rate $fp")
+    // bit-union state is order-independent → rerun is identical
+    assert(Dedup.bloomGate(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("bloom gate admits a subset of the exact incremental gate") {
+    val exactKeep = Dedup.incrementalDedup(spark, sf).collect()
+      .filter(r => r.getDouble(3) < 0.5).map(_.getLong(0)).toSet
+    val bloomKeep = Dedup.bloomGate(spark, sf).collect()
+      .filter(_.getLong(4) === 1L).map(_.getLong(0)).toSet
+    // bloom containment ≥ exact containment, so bloom-admitted ⊆ exact-admitted
+    assert(bloomKeep.subsetOf(exactKeep),
+      s"bloom admitted ${(bloomKeep -- exactKeep).take(5)} that exact rejects")
+  }
 }

@@ -82,4 +82,32 @@ class GraphIndexSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, s"vector arrays crossed a shuffle:\n${offenders.mkString}")
   }
+
+  test("incremental insert reaches new points, keeps recall, and never mutates the old snapshot") {
+    val oldHalf = corpus.filter(col("vec_id") % 2 === 0)
+    val newHalf = corpus.filter(col("vec_id") % 2 =!= 0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-gidx-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-gidx-b").toString
+    val base = GraphIndex.build(oldHalf, dirA)
+    val baseBefore = base.search(queryVecs.head, k = 10).collect().toSeq
+    val merged = base.insertTo(newHalf, dirB)
+    // inserted points are linked into the graph: searching an inserted
+    // vector's own embedding surfaces its id at the top
+    newHalf.select("vec_id", "vec").collect().take(5).foreach { r =>
+      val self = r.getLong(0)
+      val got = merged.search(r.getSeq[Double](1), k = 3, beam = 20, hops = 3)
+        .collect().map(_.getLong(1))
+      assert(got.contains(self), s"inserted point $self unreachable (got ${got.toSeq})")
+    }
+    // recall over the FULL corpus stays index-grade on the clustered set
+    val recalls = queryVecs.map { q =>
+      val hits = merged.search(q, k = 10, beam = 20, hops = 3)
+        .collect().map(_.getLong(1)).toSet
+      val exact = bruteTop(q, 10).toSet
+      (hits & exact).size.toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"post-insert recalls $recalls")
+    // snapshot isolation: the pre-insert index still answers identically
+    assert(base.search(queryVecs.head, k = 10).collect().toSeq === baseBefore)
+  }
 }

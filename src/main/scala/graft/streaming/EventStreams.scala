@@ -290,6 +290,99 @@ object EventStreams {
       }
   }
 
+  /** STREAMING BLOOM ADMISSION GATE — the unbounded, CONSTANT-STATE
+    * twin of `Dedup.bloomGate` (and the cheap front line before
+    * [[nearDupGateStream]]'s signature machinery): each micro-batch
+    * probes its docs' 8-gram hashes against the bit-OR UNION of every
+    * previously committed batch's bloom filter, admits docs whose
+    * estimated containment stays < `t`, and appends ONE filter built
+    * from the admitted docs' grams to the store.
+    *
+    * Why this exists at scale: the near-dup gate's signature store
+    * grows with the corpus and its candidate join costs
+    * O(batch + candidates) per batch; the bloom gate's entire history
+    * compresses to a fixed-size bit array (filters created with the
+    * same sizing merge losslessly), so per-batch cost is ONE map pass
+    * over the batch — no store join at all. Error is one-sided (no
+    * false negatives): a true near-dup is never admitted because its
+    * grams all probe true; a few clean docs may be over-rejected at
+    * the false-positive rate. Exactly-once: a replayed batch rewrites
+    * its own `batch-N` dir (idempotent), and a filter is live only
+    * once its `_SUCCESS` marker exists.
+    *
+    * Store layout under `storePath`: `batch-N/admitted` (per-doc
+    * verdict rows) + `batch-N/filter` (one-row binary).
+    */
+  def bloomGateStream(docs: DataFrame, storePath: String, checkpoint: String,
+                      w: Int = 8, t: Double = 0.5,
+                      estimatedItems: Long = 1L << 20) = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graft.BloomBridge
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val committed: Seq[String] =
+          if (!fs.exists(root)) Nil
+          else fs.listStatus(root).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-") &&
+              st.getPath.getName != f"batch-$batchId%012d" && // replay: ignore own partial dir
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "filter/_SUCCESS")))
+            .map(_.getPath.toString).sorted
+        // union of committed filters: same-sized filters OR losslessly;
+        // the merged state is KB-MB driver-side model state, like the
+        // batch gate's
+        // an all-rejected batch evals its aggregate to NULL (empty
+        // filter) — skip those blobs rather than crash readFrom
+        val blobs = committed
+          .map(p => s.read.parquet(p + "/filter").head().getAs[Array[Byte]]("bf"))
+          .filter(_ != null)
+        val history: Option[Array[Byte]] =
+          if (blobs.isEmpty) None
+          else {
+            val merged = blobs
+              .map(b => org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(b)))
+              .reduce { (a, b) => a.mergeInPlace(b); a }
+            val out = new java.io.ByteArrayOutputStream()
+            merged.writeTo(out)
+            Some(out.toByteArray)
+          }
+        val grams = Dedup.shingleRows(batch, w)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        val hit = history.fold(lit(false))(bf => BloomBridge.mightContain(bf, col("h")))
+        val gv = grams
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), sum(hit.cast("long")).as("n_hit"))
+        // left join back so a doc shorter than the gram width still gets
+        // an admission verdict (no grams ⇒ containment 0 ⇒ admitted)
+        val verdicts = batch.select("doc_id").join(gv, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            when(col("n_grams") > 0,
+              round(col("n_hit").cast("double") / col("n_grams"), 4))
+              .otherwise(0.0).as("containment_est"),
+            (coalesce(
+              when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams")),
+              lit(0.0)) < t).cast("long").as("keep"))
+          .localCheckpoint(true) // consumed by both writes below
+        val dir = new org.apache.hadoop.fs.Path(root, f"batch-$batchId%012d")
+        verdicts.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(dir, "admitted").toString)
+        // the appended filter covers ADMITTED docs' grams only, so a
+        // rejected doc never poisons the history
+        grams.join(verdicts.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+          .agg(BloomBridge.bloomAgg(col("h"), estimatedItems).as("bf"))
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(dir, "filter").toString)
+        ()
+      }
+  }
+
   case class HourBucket(hour: Long, n: Long)
   case class AnomalyState(open: Map[Long, Long], n: Long, mean: Double, m2: Double)
   case class HourScore(event_type: String, hour: java.sql.Timestamp, n: Long,

@@ -270,6 +270,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bloomGateStream rejects history dups across batches with constant store probes") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bloomgate").toString
+    val store = base + "/store"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.bloomGateStream(
+      input.toDF().toDF("doc_id", "text"), store, base + "/ckpt").start()
+    def admitted(): Map[Long, Long] =
+      spark.read.parquet(store + "/batch-*/admitted")
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    try {
+      val t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+      val t2 = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12"
+      input.addData(1L -> t1, 2L -> t2)
+      q.processAllAvailable()
+      assert(admitted() === Map(1L -> 1L, 2L -> 1L)) // empty history admits all
+      val t4 = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"
+      input.addData(
+        3L -> t1,                                          // exact dup of accepted 1
+        4L -> t4,                                          // novel
+        5L -> (t1.stripSuffix("w12") + "CHANGED"))         // 4/5 grams shared with 1
+      q.processAllAvailable()
+      val m2 = admitted()
+      assert(m2(3L) === 0L && m2(5L) === 0L && m2(4L) === 1L, s"verdicts $m2")
+      // the filter history accumulates: doc 4 was admitted in batch 2,
+      // so its twin in batch 3 is rejected by batch 2's appended filter
+      input.addData(6L -> t4, 7L -> "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12")
+      q.processAllAvailable()
+      val m3 = admitted()
+      assert(m3(6L) === 0L && m3(7L) === 1L, s"verdicts $m3")
+      // rejected docs never poison history: doc 3 (rejected copy of 1)
+      // contributed nothing — containment of 6 comes from 4's filter only
+      val nFilters = spark.read.parquet(store + "/batch-*/filter").count()
+      assert(nFilters === 3L) // one per batch, each a single row
+    } finally q.stop()
+  }
+
   test("streaming quality gate scores an unbounded doc stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf)

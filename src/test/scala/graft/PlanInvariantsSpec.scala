@@ -293,6 +293,47 @@ class PlanInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("session stats reuses the sessionize window's partitioning for both rollups") {
+    val p = plan("events_session_stats")
+    // HashPartitioning(user) satisfies the (user, session) and (user)
+    // clusterings, so the window exchange is the ONLY data exchange;
+    // the second is the verification sort's range partitioning
+    assert(nShuffles(p) <= 2, s"rollups re-shuffled after the window:\n$p")
+    // the lag and the running-sum are sequential (the second consumes
+    // the first's output), so TWO Window operators are inherent — but
+    // they must share the one user-hash exchange, never add their own
+    val nWindows = "\\(\\d+\\) Window\\b".r.findAllIn(p).size
+    assert(nWindows == 2, s"expected the two stacked Window passes, got $nWindows:\n$p")
+  }
+
+  test("skyline plans the two-phase sweep, never an inequality self-join") {
+    val p = plan("part_skyline")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"skyline degraded to a pairwise join:\n$p")
+    assert(p.contains("Coalesce"), s"final sweep lost its single-task collapse:\n$p")
+  }
+
+  test("centroid drift exchanges (label, dim) decimal partials, never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val sp = SparkEntry.queries("emb_centroid_drift")(spark, sf)
+      .queryExecution.sparkPlan
+    val offenders = sp.collect {
+      case e: ShuffleExchangeExec
+        if e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(offenders.isEmpty, s"embedding arrays crossed an exchange:\n$sp")
+  }
+
+  test("cohort LTV builds the cohort map once and joins it back without re-scanning") {
+    val p = plan("orders_cohort_ltv")
+    // orders scanned twice (base + cohort build) is the expected shape;
+    // the join back must be keyed on the custkey clustering
+    assert(nShuffles(p) <= 4, s"cohort join exploded into extra exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("event paths run ONE user-keyed window pass for both leads") {
     val p = plan("events_path_topn")
     // two stacked lead()s must share a single Window operator/sort —

@@ -136,6 +136,8 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
+    "events_attribution" -> Relational.eventsAttribution _,
+    "text_doc_sim_topk" -> ((s: SparkSession, d: String) => TextAnalysis.docSimTopK(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
     "emb_label_centroids" -> Embeddings.labelCentroids _,
@@ -564,6 +566,32 @@ object SparkEntry {
         |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 4) AS mean_dur_secs,
         |  round(CAST(max(dur_us) AS DOUBLE) / 1e6, 4) AS max_dur_secs
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_type AS touch_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.purchase_id, p.value, t.touch_type FROM p JOIN t
+        |  ON p.user_id = t.user_id AND t.tts >= p.ts - INTERVAL 1 HOUR AND t.tts < p.ts),
+        |c AS (SELECT *, round(value / count(*) OVER (PARTITION BY purchase_id), 6) AS credit
+        |  FROM j)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS credited_value
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_doc_sim_topk" ->
+      s"""WITH ${SHINGLES(3)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |qg AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |inter AS (SELECT q.query_id, s.doc_id, count(*) AS c FROM qg q
+         |  JOIN sh s ON q.shingle = s.shingle AND q.query_id <> s.doc_id GROUP BY 1, 2),
+         |j AS (SELECT i.query_id, i.doc_id, i.c::DOUBLE / (sq.n + sd.n - i.c) AS jaccard
+         |  FROM inter i JOIN sizes sq ON i.query_id = sq.doc_id
+         |  JOIN sizes sd ON i.doc_id = sd.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY jaccard DESC, doc_id ASC) AS rank FROM j)
+         |SELECT query_id, rank, doc_id, round(jaccard, 4) AS jaccard FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $CLUSTERS_CTE,
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),

@@ -1337,6 +1337,37 @@ object Relational {
       .orderBy("cohort", "age")
   }
 
+  /** MULTI-TOUCH ATTRIBUTION: each purchase's value split equally
+    * across the same user's view/click touches in the prior hour, then
+    * rolled up per touch type — the fractional-credit generalization of
+    * [[eventsAsofJoin]] (last-touch) and [[eventsRangeJoin]] (window
+    * count). The range join carries the user equi-key so both sides
+    * hash-partition on user (no cross-range explosion); the per-purchase
+    * touch count comes from a purchase-keyed window over the already-
+    * joined rows (same exchange). Credit shares are identical doubles on
+    * both engines (value/count), rounded to 6dp and summed as DECIMAL —
+    * engine-exact.
+    */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), col("value").as("pvalue"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tuser"), col("ts").as("tts"),
+        col("event_type").as("touch_type"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    p.join(t, col("user_id") === col("tuser") &&
+        col("tts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("tts") < col("pts"))
+      .withColumn("credit",
+        round(col("pvalue") / count(lit(1)).over(byPurchase), 6))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("purchase_id").as("n_purchases"),
+        sum(col("credit").cast("decimal(18,6)")).cast("double").as("credited_value"))
+      .orderBy("touch_type")
+  }
+
   /** Per-user SESSION-LEVEL statistics over the gap sessionization:
     * session count, events/session, mean and max session duration. The
     * session assignment is [[eventsSessionize]]'s integer-micros gap

@@ -594,4 +594,45 @@ object TextAnalysis {
           .as("dsir_weight"))
       .orderBy("doc_id")
   }
+
+  /** "MORE LIKE THIS" document retrieval: for each query doc, the top-k
+    * most similar corpus docs by 5-gram Jaccard — the search face of the
+    * dedup machinery (near-dup forensics, per-doc provenance, corpus
+    * browse). Where the dedup family answers "which pairs exceed τ",
+    * this answers "what are THIS doc's closest neighbors, ranked".
+    *
+    * Scale shape: both sides reduce to (doc, 8-byte gram hash) rows; the
+    * intersection join keys on the hash with the (small) query side
+    * broadcast; per-pair counts partial-aggregate; the k-cut is the
+    * custom TopKPerKey heap operator, so only ≤ k rows per (query ×
+    * partition) cross its exchange. Corpus text never moves.
+    */
+  def docSimTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    // 3-grams, not the dedup family's 5: retrieval wants graded
+    // similarity over the whole corpus, not just near-dup-tier overlap
+    val grams = Dedup.shingleRows(Tables.documents(s, d), 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qg = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"), col("h"))
+    val inter = qg.join(grams, "h")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("query_id"), col("n").as("nq")), "query_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nd")), "doc_id")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("nq") + col("nd") - col("c")))
+    val top = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("doc_id"), col("jaccard")),
+      Seq(col("query_id")),
+      Seq(col("jaccard").desc, col("doc_id").asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("jaccard").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("query_id", "rank")
+  }
 }

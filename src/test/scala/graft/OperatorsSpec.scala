@@ -706,6 +706,41 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("attribution conserves purchase value across touch types") {
+    val rows = Relational.eventsAttribution(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("view", "click")))
+    val credited = rows.map(_.getDouble(3)).sum
+    // independent recompute: total value of purchases with >=1 touch
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        col("value"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"))
+    val attributed = p.join(t, col("user_id") === col("tu") &&
+        col("tts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("tts") < col("pts"))
+      .select("pid", "value").distinct()
+    val expected = attributed.agg(sum("value")).head().getDouble(0)
+    val nTouches = rows.map(_.getLong(1)).sum
+    // equal-split credit re-assembles each purchase's value up to the
+    // 6dp per-touch rounding
+    assert(math.abs(credited - expected) <= nTouches * 1e-6 + 1e-9,
+      s"credited $credited vs purchase total $expected")
+  }
+
+  test("doc similarity top-k is ranked, self-free, and valid") {
+    val rows = TextAnalysis.docSimTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
+      assert(rs.length <= 5)
+      assert(rs.forall(_.getLong(2) != q)) // a doc is not similar to itself
+      val js = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(js === js.sorted.reverse)
+      js.foreach(j => assert(j > 0.0 && j <= 1.0))
+    }
+  }
+
   test("pca projections have descending variance and zero cross-covariance") {
     val rows = Embeddings.pcaProject(spark, sf).collect()
     val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))

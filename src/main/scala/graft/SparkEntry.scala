@@ -186,6 +186,8 @@ object SparkEntry {
     "mm_feature_extract" -> Multimodal.featureExtract _,
     "mm_dedup_bytes" -> Multimodal.dedupBytes _,
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
+    "mm_phash_clusters" -> ((s: SparkSession, d: String) => Multimodal.phashClusters(s, d)),
+    "vs_snapshot_diff" -> VectorStore.snapshotDiff _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d))
   )
 
@@ -201,6 +203,33 @@ object SparkEntry {
     s"""sh0 AS (SELECT doc_id, list_distinct([$gram for i in range(1, len(words)-${w - 2})]) AS sh
        | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
        |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  }
+
+  /** DuckDB twin of the sampled-byte-parity pHash pipeline
+    * (Multimodal.phashDedup): planted re-uploads → 64-bit signature →
+    * 16-bit band buckets → candidate pairs with both signatures.
+    */
+  private lazy val PHASH_CTE: String = {
+    val sigTerms = (0 until 64).map { i =>
+      val bit = s"bit_count(ascii(substr(text, CAST(floor($i * length(text) * 1.0 / 64) AS INT) + 1, 1))) % 2"
+      // bit 63: 1::BIGINT << 63 overflows DuckDB's checked shift —
+      // add INT64_MIN instead (the same two's-complement value Spark's
+      // wrapping shiftleft produces)
+      if (i == 63) s"(CASE WHEN $bit = 1 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+      else s"(CAST($bit AS BIGINT) << $i)"
+    }.mkString(" + ")
+    s"""pbase AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+       |media AS (
+       |  SELECT doc_id, text FROM pbase WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT b.doc_id, upper(substr(o.text, 1, 5)) || substr(o.text, 6) AS text
+       |  FROM pbase b JOIN pbase o ON o.doc_id = b.doc_id - 1 WHERE b.doc_id % 10 = 0),
+       |sigs AS (SELECT doc_id, $sigTerms AS sig FROM media),
+       |bands AS (SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS key
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, a.sig AS sa, b.doc_id AS ib, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** Shared recursive-CTE cluster construction: exact-Jaccard ≥ 0.8 pair
@@ -1349,30 +1378,33 @@ object SparkEntry {
         |SELECT g.doc_id, g.dim::BIGINT AS dim, coalesce(c.n, 0) AS count
         |FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.bucket
         |ORDER BY g.doc_id, g.dim""".stripMargin,
-    "mm_phash_dedup" -> {
-      val sigTerms = (0 until 64).map { i =>
-        val bit = s"bit_count(ascii(substr(text, CAST(floor($i * length(text) * 1.0 / 64) AS INT) + 1, 1))) % 2"
-        // bit 63: 1::BIGINT << 63 overflows DuckDB's checked shift —
-        // add INT64_MIN instead (the same two's-complement value Spark's
-        // wrapping shiftleft produces)
-        if (i == 63) s"(CASE WHEN $bit = 1 THEN (-9223372036854775807 - 1) ELSE 0 END)"
-        else s"(CAST($bit AS BIGINT) << $i)"
-      }.mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
-         |media AS (
-         |  SELECT doc_id, text FROM base WHERE doc_id % 10 <> 0
-         |  UNION ALL
-         |  SELECT b.doc_id, upper(substr(o.text, 1, 5)) || substr(o.text, 6) AS text
-         |  FROM base b JOIN base o ON o.doc_id = b.doc_id - 1 WHERE b.doc_id % 10 = 0),
-         |sigs AS (SELECT doc_id, $sigTerms AS sig FROM media),
-         |bands AS (SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS key
-         |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, a.sig AS sa, b.doc_id AS ib, b.sig AS sb
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    "mm_phash_dedup" ->
+      s"""WITH $PHASH_CTE
          |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""".stripMargin
-    },
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""".stripMargin,
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $PHASH_CTE,
+         |p AS (SELECT ia, ib FROM cand WHERE bit_count(xor(sa, sb)) <= 8),
+         |edges AS (SELECT ia AS src, ib AS dst FROM p UNION SELECT ib, ia FROM p),
+         |preach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN preach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM preach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+    "vs_snapshot_diff" ->
+      s"""WITH $PTS,
+         |base AS (SELECT id, seq FROM pts),
+         |nxt AS (SELECT id, CASE WHEN id % 5 = 0 THEN seq + 1000000 ELSE seq END AS seq
+         |  FROM base WHERE id % 7 <> 3
+         |  UNION ALL SELECT id + 100000, seq + 2000000 FROM base WHERE id < 50),
+         |d AS (SELECT coalesce(b.id, n.id) AS id, b.seq AS old_seq, n.seq AS new_seq
+         |  FROM base b FULL OUTER JOIN nxt n ON b.id = n.id)
+         |SELECT CASE WHEN old_seq IS NULL THEN 'added'
+         |  WHEN new_seq IS NULL THEN 'removed'
+         |  WHEN old_seq <> new_seq THEN 'updated' ELSE 'unchanged' END AS status,
+         |count(*) AS n, min(id) AS min_id, max(id) AS max_id
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incremental" -> {
       val w = 8
       val gram = (0 until w).map(j => s"words[i+$j]").mkString("||' '||")

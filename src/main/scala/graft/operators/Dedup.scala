@@ -332,18 +332,27 @@ object Dedup {
     * (measured 35 s → ~3 s at sf0.1 from the two fixes together). Only
     * (node, label) pairs shuffle; the edge list is materialized once.
     */
-  def dupClusters(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+  def dupClusters(s: SparkSession, d: String, t: Double = 0.8): DataFrame =
     // the memoized pair list is already materialized, so its double
-    // appearance in the symmetrizing union below costs nothing extra
-    val pairs = minhashPairs(s, d, t).select(col("ia"), col("ib"))
-    val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+    // appearance in the symmetrizing union inside costs nothing extra
+    clustersOfPairs(s, minhashPairs(s, d, t).select(col("ia"), col("ib")))
+
+  /** Connected components over ANY (ia, ib) near-dup pair list —
+    * (doc_id, cluster_id) with the component-min id as the canonical
+    * label. Shared by the text clustering ([[dupClusters]]) and the
+    * media pHash clustering (`Multimodal.phashClusters`).
+    *
+    * HYBRID: the near-dup pair graph is normally ≪ the corpus (it holds
+    * only docs with a ≥t twin). When the edge list fits one task, a
+    * single-pass executor-side union-find replaces an O(log d)-round
+    * distributed loop — one job instead of ~2 per round. The iterative
+    * pointer-doubling path remains the route for pathological
+    * pair graphs (e.g. crawl corpora that are 50% boilerplate dups).
+    */
+  private[graft] def clustersOfPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("ia", "ib")
+    val edges = p.union(p.select(col("ib"), col("ia")))
       .toDF("src", "dst").localCheckpoint(true)
-    // HYBRID: the near-dup pair graph is normally ≪ the corpus (it holds
-    // only docs with a ≥t twin). When the edge list fits one task, a
-    // single-pass executor-side union-find replaces an O(log d)-round
-    // distributed loop — one job instead of ~2 per round. The iterative
-    // pointer-doubling path below remains the route for pathological
-    // pair graphs (e.g. crawl corpora that are 50% boilerplate dups).
     val nEdges = edges.count()
     if (nEdges <= 10000000L) unionFindLocal(s, edges)
     else labelPropagation(s, edges)

@@ -192,4 +192,17 @@ object Multimodal {
       .select(col("ia"), col("ib"), col("hamming"))
       .orderBy("ia", "ib")
   }
+
+  /** ASSET clusters over the perceptual-hash pair graph — every
+    * re-encode/retouch chain of the same underlying media groups under
+    * one canonical id, so a keep policy (best resolution, earliest
+    * upload) can act per asset rather than per pairwise match: the
+    * media twin of the text `dedup_clusters`. Pairs from
+    * [[phashDedup]]'s banded candidate join; components via the shared
+    * hybrid union-find / label-propagation dispatch (`Dedup
+    * .clustersOfPairs`) — same scale story: only (id, label) pairs ever
+    * shuffle, payloads never.
+    */
+  def phashClusters(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame =
+    Dedup.clustersOfPairs(s, phashDedup(s, d, maxHamming).select("ia", "ib"))
 }

@@ -606,4 +606,34 @@ object VectorStore {
       .limit(k)
       .select(col("doc_id"), round(col("sc").cast("double"), 4).as("score"))
   }
+
+  /** SNAPSHOT DIFF: the change audit between two collection versions —
+    * "what did this ingest window do?" over a snapshot-versioned store
+    * (the lakehouse discipline every delete/upsert here follows: new
+    * immutable snapshot per mutation batch). The next version is derived
+    * deterministically from the base (updates for id ≡ 0 mod 5, deletes
+    * for id ≡ 3 mod 7, inserts above the id space), then one FULL OUTER
+    * id join comparing seq classifies added / removed / updated /
+    * unchanged. Scale shape: both snapshots reduce to (id, seq) — 16
+    * bytes/point — before the join; payloads never move; with the
+    * id-bucketed layout the join is co-located and shuffle-free.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.points(s, d).select("id", "seq")
+    val next = base.filter(col("id") % 7 =!= 3)
+      .withColumn("seq",
+        when(col("id") % 5 === 0, col("seq") + 1000000).otherwise(col("seq")))
+      .unionByName(base.filter(col("id") < 50)
+        .select((col("id") + 100000).as("id"), (col("seq") + 2000000).as("seq")))
+    base.select(col("id"), col("seq").as("old_seq"))
+      .join(next.select(col("id"), col("seq").as("new_seq")), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_seq").isNull, "added")
+          .when(col("new_seq").isNull, "removed")
+          .when(col("old_seq") =!= col("new_seq"), "updated")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("status")
+  }
 }

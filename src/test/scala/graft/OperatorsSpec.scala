@@ -741,6 +741,32 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("phash clusters group every planted re-upload with its original") {
+    val pairs = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Multimodal.phashClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every detected pair lands in one cluster, labeled by the
+    // component-min id
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"pair ($a,$b) split across clusters")
+      assert(cl(a) <= math.min(a, b))
+    }
+    assert(cl.keySet === (pairs.map(_._1) ++ pairs.map(_._2)).toSet)
+  }
+
+  test("snapshot diff classifies the derived mutation batch exactly") {
+    val rows = VectorStore.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.points(spark, sf).select("id").collect().map(_.getLong(0))
+    assert(rows.getOrElse("added", 0L) === ids.count(_ < 50).toLong)
+    assert(rows.getOrElse("removed", 0L) === ids.count(_ % 7 == 3).toLong)
+    assert(rows.getOrElse("updated", 0L) ===
+      ids.count(i => i % 5 == 0 && i % 7 != 3).toLong)
+    assert(rows.values.sum === ids.length + ids.count(_ < 50)) // full outer covers all
+  }
+
   test("pca projections have descending variance and zero cross-covariance") {
     val rows = Embeddings.pcaProject(spark, sf).collect()
     val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))

@@ -137,6 +137,8 @@ object SparkEntry {
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "events_attribution" -> Relational.eventsAttribution _,
+    "parts_abc_analysis" -> Relational.partsAbcAnalysis _,
+    "events_dau_wau" -> Relational.eventsDauWau _,
     "text_doc_sim_topk" -> ((s: SparkSession, d: String) => TextAnalysis.docSimTopK(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
     // embedding-column maintenance
@@ -591,10 +593,36 @@ object SparkEntry {
         |  max(tse) - min(tse) AS dur_us FROM g GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions,
         |  CAST(sum(n_events) AS BIGINT) AS total_events,
-        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS events_per_session,
-        |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6, 4) AS mean_dur_secs,
-        |  round(CAST(max(dur_us) AS DOUBLE) / 1e6, 4) AS max_dur_secs
+        |  CAST(sum(n_events) AS DOUBLE) / count(*) AS events_per_session,
+        |  CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6 AS mean_dur_secs,
+        |  CAST(max(dur_us) AS DOUBLE) / 1e6 AS max_dur_secs
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parts_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |  sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(rev) OVER () AS total FROM rev),
+        |k AS (SELECT *, CASE
+        |  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+        |  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+        |  ELSE 'C' END AS abc_class FROM c)
+        |SELECT abc_class, count(*) AS n_parts, CAST(sum(rev) AS DOUBLE) AS revenue,
+        |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 4) AS revenue_share
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |b AS (SELECT max(day) AS hi FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wd AS (SELECT user_id,
+        |  unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday
+        |  FROM ud),
+        |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau FROM wd, b
+        |  WHERE wday <= hi GROUP BY 1)
+        |SELECT d.day, d.dau, u.wau,
+        |  round(CAST(d.dau AS DOUBLE) / u.wau, 4) AS stickiness
+        |FROM dau d JOIN wau u ON d.day = u.day ORDER BY 1""".stripMargin,
     "events_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),
@@ -1519,7 +1547,7 @@ object SparkEntry {
         |  FROM ca LEFT JOIN ct ON ca.b = ct.b, na, nt),
         |db AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(CAST(n * r AS DECIMAL(18,6))) AS DOUBLE), 4) AS dsir_weight
+        |  CAST(sum(CAST(n * r AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight
         |FROM db JOIN r USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH ${SHINGLES(5)},

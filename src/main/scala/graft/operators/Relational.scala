@@ -1337,6 +1337,70 @@ object Relational {
       .orderBy("cohort", "age")
   }
 
+  /** ABC (Pareto) revenue classification of parts: rank parts by
+    * revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%, C rest) —
+    * the inventory-analysis classic, and the data-layout question "how
+    * few keys carry how much of the fact table". Exactness: revenue and
+    * its running total are DECIMAL sums (order-independent), the share
+    * division happens once per part on exact inputs. Scale shape: the
+    * fact reduces to |parts| aggregate rows before the (dimension-sized)
+    * global rank window; the fact table itself never sorts.
+    */
+  def partsAbcAnalysis(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+    val tot = Window.partitionBy()
+    rev
+      .withColumn("cum", sum("rev").over(w))
+      .withColumn("total", sum("rev").over(tot))
+      // share division in DOUBLE on exact decimal inputs — decimal
+      // division scale rules differ across engines, IEEE doubles don't
+      .withColumn("share", col("cum").cast("double") / col("total").cast("double"))
+      .withColumn("abc_class",
+        when(col("share") <= 0.80, "A").when(col("share") <= 0.95, "B").otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").cast("double").as("revenue"),
+        round(sum("rev").cast("double") / max("total").cast("double"), 4)
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
+  /** DAU/WAU STICKINESS: per day, distinct active users that day vs the
+    * trailing 7 days, and their ratio — the engagement health metric.
+    * Exact distinct over a sliding window WITHOUT per-day rescans: each
+    * (user, day) activity row EXPLODES into the ≤7 window days it
+    * contributes to (linear in activity, the inverted view of the
+    * window), then both counts are plain distinct aggregates. At 100 TB
+    * the (user, day) reduction is the only fact-sized exchange; the
+    * HLL sketch variant (`events_approx_users`) is the constant-state
+    * fallback when exactness can yield.
+    */
+  def eventsDauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val bounds = ud.agg(min("day").as("lo"), max("day").as("hi"))
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    // a (user, day) activity covers window days day..day+6, clipped to
+    // the observed grid so every reported day has a full trailing week
+    // of data coverage semantics
+    val wau = ud
+      .withColumn("wday", explode(sequence(
+        col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") <= col("hi"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** MULTI-TOUCH ATTRIBUTION: each purchase's value split equally
     * across the same user's view/click touches in the prior hour, then
     * rolled up per touch type — the fractional-credit generalization of
@@ -1388,14 +1452,16 @@ object Relational {
       .withColumn("session_id", sum("new_sess").over(byUser))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+    // durations are exact micro multiples — a 4dp round would land on
+    // .5 boundaries where HALF_UP (Spark) and HALF_EVEN (DuckDB)
+    // diverge; the UNROUNDED doubles are identical IEEE ops on
+    // identical integers in both engines, so they compare exactly
     sess.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("total_events"),
-        round(sum("n_events").cast("double") / count(lit(1)), 4)
-          .as("events_per_session"),
-        round(sum("dur_us").cast("double") / count(lit(1)) / 1e6, 4)
-          .as("mean_dur_secs"),
-        round(max("dur_us").cast("double") / 1e6, 4).as("max_dur_secs"))
+        (sum("n_events").cast("double") / count(lit(1))).as("events_per_session"),
+        (sum("dur_us").cast("double") / count(lit(1)) / 1e6).as("mean_dur_secs"),
+        (max("dur_us").cast("double") / 1e6).as("max_dur_secs"))
       .orderBy("user_id")
   }
 }

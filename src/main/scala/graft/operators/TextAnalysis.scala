@@ -590,7 +590,11 @@ object TextAnalysis {
       .join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"),
-        round(sum((col("n") * col("r")).cast("decimal(18,6)")).cast("double"), 4)
+        // the weight sum is an exact 6dp-decimal multiple — a 4dp round
+        // would sit on .5 boundaries where Spark's HALF_UP and DuckDB's
+        // HALF_EVEN split; the exact decimal→double cast compares
+        // bit-identically instead
+        sum((col("n") * col("r")).cast("decimal(18,6)")).cast("double")
           .as("dsir_weight"))
       .orderBy("doc_id")
   }

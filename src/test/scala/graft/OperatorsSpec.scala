@@ -767,6 +767,40 @@ class OperatorsSpec extends SparkSpecBase {
     assert(rows.values.sum === ids.length + ids.count(_ < 50)) // full outer covers all
   }
 
+  test("ABC classes partition parts with descending per-part revenue tiers") {
+    val rows = Relational.partsAbcAnalysis(spark, sf).collect()
+    val byClass = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byClass.keySet.subsetOf(Set("A", "B", "C")) && byClass.contains("A"))
+    // shares partition to 1
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    // the A tier carries more revenue per part than B, B than C
+    val perPart = rows.map(r => r.getString(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    Seq("A" -> "B", "B" -> "C").foreach { case (hi, lo) =>
+      if (perPart.contains(hi) && perPart.contains(lo))
+        assert(perPart(hi) > perPart(lo), s"$hi tier not denser than $lo: $perPart")
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
+  }
+
+  test("DAU/WAU: wau bounds dau and equals the exact trailing-week distinct") {
+    val rows = Relational.eventsDauWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val dayMs = 86400L * 1000
+    rows.foreach { r =>
+      val (day, dau, wau, st) =
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau <= wau && st > 0 && st <= 1.0)
+      val exact = ud.filter { case (_, d) => d <= day && d > day - 7 * dayMs }
+        .map(_._1).distinct.length
+      assert(wau === exact.toLong, s"wau mismatch on day $day")
+    }
+  }
+
   test("pca projections have descending variance and zero cross-covariance") {
     val rows = Embeddings.pcaProject(spark, sf).collect()
     val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))

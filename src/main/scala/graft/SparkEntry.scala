@@ -1100,7 +1100,7 @@ object SparkEntry {
         |  CAST(round(max(list_cosine_similarity(c.vec, q.qvec)), 6) AS DECIMAL(18,6)) AS mx6
         |  FROM t c, q WHERE c.doc <> 0 GROUP BY 1, 2),
         |sc AS (SELECT doc, sum(mx6) AS s FROM m GROUP BY 1)
-        |SELECT doc, round(CAST(s AS DOUBLE), 4) AS maxsim
+        |SELECT doc, CAST(s AS DOUBLE) AS maxsim
         |FROM sc ORDER BY s DESC, doc LIMIT 10""".stripMargin,
     "vs_sparse_search" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1114,7 +1114,7 @@ object SparkEntry {
         |sc AS (SELECT wt.doc_id,
         |  sum(CAST(round(wt.w * q.qw, 6) AS DECIMAL(18,6))) AS s
         |  FROM wt JOIN q USING (term) WHERE wt.doc_id <> 0 GROUP BY 1)
-        |SELECT doc_id, round(CAST(s AS DOUBLE), 4) AS score
+        |SELECT doc_id, CAST(s AS DOUBLE) AS score
         |FROM sc WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "events_markov" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -1281,8 +1281,8 @@ object SparkEntry {
         |  CAST(round(q * log2(q / ((p + q) / 2)), 6) AS DECIMAL(18,6)) AS tq,
         |  CAST(round(q, 6) AS DECIMAL(18,6)) AS q6 FROM j)
         |SELECT source, max(t_s) AS n_tokens, count(*) AS n_terms,
-        |  round(0.5 * (CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)
-        |    + 1.0 - CAST(sum(q6) AS DOUBLE)), 4) AS jsd
+        |  CAST((sum(tp) + sum(tq) + CAST(1.0 AS DECIMAL(2,1)) - sum(q6))
+        |    * CAST(0.5 AS DECIMAL(1,1)) AS DOUBLE) AS jsd
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_basket_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -527,10 +527,14 @@ object TextAnalysis {
       .withColumn("q6", round(col("q"), 6).cast("decimal(18,6)"))
       .groupBy("source")
       .agg(max("t_s").as("n_tokens"), count(lit(1)).as("n_terms"),
-        sum("tp").cast("double").as("sp"), sum("tq").cast("double").as("sq"),
-        sum("q6").cast("double").as("cov"))
+        sum("tp").as("sp6"), sum("tq").as("sq6"), sum("q6").as("cov6"))
+      // the affine combination stays in EXACT decimal (×0.5 as a
+      // DECIMAL(1,1) literal — exact scale-7 product); a 4dp round of
+      // the double would sit on 5e-7-multiple .5 boundaries where
+      // HALF_UP (Spark) and binary rounding (DuckDB) split
       .select(col("source"), col("n_tokens"), col("n_terms"),
-        round(lit(0.5) * (col("sp") + col("sq") + lit(1.0) - col("cov")), 4).as("jsd"))
+        ((col("sp6") + col("sq6") + lit(new java.math.BigDecimal("1.0")) - col("cov6")) *
+          lit(new java.math.BigDecimal("0.5"))).cast("double").as("jsd"))
       .orderBy("source")
   }
 

@@ -570,7 +570,10 @@ object VectorStore {
       .groupBy("doc").agg(sum("mx6").as("sc"))
       .orderBy(col("sc").desc, col("doc"))
       .limit(k)
-      .select(col("doc"), round(col("sc").cast("double"), 4).as("maxsim"))
+      // sc is an exact 6dp-decimal sum — no coarser re-round (HALF_UP
+      // vs HALF_EVEN split on exact .5 boundaries); the decimal→double
+      // cast is bit-identical across engines
+      .select(col("doc"), col("sc").cast("double").as("maxsim"))
   }
 
   /** SPARSE-vector search via INVERTED POSTING LISTS (the SPLADE/BM25
@@ -604,7 +607,8 @@ object VectorStore {
       .filter(col("sc") > 0)
       .orderBy(col("sc").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), round(col("sc").cast("double"), 4).as("score"))
+      // exact 6dp-decimal sum: emit the unrounded cast (see multivec)
+      .select(col("doc_id"), col("sc").cast("double").as("score"))
   }
 
   /** SNAPSHOT DIFF: the change audit between two collection versions —

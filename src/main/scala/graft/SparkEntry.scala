@@ -135,6 +135,7 @@ object SparkEntry {
     "events_session_stats" -> Relational.eventsSessionStats _,
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
+    "dedup_recall_eval" -> ((s: SparkSession, d: String) => Dedup.dedupRecallEval(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "events_attribution" -> Relational.eventsAttribution _,
     "parts_abc_analysis" -> Relational.partsAbcAnalysis _,

@@ -869,6 +869,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** DEDUP-TIER EVALUATION harness as data — the dedup twin of
+    * `Ann.recallEval`: each approximate/alternative pair finder scored
+    * against the exact n-gram-Jaccard ≥ t ground truth → (method,
+    * n_true, n_found, n_hit, recall, precision) rows. This is the
+    * report a pipeline regenerates per corpus snapshot before trusting
+    * a cheaper tier: minhash-LSH should hold recall 1.0 (banding tuned
+    * for it, then exact-verified); simhash and containment hunt
+    * DIFFERENT similarity notions, so their recall/precision against
+    * Jaccard truth is exactly the drift being measured. Scale shape:
+    * every relation here is a pair list (tiny vs the corpus); hit
+    * counting is an (ia, ib)-keyed join.
+    */
+  def dedupRecallEval(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    val truth = ngramJaccard(s, d, t).select("ia", "ib").cache()
+    val nTrue = truth.count()
+    def eval(name: String, res: DataFrame): DataFrame = {
+      val found = res.select("ia", "ib").distinct()
+      val hit = found.join(truth, Seq("ia", "ib")).count()
+      val nFound = found.count()
+      val one = s.range(1)
+      one.select(lit(name).as("method"),
+        lit(nTrue).as("n_true"), lit(nFound).as("n_found"), lit(hit).as("n_hit"),
+        lit(if (nTrue > 0) math.rint(hit.toDouble / nTrue * 10000) / 10000 else 1.0)
+          .as("recall"),
+        lit(if (nFound > 0) math.rint(hit.toDouble / nFound * 10000) / 10000 else 1.0)
+          .as("precision"))
+    }
+    Seq(eval("minhash_lsh", minhashLsh(s, d, t)),
+        eval("simhash", simhash(s, d)),
+        eval("containment", containment(s, d)))
+      .reduce(_ unionByName _).orderBy("method")
+  }
+
   /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over
     * [[dupClusters]] — (cluster size → how many clusters), plus the doc
     * and removal totals each size bucket contributes under a

@@ -433,6 +433,32 @@ object EventStreams {
       }
   }
 
+  /** STREAMING HEAVY HITTERS — the unbounded twin of
+    * `Relational.eventsHeavyUsers`: per event type, a Misra-Gries
+    * frequent-items sketch over the user stream (`FreqSketchAgg`, the
+    * same mergeable TypedImperativeAggregate — the state store persists
+    * its ≤`capacity`-counter buffer across micro-batches). State per
+    * group is CONSTANT whatever the user cardinality — the
+    * frequent-items member of the sketch trio next to the HLL
+    * active-users stream and the quantile sketch. Counts carry the
+    * classic n/capacity error bound and are exact while distinct users
+    * per type ≤ capacity (the spec's regime). The sketch map evals
+    * sorted by (-count, user), so the top-k slice is a plain array
+    * slice — no rank window (not available on a streaming aggregate).
+    */
+  def heavyUsersStream(events: DataFrame, capacity: Int = 64,
+                       k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, FreqSketchAgg}
+    val sketch = ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(col("user_id")), capacity)
+        .toAggregateExpression())
+    events.groupBy("event_type")
+      .agg(sketch.as("sketch"), count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        slice(map_keys(col("sketch")), 1, k).as("top_users"),
+        slice(map_values(col("sketch")), 1, k).as("approx_counts"))
+  }
+
   /** Streaming top-k-per-tenant vector search: a stream of query vectors
     * joined against a static corpus — the streaming face of
     * VectorStore.searchBatch (stream-static joins need no state).

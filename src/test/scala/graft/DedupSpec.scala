@@ -201,6 +201,20 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.bloomGate(spark, sf).collect().toSeq === rows.toSeq)
   }
 
+  test("dedup tier evaluation: minhash holds recall and precision 1.0 vs exact truth") {
+    val rows = Dedup.dedupRecallEval(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet === Set("minhash_lsh", "simhash", "containment"))
+    rows.foreach { case (m, (nTrue, nFound, nHit, recall, precision)) =>
+      assert(nHit <= math.min(nTrue, nFound), s"$m hit count exceeds a side")
+      assert(recall >= 0 && recall <= 1 && precision >= 0 && precision <= 1, m)
+    }
+    // banding is tuned for recall 1 then exact-verified → identical set
+    val (_, _, _, r, p) = rows("minhash_lsh")
+    assert(r === 1.0 && p === 1.0, s"minhash drifted from the exact set: $rows")
+  }
+
   test("bloom gate admits a subset of the exact incremental gate") {
     val exactKeep = Dedup.incrementalDedup(spark, sf).collect()
       .filter(r => r.getDouble(3) < 0.5).map(_.getLong(0)).toSet

@@ -307,6 +307,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("heavyUsersStream surfaces dominant users per type across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.heavyUsersStream(
+        input.toDF().toDF("user_id", "event_type"), capacity = 16, k = 3)
+      .writeStream.format("memory").queryName("heavy")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1 to 20).map(_ => (7L, "a")) ++ Seq((1L, "a"), (2L, "a")): _*)
+      q.processAllAvailable()
+      input.addData((1 to 10).map(_ => (7L, "a")) ++
+        (1 to 15).map(_ => (9L, "b")) ++ Seq((3L, "b")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("heavy").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .toMap
+      // sketch state persisted across batches: type a counts 20 + 10
+      val (na, topA, cntA) = rows("a")
+      assert(na === 32L && topA.head === 7L)
+      assert(cntA.head === 30L) // exact regime: distinct users ≤ capacity
+      val (nb, topB, cntB) = rows("b")
+      assert(nb === 16L && topB.head === 9L && cntB.head === 15L)
+    } finally q.stop()
+  }
+
   test("streaming quality gate scores an unbounded doc stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf)

@@ -153,6 +153,39 @@ class GraphIndex private (spark: SparkSession, path: String) {
     mergedVecs.write.mode("overwrite").parquet(s"$outPath/vectors")
     new GraphIndex(spark, outPath)
   }
+
+  /** DELETE from the graph — the other half of index maintenance (the
+    * reference's /remove_* endpoints applied to the ANN artifact, not
+    * just the point store). Removes the predicate's points and every
+    * edge touching them; entry points that died are replaced by
+    * re-sampling from the survivors (same xxhash order as the build, so
+    * the refreshed entry set is deterministic). Routing THROUGH deleted
+    * hubs is what a tombstone design would keep and this one gives up —
+    * after heavy deletion the graph thins and recall sags; that is the
+    * documented rebuild trigger (DiskANN's consolidate). Writes a new
+    * immutable snapshot at `outPath`, like [[insertTo]].
+    */
+  def deleteTo(pred: Column, outPath: String): GraphIndex = {
+    val spark = vectors.sparkSession
+    val keep = vectors.filter(!pred)
+    // the DELETED set is the small side (a maintenance batch) — it
+    // broadcasts into anti-joins that prune edges and entries map-side;
+    // the survivor corpus never shuffles
+    val dead = vectors.filter(pred).select(col("vec_id"))
+    val keptEdges = edges
+      .join(broadcast(dead.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(dead.select(col("vec_id").as("dst"))), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val liveEntries = entries.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    val n = entries.count()
+    val refreshed =
+      if (liveEntries.count() == n) liveEntries
+      else Ann.entrySample(keep.select(col("vec_id"), col("vec")), n.toInt)
+    keptEdges.write.mode("overwrite").parquet(s"$outPath/edges")
+    refreshed.write.mode("overwrite").parquet(s"$outPath/entries")
+    keep.write.mode("overwrite").parquet(s"$outPath/vectors")
+    new GraphIndex(spark, outPath)
+  }
 }
 
 object GraphIndex {

@@ -110,4 +110,29 @@ class GraphIndexSpec extends SparkSpecBase {
     // snapshot isolation: the pre-insert index still answers identically
     assert(base.search(queryVecs.head, k = 10).collect().toSeq === baseBefore)
   }
+
+  test("delete removes the slice from results and refreshes dead entry points") {
+    val dirC = java.nio.file.Files.createTempDirectory("graft-gidx-c").toString
+    val before = built.search(queryVecs.head, k = 10).collect().toSeq
+    val shrunk = built.deleteTo(col("site") === "site0", dirC)
+    val deleted = corpus.filter(col("site") === "site0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    queryVecs.foreach { q =>
+      val hits = shrunk.search(q, k = 10, beam = 20, hops = 3)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits.intersect(deleted).isEmpty, s"deleted ids resurfaced: ${hits & deleted}")
+      assert(hits.nonEmpty)
+    }
+    // no dangling edges, and every entry point survives in the corpus
+    val live = spark.read.parquet(s"$dirC/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val edges = spark.read.parquet(s"$dirC/edges").collect()
+    edges.foreach { e =>
+      assert(live(e.getLong(0)) && live(e.getLong(1)), s"dangling edge $e")
+    }
+    val entries = spark.read.parquet(s"$dirC/entries").collect().map(_.getLong(0))
+    assert(entries.forall(live), "entry points reference deleted nodes")
+    // snapshot isolation
+    assert(built.search(queryVecs.head, k = 10).collect().toSeq === before)
+  }
 }

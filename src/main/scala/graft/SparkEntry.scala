@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "dedup_recall_eval" -> ((s: SparkSession, d: String) => Dedup.dedupRecallEval(s, d)),
+    "docs_dsir_sample" -> ((s: SparkSession, d: String) => TextAnalysis.dsirSample(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "events_attribution" -> Relational.eventsAttribution _,
     "parts_abc_analysis" -> Relational.partsAbcAnalysis _,
@@ -234,6 +235,30 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** DuckDB twin of the hashed-bag DSIR weight model
+    * (TextAnalysis.dsirWeights): 256-bucket token models over all vs
+    * target sources → per-doc log-ratio weight relation `dw`.
+    */
+  private lazy val DSIR_CTE: String =
+    """tb AS (SELECT doc_id, source,
+      |    CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 256 AS b
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |ca AS (SELECT b, count(*) AS c_all FROM tb GROUP BY 1),
+      |ct AS (SELECT b, count(*) AS c_tgt FROM tb
+      |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      |na AS (SELECT count(*) AS n_all FROM tb),
+      |nt AS (SELECT count(*) AS n_tgt FROM tb
+      |  WHERE source IN ('src0', 'src1', 'src2')),
+      |r AS (SELECT ca.b, CAST(round(
+      |    log2((coalesce(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 256)) -
+      |    log2((c_all + 1)::DOUBLE / (n_all + 256)), 6) AS DECIMAL(18,6)) AS r
+      |  FROM ca LEFT JOIN ct ON ca.b = ct.b, na, nt),
+      |db AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2),
+      |dw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CAST(n * r AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight
+      |  FROM db JOIN r USING (b) GROUP BY 1)""".stripMargin
 
   /** Shared recursive-CTE cluster construction: exact-Jaccard ≥ 0.8 pair
     * graph → transitive reachability (`reach(id, r)`).
@@ -1532,24 +1557,20 @@ object SparkEntry {
         |  length(coalesce(clean_text, ''))::BIGINT AS clean_len
         |FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
     "docs_dsir_weights" ->
-      """WITH tb AS (SELECT doc_id, source,
-        |    CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 256 AS b
-        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)),
-        |ca AS (SELECT b, count(*) AS c_all FROM tb GROUP BY 1),
-        |ct AS (SELECT b, count(*) AS c_tgt FROM tb
-        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
-        |na AS (SELECT count(*) AS n_all FROM tb),
-        |nt AS (SELECT count(*) AS n_tgt FROM tb
-        |  WHERE source IN ('src0', 'src1', 'src2')),
-        |r AS (SELECT ca.b, CAST(round(
-        |    log2((coalesce(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 256)) -
-        |    log2((c_all + 1)::DOUBLE / (n_all + 256)), 6) AS DECIMAL(18,6)) AS r
-        |  FROM ca LEFT JOIN ct ON ca.b = ct.b, na, nt),
-        |db AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CAST(n * r AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight
-        |FROM db JOIN r USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $DSIR_CTE
+         |SELECT doc_id, n_tokens, dsir_weight FROM dw ORDER BY doc_id""".stripMargin,
+    "docs_dsir_sample" ->
+      s"""WITH $DSIR_CTE,
+         |bounds AS (SELECT min(dsir_weight) AS lo, max(dsir_weight) AS hi FROM dw),
+         |k AS (SELECT d.source, w.n_tokens,
+         |  CAST('0x' || substring(md5(d.text), 1, 4) AS BIGINT) AS bucket,
+         |  (w.dsir_weight - b.lo) / (b.hi - b.lo) AS rate
+         |  FROM documents d JOIN dw w USING (doc_id), bounds b)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket < rate * 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN bucket < rate * 65536 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH ${SHINGLES(5)},
          |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY 1),

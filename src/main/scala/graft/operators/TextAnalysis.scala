@@ -603,6 +603,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR RESAMPLING — the selection step that consumes [[dsirWeights]]
+    * and actually composes the mix: deterministic importance-weighted
+    * acceptance, where each doc's 16-bit md5 bucket (the same portable
+    * uniform as [[sampleHash]]) is compared against its min-max-
+    * normalized weight as an acceptance rate. Linear acceptance rather
+    * than the exp/Gumbel form: the contract here is cross-engine
+    * determinism, and transcendental last-ulp behavior differs between
+    * engines — the exp-weighted variant is a one-line swap where that
+    * contract can be relaxed. Reports the resulting mix per source
+    * (doc and token attrition). Map-side except the weight join and the
+    * |sources|-row rollup; bounds are a one-row broadcast.
+    */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val wts = dsirWeights(s, d)
+    val bounds = wts.agg(min("dsir_weight").as("lo"), max("dsir_weight").as("hi"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .join(wts, "doc_id")
+      .crossJoin(broadcast(bounds))
+      .withColumn("rate", (col("dsir_weight") - col("lo")) / (col("hi") - col("lo")))
+      .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+      .withColumn("keep", col("bucket").cast("double") < col("rate") * 65536)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
   /** "MORE LIKE THIS" document retrieval: for each query doc, the top-k
     * most similar corpus docs by 5-gram Jaccard — the search face of the
     * dedup machinery (near-dup forensics, per-doc provenance, corpus

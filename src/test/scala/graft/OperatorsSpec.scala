@@ -801,6 +801,22 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("DSIR sample keeps every max-weight doc and drops every min-weight doc") {
+    val rows = TextAnalysis.dsirSample(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // kept ≤ docs
+    // acceptance is monotone in weight: rate(max) = 1 ⇒ always kept,
+    // rate(min) = 0 ⇒ always dropped — recompute the boundary docs
+    val w = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (minW, maxW) = (w.values.min, w.values.max)
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < total, "degenerate sample")
+    assert(w.count { case (_, x) => x == maxW } >= 1 &&
+      w.count { case (_, x) => x == minW } >= 1)
+  }
+
   test("pca projections have descending variance and zero cross-covariance") {
     val rows = Embeddings.pcaProject(spark, sf).collect()
     val cols = (1 to 4).map(j => rows.map(_.getDouble(j)))

@@ -335,22 +335,16 @@ object EventStreams {
         // union of committed filters: same-sized filters OR losslessly;
         // the merged state is KB-MB driver-side model state, like the
         // batch gate's
-        // an all-rejected batch evals its aggregate to NULL (empty
-        // filter) — skip those blobs rather than crash readFrom
-        val blobs = committed
+        // each batch dir persists the CUMULATIVE filter (history OR'd
+        // with its own admissions), so probing needs only the LATEST
+        // committed dir — O(1) store reads per trigger however long the
+        // stream has run, and replay stays deterministic (a replayed
+        // batch reads its predecessor's cumulative state). An
+        // all-rejected batch can eval its own aggregate to NULL (empty)
+        // — treated as "no new bits".
+        val history: Option[Array[Byte]] = committed.lastOption
           .map(p => s.read.parquet(p + "/filter").head().getAs[Array[Byte]]("bf"))
           .filter(_ != null)
-        val history: Option[Array[Byte]] =
-          if (blobs.isEmpty) None
-          else {
-            val merged = blobs
-              .map(b => org.apache.spark.util.sketch.BloomFilter
-                .readFrom(new java.io.ByteArrayInputStream(b)))
-              .reduce { (a, b) => a.mergeInPlace(b); a }
-            val out = new java.io.ByteArrayOutputStream()
-            merged.writeTo(out)
-            Some(out.toByteArray)
-          }
         val grams = Dedup.shingleRows(batch, w)
           .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
         val hit = history.fold(lit(false))(bf => BloomBridge.mightContain(bf, col("h")))
@@ -373,11 +367,26 @@ object EventStreams {
         val dir = new org.apache.hadoop.fs.Path(root, f"batch-$batchId%012d")
         verdicts.write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(dir, "admitted").toString)
-        // the appended filter covers ADMITTED docs' grams only, so a
-        // rejected doc never poisons the history
-        grams.join(verdicts.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+        // the batch's own filter covers ADMITTED docs' grams only (a
+        // rejected doc never poisons history); it ORs into the prior
+        // cumulative state driver-side — both are KB-MB model blobs
+        val batchBf = grams
+          .join(verdicts.filter(col("keep") === 1L).select("doc_id"), "doc_id")
           .agg(BloomBridge.bloomAgg(col("h"), estimatedItems).as("bf"))
-          .write.mode("overwrite")
+          .head().getAs[Array[Byte]]("bf")
+        def rd(b: Array[Byte]) = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))
+        val cumulative: Array[Byte] = (history, Option(batchBf)) match {
+          case (Some(h), Some(b)) =>
+            val m = rd(h); m.mergeInPlace(rd(b))
+            val out = new java.io.ByteArrayOutputStream(); m.writeTo(out)
+            out.toByteArray
+          case (Some(h), None) => h
+          case (None, Some(b)) => b
+          case (None, None) => null
+        }
+        import s.implicits._
+        Seq(Tuple1(cumulative)).toDF("bf").coalesce(1).write.mode("overwrite")
           .parquet(new org.apache.hadoop.fs.Path(dir, "filter").toString)
         ()
       }

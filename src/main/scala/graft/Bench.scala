@@ -81,6 +81,7 @@ object Bench {
       "q1_pricing_summary", "q5_region_revenue", "q18_large_orders",
       "topk_per_group_fast", "events_sessionize", "events_asof_join",
       "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
+      "dedup_recall_eval", "text_doc_sim_topk",
       "text_bm25", "text_lm_score", "vs_search_batch", "vs_embed_text",
       "ann_brute_topk", "ann_ivf_topk", "ann_graph_topk", "emb_pq_search", "emb_bq_search",
       "mm_feature_extract")

@@ -1285,10 +1285,27 @@ object Relational {
     */
   def partSkyline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val pts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .as[(Long, Double, Long)]
+    skylineOf(pts)
+      .toDF("p_partkey", "price", "size")
+      .orderBy("p_partkey")
+  }
+
+  /** Core of [[partSkyline]] over any (id, price, size) set — also the
+    * randomized-equivalence surface (EquivalenceSpec checks it against
+    * the brute-force dominated filter on random point sets with ties
+    * and duplicates).
+    */
+  private[graft] def skylineOf(
+      pts: org.apache.spark.sql.Dataset[(Long, Double, Long)])
+    : org.apache.spark.sql.Dataset[(Long, Double, Long)] = {
     // after a (price asc, size asc) sort, a point is dominated iff some
     // strictly-cheaper point had size ≤ its size, or an equal-price
     // point had size strictly < its size
-    def sweep(ds: org.apache.spark.sql.Dataset[(Long, Double, Long)]) =
+    def sweep(ds: org.apache.spark.sql.Dataset[(Long, Double, Long)]) = {
+      import ds.sparkSession.implicits._
       ds.toDF("partkey", "price", "size")
         .sortWithinPartitions("price", "size", "partkey")
         .as[(Long, Double, Long)]
@@ -1307,12 +1324,8 @@ object Relational {
             if (keep) Some(r) else None
           }
         }
-    val pts = Tables.part(s, d)
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
-      .as[(Long, Double, Long)]
+    }
     sweep(sweep(pts).coalesce(1))
-      .toDF("p_partkey", "price", "size")
-      .orderBy("p_partkey")
   }
 
   /** COHORT LTV: customers grouped by first-order month, revenue tracked

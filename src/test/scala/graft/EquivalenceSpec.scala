@@ -184,4 +184,22 @@ class EquivalenceSpec extends SparkSpecBase {
       assert(fast === naive, s"trial $trial diverged")
     }
   }
+
+  test("two-phase skyline sweep equals brute-force domination on random point sets") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      // small value ranges force ties on each dim and exact duplicates —
+      // the mutual-non-domination edge cases the sweep must keep
+      val pts = (1L to (40 + rnd.nextInt(60))).map { id =>
+        (id, (rnd.nextInt(8) + 1).toDouble, (rnd.nextInt(8) + 1).toLong)
+      }
+      def dominated(p: (Long, Double, Long)) = pts.exists { q =>
+        q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3)
+      }
+      val expect = pts.filterNot(dominated).map(_._1).toSet
+      val got = Relational.skylineOf(pts.toDS().repartition(3))
+        .collect().map(_._1).toSet
+      assert(got === expect, s"trial $trial diverged")
+    }
+  }
 }

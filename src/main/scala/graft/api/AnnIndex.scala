@@ -46,6 +46,26 @@ class AnnIndex(spark: SparkSession, path: String,
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** INCREMENTAL insert — FAISS-style IVF `add`: new vectors assign to
+    * their nearest EXISTING centroid (one map pass, centroids are a
+    * plan-time literal matrix via the native argmin expression) and
+    * APPEND into the partitioned layout. Unlike the graph index, IVF
+    * maintenance rewrites nothing — new parquet files land inside the
+    * assigned list directories, searches pick them up on the next scan,
+    * and partition pruning is untouched. The quantizer itself does not
+    * move (the standard trade: lists drift from optimal as the
+    * distribution shifts; rebuild when the imbalance audit —
+    * `keys_skew_audit`-style over `list` — says so).
+    */
+  def insert(batch: DataFrame): AnnIndex = {
+    val cents = centroids.map { case (i, c) => (i.toLong, c.toSeq) }.toSeq
+    batch
+      .withColumn("list",
+        graft.functions.Vectors.nearestCentroidId(col("vec"), cents).cast("int"))
+      .write.mode("append").partitionBy("list").parquet(path)
+    this
+  }
 }
 
 object AnnIndex {

@@ -43,6 +43,13 @@ class VectorIndex private (val points: DataFrame,
       .filter(col("__rk") === 1).drop("__rk"), embedder)
   }
 
+  /** Point retrieval by ids — the Qdrant points-GET endpoint: a pushed
+    * IN predicate (row-group skipping at the scan on an id-sorted
+    * layout), no distance work.
+    */
+  def retrieve(ids: Seq[Long]): DataFrame =
+    points.filter(col("id").isin(ids: _*)).orderBy("id")
+
   /** Generic predicate delete (FilterSelector analogue). */
   def delete(predicate: Column): VectorIndex =
     new VectorIndex(points.filter(!predicate), embedder)

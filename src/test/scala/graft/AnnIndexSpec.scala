@@ -63,4 +63,27 @@ class AnnIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(ivf.toSeq === brute.toSeq)
   }
+
+  test("incremental insert assigns to existing lists and is immediately searchable") {
+    val path = tmp("insert")
+    val oldHalf = corpus.filter(col("vec_id") % 2 === 0)
+    val newHalf = corpus.filter(col("vec_id") % 2 =!= 0)
+    val idx = AnnIndex.build(oldHalf, path, nlist = 4)
+    val centsBefore = idx.centroids.map(_._2.toSeq)
+    idx.insert(newHalf)
+    // nothing rewritten: totals add up and the quantizer did not move
+    assert(spark.read.parquet(path).count() === corpus.count())
+    assert(AnnIndex.load(spark, path).centroids.map(_._2.toSeq).toSeq
+      === centsBefore.toSeq)
+    // an inserted vector is found through its own (assigned) list
+    val qvec = newHalf.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    assert(idx.search(qvec, k = 3, nprobe = 1).head().getLong(0) === 7L)
+    // full probe over the merged corpus still equals brute force
+    val ivf = idx.search(qvec, k = 10, nprobe = 4).collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = corpus.select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    assert(ivf.toSeq === brute.toSeq)
+  }
 }

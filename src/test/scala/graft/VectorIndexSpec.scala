@@ -17,6 +17,13 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(merged.points.filter(col("id") < 10 && col("text") =!= "updated").count() === 0)
   }
 
+  test("retrieve returns exactly the requested points in id order") {
+    val got = index.retrieve(Seq(5L, 1L, 3L)).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    val all = index.points.filter(col("id").isin(1L, 3L, 5L)).count()
+    assert(got.length.toLong === all)
+  }
+
   test("search returns k nearest within the tenant, euclidean ascending") {
     val q = Tables.points(spark, sf).filter(col("id") === 0)
       .select("vector").head().getSeq[Double](0)

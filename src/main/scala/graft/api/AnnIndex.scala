@@ -66,6 +66,23 @@ class AnnIndex(spark: SparkSession, path: String,
       .write.mode("append").partitionBy("list").parquet(path)
     this
   }
+
+  /** LIST-IMBALANCE audit — the rebuild trigger for [[insert]]'s fixed
+    * quantizer: per-list population plus the max/mean skew ratio (an
+    * IVF probe reads whole lists, so a hot list is a hot probe — the
+    * same math as the shuffle-key skew audit, over the index layout).
+    * One partition-column aggregate; no vector data read.
+    */
+  def imbalanceAudit(): DataFrame = {
+    val perList = spark.read.parquet(path).groupBy("list")
+      .agg(count(lit(1)).as("n"))
+    perList.agg(
+        count(lit(1)).as("n_lists"), sum("n").as("n_vectors"),
+        max("n").as("max_list"), min("n").as("min_list"))
+      .select(col("n_lists"), col("n_vectors"), col("max_list"), col("min_list"),
+        round(col("max_list") * col("n_lists").cast("double") / col("n_vectors"), 4)
+          .as("skew_ratio"))
+  }
 }
 
 object AnnIndex {

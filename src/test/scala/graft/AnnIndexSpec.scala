@@ -86,4 +86,14 @@ class AnnIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(ivf.toSeq === brute.toSeq)
   }
+
+  test("imbalance audit accounts for every vector with a sane skew ratio") {
+    val path = tmp("audit")
+    val idx = AnnIndex.build(corpus, path, nlist = 4)
+    val r = idx.imbalanceAudit().head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === corpus.count())
+    assert(r.getLong(2) >= r.getLong(3))
+    assert(r.getDouble(4) >= 1.0 - 1e-9) // max ≥ mean always
+  }
 }

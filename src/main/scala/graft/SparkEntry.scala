@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "dedup_recall_eval" -> ((s: SparkSession, d: String) => Dedup.dedupRecallEval(s, d)),
+    "dedup_attrition_funnel" -> ((s: SparkSession, d: String) => Dedup.attritionFunnel(s, d)),
     "docs_dsir_sample" -> ((s: SparkSession, d: String) => TextAnalysis.dsirSample(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "events_attribution" -> Relational.eventsAttribution _,
@@ -675,6 +676,21 @@ object SparkEntry {
          |  ORDER BY jaccard DESC, doc_id ASC) AS rank FROM j)
          |SELECT query_id, rank, doc_id, round(jaccard, 4) AS jaccard FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_attrition_funnel" ->
+      s"""WITH RECURSIVE $CLUSTERS_CTE,
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |losers AS (SELECT doc_id FROM (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY cluster_id) AS m FROM cl) WHERE doc_id <> m),
+         |dw AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words,
+         |  md5(lower(trim(text))) AS k FROM documents)
+         |SELECT (SELECT count(*) FROM dw) AS n_input,
+         |  (SELECT count(DISTINCT k) FROM dw) AS n_exact_unique,
+         |  (SELECT count(*) FROM dw
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_near_survivors,
+         |  (SELECT CAST(sum(n_words) AS BIGINT) FROM dw) AS n_tokens_in,
+         |  (SELECT CAST(sum(n_words) AS BIGINT) FROM dw
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_tokens_kept
+         |ORDER BY 1""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $CLUSTERS_CTE,
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),

@@ -869,6 +869,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ATTRITION FUNNEL — the one-row answer to "how much of the corpus
+    * survives the dedup chain?": input docs/tokens, exact-unique count
+    * (distinct normalized content hashes), and the survivor docs/tokens
+    * after near-dup clustering under the keep-cluster-min policy.
+    * Exact-dup twins have Jaccard 1, so their clusters subsume the
+    * exact tier — the funnel stages are monotone by construction. All
+    * outputs are exact BIGINTs (no rounding surface at all). Scale
+    * shape: content hashes and (id, cluster) labels are the only
+    * shuffled relations; the token sums partial-aggregate.
+    */
+  def attritionFunnel(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        md5(lower(trim(col("text")))).as("k"))
+    val losers = dupClusters(s, d, t)
+      .withColumn("m", min("doc_id").over(Window.partitionBy("cluster_id")))
+      .filter(col("doc_id") =!= col("m")).select("doc_id")
+    val kept = docs.join(losers, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n_input"), sum("n_words").as("n_tokens_in"))
+      .crossJoin(broadcast(docs.agg(countDistinct("k").as("n_exact_unique"))))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_near_survivors"),
+        sum("n_words").as("n_tokens_kept"))))
+      .select(col("n_input"), col("n_exact_unique"), col("n_near_survivors"),
+        col("n_tokens_in"), col("n_tokens_kept"))
+      .orderBy("n_input")
+  }
+
   /** DEDUP-TIER EVALUATION harness as data — the dedup twin of
     * `Ann.recallEval`: each approximate/alternative pair finder scored
     * against the exact n-gram-Jaccard ≥ t ground truth → (method,

@@ -215,6 +215,16 @@ class DedupSpec extends SparkSpecBase {
     assert(r === 1.0 && p === 1.0, s"minhash drifted from the exact set: $rows")
   }
 
+  test("attrition funnel is monotone and consistent with the cluster histogram") {
+    val r = Dedup.attritionFunnel(spark, sf).head()
+    val (nIn, nExact, nNear) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nIn >= nExact && nExact >= nNear, s"funnel not monotone: $r")
+    assert(r.getLong(3) >= r.getLong(4)) // tokens shrink with docs
+    // docs removed by the near stage = Σ n_removed of the histogram
+    val removed = Dedup.dupClusterStats(spark, sf).collect().map(_.getLong(3)).sum
+    assert(nIn - nNear === removed, s"funnel vs histogram: $r vs $removed")
+  }
+
   test("bloom gate admits a subset of the exact incremental gate") {
     val exactKeep = Dedup.incrementalDedup(spark, sf).collect()
       .filter(r => r.getDouble(3) < 0.5).map(_.getLong(0)).toSet

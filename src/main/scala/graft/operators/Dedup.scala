@@ -64,51 +64,89 @@ object Dedup {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
 
-  /** Exact n-gram Jaccard similarity self-join at threshold `t`:
-    * explode distinct shingles → co-shingle pair counts → |A∩B| /
-    * (|A|+|B|−|A∩B|) ≥ t. This is the exact answer; LSH below is the
-    * sub-quadratic route to the same pairs.
+  /** Shared candidate/verify scaffold for the exact n-gram similarity
+    * joins: docs reduce to 64-bit shingle-hash rows at the scan (set
+    * semantics on xxhash64 values ≡ set semantics on shingles up to
+    * ~n²/2⁶⁴ collisions per pair — same reduction [[minhashPairs]]'
+    * verify tier runs on), candidates come from the co-shingle
+    * self-join, and each candidate pair is verified EXACTLY on the
+    * docs' full sorted distinct-hash arrays.
+    *
+    * HOT-SHINGLE GUARD (the 100-TB blowup this exists for): a shingle
+    * shared by m docs explodes into m(m−1)/2 candidate rows BEFORE any
+    * per-pair reduction, so one boilerplate gram with df = 10⁶ alone
+    * yields ~5·10¹¹ join rows. Shingles with document frequency >
+    * `dfCap` are therefore dropped from CANDIDATE GENERATION ONLY
+    * (standard practice — Lee et al. 2022 / RefinedWeb drop
+    * high-frequency grams from match seeds): verification still runs
+    * on the full uncapped shingle sets, so every emitted pair's score
+    * is exact. The only pairs that can be missed are those whose EVERY
+    * shared shingle has df > dfCap — such docs sit inside a
+    * ≥dfCap-sized boilerplate clique whose m² pair list is precisely
+    * the answer one must refuse to materialize at scale ([[minhashLsh]]
+    * and the clustered tiers are the documented route there). Testdata
+    * max df = 4 at sf0.1, so the default cap is invisible to the
+    * oracle gate and [[dedupRecallEval]]'s exact-truth role.
     */
-  def ngramJaccard(s: SparkSession, d: String, t: Double = 0.7, w: Int = 5): DataFrame = {
-    val ex = shingleRows(Tables.documents(s, d), w).cache()
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-      // length prefilter — cheap prune before the division
-      .filter(col("nb") >= col("na") * t && col("na") >= col("nb") * t)
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+  private def candidateVerifyPairs(s: SparkSession, d: String, w: Int,
+                                   dfCap: Int): DataFrame = {
+    val ex = shingleRows(Tables.documents(s, d), w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    // hot grams are df > dfCap — a tiny relation at ANY corpus size
+    // (Σ df over grams = corpus shingle volume, so at most volume/dfCap
+    // grams qualify), broadcast anti-joined away from the seed side
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val cand = cold.as("a").join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    // exact verify inputs: candidate docs only (broadcast semi-join —
+    // candidates ≪ corpus), one sorted distinct-hash array per doc
+    val candDocs = cand.select(col("ia").as("doc_id"))
+      .union(cand.select(col("ib").as("doc_id"))).distinct()
+    val docArrs = ex.join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("hs"))
+    cand
+      .join(docArrs.select(col("doc_id").as("ia"), col("hs").as("ha")), "ia")
+      .join(docArrs.select(col("doc_id").as("ib"), col("hs").as("hb")), "ib")
+  }
+
+  /** Exact n-gram Jaccard similarity self-join at threshold `t`:
+    * df-capped co-shingle candidates → native merge-walk |A∩B| /
+    * (|A|+|B|−|A∩B|) ≥ t on the full shingle sets (exact per emitted
+    * pair; see [[candidateVerifyPairs]] for the hot-shingle cap
+    * contract). LSH below is the sub-quadratic route to the same pairs.
+    */
+  def ngramJaccard(s: SparkSession, d: String, t: Double = 0.7, w: Int = 5,
+                   dfCap: Int = 1024): DataFrame =
+    candidateVerifyPairs(s, d, w, dfCap)
+      // length prefilter — cheap prune before the merge walk
+      .filter(size(col("hb")) >= size(col("ha")) * t &&
+        size(col("ha")) >= size(col("hb")) * t)
+      .withColumn("jaccard", graft.functions.Vectors.jaccardSorted(col("ha"), col("hb")))
       .filter(col("jaccard") >= t)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("ia", "ib")
-  }
 
   /** N-gram CONTAINMENT similarity join: |A∩B| / min(|A|, |B|) ≥ t —
     * catches SUBSET duplicates Jaccard misses (a short doc quoted whole
     * inside a long one has Jaccard ≈ |A|/|B| but containment 1; LLM
-    * training corpora are full of these). Same candidate shape as
-    * [[ngramJaccard]] but deliberately WITHOUT the length prefilter:
-    * containment is length-asymmetric by design.
+    * training corpora are full of these). Same df-capped
+    * candidate/exact-verify shape as [[ngramJaccard]] but deliberately
+    * WITHOUT the length prefilter: containment is length-asymmetric by
+    * design.
     */
-  def containment(s: SparkSession, d: String, t: Double = 0.9, w: Int = 5): DataFrame = {
-    val ex = shingleRows(Tables.documents(s, d), w).cache()
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+  def containment(s: SparkSession, d: String, t: Double = 0.9, w: Int = 5,
+                  dfCap: Int = 1024): DataFrame =
+    candidateVerifyPairs(s, d, w, dfCap)
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("containment",
+        col("c").cast("double") / least(size(col("ha")), size(col("hb"))))
       .filter(col("containment") >= t)
       .select(col("ia"), col("ib"), round(col("containment"), 4).as("containment"))
       .orderBy("ia", "ib")
-  }
 
   /** MinHash permutation parameters: h_k(x) = (a_k·x + b_k) mod p, over
     * murmur3 shingle hashes. Fixed seed → fully deterministic.

@@ -1354,30 +1354,56 @@ object Relational {
     * revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%, C rest) —
     * the inventory-analysis classic, and the data-layout question "how
     * few keys carry how much of the fact table". Exactness: revenue and
-    * its running total are DECIMAL sums (order-independent), the share
-    * division happens once per part on exact inputs. Scale shape: the
-    * fact reduces to |parts| aggregate rows before the (dimension-sized)
-    * global rank window; the fact table itself never sorts.
+    * its running total are DECIMAL sums (order-independent, so the
+    * distributed prefix decomposition below returns bit-identical
+    * cumulative values), the share division happens once per part on
+    * exact inputs.
+    *
+    * Scale shape: the fact reduces to |parts| aggregate rows, then the
+    * running total is a DISTRIBUTED prefix sum — range-partition by the
+    * rank order, local window per partition, plus each partition's
+    * exact exclusive-prefix offset computed from P per-partition sums
+    * on the driver (P decimals — bounded model state, like centroids).
+    * No task ever holds more than |parts|/P rows; at a 100-TB lineitem
+    * the parts dimension is itself billions of rows, and the naive
+    * `Window.orderBy(rev)` global-sort-in-one-task formulation this
+    * replaces is the scale-killer (PlanInvariantsSpec pins the shape:
+    * every window in this plan is pid-partitioned).
     */
   def partsAbcAnalysis(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .groupBy("l_partkey")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-    val tot = Window.partitionBy()
-    rev
-      .withColumn("cum", sum("rev").over(w))
-      .withColumn("total", sum("rev").over(tot))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // pin partition ids: RangePartitioner re-samples bounds per
+    // execution, and the offsets job and the main job must agree
+    val parted = rev
+      .repartitionByRange(nPart, col("rev").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val psums = parted.groupBy("pid").agg(sum("rev").as("psum"))
+      .orderBy("pid").collect()
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = psums.toSeq.map { r =>
+      val off = acc; acc = acc.add(r.getDecimal(1)); (r.getInt(0), BigDecimal(off))
+    }
+    val total = BigDecimal(acc)
+    import s.implicits._
+    val offs = broadcast(offsets.toDF("pid", "offset")
+      .select(col("pid"), col("offset").cast("decimal(38,4)").as("offset")))
+    val localW = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
+    parted.join(offs, "pid")
+      .withColumn("cum", sum("rev").over(localW) + col("offset"))
       // share division in DOUBLE on exact decimal inputs — decimal
       // division scale rules differ across engines, IEEE doubles don't
-      .withColumn("share", col("cum").cast("double") / col("total").cast("double"))
+      .withColumn("share", col("cum").cast("double") / lit(total).cast("double"))
       .withColumn("abc_class",
         when(col("share") <= 0.80, "A").when(col("share") <= 0.95, "B").otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
         sum("rev").cast("double").as("revenue"),
-        round(sum("rev").cast("double") / max("total").cast("double"), 4)
+        round(sum("rev").cast("double") / lit(total).cast("double"), 4)
           .as("revenue_share"))
       .orderBy("abc_class")
   }

@@ -460,16 +460,55 @@ object TextAnalysis {
     * cleanest third) and the quality-stratification step of corpus
     * assembly. Tercile cut = ntile(3) ordered by (rounded score,
     * doc_id): the tie order is total, so the assignment is
-    * engine-exact. Scale: the per-lang window is the only wide op and
-    * it runs over (doc, score) rows, not documents.
+    * engine-exact.
+    *
+    * Scale: the naive `Window.partitionBy(lang)` ntile sorts each
+    * language's ENTIRE corpus in one task (~10 langs at 100 TB =
+    * corpus-scale single-task sorts), so the rank is DISTRIBUTED
+    * instead: range-partition by the per-lang rank order, row_number
+    * locally within (pid, lang), lift to the global per-lang rank with
+    * driver-computed (pid, lang) exclusive-prefix counts (P×|langs|
+    * longs — bounded model state), then the ntile bucket is pure
+    * arithmetic on (rank, lang total) — SQL ntile semantics exactly:
+    * the first (N mod 3) buckets hold floor(N/3)+1 rows. No task sorts
+    * more than |docs|/P rows; PlanInvariantsSpec pins every window in
+    * this plan to a pid-partitioned spec.
     */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("avg_nll").asc, col("doc_id").asc)
-    lmScore(s, d)
+    val scored = lmScore(s, d)
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // pin partition ids: RangePartitioner re-samples bounds per
+    // execution, and the counts job and the main job must agree
+    val parted = scored
+      .repartitionByRange(nPart, col("lang").asc, col("avg_nll").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy("pid", "lang").agg(count(lit(1)).as("c"))
+      .orderBy("lang", "pid").collect()
+    // exclusive prefix count of earlier pids within each lang + totals
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    counts.foreach { r =>
+      val (pid, lang, c) = (r.getInt(0), r.getString(1), r.getLong(2))
+      offsets += ((pid, lang, totals.getOrElse(lang, 0L)))
+      totals(lang) = totals.getOrElse(lang, 0L) + c
+    }
+    import s.implicits._
+    val offs = broadcast(
+      offsets.toSeq.map { case (p, l, o) => (p, l, o, totals(l)) }
+        .toDF("pid", "lang", "rank_off", "n_lang"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid", "lang").orderBy(col("avg_nll").asc, col("doc_id").asc)
+    parted.join(offs, Seq("pid", "lang"))
+      .withColumn("rnk", row_number().over(localW) + col("rank_off"))
+      .withColumn("q", expr("n_lang DIV 3"))
+      .withColumn("rem", col("n_lang") % 3)
+      .withColumn("nt", when(col("rnk") <= col("rem") * (col("q") + 1),
+          expr("(rnk - 1) DIV (q + 1) + 1"))
+        .otherwise(expr("rem + (rnk - rem * (q + 1) - 1) DIV q + 1")))
       .withColumn("bucket",
-        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+        element_at(array(lit("head"), lit("middle"), lit("tail")), col("nt").cast("int")))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"))

@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpecBase {
       s"missing ${(jacc -- contKeys).take(5)} of ${jacc.size} jaccard pairs")
   }
 
+  test("hot-shingle df cap gates candidate generation but never the verify scores") {
+    // default cap invisible on this corpus (max df = 4 ≪ 1024): the
+    // capped run IS the exact answer
+    val exact = Dedup.ngramJaccard(spark, sf, t = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = Dedup.ngramJaccard(spark, sf, t = 0.7, dfCap = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact === uncapped && exact.nonEmpty)
+    // a biting cap shrinks the CANDIDATE set only — surviving pairs keep
+    // their exact (full-set) scores
+    val capped = Dedup.ngramJaccard(spark, sf, t = 0.7, dfCap = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, j) => assert(j === exact(k), s"score moved for $k") }
+    // cap = 1 makes every SHARED gram hot (shared ⇒ df ≥ 2): zero
+    // candidates survive, proving the gate sits before the pair join
+    assert(Dedup.ngramJaccard(spark, sf, t = 0.7, dfCap = 1).count() === 0L)
+    assert(Dedup.containment(spark, sf, dfCap = 1).count() === 0L)
+  }
+
   test("incremental dedup verdicts are per-batch-doc and internally consistent") {
     val docs = Tables.documents(spark, sf)
     val nBatch = docs.filter(col("doc_id") % 10 === 0).count()

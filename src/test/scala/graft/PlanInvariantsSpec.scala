@@ -334,6 +334,22 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("abc/ccnet rank windows are pid-partitioned (no single-task global sort)") {
+    // the distributed prefix rewrite: every window in these plans must
+    // partition by the pinned range-partition id — an unpartitioned (or
+    // lang-only) window spec is the corpus-in-one-task regression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("parts_abc_analysis", "text_ccnet_buckets")) {
+      val ws = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty, s"$q plans no window at all")
+      val bad = ws.filterNot(_.partitionSpec.exists(
+        _.references.exists(_.name == "pid")))
+      assert(bad.isEmpty,
+        s"$q window(s) not partitioned by pid: ${bad.map(_.partitionSpec)}")
+    }
+  }
+
   test("event paths run ONE user-keyed window pass for both leads") {
     val p = plan("events_path_topn")
     // two stacked lead()s must share a single Window operator/sort —

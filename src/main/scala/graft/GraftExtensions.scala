@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hamming_sign"),
       info("graft_hamming_sign", classOf[HammingSign]),
       (args: Seq[Expression]) => HammingSign(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sign_pack"),
+      info("graft_sign_pack", classOf[SignPack]),
+      (args: Seq[Expression]) => SignPack(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_hamming_packed"),
+      info("graft_hamming_packed", classOf[HammingPacked]),
+      (args: Seq[Expression]) => HammingPacked(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_embed"),
       info("graft_embed", classOf[FeatureHashEmbed]),
       (args: Seq[Expression]) => FeatureHashEmbed(args(0),

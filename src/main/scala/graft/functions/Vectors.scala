@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, Phash64, SqReconstruct}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingPacked, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, Phash64, SignPack, SqReconstruct}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,17 @@ object Vectors {
     * over float vectors (integer, engine-exact), one codegen'd loop.
     */
   def hammingSign(a: Column, b: Column): Column = c(HammingSign(e(a), e(b)))
+
+  /** Pack a float vector's sign bits into ⌈dim/64⌉ longs — the stored
+    * BQ artifact (dim/8 bytes per vector, 64× smaller than floats).
+    */
+  def signPack(a: Column): Column = c(SignPack(e(a)))
+
+  /** Hamming distance over two packed sign bitmaps: Σ bitCount(xor),
+    * one branchless popcount per 64 dims; ≡ [[hammingSign]] on the
+    * unpacked vectors for equal-length inputs.
+    */
+  def hammingPacked(a: Column, b: Column): Column = c(HammingPacked(e(a), e(b)))
 
   /** Jaccard of two sorted distinct ARRAY<LONG> columns (merge walk,
     * one codegen'd pass) — the candidate-verify kernel for dedup.

@@ -342,31 +342,49 @@ object Embeddings {
       .limit(k)
   }
 
+  /** Session-scoped memo of the PACKED BQ code table (vec_id, code
+    * ARRAY<LONG>[⌈dim/64⌉]) — the stored binary-quantization artifact:
+    * sign bits packed 64-per-long, dim/8 bytes per vector, 64× smaller
+    * than the float column. Built once per corpus snapshot (like the
+    * IVF centroids and the dedup pair lists) and scanned by every BQ
+    * coarse pass; in a persisted deployment this is its own parquet
+    * column/file, so stage 1's scan I/O drops 64× at 100 TB.
+    */
+  private val bqCodeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def bqCodes(s: SparkSession, d: String): DataFrame =
+    bqCodeMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val codes = Tables.embeddings(s, d)
+        .select(col("vec_id"), signPack(toDouble(col("embedding"))).as("code"))
+        .cache()
+      codes.count() // eager: the memo hands out a materialized artifact
+      codes
+    })
+
   /** BINARY QUANTIZATION search (the 32×-compression tier Qdrant-class
     * engines offer above SQ/PQ): each dimension collapses to its sign
     * bit; stage 1 ranks the corpus by HAMMING distance to the query's
-    * sign vector (integer — engine-exact, no float comparison anywhere),
-    * stage 2 rescores the best `rerank` candidates against exact floats.
-    * At scale stage 1 scans dim/8 bytes per vector (the sign bitmap is
-    * the stored artifact) and the popcount loop is branchless; here the
-    * bit codes derive inline from the float column so the whole search
-    * is one scan + a k-row TakeOrdered — and fully DuckDB-oracle-
-    * checkable because sign+count is deterministic.
+    * sign bitmap (integer — engine-exact, no float comparison
+    * anywhere), stage 2 rescores the best `rerank` candidates against
+    * exact floats. Stage 1 runs on the PACKED code table ([[bqCodes]]
+    * — ⌈dim/64⌉ longs per vector, the stored artifact): one branchless
+    * `bitCount(xor)` per 64 dims via the codegen'd HammingPacked
+    * kernel, reading dim/8 bytes per vector instead of the full float
+    * column. `HammingPacked∘SignPack ≡ HammingSign` on the floats
+    * (spec-proved), so the search stays fully DuckDB-oracle-checkable.
     */
   def bqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
                      k: Int = 10, rerank: Int = 100): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val codes = bqCodes(s, d)
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
     val q = array(qvec.map(lit): _*)
-    // hamming = #dims whose sign bit differs from the query's — the
-    // native codegen'd HammingSign kernel (exact integer arithmetic).
-    // The zip_with+aggregate formulation of the same count ran its two
-    // lambdas interpretively per row: 9.0 s for this stage-1 scan at
-    // sf0.1 vs 0.8 s for the PQ sibling (BENCH_r02).
-    val hamming = hammingSign(col("vec"), q)
-    val candidates = emb.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), hamming.as("hamming"))
+    val qcode = codes.filter(col("vec_id") === queryId).head().getSeq[Long](1)
+    val qc = array(qcode.map(lit): _*)
+    val candidates = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id"))
       .limit(rerank)
     emb.join(broadcast(candidates), "vec_id")

@@ -60,6 +60,35 @@ class VectorsSpec extends SparkSpecBase {
     }
   }
 
+  test("packed sign bitmap: HammingPacked(SignPack) ≡ HammingSign on floats") {
+    // handcrafted edges: dim not a multiple of 64, all-negative, zeros
+    // (+0.0 and -0.0 are both >= 0 in double compare — both paths agree)
+    val edges = Seq(
+      (Seq.fill(70)(-1.0), Seq.tabulate(70)(i => if (i % 3 == 0) 1.0 else -1.0)),
+      (Seq(0.0, -0.0, 1.0, -1.0), Seq(-1.0, 1.0, 1.0, -1.0)),
+      (Seq.fill(64)(1.0), Seq.fill(64)(-1.0)),
+      (Seq.empty[Double], Seq.empty[Double]))
+    val df = edges.toDF("a", "b")
+      .select(
+        hammingSign(col("a"), col("b")).as("hs"),
+        hammingPacked(signPack(col("a")), signPack(col("b"))).as("hp"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // corpus-wide: every vector vs one query, both paths identical
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+    val q = array(qv.map(lit): _*)
+    val diff = emb
+      .select(hammingSign(col("v"), q).as("hs"),
+        hammingPacked(signPack(col("v")), signPack(q)).as("hp"))
+      .filter(col("hs") =!= col("hp")).count()
+    assert(diff === 0L)
+    // the packed artifact really is ⌈dim/64⌉ words
+    val dim = qv.length
+    val words = emb.select(size(signPack(col("v"))).as("w")).distinct().collect()
+    assert(words.map(_.getInt(0)).toSeq === Seq((dim + 63) / 64))
+  }
+
   test("graft_jaccard is registered as a SQL function via extensions") {
     // the shared test session doesn't load GraftExtensions; apply directly
     val reg = spark.sessionState.functionRegistry

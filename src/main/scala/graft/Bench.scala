@@ -27,6 +27,22 @@ object Bench {
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Index BUILD vs query SERVE: the graph-ANN edge lists are one-time
+    // index state (memoized, like the k-means centroids) amortized over
+    // every subsequent search. Timing them inside the query line made
+    // the serving path look ~10× its real cost (BENCH_r03:
+    // ann_graph_topk 4.35 s, ~90% build). Build is forced HERE, timed
+    // once, and reported as its own `*_build` pseudo-query; the query
+    // lines below then measure pure serving against the warm index.
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val builds = Seq(
+      "ann_graph_build" -> (selected.contains("ann_graph_topk"),
+        () => operators.Ann.buildGraph(spark, sfDir)),
+      "ann_knn_build" -> (selected.contains("ann_knn_graph"),
+        () => { operators.Ann.nnDescentGraph(spark, sfDir).count(); () }))
+      .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val results = selected.map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -62,7 +78,7 @@ object Bench {
       // sf0.1) against the bench heap; per-query isolation is available
       // by benching one name via SPARK_GRAFT_ONLY.
       name -> times.min
-    }
+    } ++ builds
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def line(rs: Map[String, Double]): String = {
       val qs = rs.toSeq.sortBy(_._1)
@@ -83,8 +99,8 @@ object Bench {
       "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
       "dedup_recall_eval", "text_doc_sim_topk",
       "text_bm25", "text_lm_score", "vs_search_batch", "vs_embed_text",
-      "ann_brute_topk", "ann_ivf_topk", "ann_graph_topk", "emb_pq_search", "emb_bq_search",
-      "mm_feature_extract")
+      "ann_brute_topk", "ann_ivf_topk", "ann_graph_topk", "ann_graph_build",
+      "emb_pq_search", "emb_bq_search", "mm_feature_extract")
     println(line(results.filter { case (k, _) => headline.contains(k) }))
     spark.stop()
   }

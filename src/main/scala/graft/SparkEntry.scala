@@ -657,11 +657,11 @@ object SparkEntry {
         |  WHERE event_type IN ('view', 'click')),
         |j AS (SELECT p.purchase_id, p.value, t.touch_type FROM p JOIN t
         |  ON p.user_id = t.user_id AND t.tts >= p.ts - INTERVAL 1 HOUR AND t.tts < p.ts),
-        |c AS (SELECT *, round(value / count(*) OVER (PARTITION BY purchase_id), 6) AS credit
+        |c AS (SELECT *, CAST(floor(value / count(*) OVER (PARTITION BY purchase_id) * 1e6) AS BIGINT) AS credit_micros
         |  FROM j)
         |SELECT touch_type, count(*) AS n_touches,
         |  count(DISTINCT purchase_id) AS n_purchases,
-        |  CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS credited_value
+        |  CAST(sum(credit_micros) AS DOUBLE) / 1e6 AS credited_value
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_doc_sim_topk" ->
       s"""WITH ${SHINGLES(3)},

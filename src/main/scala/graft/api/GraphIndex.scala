@@ -33,6 +33,20 @@ class GraphIndex private (spark: SparkSession, path: String) {
   private val edges = spark.read.parquet(s"$path/edges").cache()
   private val entries = spark.read.parquet(s"$path/entries")
 
+  /** Snapshot rotation is append-only: writing a new snapshot OVER the
+    * open index would overwrite `<path>/edges` while the merged-edge
+    * plan may still rescan it (cache blocks evict and recompute from
+    * the source files) — silent corruption. Canonical-path compare so
+    * `dir` vs `dir/` vs a symlinked alias all trip the guard.
+    */
+  private def requireDistinctSnapshot(outPath: String): Unit = {
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
+    require(canon(outPath) != canon(path),
+      s"outPath ($outPath) must differ from the open index path ($path): " +
+        "snapshots are immutable — write the new generation to a fresh dir")
+  }
+
   /** Top-k beam search for one query vector. `filter` is a payload
     * predicate applied to the RESULT set (post-filter — traversal
     * routes through non-matching nodes, so raise `beam`/`hops` when
@@ -94,6 +108,7 @@ class GraphIndex private (spark: SparkSession, path: String) {
     */
   def insertTo(newVecs: DataFrame, outPath: String, graphK: Int = 10,
                beam: Int = 10, hops: Int = 2, cap: Int = 40): GraphIndex = {
+    requireDistinctSnapshot(outPath)
     val spark = newVecs.sparkSession
     val emb = vectors.select(col("vec_id"), col("vec"))
     val q = newVecs.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -166,6 +181,7 @@ class GraphIndex private (spark: SparkSession, path: String) {
     * immutable snapshot at `outPath`, like [[insertTo]].
     */
   def deleteTo(pred: Column, outPath: String): GraphIndex = {
+    requireDistinctSnapshot(outPath)
     val spark = vectors.sparkSession
     val keep = vectors.filter(!pred)
     // the DELETED set is the small side (a maintenance batch) — it

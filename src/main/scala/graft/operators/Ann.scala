@@ -187,7 +187,22 @@ object Ann {
     * rows-only + AnnSpec recall/shape checks, no DuckDB oracle.
     */
   def nnDescentGraph(s: SparkSession, d: String, k: Int = 10, rounds: Int = 2,
-                     nlist: Int = 0, iters: Int = 3, sampleCap: Int = 0): DataFrame = {
+                     nlist: Int = 0, iters: Int = 3, sampleCap: Int = 0): DataFrame =
+    knnMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"$d:$k:$rounds:$nlist:$iters:$sampleCap"),
+      buildKnnGraph(s, d, k, rounds, nlist, iters, sampleCap).localCheckpoint())
+
+  /** The memo store for [[nnDescentGraph]]: the scored k-NN edge list is
+    * INDEX STATE (n·k rows, built once per corpus snapshot, consumed by
+    * every downstream audit/build) — same discipline as the centroid
+    * and search-graph memos, so benchmarks can time BUILD and SERVE
+    * separately.
+    */
+  private val knnMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  private def buildKnnGraph(s: SparkSession, d: String, k: Int, rounds: Int,
+                            nlist: Int, iters: Int, sampleCap: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec")).cache()
     // Unsampled init cost would be Σ|bucket|² ≈ n²/nlist — n^1.5 pairs
@@ -249,18 +264,30 @@ object Ann {
     * successors on a hash-shuffled ring of the bucket (both directions
     * emitted). Pairs per bucket ≤ 2·cap·|bucket| — LINEAR in bucket
     * size, vs |bucket|² for the full co-bucket cross join (which one
-    * skewed bucket turns into the whole job). xxhash64 ordering makes
-    * the sample deterministic AND uniform-ish regardless of id layout.
+    * skewed bucket turns into the whole job). The ring offset is part
+    * of the JOIN KEY — each left row explodes its ≤ cap target
+    * positions and the join matches (cid, rn) exactly — so the join
+    * itself enumerates only the ≤ cap·|bucket| matched pairs; a
+    * cid-only equi-join with the ring band as a post-join filter would
+    * still stream |bucket|² candidate pairs through a skewed bucket
+    * before filtering. xxhash64 ordering makes the sample deterministic
+    * AND uniform-ish regardless of id layout.
     */
   private[graft] def ringInitPairs(posts: DataFrame, cap: Int): DataFrame = {
     val ring = Window.partitionBy("cid").orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val ringed = posts.select(col("cid"), col("vec_id"),
       row_number().over(ring).as("rn"),
       count(lit(1)).over(Window.partitionBy("cid")).as("sz"))
-    val fwd = ringed.as("a").join(ringed.as("b"),
-        col("a.cid") === col("b.cid") &&
-          pmod(col("b.rn") - col("a.rn") + col("a.sz"), col("a.sz")).between(1, cap))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    // offsets 1..min(cap, sz-1): singleton buckets emit nothing, small
+    // buckets degenerate to all pairs — identical pair set to the band
+    // formulation, reached without enumerating any m² intermediate
+    val targets = ringed
+      .withColumn("off", explode(when(col("sz") > 1,
+        sequence(lit(1), least(lit(cap), col("sz") - 1))).otherwise(array())))
+      .select(col("cid"), col("vec_id").as("src"),
+        (pmod(col("rn") - 1 + col("off"), col("sz")) + 1).as("rn"))
+    val fwd = targets.join(ringed, Seq("cid", "rn"))
+      .select(col("src"), col("vec_id").as("dst"))
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
@@ -296,18 +323,36 @@ object Ann {
                 hops: Int = 2, graphK: Int = 10, entries: Int = 32): DataFrame =
     graphTopKWithBudget(s, d, k, beam, hops, graphK, entries)._1
 
-  /** [[graphTopK]] plus the AVERAGE per-query candidate budget actually
-    * scored (|visited| / |queries|) — the number the recall-per-budget
-    * comparison against IVF's nprobe/nlist probe fraction needs.
+  /** [[graphTopK]] plus a LAZY thunk for the AVERAGE per-query candidate
+    * budget actually scored (|visited| / |queries|) — the number the
+    * recall-per-budget comparison against IVF's nprobe/nlist probe
+    * fraction needs. Lazy so the serving path ([[graphTopK]] discards
+    * it) never pays the two extra count jobs.
     */
   private[graft] def graphTopKWithBudget(s: SparkSession, d: String, k: Int = 10,
                                          beam: Int = 10, hops: Int = 2,
                                          graphK: Int = 10,
-                                         entries: Int = 32): (DataFrame, Double) = {
+                                         entries: Int = 32): (DataFrame, () => Double) = {
     val (corpus, queries) = corpusAndQueries(s, d)
     val emb = corpus.cache()
-    // build (or reuse) the undirected edge list over the CORPUS side
-    val edges = graphMemo.getOrElseUpdate((System.identityHashCode(s), s"$d:$graphK"), {
+    beamSearch(emb, graphEdges(s, d, graphK, emb), entrySample(emb, entries),
+      queries, k, beam, hops)
+  }
+
+  /** Build (or reuse) the memoized undirected search-graph edge list
+    * over the corpus side — the explicit BUILD step of the graph-ANN
+    * tier, exposed so benchmarks time index BUILD and query SERVE
+    * separately (the build is one-time state amortized over every
+    * search; conflating them makes the serving path look 10× its cost).
+    */
+  def buildGraph(s: SparkSession, d: String, graphK: Int = 10): Unit = {
+    val (corpus, _) = corpusAndQueries(s, d)
+    graphEdges(s, d, graphK, corpus.cache()).count()
+  }
+
+  private def graphEdges(s: SparkSession, d: String, graphK: Int,
+                         emb: DataFrame): DataFrame =
+    graphMemo.getOrElseUpdate((System.identityHashCode(s), s"$d:$graphK"), {
       val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
       val cents = kmeansCentroidsCached(s, s"graph:$d:$lists", emb, lists, 3)
       val g = descendEdges(emb, cents, graphK, rounds = 2, cap = 4 * graphK)
@@ -315,8 +360,6 @@ object Ann {
       g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         .localCheckpoint()
     })
-    beamSearch(emb, edges, entrySample(emb, entries), queries, k, beam, hops)
-  }
 
   /** `n` corpus nodes in xxhash64 order — a deterministic pseudo-random
     * ENTRY sample (id-order would bias toward whatever the id layout
@@ -332,12 +375,14 @@ object Ann {
     * persistent `graft.api.GraphIndex`: score the entry set, then each
     * hop expand the top-`beam` frontier through the undirected edge
     * list (visited anti-join; only NEW candidates exact-scored), answer
-    * = best k of everything scored. Returns the ranked result plus the
-    * average per-query candidate budget actually scored.
+    * = best k of everything scored. Returns the ranked result plus a
+    * LAZY thunk for the average per-query candidate budget actually
+    * scored — eval harnesses force it; serving callers discard it
+    * without running the count jobs.
     */
   private[graft] def beamSearch(emb: DataFrame, edges: DataFrame,
                                 entrySet: DataFrame, queries: DataFrame,
-                                k: Int, beam: Int, hops: Int): (DataFrame, Double) = {
+                                k: Int, beam: Int, hops: Int): (DataFrame, () => Double) = {
     // exact-score a (query_id, vec_id) candidate set; candidates are
     // Q·budget rows — ALWAYS the broadcast side; the corpus scan stays
     // in place (no corpus shuffle anywhere in the search)
@@ -372,7 +417,8 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("cs"), 4).as("cosine"))
       .orderBy("query_id", "rank")
-    (result, visited.count().toDouble / math.max(queries.count(), 1L))
+    val finalVisited = visited
+    (result, () => finalVisited.count().toDouble / math.max(queries.count(), 1L))
   }
 
   /** RECALL@k EVALUATION harness: run every approximate tier against

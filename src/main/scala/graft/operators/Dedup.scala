@@ -843,11 +843,50 @@ object Dedup {
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val index = docs.filter(col("doc_id") % 10 =!= 0)
     val idxKeys = index.select(md5(lower(trim(col("text")))).as("k")).distinct()
+    val ig = shingleRows(index, w).select(xxhash64(col("shingle")).as("h")).distinct()
+    incrementalVerdict(batch, idxKeys, ig, w, t)
+  }
+
+  /** Persist the index side's DISTINCT w-gram hash vocabulary as a
+    * hash-bucketed (and sorted) table keyed on the gram hash — the
+    * "persisted bucketable relation" [[incrementalDedup]]'s scale
+    * contract names: built ONCE per corpus version, after which every
+    * ingest batch's gram-containment join reads the layout directly —
+    * ZERO exchange on the index side, the batch alone shuffles to the
+    * bucket grid (PlanInvariantsSpec proves the plan).
+    */
+  def writeGramVocabulary(index: DataFrame, table: String, w: Int = 8,
+                          nBuckets: Int = 32): Unit =
+    graft.sources.Sources.writeBucketed(
+      shingleRows(index, w).select(xxhash64(col("shingle")).as("h")).distinct(),
+      table, "h", nBuckets)
+
+  /** [[incrementalDedup]] serving against the PERSISTED bucketed gram
+    * vocabulary ([[writeGramVocabulary]]) instead of re-deriving it from
+    * index text — the day-2 ingest path at 100 TB: the vocabulary
+    * relation (multi-GB) is read in place, bucket-aligned to the join.
+    * Same verdict contract; DedupSpec proves row equality with the
+    * inline variant.
+    */
+  def incrementalDedupBucketed(s: SparkSession, d: String, vocabTable: String,
+                               w: Int = 8, t: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxKeys = index.select(md5(lower(trim(col("text")))).as("k")).distinct()
+    incrementalVerdict(batch, idxKeys, s.table(vocabTable), w, t)
+  }
+
+  /** Shared verdict assembly for the incremental gate: exact tier
+    * (16-byte content-hash left join), near tier (gram containment vs
+    * the index vocabulary `ig`), admission verdict per batch doc.
+    */
+  private def incrementalVerdict(batch: DataFrame, idxKeys: DataFrame,
+                                 ig: DataFrame, w: Int, t: Double): DataFrame = {
     val exact = batch.select(col("doc_id"), md5(lower(trim(col("text")))).as("k"))
       .join(idxKeys.select(col("k"), lit(1L).as("hit")), Seq("k"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
     val bg = shingleRows(batch, w).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val ig = shingleRows(index, w).select(xxhash64(col("shingle")).as("h")).distinct()
     val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = bg.join(ig, "h").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     exact

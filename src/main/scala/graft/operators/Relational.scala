@@ -1448,8 +1448,13 @@ object Relational {
     * hash-partition on user (no cross-range explosion); the per-purchase
     * touch count comes from a purchase-keyed window over the already-
     * joined rows (same exchange). Credit shares are identical doubles on
-    * both engines (value/count), rounded to 6dp and summed as DECIMAL —
-    * engine-exact.
+    * both engines (value/count — same IEEE division); they aggregate as
+    * FLOORED INTEGER MICROS (floor(credit·1e6) is deterministic on the
+    * identical double, the BIGINT sum is exact, and the single final
+    * /1e6 is one deterministic IEEE op) — a 6dp round() here would sit
+    * on the documented shortest-repr-vs-binary .5 boundary the moment a
+    * quotient's decimal expansion terminates at the 7th digit (e.g.
+    * 0.03/32 = 0.0009375).
     */
   def eventsAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -1462,12 +1467,12 @@ object Relational {
     val byPurchase = Window.partitionBy("purchase_id")
     p.join(t, col("user_id") === col("tuser") &&
         col("tts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("tts") < col("pts"))
-      .withColumn("credit",
-        round(col("pvalue") / count(lit(1)).over(byPurchase), 6))
+      .withColumn("credit_micros",
+        floor(col("pvalue") / count(lit(1)).over(byPurchase) * lit(1e6)))
       .groupBy("touch_type")
       .agg(count(lit(1)).as("n_touches"),
         countDistinct("purchase_id").as("n_purchases"),
-        sum(col("credit").cast("decimal(18,6)")).cast("double").as("credited_value"))
+        (sum("credit_micros").cast("double") / lit(1e6)).as("credited_value"))
       .orderBy("touch_type")
   }
 

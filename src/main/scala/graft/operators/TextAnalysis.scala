@@ -671,7 +671,7 @@ object TextAnalysis {
   }
 
   /** "MORE LIKE THIS" document retrieval: for each query doc, the top-k
-    * most similar corpus docs by 5-gram Jaccard — the search face of the
+    * most similar corpus docs by 3-gram Jaccard — the search face of the
     * dedup machinery (near-dup forensics, per-doc provenance, corpus
     * browse). Where the dedup family answers "which pairs exceed τ",
     * this answers "what are THIS doc's closest neighbors, ranked".

@@ -121,7 +121,8 @@ class AnnSpec extends SparkSpecBase {
   }
 
   test("graph-ANN beam search: k ranked rows, sub-scan budget, recall floor (worst case)") {
-    val (res, budget) = Ann.graphTopKWithBudget(spark, sf)
+    val (res, budgetF) = Ann.graphTopKWithBudget(spark, sf)
+    val budget = budgetF()
     val rows = res.collect()
     // shape: exactly k=10 ranked rows per query, scores descending
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
@@ -167,7 +168,8 @@ class AnnSpec extends SparkSpecBase {
       cbrute.keys.toSeq.map { q =>
         (m.getOrElse(q, Set.empty) & cbrute(q)).size.toDouble / cbrute(q).size
       }.sum / cbrute.size
-    val (res, budget) = Ann.graphTopKWithBudget(spark, dir)
+    val (res, budgetF) = Ann.graphTopKWithBudget(spark, dir)
+    val budget = budgetF()
     val gr = recallOf(topkSets(res.collect()))
     val ivfR = recallOf(topkSets(Ann.ivfTopK(spark, dir).collect()))
     val n = nClusters * per

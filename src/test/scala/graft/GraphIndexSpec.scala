@@ -135,4 +135,12 @@ class GraphIndexSpec extends SparkSpecBase {
     // snapshot isolation
     assert(built.search(queryVecs.head, k = 10).collect().toSeq === before)
   }
+
+  test("insertTo/deleteTo refuse to overwrite the open snapshot (even via an aliased path)") {
+    val one = corpus.limit(1).select(col("vec_id") + 100000L as "vec_id", col("vec"))
+    intercept[IllegalArgumentException] { built.insertTo(one, dir) }
+    intercept[IllegalArgumentException] { built.deleteTo(col("site") === "site0", dir) }
+    // trailing-slash alias resolves to the same canonical path
+    intercept[IllegalArgumentException] { built.deleteTo(col("site") === "site0", dir + "/") }
+  }
 }

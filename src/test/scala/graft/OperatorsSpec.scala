@@ -723,7 +723,7 @@ class OperatorsSpec extends SparkSpecBase {
     val expected = attributed.agg(sum("value")).head().getDouble(0)
     val nTouches = rows.map(_.getLong(1)).sum
     // equal-split credit re-assembles each purchase's value up to the
-    // 6dp per-touch rounding
+    // per-touch micro-credit truncation (< 1e-6 each, one-sided)
     assert(math.abs(credited - expected) <= nTouches * 1e-6 + 1e-9,
       s"credited $credited vs purchase total $expected")
   }

@@ -361,4 +361,33 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(nShuffles(p) <= 2, s"stacked leads split into extra passes:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-n cut sorts globally:\n$p")
   }
+
+  test("incremental dedup's bucketed vocabulary joins with zero index-side exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    graft.operators.Dedup.writeGramVocabulary(
+      docs.filter(col("doc_id") % 10 =!= 0), "gram_vocab_b", w = 8, nBuckets = 4)
+    // force the shuffle strategy: a broadcast of the vocabulary would
+    // mask whether the bucketed layout is what kills the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Dedup.incrementalDedupBucketed(spark, sf, "gram_vocab_b")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the vocabulary is read through its bucket layout...
+      assert(p.contains("SelectedBucketsCount"), s"vocab scan not bucketed:\n$p")
+      // ...and the ONLY gram-hash exchange is the batch side shuffling
+      // to the bucket grid — the index side plans none (its layout IS
+      // the exchange). Two h-exchanges would mean the bucketing is lost.
+      // formatted mode lists an Exchange's partitioning in its detail
+      // block ("Arguments: hashpartitioning(h#…, n), ENSURE_REQUIREMENTS")
+      val hExchanges = "hashpartitioning\\(h#".r.findAllIn(p).size
+      assert(hExchanges == 1, s"expected 1 batch-side gram exchange, got $hExchanges:\n$p")
+      // same verdicts as the inline variant, row for row
+      val inline = graft.operators.Dedup.incrementalDedup(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet === inline)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -298,6 +298,30 @@ object SparkEntry {
        |scored AS (SELECT doc_id, round($score, 4) AS bm25 FROM base, stats)""".stripMargin
   }
 
+  /** Langid scored-corpus CTE — shared by the text_langid and
+    * text_lang_confusion oracles. The IN-lists are GENERATED from
+    * `TextAnalysis.langMarkers` (the public stopword tables), so the
+    * Spark expression tree and the oracle can't drift; s_zh mirrors the
+    * CJK-codepoint count (RE2 `\x{...}` class = Java `\u...` class).
+    */
+  private lazy val LANGID_SCORES: String = {
+    def inList(lang: String): String =
+      graft.operators.TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(",")
+    val hits = Seq("de", "en", "es", "fr").map(lg =>
+      s"len(list_filter(words, x -> x IN (${inList(lg)})))::BIGINT AS s_$lg").mkString(",\n  ")
+    s"""s AS (SELECT doc_id, lang AS label_lang,
+       |  $hits,
+       |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::BIGINT AS s_zh
+       |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)),
+       |pred AS (SELECT doc_id, label_lang,
+       |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang,
+       |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score FROM s)""".stripMargin
+  }
+
   private def jaccardOracle(t: Double): String =
     s"""WITH ${SHINGLES(5)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -459,19 +483,9 @@ object SparkEntry {
         |SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
     "text_lang_confusion" ->
-      """WITH s AS (SELECT doc_id, lang AS label_lang,
-        |  len(list_filter(words, x -> x IN ('stream','batch','window')))::BIGINT AS s_de,
-        |  len(list_filter(words, x -> x IN ('the','scan','fast')))::BIGINT AS s_en,
-        |  len(list_filter(words, x -> x IN ('sort','merge','table')))::BIGINT AS s_es,
-        |  len(list_filter(words, x -> x IN ('join','hash','key')))::BIGINT AS s_fr
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)),
-        |p AS (SELECT label_lang,
-        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-        |       ELSE 'fr' END AS pred_lang FROM s)
-        |SELECT label_lang, pred_lang, count(*) AS n FROM p
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $LANGID_SCORES
+         |SELECT label_lang, pred_lang, count(*) AS n FROM pred
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_bm25" ->
       s"""WITH $BM25_SCORED
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
@@ -789,19 +803,9 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH s AS (SELECT doc_id, lang AS label_lang,
-        |  len(list_filter(words, x -> x IN ('stream','batch','window')))::BIGINT AS s_de,
-        |  len(list_filter(words, x -> x IN ('the','scan','fast')))::BIGINT AS s_en,
-        |  len(list_filter(words, x -> x IN ('sort','merge','table')))::BIGINT AS s_es,
-        |  len(list_filter(words, x -> x IN ('join','hash','key')))::BIGINT AS s_fr
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents))
-        |SELECT doc_id, label_lang,
-        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-        |       ELSE 'fr' END AS pred_lang,
-        |  greatest(s_de, s_en, s_es, s_fr) AS score
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $LANGID_SCORES
+         |SELECT doc_id, label_lang, pred_lang, score
+         |FROM pred ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,

@@ -23,17 +23,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true it arrives
-    * as a long we floor-divide to micros — exactly how DuckDB truncates
-    * ns → its micro-precision TIMESTAMP, so both engines see identical
-    * values.
+  /** events.parquet's ts arrives in whatever physical form the driver's
+    * generator used that round; normalize every variant to the SAME
+    * session TIMESTAMP whose UTC wall clock equals the file's naive
+    * value — exactly what DuckDB sees reading the same file — so both
+    * engines compute identical epoch micros:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it; with
+    *    spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long
+    *    we floor-divide to micros (integer div — double div loses ulps
+    *    at 1e18), matching DuckDB's ns → µs truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ, which unix_micros/numeric casts reject. Convert
+    *    via timestampdiff-from-epoch — pure DATETIME ARITHMETIC on the
+    *    naive value, so the result is identical in every session
+    *    timezone (an NTZ→LTZ cast would shift by the session zone).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div — double div loses ulps at 1e18
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", timestamp_micros(
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -17,8 +17,10 @@ import graft.operators.Ann
   *   - `vectors/` — (vec_id, vec [, payload…]); extra columns ride
   *     along and are filterable at search time
   *   - `edges/`   — UNDIRECTED (src, dst) k-NN edge list
-  *   - `entries/` — the hash-sampled entry node ids (fixed at build
-  *     time, so a reopened index routes identically)
+  *   - `entries/` — the centroid-routed entry node ids (one per coarse
+  *     k-means cluster, fixed at build time, so a reopened index routes
+  *     identically; deletion falls back to a hash re-sample of the
+  *     survivors — heavy deletion is the documented rebuild trigger)
   *
   * Scale shape: searches never shuffle the corpus — candidates and
   * frontiers broadcast into the vectors/edges scans (see
@@ -207,12 +209,16 @@ class GraphIndex private (spark: SparkSession, path: String) {
 object GraphIndex {
 
   /** Build and persist: NN-descent k-NN graph (linear ring-sampled
-    * init) + hash-sampled entry set + the vector relation itself.
+    * init) + centroid-routed entry set + the vector relation itself.
     * `corpus` needs (vec_id BIGINT, vec ARRAY<DOUBLE>); extra columns
-    * persist as payload.
+    * persist as payload. `entries = 0` (default) = one representative
+    * per coarse cluster plus a 32-node hash sample (nlist + 32 total,
+    * nlist ∝ √n) — every coarse region gets an entry door and the hash
+    * tail keeps random-position diversity (see `Ann.centroidEntries`);
+    * a fixed positive count is honored for callers pinning the size.
     */
   def build(corpus: DataFrame, path: String, graphK: Int = 10,
-            rounds: Int = 2, entries: Int = 32, iters: Int = 3): GraphIndex = {
+            rounds: Int = 2, entries: Int = 0, iters: Int = 3): GraphIndex = {
     val spark = corpus.sparkSession
     val emb = corpus.select(col("vec_id"), col("vec")).cache()
     val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
@@ -221,7 +227,8 @@ object GraphIndex {
       .select("src", "dst")
     g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .write.mode("overwrite").parquet(s"$path/edges")
-    Ann.entrySample(emb, entries)
+    val nEntries = if (entries > 0) entries else lists + 32
+    Ann.centroidEntries(emb, cents, nEntries)
       .write.mode("overwrite").parquet(s"$path/entries")
     corpus.write.mode("overwrite").parquet(s"$path/vectors")
     new GraphIndex(spark, path)

@@ -78,7 +78,10 @@ class VectorIndex private (val points: DataFrame,
       .withColumn("score", metric(lit(qvec.toArray), col("vector")))
       .orderBy(col("score").asc, col("id").asc)
       .limit(k) // TakeOrderedAndProject: per-partition top-k, k-row merge
-    scored.withColumn("rank", row_number().over(Window.orderBy(col("score").asc, col("id").asc)))
+    // lit partition key = same one-partition run over k rows, no
+    // unpartitioned-window warning
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(lit(0)).orderBy(col("score").asc, col("id").asc)))
       .select(col("rank"), col("id"), col("text").as("string"), col("score"))
   }
 
@@ -128,8 +131,8 @@ class VectorIndex private (val points: DataFrame,
       .join(broadcast(qvec))
       .withColumn("score", cosineSim(col("qvec"), col("vector")))
       .orderBy(col("score").desc, col("id").asc).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)))
       .select(col("rank"), col("id"), col("text").as("string"), col("score"))
   }
 
@@ -193,11 +196,15 @@ class VectorIndex private (val points: DataFrame,
       .withColumn("score", l2Distance(lit(qvec.toArray), col("vector")))
       .withColumn("hit_rank", row_number().over(inGroup).cast("long"))
       .filter(col("hit_rank") <= perGroup)
-    val byBest = Window.orderBy(col("best_score").asc, col(groupField).asc)
+    // group selection: TakeOrdered cut to nGroups BEFORE ranking — the
+    // per-group best rows are |groups|-many, and a global rank window
+    // would sort them all in one task; the limit keeps per-partition
+    // heaps + an nGroups-row merge, then the rank runs over nGroups rows
     val top = hits.filter(col("hit_rank") === 1)
       .select(col(groupField), col("score").as("best_score"))
-      .withColumn("group_rank", row_number().over(byBest).cast("long"))
-      .filter(col("group_rank") <= nGroups)
+      .orderBy(col("best_score").asc, col(groupField).asc).limit(nGroups)
+      .withColumn("group_rank", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("best_score").asc, col(groupField).asc)).cast("long"))
     hits.join(broadcast(top.select(groupField, "group_rank")), groupField)
       .select(col("group_rank"), col(groupField), col("hit_rank"), col("id"),
         col("text").as("string"), col("score"))

@@ -320,7 +320,7 @@ object Ann {
     * integer tie-breaks), so the driver's rows-only check is stable.
     */
   def graphTopK(s: SparkSession, d: String, k: Int = 10, beam: Int = 10,
-                hops: Int = 2, graphK: Int = 10, entries: Int = 32): DataFrame =
+                hops: Int = 2, graphK: Int = 10, entries: Int = 0): DataFrame =
     graphTopKWithBudget(s, d, k, beam, hops, graphK, entries)._1
 
   /** [[graphTopK]] plus a LAZY thunk for the AVERAGE per-query candidate
@@ -328,16 +328,40 @@ object Ann {
     * recall-per-budget comparison against IVF's nprobe/nlist probe
     * fraction needs. Lazy so the serving path ([[graphTopK]] discards
     * it) never pays the two extra count jobs.
+    *
+    * `entries = 0` (default) = centroid-routed auto set: one
+    * representative per coarse k-means cluster PLUS a 32-node hash
+    * sample (nlist + 32 total) — the set scales with the quantizer
+    * (∝ √n) so every coarse region has a door, and the hash tail keeps
+    * the random-position diversity that reaches cluster fringes a
+    * centroid-core-only set can under-serve. The set is INDEX STATE
+    * (memoized with the graph, derived from the same centroids), so
+    * serving pays no extra jobs.
     */
   private[graft] def graphTopKWithBudget(s: SparkSession, d: String, k: Int = 10,
                                          beam: Int = 10, hops: Int = 2,
                                          graphK: Int = 10,
-                                         entries: Int = 32): (DataFrame, () => Double) = {
+                                         entries: Int = 0): (DataFrame, () => Double) = {
     val (corpus, queries) = corpusAndQueries(s, d)
     val emb = corpus.cache()
-    beamSearch(emb, graphEdges(s, d, graphK, emb), entrySample(emb, entries),
+    val entrySet = entryMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"$d:$graphK:$entries"), {
+        val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val cents = kmeansCentroidsCached(s, s"graph:$d:$lists", emb, lists, 3)
+        val n = if (entries > 0) entries else lists + 32
+        centroidEntries(emb, cents, n).localCheckpoint()
+      })
+    beamSearch(emb, graphEdges(s, d, graphK, emb), entrySet,
       queries, k, beam, hops)
   }
+
+  /** Memoized entry sets — INDEX STATE alongside [[graphMemo]]: derived
+    * once per corpus snapshot from the build's own centroids, reused by
+    * every search (same discipline as centroids/edges, so the serving
+    * path pays zero entry-derivation jobs).
+    */
+  private val entryMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
 
   /** Build (or reuse) the memoized undirected search-graph edge list
     * over the corpus side — the explicit BUILD step of the graph-ANN
@@ -370,6 +394,37 @@ object Ann {
   private[graft] def entrySample(emb: DataFrame, n: Int): DataFrame =
     emb.select(col("vec_id"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(n)
+
+  /** CENTROID-ROUTED entry set: for each coarse k-means cluster, the
+    * member nearest its centroid — HNSW's upper-layer routing collapsed
+    * to a build-time set. A flat hash sample of fixed size covers only
+    * ~n·(1-1/e) distinct regions by luck (a query whose cluster drew no
+    * entry must tunnel in through inter-cluster edges, which a
+    * well-separated corpus barely has); one representative per centroid
+    * guarantees every coarse region a door, and the set size scales
+    * with the quantizer (nlist ∝ √n) instead of a constant. `n` above
+    * the cluster count tops up with the hash sample over the remaining
+    * nodes; below it keeps the lowest cluster ids. Integer tie-breaks
+    * throughout — the set is deterministic, so a reopened index routes
+    * identically. Assumes [[kmeansCentroids]]' contract of consecutive
+    * cluster ids 0..k-1 (element_at routes cid → centroid literal).
+    */
+  private[graft] def centroidEntries(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+                                     n: Int): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val assigned = emb
+      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        l2Distance(col("vec"), element_at(centArr, (col("cid") + 1).cast("int"))).as("d"))
+    val reps = graft.plans.TopK.perKey(assigned,
+        Seq(col("cid")), Seq(col("d").asc, col("vec_id").asc), 1)
+    if (n <= sorted.size) reps.filter(col("cid") < n).select("vec_id")
+    else {
+      val base = reps.select("vec_id")
+      base.union(entrySample(emb.join(base, Seq("vec_id"), "left_anti"), n - sorted.size))
+    }
+  }
 
   /** The batched best-first traversal shared by [[graphTopK]] and the
     * persistent `graft.api.GraphIndex`: score the entry set, then each

@@ -1247,10 +1247,12 @@ object Relational {
     def audit(key: String): DataFrame = {
       val perKey = li.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       val hist = perKey.groupBy("cnt").agg(count(lit(1)).as("nk"))
-      val w = Window.orderBy("cnt") // histogram: |distinct load values| rows
+      // histogram: |distinct load values| rows; lit partition key =
+      // same one-partition run, no unpartitioned-window warning
+      val w = Window.partitionBy(lit(0)).orderBy("cnt")
       val cum = hist.withColumn("cum", sum("nk").over(w))
-        .withColumn("n_keys", sum("nk").over(Window.partitionBy()))
-        .withColumn("n_rows", sum(col("cnt") * col("nk")).over(Window.partitionBy()))
+        .withColumn("n_keys", sum("nk").over(Window.partitionBy(lit(0))))
+        .withColumn("n_rows", sum(col("cnt") * col("nk")).over(Window.partitionBy(lit(0))))
       // p95 key load: smallest cnt whose cumulative key count covers 95%
       val p95 = cum.filter(col("cum") >= ceil(col("n_keys") * 0.95))
         .agg(min("cnt").as("p95_cnt"))

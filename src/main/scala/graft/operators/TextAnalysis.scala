@@ -32,32 +32,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Marker-word language scoring: count hits from per-language marker
-    * sets, argmax with deterministic (alphabetical) tie-break. The
-    * mechanism of n-gram-dictionary langid, over the synthetic corpus
-    * vocabulary.
+  /** Per-language STOPWORD tables — the top function words of each
+    * language from the classic public stopword lists (the standard
+    * dictionary-langid signal: function words are the highest-frequency,
+    * most language-exclusive tokens). Replaces the synthetic-vocabulary
+    * markers of rounds 1-3 with real tables; the scoring mechanism
+    * (per-table hit count, argmax, alphabetical tie-break) is unchanged.
+    * Overlaps between tables ("a" en/es, "de"/"la"/"que" es/fr, "in"
+    * en/de) are real properties of the languages and resolve through
+    * the argmax like any dictionary langid.
     */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "scan", "fast"),
-    "es" -> Seq("sort", "merge", "table"),
-    "fr" -> Seq("join", "hash", "key"),
-    "de" -> Seq("stream", "batch", "window"))
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+      "he", "was", "for", "on", "are", "as", "with", "his", "they", "at"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+      "las", "por", "un", "para", "con", "no", "una", "su", "al", "lo"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+      "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au", "sur"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+      "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch"))
 
+  /** Language ID over real signals: per-language stopword hit counts
+    * ([[langMarkers]]) for the latin-script languages plus a CJK
+    * unicode-block character count for zh (script detection — the
+    * signal real detectors use for han text, where whitespace token
+    * tables don't apply). Argmax with deterministic alphabetical
+    * tie-break; a doc with zero signal everywhere lands on the first
+    * key ("de"), making the zero-signal class visible in the confusion
+    * matrix rather than silently defaulting to the majority label.
+    * On the synthetic corpus (same English-ish token stream under every
+    * label) predictions concentrate on "en" — the honest output of a
+    * real detector on text whose label carries no textual signal;
+    * [[langConfusion]] reports exactly that.
+    */
   def langId(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
     val withScores = langMarkers.toSeq.sortBy(_._1).foldLeft(
-      Tables.documents(s, d).select(col("doc_id"), col("lang").as("label_lang"), words.as("ws"))) {
+      Tables.documents(s, d).select(col("doc_id"), col("lang").as("label_lang"),
+        words.as("ws"),
+        // zh: count of CJK-unified-ideograph codepoints (script signal)
+        length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")).as("s_zh"))) {
       case (df, (lg, ms)) =>
         df.withColumn(s"s_$lg", size(filter(col("ws"), x => x.isin(ms: _*))))
     }
-    // argmax with deterministic alphabetical tie-break (de < en < es < fr)
-    val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+    // argmax with deterministic alphabetical tie-break (de < en < es < fr < zh)
+    val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
     withScores
       .select(col("doc_id"), col("label_lang"),
         when(col("s_de") === best, "de")
           .when(col("s_en") === best, "en")
           .when(col("s_es") === best, "es")
-          .otherwise("fr").as("pred_lang"),
+          .when(col("s_fr") === best, "fr")
+          .otherwise("zh").as("pred_lang"),
         best.cast("long").as("score"))
       .orderBy("doc_id")
   }

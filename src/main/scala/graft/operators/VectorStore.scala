@@ -67,7 +67,9 @@ object VectorStore {
     * window constant-folds its partition key and collapses to one task).
     */
   def singleTopK(corpus: DataFrame, qvec: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(col("score").asc, col("id").asc)
+    // lit partition key: same one-partition execution over the k-row
+    // limit output, without WindowExec's unpartitioned-window warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").asc, col("id").asc)
     corpus.join(broadcast(qvec))
       .withColumn("score", l2Distance(col("qvec"), col("vector")))
       .orderBy(col("score").asc, col("id").asc)
@@ -145,7 +147,7 @@ object VectorStore {
     val qvec = recDims.agg(
       transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
         x => x.getField("rv")).as("qvec"))
-    val w = Window.orderBy(col("score").desc, col("id").asc)
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
     pts.filter(!col("id").isin(exampleIds: _*)).join(broadcast(qvec))
       .withColumn("score", cosineSim(col("qvec"), col("vector")))
       .orderBy(col("score").desc, col("id").asc).limit(k)
@@ -262,12 +264,16 @@ object VectorStore {
       .withColumn("hit_rank", row_number().over(inGroup).cast("long"))
       .filter(col("hit_rank") <= perGroup)
     // groups ordered by their best (rank-1) hit — rounded scores make
-    // the group ordering engine-portable; ties break on site name
-    val byBest = Window.orderBy(col("best_score").asc, col("site").asc)
+    // the group ordering engine-portable; ties break on site name.
+    // TakeOrdered cut to nGroups BEFORE the rank: the best-hit relation
+    // is |groups| rows, and a global rank window would sort them all in
+    // one task — the limit keeps per-partition heaps + an nGroups-row
+    // merge, then the rank runs over nGroups rows only
     val topGroups = hits.filter(col("hit_rank") === 1)
       .select(col("site"), col("score").as("best_score"))
-      .withColumn("group_rank", row_number().over(byBest).cast("long"))
-      .filter(col("group_rank") <= nGroups)
+      .orderBy(col("best_score").asc, col("site").asc).limit(nGroups)
+      .withColumn("group_rank", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("best_score").asc, col("site").asc)).cast("long"))
     hits.join(broadcast(topGroups.select("site", "group_rank")), "site")
       .select(col("group_rank"), col("site"), col("hit_rank"), col("id"), col("score"))
       .orderBy("group_rank", "hit_rank")
@@ -391,18 +397,21 @@ object VectorStore {
     */
   def hybridSearch(s: SparkSession, d: String, k: Int = 10, depth: Int = 20,
                    rrfK: Int = 60): DataFrame = {
-    val wKw = Window.orderBy(col("bm25").desc, col("doc_id"))
+    // all three rank windows run over ≤ depth-row ranker outputs; the
+    // lit partition key keeps the same one-partition execution minus
+    // WindowExec's unpartitioned-window warning
+    val wKw = Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
     val kw = TextAnalysis.bm25Search(s, d, k = depth)
       .withColumn("rank_kw", row_number().over(wKw).cast("long"))
     val emb = graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("vec"))
     val qvec = emb.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
-    val wVec = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val wVec = Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("doc_id"))
     val vec = emb.filter(col("doc_id") =!= 0).crossJoin(broadcast(qvec))
       .select(col("doc_id"), round(cosineSim(col("vec"), col("qvec")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id")).limit(depth)
       .withColumn("rank_vec", row_number().over(wVec).cast("long"))
-    val wFused = Window.orderBy(col("rrf").desc, col("doc_id"))
+    val wFused = Window.partitionBy(lit(0)).orderBy(col("rrf").desc, col("doc_id"))
     kw.select(col("doc_id"), col("rank_kw"))
       .join(vec.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(

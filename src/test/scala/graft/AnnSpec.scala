@@ -180,6 +180,53 @@ class AnnSpec extends SparkSpecBase {
     assert(gr >= 0.9, s"graph recall $gr on clustered corpus (budget $budget/$n)")
   }
 
+  test("centroid-routed entries >= equal-size hash sample on a many-cluster corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // MORE coarse regions than a flat sample covers: 48 clusters × 24
+    // members. A 48-node hash sample hits ~1-1/e of the clusters; a
+    // query whose cluster drew no entry cannot tunnel in (the k-NN
+    // graph of well-separated clusters has ~no inter-cluster edges).
+    // Centroid routing guarantees one door per cluster at the SAME
+    // entry-set size — recall must dominate at comparable budget.
+    val rnd = new scala.util.Random(7)
+    val dim = 32; val nClusters = 48; val per = 24
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    def jitter(c: Array[Double]): Seq[Double] =
+      c.map(v => v + 0.25 * rnd.nextGaussian()).toSeq
+    // round-robin ids — no id range is cluster-correlated
+    val members = for (i <- 0 until per; c <- 0 until nClusters)
+      yield (10L + i * nClusters + c, jitter(centers(c)))
+    val emb = members.toDF("vec_id", "vec").cache()
+    val queries = (0 until 10).map(q => (q.toLong, jitter(centers(q * 4))))
+      .toDF("query_id", "qvec").cache()
+    val cents = Ann.kmeansCentroids(emb, nClusters, 3)
+    val g0 = Ann.descendEdges(emb, cents, 10, rounds = 1, cap = 40).select("src", "dst")
+    val edges = g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val truth = topkSets(
+      emb.join(broadcast(queries))
+        .select(col("query_id"), lit(0L).as("rank"), col("vec_id"),
+          graft.functions.Vectors.cosineSim(col("vec"), col("qvec")).as("cs"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10).collect())
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      truth.keys.toSeq.map { q =>
+        (m.getOrElse(q, Set.empty) & truth(q)).size.toDouble / truth(q).size
+      }.sum / truth.size
+    val nE = nClusters // equal entry-set size both ways
+    val (hashRes, hashB) = Ann.beamSearch(emb, edges,
+      Ann.entrySample(emb, nE), queries, 10, 10, 2)
+    val (centRes, centB) = Ann.beamSearch(emb, edges,
+      Ann.centroidEntries(emb, cents, nE), queries, 10, 10, 2)
+    val (hr, cr) = (recallOf(topkSets(hashRes.collect())), recallOf(topkSets(centRes.collect())))
+    val (hb, cb) = (hashB(), centB())
+    assert(cb <= hb * 1.3 + nE, s"centroid budget $cb vs hash $hb not comparable")
+    assert(cr >= hr - 1e-9, s"centroid recall $cr < hash-sample recall $hr")
+    assert(cr >= 0.9, s"centroid-routed recall $cr (hash $hr, budgets $cb/$hb)")
+  }
+
   test("recall eval reports brute at exactly 1.0 and every method in [0,1]") {
     val rows = Ann.recallEval(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("brute", "graph", "ivf", "lsh"))

@@ -38,10 +38,31 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
-  test("langid picks the argmax marker score deterministically") {
+  test("langid picks the argmax stopword-table score deterministically") {
     val r = TextAnalysis.langId(spark, sf).collect()
     assert(r.length === Tables.documents(spark, sf).count())
-    assert(r.forall(row => Set("de", "en", "es", "fr").contains(row.getString(2))))
+    assert(r.forall(row => Set("de", "en", "es", "fr", "zh").contains(row.getString(2))))
+  }
+
+  test("langid real signals: stopword tables and the CJK script detector discriminate real text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real sentences in each language — the tables must classify them;
+    // this is the check the synthetic corpus (no language signal in its
+    // text) cannot provide
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    Seq(
+      (1L, "en", "the cat sat on the mat and it was happy with the sun", "s"),
+      (2L, "es", "la casa de el perro es una de las que se ven por el camino", "s"),
+      (3L, "fr", "le chien est dans la maison et les enfants sont pour la plage", "s"),
+      (4L, "de", "der hund ist in dem haus und die kinder sind mit der mutter", "s"),
+      (5L, "zh", "今天天气很好我们去公园", "s"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val preds = TextAnalysis.langId(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    Seq("en", "es", "fr", "de", "zh").foreach(lg =>
+      assert(preds(lg) === lg, s"real-$lg sentence predicted ${preds(lg)}"))
   }
 
   test("fingerprints are sorted and distinct per doc") {

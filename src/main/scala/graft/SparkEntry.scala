@@ -57,6 +57,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langId _,
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
+    "text_winnowing" -> ((s: SparkSession, d: String) => TextAnalysis.winnowing(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,
@@ -159,6 +160,8 @@ object SparkEntry {
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
+    "vs_geo_search" -> ((s: SparkSession, d: String) => VectorStore.geoSearch(s, d)),
+    "vs_mmr_search" -> ((s: SparkSession, d: String) => VectorStore.mmrSearch(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
@@ -356,6 +359,17 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.user_id = 3 AND p.lang IN ('en', 'fr')),
          |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
          |SELECT rank, id, user_id, lang, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "vs_geo_search" ->
+      s"""WITH $PTS,
+         |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         |  (id * 104729 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon FROM pts),
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 2),
+         |scored AS (SELECT g.id, g.lat, g.lon, list_cosine_similarity(g.vector, q.qvec) AS cs
+         |  FROM geo g, q WHERE g.lat >= 10.0 AND g.lat <= 60.0
+         |    AND g.lon >= -30.0 AND g.lon <= 40.0 AND g.id <> 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, lat, lon, round(cs, 4) AS score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
     "vs_search_batch" ->
       s"""WITH $PTS,
          |qs AS (SELECT id AS query_id, vector AS qvec, user_id AS quser FROM pts WHERE id < 20),
@@ -812,6 +826,20 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_re_tokens,
         |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))::BIGINT AS n_uniq_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS pos, ws FROM d),
+        |h AS (SELECT doc_id, pos,
+        |  CAST('0x' || substring(md5(
+        |    ws[pos]||' '||ws[pos+1]||' '||ws[pos+2]||' '||ws[pos+3]), 1, 15) AS BIGINT) AS h
+        |  FROM g),
+        |w AS (SELECT doc_id,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wn
+        |  FROM h)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 5 ORDER BY doc_id, fp""".stripMargin,
     "text_fingerprint" ->
       """WITH h AS (SELECT doc_id,
         |  list_sort(list_distinct([CAST('0x' || substring(md5(

@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `BINARY` columns with
   * typed metadata, processed by a partition-at-a-time decode kernel.
   *
-  * The decode itself (image/audio libraries) is STUBBED with a
-  * deterministic function of the payload bytes — this container has no
-  * media codecs — but the Spark-side shape is the real thing:
-  * `Dataset[MediaRow].mapPartitions` with a case-class Encoder, so a
-  * real decoder (JNI/ffmpeg/javacv) drops in per-partition with
-  * amortized init, exactly how a 100 TB media pipeline batches decodes.
+  * The decode tier is CAPABILITY-GATED per payload: real image
+  * containers (PNG/JPEG/GIF/BMP — the formats the JDK's bundled
+  * `javax.imageio` readers handle, no external codec needed) are
+  * sniffed by magic bytes and decoded header-first (width/height/frame
+  * count from the container header, never a full pixel decode), and
+  * everything else falls back to a deterministic stub of the payload
+  * bytes (audio/video codecs are not in this container). The Spark-side
+  * shape is the real thing either way: `Dataset[MediaRow]
+  * .mapPartitions` with a case-class Encoder, so a full decoder
+  * (JNI/ffmpeg/javacv) drops in per-partition with amortized init,
+  * exactly how a 100 TB media pipeline batches decodes.
   */
 object Multimodal {
 
@@ -34,8 +39,10 @@ object Multimodal {
   }
 
   /** STUB decode kernel: deterministic dimensions from byte length.
-    * A real implementation initializes the codec once per partition and
-    * decodes each payload; the signature and batching stay identical.
+    * Fallback for payloads that are not a real image container (the
+    * synthetic table's UTF-8 payloads, audio/video formats with no
+    * codec in this container); the signature and batching match the
+    * real path exactly.
     */
   private def decodeStub(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
@@ -45,13 +52,70 @@ object Multimodal {
       n_frames = if (r.media_type == "video") (n % 30).toInt + 1 else 1)
   }
 
-  /** Partition-wise "decode" → typed metadata. */
-  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+  /** Magic-byte capability sniff: true iff the payload is an image
+    * container the JDK's bundled ImageIO readers decode (PNG, JPEG,
+    * GIF, BMP). Cheap (first 4 bytes), runs before any reader is
+    * touched, so non-image payloads never pay codec dispatch.
+    */
+  private[graft] def isImagePayload(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode, header-only: reads width/height/frame-count
+    * from the container header via `javax.imageio` without decoding
+    * pixel data (`ImageReader.getWidth(0)` parses the header; a full
+    * `ImageIO.read` would materialize the raster — at 100 TB that is
+    * the difference between scanning bytes and decompressing them).
+    * Animated GIF frame counts come from `getNumImages(allowSearch)`.
+    * Any reader failure (truncated/corrupt container that passed the
+    * sniff) degrades to the stub rather than failing the partition.
+    */
+  private def decodeImage(r: MediaRow): MediaMeta = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(r)
+      else {
+        reader = readers.next()
+        reader.setInput(iis, false, true)
+        val frames =
+          try math.max(reader.getNumImages(true), 1)
+          catch { case _: Exception => 1 }
+        MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+          width = reader.getWidth(0), height = reader.getHeight(0),
+          n_frames = frames)
+      }
+    } catch {
+      case _: Exception => decodeStub(r)
+    } finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
+  }
+
+  /** The capability-gated decode: real header decode for image
+    * containers, deterministic stub for everything else.
+    */
+  private[graft] def decode(r: MediaRow): MediaMeta =
+    if (isImagePayload(r.payload)) decodeImage(r) else decodeStub(r)
+
+  /** Partition-wise decode of an arbitrary media relation → typed
+    * metadata (the kernel entry the spec drives with real PNG/JPEG
+    * bytes; ImageIO's disk cache is disabled once per executor so
+    * header reads never touch local temp files).
+    */
+  def decodeMetaOf(s: SparkSession, media: Dataset[MediaRow]): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    media
       .mapPartitions { it =>
-        // per-partition init of a real codec would go here
-        it.map(decodeStub)
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map(decode)
       }
       .toDF()
       .select(col("doc_id"), col("media_type"), col("byte_len"),
@@ -59,6 +123,10 @@ object Multimodal {
         col("n_frames").cast("long").as("n_frames"))
       .orderBy("doc_id")
   }
+
+  /** Partition-wise decode of the synthetic media table → metadata. */
+  def decodeMeta(s: SparkSession, d: String): DataFrame =
+    decodeMetaOf(s, mediaTable(s, d))
 
   case class Frame(doc_id: Long, frame_idx: Long, frame_key: Long)
 
@@ -75,7 +143,7 @@ object Multimodal {
       .filter(col("media_type") === "video")
       .as[MediaRow]
       .flatMap { r =>
-        val meta = decodeStub(r)
+        val meta = decode(r)
         val n = meta.n_frames.toLong
         (0 until k).map(j => j.toLong * (n - 1) / math.max(k - 1, 1))
           .distinct
@@ -133,7 +201,7 @@ object Multimodal {
     */
   def resizePlan(s: SparkSession, d: String, target: Int = 224): DataFrame = {
     import s.implicits._
-    val meta = mediaTable(s, d).mapPartitions(_.map(decodeStub)).toDF()
+    val meta = mediaTable(s, d).mapPartitions(_.map(decode)).toDF()
     val scale = lit(target.toDouble) / greatest(col("width"), col("height"))
     meta.select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),

@@ -342,6 +342,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003;
+    * the MOSS algorithm): hash every positional word `w`-gram, slide a
+    * window of `win` consecutive gram hashes over the document, and
+    * record the minimum hash of each full window. The distinct minima
+    * are the document's fingerprint set, with the guarantee that any
+    * shared substring of length ≥ w + win − 1 words produces at least
+    * one shared fingerprint — the density/recall trade-off that makes
+    * winnowing the standard local fingerprinting scheme for
+    * plagiarism/near-dup detection (vs [[fingerprint]]'s global
+    * k-smallest sketch, which has no locality guarantee).
+    *
+    * Scale shape: gram hashing is map-side codegen (the md5-60-bit
+    * portable hash, same as [[fingerprint]]); the only exchange is the
+    * doc-keyed window partition carrying (doc_id, pos, hash) triples —
+    * text never shuffles — and the window frame is O(win) per row. The
+    * fingerprint relation is the artifact a cross-corpus winnowing
+    * join would consume (group by fp instead of doc to find matches).
+    */
+  def winnowing(s: SparkSession, d: String, w: Int = 4, win: Int = 5): DataFrame =
+    winnowingOf(Tables.documents(s, d), w, win)
+
+  /** [[winnowing]] over an arbitrary (doc_id, text) relation. */
+  def winnowingOf(docs: DataFrame, w: Int = 4, win: Int = 5): DataFrame = {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - w + 1, lit(0))
+    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          (0 until w).map(j => col(s"z.w$j")): _*)), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, win - 1)
+    grams
+      .withColumn("fp", min("h").over(frame))
+      .withColumn("wn", count(lit(1)).over(frame))
+      .filter(col("wn") === win) // full windows only (n − win + 1 of them)
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy("doc_id", "fp")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards per language — the bin layout step before tokenize-and-
     * concat. A doc starts a new chunk when the running token total

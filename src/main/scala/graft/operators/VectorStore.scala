@@ -118,6 +118,41 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Qdrant-style GEO-filtered search (`geo_bounding_box` payload
+    * filter): restrict the corpus to points whose (lat, lon) payload
+    * falls inside a bounding box, then rank the survivors by cosine to
+    * the query vector. The reference app carries no geo payload, so
+    * coordinates are derived deterministically from the point id on an
+    * exact integer grid (id·7919 mod 18000 → centi-degrees — integer
+    * mod then one IEEE division by 100.0, identical in any engine);
+    * the filter/rank SHAPE is the real surface: a box predicate is
+    * pure comparisons, so it pushes into the scan (partition-prunes a
+    * geo-bucketed layout) and only in-box rows ever pay the distance
+    * kernel. A radius filter swaps the predicate for a haversine
+    * expression; box semantics are chosen here because comparisons are
+    * bit-exact across engines while trig is not.
+    */
+  def geoSearch(s: SparkSession, d: String, k: Int = 10,
+                latMin: Double = 10.0, latMax: Double = 60.0,
+                lonMin: Double = -30.0, lonMax: Double = 40.0): DataFrame = {
+    val pts = Tables.points(s, d)
+      .withColumn("lat", (col("id") * 7919 % 18000) / lit(100.0) - 90.0)
+      .withColumn("lon", (col("id") * 104729 % 36000) / lit(100.0) - 180.0)
+    val q = Tables.points(s, d).filter(col("id") === 2).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("cs").desc, col("id").asc)
+    pts
+      .filter(col("lat") >= latMin && col("lat") <= latMax &&
+        col("lon") >= lonMin && col("lon") <= lonMax && col("id") =!= 2)
+      .join(broadcast(q))
+      .withColumn("cs", cosineSim(col("vector"), col("qvec")))
+      .orderBy(col("cs").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("lat"), col("lon"),
+        round(col("cs"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   /** Qdrant-style /recommend: rank the corpus by similarity to the mean
     * of positive example vectors MINUS the mean of negative example
     * vectors (Qdrant's average_vector recommendation strategy — the
@@ -422,6 +457,59 @@ object VectorStore {
       .select(col("rank"), col("doc_id"),
         coalesce(col("rank_kw"), lit(0L)).as("rank_kw"),
         coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
+      .orderBy("rank")
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE search (Carbonell & Goldstein, SIGIR
+    * 1998): diversified top-k — greedily pick the candidate maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s), so each pick is relevant
+    * to the query but far from everything already picked. The standard
+    * diversity upgrade of a vector store's plain /search (a result list
+    * of k near-duplicates is useless to a RAG consumer).
+    *
+    * Scale shape: stage 1 is the ordinary distributed top-`depth`
+    * relevance cut (TakeOrdered over the corpus — the corpus never
+    * shuffles); the greedy re-rank then runs k rounds over the
+    * depth-row candidate relation, with the selected set entering each
+    * round as ≤ k literal vectors (bounded driver state, like
+    * centroids) and each round collecting exactly ONE row. k·depth
+    * total distance evaluations — the same budget any serving-side MMR
+    * pays; candidates are localCheckpointed once so the k rescans
+    * re-read depth rows, not the corpus.
+    */
+  def mmrSearch(s: SparkSession, d: String, k: Int = 10, depth: Int = 100,
+                lambda: Double = 0.7): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    val cands = emb.filter(col("doc_id") =!= 0).crossJoin(broadcast(qvec))
+      .withColumn("rel", cosineSim(col("vec"), col("qvec")))
+      .orderBy(col("rel").desc, col("doc_id").asc).limit(depth)
+      .select(col("doc_id"), col("vec"), col("rel"))
+      .localCheckpoint() // depth rows, materialized once for the k rescans
+    case class Pick(doc_id: Long, vec: Seq[Double], rel: Double, mmr: Double)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Pick]
+    while (picks.length < k) {
+      val remaining = if (picks.isEmpty) cands
+        else cands.filter(!col("doc_id").isin(picks.map(_.doc_id).toSeq: _*))
+      val scored =
+        if (picks.isEmpty) remaining.withColumn("mmr", col("rel")) // first pick = pure relevance
+        else {
+          val sims = picks.map(p => cosineSim(col("vec"), typedLit(p.vec))).toSeq
+          val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
+          remaining.withColumn("mmr",
+            lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim)
+        }
+      val top = scored.orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
+        .select(col("doc_id"), col("vec"), col("rel"), col("mmr")).head()
+      picks += Pick(top.getLong(0), top.getSeq[Double](1), top.getDouble(2), top.getDouble(3))
+    }
+    picks.zipWithIndex.toSeq
+      .map { case (p, i) => (i + 1L, p.doc_id, p.rel, p.mmr) }
+      .toDF("rank", "doc_id", "rel_raw", "mmr_raw")
+      .select(col("rank"), col("doc_id"), round(col("rel_raw"), 4).as("rel"),
+        round(col("mmr_raw"), 4).as("mmr"))
       .orderBy("rank")
   }
 

@@ -83,6 +83,54 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal decode reads REAL image headers (PNG/JPEG/GIF) via the JDK readers") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699) // non-trivial pixel so encoders emit real data
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", imageBytes(123, 45, "png")),
+      Multimodal.MediaRow(2L, "image", imageBytes(64, 200, "jpg")),
+      Multimodal.MediaRow(3L, "image", imageBytes(17, 31, "gif")),
+      Multimodal.MediaRow(4L, "image", "definitely not an image payload".getBytes("UTF-8")))
+    val metas = Multimodal.decodeMetaOf(spark, rows.toDS().repartition(2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(metas(1L) === ((123L, 45L, 1L)))
+    assert(metas(2L) === ((64L, 200L, 1L)))
+    assert(metas(3L) === ((17L, 31L, 1L)))
+    // the non-image payload falls back to the deterministic stub
+    val n = rows(3).payload.length.toLong
+    assert(metas(4L) === ((n % 640 + 16, n * 7 % 480 + 16, 1L)))
+  }
+
+  test("winnowing guarantees a shared fingerprint for shared runs of w+win-1 words") {
+    import spark.implicits._
+    // docs share an 8-word run (w=4, win=5 ⇒ guarantee threshold 4+5-1=8)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red green blue yellow purple $shared cyan magenta white black"),
+      (3L, "totally different words with no overlap at all here friend okay then"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingOf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 8-word run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // fingerprint count per doc is bounded by the number of full windows
+    docs.collect().foreach { r =>
+      val n = r.getString(1).split(" ").length
+      val nWindows = math.max(n - 4 + 1 - 5 + 1, 0) // grams − win + 1
+      assert(fps.getOrElse(r.getLong(0), Set.empty).size <= nWindows)
+    }
+  }
+
   test("sampleHash is deterministic and near the target rate") {
     val a = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))
     val b = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))

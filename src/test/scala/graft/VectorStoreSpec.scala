@@ -158,6 +158,61 @@ class VectorStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("mmrSearch equals the in-Scala greedy MMR over the same candidates, and diversifies") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors.{cosineSim, toDouble}
+    val k = 10; val depth = 100; val lambda = 0.7
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // independent candidate set: brute top-depth by cosine to query 0
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("vec"))
+    val q = emb.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    val cands = emb.filter(col("doc_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("rel", cosineSim(col("vec"), col("qvec")))
+      .orderBy(col("rel").desc, col("doc_id").asc).limit(depth)
+      .select(col("doc_id"), col("vec"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    // reference greedy
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (expected.length < k) {
+      val best = cands.filter(c => !expected.contains(c._1)).map { case (id, v, rel) =>
+        val mmr = if (picked.isEmpty) rel
+          else lambda * rel - (1 - lambda) * picked.map(p => cos(v, p._2)).max
+        (id, v, mmr)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      picked += ((best._1, best._2)); expected += best._1
+    }
+    val got = VectorStore.mmrSearch(spark, sf, k, depth, lambda).collect()
+    assert(got.map(_.getLong(1)).toSeq === expected.toSeq)
+    // first pick is the pure-relevance top-1
+    assert(got.head.getLong(1) === cands.minBy(c => (-c._3, c._1))._1)
+    // diversity: the MMR set is no more self-similar than plain top-k
+    val byId = cands.map(c => c._1 -> c._2).toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(byId(ids(i)), byId(ids(j)))
+      ps.sum / ps.length
+    }
+    val topkIds = cands.sortBy(c => (-c._3, c._1)).take(k).map(_._1).toSeq
+    assert(meanPairSim(expected.toSeq) <= meanPairSim(topkIds) + 1e-12)
+  }
+
+  test("geoSearch only returns in-box points ranked by cosine") {
+    val r = VectorStore.geoSearch(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    r.foreach { row =>
+      assert(row.getDouble(2) >= 10.0 && row.getDouble(2) <= 60.0)  // lat
+      assert(row.getDouble(3) >= -30.0 && row.getDouble(3) <= 40.0) // lon
+    }
+    val scores = r.map(_.getDouble(4)).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length).toSeq)
+  }
+
   test("embedText produces deterministic unit vectors") {
     val a = VectorStore.embedText(spark, sf).limit(5).collect()
     val b = VectorStore.embedText(spark, sf).limit(5).collect()

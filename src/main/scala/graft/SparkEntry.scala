@@ -58,6 +58,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
     "text_winnowing" -> ((s: SparkSession, d: String) => TextAnalysis.winnowing(s, d)),
+    "docs_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,
@@ -162,6 +163,7 @@ object SparkEntry {
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
     "vs_geo_search" -> ((s: SparkSession, d: String) => VectorStore.geoSearch(s, d)),
     "vs_mmr_search" -> ((s: SparkSession, d: String) => VectorStore.mmrSearch(s, d)),
+    "vs_dbsf_fusion" -> ((s: SparkSession, d: String) => VectorStore.dbsfFusion(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
@@ -359,6 +361,32 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.user_id = 3 AND p.lang IN ('en', 'fr')),
          |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
          |SELECT rank, id, user_id, lang, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "vs_dbsf_fusion" ->
+      s"""WITH $BM25_SCORED,
+         |kw AS (SELECT doc_id, bm25 AS score FROM scored WHERE bm25 > 0
+         |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |q AS (SELECT vec AS qv FROM emb WHERE doc_id = 0),
+         |vc AS (SELECT e.doc_id, round(list_cosine_similarity(e.vec, q.qv), 4) AS score
+         |       FROM emb e, q WHERE e.doc_id <> 0 ORDER BY score DESC, doc_id LIMIT 20),
+         |kst AS (SELECT count(*)::DOUBLE AS n,
+         |  CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(score AS DECIMAL(18,4)) * CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s2
+         |  FROM kw),
+         |vst AS (SELECT count(*)::DOUBLE AS n,
+         |  CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(score AS DECIMAL(18,4)) * CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s2
+         |  FROM vc),
+         |kn AS (SELECT doc_id, (score - mu + 3.0 * sigma) / (6.0 * sigma) AS nkw
+         |  FROM kw, (SELECT n, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM kst)),
+         |vn AS (SELECT doc_id, (score - mu + 3.0 * sigma) / (6.0 * sigma) AS nvec
+         |  FROM vc, (SELECT n, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM vst)),
+         |f AS (SELECT coalesce(kn.doc_id, vn.doc_id) AS doc_id,
+         |  coalesce(kn.nkw, 0.0) + coalesce(vn.nvec, 0.0) AS fused
+         |  FROM kn FULL OUTER JOIN vn ON kn.doc_id = vn.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY fused DESC, doc_id) AS rank FROM f)
+         |SELECT rank, doc_id, round(fused, 4) AS dbsf FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
     "vs_geo_search" ->
       s"""WITH $PTS,
          |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
@@ -826,6 +854,24 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_re_tokens,
         |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))::BIGINT AS n_uniq_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, ws, len(ws) AS n, unnest(range(1, len(ws) + 1)) AS pos FROM d),
+        |b AS (SELECT doc_id, ws, pos,
+        |  CASE WHEN pos >= 3 AND pos < n AND
+        |    CAST('0x' || substring(md5(ws[pos-2]||' '||ws[pos-1]||' '||ws[pos]), 1, 15)
+        |      AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END AS bnd
+        |  FROM t),
+        |c AS (SELECT doc_id, pos,
+        |  (sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) - bnd)::BIGINT AS chunk_idx FROM b),
+        |g AS (SELECT doc_id, chunk_idx, min(pos) AS p0, max(pos) AS p1,
+        |  count(*)::BIGINT AS n_words FROM c GROUP BY 1, 2),
+        |m AS (SELECT g.doc_id, g.chunk_idx, g.n_words,
+        |  md5(array_to_string(d.ws[g.p0 : g.p1], ' ')) AS chunk_md5
+        |  FROM g JOIN d ON g.doc_id = d.doc_id)
+        |SELECT doc_id, chunk_idx, n_words, chunk_md5,
+        |  count(*) OVER (PARTITION BY chunk_md5)::BIGINT AS n_copies
+        |FROM m ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_winnowing" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS pos, ws FROM d),

@@ -385,6 +385,58 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  /** CONTENT-DEFINED CHUNKING (the Rabin-fingerprint boundary trick of
+    * CDC dedup systems, applied at word granularity): a chunk boundary
+    * falls after any word whose trailing `g`-gram hash ≡ 0 (mod
+    * `mask`+1) — so boundaries are decided by LOCAL content, and an
+    * insertion/deletion early in a document shifts chunk boundaries
+    * only until the next content-defined cut instead of re-aligning
+    * every fixed-width window downstream (the failure mode of
+    * [[chunkOverlap]]-style fixed windows under edits). Emits one row
+    * per chunk with its md5 digest and the digest's corpus-wide
+    * occurrence count — duplicate chunks across documents surface
+    * directly (n_copies > 1), which is the CDC dedup join.
+    *
+    * Scale shape: boundary detection is map-side codegen over
+    * positional grams; the doc-keyed running-sum window carries
+    * (doc_id, pos, flag) rows; chunk assembly slices the original word
+    * array (text shuffles once, doc-keyed, for the bounds join); the
+    * n_copies count is one digest-keyed exchange of 16-byte digests.
+    * Expected chunk length = mask+1 words.
+    */
+  def cdcChunks(s: SparkSession, d: String, g: Int = 3, mask: Int = 15): DataFrame =
+    cdcChunksOf(Tables.documents(s, d), g, mask)
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text) relation. */
+  def cdcChunksOf(docsIn: DataFrame, g: Int = 3, mask: Int = 15): DataFrame = {
+    val wsCol = split(col("text"), " ")
+    val docs = docsIn.select(col("doc_id"), wsCol.as("ws"))
+    val toks = docs
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"),
+        posexplode(col("ws")).as(Seq("pos0", "word")))
+      .withColumn("pos", col("pos0") + 1) // 1-based, mirrors the oracle
+    val gram = concat_ws(" ",
+      (g - 1 to 0 by -1).map(j => element_at(col("ws"), col("pos") - j)): _*)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val flagged = toks
+      .withColumn("bnd",
+        (col("pos") >= g && col("pos") < col("n") &&
+          conv(substring(md5(gram), 1, 15), 16, 10).cast("long") % (mask + 1) === 0)
+          .cast("long"))
+      .withColumn("chunk_idx", sum("bnd").over(wDoc) - col("bnd"))
+    val bounds = flagged.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min("pos").as("p0"), max("pos").as("p1"), count(lit(1)).as("n_words"))
+    val chunks = bounds.join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("p0"), col("p1") - col("p0") + 1))).as("chunk_md5"))
+    val wDigest = org.apache.spark.sql.expressions.Window.partitionBy("chunk_md5")
+    chunks
+      .withColumn("n_copies", count(lit(1)).over(wDigest))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards per language — the bin layout step before tokenize-and-
     * concat. A doc starts a new chunk when the running token total

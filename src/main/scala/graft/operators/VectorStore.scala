@@ -460,6 +460,57 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** DISTRIBUTION-BASED SCORE FUSION (Qdrant's `dbsf` fusion mode, the
+    * alternative to [[hybridSearch]]'s RRF): instead of fusing ranks,
+    * each ranker's scores are normalized to its own score distribution
+    * — x ↦ (x − (μ−3σ)) / 6σ with μ, σ over that ranker's top-`depth`
+    * list — and the normalized scores are summed. Keeps score MAGNITUDE
+    * information that RRF throws away (a runaway best hit stays far
+    * ahead after fusion), at the cost of distribution sensitivity.
+    *
+    * Exactness discipline: both ranker lists carry 4dp-rounded scores
+    * (exact decimals), μ and σ derive from EXACT DECIMAL Σx and Σx²
+    * (order-independent, engine-portable) with the final
+    * divide/sqrt/affine steps as identical IEEE ops on both engines;
+    * only the sqrt-derived fused output is rounded (non-terminating, so
+    * the HALF_UP/binary divergence can't bite). Each list is ≤ depth
+    * rows, so every aggregate/join below is driver-trivial at any
+    * corpus size — the corpus-scale work is the two top-`depth` cuts,
+    * which never shuffle the corpus.
+    */
+  def dbsfFusion(s: SparkSession, d: String, k: Int = 10, depth: Int = 20): DataFrame = {
+    val kw = TextAnalysis.bm25Search(s, d, k = depth)
+      .select(col("doc_id"), col("bm25").as("score"))
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), toDouble(col("embedding")).as("vec"))
+    val qvec = emb.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    val vec = emb.filter(col("doc_id") =!= 0).crossJoin(broadcast(qvec))
+      .select(col("doc_id"), round(cosineSim(col("vec"), col("qvec")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(depth)
+    def normalized(list: DataFrame, out: String): DataFrame = {
+      val dec = col("score").cast("decimal(18,4)")
+      val stats = list.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec).as("s1"), sum(dec * dec).as("s2"))
+      list.crossJoin(broadcast(stats))
+        .withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma",
+          sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
+        .select(col("doc_id"),
+          ((col("score") - col("mu") + lit(3.0) * col("sigma")) /
+            (lit(6.0) * col("sigma"))).as(out))
+    }
+    val wFused = Window.partitionBy(lit(0)).orderBy(col("fused").desc, col("doc_id"))
+    normalized(kw, "nkw")
+      .join(normalized(vec, "nvec"), Seq("doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(col("nkw"), lit(0.0)) + coalesce(col("nvec"), lit(0.0)))
+      .withColumn("rank", row_number().over(wFused).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), round(col("fused"), 4).as("dbsf"))
+      .orderBy("rank")
+  }
+
   /** MAXIMAL-MARGINAL-RELEVANCE search (Carbonell & Goldstein, SIGIR
     * 1998): diversified top-k — greedily pick the candidate maximizing
     * λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s), so each pick is relevant

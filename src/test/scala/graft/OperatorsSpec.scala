@@ -131,6 +131,29 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")
+    val edited = "INSERTED " + base // one word prepended at the front
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunksOf(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).toSeq).toMap
+    // multiple chunks exist, and after the first content-defined cut the
+    // digests re-align: every chunk of doc 1 except possibly the first
+    // also appears in doc 2 (a fixed-width chunker would misalign ALL of
+    // them after the insertion)
+    assert(chunks(1L).length >= 2, s"want >=2 chunks, got ${chunks(1L).length}")
+    val resynced = chunks(1L).tail.toSet
+    assert(resynced.subsetOf(chunks(2L).toSet),
+      s"post-edit chunks must re-synchronize: ${resynced -- chunks(2L).toSet} missing")
+    // determinism
+    val again = TextAnalysis.cdcChunksOf(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).toSeq).toMap
+    assert(again === chunks)
+  }
+
   test("sampleHash is deterministic and near the target rate") {
     val a = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))
     val b = TextAnalysis.sampleHash(spark, sf).collect().map(_.getLong(0))

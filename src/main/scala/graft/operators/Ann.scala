@@ -53,7 +53,7 @@ object Ann {
     * query side (probe selection). Corpus-side assignment uses the
     * allocation-free native kernel [[nearestCentroidId]].
     */
-  private[operators] def centroidStructs(v: org.apache.spark.sql.Column,
+  private[graft] def centroidStructs(v: org.apache.spark.sql.Column,
                                          cents: Seq[(Long, Seq[Double])]) =
     array(cents.map { case (cid, cv) =>
       struct(l2Distance(v, array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
@@ -220,7 +220,10 @@ object Ann {
     val lists = if (nlist > 0) nlist
       else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     val cap = if (sampleCap > 0) sampleCap else 4 * k
-    val cents = kmeansCentroidsCached(s, s"nndescent:$d:$lists", emb, lists, iters)
+    // one coarse quantizer per (corpus, lists, iters) — shared with the
+    // search-graph build (both bucket the full embeddings relation;
+    // training twice for an identical result was ~3 s of the build line)
+    val cents = kmeansCentroidsCached(s, s"knn:$d:$lists", emb, lists, iters)
     val knn = descendEdges(emb, cents, k, rounds, cap)
     val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
     knn.withColumn("rk", row_number().over(w).cast("long"))
@@ -274,20 +277,30 @@ object Ann {
     * AND uniform-ish regardless of id layout.
     */
   private[graft] def ringInitPairs(posts: DataFrame, cap: Int): DataFrame = {
-    val ring = Window.partitionBy("cid").orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    val ringed = posts.select(col("cid"), col("vec_id"),
-      row_number().over(ring).as("rn"),
-      count(lit(1)).over(Window.partitionBy("cid")).as("sz"))
-    // offsets 1..min(cap, sz-1): singleton buckets emit nothing, small
-    // buckets degenerate to all pairs — identical pair set to the band
-    // formulation, reached without enumerating any m² intermediate
-    val targets = ringed
-      .withColumn("off", explode(when(col("sz") > 1,
-        sequence(lit(1), least(lit(cap), col("sz") - 1))).otherwise(array())))
-      .select(col("cid"), col("vec_id").as("src"),
-        (pmod(col("rn") - 1 + col("off"), col("sz")) + 1).as("rn"))
-    val fwd = targets.join(ringed, Seq("cid", "rn"))
-      .select(col("src"), col("vec_id").as("dst"))
+    // ONE exchange (the bucket groupBy); the ring pairing then runs
+    // entirely map-side over each bucket's member array — no window, no
+    // second join, no m² intermediate anywhere. Ring order is the
+    // (xxhash64, id) sort of the members (deterministic shuffle of the
+    // bucket); each index i pairs with its min(cap, sz−1) cyclic
+    // successors, so pairs per bucket stay ≤ 2·cap·sz whatever the
+    // skew. A pathological mega-bucket materializes one long array in
+    // its task (8 B/member — 10⁷ members ≈ 80 MB, within task memory
+    // at any plausible skew; the quantizer's balance audit is the
+    // backstop before that).
+    val mem = array_sort(collect_list(
+      struct(xxhash64(col("vec_id")).as("hk"), col("vec_id").as("id"))))
+    val buckets = posts.groupBy("cid")
+      .agg(transform(mem, m => m.getField("id")).as("ids"))
+    val sz = size(col("ids"))
+    val fwd = buckets
+      .select(col("ids"), sz.as("sz"),
+        explode(transform(sequence(lit(0), sz - 1), i => struct(
+          element_at(col("ids"), i + 1).as("src"), i.as("i")))).as("p"))
+      .select(col("p.src"),
+        explode(when(col("sz") > 1,
+          transform(sequence(lit(1), least(lit(cap), col("sz") - 1)),
+            o => element_at(col("ids"), pmod(col("p.i") + o, col("sz")) + 1)))
+          .otherwise(array())).as("dst"))
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
@@ -346,9 +359,8 @@ object Ann {
     val emb = corpus.cache()
     val entrySet = entryMemo.getOrElseUpdate(
       (System.identityHashCode(s), s"$d:$graphK:$entries"), {
-        val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-        val cents = kmeansCentroidsCached(s, s"graph:$d:$lists", emb, lists, 3)
-        val n = if (entries > 0) entries else lists + 32
+        val cents = sharedQuantizer(s, d)
+        val n = if (entries > 0) entries else cents.size + 32
         centroidEntries(emb, cents, n).localCheckpoint()
       })
     beamSearch(emb, graphEdges(s, d, graphK, emb), entrySet,
@@ -374,11 +386,24 @@ object Ann {
     graphEdges(s, d, graphK, corpus.cache()).count()
   }
 
+  /** The ONE coarse quantizer of the knn/graph index family, trained on
+    * the full embeddings relation (a superset of the search corpus — a
+    * routing quantizer trained on a superset buckets the corpus just as
+    * well, and sharing it across the NN-descent audit view, the
+    * search-graph build, and the entry derivation saves two identical
+    * trainings per corpus snapshot).
+    */
+  private def sharedQuantizer(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val full = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val lists = math.max(16, math.ceil(math.sqrt(full.count().toDouble)).toInt)
+    kmeansCentroidsCached(s, s"knn:$d:$lists", full, lists, 3)
+  }
+
   private def graphEdges(s: SparkSession, d: String, graphK: Int,
                          emb: DataFrame): DataFrame =
     graphMemo.getOrElseUpdate((System.identityHashCode(s), s"$d:$graphK"), {
-      val lists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-      val cents = kmeansCentroidsCached(s, s"graph:$d:$lists", emb, lists, 3)
+      val cents = sharedQuantizer(s, d)
       val g = descendEdges(emb, cents, graphK, rounds = 2, cap = 4 * graphK)
         .select("src", "dst")
       g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()

@@ -999,24 +999,43 @@ object Dedup {
     * counting is an (ia, ib)-keyed join.
     */
   def dedupRecallEval(s: SparkSession, d: String, t: Double = 0.8): DataFrame = {
-    val truth = ngramJaccard(s, d, t).select("ia", "ib").cache()
+    // ONE job: tag each method's pair list, outer-join the tagged union
+    // against the truth list once, aggregate per method. (The previous
+    // per-method found/hit/count loop fired ~10 driver actions and
+    // re-ran the shared candidate scaffold per action — 10 s of the
+    // sf0.1 bench; this shape is 2 actions regardless of method count.)
+    val truth = ngramJaccard(s, d, t).select("ia", "ib")
+      .withColumn("in_truth", lit(1L)).cache()
     val nTrue = truth.count()
-    def eval(name: String, res: DataFrame): DataFrame = {
-      val found = res.select("ia", "ib").distinct()
-      val hit = found.join(truth, Seq("ia", "ib")).count()
-      val nFound = found.count()
-      val one = s.range(1)
-      one.select(lit(name).as("method"),
-        lit(nTrue).as("n_true"), lit(nFound).as("n_found"), lit(hit).as("n_hit"),
-        lit(if (nTrue > 0) math.rint(hit.toDouble / nTrue * 10000) / 10000 else 1.0)
-          .as("recall"),
-        lit(if (nFound > 0) math.rint(hit.toDouble / nFound * 10000) / 10000 else 1.0)
+    val tagged = Seq(
+      "minhash_lsh" -> minhashLsh(s, d, t),
+      "simhash" -> simhash(s, d),
+      "containment" -> containment(s, d))
+      .map { case (name, res) =>
+        res.select(col("ia"), col("ib")).distinct()
+          .withColumn("method", lit(name))
+      }
+      .reduce(_ unionByName _)
+    import s.implicits._
+    val names = Seq("minhash_lsh", "simhash", "containment").toDF("method")
+    tagged
+      .join(truth, Seq("ia", "ib"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
+      // a method with zero found pairs still reports a (0, 0) row
+      .join(broadcast(names), Seq("method"), "right")
+      .select(col("method"), lit(nTrue).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("nf"),
+        coalesce(col("n_hit"), lit(0L)).as("nh"))
+      .select(col("method"), col("n_true"),
+        col("nf").as("n_found"), col("nh").as("n_hit"),
+        when(lit(nTrue > 0),
+          round(col("nh").cast("double") / nTrue, 4)).otherwise(1.0).as("recall"),
+        when(col("nf") > 0,
+          round(col("nh").cast("double") / col("nf"), 4)).otherwise(1.0)
           .as("precision"))
-    }
-    Seq(eval("minhash_lsh", minhashLsh(s, d, t)),
-        eval("simhash", simhash(s, d)),
-        eval("containment", containment(s, d)))
-      .reduce(_ unionByName _).orderBy("method")
+      .orderBy("method")
   }
 
   /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over

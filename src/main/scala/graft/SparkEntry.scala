@@ -59,6 +59,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s: SparkSession, d: String) => TextAnalysis.fingerprint(s, d)),
     "text_winnowing" -> ((s: SparkSession, d: String) => TextAnalysis.winnowing(s, d)),
     "docs_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
+    "docs_winnow_matches" -> ((s: SparkSession, d: String) => TextAnalysis.winnowMatches(s, d)),
+    "text_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,
@@ -872,6 +874,42 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, n_words, chunk_md5,
         |  count(*) OVER (PARTITION BY chunk_md5)::BIGINT AS n_copies
         |FROM m ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH tf AS (SELECT token, count(*)::BIGINT AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1 ORDER BY tf DESC, token LIMIT 200),
+        |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS r FROM tf),
+        |xy AS (SELECT CAST(round(ln(r), 6) AS DECIMAL(12,6)) AS x,
+        |  CAST(round(ln(tf), 6) AS DECIMAL(12,6)) AS y FROM r),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy),
+        |m AS (SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+        |  sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd FROM a)
+        |SELECT n AS n_terms,
+        |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |  (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd
+        |    AS intercept
+        |FROM m""".stripMargin,
+    "docs_winnow_matches" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS pos, ws FROM d),
+        |h AS (SELECT doc_id, pos,
+        |  CAST('0x' || substring(md5(
+        |    ws[pos]||' '||ws[pos+1]||' '||ws[pos+2]||' '||ws[pos+3]), 1, 15) AS BIGINT) AS h
+        |  FROM g),
+        |w AS (SELECT doc_id,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wn
+        |  FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 5),
+        |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 64),
+        |cold AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*)::BIGINT AS shared_fp
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, shared_fp FROM p WHERE shared_fp >= 2 ORDER BY ia, ib""".stripMargin,
     "text_winnowing" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS pos, ws FROM d),

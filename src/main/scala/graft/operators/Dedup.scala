@@ -91,8 +91,12 @@ object Dedup {
     */
   private def candidatePairCounts(s: SparkSession, d: String, w: Int,
                                   dfCap: Int): DataFrame = {
-    val ex = shingleRows(Tables.documents(s, d), w)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    // hash BEFORE the set-semantics dedup: the distinct exchange then
+    // carries 8-byte hashes instead of w-word strings (same set
+    // semantics under the documented 64-bit reduction)
+    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .dropDuplicates("doc_id", "h").cache()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hot grams are df > dfCap — a tiny relation at ANY corpus size
     // (Σ df over grams = corpus shingle volume, so at most volume/dfCap

@@ -385,6 +385,73 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  /** ZIPF-LAW FIT over the corpus vocabulary: least-squares slope of
+    * ln(frequency) on ln(rank) for the top-`topN` terms — the
+    * distributional health check of a training corpus (natural text
+    * sits near slope −1; a synthetic or template-heavy corpus drifts
+    * flat, a boilerplate-dominated one drifts steep). Exactness: the
+    * transcendental ln outputs are rounded to 6dp and cast to exact
+    * DECIMAL before the Σx/Σy/Σxy/Σx² moments (order-independent,
+    * engine-portable — the lm_score discipline); the closed-form
+    * slope/intercept then run in deterministic IEEE doubles. Scale:
+    * term frequencies partial-aggregate; the top-N cut is
+    * TakeOrdered; the fit itself sees topN rows.
+    */
+  def zipfSlope(s: SparkSession, d: String, topN: Int = 200): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("tf").desc, col("token"))
+    val xy = tf.withColumn("r", row_number().over(w))
+      .select(
+        round(log(col("r").cast("double")), 6).cast("decimal(12,6)").as("x"),
+        round(log(col("tf").cast("double")), 6).cast("decimal(12,6)").as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("double").as("nd"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("sxy").cast("double").as("sxyd"), col("sxx").cast("double").as("sxxd"),
+        col("n"))
+      .select(col("n").as("n_terms"),
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd"))).as("slope"),
+        ((col("syd") -
+          (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")) * col("sxd")) /
+          col("nd")).as("intercept"))
+  }
+
+  /** Cross-document WINNOWING MATCH report — the consumer join of
+    * [[winnowing]]: document pairs sharing ≥ `minShared` fingerprints,
+    * with the shared count as the match strength. By the winnowing
+    * guarantee, any pair sharing a ≥ (w + win − 1)-word run surfaces
+    * here — the MOSS-style local-overlap detector, a different (and
+    * cheaper) lens than whole-set Jaccard: fingerprints are ~1/win of
+    * the grams, so the co-fingerprint join moves ~win² times fewer
+    * rows than the co-shingle join at the same corpus size.
+    *
+    * Same hot-key discipline as the exact shingle joins: fingerprints
+    * shared by > `dfCap` docs (corpus boilerplate) are dropped from the
+    * match join — a boilerplate fingerprint's m² pair explosion is the
+    * thing to refuse at scale, and the emitted counts simply don't
+    * include capped fps (documented, mirrored exactly in the oracle).
+    */
+  def winnowMatches(s: SparkSession, d: String, minShared: Int = 2,
+                    dfCap: Int = 64): DataFrame = {
+    val fps = winnowing(s, d)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp")
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .orderBy("ia", "ib")
+  }
+
   /** CONTENT-DEFINED CHUNKING (the Rabin-fingerprint boundary trick of
     * CDC dedup systems, applied at word granularity): a chunk boundary
     * falls after any word whose trailing `g`-gram hash ≡ 0 (mod

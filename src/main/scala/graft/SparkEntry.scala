@@ -166,6 +166,8 @@ object SparkEntry {
     "vs_geo_search" -> ((s: SparkSession, d: String) => VectorStore.geoSearch(s, d)),
     "vs_mmr_search" -> ((s: SparkSession, d: String) => VectorStore.mmrSearch(s, d)),
     "vs_dbsf_fusion" -> ((s: SparkSession, d: String) => VectorStore.dbsfFusion(s, d)),
+    "vs_random_sample" -> ((s: SparkSession, d: String) => VectorStore.randomSample(s, d)),
+    "vs_formula_boost" -> ((s: SparkSession, d: String) => VectorStore.formulaBoost(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
@@ -389,6 +391,24 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY fused DESC, doc_id) AS rank FROM f)
          |SELECT rank, doc_id, round(fused, 4) AS dbsf FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    "vs_random_sample" ->
+      s"""WITH $PTS,
+         |h AS (SELECT id, user_id, site, lang,
+         |  CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+         |  FROM pts)
+         |SELECT id, user_id, site, lang FROM h ORDER BY hk, id LIMIT 20""".stripMargin,
+    "vs_formula_boost" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 3),
+         |scored AS (SELECT p.id, p.lang,
+         |  CAST(CAST(round(list_cosine_similarity(p.vector, q.qvec), 4) AS DECIMAL(9,4))
+         |      * CAST(0.7 AS DECIMAL(2,1))
+         |    + (CASE WHEN p.lang = 'en' THEN CAST(1.0 AS DECIMAL(2,1))
+         |       ELSE CAST(0.5 AS DECIMAL(2,1)) END) * CAST(0.3 AS DECIMAL(2,1))
+         |    AS DOUBLE) AS score
+         |  FROM pts p, q WHERE p.id <> 3),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, lang, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "vs_geo_search" ->
       s"""WITH $PTS,
          |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,

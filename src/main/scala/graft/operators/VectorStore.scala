@@ -460,6 +460,55 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant Query-API RANDOM SAMPLING (`"sample": "random"`): k points
+    * drawn uniformly without a rank criterion — the collection
+    * inspection / eval-set primitive. Deterministic analogue: md5-hash
+    * order of the point id (reproducible across runs, engines, and
+    * partitionings — the same discipline as `docs_sample_hash`), which
+    * plans as a TakeOrdered k-row cut; no full sort, no shuffle of
+    * payloads.
+    */
+  def randomSample(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.points(s, d)
+      .withColumn("hk",
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("hk"), col("id"))
+      .limit(k)
+      .select(col("id"), col("user_id"), col("site"), col("lang"))
+
+  /** Qdrant FORMULA QUERY (score boosting, Qdrant 1.14): final score =
+    * a payload-conditional re-weighting of the similarity score —
+    * here 0.7·cosine + 0.3·boost with boost 1 for en-language points
+    * and ½ otherwise, the canonical "prefer fresh/trusted payloads"
+    * shape. Exactness: the cosine enters ROUNDED (an exact decimal),
+    * the affine combination runs in exact DECIMAL arithmetic with
+    * decimal literal weights (never /10-style division), and only the
+    * final cast emits a double — so the formula is bit-identical on
+    * any engine. The boost is a pushed column expression; ranking
+    * stays a k-row TakeOrdered.
+    */
+  def formulaBoost(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 3).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 3)
+      .join(broadcast(q))
+      .withColumn("cs", round(cosineSim(col("vector"), col("qvec")), 4)
+        .cast("decimal(9,4)"))
+      .withColumn("boost",
+        when(col("lang") === "en", lit(BigDecimal("1.0")).cast("decimal(2,1)"))
+          .otherwise(lit(BigDecimal("0.5")).cast("decimal(2,1)")))
+      .withColumn("score",
+        (col("cs") * lit(BigDecimal("0.7")).cast("decimal(2,1)") +
+          col("boost") * lit(BigDecimal("0.3")).cast("decimal(2,1)"))
+          .cast("double"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("lang"), col("score"))
+      .orderBy("rank")
+  }
+
   /** DISTRIBUTION-BASED SCORE FUSION (Qdrant's `dbsf` fusion mode, the
     * alternative to [[hybridSearch]]'s RRF): instead of fusing ranks,
     * each ranker's scores are normalized to its own score distribution

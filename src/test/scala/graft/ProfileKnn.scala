@@ -106,3 +106,30 @@ object ProfileDedup2 {
     spark.stop()
   }
 }
+
+object ProfileDescend {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec")).cache()
+    emb.count()
+    val cents = operators.Ann.kmeansCentroids(emb, 45, 3)
+    timed("descend rounds=0")(operators.Ann.descendEdges(emb, cents, 10, 0, 40).count())
+    timed("descend rounds=1")(operators.Ann.descendEdges(emb, cents, 10, 1, 40).count())
+    timed("descend rounds=2")(operators.Ann.descendEdges(emb, cents, 10, 2, 40).count())
+    spark.stop()
+  }
+}

@@ -390,4 +390,38 @@ class PlanInvariantsSpec extends SparkSpecBase {
       assert(df.collect().map(_.toSeq).toSet === inline)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("geo search broadcasts the query and never sort-merges the corpus") {
+    val p = plan("vs_geo_search")
+    assert(!p.contains("SortMergeJoin"), s"geo search degraded to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"geo rank not a k-row cut:\n$p")
+  }
+
+  test("winnowing matches anti-join hot fingerprints via broadcast") {
+    val p = plan("docs_winnow_matches")
+    assert(p.contains("LeftAnti"), s"hot-fp cap lost its anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-fp side no longer broadcast:\n$p")
+  }
+
+  test("dbsf fusion cuts both ranker lists to depth rows before fusing") {
+    val p = plan("vs_dbsf_fusion")
+    // two TakeOrdered depth-cuts (bm25 list + cosine list); the fusion
+    // join/aggregates then run over bounded lists only
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"expected both ranker lists TakeOrdered-cut:\n$p")
+  }
+
+  test("zipf fit reduces to a TakeOrdered vocabulary head before the moment aggregate") {
+    val p = plan("text_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), s"vocabulary head not a k-row cut:\n$p")
+  }
+
+  test("cdc chunking shuffles bounded relations only (doc windows + digest count)") {
+    val p = plan("docs_cdc_chunks")
+    // doc-keyed window, bounds groupBy, bounds-to-words join, digest
+    // window, final sort — no plan shape should need more than 6
+    // exchanges, and none of them carries more than (doc, pos, flag) /
+    // (doc, chunk, digest) rows
+    assert(nShuffles(p) <= 6, s"${nShuffles(p)} shuffles in cdc plan:\n$p")
+  }
 }

@@ -1,0 +1,136 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+
+/** Persistent HYBRID (keyword + vector) index — the switch-over surface
+  * for a reference user running BM25+vector hybrid search (the standard
+  * production upgrade of the reference's pure-vector /search;
+  * `vs_hybrid_search` proves the semantics, this class adds the
+  * PERSISTED serving artifact). Build once per corpus snapshot, serve
+  * any number of fused searches from the loaded layout.
+  *
+  * Layout under `path`:
+  *   - `postings/` — (token, doc_id, tf), repartitioned + sorted BY
+  *     TOKEN: a query's `token IN (…)` predicate pushes to the parquet
+  *     scan and prunes to the terms' row groups on min/max stats — at
+  *     100 TB the keyword side reads a handful of posting lists, never
+  *     the corpus (`Sources.writeBucketed` is the metastore-bucketed
+  *     variant of the same contract).
+  *   - `doclens/`  — (doc_id, dl) document lengths.
+  *   - `stats/`    — one row (n_docs, avgdl, per-term df is derived
+  *     from the pruned postings at query time).
+  *   - `vectors/`  — (doc_id, vec) for the dense side.
+  *
+  * Exactness: per-term tf enters as FIXED-ORDER columns (one per query
+  * term), so the BM25 sum is the same expression tree as
+  * `TextAnalysis.bm25Search` — score parity is bit-for-bit (spec'd),
+  * not approximate.
+  */
+class HybridIndex private (spark: SparkSession, path: String) {
+
+  private val postings = spark.read.parquet(s"$path/postings")
+  private val doclens = spark.read.parquet(s"$path/doclens").cache()
+  private val stats = spark.read.parquet(s"$path/stats")
+  private val vectors = spark.read.parquet(s"$path/vectors").cache()
+
+  /** BM25 top-k for a bag of query terms (k1 = 1.2, b = 0.75, Lucene
+    * idf — the `bm25Search` formula against the persisted layout).
+    * Only the query terms' posting lists are scanned (pushed IN
+    * filter); candidates = docs holding ≥ 1 term; the rank is a k-row
+    * TakeOrdered.
+    */
+  def keywordSearch(terms: Seq[String], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pl = postings.filter(col("token").isin(terms: _*))
+    val tfCols = terms.map(t =>
+      coalesce(max(when(col("token") === t, col("tf"))), lit(0.0)).as(s"tf_$t"))
+    val cand = pl.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    // per-term document frequencies from the SAME pruned scan
+    val dfCols = terms.map(t =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val dfs = pl.agg(dfCols.head, dfCols.tail: _*)
+    val scored = cand
+      .join(doclens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+    val score = terms.map { t =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * (col(s"tf_$t") * (k1 + 1)) /
+        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Cosine top-k for one query vector — map-side distance against the
+    * persisted vectors, k-row TakeOrdered; the corpus never shuffles.
+    */
+  def vectorSearch(qvec: Seq[Double], k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("doc_id"))
+    vectors
+      .select(col("doc_id"),
+        round(cosineSim(col("vec"), typedLit(qvec)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(k)
+      .withColumn("rank_vec", row_number().over(w).cast("long"))
+  }
+
+  /** Fused HYBRID search: RRF of the keyword and vector rankings (the
+    * `vs_hybrid_search` fusion against the persisted index) — each
+    * ranker contributes 1/(rrfK + rank) for its top-`depth` docs.
+    */
+  def search(terms: Seq[String], qvec: Seq[Double], k: Int = 10,
+             depth: Int = 20, rrfK: Int = 60): DataFrame = {
+    val wKw = Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
+    val kw = keywordSearch(terms, depth)
+      .withColumn("rank_kw", row_number().over(wKw).cast("long"))
+    val vec = vectorSearch(qvec, depth)
+    val wFused = Window.partitionBy(lit(0)).orderBy(col("rrf").desc, col("doc_id"))
+    kw.select(col("doc_id"), col("rank_kw"))
+      .join(vec.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wFused).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("rank_kw"), lit(0L)).as("rank_kw"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf"))
+      .orderBy("rank")
+  }
+
+  /** The postings relation (for plan inspection / maintenance jobs). */
+  def postingsRelation: DataFrame = postings
+}
+
+object HybridIndex {
+
+  /** Build the index from a (doc_id, text) relation and a (doc_id, vec)
+    * relation, persist under `path`, and open it. One pass over the
+    * text for postings + lengths (token-partitioned sorted layout so
+    * term predicates prune), one write for vectors and the scalar
+    * stats row.
+    */
+  def build(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
+            path: String): HybridIndex = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    toks.groupBy("token", "doc_id").agg(count(lit(1)).cast("double").as("tf"))
+      .repartition(col("token")).sortWithinPartitions("token", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val doclens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    doclens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    vecs.write.mode("overwrite").parquet(s"$path/vectors")
+    open(spark, path)
+  }
+
+  /** Open an existing index. */
+  def open(spark: SparkSession, path: String): HybridIndex =
+    new HybridIndex(spark, path)
+}

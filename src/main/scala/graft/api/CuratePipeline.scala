@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   *   PII scrub (optional) → quality gate (+ optional Gopher rule
   *   battery) → exact dedup → near-dup clustering (keep one doc per
-  *   cluster) → boilerplate gate (optional, corpus-wide duplicate-n-gram
+  *   cluster) → winnowing gate (optional, MOSS local-overlap chains) →
+  *   boilerplate gate (optional, corpus-wide duplicate-n-gram
   *   fraction) → benchmark-decontamination gate → deterministic sample →
   *   lang-partitioned curated parquet + a per-stage attrition report.
   *
@@ -24,7 +25,8 @@ import org.apache.spark.sql.functions._
 object CuratePipeline {
 
   case class Report(nInput: Long, nAfterQuality: Long, nAfterExactDedup: Long,
-                    nAfterNearDedup: Long, nAfterBoilerplate: Long,
+                    nAfterNearDedup: Long, nAfterWinnow: Long,
+                    nAfterBoilerplate: Long,
                     nAfterDecontam: Long, nSampled: Long)
 
   def curate(s: SparkSession, d: String, outPath: String,
@@ -33,7 +35,8 @@ object CuratePipeline {
              sampleRate: Double = 1.0,
              piiPattern: Option[String] = None, piiMask: String = "<MASK>",
              maxDupNgramRatio: Double = 1.0,
-             gopherGate: Boolean = false): Report = {
+             gopherGate: Boolean = false,
+             winnowMinShared: Int = 0): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
     // masked) applied before anything hashes the text, so dedup keys,
@@ -81,15 +84,34 @@ object CuratePipeline {
     val afterNear = afterExact.join(broadcast(dropNear), Seq("doc_id"), "left_anti").cache()
     val nNear = afterNear.count()
 
+    // 3b. winnowing gate (optional, winnowMinShared > 0) — LOCAL-overlap
+    // matches the whole-set Jaccard tier misses (a long doc embedding
+    // another's ≥8-word run scores low Jaccard but is still a lift);
+    // match pairs collapse through the shared component dispatch so a
+    // copy CHAIN keeps exactly one surviving representative
+    val afterWinnow =
+      if (winnowMinShared <= 0) afterNear
+      else {
+        val wc = Dedup.clustersOfPairs(s,
+          TextAnalysis.winnowMatches(s, d, minShared = winnowMinShared)
+            .select("ia", "ib"))
+        val surviving = afterNear.select("doc_id").join(broadcast(wc), "doc_id")
+        val byWc = Window.partitionBy("cluster_id").orderBy("doc_id")
+        val drop = surviving.withColumn("__rk", row_number().over(byWc))
+          .filter(col("__rk") > 1).select("doc_id")
+        afterNear.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      }
+    val nWinnow = afterWinnow.count()
+
     // 4. boilerplate gate — drop docs dominated by corpus-wide repeated
     // n-grams (templates/navigation chrome that near-dup clustering
     // misses because no single pair is similar enough)
     val afterBoiler =
-      if (maxDupNgramRatio >= 1.0) afterNear
+      if (maxDupNgramRatio >= 1.0) afterWinnow
       else {
         val boiler = Dedup.dupNgramFraction(s, d)
           .filter(col("dup_ratio") > maxDupNgramRatio).select("doc_id")
-        afterNear.join(broadcast(boiler), Seq("doc_id"), "left_anti")
+        afterWinnow.join(broadcast(boiler), Seq("doc_id"), "left_anti")
       }
     val nBoiler = afterBoiler.count()
 
@@ -110,7 +132,7 @@ object CuratePipeline {
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
-    Report(nInput, nQuality, nExact, nNear, nBoiler, nDecontam, nSampled)
+    Report(nInput, nQuality, nExact, nNear, nWinnow, nBoiler, nDecontam, nSampled)
   }
 
   /** The full switch-over flow: curate a raw corpus, CHUNK the curated

@@ -12,7 +12,8 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(r.nInput >= r.nAfterQuality)
     assert(r.nAfterQuality >= r.nAfterExactDedup)
     assert(r.nAfterExactDedup >= r.nAfterNearDedup)
-    assert(r.nAfterNearDedup >= r.nAfterBoilerplate)
+    assert(r.nAfterNearDedup >= r.nAfterWinnow)
+    assert(r.nAfterWinnow >= r.nAfterBoilerplate)
     assert(r.nAfterBoilerplate >= r.nAfterDecontam)
     assert(r.nAfterDecontam === r.nSampled) // sampleRate = 1.0
     val back = spark.read.parquet(out)
@@ -25,6 +26,28 @@ class CuratePipelineSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(clusters.intersect(kept).isEmpty)
+  }
+
+  test("winnowing gate drops exactly the non-canonical members of match components") {
+    val out0 = java.nio.file.Files.createTempDirectory("curw0").toString + "/c"
+    val out1 = java.nio.file.Files.createTempDirectory("curw1").toString + "/c"
+    val base = CuratePipeline.curate(spark, sf, out0)
+    val gated = CuratePipeline.curate(spark, sf, out1, winnowMinShared = 2)
+    // off by default: the winnow stage passes everything through
+    assert(base.nAfterWinnow === base.nAfterNearDedup)
+    // on: monotone, and every kept doc is its component's min survivor
+    assert(gated.nAfterWinnow <= gated.nAfterNearDedup)
+    val comps = graft.operators.Dedup.clustersOfPairs(spark,
+      graft.operators.TextAnalysis.winnowMatches(spark, sf, minShared = 2)
+        .select("ia", "ib"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = spark.read.parquet(out1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptByComp = kept.toSeq.flatMap(id => comps.get(id).map(_ -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    keptByComp.foreach { case (c, ids) =>
+      assert(ids.size === 1, s"component $c kept ${ids.size} members")
+    }
   }
 
   test("gopher gate composes into the quality stage and matches the rule battery") {

@@ -232,7 +232,7 @@ object Relational {
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
                  rightKey: String, salt: Int = 8): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salt)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(salt)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated,

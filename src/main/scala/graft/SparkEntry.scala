@@ -61,6 +61,7 @@ object SparkEntry {
     "docs_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.cdcChunks(s, d)),
     "docs_winnow_matches" -> ((s: SparkSession, d: String) => TextAnalysis.winnowMatches(s, d)),
     "text_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,

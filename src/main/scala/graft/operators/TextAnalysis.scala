@@ -385,6 +385,66 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  /** Distributed BPE TRAINING (Sennrich et al. 2016) — the full merge
+    * loop, completing the tokenizer-prep story that [[bpePairs]] (one
+    * merge-step's pair counts) begins. Returns the learned merge table
+    * as (step, left, right, pair_count) rows.
+    *
+    * Scale design: BPE trains on the WORD-FREQUENCY table, not the
+    * token stream — one corpus-sized groupBy builds (word, freq), and
+    * every merge iteration then runs over the VOCABULARY (millions of
+    * rows at 100 TB, not billions): adjacent-pair counts weighted by
+    * word frequency partial-aggregate, the argmax pair is one tiny
+    * TakeOrdered collect (driver model state, like centroids), and the
+    * merge applies map-side as a single left-to-right array fold. The
+    * corpus is read exactly once regardless of nMerges.
+    *
+    * Determinism: ties on pair count break (left, right) lexicographic;
+    * the left-to-right fold gives standard non-overlapping merge
+    * semantics ([a,a,a] under (a,a) → [aa, a]).
+    */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int = 10,
+               minPairCount: Long = 2): DataFrame = {
+    import s.implicits._
+    def mergeFold(toks: org.apache.spark.sql.Column, l: String,
+                  r: String): org.apache.spark.sql.Column =
+      aggregate(toks, array().cast("array<string>"),
+        (acc, t) => when(
+          size(acc) > 0 && element_at(acc, -1) === l && t === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(t))))
+    var words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("toks"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.length + 1, l, r, n))
+        words = words
+          .select(mergeFold(col("toks"), l, r).as("toks"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy("step")
+  }
+
   /** ZIPF-LAW FIT over the corpus vocabulary: least-squares slope of
     * ln(frequency) on ln(rank) for the top-`topN` terms — the
     * distributional health check of a training corpus (natural text

@@ -131,6 +131,41 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("bpeTrain matches an in-Scala reference BPE merge-for-merge") {
+    val nMerges = 8; val minCount = 2L
+    // reference implementation over the same word-frequency table
+    val wordFreq = Tables.documents(spark, sf).collect()
+      .flatMap(_.getString(1).split(" ")).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    var vocab: Map[String, (Seq[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.split("").toSeq, f) }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var go = true
+    while (go && expected.length < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (toks, f) =>
+        toks.zip(toks.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.headOption
+      best match {
+        case Some(((l, r), n)) if n >= minCount =>
+          expected += ((l, r, n))
+          vocab = vocab.map { case (w, (toks, f)) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            toks.foreach { t =>
+              if (acc.nonEmpty && acc.last == l && t == r) acc(acc.length - 1) = l + r
+              else acc += t
+            }
+            w -> (acc.toSeq, f)
+          }
+        case _ => go = false
+      }
+    }
+    val got = TextAnalysis.bpeTrain(spark, sf, nMerges, minCount).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected.toSeq)
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

@@ -542,8 +542,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"),
         posexplode(col("ws")).as(Seq("pos0", "word")))
       .withColumn("pos", col("pos0") + 1) // 1-based, mirrors the oracle
+    // index clamp: positions < g never flag a boundary (gated below),
+    // but under ANSI mode element_at(ws, 0) would throw if the And
+    // short-circuit is ever reordered — clamp to 1 so the gram
+    // expression is total (its value at pos < g is unused)
     val gram = concat_ws(" ",
-      (g - 1 to 0 by -1).map(j => element_at(col("ws"), col("pos") - j)): _*)
+      (g - 1 to 0 by -1).map(j =>
+        element_at(col("ws"), greatest(col("pos") - j, lit(1)))): _*)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val flagged = toks

@@ -590,7 +590,8 @@ object VectorStore {
       .localCheckpoint() // depth rows, materialized once for the k rescans
     case class Pick(doc_id: Long, vec: Seq[Double], rel: Double, mmr: Double)
     val picks = scala.collection.mutable.ArrayBuffer.empty[Pick]
-    while (picks.length < k) {
+    var exhausted = false // k may exceed |candidates|
+    while (!exhausted && picks.length < k) {
       val remaining = if (picks.isEmpty) cands
         else cands.filter(!col("doc_id").isin(picks.map(_.doc_id).toSeq: _*))
       val scored =
@@ -602,8 +603,10 @@ object VectorStore {
             lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim)
         }
       val top = scored.orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
-        .select(col("doc_id"), col("vec"), col("rel"), col("mmr")).head()
-      picks += Pick(top.getLong(0), top.getSeq[Double](1), top.getDouble(2), top.getDouble(3))
+        .select(col("doc_id"), col("vec"), col("rel"), col("mmr")).take(1)
+      if (top.isEmpty) exhausted = true
+      else picks += Pick(top(0).getLong(0), top(0).getSeq[Double](1),
+        top(0).getDouble(2), top(0).getDouble(3))
     }
     picks.zipWithIndex.toSeq
       .map { case (p, i) => (i + 1L, p.doc_id, p.rel, p.mmr) }

@@ -409,8 +409,10 @@ object TextAnalysis {
     def mergeFold(toks: org.apache.spark.sql.Column, l: String,
                   r: String): org.apache.spark.sql.Column =
       aggregate(toks, array().cast("array<string>"),
+        // get() (0-based, null on out-of-bounds) keeps the last-element
+        // probe total on the empty accumulator under ANSI mode
         (acc, t) => when(
-          size(acc) > 0 && element_at(acc, -1) === l && t === r,
+          get(acc, size(acc) - 1) === l && t === r,
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(t))))
     var words = Tables.documents(s, d)

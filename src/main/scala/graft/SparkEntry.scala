@@ -382,9 +382,11 @@ object SparkEntry {
          |  CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s1,
          |  CAST(sum(CAST(score AS DECIMAL(18,4)) * CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s2
          |  FROM vc),
-         |kn AS (SELECT doc_id, (score - mu + 3.0 * sigma) / (6.0 * sigma) AS nkw
+         |kn AS (SELECT doc_id, CASE WHEN sigma > 0
+         |    THEN (score - mu + 3.0 * sigma) / (6.0 * sigma) ELSE 0.5 END AS nkw
          |  FROM kw, (SELECT n, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM kst)),
-         |vn AS (SELECT doc_id, (score - mu + 3.0 * sigma) / (6.0 * sigma) AS nvec
+         |vn AS (SELECT doc_id, CASE WHEN sigma > 0
+         |    THEN (score - mu + 3.0 * sigma) / (6.0 * sigma) ELSE 0.5 END AS nvec
          |  FROM vc, (SELECT n, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM vst)),
          |f AS (SELECT coalesce(kn.doc_id, vn.doc_id) AS doc_id,
          |  coalesce(kn.nkw, 0.0) + coalesce(vn.nvec, 0.0) AS fused

@@ -546,8 +546,12 @@ object VectorStore {
         .withColumn("sigma",
           sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
         .select(col("doc_id"),
-          ((col("score") - col("mu") + lit(3.0) * col("sigma")) /
-            (lit(6.0) * col("sigma"))).as(out))
+          // σ = 0 (all scores equal) would divide to NaN; every score
+          // then sits at the band center — mirrored in the oracle
+          when(col("sigma") > 0,
+            (col("score") - col("mu") + lit(3.0) * col("sigma")) /
+              (lit(6.0) * col("sigma")))
+            .otherwise(lit(0.5)).as(out))
     }
     val wFused = Window.partitionBy(lit(0)).orderBy(col("fused").desc, col("doc_id"))
     normalized(kw, "nkw")

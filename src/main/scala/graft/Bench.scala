@@ -18,6 +18,32 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CONTENTION GUARD (VERDICT r4 #5): a concurrent sbt/verify JVM on
+    // the box inflated a full driver bench ~40% and individual lines
+    // 2-20× (BENCH_r04 read 129.6 s for a 92.7 s build). Detect foreign
+    // JVMs up front and STAMP the report — a contended number is not
+    // comparable round-over-round, and the stamp makes that readable
+    // from the artifact instead of requiring a forensic re-run.
+    val contenders: Seq[Long] = try {
+      var anc = Set.empty[Long] // self + ancestor chain (sbt launcher…)
+      var h = java.util.Optional.of(ProcessHandle.current())
+      while (h.isPresent) { anc += h.get.pid(); h = h.get.parent() }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get("/proc")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.forall(_.isDigit)).map(_.toLong)
+        .filterNot(anc)
+        .filter { pid =>
+          try {
+            val cmd = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/$pid/cmdline")))
+            cmd.contains("java") || cmd.contains("sbt")
+          } catch { case _: Throwable => false }
+        }.toSeq.sorted
+    } catch { case _: Throwable => Seq.empty }
+    if (contenders.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${contenders.size} other JVM(s) live " +
+        s"(pids ${contenders.mkString(",")}) — numbers will be contention-inflated; " +
+        "prefer an isolated re-run")
     // warm FS cache / parquet footers / scan codegen once, outside timing
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
@@ -41,7 +67,17 @@ object Bench {
       "ann_graph_build" -> (selected.contains("ann_graph_topk"),
         () => operators.Ann.buildGraph(spark, sfDir)),
       "ann_knn_build" -> (selected.contains("ann_knn_graph"),
-        () => { operators.Ann.nnDescentGraph(spark, sfDir).count(); () }))
+        () => { operators.Ann.nnDescentGraph(spark, sfDir).count(); () }),
+      // the dedup family's shared memoized pair list (minhashPairs):
+      // SparkEntry.queries is a HashMap, so without this line the
+      // ~2.5 s cache fill landed on an ARBITRARY dedup-family query per
+      // run (driver r4 attributed it to dedup_minhash_lsh: 4.81 s for
+      // a 0.21 s query). Forced here, timed once, reported as its own
+      // pseudo-line — the family's query lines then measure pure serve.
+      "dedup_pairs_warm" -> (Seq("dedup_minhash_lsh", "dedup_clusters",
+        "dedup_keep_best", "dedup_cluster_stats", "dedup_recall_eval",
+        "dedup_attrition_funnel").exists(selected.contains),
+        () => { operators.Dedup.minhashPairs(spark, sfDir).count(); () }))
       .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val results = selected.map { case (name, fn) =>
       def run(): Double = {
@@ -84,7 +120,7 @@ object Bench {
       val qs = rs.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"contended_jvms":${contenders.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query detail → file (the line below stays parseable even
     // from a bounded log-tail capture; 100+ query entries would push the
@@ -97,7 +133,7 @@ object Bench {
       "q1_pricing_summary", "q5_region_revenue", "q18_large_orders",
       "topk_per_group_fast", "events_sessionize", "events_asof_join",
       "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-      "dedup_recall_eval", "text_doc_sim_topk",
+      "dedup_recall_eval", "dedup_pairs_warm", "text_doc_sim_topk",
       "text_bm25", "text_lm_score", "vs_search_batch", "vs_embed_text",
       "ann_brute_topk", "ann_ivf_topk", "ann_graph_topk", "ann_graph_build",
       "emb_pq_search", "emb_bq_search", "mm_feature_extract")

@@ -1513,11 +1513,11 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
-    // valid in the sketch's EXACT regime: per-type user cardinality at
-    // the verify SF (150) is under the sketch capacity (256), so
-    // Misra-Gries never decrements and reported counts equal truth; the
-    // over-capacity sketch regime is spec-bounded instead (sf0.1 has
-    // 1500 users)
+    // valid in the sketch's EXACT regime: the default capacity (2048)
+    // clears the distinct-user count at BOTH verify SFs (sf0.01 ≈ 150,
+    // sf0.1 = 1500), so Misra-Gries never decrements and reported
+    // counts equal truth at the gate AND the sf0.1 sweep; the
+    // over-capacity approx regime is spec-bounded (capacity-64 spec)
     "events_heavy_users" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS approx_n
         |  FROM events GROUP BY 1, 2),

@@ -39,8 +39,15 @@ object CuratePipeline {
              winnowMinShared: Int = 0): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
-    // masked) applied before anything hashes the text, so dedup keys,
-    // n-gram gates, and the curated output all see the scrubbed form.
+    // masked) applied before anything downstream of `docs` touches the
+    // text: the exact-dedup key, the quality gate, the winnowing gate
+    // (via winnowMatchesOf over the scrubbed relation), the sample
+    // bucket, and the curated output all see the scrubbed form. The
+    // near-dup-cluster and boilerplate gates are the exception: they
+    // reuse the standalone operators' memoized RAW-corpus signatures
+    // (masked spans shift gram hashes only inside the mask, so the
+    // doc_id pair/cluster structure those gates consume is unchanged
+    // except where a match lay INSIDE redacted text).
     val docs = piiPattern
       .map(p => raw.withColumn("text", regexp_replace(col("text"), p, piiMask)))
       .getOrElse(raw)
@@ -93,7 +100,8 @@ object CuratePipeline {
       if (winnowMinShared <= 0) afterNear
       else {
         val wc = Dedup.clustersOfPairs(s,
-          TextAnalysis.winnowMatches(s, d, minShared = winnowMinShared)
+          TextAnalysis.winnowMatchesOf(
+            TextAnalysis.winnowingOf(docs), minShared = winnowMinShared)
             .select("ia", "ib"))
         val surviving = afterNear.select("doc_id").join(broadcast(wc), "doc_id")
         val byWc = Window.partitionBy("cluster_id").orderBy("doc_id")

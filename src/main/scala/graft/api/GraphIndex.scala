@@ -51,8 +51,11 @@ class GraphIndex private (spark: SparkSession, path: String) {
 
   /** Top-k beam search for one query vector. `filter` is a payload
     * predicate applied to the RESULT set (post-filter — traversal
-    * routes through non-matching nodes, so raise `beam`/`hops` when
-    * the filter is selective and k results must survive it).
+    * routes through non-matching nodes). The filtered path has a DEPTH
+    * CONTRACT (see [[searchBatch]]): the scored pool widens until k
+    * results survive the predicate, falling back to a brute-force scan
+    * of the matching slice for pathologically selective filters — a
+    * 1%-selective filter still returns k rows.
     */
   def search(qvec: Seq[Double], k: Int = 10, beam: Int = 10, hops: Int = 2,
              filter: Option[Column] = None): DataFrame = {
@@ -64,25 +67,66 @@ class GraphIndex private (spark: SparkSession, path: String) {
     scored.drop("query_id")
   }
 
-  /** Batched top-k beam search: `queries` needs (query_id, qvec). */
+  /** Batched top-k beam search: `queries` needs (query_id, qvec).
+    *
+    * Filtered-search DEPTH CONTRACT (the Qdrant behavior: a filtered
+    * search returns k results or everything the filter admits, never a
+    * silent short page): the post-filter pool starts at 4k and the
+    * beam WIDENS geometrically until every query holds k survivors or
+    * the widening budget is spent; queries still short then fall back
+    * to a brute-force scan of the FILTER'S MATCHING SLICE only (the
+    * predicate prunes the vectors scan — with a payload-partitioned
+    * layout that is the pruned-partition read, exactly Qdrant's
+    * payload-index route for very selective filters). Each widening
+    * round is one extra traversal; the fallback touches |matching|
+    * rows for the short queries only — never the full corpus.
+    */
   def searchBatch(queries: DataFrame, k: Int = 10, beam: Int = 10,
                   hops: Int = 2, filter: Option[Column] = None,
                   oversample: Boolean = false): DataFrame = {
     val emb = vectors.select(col("vec_id"), col("vec"))
-    // with a post-filter, rank over a larger scored pool so k
-    // survivors remain after the predicate cut
-    val kk = if (oversample) math.max(k * 4, beam) else k
-    val (ranked, _) = Ann.beamSearch(emb, edges, entries, queries, kk, beam, hops)
     val filtered = filter match {
       case Some(p) =>
-        // re-attach payload for the predicate, then re-rank within query
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        ranked.join(vectors.drop("vec"), "vec_id").filter(p)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      case None => ranked
+        def attempt(kk: Int, beamW: Int): DataFrame = {
+          val (ranked, _) = Ann.beamSearch(emb, edges, entries, queries, kk, beamW, hops)
+          ranked.join(vectors.drop("vec"), "vec_id").filter(p)
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+        }
+        def satisfied(df: DataFrame): DataFrame = df
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= k).select("query_id")
+        val nq = queries.count()
+        var kk = math.max(k * 4, beam); var beamW = beam
+        var res = attempt(kk, beamW)
+        var widen = 0
+        while (satisfied(res).count() < nq && widen < 2) {
+          kk *= 4; beamW *= 2; widen += 1
+          res = attempt(kk, beamW)
+        }
+        val sat = satisfied(res)
+        if (sat.count() < nq) {
+          // brute-force fallback over the matching slice for the
+          // still-short queries (scores mirror the beam path's
+          // round-6-then-4 discipline, so merged pages rank coherently)
+          val shortQ = queries.join(sat, Seq("query_id"), "left_anti")
+          val brute = vectors.filter(p).select(col("vec_id"), col("vec"))
+            .crossJoin(broadcast(shortQ))
+            .withColumn("cosine", round(round(
+              graft.functions.Vectors.cosineSim(col("vec"), col("qvec")), 6), 4))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+          res = res.join(broadcast(sat), Seq("query_id"), "left_semi").union(brute)
+        }
+        res
+      case None =>
+        val kk = if (oversample) math.max(k * 4, beam) else k
+        val (ranked, _) = Ann.beamSearch(emb, edges, entries, queries, kk, beam, hops)
+        if (oversample) ranked.filter(col("rank") <= k) else ranked
     }
     filtered.orderBy("query_id", "rank")
   }

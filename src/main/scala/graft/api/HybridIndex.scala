@@ -44,22 +44,28 @@ class HybridIndex private (spark: SparkSession, path: String) {
     */
   def keywordSearch(terms: Seq[String], k: Int = 10,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val pl = postings.filter(col("token").isin(terms: _*))
-    val tfCols = terms.map(t =>
-      coalesce(max(when(col("token") === t, col("tf"))), lit(0.0)).as(s"tf_$t"))
+    // Terms dedup on entry + POSITIONAL column aliases (tf_0, tf_1, …
+    // keyed by term index): term strings are user input — duplicates
+    // would collide as aliases (ambiguous-reference at analysis) and
+    // characters like '.' or '`' in a term (e.g. "v1.2") would parse as
+    // nested-field references when re-resolved with col().
+    val qts = terms.distinct
+    val pl = postings.filter(col("token").isin(qts: _*))
+    val tfCols = qts.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("token") === t, col("tf"))), lit(0.0)).as(s"tf_$i") }
     val cand = pl.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
     // per-term document frequencies from the SAME pruned scan
-    val dfCols = terms.map(t =>
-      sum(when(col("token") === t, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val dfCols = qts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).cast("double").as(s"df_$i") }
     val dfs = pl.agg(dfCols.head, dfCols.tail: _*)
     val scored = cand
       .join(doclens, "doc_id")
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfs))
-    val score = terms.map { t =>
-      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
-      idf * (col(s"tf_$t") * (k1 + 1)) /
-        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val score = qts.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (col(s"tf_$i") * (k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
     scored.select(col("doc_id"), round(score, 4).as("bm25"))
       .filter(col("bm25") > 0)

@@ -286,7 +286,14 @@ object Ann {
     // skew. A pathological mega-bucket materializes one long array in
     // its task (8 B/member — 10⁷ members ≈ 80 MB, within task memory
     // at any plausible skew; the quantizer's balance audit is the
-    // backstop before that).
+    // backstop before that). SINGLE-STAGE ASSUMPTION: the `ids` array
+    // survives as a row column between the two generates below, which
+    // is free only while both run in one projection pipeline (true
+    // today — same WholeStageCodegen span); if an engine change ever
+    // splits the generates across a stage boundary (codegen fallback,
+    // an AQE-inserted exchange), every intermediate (src, i) row would
+    // carry its own array copy — re-audit here before trusting a new
+    // Spark major version with mega-buckets.
     val mem = array_sort(collect_list(
       struct(xxhash64(col("vec_id")).as("hk"), col("vec_id").as("id"))))
     val buckets = posts.groupBy("cid")

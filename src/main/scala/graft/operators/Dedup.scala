@@ -98,12 +98,17 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .dropDuplicates("doc_id", "h").cache()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // hot grams are df > dfCap — a tiny relation at ANY corpus size
-    // (Σ df over grams = corpus shingle volume, so at most volume/dfCap
-    // grams qualify), broadcast anti-joined away from the seed side
+    // hot grams are df > dfCap — bounded by shingle-volume/dfCap (Σ df
+    // over grams = corpus shingle volume, so at most volume/dfCap grams
+    // qualify). That bound is tiny at test SF but ~10⁹⁻¹⁰ rows at
+    // 100 TB — far past broadcastable — so NO forced broadcast hint
+    // here: a hint overrides Spark's size check (driver OOM), while
+    // the unhinted equi-join on the 8-byte hash lets the engine
+    // broadcast when the measured size is small (AQE, at runtime) and
+    // degrade gracefully to a shuffle join when it is not.
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("h")
-    val cold = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val cold = ex.join(hot, Seq("h"), "left_anti")
     // per-pair COLD intersection count straight off the join — the pair
     // groupBy partial-aggregates, so no candidate row list or per-doc
     // array is ever materialized (measured 4-5× cheaper than building
@@ -117,7 +122,8 @@ object Dedup {
     // boilerplate footprint per doc, and only CANDIDATE pairs (already
     // ≥1 cold gram in common) enter the correction join, so the m²
     // clique blowup stays dead while every emitted score is exact.
-    val hotPerDoc = ex.join(broadcast(hot), Seq("h"), "left_semi")
+    // (unhinted for the same reason as `cold` above)
+    val hotPerDoc = ex.join(hot, Seq("h"), "left_semi")
     val cHot = cCold.select("ia", "ib")
       .join(hotPerDoc.select(col("doc_id").as("ia"), col("h")), "ia")
       .join(hotPerDoc.select(col("doc_id").as("ib"), col("h")), Seq("ib", "h"))
@@ -1034,10 +1040,14 @@ object Dedup {
         coalesce(col("n_hit"), lit(0L)).as("nh"))
       .select(col("method"), col("n_true"),
         col("nf").as("n_found"), col("nh").as("n_hit"),
+        // bround (HALF_EVEN) deliberately: eval metrics are compared
+        // across rounds, and the earlier math.rint implementation was
+        // HALF_EVEN — HALF_UP `round` would silently shift exact 5e-5
+        // ties between reports with no oracle gate to catch it
         when(lit(nTrue > 0),
-          round(col("nh").cast("double") / nTrue, 4)).otherwise(1.0).as("recall"),
+          bround(col("nh").cast("double") / nTrue, 4)).otherwise(1.0).as("recall"),
         when(col("nf") > 0,
-          round(col("nh").cast("double") / col("nf"), 4)).otherwise(1.0)
+          bround(col("nh").cast("double") / col("nf"), 4)).otherwise(1.0)
           .as("precision"))
       .orderBy("method")
   }

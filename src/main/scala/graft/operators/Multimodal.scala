@@ -69,9 +69,13 @@ object Multimodal {
     * pixel data (`ImageReader.getWidth(0)` parses the header; a full
     * `ImageIO.read` would materialize the raster — at 100 TB that is
     * the difference between scanning bytes and decompressing them).
-    * Animated GIF frame counts come from `getNumImages(allowSearch)`.
-    * Any reader failure (truncated/corrupt container that passed the
-    * sniff) degrades to the stub rather than failing the partition.
+    * Animated GIF frame counts come from `getNumImages(allowSearch)` —
+    * which forces a full-stream scan (every frame header parsed, some
+    * readers read to EOF), so only the GIF reader pays it; single-frame
+    * formats (PNG/JPEG/BMP) report 1 without scanning, keeping the
+    * header-only cost claim true for them. Any reader failure
+    * (truncated/corrupt container that passed the sniff) degrades to
+    * the stub rather than failing the partition.
     */
   private def decodeImage(r: MediaRow): MediaMeta = {
     var iis: javax.imageio.stream.ImageInputStream = null
@@ -85,8 +89,11 @@ object Multimodal {
         reader = readers.next()
         reader.setInput(iis, false, true)
         val frames =
-          try math.max(reader.getNumImages(true), 1)
-          catch { case _: Exception => 1 }
+          try {
+            if (reader.getFormatName.toLowerCase.contains("gif"))
+              math.max(reader.getNumImages(true), 1)
+            else 1
+          } catch { case _: Exception => 1 }
         MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
           width = reader.getWidth(0), height = reader.getHeight(0),
           n_frames = frames)

@@ -180,19 +180,25 @@ object TextAnalysis {
   def bm25Search(s: SparkSession, d: String,
                  terms: Seq[String] = Seq("join", "hash", "scan", "merge"),
                  k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // Terms dedup + POSITIONAL aliases (tf_0/df_0 by term index) — same
+    // hardening as HybridIndex.keywordSearch: duplicate query terms must
+    // not collide as aliases and '.'/'`' in a term must not parse as a
+    // nested-field reference when re-resolved.
+    val qts = terms.distinct
     val words = split(col("text"), " ")
-    val tfCols = terms.map(t => size(filter(words, x => x === t)).cast("double").as(s"tf_$t"))
+    val tfCols = qts.zipWithIndex.map { case (t, i) =>
+      size(filter(words, x => x === t)).cast("double").as(s"tf_$i") }
     val base = Tables.documents(s, d)
       .select(col("doc_id") +: size(words).cast("double").as("dl") +: tfCols: _*)
     val aggCols = count(lit(1)).cast("double").as("n_docs") +:
       avg(col("dl")).as("avgdl") +:
-      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).cast("double").as(s"df_$t"))
+      qts.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
     val scored = base.crossJoin(broadcast(stats))
-    val score = terms.map { t =>
-      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
-      idf * (col(s"tf_$t") * (k1 + 1)) /
-        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val score = qts.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (col(s"tf_$i") * (k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
     scored.select(col("doc_id"), round(score, 4).as("bm25"))
       .filter(col("bm25") > 0)
@@ -501,11 +507,23 @@ object TextAnalysis {
     * include capped fps (documented, mirrored exactly in the oracle).
     */
   def winnowMatches(s: SparkSession, d: String, minShared: Int = 2,
-                    dfCap: Int = 64): DataFrame = {
-    val fps = winnowing(s, d)
+                    dfCap: Int = 64): DataFrame =
+    winnowMatchesOf(winnowing(s, d), minShared, dfCap)
+
+  /** [[winnowMatches]] over a precomputed (doc_id, fp) fingerprint
+    * relation ([[winnowingOf]] output) — lets a pipeline fingerprint a
+    * TRANSFORMED corpus (e.g. the PII-scrubbed form) instead of the raw
+    * table.
+    */
+  def winnowMatchesOf(fps: DataFrame, minShared: Int = 2,
+                      dfCap: Int = 64): DataFrame = {
+    // no forced broadcast: the hot-fp bound (fp-volume/dfCap) is far
+    // past broadcastable at 100 TB — unhinted equi-anti-join on the
+    // 8-byte fp lets AQE broadcast when small, shuffle when not (same
+    // contract as Dedup.candidatePairCounts)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp")
-    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
     cold.as("a").join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))

@@ -573,13 +573,15 @@ object VectorStore {
     *
     * Scale shape: stage 1 is the ordinary distributed top-`depth`
     * relevance cut (TakeOrdered over the corpus — the corpus never
-    * shuffles); the greedy re-rank then runs k rounds over the
-    * depth-row candidate relation, with the selected set entering each
-    * round as ≤ k literal vectors (bounded driver state, like
-    * centroids) and each round collecting exactly ONE row. k·depth
-    * total distance evaluations — the same budget any serving-side MMR
-    * pays; candidates are localCheckpointed once so the k rescans
-    * re-read depth rows, not the corpus.
+    * shuffles); the depth-row survivor set (≤ depth × dim doubles —
+    * bounded driver state, like centroids) is then collected ONCE and
+    * the k greedy rounds run DRIVER-LOCAL: one Spark job total, not
+    * k+1 scheduler round-trips per query (the r4 shape; wrong for a
+    * serving path). The local loop replicates the native CosineSim
+    * kernel's accumulation order and Spark's NaN-greatest descending
+    * sort exactly, so picks are bit-identical to the distributed
+    * formulation (the greedy-equivalence spec defines the truth).
+    * k·depth distance evaluations either way.
     */
   def mmrSearch(s: SparkSession, d: String, k: Int = 10, depth: Int = 100,
                 lambda: Double = 0.7): DataFrame = {
@@ -591,26 +593,49 @@ object VectorStore {
       .withColumn("rel", cosineSim(col("vec"), col("qvec")))
       .orderBy(col("rel").desc, col("doc_id").asc).limit(depth)
       .select(col("doc_id"), col("vec"), col("rel"))
-      .localCheckpoint() // depth rows, materialized once for the k rescans
-    case class Pick(doc_id: Long, vec: Seq[Double], rel: Double, mmr: Double)
+      .collect() // the ONLY job: ≤ depth rows of dim doubles
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // same accumulation order as the codegen'd CosineSimilarity kernel
+    // (s/sa/sb left-to-right, then s / (√sa·√sb)) — bit-identical scores
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var sum = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val xi = a(i); val yi = b(i)
+        sum += xi * yi; sa += xi * xi; sb += yi * yi; i += 1
+      }
+      sum / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    case class Pick(doc_id: Long, vec: Array[Double], rel: Double, mmr: Double)
     val picks = scala.collection.mutable.ArrayBuffer.empty[Pick]
-    var exhausted = false // k may exceed |candidates|
-    while (!exhausted && picks.length < k) {
-      val remaining = if (picks.isEmpty) cands
-        else cands.filter(!col("doc_id").isin(picks.map(_.doc_id).toSeq: _*))
-      val scored =
-        if (picks.isEmpty) remaining.withColumn("mmr", col("rel")) // first pick = pure relevance
-        else {
-          val sims = picks.map(p => cosineSim(col("vec"), typedLit(p.vec))).toSeq
-          val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
-          remaining.withColumn("mmr",
-            lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim)
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    while (picks.length < k && picks.length < cands.length) {
+      var bestId = -1L; var bestVec: Array[Double] = null
+      var bestRel = 0.0; var bestMmr = Double.NaN; var any = false
+      cands.foreach { case (id, v, rel) =>
+        if (!chosen(id)) {
+          val mmr =
+            if (picks.isEmpty) rel // first pick = pure relevance
+            else {
+              // greatest(...) semantics: NaN orders above every double
+              // (Double.compare), exactly like the Spark sort it replaces
+              var mx = Double.NegativeInfinity
+              picks.foreach { p =>
+                val c = cos(v, p.vec)
+                if (java.lang.Double.compare(c, mx) > 0) mx = c
+              }
+              lambda * rel - (1.0 - lambda) * mx
+            }
+          val better = !any ||
+            java.lang.Double.compare(mmr, bestMmr) > 0 ||
+            (java.lang.Double.compare(mmr, bestMmr) == 0 && id < bestId)
+          if (better) {
+            bestId = id; bestVec = v; bestRel = rel; bestMmr = mmr; any = true
+          }
         }
-      val top = scored.orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
-        .select(col("doc_id"), col("vec"), col("rel"), col("mmr")).take(1)
-      if (top.isEmpty) exhausted = true
-      else picks += Pick(top(0).getLong(0), top(0).getSeq[Double](1),
-        top(0).getDouble(2), top(0).getDouble(3))
+      }
+      picks += Pick(bestId, bestVec, bestRel, bestMmr)
+      chosen += bestId
     }
     picks.zipWithIndex.toSeq
       .map { case (p, i) => (i + 1L, p.doc_id, p.rel, p.mmr) }

@@ -64,6 +64,23 @@ class GraphIndexSpec extends SparkSpecBase {
     assert(cs === cs.sorted.reverse)
   }
 
+  test("a ~1%-selective filter still returns k rows (widen, then brute fallback)") {
+    // VERDICT r4 #9: post-filter + fixed oversample silently returned
+    // < k on very selective filters. The depth contract: widen the
+    // beam geometrically, then brute-force the filter's matching slice
+    // — so the page is full (or the filter admits fewer than k total).
+    val q = queryVecs.head
+    val pred = col("vec_id") % 96 === 0 // 5 of the 480 corpus points
+    val hits = built.search(q, k = 5, filter = Some(pred)).collect()
+    assert(hits.length === 5, s"short page: ${hits.length} rows")
+    val allowed = corpus.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(1)).toSet === allowed,
+      "expected the full matching slice (k == slice size here)")
+    val cs = hits.sortBy(_.getLong(0)).map(_.getDouble(2)).toSeq
+    assert(cs === cs.sorted.reverse)
+  }
+
   test("searchBatch ranks every query and the corpus never shuffles in the score plan") {
     val queries = queryVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "qvec")

@@ -49,6 +49,23 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("keywordSearch survives duplicate and dotted query terms") {
+    // duplicate terms dedupe on entry (no ambiguous-alias analysis
+    // error) and score identically to the distinct list; terms holding
+    // '.' or '`' (realistic whitespace tokens like "v1.2") must not
+    // parse as nested-field references — positional tf_i/df_i aliases
+    // make both safe
+    val dup = index.keywordSearch(Seq("join", "join", "hash")).collect().map(_.toSeq)
+    val distinct = index.keywordSearch(Seq("join", "hash")).collect().map(_.toSeq)
+    assert(dup.toSeq === distinct.toSeq)
+    assert(index.keywordSearch(Seq("v1.2", "e.g.", "`tick`")).collect().isEmpty)
+    val bm = operators.TextAnalysis.bm25Search(spark, sf,
+      terms = Seq("join", "join", "v1.2")).collect()
+    val bmDistinct = operators.TextAnalysis.bm25Search(spark, sf,
+      terms = Seq("join", "v1.2")).collect()
+    assert(bm.map(_.toSeq).toSeq === bmDistinct.map(_.toSeq).toSeq)
+  }
+
   test("query terms push into the postings scan (only their lists are read)") {
     val p = index.keywordSearch(Seq("join", "hash")).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)

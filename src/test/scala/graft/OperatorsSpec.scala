@@ -341,8 +341,11 @@ class OperatorsSpec extends SparkSpecBase {
       val (tpe, nType, user, approx) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val err = math.abs(approx - exact((tpe, user)))
-      // MG guarantee: reported counts are within n/capacity of truth
-      assert(err <= nType / 256.0 + 1,
+      // MG guarantee: reported counts are within n/capacity of truth.
+      // At the default capacity (2048 ≥ distinct users at both verify
+      // SFs) the sketch is in its exact regime, so err is 0 here; the
+      // capacity-64 spec below drives the genuine approx regime.
+      assert(err <= nType / 2048.0 + 1,
         s"MG bound violated for ($tpe, $user): approx=$approx err=$err n=$nType")
     }
     // per-type output is exactly the top-k cut with ranks 1..k

@@ -397,10 +397,24 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"geo rank not a k-row cut:\n$p")
   }
 
-  test("winnowing matches anti-join hot fingerprints via broadcast") {
-    val p = plan("docs_winnow_matches")
-    assert(p.contains("LeftAnti"), s"hot-fp cap lost its anti join:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"hot-fp side no longer broadcast:\n$p")
+  test("df-cap joins stay UNHINTED (no forced broadcast past the size check)") {
+    // VERDICT r4 #1: the hot-gram/hot-fp relations are bounded by
+    // volume/dfCap — small at test SF but ~10⁹⁻¹⁰ rows at 100 TB. A
+    // forced broadcast() hint would override Spark's size check there
+    // (driver OOM instead of a graceful shuffle-join fallback), so the
+    // anti/semi joins must carry NO join-strategy hint: the engine
+    // picks broadcast while the measured size is small and degrades to
+    // a shuffle join when it is not. Strategy-agnostic assert — the
+    // anti join must exist under EITHER strategy.
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment", "docs_winnow_matches")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.analyzed.toString.contains("ResolvedHint"),
+        s"$q carries a forced join-strategy hint")
+      val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("LeftAnti"), s"$q lost its hot-cap anti join:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q anti join vanished:\n$p")
+    }
   }
 
   test("dbsf fusion cuts both ranker lists to depth rows before fusing") {

@@ -1385,26 +1385,12 @@ object Relational {
       .groupBy("l_partkey")
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))
-    val nPart = s.sessionState.conf.numShufflePartitions
-    // pin partition ids: RangePartitioner re-samples bounds per
-    // execution, and the offsets job and the main job must agree
-    val parted = rev
-      .repartitionByRange(nPart, col("rev").desc, col("l_partkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val psums = parted.groupBy("pid").agg(sum("rev").as("psum"))
-      .orderBy("pid").collect()
-    var acc = java.math.BigDecimal.ZERO
-    val offsets = psums.toSeq.map { r =>
-      val off = acc; acc = acc.add(r.getDecimal(1)); (r.getInt(0), BigDecimal(off))
-    }
-    val total = BigDecimal(acc)
-    import s.implicits._
-    val offs = broadcast(offsets.toDF("pid", "offset")
-      .select(col("pid"), col("offset").cast("decimal(38,4)").as("offset")))
-    val localW = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
-    parted.join(offs, "pid")
-      .withColumn("cum", sum("rev").over(localW) + col("offset"))
+    // distributed exact prefix sum — the shared range-partition +
+    // local-window + broadcast-offsets utility (equivalence-spec'd
+    // against the single-task window formulation)
+    val (cum, total) = DistributedRank.prefixSumDecimal(
+      rev, "rev", Seq(col("rev").desc, col("l_partkey")), "cum")
+    cum
       // share division in DOUBLE on exact decimal inputs — decimal
       // division scale rules differ across engines, IEEE doubles don't
       .withColumn("share", col("cum").cast("double") / lit(total).cast("double"))

@@ -750,31 +750,11 @@ object TextAnalysis {
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
     val scored = lmScore(s, d)
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
-    val nPart = s.sessionState.conf.numShufflePartitions
-    // pin partition ids: RangePartitioner re-samples bounds per
-    // execution, and the counts job and the main job must agree
-    val parted = scored
-      .repartitionByRange(nPart, col("lang").asc, col("avg_nll").asc, col("doc_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = parted.groupBy("pid", "lang").agg(count(lit(1)).as("c"))
-      .orderBy("lang", "pid").collect()
-    // exclusive prefix count of earlier pids within each lang + totals
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    counts.foreach { r =>
-      val (pid, lang, c) = (r.getInt(0), r.getString(1), r.getLong(2))
-      offsets += ((pid, lang, totals.getOrElse(lang, 0L)))
-      totals(lang) = totals.getOrElse(lang, 0L) + c
-    }
-    import s.implicits._
-    val offs = broadcast(
-      offsets.toSeq.map { case (p, l, o) => (p, l, o, totals(l)) }
-        .toDF("pid", "lang", "rank_off", "n_lang"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid", "lang").orderBy(col("avg_nll").asc, col("doc_id").asc)
-    parted.join(offs, Seq("pid", "lang"))
-      .withColumn("rnk", row_number().over(localW) + col("rank_off"))
+    // distributed per-lang global rank — the shared range-partition +
+    // local-window + broadcast-offsets utility (equivalence-spec'd
+    // against the single-task window formulation)
+    graft.operators.DistributedRank.rowNumber(scored, Seq("lang"),
+        Seq(col("avg_nll").asc, col("doc_id").asc), "rnk", "n_lang")
       .withColumn("q", expr("n_lang DIV 3"))
       .withColumn("rem", col("n_lang") % 3)
       .withColumn("nt", when(col("rnk") <= col("rem") * (col("q") + 1),

@@ -508,11 +508,14 @@ object Ann {
     (result, () => finalVisited.count().toDouble / math.max(queries.count(), 1L))
   }
 
-  /** RECALL@k EVALUATION harness: run every approximate tier against
-    * the exact brute-force ground truth on the shared query batch and
-    * report mean recall per method — the index-tuning report an ANN
-    * deployment regenerates per corpus snapshot (the spec suite checks
-    * recall FLOORS; this op is the measurement itself, as data).
+  /** RECALL@k EVALUATION harness: run EVERY serving tier — the batch
+    * methods (graph / IVF / LSH) on the shared query batch AND the
+    * quantized single-query tiers (SQ / BQ / MRL / PQ / IVF-PQ) on a
+    * sampled query-id set — against exact ground truth in the tier's
+    * own metric, and report mean recall per method: ONE report ranks
+    * every serving tier per corpus snapshot (the Qdrant-tuning loop;
+    * the spec suite checks recall FLOORS; this op is the measurement
+    * itself, as data).
     *
     * Scale shape: ground truth on a SAMPLED query batch is the standard
     * practice (exact top-k per query is one broadcast-scored scan — the
@@ -521,22 +524,58 @@ object Ann {
     * relations. Methods are approximate/hash-seeded ⇒ rows-only +
     * AnnSpec floors, no DuckDB oracle.
     */
-  def recallEval(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
-    val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-    def eval(name: String, res: DataFrame): DataFrame = {
-      val hits = truth.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+  def recallEval(s: SparkSession, d: String, k: Int = 10,
+                 quantQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)): DataFrame = {
+    def evalVs(truthDf: DataFrame, nTrueDf: DataFrame)(
+        name: String, res: DataFrame): DataFrame = {
+      val hits = truthDf.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      nTrue.join(hits, Seq("query_id"), "left")
+      nTrueDf.join(hits, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           round(avg(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true")), 4)
             .as("mean_recall"))
         .select(lit(name).as("method"), col("n_queries"), col("mean_recall"))
     }
+    val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
+    val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+    val eval = evalVs(truth, nTrue) _
+    // QUANTIZED serving tiers (VERDICT r4 #7): the single-query
+    // sq/bq/mrl/pq/ivfpq calls union under a query_id literal — one
+    // evaluation job over all tiers and queries; quantizer state
+    // (k-means books, SQ bounds, BQ code table) is the same memoized
+    // per-snapshot model every call shares. Ground truth per METRIC:
+    // sq/bq/mrl rank by cosine, pq/ivfpq by L2 — each is one
+    // broadcast-scored batch pass over the same corpus slice the tiers
+    // search (all vectors minus the query point).
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val qs = emb.filter(col("vec_id").isin(quantQueryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    def truthBatch(l2: Boolean): (DataFrame, DataFrame) = {
+      val sc = if (l2) l2Distance(col("vec"), col("qvec"))
+               else cosineSim(col("vec"), col("qvec"))
+      val ord = if (l2) col("sc").asc else col("sc").desc
+      val t = graft.plans.TopK.perKey(
+          emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"), sc.as("sc")),
+          Seq(col("query_id")), Seq(ord, col("vec_id").asc), k)
+        .select("query_id", "vec_id").cache()
+      (t, t.groupBy("query_id").agg(count(lit(1)).as("n_true")))
+    }
+    val (cosT, cosN) = truthBatch(l2 = false)
+    val (l2T, l2N) = truthBatch(l2 = true)
+    def batched(fn: Long => DataFrame): DataFrame = quantQueryIds
+      .map(q => fn(q).select(lit(q).as("query_id"), col("vec_id")))
+      .reduce(_ unionByName _)
     Seq(eval("brute", bruteTopK(s, d, k)),
         eval("graph", graphTopK(s, d, k)),
         eval("ivf", ivfTopK(s, d, k)),
-        eval("lsh", lshTopK(s, d, k)))
+        eval("lsh", lshTopK(s, d, k)),
+        evalVs(cosT, cosN)("sq", batched(q => Embeddings.sqRerankSearch(s, d, q, k))),
+        evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
+        evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
+        evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
+        evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k))))
       .reduce(_ unionByName _).orderBy("method")
   }
 }

@@ -72,4 +72,65 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters") && p.contains("In(token"),
       s"term predicate not pushed to the postings scan:\n$p")
   }
+
+  private lazy val allDocs = Tables.documents(spark, sf).select("doc_id", "text")
+  private lazy val allVecs = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") =!= 0)
+    .select(col("vec_id").as("doc_id"),
+      graft.functions.Vectors.toDouble(col("embedding")).as("vec"))
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"hybrid_$tag").toString
+  private val terms = Seq("join", "hash", "scan", "merge")
+
+  test("insertTo snapshot serves exactly like a from-scratch rebuild on the merged corpus") {
+    val base = HybridIndex.build(spark,
+      allDocs.filter(col("doc_id") % 2 === 0),
+      allVecs.filter(col("doc_id") % 2 === 0), tmp("base"))
+    val inc = base.insertTo(
+      allDocs.filter(col("doc_id") % 2 =!= 0),
+      allVecs.filter(col("doc_id") % 2 =!= 0), tmp("inc"))
+    // `index` is the from-scratch build over the full corpus
+    assert(inc.keywordSearch(terms).collect().map(_.toSeq).toSeq ===
+      index.keywordSearch(terms).collect().map(_.toSeq).toSeq)
+    assert(inc.search(terms, qvec).collect().map(_.toSeq).toSeq ===
+      index.search(terms, qvec).collect().map(_.toSeq).toSeq)
+  }
+
+  test("insertTo upserts: a re-ingested doc's new text wins, matching a patched rebuild") {
+    val target = allDocs.select("doc_id").orderBy("doc_id").head().getLong(0)
+    val newText = "join join join join join join join join"
+    val patch = allDocs.filter(col("doc_id") === target)
+      .withColumn("text", lit(newText))
+    val patchVec = allVecs.filter(col("doc_id") === target)
+    val inc = index.insertTo(patch, patchVec, tmp("upsert"))
+    val rebuilt = HybridIndex.build(spark,
+      allDocs.withColumn("text",
+        when(col("doc_id") === target, lit(newText)).otherwise(col("text"))),
+      allVecs, tmp("patched"))
+    assert(inc.keywordSearch(terms).collect().map(_.toSeq).toSeq ===
+      rebuilt.keywordSearch(terms).collect().map(_.toSeq).toSeq)
+    // the stuffed doc now dominates its term
+    assert(inc.keywordSearch(Seq("join"), k = 1).head().getLong(0) === target)
+  }
+
+  test("deleteTo removes the slice, matching a rebuild on the filtered corpus") {
+    val del = index.deleteTo(col("doc_id") < 100, tmp("del"))
+    val rebuilt = HybridIndex.build(spark,
+      allDocs.filter(col("doc_id") >= 100),
+      allVecs.filter(col("doc_id") >= 100), tmp("delref"))
+    val got = del.keywordSearch(terms).collect()
+    assert(got.forall(_.getLong(0) >= 100), "deleted doc resurfaced")
+    assert(got.map(_.toSeq).toSeq ===
+      rebuilt.keywordSearch(terms).collect().map(_.toSeq).toSeq)
+  }
+
+  test("maintenance refuses to overwrite the open snapshot (even via an aliased path)") {
+    index // force build at `dir`
+    intercept[IllegalArgumentException] {
+      index.insertTo(allDocs.limit(1), allVecs.limit(1), dir)
+    }
+    intercept[IllegalArgumentException] {
+      index.deleteTo(col("doc_id") === 1, dir + "/")
+    }
+  }
 }

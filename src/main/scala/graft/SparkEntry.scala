@@ -163,6 +163,7 @@ object SparkEntry {
     "emb_ivfpq_search" -> ((s: SparkSession, d: String) => Embeddings.ivfPqSearch(s, d)),
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
+    "vs_text_search_semantic" -> ((s: SparkSession, d: String) => VectorStore.textSearchSemantic(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
     "vs_geo_search" -> ((s: SparkSession, d: String) => VectorStore.geoSearch(s, d)),
     "vs_mmr_search" -> ((s: SparkSession, d: String) => VectorStore.mmrSearch(s, d)),

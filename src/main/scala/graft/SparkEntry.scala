@@ -62,6 +62,8 @@ object SparkEntry {
     "docs_winnow_matches" -> ((s: SparkSession, d: String) => TextAnalysis.winnowMatches(s, d)),
     "text_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "docs_shard_export" -> ((s: SparkSession, d: String) => TextAnalysis.shardExport(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,
@@ -122,6 +124,7 @@ object SparkEntry {
     "customers_without_orders" -> Relational.customersWithoutOrders _,
     "segment_distinct_buyers" -> Relational.segmentDistinctBuyers _,
     "orders_basket_pairs" -> ((s: SparkSession, d: String) => Relational.basketPairs(s, d)),
+    "orders_basket_lift" -> ((s: SparkSession, d: String) => Relational.basketLift(s, d)),
     "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
     "events_markov" -> Relational.eventsMarkov _,
     "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
@@ -171,6 +174,8 @@ object SparkEntry {
     "vs_random_sample" -> ((s: SparkSession, d: String) => VectorStore.randomSample(s, d)),
     "vs_formula_boost" -> ((s: SparkSession, d: String) => VectorStore.formulaBoost(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
+    "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
+    "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
     "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
@@ -956,6 +961,13 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
         |SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3
         |FROM h WHERE len(hs) >= 4 ORDER BY doc_id""".stripMargin,
+    "docs_shard_export" ->
+      """SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8
+        |    AS shard,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))::BIGINT) AS n_words,
+        |  sum(length(text)::BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_sample_hash" ->
       """SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang,
         |  CAST('0x' || substring(md5(text), 1, 4) AS BIGINT) AS bucket FROM documents)
@@ -1474,6 +1486,25 @@ object SparkEntry {
         |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
         |SELECT part1, part2, support FROM s WHERE support >= 2
         |ORDER BY support DESC, part1, part2 LIMIT 50""".stripMargin,
+    // metrics are single double divisions of exact integer counts
+    // (< 2^53) — deterministic IEEE in both engines, no rounding step
+    "orders_basket_lift" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |f AS (SELECT pk FROM i GROUP BY 1 HAVING count(*) >= 2),
+        |p AS (SELECT ok, pk FROM i JOIN f USING (pk)),
+        |s AS (SELECT a.pk AS part1, b.pk AS part2, count(*) AS support
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |top AS (SELECT part1, part2, support FROM s WHERE support >= 2
+        |  ORDER BY support DESC, part1, part2 LIMIT 20),
+        |c AS (SELECT pk, count(*) AS n FROM i GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM i)
+        |SELECT t.part1, t.part2, t.support,
+        |  CAST(t.support AS DOUBLE) / CAST(ca.n AS DOUBLE) AS confidence,
+        |  CAST(t.support * nb.n_baskets AS DOUBLE)
+        |    / CAST(ca.n * cb.n AS DOUBLE) AS lift
+        |FROM top t, c ca, c cb, nb
+        |WHERE ca.pk = t.part1 AND cb.pk = t.part2
+        |ORDER BY t.support DESC, t.part1, t.part2""".stripMargin,
     "q9_profit_nation" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -1753,6 +1784,32 @@ object SparkEntry {
          |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    "vs_search_match_text" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || p.text || ' ', ' the ')
+         |    AND contains(' ' || p.text || ' ', ' data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // per-example cosines are rounded to 4dp BEFORE max/compare in both
+    // engines, so bp/bn (and bp, -bn*bn — deterministic IEEE ops on the
+    // identical rounded doubles) hash-match exactly
+    "vs_recommend_best_score" ->
+      s"""WITH $PTS,
+         |ex AS (SELECT id, vector FROM pts WHERE id >= 1 AND id <= 8),
+         |best AS (SELECT p.id,
+         |  max(CASE WHEN e.id <= 5
+         |        THEN round(list_cosine_similarity(p.vector, e.vector), 4) END) AS bp,
+         |  max(CASE WHEN e.id > 5
+         |        THEN round(list_cosine_similarity(p.vector, e.vector), 4) END) AS bn
+         |  FROM pts p, ex e WHERE p.id < 1 OR p.id > 8 GROUP BY p.id),
+         |scored AS (SELECT id,
+         |  CASE WHEN bp > bn THEN bp ELSE -(bn * bn) END AS score FROM best),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "vs_search_groups" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),

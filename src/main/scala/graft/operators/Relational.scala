@@ -918,6 +918,39 @@ object Relational {
       .limit(topN)
   }
 
+  /** ASSOCIATION-RULE METRICS over the [[basketPairs]] mining output:
+    * confidence(part1→part2) = support / n(part1) and
+    * lift = support·N / (n(part1)·n(part2)) — the ranking statistics an
+    * a-priori pass actually ships (raw support favors popular items;
+    * lift > 1 is genuine co-purchase signal). Exactness: the inputs are
+    * exact integer counts; each metric is ONE double division of exact
+    * integer products (< 2^53 — deterministic IEEE, engine-portable, no
+    * rounding step needed). Scale: the pair relation is the topN-row
+    * mining result, the item-support relation is vocabulary-sized, and
+    * the basket total is a one-row broadcast — every join here is
+    * driver-trivial no matter the corpus size; the heavy lifting stays
+    * inside [[basketPairsOf]]'s pruned shape.
+    */
+  def basketLift(s: SparkSession, d: String, minSupport: Long = 2,
+                 topN: Int = 20): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = basketPairsOf(items, minSupport, topN)
+    val it = items.distinct()
+    val counts = it.groupBy("pk").agg(count(lit(1)).as("n"))
+    val nBaskets = it.agg(countDistinct("ok").as("n_baskets"))
+    pairs
+      .join(counts.select(col("pk").as("part1"), col("n").as("na")), "part1")
+      .join(counts.select(col("pk").as("part2"), col("n").as("nb")), "part2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part1"), col("part2"), col("support"),
+        (col("support").cast("double") / col("na").cast("double"))
+          .as("confidence"),
+        ((col("support") * col("n_baskets")).cast("double") /
+          (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("part1"), col("part2"))
+  }
+
   /** TPC-H Q2-style MIN-COST SUPPLIER per part (adapted: unit cost =
     * min observed l_extendedprice/l_quantity over the pair's lineitems;
     * region-scoped suppliers; no partsupp). The classic correlated

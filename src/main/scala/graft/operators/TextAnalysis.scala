@@ -412,15 +412,6 @@ object TextAnalysis {
   def bpeTrain(s: SparkSession, d: String, nMerges: Int = 10,
                minPairCount: Long = 2): DataFrame = {
     import s.implicits._
-    def mergeFold(toks: org.apache.spark.sql.Column, l: String,
-                  r: String): org.apache.spark.sql.Column =
-      aggregate(toks, array().cast("array<string>"),
-        // get() (0-based, null on out-of-bounds) keeps the last-element
-        // probe total on the empty accumulator under ANSI mode
-        (acc, t) => when(
-          get(acc, size(acc) - 1) === l && t === r,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(t))))
     var words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -452,6 +443,86 @@ object TextAnalysis {
         col("pair_count"))
       .orderBy("step")
   }
+
+  /** One left-to-right non-overlapping merge pass of BPE pair (l, r)
+    * over a token array — shared by [[bpeTrain]] (the training loop's
+    * vocabulary update) and [[bpeEncode]] (the apply side), so
+    * encode/train semantics agree by construction.
+    */
+  private def mergeFold(toks: org.apache.spark.sql.Column, l: String,
+                        r: String): org.apache.spark.sql.Column =
+    aggregate(toks, array().cast("array<string>"),
+      // get() (0-based, null on out-of-bounds) keeps the last-element
+      // probe total on the empty accumulator under ANSI mode
+      (acc, t) => when(
+        get(acc, size(acc) - 1) === l && t === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(t))))
+
+  /** BPE ENCODING with the trained merge table — the apply side of
+    * [[bpeTrain]], closing the tokenizer loop (train once, tokenize the
+    * corpus forever): per-document word count, BPE token count, and
+    * character count under the learned vocabulary — the numbers a
+    * training-data pipeline budgets context windows and compute with
+    * (tokens/doc drives packing; chars/token is the tokenizer-fertility
+    * health metric).
+    *
+    * Scale design: the merge table is bounded driver model state
+    * (nMerges rows — the centroid size class); encoding applies to the
+    * DISTINCT-WORD vocabulary only (millions of rows at 100 TB, not the
+    * billions-row token stream) as `nMerges` map-side array folds — no
+    * shuffle, no iteration over the corpus. Doc-level counts then come
+    * from ONE corpus pass joined to the encoded vocabulary on the word
+    * string (equi-join; AQE broadcasts while the vocabulary is small
+    * and degrades to a shuffle hash join at corpus scale — no forced
+    * hint). Sequential fold order = merge-rank order, the standard BPE
+    * apply discipline.
+    */
+  def bpeEncode(s: SparkSession, d: String, nMerges: Int = 10,
+                minPairCount: Long = 2): DataFrame = {
+    val merges = bpeTrain(s, d, nMerges, minPairCount).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val toks = merges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) {
+      case (c, (l, r)) => mergeFold(c, l, r)
+    }
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .select(col("w"), size(toks).as("n_toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(vocab, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** TRAINING-SHARD EXPORT PLAN — the write-side of a 100 TB training
+    * run: every document is assigned a deterministic pseudo-random shard
+    * by content-independent hash (md5 of the stable doc_id, so the
+    * assignment is reproducible across engines, runs, and
+    * partitionings — NOT Spark's partition-layout-dependent shuffle),
+    * and the report gives per-shard doc/word/char volumes. Training
+    * jobs size their data-parallel readers off exactly this table, and
+    * a skewed shard (hot shard = straggler epoch) shows up here before
+    * the GPUs do. The companion sink
+    * [[graft.sources.Sources.writeTrainingShards]] materializes the
+    * layout with a deterministic within-shard order. Scale: one
+    * partial-aggregated groupBy over `nShards` keys — no wide state,
+    * no sort, the cheapest possible full-corpus pass.
+    */
+  def shardExport(s: SparkSession, d: String, nShards: Int = 8): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % nShards)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy("shard")
 
   /** ZIPF-LAW FIT over the corpus vocabulary: least-squares slope of
     * ln(frequency) on ln(rank) for the top-`topN` terms — the

@@ -99,6 +99,34 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant `MatchText` payload condition + vector rank: candidates
+    * must contain EVERY query token as a whole word (Qdrant's full-text
+    * index filter — conjunctive word match, not substring), then rank
+    * by cosine. The word predicate is a pushed scan filter (shows under
+    * PushedFilters as string containment after the tokenizer rewrite;
+    * no shuffle, no index state at test scale — a 100 TB deployment
+    * bolts the [[graft.api.HybridIndex]] postings in front as the
+    * candidate generator and this operator is the verify step).
+    */
+  def searchMatchText(s: SparkSession, d: String, k: Int = 10,
+                      terms: Seq[String] = Seq("the", "data")): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    // whole-word containment: pad with spaces so "data" never matches
+    // "database" (the tokenizer-equivalent rewrite of MatchText)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val wordMatch = terms.map(t => padded.contains(s" $t "))
+      .reduce(_ && _)
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 0 && wordMatch)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("vector"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
   /** Batched tenant-scoped search (the Spark-native strength vs the
     * reference's per-request loop): every point with id < 20 queries its
     * own tenant's corpus, all in one job.
@@ -222,6 +250,45 @@ object VectorStore {
       .orderBy(col("ctx_score").desc, col("target_cos").desc, col("id"))
       .limit(k)
       .select(col("id"), col("ctx_score"), col("target_cos"))
+  }
+
+  /** Qdrant /recommend with `strategy: best_score` — the OTHER published
+    * recommend strategy beside [[recommend]]'s average_vector: instead
+    * of searching with one synthetic query vector, each candidate is
+    * scored against every example individually — `bp` = best cosine to
+    * any positive, `bn` = best cosine to any negative, and
+    * `score = if (bp > bn) bp else -(bn²)` (Qdrant's documented
+    * best_score formula: candidates that resemble a negative more than
+    * any positive are pushed below every positive-side candidate, the
+    * square keeping "very negative" below "mildly negative").
+    *
+    * Scale: the examples are a bounded client batch — they collect once
+    * and inline as literal vectors, so the whole search is one map pass
+    * over the corpus + a k-row TakeOrdered; the corpus never shuffles
+    * (the [[discover]] shape). Per-example cosines are 4dp-rounded
+    * scalars before max/compare, so the ranking is engine-portable.
+    */
+  def recommendBestScore(s: SparkSession, d: String, k: Int = 10,
+                         posIds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+                         negIds: Seq[Long] = Seq(6L, 7L, 8L)): DataFrame = {
+    val pts = Tables.points(s, d)
+    val exIds = (posIds ++ negIds).map(Long.box)
+    val vecs = pts.filter(col("id").isin(exIds: _*))
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
+    def bestOf(ids: Seq[Long]): Column =
+      greatest(ids.map(i => round(cosineSim(col("vector"), litVec(i)), 4)): _*)
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(!col("id").isin(exIds: _*))
+      .withColumn("bp", bestOf(posIds))
+      .withColumn("bn", bestOf(negIds))
+      .withColumn("score", when(col("bp") > col("bn"), col("bp"))
+        .otherwise(-(col("bn") * col("bn"))))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
   }
 
   // ---------------------------------------------------------------- delete

@@ -155,6 +155,31 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** TRAINING-SHARD SINK — the deterministic global shuffle a training
+    * export needs: shard = md5(doc_id) (content-independent,
+    * engine-portable — the same assignment
+    * [[graft.operators.TextAnalysis.shardExport]] reports), written as
+    * `shard=N/` parquet directories with a deterministic within-shard
+    * order (md5 of doc_id again, a different hex window, so the order is
+    * decorrelated from the assignment). Re-running the export on the
+    * same corpus produces byte-identical shards no matter the cluster
+    * size or input partitioning — the reproducibility property data-
+    * parallel training needs for resumable epochs. One exchange
+    * (repartition by shard), one within-partition sort; no driver state.
+    */
+  def writeTrainingShards(docs: DataFrame, path: String, nShards: Int = 8): Unit =
+    docs
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % nShards)
+      .withColumn("__ord",
+        conv(substring(md5(col("doc_id").cast("string")), 5, 12), 16, 10)
+          .cast("long"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col("doc_id"))
+      .drop("__ord")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** SMALL-FILE COMPACTION — the maintenance job every streaming or
     * incremental sink eventually needs: a micro-batch writer (e.g.
     * writeEventsStream, upsertStream) accretes thousands of KB-sized

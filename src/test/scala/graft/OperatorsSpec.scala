@@ -166,6 +166,61 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got === expected.toSeq)
   }
 
+  test("bpeEncode doc token counts match an in-Scala reference apply of the trained merges") {
+    val nMerges = 8
+    val merges = TextAnalysis.bpeTrain(spark, sf, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (toks, (l, r)) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { t =>
+          if (acc.nonEmpty && acc.last == l && t == r) acc(acc.length - 1) = l + r
+          else acc += t
+        }
+        acc.toSeq
+      }
+    val expected = Tables.documents(spark, sf).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ").toSeq
+        (r.getLong(0), ws.length.toLong,
+          ws.map(encode(_).length.toLong).sum, ws.map(_.length.toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeEncode(spark, sf, nMerges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // merged-vocabulary sanity: merges fired, so tokens < chars somewhere
+    assert(got.map(_._3).sum < got.map(_._4).sum)
+  }
+
+  test("shardExport covers every doc exactly once with the portable hash assignment") {
+    val r = TextAnalysis.shardExport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(r.map(_.getLong(1)).sum === docs.count())
+    assert(r.forall(row => row.getLong(0) >= 0 && row.getLong(0) < 8))
+    // deterministic: a re-run reproduces the same table
+    val again = TextAnalysis.shardExport(spark, sf).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("basketLift metrics equal the definitional recompute over the pair mining output") {
+    import spark.implicits._
+    val got = Relational.basketLift(spark, sf).collect()
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = items.map(_._1).distinct.length.toLong
+    val counts = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { r =>
+      val (a, b, sup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(r.getDouble(3) === sup.toDouble / counts(a).toDouble)
+      assert(r.getDouble(4) ===
+        (sup * nBaskets).toDouble / (counts(a) * counts(b)).toDouble)
+      assert(r.getDouble(4) > 0)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

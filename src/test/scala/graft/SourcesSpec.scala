@@ -128,6 +128,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("training shards are complete, assignment-consistent, and byte-deterministic") {
+    import org.apache.spark.sql.functions._
+    val d1 = tmpDir("shards1"); val d2 = tmpDir("shards2")
+    val docs = Tables.documents(spark, sf)
+    Sources.writeTrainingShards(docs, d1)
+    Sources.writeTrainingShards(docs, d2)
+    val back = spark.read.parquet(d1)
+    // nothing lost, nothing duplicated
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    assert(back.count() === docs.count())
+    // the layout's shard matches the operator's portable hash assignment
+    val fromLayout = back.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val fromOp = graft.operators.TextAnalysis.shardExport(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromLayout === fromOp)
+    // reproducibility: same corpus -> byte-identical shard files
+    def bytesBySuffix(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).flatMap { sd =>
+        sd.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${sd.getName}" -> f.length())
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bytesBySuffix(d1) === bytesBySuffix(d2))
+    // within-shard order is deterministic too (row-order compare)
+    val o1 = spark.read.parquet(d1 + "/shard=3").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val o2 = spark.read.parquet(d2 + "/shard=3").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(o1 === o2 && o1.nonEmpty)
+  }
+
   test("z-ordered layout bounds BOTH dimensions per file (2-D locality)") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("zorder")

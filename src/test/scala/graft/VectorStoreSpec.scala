@@ -105,6 +105,55 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("recommendBestScore matches a driver-side best-score brute force") {
+    val pts = Tables.points(spark, sf).select(col("id"), col("vector"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pos, neg) = (Seq(1L, 2L, 3L, 4L, 5L), Seq(6L, 7L, 8L))
+    val ex = (pos ++ neg).toSet
+    val expected = pts.keys.filterNot(ex).toSeq
+      .map { id =>
+        val bp = pos.map(p => r4(cos(pts(id), pts(p)))).max
+        val bn = neg.map(n => r4(cos(pts(id), pts(n)))).max
+        (id, if (bp > bn) bp else -(bn * bn))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+    val got = VectorStore.recommendBestScore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // the formula's ordering property: any candidate on the positive
+    // side (bp > bn) outranks every negative-side candidate
+    val scores = got.map(_._3)
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("searchMatchText enforces whole-word conjunctive match, ranked by cosine") {
+    val texts = Tables.points(spark, sf).select(col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = VectorStore.searchMatchText(spark, sf, terms = Seq("the", "data"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val words = texts(r.getLong(1)).split(" ").toSet
+      assert(words.contains("the") && words.contains("data"),
+        s"id ${r.getLong(1)} missing a required word")
+    }
+    val scores = got.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse)
+    // whole-word: a doc containing only 'database' must NOT qualify
+    val idsWithDataOnlyAsPrefix = texts.collect {
+      case (id, t) if t.contains("data") && !t.split(" ").contains("data") => id
+    }.toSet
+    assert(got.map(_.getLong(1)).forall(!idsWithDataOnlyAsPrefix.contains(_)))
+  }
+
   test("classifyNearest assigns every vector a label") {
     val r = VectorStore.classifyNearest(spark, sf)
     assert(r.count() === Tables.embeddings(spark, sf).count())

@@ -102,11 +102,13 @@ object VectorStore {
   /** Qdrant `MatchText` payload condition + vector rank: candidates
     * must contain EVERY query token as a whole word (Qdrant's full-text
     * index filter — conjunctive word match, not substring), then rank
-    * by cosine. The word predicate is a pushed scan filter (shows under
-    * PushedFilters as string containment after the tokenizer rewrite;
-    * no shuffle, no index state at test scale — a 100 TB deployment
-    * bolts the [[graft.api.HybridIndex]] postings in front as the
-    * candidate generator and this operator is the verify step).
+    * by cosine. The word predicate evaluates inside the scan stage's
+    * codegen filter (a concat-contains is not parquet-pushable, and
+    * parquet has no substring statistics to prune with anyway), so the
+    * whole search is one map pass + a k-row TakeOrdered — no shuffle,
+    * no index state at test scale. A 100 TB deployment bolts the
+    * [[graft.api.HybridIndex]] postings in front as the candidate
+    * generator and this operator is the verify step.
     */
   def searchMatchText(s: SparkSession, d: String, k: Int = 10,
                       terms: Seq[String] = Seq("the", "data")): DataFrame = {

@@ -438,4 +438,38 @@ class PlanInvariantsSpec extends SparkSpecBase {
     // (doc, chunk, digest) rows
     assert(nShuffles(p) <= 6, s"${nShuffles(p)} shuffles in cdc plan:\n$p")
   }
+
+  test("best-score recommend is one map pass + k-row cut (corpus never shuffles)") {
+    val p = plan("vs_recommend_best_score")
+    // example vectors are inlined literals: no join at all, just the
+    // scored scan feeding a TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), s"no k-row cut:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side join appeared:\n$p")
+  }
+
+  test("match-text search keeps the word predicate map-side and never sort-merges") {
+    val p = plan("vs_search_match_text")
+    assert(p.contains("TakeOrderedAndProject"), s"no k-row cut:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"match-text degraded to SMJ:\n$p")
+  }
+
+  test("bpe encode's vocabulary join stays UNHINTED (AQE picks the strategy)") {
+    // the encoded-vocabulary relation is distinct-words-sized — small at
+    // test SF, but a 100 TB corpus vocabulary is past any broadcast
+    // limit; the corpus-to-vocab join must carry no forced hint so the
+    // engine can degrade to a shuffle join
+    val qe = SparkEntry.queries("text_bpe_encode")(spark, sf).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "bpe encode carries a forced join-strategy hint")
+  }
+
+  test("basket lift joins only mining-result-sized relations after the pair prune") {
+    val p = plan("orders_basket_lift")
+    // the pair side is the topN TakeOrdered mining output; per-item
+    // counts and the basket total join against it — nothing corpus-sized
+    // crosses a join after the prune
+    assert(p.contains("TakeOrderedAndProject"), s"pair mining lost its topN cut:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unconstrained product:\n$p")
+  }
 }

@@ -59,3 +59,19 @@ ok = sum(1 for v in results.values() if v.startswith("OK"))
 for k, v in sorted(results.items()):
     print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
 print(f"\n{ok}/{len(results)} PASS")
+
+# optional driver-style JSON artifact (CHECK_JSON_OUT=/path.json)
+json_out = os.environ.get("CHECK_JSON_OUT")
+if json_out:
+    doc = {}
+    for k, v in sorted(results.items()):
+        passed = v.startswith("OK")
+        doc[k] = {
+            "rows_match": passed or not v.startswith("ROWCOUNT"),
+            "schema_match": passed or not v.startswith("SCHEMA-MISMATCH"),
+            "hash_match": passed,
+            "err": None if passed else v,
+        }
+    with open(json_out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {json_out}")

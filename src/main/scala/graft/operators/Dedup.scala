@@ -89,14 +89,39 @@ object Dedup {
     * max df = 4 at sf0.1, so the default cap is invisible to the
     * oracle gate and [[dedupRecallEval]]'s exact-truth role.
     */
+  /** Memo for the exact-shingle pair-count scaffold: [[ngramJaccard]]
+    * and [[containment]] are two thresholds over the SAME
+    * (ia, ib, c, na, nb) relation, and in any real pipeline the two
+    * gates share one materialized artifact — without the memo each
+    * query re-ran the whole scaffold (and the heavy cold self-join ran
+    * TWICE per fill, feeding both the hot-correction join and the
+    * final join). Same discipline as [[minhashPairs]]' pairMemo.
+    */
+  private val gramMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int), DataFrame]
+
   private def candidatePairCounts(s: SparkSession, d: String, w: Int,
-                                  dfCap: Int): DataFrame = {
+                                  dfCap: Int): DataFrame =
+    gramMemo.getOrElseUpdate((System.identityHashCode(s), d, w, dfCap),
+      candidatePairCountsUncached(s, d, w, dfCap, eager = true))
+
+  /** Pair-count scaffold builder. `eager = true` (the memo path)
+    * materializes the shared intermediates — the hashed shingle rows
+    * (4 consumers) and the cold-join pair counts (2 consumers) — and
+    * hands back a cached result; `eager = false` builds the pure
+    * uncached plan (the plan-invariants spec reads THIS form — a cache
+    * would hide the join shapes behind InMemoryTableScan).
+    */
+  private[graft] def candidatePairCountsUncached(
+      s: SparkSession, d: String, w: Int, dfCap: Int,
+      eager: Boolean = false): DataFrame = {
+    def mat(df: DataFrame): DataFrame = if (eager) df.cache() else df
     // hash BEFORE the set-semantics dedup: the distinct exchange then
     // carries 8-byte hashes instead of w-word strings (same set
     // semantics under the documented 64-bit reduction)
-    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
+    val ex = mat(shingleRows(Tables.documents(s, d), w, distinct = false)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .dropDuplicates("doc_id", "h").cache()
+      .dropDuplicates("doc_id", "h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hot grams are df > dfCap — bounded by shingle-volume/dfCap (Σ df
     // over grams = corpus shingle volume, so at most volume/dfCap grams
@@ -113,10 +138,10 @@ object Dedup {
     // groupBy partial-aggregates, so no candidate row list or per-doc
     // array is ever materialized (measured 4-5× cheaper than building
     // sorted hash arrays per candidate doc and merge-walking them)
-    val cCold = cold.as("a").join(cold.as("b"),
+    val cCold = mat(cold.as("a").join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .agg(count(lit(1)).as("c_cold"))
+      .agg(count(lit(1)).as("c_cold")))
     // exact correction: add back the HOT grams each candidate pair
     // shares. hotPerDoc is (docs × their hot grams) — bounded by the
     // boilerplate footprint per doc, and only CANDIDATE pairs (already
@@ -128,11 +153,16 @@ object Dedup {
       .join(hotPerDoc.select(col("doc_id").as("ia"), col("h")), "ia")
       .join(hotPerDoc.select(col("doc_id").as("ib"), col("h")), Seq("ib", "h"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c_hot"))
-    cCold.join(cHot, Seq("ia", "ib"), "left")
+    val out = mat(cCold.join(cHot, Seq("ia", "ib"), "left")
       .withColumn("c", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-      .select(col("ia"), col("ib"), col("c"), col("na"), col("nb"))
+      .select(col("ia"), col("ib"), col("c"), col("na"), col("nb")))
+    if (eager) {
+      out.count() // the memo hands out a materialized artifact
+      ex.unpersist(); cCold.unpersist()
+    }
+    out
   }
 
   /** Exact n-gram Jaccard similarity self-join at threshold `t`:

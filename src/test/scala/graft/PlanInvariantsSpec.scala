@@ -406,8 +406,16 @@ class PlanInvariantsSpec extends SparkSpecBase {
     // picks broadcast while the measured size is small and degrades to
     // a shuffle join when it is not. Strategy-agnostic assert — the
     // anti join must exist under EITHER strategy.
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment", "docs_winnow_matches")) {
-      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+    // jaccard/containment now serve from the memoized pair-count
+    // artifact (whose executed plan is an InMemoryTableScan), so the
+    // shape contract is asserted on the UNCACHED scaffold builder they
+    // both materialize from
+    val dfcaps = Seq(
+      "dedup gram scaffold" ->
+        graft.operators.Dedup.candidatePairCountsUncached(spark, sf, 5, 1024),
+      "docs_winnow_matches" -> SparkEntry.queries("docs_winnow_matches")(spark, sf))
+    for ((q, df) <- dfcaps) {
+      val qe = df.queryExecution
       assert(!qe.analyzed.toString.contains("ResolvedHint"),
         s"$q carries a forced join-strategy hint")
       val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)

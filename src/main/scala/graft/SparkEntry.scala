@@ -127,6 +127,7 @@ object SparkEntry {
     "orders_basket_lift" -> ((s: SparkSession, d: String) => Relational.basketLift(s, d)),
     "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
     "events_markov" -> Relational.eventsMarkov _,
+    "events_hll_daily" -> ((s: SparkSession, d: String) => Relational.eventsHllDaily(s, d)),
     "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
     "orders_window_stats" -> Relational.ordersWindowStats _,
     "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),

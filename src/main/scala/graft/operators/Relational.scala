@@ -1469,6 +1469,42 @@ object Relational {
       .orderBy("day")
   }
 
+  /** MERGEABLE-SKETCH ROLLUP (the "sketch as data" pattern): per-day
+    * Apache DataSketches HLL user sketches, each day's distinct-user
+    * estimate, and the trailing-7-day estimate obtained by UNIONING the
+    * persisted daily sketches — never by rescanning raw events. This is
+    * the architecture [[eventsDauWau]]'s exact explode cannot reach at
+    * 100 TB retention windows: day sketches are built once at ingest
+    * (constant bytes per day), and ANY later range query — trailing
+    * week, month, arbitrary ad-hoc span — is a union of sketch blobs,
+    * O(days·sketch_bytes) with the raw data cold. Mergeability is the
+    * load-bearing property (estimate(union(sk_a, sk_b)) ≡ estimate of
+    * the combined stream — spec'd exactly, not approximately, since
+    * the sketch algebra is deterministic); accuracy is the HLL ±~1.6%
+    * at lgK=12 (spec'd against the exact counts). The 7-day union runs
+    * as the same explode-to-covered-days inversion as DAU/WAU, but
+    * over ONE ROW PER (day, sketch) — 7 sketch rows per window day,
+    * not per-user activity rows.
+    */
+  def eventsHllDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val bounds = daily.agg(max("day").as("hi"))
+    val w7 = daily
+      .withColumn("wday", explode(sequence(
+        col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") <= col("hi"))
+      .groupBy(col("wday").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("w7_users"))
+    daily
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("day_users"))
+      .join(w7, "day")
+      .orderBy("day")
+  }
+
   /** MULTI-TOUCH ATTRIBUTION: each purchase's value split equally
     * across the same user's view/click touches in the prior hour, then
     * rolled up per touch type — the fractional-credit generalization of

@@ -221,6 +221,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("hll daily sketches: union-of-dailies equals whole-stream sketch, estimates near exact") {
+    val got = Relational.eventsHllDaily(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val exactDau = ud.groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    got.foreach { case (day, dayUsers, w7) =>
+      val exact = exactDau(day)
+      // HLL at default lgK=12 is ±~1.6% rsd; allow 5% + small-count slop
+      assert(math.abs(dayUsers - exact) <= math.max(3L, (exact * 0.05).toLong),
+        s"$day: est $dayUsers vs exact $exact")
+      assert(w7 >= dayUsers, s"$day: trailing-week $w7 < day $dayUsers")
+    }
+    // MERGEABILITY (the load-bearing sketch property, exact not approx):
+    // estimate(union over per-day sketches) == estimate(one sketch over
+    // the whole stream) — deterministic sketch algebra, same binary state
+    val fromUnion = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n")).head().getLong(0)
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n")).head().getLong(0)
+    assert(fromUnion === direct)
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

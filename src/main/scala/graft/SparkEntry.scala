@@ -177,6 +177,7 @@ object SparkEntry {
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
     "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
+    "vs_batch_ops" -> ((s: SparkSession, d: String) => VectorStore.batchOps(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
     "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
@@ -1785,6 +1786,23 @@ object SparkEntry {
          |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    "vs_batch_ops" ->
+      s"""WITH $PTS,
+         |uni AS (
+         |  SELECT id, user_id, site, lang, seq FROM pts
+         |  UNION ALL
+         |  SELECT id, user_id, 'batch-upsert' AS site, lang, seq + 1000000 AS seq
+         |  FROM pts WHERE id % 7 = 0),
+         |lw AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rk
+         |  FROM uni),
+         |snap AS (SELECT id, user_id, site,
+         |    CASE WHEN site = 'src3' THEN 'xx' ELSE lang END AS lang, seq
+         |  FROM lw WHERE rk = 1 AND user_id <> 4)
+         |SELECT user_id, count(*) AS n, max(seq) AS max_seq,
+         |  CAST(sum(CASE WHEN lang = 'xx' THEN 1 ELSE 0 END) AS BIGINT) AS n_patched,
+         |  CAST(sum(CASE WHEN site = 'batch-upsert' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_upserted
+         |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin,
     "vs_search_match_text" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),

@@ -293,6 +293,43 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant /points/batch — ONE request carrying an ORDERED list of
+    * update operations (upsert, delete, set_payload); order is the
+    * documented semantics (a delete after an upsert removes the
+    * freshly-upserted rows, not vice versa). Expressed as snapshot
+    * transforms composed in operation order — the lakehouse reading of
+    * a mutable batch endpoint — with a per-tenant audit view as the
+    * result. Each stage is a narrow map/filter over the previous
+    * snapshot: the only exchange in the whole pipeline is the final
+    * audit groupBy.
+    *
+    * Op list mirrored in the oracle: (1) upsert id ≡ 0 (mod 7) with
+    * bumped seq + re-tagged site, (2) delete tenant 4, (3) set_payload
+    * lang := 'xx' where site = 'src3'.
+    */
+  def batchOps(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.points(s, d)
+    // op 1: upsert (last-write-wins by id; the update batch is derived)
+    val updates = base.filter(col("id") % 7 === 0)
+      .withColumn("seq", col("seq") + 1000000)
+      .withColumn("site", lit("batch-upsert"))
+    val w = Window.partitionBy("id").orderBy(col("seq").desc)
+    val afterUpsert = base.unionByName(updates)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    // op 2: delete by tenant filter — removes upserted rows too (order)
+    val afterDelete = afterUpsert.filter(col("user_id") =!= 4)
+    // op 3: set_payload patch
+    val finalSnap = afterDelete.withColumn("lang",
+      when(col("site") === "src3", lit("xx")).otherwise(col("lang")))
+    finalSnap.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      max("seq").as("max_seq"),
+      sum(when(col("lang") === "xx", 1L).otherwise(0L)).as("n_patched"),
+      sum(when(col("site") === "batch-upsert", 1L).otherwise(0L)).as("n_upserted"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- delete
 
   /** app.py:79-91 /remove_by_user — snapshot minus one tenant. */

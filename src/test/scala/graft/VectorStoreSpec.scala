@@ -154,6 +154,27 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(got.map(_.getLong(1)).forall(!idsWithDataOnlyAsPrefix.contains(_)))
   }
 
+  test("batchOps applies the operation list in order (delete removes upserts)") {
+    val got = VectorStore.batchOps(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // tenant 4 is deleted AFTER the upsert — absent entirely
+    assert(!got.contains(4L))
+    // every surviving id % 7 == 0 point carries the upserted seq bump
+    val nPts = Tables.points(spark, sf).count()
+    assert(got.values.map(_._1).sum === Tables.points(spark, sf)
+      .filter(col("user_id") =!= 4).count())
+    got.foreach { case (u, (_, maxSeq, _, nUp)) =>
+      // any tenant owning an id % 7 == 0 point must show the seq bump
+      val owns = Tables.points(spark, sf)
+        .filter(col("user_id") === u && col("id") % 7 === 0).count()
+      if (owns > 0) {
+        assert(maxSeq >= 1000000L, s"tenant $u lost its upsert bump")
+        assert(nUp === owns, s"tenant $u upsert count $nUp != $owns")
+      }
+    }
+    assert(nPts > 0)
+  }
+
   test("classifyNearest assigns every vector a label") {
     val r = VectorStore.classifyNearest(spark, sf)
     assert(r.count() === Tables.embeddings(spark, sf).count())

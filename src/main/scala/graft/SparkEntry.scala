@@ -63,6 +63,7 @@ object SparkEntry {
     "text_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "text_unigram_train" -> ((s: SparkSession, d: String) => TextAnalysis.unigramTrain(s, d)),
     "docs_shard_export" -> ((s: SparkSession, d: String) => TextAnalysis.shardExport(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),

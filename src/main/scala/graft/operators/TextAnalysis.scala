@@ -499,6 +499,115 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Viterbi best segmentation of `w` under piece log-probs: DP over
+    * end positions, `best(i) = max over pieces p ending at i of
+    * best(i - |p|) + logp(p)`; ties prefer the LONGER last piece
+    * (deterministic, documented). Single-char coverage is guaranteed by
+    * the trainer, so every position is reachable.
+    */
+  private def viterbiSegment(w: String, maxLen: Int,
+                             logp: collection.Map[String, Double]): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = math.min(maxLen, i)
+      while (l >= 1) { // longer pieces first → ties keep the longer piece
+        val j = i - l
+        if (best(j) > Double.NegativeInfinity) {
+          logp.get(w.substring(j, i)) match {
+            case Some(lp) if best(j) + lp > best(i) =>
+              best(i) = best(j) + lp; back(i) = j
+            case _ => ()
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); out.prepend(w.substring(j, k)); k = j }
+    out.toSeq
+  }
+
+  /** UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 — the SentencePiece
+    * family, the OTHER major subword algorithm beside [[bpeTrain]]'s
+    * BPE): seed the piece vocabulary with the corpus' frequent
+    * substrings, then run EM — E-step Viterbi-segments every word
+    * under the current piece probabilities and counts piece uses,
+    * M-step renormalizes, prune keeps the top-probability pieces (all
+    * single characters always survive, guaranteeing coverage).
+    * Returns the learned (piece, n_uses, logprob) table.
+    *
+    * Simplifications vs full SentencePiece (documented, deliberate):
+    * hard-EM (Viterbi counts, not lattice marginals) and a fixed
+    * per-iteration vocab budget instead of gradual shrinking — the
+    * structure (seed → EM over the vocabulary → prune) and the scale
+    * shape are the real algorithm's.
+    *
+    * Scale design — the [[bpeTrain]] discipline: ONE corpus-sized
+    * groupBy builds the word-frequency table; every EM iteration runs
+    * over the DISTINCT-WORD vocabulary only (millions of rows at
+    * 100 TB, never the token stream), with the piece table as
+    * broadcast driver model state (≤ seedSize rows — the centroid
+    * size class; counts collected per iteration are piece-table-sized,
+    * not corpus-sized). Piece counts are freq-weighted INTEGER sums —
+    * exact under any partitioning — so training is deterministic on
+    * any cluster layout; ties prune lexicographically.
+    */
+  def unigramTrain(s: SparkSession, d: String, vocabSize: Int = 120,
+                   maxPieceLen: Int = 4, nIter: Int = 3,
+                   seedSize: Int = 400): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].localCheckpoint()
+    // seed: frequent substrings (freq-weighted), all single chars kept
+    val seedCounts = words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.groupBy("_1").agg(sum("_2").as("n")).as[(String, Long)].collect()
+    val charSet = seedCounts.collect { case (p, _) if p.length == 1 => p }.toSet
+    // coverage invariant: every single char survives every prune (count
+    // 0 if the current Viterbi pass stopped using it); multi-char
+    // pieces compete for the remaining budget by (count desc, piece)
+    def budget(counts: Map[String, Long]): Map[String, Long] = {
+      val chars = charSet.iterator.map(c => c -> counts.getOrElse(c, 0L)).toMap
+      val multi = counts.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, n) => (-n, p) }
+        .take(math.max(vocabSize - chars.size, 0))
+      chars ++ multi
+    }
+    var pieces = budget(seedCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(seedSize).toMap)
+    for (_ <- 1 to nIter) {
+      // smoothing floor: zero-count survivors (chars) score as count 1
+      // so Viterbi can still route through them when needed
+      val total = pieces.values.map(math.max(_, 1L)).sum.toDouble
+      val logp = pieces.map { case (p, n) => p -> math.log(math.max(n, 1L) / total) }
+      val bc = s.sparkContext.broadcast(logp)
+      val maxLen = maxPieceLen
+      val counts = words.flatMap { case (w, f) =>
+        viterbiSegment(w, maxLen, bc.value).map(p => (p, f))
+      }.groupBy("_1").agg(sum("_2").as("n")).as[(String, Long)].collect()
+      pieces = budget(counts.toMap)
+      bc.destroy()
+    }
+    val finalTotal = pieces.values.map(math.max(_, 1L)).sum.toDouble
+    pieces.toSeq.sortBy { case (p, n) => (-n, p) }
+      .map { case (p, n) =>
+        (p, n, math.rint(math.log(math.max(n, 1L) / finalTotal) * 1e6) / 1e6)
+      }
+      .toDF("piece", "n_uses", "logprob")
+  }
+
   /** TRAINING-SHARD EXPORT PLAN — the write-side of a 100 TB training
     * run: every document is assigned a deterministic pseudo-random shard
     * by content-independent hash (md5 of the stable doc_id, so the

@@ -248,6 +248,64 @@ class OperatorsSpec extends SparkSpecBase {
     assert(fromUnion === direct)
   }
 
+  test("unigramTrain matches an in-Scala reference EM and keeps char coverage") {
+    val (vocabSize, maxLen, nIter, seedSize) = (80, 4, 3, 300)
+    // --- independent reference over the same word-frequency table ---
+    val wordFreq = Tables.documents(spark, sf).collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wordFreq; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      seed(p) = seed.getOrElse(p, 0L) + f
+    }
+    val charSet = seed.keys.filter(_.length == 1).toSet
+    def budget(counts: Map[String, Long]): Map[String, Long] = {
+      val chars = charSet.map(c => c -> counts.getOrElse(c, 0L)).toMap
+      val multi = counts.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(vocabSize - chars.size)
+      chars ++ multi
+    }
+    def seg(w: String, logp: Map[String, Double]): Seq[String] = {
+      // recursive-memo formulation (different structure, same contract:
+      // max score, ties prefer the longer LAST piece)
+      val memo = scala.collection.mutable.Map.empty[Int, (Double, List[String])]
+      def go(i: Int): (Double, List[String]) = // best for prefix w[0,i)
+        if (i == 0) (0.0, Nil)
+        else memo.getOrElseUpdate(i, {
+          var best = (Double.NegativeInfinity, List.empty[String])
+          for (l <- math.min(maxLen, i) to 1 by -1) { // longer first
+            val p = w.substring(i - l, i)
+            if (logp.contains(p)) {
+              val (s0, toks) = go(i - l)
+              val cand = s0 + logp(p)
+              if (cand > best._1) best = (cand, p :: toks)
+            }
+          }
+          best
+        })
+      go(w.length)._2.reverse
+    }
+    var ref = budget(seed.toSeq.sortBy { case (p, n) => (-n, p) }.take(seedSize).toMap)
+    for (_ <- 1 to nIter) {
+      val total = ref.values.map(math.max(_, 1L)).sum.toDouble
+      val logp = ref.map { case (p, n) => p -> math.log(math.max(n, 1L) / total) }
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- wordFreq; p <- seg(w, logp))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      ref = budget(counts.toMap)
+    }
+    val got = TextAnalysis.unigramTrain(spark, sf, vocabSize, maxLen, nIter, seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = ref.toSeq.sortBy { case (p, n) => (-n, p) }
+    assert(got === expected)
+    // coverage: every single character of the corpus survives
+    assert(charSet.subsetOf(got.map(_._1).toSet))
+    // the learned vocabulary actually contains multi-char pieces
+    assert(got.exists(_._1.length > 1))
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

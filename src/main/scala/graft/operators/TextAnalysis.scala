@@ -608,6 +608,45 @@ object TextAnalysis {
       .toDF("piece", "n_uses", "logprob")
   }
 
+  /** UNIGRAM-LM ENCODING with the trained piece table — the apply side
+    * of [[unigramTrain]] ([[bpeEncode]]'s discipline): Viterbi-segment
+    * the DISTINCT-WORD vocabulary under the learned piece log-probs
+    * (broadcast model state), then one corpus pass joins doc words to
+    * their piece counts (unhinted equi-join — AQE broadcasts while the
+    * vocabulary is small, shuffles at corpus scale). Per-doc word /
+    * unigram-token / char counts.
+    */
+  def unigramEncode(s: SparkSession, d: String, vocabSize: Int = 120,
+                    maxPieceLen: Int = 4, nIter: Int = 3,
+                    seedSize: Int = 400): DataFrame = {
+    import s.implicits._
+    val rows = unigramTrain(s, d, vocabSize, maxPieceLen, nIter, seedSize)
+      .collect().map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
+    // NORMALIZED log-probs, exactly as training scores them: candidate
+    // segmentations differ in piece COUNT, so an unnormalized weight
+    // table would shift paths by (count · log total) and change the
+    // argmax — normalization is load-bearing here, not cosmetic
+    val total = rows.map(_._2).sum.toDouble
+    val logp = rows.map { case (p, n) => p -> math.log(n / total) }.toMap
+    val bc = s.sparkContext.broadcast(logp)
+    val maxLen = maxPieceLen
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .as[String]
+      .map(w => (w, viterbiSegment(w, maxLen, bc.value).length.toLong))
+      .toDF("w", "n_toks")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** TRAINING-SHARD EXPORT PLAN — the write-side of a 100 TB training
     * run: every document is assigned a deterministic pseudo-random shard
     * by content-independent hash (md5 of the stable doc_id, so the

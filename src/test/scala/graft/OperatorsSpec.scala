@@ -306,6 +306,42 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.exists(_._1.length > 1))
   }
 
+  test("unigramEncode doc token counts match a driver-side viterbi apply") {
+    val (vocabSize, maxLen, nIter, seedSize) = (120, 4, 3, 400)
+    val rows = TextAnalysis.unigramTrain(spark, sf, vocabSize, maxLen, nIter, seedSize)
+      .collect().map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
+    val total = rows.map(_._2).sum.toDouble
+    val logp = rows.map { case (p, n) => p -> math.log(n / total) }.toMap
+    // driver-side viterbi (recursive memo — independent structure)
+    def seg(w: String): Seq[String] = {
+      val memo = scala.collection.mutable.Map.empty[Int, (Double, List[String])]
+      def go(i: Int): (Double, List[String]) =
+        if (i == 0) (0.0, Nil)
+        else memo.getOrElseUpdate(i, {
+          var best = (Double.NegativeInfinity, List.empty[String])
+          for (l <- math.min(maxLen, i) to 1 by -1) {
+            val p = w.substring(i - l, i)
+            if (logp.contains(p)) {
+              val (s0, toks) = go(i - l)
+              if (s0 + logp(p) > best._1) best = (s0 + logp(p), p :: toks)
+            }
+          }
+          best
+        })
+      go(w.length)._2.reverse
+    }
+    val expected = Tables.documents(spark, sf).collect().map { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      (r.getLong(0), ws.length.toLong,
+        ws.map(w => seg(w).length.toLong).sum, ws.map(_.length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.unigramEncode(spark, sf, vocabSize, maxLen, nIter, seedSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // compression: the learned pieces beat pure char segmentation
+    assert(got.map(_._3).sum < got.map(_._4).sum)
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

@@ -180,6 +180,7 @@ object SparkEntry {
     "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
     "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
     "vs_batch_ops" -> ((s: SparkSession, d: String) => VectorStore.batchOps(s, d)),
+    "vs_named_vectors" -> ((s: SparkSession, d: String) => VectorStore.namedVectors(s, d)),
     "vs_search_groups" -> ((s: SparkSession, d: String) => VectorStore.searchGroups(s, d)),
     "vs_facet_counts" -> VectorStore.facetCounts _,
     "vs_scroll_page" -> ((s: SparkSession, d: String) => VectorStore.scrollPage(s, d)),
@@ -1788,6 +1789,14 @@ object SparkEntry {
          |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    "vs_named_vectors" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector[1:8] AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id,
+         |    round(list_cosine_similarity(p.vector[1:8], q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0 AND p.user_id = 7),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "vs_batch_ops" ->
       s"""WITH $PTS,
          |uni AS (

@@ -293,6 +293,33 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant NAMED VECTORS: a point carries SEVERAL vectors under
+    * distinct names (e.g. full-body "dense" + a cheap low-dim "title"
+    * head) and a query picks one with `using: <name>`. Columnar
+    * reading: each name is its own vector COLUMN (the lakehouse
+    * translation of the named-vector map — column pruning then reads
+    * ONLY the searched head's bytes, which is the point of cheap named
+    * heads at 100 TB). Here the "title" head is the MRL-style 8-dim
+    * prefix (deterministic, derivable in both engines), and the search
+    * runs `using: title` with a tenant filter — one map pass + k-row
+    * TakeOrdered against 8-dim arithmetic instead of full-dim.
+    */
+  def namedVectors(s: SparkSession, d: String, k: Int = 10,
+                   headDims: Int = 8): DataFrame = {
+    val pts = Tables.points(s, d)
+      .withColumn("title_vec", slice(col("vector"), 1, headDims))
+    val q = pts.filter(col("id") === 0)
+      .select(col("title_vec").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 0 && col("user_id") === 7)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("title_vec"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
   /** Qdrant /points/batch — ONE request carrying an ORDERED list of
     * update operations (upsert, delete, set_payload); order is the
     * documented semantics (a delete after an upsert removes the

@@ -147,6 +147,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) => Dedup.dupClusterStats(s, d)),
     "docs_bloom_gate" -> ((s: SparkSession, d: String) => Dedup.bloomGate(s, d)),
     "dedup_recall_eval" -> ((s: SparkSession, d: String) => Dedup.dedupRecallEval(s, d)),
+    "dedup_band_tuning" -> ((s: SparkSession, d: String) => Dedup.minhashBandTuning(s, d)),
     "dedup_attrition_funnel" -> ((s: SparkSession, d: String) => Dedup.attritionFunnel(s, d)),
     "docs_dsir_sample" -> ((s: SparkSession, d: String) => TextAnalysis.dsirSample(s, d)),
     "emb_centroid_drift" -> Embeddings.centroidDrift _,

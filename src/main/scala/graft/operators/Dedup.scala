@@ -1092,6 +1092,54 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** LSH BAND-TUNING curve ([[dedupRecallEval]]'s parameter-choice
+    * sibling, the `ann_recall_eval` of the dedup family): candidate
+    * recall/precision of the band-bucket stage at several (bands,
+    * rows-per-band) splits of the SAME 128-permutation signature —
+    * the s-curve a deployment walks when trading candidate volume
+    * against missed near-dups (more, narrower bands ⇒ higher candidate
+    * recall and more false candidates; Leskovec et al.'s (1/b)^(1/r)
+    * threshold rule made empirical on this corpus). ONE signature
+    * aggregate serves every config (b·r = 128 throughout — band keys
+    * are just different groupings of the same signature), the truth
+    * list is the exact-Jaccard pair relation, and every join is
+    * pair-list-sized.
+    */
+  def minhashBandTuning(s: SparkSession, d: String, t: Double = 0.8,
+                        w: Int = 5): DataFrame = {
+    import s.implicits._
+    val configs = Seq((8, 16), (16, 8), (32, 4), (64, 2))
+    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+    val sigs = minhashFromHashedRows(ex, 128).cache()
+    val truth = ngramJaccard(s, d, t).select("ia", "ib")
+      .withColumn("in_truth", lit(1L)).cache()
+    val nTrue = truth.count()
+    val tagged = configs.map { case (b, r) =>
+      val buckets = bandBuckets(sigs, b, r)
+      buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("ia"), col("ib"))
+    }.reduce(_ unionByName _)
+    tagged
+      .join(truth, Seq("ia", "ib"), "left")
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
+      .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
+        col("n_candidates"), col("n_hit"),
+        when(lit(nTrue > 0), bround(col("n_hit").cast("double") / nTrue, 4))
+          .otherwise(1.0).as("recall"),
+        when(col("n_candidates") > 0,
+          bround(col("n_hit").cast("double") / col("n_candidates"), 4))
+          .otherwise(1.0).as("precision"))
+      .orderBy("bands")
+  }
+
   /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over
     * [[dupClusters]] — (cluster size → how many clusters), plus the doc
     * and removal totals each size bucket contributes under a

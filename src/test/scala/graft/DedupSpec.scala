@@ -235,6 +235,21 @@ class DedupSpec extends SparkSpecBase {
     assert(r === 1.0 && p === 1.0, s"minhash drifted from the exact set: $rows")
   }
 
+  test("band tuning walks the LSH s-curve: more bands -> recall up, precision down-or-equal") {
+    val rows = Dedup.minhashBandTuning(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    rows.foreach { case (b, rpb, _, _, _, _) => assert(b * rpb === 128L) }
+    // candidate volume and recall are monotone non-decreasing in bands
+    val cands = rows.map(_._3); val recalls = rows.map(_._5)
+    assert(cands.toSeq === cands.sorted.toSeq, s"candidates not monotone: ${cands.toSeq}")
+    assert(recalls.toSeq === recalls.sorted.toSeq, s"recall not monotone: ${recalls.toSeq}")
+    // the production config (32, 4) must hold the tier's recall floor
+    val r32 = rows.find(_._1 == 32L).get
+    assert(r32._5 >= 0.99, s"b32r4 candidate recall ${r32._5}")
+  }
+
   test("attrition funnel is monotone and consistent with the cluster histogram") {
     val r = Dedup.attritionFunnel(spark, sf).head()
     val (nIn, nExact, nNear) = (r.getLong(0), r.getLong(1), r.getLong(2))

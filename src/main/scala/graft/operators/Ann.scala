@@ -129,6 +129,34 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF LIST-BALANCE AUDIT — the maintenance trigger behind
+    * [[graft.api.AnnIndex]]'s "quantizer fixed until the imbalance
+    * audit says rebuild" contract, as data: per-list member counts from
+    * the SAME memoized quantizer the serving path probes, plus the
+    * skew statistics an operator alarms on (max/mean imbalance factor,
+    * largest-list share). An imbalanced quantizer makes nprobe recall
+    * collapse (hot lists swallow the corpus, probes miss it) and
+    * makes one task the straggler of every probe scan — this report is
+    * how a deployment notices BEFORE recall does. One corpus map pass
+    * (argmin against broadcast centroids) + an nlist-row aggregate.
+    */
+  def ivfBalance(s: SparkSession, d: String, nlist: Int = 16,
+                 iters: Int = 3): DataFrame = {
+    val (corpus, _) = corpusAndQueries(s, d)
+    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
+    val sizes = corpus
+      .select(nearestCentroidId(col("vec"), cents).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val total = sizes.agg(sum("n_vectors").as("total"),
+      count(lit(1)).as("n_lists"), max("n_vectors").as("mx"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vectors"),
+        bround(col("n_vectors") * col("n_lists") / col("total").cast("double"), 4)
+          .as("imbalance"),
+        bround(col("mx") / col("total").cast("double"), 4).as("max_list_share"))
+      .orderBy(col("n_vectors").desc, col("cid"))
+  }
+
   /** `nBits` seeded pseudo-random hyperplanes (unit-free — sign only). */
   private def hyperplanes(dim: Int, nBits: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

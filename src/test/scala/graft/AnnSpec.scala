@@ -248,4 +248,21 @@ class AnnSpec extends SparkSpecBase {
     Seq("brute", "graph", "ivf", "lsh").foreach(t => assert(nq(t) === 10L))
     Seq("sq", "bq", "mrl", "pq", "ivfpq").foreach(t => assert(nq(t) === 5L))
   }
+
+  test("ivf balance audit accounts for every vector with consistent skew stats") {
+    val rows = Ann.ivfBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val corpusN = Tables.embeddings(spark, sf).count() - 10 // minus query batch
+    assert(rows.map(_._2).sum === corpusN, "every vector in exactly one list")
+    // imbalance = n_vectors * n_lists / total: mean over lists is 1 by
+    // construction; max row's imbalance must match max_list_share * n_lists
+    val nLists = rows.length
+    val top = rows.maxBy(_._2)
+    assert(math.abs(top._3 - top._4 * nLists) < 1e-2)
+    rows.foreach { case (_, n, imb, share) =>
+      assert(n > 0 && imb > 0 && share > 0 && share <= 1.0)
+    }
+    // rows ordered largest list first (the alarm reads the top row)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+  }
 }

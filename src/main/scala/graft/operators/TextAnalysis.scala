@@ -410,9 +410,17 @@ object TextAnalysis {
     * semantics ([a,a,a] under (a,a) → [aa, a]).
     */
   def bpeTrain(s: SparkSession, d: String, nMerges: Int = 10,
-               minPairCount: Long = 2): DataFrame = {
+               minPairCount: Long = 2): DataFrame =
+    bpeTrainOf(Tables.documents(s, d), nMerges, minPairCount)
+
+  /** [[bpeTrain]] over an arbitrary (doc_id, text) relation — the
+    * [[graft.api.Tokenizer]] training surface.
+    */
+  def bpeTrainOf(docs: DataFrame, nMerges: Int = 10,
+                 minPairCount: Long = 2): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    var words = Tables.documents(s, d)
+    var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("toks"), col("freq"))
@@ -481,16 +489,26 @@ object TextAnalysis {
   def bpeEncode(s: SparkSession, d: String, nMerges: Int = 10,
                 minPairCount: Long = 2): DataFrame = {
     val merges = bpeTrain(s, d, nMerges, minPairCount).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeOf(Tables.documents(s, d), merges)
+  }
+
+  /** [[bpeEncode]] with an already-trained merge list over an arbitrary
+    * (doc_id, text) relation — the [[graft.api.Tokenizer]] apply
+    * surface (a persisted tokenizer encodes corpora it never trained
+    * on).
+    */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val toks = merges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) {
       case (c, (l, r)) => mergeFold(c, l, r)
     }
-    val vocab = Tables.documents(s, d)
+    val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .filter(length(col("w")) > 0).distinct()
       .select(col("w"), size(toks).as("n_toks"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .join(vocab, "w")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
@@ -527,6 +545,11 @@ object TextAnalysis {
       }
       i += 1
     }
+    // UNREACHABLE fallback: training guarantees single-char coverage of
+    // its OWN corpus, but a persisted tokenizer may encode text whose
+    // characters it never saw — such a word has no path and becomes one
+    // <unk>-style whole-word token (the standard OOV convention)
+    if (best(n) == Double.NegativeInfinity) return Seq(w)
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var k = n
     while (k > 0) { val j = back(k); out.prepend(w.substring(j, k)); k = j }
@@ -560,9 +583,18 @@ object TextAnalysis {
     */
   def unigramTrain(s: SparkSession, d: String, vocabSize: Int = 120,
                    maxPieceLen: Int = 4, nIter: Int = 3,
-                   seedSize: Int = 400): DataFrame = {
+                   seedSize: Int = 400): DataFrame =
+    unigramTrainOf(Tables.documents(s, d), vocabSize, maxPieceLen, nIter, seedSize)
+
+  /** [[unigramTrain]] over an arbitrary (doc_id, text) relation — the
+    * [[graft.api.Tokenizer]] training surface.
+    */
+  def unigramTrainOf(docs: DataFrame, vocabSize: Int = 120,
+                     maxPieceLen: Int = 4, nIter: Int = 3,
+                     seedSize: Int = 400): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val words = Tables.documents(s, d)
+    val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -619,9 +651,20 @@ object TextAnalysis {
   def unigramEncode(s: SparkSession, d: String, vocabSize: Int = 120,
                     maxPieceLen: Int = 4, nIter: Int = 3,
                     seedSize: Int = 400): DataFrame = {
+    val pieces = unigramTrain(s, d, vocabSize, maxPieceLen, nIter, seedSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    unigramEncodeOf(Tables.documents(s, d), pieces, maxPieceLen)
+  }
+
+  /** [[unigramEncode]] with an already-trained piece table over an
+    * arbitrary (doc_id, text) relation — the [[graft.api.Tokenizer]]
+    * apply surface.
+    */
+  def unigramEncodeOf(docs: DataFrame, pieces: Seq[(String, Long)],
+                      maxPieceLen: Int = 4): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val rows = unigramTrain(s, d, vocabSize, maxPieceLen, nIter, seedSize)
-      .collect().map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
+    val rows = pieces.map { case (p, n) => p -> math.max(n, 1L) }
     // NORMALIZED log-probs, exactly as training scores them: candidate
     // segmentations differ in piece COUNT, so an unnormalized weight
     // table would shift paths by (count · log total) and change the
@@ -630,13 +673,13 @@ object TextAnalysis {
     val logp = rows.map { case (p, n) => p -> math.log(n / total) }.toMap
     val bc = s.sparkContext.broadcast(logp)
     val maxLen = maxPieceLen
-    val vocab = Tables.documents(s, d)
+    val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0).distinct()
       .as[String]
       .map(w => (w, viterbiSegment(w, maxLen, bc.value).length.toLong))
       .toDF("w", "n_toks")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .join(vocab, "w")

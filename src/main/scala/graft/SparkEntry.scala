@@ -65,6 +65,7 @@ object SparkEntry {
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "text_unigram_train" -> ((s: SparkSession, d: String) => TextAnalysis.unigramTrain(s, d)),
     "text_unigram_encode" -> ((s: SparkSession, d: String) => TextAnalysis.unigramEncode(s, d)),
+    "docs_pagerank" -> ((s: SparkSession, d: String) => TextAnalysis.docsPagerank(s, d)),
     "docs_shard_export" -> ((s: SparkSession, d: String) => TextAnalysis.shardExport(s, d)),
     "docs_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "docs_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),

@@ -690,6 +690,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DOCUMENT PAGERANK over the near-duplicate similarity graph
+    * (winnowing match pairs as undirected edges): the graph-centrality
+    * view of corpus redundancy — a doc sharing fingerprints with many
+    * well-connected docs is template/boilerplate-central, and
+    * importance-weighted curation samples AGAINST high centrality
+    * (the sibling signal to [[Dedup.dedupClusterStats]]' size
+    * histogram). Classic damped PageRank with uniform teleport and
+    * dangling-mass redistribution.
+    *
+    * Scale shape — the standard distributed PageRank: ranks live in a
+    * (doc, pr) relation re-derived per iteration (localCheckpoint
+    * truncates lineage, the [[bpeTrain]] discipline); each iteration
+    * is one edges⋈ranks join whose messages PARTIAL-AGGREGATE map-side
+    * before the doc-keyed exchange, plus one scalar dangling-mass
+    * aggregate. Nothing driver-sized but the scalar; at 100 TB the
+    * edge relation partitions by src like any fact table. Doubles are
+    * deterministic here because every per-node message sum is over the
+    * node's neighbor list ONLY (≤ degree terms; spec compares against
+    * a driver reference at 1e-9).
+    */
+  def docsPagerank(s: SparkSession, d: String, damping: Double = 0.85,
+                   nIter: Int = 10, minShared: Int = 2,
+                   topN: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id")).localCheckpoint()
+    val n = docs.count()
+    val pairs = winnowMatches(s, d, minShared).select("ia", "ib")
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = docs.select(col("doc_id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    for (_ <- 1 to nIter) {
+      val msgs = pr
+        .join(edges, col("doc_id") === col("src"))
+        .join(outdeg, "src")
+        .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("m"))
+        .groupBy("doc_id").agg(sum("m").as("in_m"))
+      val dangling = pr
+        .join(outdeg, col("doc_id") === col("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      pr = docs
+        .join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("in_m"), lit(0.0)) + lit(dangling / n))).as("pr"))
+        .localCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("pr").desc, col("doc_id").asc)
+    pr.orderBy(col("pr").desc, col("doc_id").asc).limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), round(col("pr") * 1e6, 4).as("ppm"))
+      .orderBy("rank")
+  }
+
   /** TRAINING-SHARD EXPORT PLAN — the write-side of a 100 TB training
     * run: every document is assigned a deterministic pseudo-random shard
     * by content-independent hash (md5 of the stable doc_id, so the

@@ -342,6 +342,36 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.map(_._3).sum < got.map(_._4).sum)
   }
 
+  test("docsPagerank matches a driver-side reference and concentrates on matched docs") {
+    val (damping, nIter, minShared, topN) = (0.85, 10, 2, 50)
+    val nDocs = Tables.documents(spark, sf).count()
+    val pairs = TextAnalysis.winnowMatches(spark, sf, minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val adj = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val allDocs = Tables.documents(spark, sf).collect().map(_.getLong(0)).sorted
+    var pr = allDocs.map(_ -> 1.0 / nDocs).toMap
+    for (_ <- 1 to nIter) {
+      val dangling = allDocs.filterNot(outdeg.contains).map(pr).sum
+      pr = allDocs.map { doc =>
+        val in = adj.getOrElse(doc, Nil).map(s => pr(s) / outdeg(s)).sum
+        doc -> ((1 - damping) / nDocs + damping * (in + dangling / nDocs))
+      }.toMap
+    }
+    val expected = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(topN)
+    val got = TextAnalysis.docsPagerank(spark, sf, damping, nIter, minShared, topN)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // same ranking, scores within numeric tolerance of the reference
+    assert(got.map(_._1).toSeq === expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, ppm), (_, p)) =>
+      assert(math.abs(ppm - p * 1e6) < 1e-2, s"$ppm vs ${p * 1e6}")
+    }
+    // centrality concentrates on the similarity graph's members
+    val matched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    if (matched.nonEmpty) assert(matched.contains(got.head._1))
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

@@ -27,7 +27,8 @@ object CuratePipeline {
   case class Report(nInput: Long, nAfterQuality: Long, nAfterExactDedup: Long,
                     nAfterNearDedup: Long, nAfterWinnow: Long,
                     nAfterBoilerplate: Long,
-                    nAfterDecontam: Long, nSampled: Long)
+                    nAfterDecontam: Long, nSampled: Long,
+                    tokenBudget: Option[Long] = None)
 
   def curate(s: SparkSession, d: String, outPath: String,
              minWords: Int = 5, minUniqRatio: Double = 0.1,
@@ -36,7 +37,8 @@ object CuratePipeline {
              piiPattern: Option[String] = None, piiMask: String = "<MASK>",
              maxDupNgramRatio: Double = 1.0,
              gopherGate: Boolean = false,
-             winnowMinShared: Int = 0): Report = {
+             winnowMinShared: Int = 0,
+             tokenizer: Option[Tokenizer] = None): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
     // masked) applied before anything downstream of `docs` touches the
@@ -139,8 +141,19 @@ object CuratePipeline {
     sampled.repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
+    // 7. token budget (optional) — the number the training run actually
+    // plans around: total subword tokens of the CURATED output under a
+    // persisted [[Tokenizer]] artifact (so two pipelines sharing the
+    // artifact report comparable budgets). Encoding runs over the
+    // curated slice's distinct-word vocabulary — one extra
+    // vocabulary-sized pass, not a corpus re-read.
+    val tokenBudget = tokenizer.map { t =>
+      t.encode(sampled.select("doc_id", "text"))
+        .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    }
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
-    Report(nInput, nQuality, nExact, nNear, nWinnow, nBoiler, nDecontam, nSampled)
+    Report(nInput, nQuality, nExact, nNear, nWinnow, nBoiler, nDecontam,
+      nSampled, tokenBudget)
   }
 
   /** The full switch-over flow: curate a raw corpus, CHUNK the curated

@@ -89,8 +89,8 @@ class GraphIndex private (spark: SparkSession, path: String) {
       case Some(p) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        def attempt(kk: Int, beamW: Int): DataFrame = {
-          val (ranked, _) = Ann.beamSearch(emb, edges, entries, queries, kk, beamW, hops)
+        def attempt(qs: DataFrame, kk: Int, beamW: Int): DataFrame = {
+          val (ranked, _) = Ann.beamSearch(emb, edges, entries, qs, kk, beamW, hops)
           ranked.join(vectors.drop("vec"), "vec_id").filter(p)
             .withColumn("rank", row_number().over(w).cast("long"))
             .filter(col("rank") <= k)
@@ -99,30 +99,40 @@ class GraphIndex private (spark: SparkSession, path: String) {
         def satisfied(df: DataFrame): DataFrame = df
           .groupBy("query_id").agg(count(lit(1)).as("n"))
           .filter(col("n") >= k).select("query_id")
-        val nq = queries.count()
+        // widen PER PENDING QUERY: per-query rankings are independent,
+        // so re-running already-satisfied queries at the widened cost
+        // would produce identical rows for strictly more work — only
+        // the still-short subset rides each widening round
         var kk = math.max(k * 4, beam); var beamW = beam
-        var res = attempt(kk, beamW)
+        var res = attempt(queries, kk, beamW)
+        var done = res.join(broadcast(satisfied(res)), Seq("query_id"), "left_semi")
+          .localCheckpoint()
+        var pending = queries.join(satisfied(res), Seq("query_id"), "left_anti")
+          .localCheckpoint()
         var widen = 0
-        while (satisfied(res).count() < nq && widen < 2) {
+        while (pending.count() > 0 && widen < 2) {
           kk *= 4; beamW *= 2; widen += 1
-          res = attempt(kk, beamW)
+          val r2 = attempt(pending, kk, beamW)
+          val sat2 = satisfied(r2)
+          done = done.union(r2.join(broadcast(sat2), Seq("query_id"), "left_semi"))
+            .localCheckpoint()
+          pending = pending.join(sat2, Seq("query_id"), "left_anti")
+            .localCheckpoint()
         }
-        val sat = satisfied(res)
-        if (sat.count() < nq) {
+        if (pending.count() > 0) {
           // brute-force fallback over the matching slice for the
           // still-short queries (scores mirror the beam path's
           // round-6-then-4 discipline, so merged pages rank coherently)
-          val shortQ = queries.join(sat, Seq("query_id"), "left_anti")
           val brute = vectors.filter(p).select(col("vec_id"), col("vec"))
-            .crossJoin(broadcast(shortQ))
+            .crossJoin(broadcast(pending))
             .withColumn("cosine", round(round(
               graft.functions.Vectors.cosineSim(col("vec"), col("qvec")), 6), 4))
             .withColumn("rank", row_number().over(w).cast("long"))
             .filter(col("rank") <= k)
             .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-          res = res.join(broadcast(sat), Seq("query_id"), "left_semi").union(brute)
+          done = done.union(brute)
         }
-        res
+        done
       case None =>
         val kk = if (oversample) math.max(k * 4, beam) else k
         val (ranked, _) = Ann.beamSearch(emb, edges, entries, queries, kk, beam, hops)

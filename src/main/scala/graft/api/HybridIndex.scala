@@ -140,9 +140,24 @@ class HybridIndex private (spark: SparkSession, path: String) {
     * spec'd bit-for-bit against a from-scratch rebuild on the merged
     * corpus.
     */
-  def insertTo(newDocs: DataFrame, newVecs: DataFrame,
+  def insertTo(newDocs0: DataFrame, newVecs0: DataFrame,
                outPath: String): HybridIndex = {
     requireDistinctSnapshot(outPath)
+    // WITHIN-BATCH upsert collapse: a re-ingest batch may carry the
+    // same doc_id twice (old + corrected text). Without this, tf
+    // counts would SUM across both versions and doclens would carry
+    // duplicate rows — a snapshot no from-scratch rebuild reproduces.
+    // One deterministic winner per doc_id (greatest struct — stable
+    // under any partitioning; callers with a real version column
+    // should pre-filter to it).
+    def oneRowPerDoc(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(_ == "doc_id")
+      df.groupBy("doc_id")
+        .agg(max(struct(others.map(col): _*)).as("__s"))
+        .select(col("doc_id") +: others.map(c => col(s"__s.$c").as(c)): _*)
+    }
+    val newDocs = oneRowPerDoc(newDocs0)
+    val newVecs = oneRowPerDoc(newVecs0)
     val ids = newDocs.select("doc_id").distinct()
     val newToks = newDocs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))

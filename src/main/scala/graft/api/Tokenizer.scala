@@ -36,8 +36,12 @@ final class BpeTokenizer private[api] (val merges: Seq[(String, String)])
     TextAnalysis.bpeEncodeOf(docs, merges)
   override def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    merges.zipWithIndex
-      .map { case ((l, r), i) => (kind, i + 1L, l, r, 0L, 0L) }
+    // step-0 header row: a BPE model legitimately trained to ZERO
+    // merges (tiny corpus, high minPairCount) is a valid char-level
+    // tokenizer — without the header its artifact would be an empty
+    // parquet that load() cannot even discriminate
+    (Seq((kind, 0L, "", "", 0L, 0L)) ++ merges.zipWithIndex
+      .map { case ((l, r), i) => (kind, i + 1L, l, r, 0L, 0L) })
       .toDF("kind", "step", "left", "right", "n", "max_len")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -77,9 +81,10 @@ object Tokenizer {
 
   /** Open a persisted tokenizer; the `kind` column discriminates. */
   def load(spark: SparkSession, path: String): Tokenizer = {
-    val rows = spark.read.parquet(path).orderBy("step").collect()
-    require(rows.nonEmpty, s"empty tokenizer artifact at $path")
-    rows.head.getString(0) match {
+    val all = spark.read.parquet(path).orderBy("step").collect()
+    require(all.nonEmpty, s"empty tokenizer artifact at $path")
+    val rows = all.filter(_.getLong(1) > 0) // drop the BPE step-0 header
+    all.head.getString(0) match {
       case "bpe" =>
         new BpeTokenizer(rows.map(r => (r.getString(2), r.getString(3))).toSeq)
       case "unigram" =>

@@ -1112,7 +1112,10 @@ object Dedup {
     val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
     val sigs = minhashFromHashedRows(ex, 128).cache()
-    val truth = ngramJaccard(s, d, t).select("ia", "ib")
+    // truth MUST use the same shingle width the signatures hash —
+    // a w-gram candidate stage scored against default-width Jaccard
+    // truth would make the whole curve silently meaningless
+    val truth = ngramJaccard(s, d, t, w).select("ia", "ib")
       .withColumn("in_truth", lit(1L)).cache()
     val nTrue = truth.count()
     val tagged = configs.map { case (b, r) =>

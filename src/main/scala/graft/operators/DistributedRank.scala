@@ -64,8 +64,9 @@ object DistributedRank {
       totals(key) = totals.getOrElse(key, 0L) + r.getLong(group.size + 1)
     }
     val offSchema = StructType(
-      StructField("pid", IntegerType, nullable = false) +:
-        group.map(g => parted.schema(g)) :+
+      StructField("__opid", IntegerType, nullable = false) +:
+        group.zipWithIndex.map { case (g, i) =>
+          parted.schema(g).copy(name = s"__og$i") } :+
         StructField(s"__${out}_off", LongType, nullable = false) :+
         StructField(totalOut, LongType, nullable = false))
     val offRows = offsets.toSeq.map { case (pid, key, off) =>
@@ -73,10 +74,15 @@ object DistributedRank {
     }
     val offs = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema))
+    // NULL-SAFE group-key match: SQL window semantics rank the NULL
+    // group like any other, and a USING-join would silently DROP every
+    // null-keyed row instead (<=> keeps them)
+    val cond = (col("pid") === col("__opid")) +: group.zipWithIndex.map {
+      case (g, i) => col(g) <=> col(s"__og$i") }
     val localW = Window.partitionBy(("pid" +: group).map(col): _*).orderBy(order: _*)
-    parted.join(offs, "pid" +: group)
+    parted.join(offs, cond.reduce(_ && _))
       .withColumn(out, row_number().over(localW) + col(s"__${out}_off"))
-      .drop(s"__${out}_off")
+      .drop(s"__${out}_off" +: "__opid" +: group.indices.map(i => s"__og$i"): _*)
   }
 
   /** Exact global INCLUSIVE running DECIMAL sum of `value` in `order`
@@ -88,6 +94,15 @@ object DistributedRank {
     */
   def prefixSumDecimal(df: DataFrame, value: String, order: Seq[Column],
                        out: String): (DataFrame, BigDecimal) = {
+    // the offset column must carry the INPUT's decimal scale — a fixed
+    // scale-4 cast would silently round a higher-scale value column's
+    // offsets at every partition boundary, breaking the exactness
+    // contract
+    val inScale = df.schema(value).dataType match {
+      case dt: DecimalType => dt.scale
+      case t => throw new IllegalArgumentException(
+        s"prefixSumDecimal needs a DECIMAL value column, got $t for '$value'")
+    }
     val parted = pinnedByRange(df, order)
     val psums = parted.groupBy("pid").agg(sum(value).as("psum"))
       .orderBy("pid").collect()
@@ -99,7 +114,7 @@ object DistributedRank {
     val spark = df.sparkSession
     import spark.implicits._
     val offs = broadcast(offsets.toDF("pid", "__off")
-      .select(col("pid"), col("__off").cast("decimal(38,4)").as("__off")))
+      .select(col("pid"), col("__off").cast(s"decimal(38,$inScale)").as("__off")))
     val localW = Window.partitionBy("pid").orderBy(order: _*)
     val res = parted.join(offs, "pid")
       .withColumn(out, sum(value).over(localW) + col("__off"))

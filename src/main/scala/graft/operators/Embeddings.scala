@@ -406,15 +406,30 @@ object Embeddings {
     * the whole two-stage search is DuckDB-oracle-checkable (plus a
     * recall spec against the uncompressed brute force).
     */
+  /** Per-snapshot memo of the SQ per-dim (lo, range) bounds — the
+    * persisted quantizer state every sq call shares (dim doubles, the
+    * centroid size class). Without it each single-query call re-ran a
+    * full-corpus posexplode aggregate — 4 redundant corpus scans per
+    * 5-query `ann_recall_eval` batch.
+    */
+  private val sqBoundsMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Array[Double], Array[Double])]
+
+  private def sqBounds(s: SparkSession, d: String,
+                       emb: DataFrame): (Array[Double], Array[Double]) =
+    sqBoundsMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val b = emb.select(posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+        .orderBy("dim").collect()
+      (b.map(_.getDouble(1)),
+        b.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-300)))
+    })
+
   def sqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
                      k: Int = 10, rerank: Int = 50): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val b = emb.select(posexplode(col("vec")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
-      .orderBy("dim").collect()
-    val lo = b.map(_.getDouble(1))
-    val rng = b.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-300))
+    val (lo, rng) = sqBounds(s, d, emb)
     // reconstruct: code = floor((v-lo)/rng*256) clamped; v' = lo +
     // (code+0.5)/256*rng — ONE fused codegen pass (the zip_with chain
     // evaluated four interpreted lambdas per row; identical double

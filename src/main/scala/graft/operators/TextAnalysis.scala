@@ -599,14 +599,22 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].localCheckpoint()
-    // seed: frequent substrings (freq-weighted), all single chars kept
-    val seedCounts = words.flatMap { case (w, f) =>
+    // seed: frequent substrings (freq-weighted), all single chars kept.
+    // The substring table is collected ONLY after two driver-bounded
+    // cuts — the top-seedSize TakeOrdered and the alphabet-sized char
+    // set — never whole (the full table is |vocab|·len·maxPieceLen
+    // rows, a driver OOM at the 100 TB operating point)
+    val seedAll = words.flatMap { case (w, f) =>
       for {
         i <- 0 until w.length
         l <- 1 to math.min(maxPieceLen, w.length - i)
       } yield (w.substring(i, i + l), f)
-    }.groupBy("_1").agg(sum("_2").as("n")).as[(String, Long)].collect()
-    val charSet = seedCounts.collect { case (p, _) if p.length == 1 => p }.toSet
+    }.groupBy("_1").agg(sum("_2").as("n"))
+    val charSet = seedAll.filter(length(col("_1")) === 1)
+      .select("_1").as[String].collect().toSet
+    val seedCounts = seedAll
+      .orderBy(col("n").desc, col("_1"))
+      .limit(seedSize).as[(String, Long)].collect()
     // coverage invariant: every single char survives every prune (count
     // 0 if the current Viterbi pass stopped using it); multi-char
     // pieces compete for the remaining budget by (count desc, piece)
@@ -617,8 +625,7 @@ object TextAnalysis {
         .take(math.max(vocabSize - chars.size, 0))
       chars ++ multi
     }
-    var pieces = budget(seedCounts.toSeq.sortBy { case (p, n) => (-n, p) }
-      .take(seedSize).toMap)
+    var pieces = budget(seedCounts.toMap) // already the top-seedSize cut
     for (_ <- 1 to nIter) {
       // smoothing floor: zero-count survivors (chars) score as count 1
       // so Viterbi can still route through them when needed

@@ -66,9 +66,21 @@ if json_out:
     doc = {}
     for k, v in sorted(results.items()):
         passed = v.startswith("OK")
+        # flags are null when the corresponding comparison never ran
+        # (e.g. ORACLE-FAIL aborts before any row/schema check)
+        if passed:
+            rows, schema = True, True
+        elif v.startswith("SCHEMA-MISMATCH"):
+            rows, schema = None, False
+        elif v.startswith("ROWCOUNT"):
+            rows, schema = False, True
+        elif v.startswith("VALUE-MISMATCH"):
+            rows, schema = True, True
+        else:  # NO-SPARK-RESULT / ORACLE-FAIL: nothing was compared
+            rows, schema = None, None
         doc[k] = {
-            "rows_match": passed or not v.startswith("ROWCOUNT"),
-            "schema_match": passed or not v.startswith("SCHEMA-MISMATCH"),
+            "rows_match": rows,
+            "schema_match": schema,
             "hash_match": passed,
             "err": None if passed else v,
         }

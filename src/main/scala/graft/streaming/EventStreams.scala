@@ -118,6 +118,26 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("hour"), col("approx_users"), col("n_events"))
 
+  /** Streaming MERGEABLE-SKETCH maintenance — the ingest half of
+    * `events_hll_daily`'s sketch-as-data architecture: per-day
+    * DataSketches HLL user sketches maintained incrementally as events
+    * arrive (update mode re-emits a day's sketch as its binary grows;
+    * the watermark closes and evicts day state). The emitted BLOBS are
+    * the product: a batch reader unions them for any later range
+    * query without touching raw events, and union-of-daily-sketches ≡
+    * whole-stream sketch exactly (deterministic sketch algebra — the
+    * batch spec's mergeability property carries over). State per open
+    * day is one sketch, KBs — never user ids.
+    */
+  def hllDailyStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("sk"),
+        hll_sketch_estimate(col("sk")).as("day_users"), col("n_events"))
+
   /** Streaming exact dedup: drop events whose dedup key was already seen
     * within the watermark horizon — the streaming twin of Dedup.exact
     * (training pipelines dedup the firehose before it lands). State is

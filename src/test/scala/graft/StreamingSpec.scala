@@ -3,6 +3,7 @@ package graft
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -165,6 +166,35 @@ class StreamingSpec extends SparkSpecBase {
       assert(math.abs(rows.head._2 - 40L) <= 2, s"hour1: ${rows.head}")
       assert(rows.head._3 === 80L)
       assert(math.abs(rows.last._2 - 5L) <= 1, s"hour2: ${rows.last}")
+    } finally q.stop()
+  }
+
+  test("hllDailyStream maintains mergeable day sketches whose blobs union like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hllDailyStream(input.toDF())
+      .writeStream.format("memory").queryName("hlld")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // day 1: users 1..30; day 2 (ts + 24h): users 21..40
+      val d1 = (1 to 30).map(u => Event(u.toLong, ts(u % 50), u, "click", 1.0))
+      val d2 = (21 to 40).map(u => Event(100L + u, ts(u % 50 + 24 * 60), u, "view", 1.0))
+      input.addData(d1 ++ d2)
+      q.processAllAvailable()
+      val rows = spark.table("hlld").collect()
+        .map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1.getTime)
+      assert(rows.length === 2)
+      assert(math.abs(rows.head._3 - 30L) <= 2 && rows.head._4 === 30L)
+      assert(math.abs(rows.last._3 - 20L) <= 2 && rows.last._4 === 20L)
+      // the emitted BLOBS are the product: union them batch-side and
+      // the estimate equals a direct whole-stream sketch (mergeability)
+      import spark.implicits._
+      val fromBlobs = rows.map(_._2).toSeq.toDF("sk")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+      val direct = (d1 ++ d2).map(_.user_id).toDF("user_id")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+      assert(fromBlobs === direct)
     } finally q.stop()
   }
 

@@ -727,6 +727,14 @@ object TextAnalysis {
       .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // the dangling NODE SET is static — computed once; its per-
+    // iteration mass rides as a lazy one-row broadcast inside the rank
+    // update, so each iteration is ONE job (the localCheckpoint
+    // materialization), not a job + a driver-scalar action
+    val danglingNodes = docs
+      .join(outdeg, col("doc_id") === col("src"), "left_anti")
+      .select("doc_id").localCheckpoint()
     var pr = docs.select(col("doc_id"), lit(1.0 / n).as("pr")).localCheckpoint()
     for (_ <- 1 to nIter) {
       val msgs = pr
@@ -734,14 +742,15 @@ object TextAnalysis {
         .join(outdeg, "src")
         .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("m"))
         .groupBy("doc_id").agg(sum("m").as("in_m"))
-      val dangling = pr
-        .join(outdeg, col("doc_id") === col("src"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      val danglingMass = pr
+        .join(broadcast(danglingNodes), Seq("doc_id"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
       pr = docs
         .join(msgs, Seq("doc_id"), "left")
+        .crossJoin(broadcast(danglingMass))
         .select(col("doc_id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("in_m"), lit(0.0)) + lit(dangling / n))).as("pr"))
+            (coalesce(col("in_m"), lit(0.0)) + col("dm") / n)).as("pr"))
         .localCheckpoint()
     }
     val w = org.apache.spark.sql.expressions.Window

@@ -154,6 +154,7 @@ object SparkEntry {
     "emb_centroid_drift" -> Embeddings.centroidDrift _,
     "events_attribution" -> Relational.eventsAttribution _,
     "parts_abc_analysis" -> Relational.partsAbcAnalysis _,
+    "keys_partition_plan" -> ((s: SparkSession, d: String) => Relational.keysPartitionPlan(s, d)),
     "events_dau_wau" -> Relational.eventsDauWau _,
     "text_doc_sim_topk" -> ((s: SparkSession, d: String) => TextAnalysis.docSimTopK(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.bpePairs(s, d)),
@@ -687,6 +688,23 @@ object SparkEntry {
          |  heavy AS (SELECT CAST(coalesce(sum(nk), 0) AS BIGINT) AS n_heavy_keys
          |    FROM hist, tot WHERE cnt * n_keys > n_rows * 2)
          |  SELECT * FROM tot, p95, heavy)""".stripMargin
+    }.mkString("", " UNION ALL ", " ORDER BY key_name"),
+    "keys_partition_plan" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS key_name, n_rows, n_keys,
+         |  round(max_cnt * CAST(n_keys AS DOUBLE) / n_rows, 4) AS skew_ratio,
+         |  greatest(1, CAST(ceil(CAST(n_rows AS DOUBLE) / 10000) AS BIGINT))
+         |    AS rec_partitions,
+         |  greatest(1, CAST(ceil(CAST(max_cnt AS DOUBLE) / 10000) AS BIGINT))
+         |    AS rec_salt,
+         |  max_cnt > p95_cnt * 5 AS aqe_skew_trigger
+         |FROM (
+         |  WITH pk AS (SELECT $k, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |  hist AS (SELECT cnt, count(*) AS nk FROM pk GROUP BY 1),
+         |  tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+         |    CAST(sum(cnt * nk) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM hist),
+         |  cum AS (SELECT cnt, nk, CAST(sum(nk) OVER (ORDER BY cnt) AS BIGINT) AS cum FROM hist),
+         |  p95 AS (SELECT min(cnt) AS p95_cnt FROM cum, tot WHERE cum >= ceil(n_keys * 0.95))
+         |  SELECT * FROM tot, p95)""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY key_name"),
     "part_skyline" ->
       """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size::BIGINT AS size FROM part)

@@ -1313,6 +1313,38 @@ object Relational {
       .orderBy("key_name")
   }
 
+  /** PARTITION PLANNER — [[keysSkewAudit]]'s actionable half: turn the
+    * per-key load profile into the three knobs a 100 TB job actually
+    * sets, as data. Per join/aggregation key: `rec_partitions` =
+    * ceil(rows / targetRows) (size the exchange so a task holds
+    * ~targetRows), `rec_salt` = ceil(max_cnt / targetRows) (how many
+    * target-sized tasks the HEAVIEST key alone fills — the salting
+    * fan-out that caps any single task at the target even if one key
+    * is half the table), and `aqe_skew_trigger` = max_cnt > 5×p95
+    * (Spark's own skewedPartitionFactor default — whether AQE's skew
+    * splitter would fire without manual salting). Pure arithmetic over
+    * the audit's histogram-reduced row, so the report costs nothing
+    * beyond the audit.
+    */
+  def keysPartitionPlan(s: SparkSession, d: String,
+                        targetRows: Long = 10000L): DataFrame =
+    partitionPlanOf(keysSkewAudit(s, d), targetRows)
+
+  /** [[keysPartitionPlan]] over any [[keysSkewAudit]]-shaped audit
+    * relation (the spec drives it with a synthetic skewed profile).
+    */
+  def partitionPlanOf(audit: DataFrame, targetRows: Long): DataFrame =
+    audit.select(col("key_name"), col("n_rows"), col("n_keys"),
+      col("skew_ratio"),
+      greatest(lit(1L),
+        ceil(col("n_rows").cast("double") / targetRows).cast("long"))
+        .as("rec_partitions"),
+      greatest(lit(1L),
+        ceil(col("max_cnt").cast("double") / targetRows).cast("long"))
+        .as("rec_salt"),
+      (col("max_cnt") > col("p95_cnt") * 5).as("aqe_skew_trigger"))
+      .orderBy("key_name")
+
   /** SKYLINE (Pareto-optimal) query over parts: the set not dominated on
     * (minimize retailprice, minimize size) — q dominates p iff q is ≤ p
     * on both dimensions and strictly < on at least one; points tied on

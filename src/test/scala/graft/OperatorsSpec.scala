@@ -372,6 +372,30 @@ class OperatorsSpec extends SparkSpecBase {
     if (matched.nonEmpty) assert(matched.contains(got.head._1))
   }
 
+  test("partition plan turns a skewed audit profile into the right knobs") {
+    import spark.implicits._
+    // synthetic profiles: uniform key, and one key holding half the table
+    val audit = Seq(
+      ("uniform", 1000000L, 100000L, 12L, 10L, 1.2),
+      ("skewed", 1000000L, 1000L, 500000L, 600L, 500.0))
+      .toDF("key_name", "n_rows", "n_keys", "max_cnt", "p95_cnt", "skew_ratio")
+    val plan = Relational.partitionPlanOf(audit, targetRows = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // both keys size the exchange to 100 target-row tasks
+    assert(plan("uniform")._1 === 100L && plan("skewed")._1 === 100L)
+    // uniform: no salting, no AQE trigger (12 <= 5 * 10)
+    assert(plan("uniform")._2 === 1L && !plan("uniform")._3)
+    // skewed: the 500k-row key alone fills 50 target tasks -> salt 50,
+    // and AQE's 5x-p95 splitter would fire
+    assert(plan("skewed")._2 === 50L && plan("skewed")._3)
+    // the (s, d) wrapper runs over the real audit and keeps its keys
+    val real = Relational.keysPartitionPlan(spark, sf).collect()
+    assert(real.map(_.getString(0)).sorted.toSeq ===
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    real.foreach(r => assert(r.getLong(4) >= 1L && r.getLong(5) >= 1L))
+  }
+
   test("cdc chunk boundaries re-synchronize after an edit (the CDC property)") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok${i * 37 % 101}").mkString(" ")

@@ -217,6 +217,7 @@ object SparkEntry {
     "mm_dedup_bytes" -> Multimodal.dedupBytes _,
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "mm_phash_clusters" -> ((s: SparkSession, d: String) => Multimodal.phashClusters(s, d)),
+    "mm_phash_search" -> ((s: SparkSession, d: String) => Multimodal.phashSearch(s, d)),
     "vs_snapshot_diff" -> VectorStore.snapshotDiff _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d))
   )
@@ -1649,6 +1650,14 @@ object SparkEntry {
       s"""WITH $PHASH_CTE
          |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""".stripMargin,
+    "mm_phash_search" ->
+      s"""WITH $PHASH_CTE,
+         |q AS (SELECT sig AS qs FROM sigs WHERE doc_id = 1),
+         |m AS (SELECT s.doc_id, CAST(bit_count(xor(s.sig, q.qs)) AS BIGINT) AS hamming
+         |  FROM sigs s, q WHERE s.doc_id <> 1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY hamming ASC, doc_id ASC) AS rank
+         |  FROM m)
+         |SELECT rank, doc_id, hamming FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "mm_phash_clusters" ->
       s"""WITH RECURSIVE $PHASH_CTE,
          |p AS (SELECT ia, ib FROM cand WHERE bit_count(xor(sa, sb)) <= 8),

@@ -236,7 +236,11 @@ object Multimodal {
     * exact 64-bit hamming verify runs on the candidate pairs alone.
     * Payloads never shuffle.
     */
-  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+  /** The (doc_id, sig) perceptual-hash relation over the planted
+    * re-upload corpus — shared by the dedup join, the cluster builder,
+    * and [[phashSearch]].
+    */
+  private def phashSigs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .filter(length(col("text")) >= 64).select("doc_id", "text")
     // planted corrupted re-uploads: doc j (j%10=0) re-posts doc j-1's
@@ -247,8 +251,12 @@ object Multimodal {
         concat(upper(substring(col("o.text"), 1, 5)),
           substring(col("o.text"), 6, Int.MaxValue)).as("text"))
     val media = base.filter(col("doc_id") % 10 =!= 0).unionByName(copies)
-    val sigs = media.select(col("doc_id"),
+    media.select(col("doc_id"),
       graft.functions.Vectors.phash64(col("text")).as("sig"))
+  }
+
+  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    val sigs = phashSigs(s, d)
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -266,6 +274,32 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming"))
       .orderBy("ia", "ib")
+  }
+
+  /** REVERSE-IMAGE SEARCH by perceptual hash — the query half of the
+    * pHash family (dedup finds all pairs; this answers "which assets
+    * match THIS image"): the query doc's 64-bit fingerprint ranks the
+    * whole asset table by hamming distance, k best returned. One map
+    * pass over the (doc_id, sig) relation — 8 bytes per asset, the
+    * 64×-smaller-than-payload scan — plus a k-row TakeOrdered; the
+    * media bytes never shuffle, never even load past the fingerprint
+    * column. At index scale the [[phashDedup]] band buckets serve as
+    * the candidate prefilter; the exact-hamming scan here is the
+    * verify tier and the small-corpus path.
+    */
+  def phashSearch(s: SparkSession, d: String, queryDocId: Long = 1,
+                  k: Int = 10): DataFrame = {
+    val sigs = phashSigs(s, d)
+    val q = sigs.filter(col("doc_id") === queryDocId).head().getLong(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("hamming").asc, col("doc_id").asc)
+    sigs.filter(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"),
+        bit_count(col("sig").bitwiseXOR(lit(q))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("hamming"))
+      .orderBy("rank")
   }
 
   /** ASSET clusters over the perceptual-hash pair graph — every

@@ -219,7 +219,14 @@ object SparkEntry {
     "mm_phash_clusters" -> ((s: SparkSession, d: String) => Multimodal.phashClusters(s, d)),
     "mm_phash_search" -> ((s: SparkSession, d: String) => Multimodal.phashSearch(s, d)),
     "vs_snapshot_diff" -> VectorStore.snapshotDiff _,
-    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d))
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    // wave 5 (rows 197-202)
+    "vs_search_match_phrase" -> ((s: SparkSession, d: String) => VectorStore.searchMatchPhrase(s, d)),
+    "vs_delete_payload_keys" -> VectorStore.deletePayloadKeys _,
+    "vs_payload_index_plan" -> VectorStore.payloadIndexPlan _,
+    "docs_dup_rate_by_source" -> ((s: SparkSession, d: String) => Dedup.dupRateBySource(s, d)),
+    "docs_token_histogram" -> TextAnalysis.tokenHistogram _,
+    "emb_knn_self_eval" -> ((s: SparkSession, d: String) => Embeddings.knnSelfEval(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -1937,6 +1944,96 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |  (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk FROM pairs)
          |SELECT a_id, b_id, cosine, rk FROM r WHERE rk <= 5
-         |ORDER BY a_id, rk""".stripMargin
+         |ORDER BY a_id, rk""".stripMargin,
+    "vs_search_match_phrase" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || p.text || ' ', ' the data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "vs_delete_payload_keys" ->
+      s"""WITH $PTS
+         |SELECT id, user_id,
+         |  CASE WHEN id % 11 = 0 THEN NULL ELSE site END AS site,
+         |  CASE WHEN id % 11 = 0 OR site = 'src3' THEN NULL ELSE lang END AS lang,
+         |  seq
+         |FROM pts ORDER BY id""".stripMargin,
+    "vs_payload_index_plan" ->
+      s"""WITH $PTS,
+         |kv AS (SELECT 'user_id' AS field, user_id::VARCHAR AS value FROM pts
+         |  UNION ALL SELECT 'site', site FROM pts
+         |  UNION ALL SELECT 'lang', lang FROM pts),
+         |pv AS (SELECT field, value, count(*) AS cnt FROM kv GROUP BY 1, 2),
+         |agg AS (SELECT field, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_distinct, max(cnt) AS top_cnt,
+         |  min(CASE WHEN regexp_matches(value, '^[0-9]+$$') THEN 1 ELSE 0 END) AS all_num
+         |  FROM pv GROUP BY 1)
+         |SELECT field, n_rows, n_distinct,
+         |  round(n_rows::DOUBLE / n_distinct, 2) AS rows_per_value,
+         |  round(top_cnt::DOUBLE / n_rows, 4) AS top_share,
+         |  CASE WHEN top_cnt * 10 > n_rows * 9 THEN 'skip'
+         |       WHEN all_num = 1 THEN 'integer'
+         |       WHEN n_distinct <= 64 THEN 'keyword'
+         |       ELSE 'text' END AS index_kind
+         |FROM agg ORDER BY field""".stripMargin,
+    "docs_dup_rate_by_source" ->
+      s"""WITH ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT ib AS doc_id FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE sb.n >= sa.n * 0.7 AND sa.n >= sb.n * 0.7
+         |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.7),
+         |ex AS (SELECT doc_id FROM (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+         |  FROM documents) WHERE doc_id <> keep_id),
+         |flags AS (SELECT d.doc_id, d.source,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 1 END AS is_exact,
+         |  CASE WHEN n2.doc_id IS NOT NULL THEN 1 END AS is_near
+         |  FROM documents d LEFT JOIN ex e ON d.doc_id = e.doc_id
+         |  LEFT JOIN near n2 ON d.doc_id = n2.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(is_exact), 0) AS BIGINT) AS n_exact_dup,
+         |  CAST(coalesce(sum(is_near), 0) AS BIGINT) AS n_near_dup,
+         |  round(CAST(count(CASE WHEN is_exact IS NOT NULL OR is_near IS NOT NULL
+         |    THEN 1 END) AS DOUBLE) / count(*), 4) AS dup_rate
+         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_token_histogram" ->
+      """WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents),
+        |b AS (SELECT n // 10 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |c AS (SELECT *,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+        |  CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens FROM b)
+        |SELECT bucket, n_docs, n_tokens,
+        |  round(cum_docs::DOUBLE / tot_docs, 4) AS cum_doc_share,
+        |  round(cum_tokens::DOUBLE / tot_tokens, 4) AS cum_token_share
+        |FROM c ORDER BY bucket""".stripMargin,
+    "emb_knn_self_eval" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, vec AS qvec, label AS true_label FROM emb
+        |  WHERE vec_id % 10 = 0),
+        |sc AS (SELECT q.qid, q.true_label, e.vec_id, e.label,
+        |  round(list_cosine_similarity(e.vec, q.qvec), 4) AS score
+        |  FROM emb e JOIN q ON e.vec_id <> q.qid),
+        |rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rk FROM sc),
+        |votes AS (SELECT qid, true_label, label, count(*) AS cnt
+        |  FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, true_label, label AS pred_label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, label ASC) AS vr
+        |  FROM votes)
+        |SELECT CAST(true_label AS BIGINT) AS label, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS accuracy
+        |FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

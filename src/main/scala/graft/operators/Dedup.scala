@@ -1161,4 +1161,45 @@ object Dedup {
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_removed"))
       .orderBy("size")
+
+  /** Per-SOURCE duplication attribution: which ingest feeds carry the
+    * duplication? For each `source`, the docs that would be REMOVED
+    * under the keep-min policy at two tiers — exact (normalized-hash
+    * group, not the min doc_id) and near (party to a ≥ `t` Jaccard pair
+    * with a smaller doc_id; the [[ngramJaccard]] relation, so the
+    * shared [[candidatePairCounts]] scaffold is reused, not rebuilt).
+    * The report a pipeline owner reads before cutting a feed: a source
+    * with dup_rate 0.4 is re-crawling another's pages. Scale shape:
+    * both dup sets reduce to doc_id lists before the source join, the
+    * exact tier shuffles 16-byte hashes, and the near tier rides the
+    * memoized pair relation — the per-source rollup is |sources| rows.
+    * Note the tiers are genuinely different signals: exact-dup twins
+    * differ only by case/whitespace (which the case-SENSITIVE shingle
+    * tier may miss), near-dup pairs differ by edits (which the
+    * exact hash always misses).
+    */
+  def dupRateBySource(s: SparkSession, d: String, t: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactDups = docs
+      .groupBy(md5(lower(trim(col("text")))).as("k"))
+      .agg(min("doc_id").as("keep_id"), collect_set("doc_id").as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val nearDups = ngramJaccard(s, d, t)
+      .select(col("ib").as("doc_id")).distinct()
+    val dupSet = exactDups.withColumn("is_exact", lit(1))
+      .join(nearDups.withColumn("is_near", lit(1)), Seq("doc_id"), "full_outer")
+    docs.select("doc_id", "source")
+      .join(dupSet, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("is_exact"), lit(0L)).as("n_exact_dup"),
+        coalesce(sum("is_near"), lit(0L)).as("n_near_dup"),
+        coalesce(sum(when(col("is_exact").isNotNull || col("is_near").isNotNull, 1L)),
+          lit(0L)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_near_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 4).as("dup_rate"))
+      .orderBy("source")
+  }
 }

@@ -523,4 +523,50 @@ object Embeddings {
           .cast("double")), 4).as("drift"))
       .orderBy("label")
   }
+
+  /** Leave-one-out k-NN LABEL EVAL — the embedding-quality report that
+    * complements [[graft.operators.VectorStore.classifyNearest]]'s
+    * centroid rule with the local rule: for a deterministic query
+    * sample (vec_id ≡ 0 mod 10), the k nearest OTHER vectors by cosine
+    * vote on the label (majority; ties → smaller label), and per TRUE
+    * label the report gives n_eval / n_correct / accuracy. A label
+    * whose k-NN accuracy trails its centroid accuracy is multi-modal
+    * (one prototype can't cover it) — the signal that routes it to
+    * more IVF lists or a finer PQ codebook. Scale shape: queries are
+    * broadcast (bounded sample — the eval contract), the corpus is
+    * scanned once map-side, only k rows/query cross the rank exchange,
+    * and the vote + rollup run on k·|queries| rows. Cosines are
+    * rounded to 4dp BEFORE the rank (ties → neighbor id) so the cut is
+    * engine-portable.
+    */
+  def knnSelfEval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"),
+        col("label"))
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("label").as("true_label"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val neighbors = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("score", round(cosineSim(col("vec"), col("qvec")), 4))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+    val votes = neighbors.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("cnt").desc, col("label").asc)
+    val pred = votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"))
+    pred.groupBy("true_label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label").cast("long").as("label"), col("n_eval"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_eval"), 4).as("accuracy"))
+      .orderBy("label")
+  }
 }

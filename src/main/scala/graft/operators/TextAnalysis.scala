@@ -1296,4 +1296,38 @@ object TextAnalysis {
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("query_id", "rank")
   }
+
+  /** Document-LENGTH histogram in whitespace tokens — the planning
+    * artifact behind [[packChunks]]'s budget choice and a sequence-
+    * length curriculum: bucket docs by tokens/10 (exact integer
+    * division — no float log-bucket boundary ambiguity across
+    * engines), and report per bucket the doc count, token volume, and
+    * the CUMULATIVE doc/token shares ("what fraction of the corpus
+    * fits a 2048-token context window?" is one row lookup). Scale
+    * shape: docs reduce to a single int at the scan, the bucket rollup
+    * is |buckets| rows (≤ max_len/10), and the cumulative window runs
+    * over that tiny relation in one task — the 4dp shares are exact
+    * integer ratios, engine-portable.
+    */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val buckets = Tables.documents(s, d)
+      .select((nTok.cast("long") / 10).cast("long").as("bucket"), nTok.cast("long").as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0)).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(lit(0))
+    buckets
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("tot_docs", sum("n_docs").over(tw))
+      .withColumn("tot_tokens", sum("n_tokens").over(tw))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("cum_docs").cast("double") / col("tot_docs"), 4).as("cum_doc_share"),
+        round(col("cum_tokens").cast("double") / col("tot_tokens"), 4)
+          .as("cum_token_share"))
+      .orderBy("bucket")
+  }
 }

@@ -1042,4 +1042,90 @@ object VectorStore {
       .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
       .orderBy("status")
   }
+
+  /** Qdrant `MatchPhrase` full-text condition + vector rank: candidates
+    * must contain the query words as an ADJACENT whole-word sequence in
+    * order (the phrase-matching mode of Qdrant's full-text index, the
+    * stricter sibling of [[searchMatchText]]'s conjunctive word match).
+    * On this whitespace-tokenized corpus, adjacency-in-order is exactly
+    * containment of the space-joined phrase with word-boundary padding,
+    * so the predicate is ONE codegen'd `contains` inside the scan
+    * stage's filter — no positional-index state, no shuffle; the search
+    * is a map pass + a k-row TakeOrdered. At 100 TB the
+    * [[graft.api.HybridIndex]] postings prefilter candidates by the
+    * phrase's rarest term and this operator is the adjacency verify.
+    */
+  def searchMatchPhrase(s: SparkSession, d: String, k: Int = 10,
+                        phrase: Seq[String] = Seq("the", "data")): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 0 && padded.contains(" " + phrase.mkString(" ") + " "))
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("vector"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Qdrant /points/payload/delete + /points/payload/clear as one
+    * snapshot transform: drop the `lang` key for every point matching a
+    * payload selector (site = 'src3'), and clear the WHOLE payload for
+    * an id selector (id ≡ 0 mod 11) — mirrors the two deletion
+    * granularities of the payload API the same way [[setPayload]]
+    * mirrors /points/payload (set). Pure map over the snapshot: no
+    * shuffle, no join; at 100 TB this is a metadata-column rewrite the
+    * lakehouse can do file-local.
+    */
+  def deletePayloadKeys(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val cleared = col("id") % 11 === 0
+    pts.select(col("id"), col("user_id"),
+        when(cleared, lit(null)).otherwise(col("site")).as("site"),
+        when(cleared || col("site") === "src3", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        col("seq"))
+      .orderBy("id")
+  }
+
+  /** Payload-index advisor — the planning half of Qdrant's
+    * `create_payload_index` requirement (a field used in filters needs
+    * a typed payload index; picking the kind is the operator's job).
+    * One unpivot pass turns the payload columns into (field, value)
+    * rows, then per-field aggregates drive the heuristic: all-numeric
+    * values → `integer` index; ≤ 64 distinct values → `keyword`
+    * (low-cardinality tag); otherwise `text` (tokenized full-text).
+    * Also reports the stats a deployment would size by: distinct
+    * count, rows-per-value density, and the hottest value's share
+    * (a 0.9-share field filters nothing — flag it `skip`). The unpivot
+    * shuffles (field, value) pairs only — never vectors or text — and
+    * the aggregate is 3 rows/field; scale-free.
+    */
+  def payloadIndexPlan(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val kv = pts.select(explode(map(
+      lit("user_id"), col("user_id").cast("string"),
+      lit("site"), col("site"),
+      lit("lang"), col("lang"))).as(Seq("field", "value")))
+    val perValue = kv.groupBy("field", "value").agg(count(lit(1)).as("cnt"))
+    perValue
+      .groupBy("field")
+      .agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"),
+        // all-numeric test decides integer-index eligibility
+        min(col("value").rlike("^[0-9]+$").cast("int")).as("all_num"))
+      .select(col("field"), col("n_rows"), col("n_distinct"),
+        round(col("n_rows").cast("double") / col("n_distinct"), 2)
+          .as("rows_per_value"),
+        round(col("top_cnt").cast("double") / col("n_rows"), 4).as("top_share"),
+        when(col("top_cnt") * 10 > col("n_rows") * 9, "skip")
+          .when(col("all_num") === 1, "integer")
+          .when(col("n_distinct") <= 64, "keyword")
+          .otherwise("text").as("index_kind"))
+      .orderBy("field")
+  }
 }

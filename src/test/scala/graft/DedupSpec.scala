@@ -269,4 +269,21 @@ class DedupSpec extends SparkSpecBase {
     assert(bloomKeep.subsetOf(exactKeep),
       s"bloom admitted ${(bloomKeep -- exactKeep).take(5)} that exact rejects")
   }
+
+  test("dupRateBySource attributes exactly the ngramJaccard removable set") {
+    val rows = Dedup.dupRateBySource(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // near-dup totals must equal the distinct higher-id side of the pair relation
+    val removable = Dedup.ngramJaccard(spark, sf)
+      .select("ib").distinct().count()
+    assert(rows.map(_.getLong(3)).sum === removable)
+    rows.foreach { r =>
+      val (n, ne, nn, rate) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(ne <= n && nn <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+      // rate covers the union, so it is at least each tier's own share
+      assert(rate >= math.max(ne, nn).toDouble / n - 1e-4)
+    }
+  }
 }

@@ -1194,4 +1194,50 @@ class OperatorsSpec extends SparkSpecBase {
       assert(math.abs(cov) < 1e-2, s"components $i,$j correlate: $cov")
     }
   }
+
+  test("tokenHistogram buckets partition the corpus and shares reach 1") {
+    val rows = TextAnalysis.tokenHistogram(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // token volume matches the per-doc whitespace token count
+    val tot = docs.select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum === tot)
+    // buckets ascend; cumulative shares are monotone and end at exactly 1
+    val buckets = rows.map(_.getLong(0)).toSeq
+    assert(buckets === buckets.sorted)
+    val shares = rows.map(_.getDouble(3)).toSeq
+    assert(shares === shares.sorted)
+    assert(shares.last === 1.0 && rows.map(_.getDouble(4)).last === 1.0)
+    // every doc in bucket b has 10b <= tokens < 10(b+1): spot-check extremes
+    val lens = docs.select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0))
+    assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
+  }
+
+  test("knnSelfEval matches a driver-local leave-one-out reference") {
+    val rows = Embeddings.knnSelfEval(spark, sf).collect()
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = all.filter(_._1 % 10 == 0).map { case (qid, qv, ql) =>
+      val top = all.filter(_._1 != qid)
+        .map { case (id, v, l) =>
+          (BigDecimal(cos(v, qv)).setScale(4, BigDecimal.RoundingMode.HALF_UP), id, l) }
+        .sortBy { case (s, id, _) => (-s, id) }.take(5)
+      val pred = top.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (ql, pred == ql)
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val ref = byLabel(r.getLong(0).toInt)
+      assert(r.getLong(1) === ref.length, s"n_eval for label ${r.getLong(0)}")
+      assert(r.getLong(2) === ref.count(_._2), s"n_correct for label ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getLong(1)).sum === all.count(_._1 % 10 == 0))
+  }
 }

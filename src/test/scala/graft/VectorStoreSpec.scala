@@ -293,4 +293,61 @@ class VectorStoreSpec extends SparkSpecBase {
       assert(v.length === 64)
     }
   }
+
+  test("searchMatchPhrase requires adjacency: results are a subset of matchText's") {
+    val phrase = VectorStore.searchMatchPhrase(spark, sf, k = 1000).collect()
+    assert(phrase.nonEmpty)
+    // every hit really contains the adjacent phrase
+    val texts = Tables.points(spark, sf).select(col("id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    phrase.foreach { r =>
+      assert((" " + texts(r.getLong(1)) + " ").contains(" the data "))
+    }
+    // conjunctive word match admits everything the phrase match does
+    val loose = VectorStore.searchMatchText(spark, sf, k = 1000).collect()
+      .map(_.getLong(1)).toSet
+    assert(phrase.map(_.getLong(1)).toSet.subsetOf(loose))
+    // and strictly more, on this corpus (words co-occur out of order)
+    assert(loose.size > phrase.length)
+  }
+
+  test("deletePayloadKeys clears whole payloads for id%11 and lang for src3") {
+    val r = VectorStore.deletePayloadKeys(spark, sf).cache()
+    val pts = Tables.points(spark, sf)
+    assert(r.count() === pts.count())
+    assert(r.filter(col("id") % 11 === 0)
+      .filter(col("site").isNotNull || col("lang").isNotNull).count() === 0)
+    // src3 (not cleared) keeps site, loses lang
+    val src3 = Tables.points(spark, sf)
+      .filter(col("site") === "src3" && col("id") % 11 =!= 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    r.filter(col("id").isin(src3.toSeq.map(Long.box): _*)).collect().foreach { row =>
+      assert(row.getString(2) === "src3")
+      assert(row.isNullAt(3))
+    }
+    // untouched rows are byte-identical on payload fields
+    val orig = pts.select(col("id"), col("site").as("o_site"), col("lang").as("o_lang"))
+    assert(r.filter(col("id") % 11 =!= 0 && col("site") =!= "src3")
+      .join(orig, "id")
+      .filter(col("site") =!= col("o_site") || col("lang") =!= col("o_lang"))
+      .count() === 0)
+  }
+
+  test("payloadIndexPlan types the integer field and sizes cardinality correctly") {
+    val rows = VectorStore.payloadIndexPlan(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("lang", "site", "user_id"))
+    val byField = rows.map(r => r.getString(0) -> r).toMap
+    assert(byField("user_id").getString(5) === "integer")
+    assert(byField("user_id").getLong(2) === 20) // id % 20 tenants
+    // site/lang are non-numeric low-cardinality tags
+    Seq("site", "lang").foreach { f =>
+      assert(byField(f).getString(5) === "keyword")
+      assert(byField(f).getLong(2) <= 64)
+    }
+    val n = Tables.points(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }

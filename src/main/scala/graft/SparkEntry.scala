@@ -226,7 +226,9 @@ object SparkEntry {
     "vs_payload_index_plan" -> VectorStore.payloadIndexPlan _,
     "docs_dup_rate_by_source" -> ((s: SparkSession, d: String) => Dedup.dupRateBySource(s, d)),
     "docs_token_histogram" -> TextAnalysis.tokenHistogram _,
-    "emb_knn_self_eval" -> ((s: SparkSession, d: String) => Embeddings.knnSelfEval(s, d))
+    "emb_knn_self_eval" -> ((s: SparkSession, d: String) => Embeddings.knnSelfEval(s, d)),
+    "emb_query_prefetch" -> ((s: SparkSession, d: String) => Embeddings.queryPrefetch(s, d)),
+    "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2034,6 +2036,47 @@ object SparkEntry {
         |    AS n_correct,
         |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 4) AS accuracy
-        |FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_query_prefetch" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec AS qv FROM emb WHERE vec_id = 0),
+        |ham AS (SELECT e.vec_id,
+        |  len(list_filter(list_zip(e.vec, q.qv), t -> (t[1] >= 0) <> (t[2] >= 0)))::BIGINT
+        |    AS hamming
+        |  FROM emb e, q WHERE e.vec_id <> 0),
+        |c1 AS (SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id LIMIT 200),
+        |vals AS (SELECT vec_id, unnest(range(0, len(vec))) AS dim, unnest(vec) AS v FROM emb),
+        |bdim AS (SELECT dim, min(v) AS lo, greatest(max(v) - min(v), 1e-300) AS rng
+        |  FROM vals GROUP BY dim),
+        |b AS (SELECT list(lo ORDER BY dim) AS lo, list(rng ORDER BY dim) AS rng FROM bdim),
+        |recon AS (SELECT e.vec_id,
+        |  list_transform(list_zip(e.vec, b.lo, b.rng),
+        |    t -> t[2] + (least(floor((t[1] - t[2]) / t[3] * 256), 255) + 0.5) / 256 * t[3]) AS rv
+        |  FROM emb e JOIN c1 ON e.vec_id = c1.vec_id, b),
+        |c2 AS (SELECT r.vec_id, c1.hamming,
+        |  round(list_cosine_similarity(r.rv, q.qv), 4) AS approx_cosine
+        |  FROM recon r JOIN c1 ON r.vec_id = c1.vec_id, q
+        |  ORDER BY approx_cosine DESC, r.vec_id LIMIT 50)
+        |SELECT e.vec_id, c2.hamming, c2.approx_cosine,
+        |  round(list_cosine_similarity(e.vec, q.qv), 4) AS cosine
+        |FROM emb e JOIN c2 ON e.vec_id = c2.vec_id, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vs_recommend_lookup" ->
+      s"""WITH $PTS,
+         |vals AS (SELECT label, unnest(range(0, len(embedding))) AS dim,
+         |  unnest(embedding::DOUBLE[]) AS v FROM embeddings WHERE label IN (1, 2, 3)),
+         |cent AS (SELECT label, dim,
+         |  CAST(sum(CAST(v AS DECIMAL(18,10))) AS DOUBLE) / count(*) AS cv
+         |  FROM vals GROUP BY 1, 2),
+         |rec AS (SELECT dim,
+         |  1 * sum(CASE WHEN label IN (1, 2) THEN cv ELSE 0.0 END)
+         |  - 2 * sum(CASE WHEN label = 3 THEN cv ELSE 0.0 END) AS rv
+         |  FROM cent GROUP BY 1),
+         |qv AS (SELECT list(rv ORDER BY dim) AS qvec FROM rec),
+         |scored AS (SELECT p.id, list_cosine_similarity(p.vector, qv.qvec) AS cs
+         |  FROM pts p, qv),
+         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, round(cs, 4) AS score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin
   )
 }

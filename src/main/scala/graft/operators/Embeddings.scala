@@ -450,6 +450,47 @@ object Embeddings {
       .limit(k)
   }
 
+  /** Qdrant Query-API PREFETCH CHAIN (the /points/query `prefetch`
+    * parameter): a multi-stage cascade where each tier searches only
+    * the previous tier's survivors with a costlier, more exact scorer —
+    * here the full three-tier compressed-serving ladder: (1) BINARY
+    * hamming over the packed sign bitmaps prunes the corpus to
+    * `prefetch` candidates reading dim/8 bytes per vector, (2) SQ
+    * int8-reconstructed cosine rescores those to `rerank`, (3) exact
+    * float cosine ranks the final k. This is the shape that makes
+    * 100 TB serving cheap: the full-precision column is touched for
+    * `rerank` rows ONLY, stage-1 scans the 32×-compressed artifact, and
+    * each tier's cut ranks on integers or 4dp-rounded scores
+    * (ties → vec_id) so the whole cascade is DuckDB-oracle-checkable.
+    * Reuses the persisted tier state ([[bqCodes]] packed bitmap,
+    * [[sqBounds]] per-dim quantizer) — nothing is rebuilt per query.
+    */
+  def queryPrefetch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
+                    prefetch: Int = 200, rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val codes = bqCodes(s, d)
+    val (lo, rng) = sqBounds(s, d, emb)
+    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val q = array(qvec.map(lit): _*)
+    val qcode = codes.filter(col("vec_id") === queryId).head().getSeq[Long](1)
+    val qc = array(qcode.map(lit): _*)
+    val stage1 = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(prefetch)
+    val stage2 = emb.join(broadcast(stage1), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        round(cosineSim(sqReconstruct(col("vec"), lo, rng), q), 4).as("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col("vec_id"))
+      .limit(rerank)
+    emb.join(broadcast(stage2), "vec_id")
+      .select(col("vec_id"), col("hamming"), col("approx_cosine"),
+        round(cosineSim(col("vec"), q), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** PCA PROJECTION of the embedding column: project every vector onto
     * the top-`k` principal axes of the corpus — the
     * dimensionality-reduction / whitening pre-pass of OPQ, MRL-style

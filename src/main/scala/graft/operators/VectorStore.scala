@@ -221,6 +221,53 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant recommend with `lookup_from` — example vectors resolved in
+    * ANOTHER collection than the one being searched. Here the lookup
+    * collection is a derived label-centroid store (one prototype vector
+    * per embedding label — the [[graft.operators.Embeddings
+    * .labelCentroids]] artifact as a collection), so the request reads
+    * "points like labels {1,2} and unlike label {3}". Two documented
+    * semantics differ from plain [[recommend]]: example ids live in the
+    * LOOKUP collection's id space (so nothing is excluded from the
+    * search results), and the query vector is built from the looked-up
+    * vectors. Exactness: centroids are exact-DECIMAL sums cast to
+    * double divided by integer counts (engine-exact); the positive side
+    * sums TWO doubles (IEEE addition is commutative, so aggregation
+    * order cannot move it) and the combined direction uses the
+    * integer-weighted difference n_neg·Σpos − n_pos·Σneg — no decimal
+    * division anywhere. Scale shape: the lookup collection reduces to
+    * |labels|·dim rows, the assembled query vector broadcasts, and the
+    * corpus never shuffles — one map pass + k-row TakeOrdered.
+    */
+  def recommendLookup(s: SparkSession, d: String, k: Int = 10,
+                      posLabels: Seq[Int] = Seq(1, 2),
+                      negLabels: Seq[Int] = Seq(3)): DataFrame = {
+    val dec = "decimal(18,10)"
+    val labels = (posLabels ++ negLabels).map(Int.box)
+    val isPos = col("label").isin(posLabels.map(Int.box): _*)
+    // lookup collection: per-label centroid vectors
+    val cent = Tables.embeddings(s, d)
+      .filter(col("label").isin(labels: _*))
+      .select(col("label"), posexplode(transform(col("embedding"), _.cast("double")))
+        .as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("cv"))
+    val recDims = cent.groupBy("dim").agg(
+      ((lit(negLabels.size) * sum(when(isPos, col("cv")).otherwise(lit(0.0)))) -
+        (lit(posLabels.size) * sum(when(!isPos, col("cv")).otherwise(lit(0.0)))))
+        .as("rv"))
+    val qvec = recDims.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x.getField("rv")).as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    Tables.points(s, d).join(broadcast(qvec))
+      .withColumn("score", cosineSim(col("qvec"), col("vector")))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   /** Qdrant discovery search (/points/discover): rank the collection by
     * a CONTEXT of (positive, negative) example pairs, tie-broken by
     * similarity to a target vector. Each pair contributes

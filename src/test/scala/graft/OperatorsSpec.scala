@@ -1214,6 +1214,36 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("queryPrefetch cascade is consistent and recalls the exact top-k") {
+    val r = Embeddings.queryPrefetch(spark, sf).collect()
+    assert(r.length === 10)
+    val cosines = r.map(_.getDouble(3)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    // every survivor really passed the BQ tier: recompute the stage-1 cut
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).map(_.toDouble).toArray))
+    val qv = all.find(_._1 == 0L).get._2
+    val ham = all.filter(_._1 != 0L).map { case (id, v) =>
+      (id, v.indices.count(i => (v(i) >= 0) != (qv(i) >= 0)).toLong)
+    }
+    val stage1 = ham.sortBy { case (id, h) => (h, id) }.take(200).map(_._1).toSet
+    r.foreach { row =>
+      assert(stage1.contains(row.getLong(0)))
+      assert(row.getLong(1) === ham.find(_._1 == row.getLong(0)).get._2)
+    }
+    // cascade recall vs exact brute top-10
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dd, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = r.map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 6, s"cascade recall ${exact.intersect(got).size}/10")
+  }
+
   test("knnSelfEval matches a driver-local leave-one-out reference") {
     val rows = Embeddings.knnSelfEval(spark, sf).collect()
     val all = Tables.embeddings(spark, sf)

@@ -294,6 +294,36 @@ class VectorStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("recommendLookup ranks by the centroid-difference direction, excluding nothing") {
+    val r = VectorStore.recommendLookup(spark, sf).collect()
+    assert(r.length === 10)
+    assert(r.map(_.getLong(0)).toSeq === (1L to 10L).toSeq)
+    // driver reference: exact centroid lookup + weighted difference + cosine rank
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).map(_.toDouble).toArray,
+        row.getInt(2)))
+    val dim = emb.head._2.length
+    def centroid(l: Int): Array[Double] = {
+      val vs = emb.filter(_._3 == l).map(_._2)
+      // mirror the operator: DECIMAL sum cast double, then / n
+      Array.tabulate(dim) { i =>
+        (vs.map(v => BigDecimal(v(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble) / vs.length
+      }
+    }
+    val (c1, c2, c3) = (centroid(1), centroid(2), centroid(3))
+    val qv = Array.tabulate(dim)(i => 1 * (c1(i) + c2(i)) - 2 * c3(i))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dd, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.map { case (id, v, _) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    assert(r.map(_.getLong(1)).toSeq === expected)
+  }
+
   test("searchMatchPhrase requires adjacency: results are a subset of matchText's") {
     val phrase = VectorStore.searchMatchPhrase(spark, sf, k = 1000).collect()
     assert(phrase.nonEmpty)

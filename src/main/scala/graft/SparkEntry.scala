@@ -228,7 +228,8 @@ object SparkEntry {
     "docs_token_histogram" -> TextAnalysis.tokenHistogram _,
     "emb_knn_self_eval" -> ((s: SparkSession, d: String) => Embeddings.knnSelfEval(s, d)),
     "emb_query_prefetch" -> ((s: SparkSession, d: String) => Embeddings.queryPrefetch(s, d)),
-    "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d))
+    "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d)),
+    "events_count_min" -> ((s: SparkSession, d: String) => Relational.countMinUsers(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2077,6 +2078,22 @@ object SparkEntry {
          |  FROM pts p, qv),
          |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM r WHERE rank <= 10
-         |ORDER BY rank""".stripMargin
+         |ORDER BY rank""".stripMargin,
+    "events_count_min" ->
+      """WITH h AS (SELECT * FROM (VALUES (0, 131071, 12345), (1, 524287, 67890),
+        |  (2, 8191, 111213), (3, 127, 141516)) AS t(r, a, b)),
+        |rb AS (SELECT e.user_id, h.r,
+        |  ((h.a * (e.user_id % 2147483647) + h.b) % 2147483647) % 256 AS bucket
+        |  FROM events e, h),
+        |cm AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |truth AS (SELECT user_id, count(*) AS true_cnt FROM events
+        |  WHERE user_id < 20 GROUP BY 1),
+        |pr AS (SELECT t.user_id, t.true_cnt, h.r,
+        |  ((h.a * (t.user_id % 2147483647) + h.b) % 2147483647) % 256 AS bucket
+        |  FROM truth t, h)
+        |SELECT p.user_id, p.true_cnt, min(c.cnt) AS cm_est,
+        |  min(c.cnt) - p.true_cnt AS overcount
+        |FROM pr p JOIN cm c ON p.r = c.r AND p.bucket = c.bucket
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

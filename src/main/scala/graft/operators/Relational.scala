@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1604,5 +1604,64 @@ object Relational {
         (sum("dur_us").cast("double") / count(lit(1)) / 1e6).as("mean_dur_secs"),
         (max("dur_us").cast("double") / 1e6).as("max_dur_secs"))
       .orderBy("user_id")
+  }
+
+  /** Count-Min point-frequency sketch, completing the mergeable-sketch
+    * family (HLL distinct, Misra-Gries heavy hitters, bloom membership
+    * — this is "how often does key X occur" in depth×width longs of
+    * state). The hashes are UNIVERSAL AFFINE rows h_r(k) = ((a_r·k +
+    * b_r) mod p) mod width with Mersenne-prime multipliers — chosen
+    * over xxhash deliberately: both engines can evaluate them exactly,
+    * so the whole sketch (and every estimate, collisions included) is
+    * DuckDB-oracle-checkable, not just bound-spec'd. The sketch build
+    * is one explode→groupBy — (r, bucket) pairs shuffle, depth×width
+    * rows of state total — and merging two sketches is elementwise
+    * addition (spec'd), which is what makes the per-day/per-partition
+    * rollup discipline of [[eventsHllDaily]] work here too. Probes
+    * report est = min_r(cm[r][h_r(key)]) beside the exact count; the
+    * CM guarantee (est ≥ true, overcount ≤ εN w.h.p.) is spec'd.
+    */
+  def countMinUsers(s: SparkSession, d: String, width: Int = 256,
+                    depth: Int = 4, nProbe: Int = 20): DataFrame = {
+    val p = 2147483647L
+    val as = Seq(131071L, 524287L, 8191L, 127L).take(depth)
+    val bs = Seq(12345L, 67890L, 111213L, 141516L).take(depth)
+    def bucket(key: Column, r: Int): Column =
+      ((lit(as(r)) * (key % p) + bs(r)) % p) % width
+    def rows(key: Column): Column =
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(key, r).as("bucket"))): _*))
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val cm = ev.select(rows(col("user_id")).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      .filter(col("user_id") < nProbe)
+    val probes = truth
+      .select(col("user_id"), col("true_cnt"), rows(col("user_id")).as("rb"))
+      .select(col("user_id"), col("true_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    probes.join(cm, Seq("r", "bucket"))
+      .groupBy("user_id", "true_cnt").agg(min("cnt").as("cm_est"))
+      .select(col("user_id"), col("true_cnt"), col("cm_est"),
+        (col("cm_est") - col("true_cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  /** The raw depth×width counter table of [[countMinUsers]]' sketch over
+    * an arbitrary key column — exposed for the mergeability spec and for
+    * persisting the sketch as data.
+    */
+  private[graft] def countMinTable(keys: DataFrame, key: String,
+                                   width: Int = 256, depth: Int = 4): DataFrame = {
+    val p = 2147483647L
+    val as = Seq(131071L, 524287L, 8191L, 127L).take(depth)
+    val bs = Seq(12345L, 67890L, 111213L, 141516L).take(depth)
+    keys.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (((lit(as(r)) * (col(key) % p) + bs(r)) % p) % width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 }

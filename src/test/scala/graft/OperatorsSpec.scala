@@ -1214,6 +1214,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("countMin estimates dominate true counts and the sketch merges elementwise") {
+    val rows = Relational.countMinUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // CM guarantee: never an undercount; overcount within the (generous,
+    // deterministic-on-fixed-seed) eps*N envelope for eps = e/width
+    val n = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"undercount for user ${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+      assert(r.getLong(3) <= 2 * math.E * n / 256, s"overcount blowout: $r")
+    }
+    // mergeability: the half-stream sketches sum elementwise to the whole
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"))
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      Relational.countMinTable(df.select("user_id"), "user_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+    val whole = tab(ev).toMap
+    val halves = (tab(ev.filter(col("event_id") % 2 === 0)) ++
+        tab(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(halves === whole)
+  }
+
   test("queryPrefetch cascade is consistent and recalls the exact top-k") {
     val r = Embeddings.queryPrefetch(spark, sf).collect()
     assert(r.length === 10)

@@ -229,7 +229,8 @@ object SparkEntry {
     "emb_knn_self_eval" -> ((s: SparkSession, d: String) => Embeddings.knnSelfEval(s, d)),
     "emb_query_prefetch" -> ((s: SparkSession, d: String) => Embeddings.queryPrefetch(s, d)),
     "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d)),
-    "events_count_min" -> ((s: SparkSession, d: String) => Relational.countMinUsers(s, d))
+    "events_count_min" -> ((s: SparkSession, d: String) => Relational.countMinUsers(s, d)),
+    "docs_train_val_split" -> ((s: SparkSession, d: String) => Dedup.trainValSplit(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2094,6 +2095,28 @@ object SparkEntry {
         |SELECT p.user_id, p.true_cnt, min(c.cnt) AS cm_est,
         |  min(c.cnt) - p.true_cnt AS overcount
         |FROM pr p JOIN cm c ON p.r = c.r AND p.bucket = c.bucket
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "docs_train_val_split" ->
+      s"""WITH ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE sb.n >= sa.n * 0.7 AND sa.n >= sb.n * 0.7
+         |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.7),
+         |sp AS (SELECT doc_id, CASE WHEN CAST('0x' || substring(md5(text), 1, 4)
+         |    AS BIGINT) < 6553 THEN 'val' ELSE 'train' END AS split FROM documents),
+         |cp AS (SELECT j.ia, j.ib FROM j
+         |  JOIN sp a ON j.ia = a.doc_id JOIN sp b ON j.ib = b.doc_id
+         |  WHERE a.split <> b.split),
+         |leaky AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT ia AS doc_id FROM cp UNION ALL SELECT ib FROM cp))
+         |SELECT s.split, count(*) AS n_docs,
+         |  CAST(count(l.doc_id) AS BIGINT) AS n_leak_docs,
+         |  round(CAST(count(l.doc_id) AS DOUBLE) / count(*), 4) AS leak_rate
+         |FROM sp s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1202,4 +1202,40 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_docs"), 4).as("dup_rate"))
       .orderBy("source")
   }
+
+  /** TRAIN/VAL SPLIT with a NEAR-DUP LEAKAGE AUDIT — the assignment a
+    * training pipeline actually needs: a deterministic content-hash
+    * split (md5(text) bucket, the [[graft.operators.TextAnalysis
+    * .sampleHash]] convention — exact duplicates land on the SAME side
+    * by construction, the first leakage class gone for free), plus the
+    * measurement of the class a hash split canNOT fix: NEAR-duplicate
+    * pairs (≥ `t` Jaccard, the memoized [[ngramJaccard]] relation)
+    * whose members straddle the split — a val doc with a train twin
+    * inflates eval scores exactly like true contamination. Per split:
+    * doc count, docs party to a cross-split pair, leak rate. The
+    * decision artifact: a high leak_rate says dedup (or split by
+    * CLUSTER, not by doc) before trusting the benchmark. Scale shape:
+    * the split is a map pass; the audit joins the already-reduced pair
+    * relation to 9-byte (doc_id, split) rows; the rollup is 2 rows.
+    */
+  def trainValSplit(s: SparkSession, d: String, valRate: Double = 0.1,
+                    t: Double = 0.7): DataFrame = {
+    val cut = (valRate * 65536).toLong
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") < cut, "val")
+        .otherwise("train").as("split"))
+    val pairs = ngramJaccard(s, d, t).select("ia", "ib")
+    val cross = pairs
+      .join(split.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+      .join(split.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+      .filter(col("sa") =!= col("sb"))
+    val leaky = cross.select(col("ia").as("doc_id"))
+      .unionByName(cross.select(col("ib").as("doc_id"))).distinct()
+    split.join(leaky.withColumn("leak", lit(1)), Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("leak"), lit(0L)).as("n_leak_docs"))
+      .select(col("split"), col("n_docs"), col("n_leak_docs"),
+        round(col("n_leak_docs").cast("double") / col("n_docs"), 4).as("leak_rate"))
+      .orderBy("split")
+  }
 }

@@ -488,6 +488,19 @@ object EventStreams {
         slice(map_values(col("sketch")), 1, k).as("approx_counts"))
   }
 
+  /** Streaming COUNT-MIN maintenance — the ingest half of
+    * [[graft.operators.Relational.countMinUsers]]: the depth×width
+    * counter table maintained incrementally as a plain streaming
+    * aggregation (the CM update rule IS a grouped count, so the state
+    * store holds exactly depth×width rows — constant state at any key
+    * cardinality, like the sketch itself). Complete/update-mode sinks
+    * read the live table; elementwise addition merges it with any other
+    * CM table (batch parity spec'd).
+    */
+  def countMinStream(events: DataFrame, width: Int = 256, depth: Int = 4): DataFrame =
+    graft.operators.Relational.countMinTable(events.select("user_id"), "user_id",
+      width, depth)
+
   /** Streaming top-k-per-tenant vector search: a stream of query vectors
     * joined against a static corpus — the streaming face of
     * VectorStore.searchBatch (stream-static joins need no state).

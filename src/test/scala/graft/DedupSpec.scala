@@ -270,6 +270,26 @@ class DedupSpec extends SparkSpecBase {
       s"bloom admitted ${(bloomKeep -- exactKeep).take(5)} that exact rejects")
   }
 
+  test("trainValSplit counts exactly the cross-split near-dup docs") {
+    val rows = Dedup.trainValSplit(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("train", "val"))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // driver reference: same split rule + the pair relation
+    val split = docs.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < 6553L)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val leaky = pairs.filter { case (a, b) => split(a) != split(b) }
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val expVal = leaky.count(split(_))
+    val expTrain = leaky.size - expVal
+    val byS = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byS("val") === expVal && byS("train") === expTrain,
+      s"leak counts $byS vs ref val=$expVal train=$expTrain")
+  }
+
   test("dupRateBySource attributes exactly the ngramJaccard removable set") {
     val rows = Dedup.dupRateBySource(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

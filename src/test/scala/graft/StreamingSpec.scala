@@ -362,6 +362,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("countMinStream maintains the exact batch sketch table across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = EventStreams.countMinStream(input.toDF().toDF("user_id"), width = 32)
+      .writeStream.format("memory").queryName("cmstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1L to 40L) ++ Seq(7L, 7L, 7L)
+      val batch2 = (30L to 60L) ++ Seq(9L, 9L)
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cmstream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // parity: the live state equals the batch sketch over all data seen
+      import spark.implicits._
+      val batch = graft.operators.Relational
+        .countMinTable((batch1 ++ batch2).toDF("user_id"), "user_id", width = 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      // constant state: at most depth x width rows however many keys arrive
+      assert(streamed.size <= 4 * 32)
+    } finally q.stop()
+  }
+
   test("streaming quality gate scores an unbounded doc stream identically to batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf)

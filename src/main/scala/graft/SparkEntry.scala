@@ -230,7 +230,8 @@ object SparkEntry {
     "emb_query_prefetch" -> ((s: SparkSession, d: String) => Embeddings.queryPrefetch(s, d)),
     "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d)),
     "events_count_min" -> ((s: SparkSession, d: String) => Relational.countMinUsers(s, d)),
-    "docs_train_val_split" -> ((s: SparkSession, d: String) => Dedup.trainValSplit(s, d))
+    "docs_train_val_split" -> ((s: SparkSession, d: String) => Dedup.trainValSplit(s, d)),
+    "docs_split_by_cluster" -> ((s: SparkSession, d: String) => Dedup.splitByCluster(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2116,6 +2117,36 @@ object SparkEntry {
          |SELECT s.split, count(*) AS n_docs,
          |  CAST(count(l.doc_id) AS BIGINT) AS n_leak_docs,
          |  round(CAST(count(l.doc_id) AS DOUBLE) / count(*), 4) AS leak_rate
+         |FROM sp s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "docs_split_by_cluster" ->
+      s"""WITH RECURSIVE ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE sb.n >= sa.n * 0.7 AND sa.n >= sb.n * 0.7
+         |    AND c::DOUBLE / (sa.n + sb.n - c) >= 0.7),
+         |edges AS (SELECT ia AS src, ib AS dst FROM j UNION SELECT ib, ia FROM j),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sp AS (SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST('0x' || substring(md5(cluster_id::VARCHAR), 1, 4) AS BIGINT)
+         |    < 6553 THEN 'val' ELSE 'train' END AS split FROM lab),
+         |cp AS (SELECT j.ia, j.ib FROM j
+         |  JOIN sp a ON j.ia = a.doc_id JOIN sp b ON j.ib = b.doc_id
+         |  WHERE a.split <> b.split),
+         |leaky AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT ia AS doc_id FROM cp UNION ALL SELECT ib FROM cp))
+         |SELECT s.split, count(*) AS n_docs, count(DISTINCT s.cluster_id) AS n_clusters,
+         |  CAST(count(l.doc_id) AS BIGINT) AS n_leak_docs
          |FROM sp s LEFT JOIN leaky l ON s.doc_id = l.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -1238,4 +1238,38 @@ object Dedup {
         round(col("n_leak_docs").cast("double") / col("n_docs"), 4).as("leak_rate"))
       .orderBy("split")
   }
+
+  /** SPLIT BY CLUSTER — the fix [[trainValSplit]]'s audit recommends
+    * when leak_rate is high: assign whole near-dup CLUSTERS to a side
+    * (hash of the component-min label, singletons labeled by their own
+    * id), so no ≥ `t` pair can straddle the split BY CONSTRUCTION. The
+    * output carries the proof as data: the same cross-split audit that
+    * scores the per-doc split reports n_leak_docs = 0 here. Per split:
+    * docs, clusters, leak docs. Scale shape: cluster labels come from
+    * the pointer-doubling components over the memoized pair relation
+    * (O(log diameter) rounds on (doc_id, label) pairs); everything else
+    * is the [[trainValSplit]] map/join/rollup shape.
+    */
+  def splitByCluster(s: SparkSession, d: String, valRate: Double = 0.1,
+                     t: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pairs = ngramJaccard(s, d, t).select("ia", "ib")
+    val labeled = docs.join(clustersOfPairs(s, pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val cut = (valRate * 65536).toLong
+    val split = labeled.withColumn("split",
+      when(conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < cut, "val").otherwise("train"))
+    val cross = pairs
+      .join(split.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+      .join(split.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+      .filter(col("sa") =!= col("sb"))
+    val leaky = cross.select(col("ia").as("doc_id"))
+      .unionByName(cross.select(col("ib").as("doc_id"))).distinct()
+    split.join(leaky.withColumn("leak", lit(1)), Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("cluster_id").as("n_clusters"),
+        coalesce(sum("leak"), lit(0L)).as("n_leak_docs"))
+      .orderBy("split")
+  }
 }

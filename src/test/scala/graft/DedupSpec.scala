@@ -290,6 +290,21 @@ class DedupSpec extends SparkSpecBase {
       s"leak counts $byS vs ref val=$expVal train=$expTrain")
   }
 
+  test("splitByCluster never lets a near-dup pair straddle the split") {
+    val rows = Dedup.splitByCluster(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("train", "val"))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach(r => assert(r.getLong(3) === 0L, s"cluster split leaked: $r"))
+    // the per-doc split on the same corpus DOES leak (the contrast that
+    // motivates this operator) — or has no pairs at all at this SF
+    val pairs = Dedup.ngramJaccard(spark, sf).count()
+    if (pairs > 0) {
+      val sum = rows.map(_.getLong(1)).sum
+      assert(rows.map(_.getLong(2)).sum <= sum) // clusters <= docs
+    }
+  }
+
   test("dupRateBySource attributes exactly the ngramJaccard removable set") {
     val rows = Dedup.dupRateBySource(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * the scale-review loop: check pushdown (PushedFilters/ReadSchema),
   * join strategies (broadcast vs SMJ), codegen spans, exchange count.
   * Usage: runMain graft.PlanAudit <sfDir> [name1,name2,...]
+  *
+  * This is the human-eyeball CLI; the same checks as MACHINE-READABLE
+  * lint rows (cartesian/shuffle budgets, scan metadata counts) are
+  * [[graft.api.PlanAudit.audit]] — prefer that for CI gates.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -33,6 +33,8 @@ import org.apache.spark.sql.execution.FormattedMode
   * traversable pre-execution) and the text form is stable across
   * DSv1/DSv2 scan nodes — the same reason PlanInvariantsSpec asserts
   * on explain text. Purely driver-side; never touches data.
+  * (The human-eyeball twin that DUMPS the plans is the
+  * [[graft.PlanAudit]] CLI.)
   */
 object PlanAudit {
 
@@ -59,16 +61,43 @@ object PlanAudit {
       count(simple, "Exchange RoundRobinPartitioning")
     val singles = count(simple, "Exchange SinglePartition")
     val bcast = count(simple, "BroadcastExchange")
-    val codegen = count(fmt, "WholeStageCodegen (")
-    val scanLines = fmt.linesIterator.count(_.contains("Scan parquet"))
+    // formatted mode tags each fused operator with "[codegen id : N]";
+    // distinct ids = span count (0 for a pre-execution AQE wrapper,
+    // which omits codegen tags — an info metric, not a gate)
+    val codegen = "\\[codegen id : (\\d+)\\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSet.size
+    // each operator prints twice in formatted mode (tree line "Scan
+    // parquet ... (N)" + detail header "(N) Scan parquet"); count only
+    // the detail headers — the same convention PlanInvariantsSpec's
+    // exchange counter uses
+    val scanLines = "\\(\\d+\\) Scan parquet".r.findAllIn(fmt).size
     val pushed = fmt.linesIterator.count { l =>
       val i = l.indexOf("PushedFilters: [")
       i >= 0 && l.charAt(i + "PushedFilters: [".length) != ']'
     }
-    // a pruned scan reads a strict column subset; formatted mode prints
-    // the read schema per scan node as ReadSchema: struct<...>
-    val readSchemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    // a pruned scan reads a strict column subset; ReadSchema prints a
+    // struct<...> whose fields may NEST (array<...>, map<k,v>) — count
+    // top-level commas only, tracking <> depth
+    val readSchemas = fmt.linesIterator.flatMap { l =>
+      val i = l.indexOf("ReadSchema: struct<")
+      if (i < 0) None else {
+        var (depth, fields, j) = (0, 0, i + "ReadSchema: struct<".length)
+        var nonEmpty = false
+        var done = false
+        while (j < l.length && !done) {
+          l.charAt(j) match {
+            case '<' => depth += 1
+            case '>' if depth > 0 => depth -= 1
+            case '>' => done = true // closes the outer struct<
+            case ',' if depth == 0 => fields += 1
+            case c if !done && !c.isWhitespace => nonEmpty = true
+            case _ =>
+          }
+          j += 1
+        }
+        Some(if (nonEmpty) fields + 1 else 0)
+      }
+    }.toSeq
     Seq(
       Finding("cartesian_product", s"n=$cartesian", cartesian == 0),
       Finding("shuffle_exchanges", s"n=$exchanges budget=$maxShuffles",
@@ -79,8 +108,7 @@ object PlanAudit {
       Finding("codegen_spans", s"n=$codegen", ok = true),
       Finding("parquet_scans",
         s"n=$scanLines pushed_filters=$pushed read_cols=" +
-          readSchemas.map(s => if (s.isEmpty) 0 else s.count(_ == ',') + 1)
-            .mkString("[", ",", "]"),
+          readSchemas.mkString("[", ",", "]"),
         ok = true))
   }
 

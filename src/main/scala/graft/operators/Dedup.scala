@@ -1180,10 +1180,12 @@ object Dedup {
     */
   def dupRateBySource(s: SparkSession, d: String, t: Double = 0.7): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exactDups = docs
-      .groupBy(md5(lower(trim(col("text")))).as("k"))
-      .agg(min("doc_id").as("keep_id"), collect_set("doc_id").as("ids"))
-      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+    // keep-min per hash group via aggregate + join-back, never a
+    // per-group id list: a boilerplate group with 10⁶ identical docs
+    // would otherwise materialize 10⁶ ids in ONE aggregation buffer
+    val hashed = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("k"))
+    val exactDups = hashed
+      .join(hashed.groupBy("k").agg(min("doc_id").as("keep_id")), "k")
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
     val nearDups = ngramJaccard(s, d, t)

@@ -1623,6 +1623,8 @@ object Relational {
     */
   def countMinUsers(s: SparkSession, d: String, width: Int = 256,
                     depth: Int = 4, nProbe: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4] (the fixed universal-hash family has 4 rows), got $depth")
     val p = 2147483647L
     val as = Seq(131071L, 524287L, 8191L, 127L).take(depth)
     val bs = Seq(12345L, 67890L, 111213L, 141516L).take(depth)
@@ -1654,6 +1656,8 @@ object Relational {
     */
   private[graft] def countMinTable(keys: DataFrame, key: String,
                                    width: Int = 256, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4] (the fixed universal-hash family has 4 rows), got $depth")
     val p = 2147483647L
     val as = Seq(131071L, 524287L, 8191L, 127L).take(depth)
     val bs = Seq(12345L, 67890L, 111213L, 141516L).take(depth)

@@ -231,20 +231,23 @@ object VectorStore {
     * LOOKUP collection's id space (so nothing is excluded from the
     * search results), and the query vector is built from the looked-up
     * vectors. Exactness: centroids are exact-DECIMAL sums cast to
-    * double divided by integer counts (engine-exact); the positive side
-    * sums TWO doubles (IEEE addition is commutative, so aggregation
-    * order cannot move it) and the combined direction uses the
-    * integer-weighted difference n_neg·Σpos − n_pos·Σneg — no decimal
-    * division anywhere. Scale shape: the lookup collection reduces to
-    * |labels|·dim rows, the assembled query vector broadcasts, and the
-    * corpus never shuffles — one map pass + k-row TakeOrdered.
+    * double divided by integer counts (engine-exact); the looked-up
+    * centroids then COLLECT (a bounded client batch — |labels|·dim
+    * doubles, the discover() example discipline) and combine
+    * driver-side in ascending-label order, so the cross-label double
+    * sums are bit-deterministic for ANY label count — an agg-side sum
+    * would be partition-order-dependent past two terms. The combined
+    * direction is the integer-weighted difference n_neg·Σpos −
+    * n_pos·Σneg — no decimal division anywhere. Scale shape: the
+    * lookup collection reduces to |labels|·dim rows, the query vector
+    * inlines as literals, and the corpus never shuffles — one map pass
+    * + k-row TakeOrdered.
     */
   def recommendLookup(s: SparkSession, d: String, k: Int = 10,
                       posLabels: Seq[Int] = Seq(1, 2),
                       negLabels: Seq[Int] = Seq(3)): DataFrame = {
     val dec = "decimal(18,10)"
     val labels = (posLabels ++ negLabels).map(Int.box)
-    val isPos = col("label").isin(posLabels.map(Int.box): _*)
     // lookup collection: per-label centroid vectors
     val cent = Tables.embeddings(s, d)
       .filter(col("label").isin(labels: _*))
@@ -252,15 +255,28 @@ object VectorStore {
         .as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("cv"))
-    val recDims = cent.groupBy("dim").agg(
-      ((lit(negLabels.size) * sum(when(isPos, col("cv")).otherwise(lit(0.0)))) -
-        (lit(posLabels.size) * sum(when(!isPos, col("cv")).otherwise(lit(0.0)))))
-        .as("rv"))
-    val qvec = recDims.agg(
-      transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
-        x => x.getField("rv")).as("qvec"))
+    // the looked-up centroids are a bounded client batch (|labels|·dim
+    // doubles): collect once and combine in ASCENDING-LABEL order so the
+    // cross-label double sums are bit-deterministic for ANY label count
+    // (an agg-side sum is partition-order-dependent past 2 terms), then
+    // inline the query vector as literals — the discover() discipline
+    val centRows = cent.collect()
+    val dim = centRows.map(_.getInt(1)).max + 1
+    val byLabel = centRows.groupBy(_.getInt(0)).map { case (l, rows) =>
+      l -> {
+        val a = new Array[Double](dim)
+        rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+        a
+      }
+    }
+    val qv = Array.tabulate(dim) { i =>
+      val pos = posLabels.sorted.map(byLabel(_)(i)).sum
+      val neg = negLabels.sorted.map(byLabel(_)(i)).sum
+      negLabels.size * pos - posLabels.size * neg
+    }
+    val qvecCol = array(qv.map(lit).toIndexedSeq: _*)
     val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
-    Tables.points(s, d).join(broadcast(qvec))
+    Tables.points(s, d).withColumn("qvec", qvecCol)
       .withColumn("score", cosineSim(col("qvec"), col("vector")))
       .orderBy(col("score").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1164,7 +1180,12 @@ object VectorStore {
         count(lit(1)).as("n_distinct"),
         max("cnt").as("top_cnt"),
         // all-numeric test decides integer-index eligibility
-        min(col("value").rlike("^[0-9]+$").cast("int")).as("all_num"))
+        // a NULL value counts as non-numeric (coalesce — a bare min()
+        // skips nulls, silently diverging from the oracle's
+        // CASE...ELSE 0 semantics on null-payload snapshots like
+        // deletePayloadKeys')
+        min(coalesce(col("value").rlike("^[0-9]+$").cast("int"), lit(0)))
+          .as("all_num"))
       .select(col("field"), col("n_rows"), col("n_distinct"),
         round(col("n_rows").cast("double") / col("n_distinct"), 2)
           .as("rows_per_value"),

@@ -296,13 +296,34 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.map(_.getString(0)).toSeq.sorted === Seq("train", "val"))
     assert(rows.map(_.getLong(1)).sum === docs.count())
     rows.foreach(r => assert(r.getLong(3) === 0L, s"cluster split leaked: $r"))
-    // the per-doc split on the same corpus DOES leak (the contrast that
-    // motivates this operator) — or has no pairs at all at this SF
-    val pairs = Dedup.ngramJaccard(spark, sf).count()
-    if (pairs > 0) {
-      val sum = rows.map(_.getLong(1)).sum
-      assert(rows.map(_.getLong(2)).sum <= sum) // clusters <= docs
+    // driver reference: union-find over the pair relation + the md5
+    // label-hash split rule — every pair must land same-side and the
+    // rollup (docs, clusters) must match exactly
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val pairs = Dedup.ngramJaccard(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    val label = ids.map(i => i -> find(i)).toMap
+    def isVal(l: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(l.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) < 6553L
+    }
+    pairs.foreach { case (a, b) =>
+      assert(isVal(label(a)) === isVal(label(b)), s"pair ($a,$b) straddles")
+    }
+    val byS = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val valDocs = ids.filter(i => isVal(label(i)))
+    assert(byS("val")._1 === valDocs.length)
+    assert(byS("val")._2 === valDocs.map(label).distinct.length)
+    assert(byS("train")._2 ===
+      ids.filterNot(i => isVal(label(i))).map(label).distinct.length)
   }
 
   test("dupRateBySource attributes exactly the ngramJaccard removable set") {

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpecBase {
       .filter(col("lang") === "en")
     val f = PlanAudit.findings(slim).map(x => x.check -> x).toMap
     val detail = f("parquet_scans").detail
+    assert(detail.startsWith("n=1 "), s"expected exactly one scan: $detail")
     assert(detail.contains("read_cols=[2]"), s"expected 2-column scan: $detail")
     assert(detail.contains("pushed_filters=1"), s"expected a pushed filter: $detail")
   }

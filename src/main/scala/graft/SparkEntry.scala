@@ -231,7 +231,10 @@ object SparkEntry {
     "vs_recommend_lookup" -> ((s: SparkSession, d: String) => VectorStore.recommendLookup(s, d)),
     "events_count_min" -> ((s: SparkSession, d: String) => Relational.countMinUsers(s, d)),
     "docs_train_val_split" -> ((s: SparkSession, d: String) => Dedup.trainValSplit(s, d)),
-    "docs_split_by_cluster" -> ((s: SparkSession, d: String) => Dedup.splitByCluster(s, d))
+    "docs_split_by_cluster" -> ((s: SparkSession, d: String) => Dedup.splitByCluster(s, d)),
+    "vs_count_points" -> VectorStore.countPoints _,
+    "vs_retrieve_points" -> ((s: SparkSession, d: String) => VectorStore.retrievePoints(s, d)),
+    "events_user_overlap" -> Relational.eventTypeOverlap _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2148,6 +2151,28 @@ object SparkEntry {
          |SELECT s.split, count(*) AS n_docs, count(DISTINCT s.cluster_id) AS n_clusters,
          |  CAST(count(l.doc_id) AS BIGINT) AS n_leak_docs
          |FROM sp s LEFT JOIN leaky l ON s.doc_id = l.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vs_count_points" ->
+      s"""WITH $PTS
+         |SELECT user_id, count(*) AS n_points, count(DISTINCT site) AS n_sites
+         |FROM pts WHERE lang IN ('en', 'fr') AND site <> 'src0'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vs_retrieve_points" ->
+      s"""WITH $PTS
+         |SELECT id, user_id, site, lang, seq,
+         |  round(vector[1], 4) AS v0, round(vector[2], 4) AS v1,
+         |  round(vector[3], 4) AS v2, round(vector[4], 4) AS v3
+         |FROM pts WHERE id IN (3, 17, 99999999, 42, 250) ORDER BY id""".stripMargin,
+    "events_user_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |ov AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, sa.n AS na, sb.n AS nb, n_both,
+        |  round(n_both::DOUBLE / (sa.n + sb.n - n_both), 4) AS jaccard
+        |FROM ov JOIN sizes sa ON ta = sa.event_type
+        |JOIN sizes sb ON tb = sb.event_type
+        |ORDER BY ta, tb""".stripMargin
   )
 }

@@ -1650,6 +1650,35 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** EVENT-TYPE CO-OCCURRENCE matrix: for every ordered type pair
+    * (ta < tb), how many distinct users did BOTH — the audience-overlap
+    * relation behind funnel design and segment building ("are
+    * purchasers a subset of viewers?"), plus each pair's Jaccard
+    * overlap of the two audiences. Scale shape: events reduce to
+    * DISTINCT (user, type) pairs first (the only corpus-sized
+    * exchange); the self-join then fans out ≤ |types|² rows per user
+    * — types is a small enum, so the pair relation is |users|·|types|²
+    * at worst and the rollup is |types|² rows. (The sketch-sized
+    * alternative at extreme cardinality is theta-sketch
+    * intersection; with |types| ~ 10 the exact form is cheaper AND
+    * oracle-checkable.)
+    */
+  def eventTypeOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val both = ut.select(col("user_id"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+    both
+      .join(sizes.select(col("event_type").as("ta"), col("n").as("na")), "ta")
+      .join(sizes.select(col("event_type").as("tb"), col("n").as("nb")), "tb")
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_both"),
+        round(col("n_both").cast("double") / (col("na") + col("nb") - col("n_both")), 4)
+          .as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
   /** The raw depth×width counter table of [[countMinUsers]]' sketch over
     * an arbitrary key column — exposed for the mergeability spec and for
     * persisting the sketch as data.

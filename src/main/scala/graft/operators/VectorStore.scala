@@ -1106,6 +1106,37 @@ object VectorStore {
       .orderBy("status")
   }
 
+  /** Qdrant /points/count — the exact-count API (`exact: true`): the
+    * collection size under a payload filter, per tenant. One
+    * scan-stage-filtered aggregate; at 100 TB the filter prunes at the
+    * parquet scan and only per-partition partial counts move. The
+    * multi-tenant rollup answers every per-tenant count in ONE job
+    * (the batch strength over the reference's per-request loop).
+    */
+  def countPoints(s: SparkSession, d: String): DataFrame =
+    Tables.points(s, d)
+      .filter(col("lang").isin("en", "fr") && col("site") =!= "src0")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"), countDistinct("site").as("n_sites"))
+      .orderBy("user_id")
+
+  /** Qdrant GET /points (retrieve by ids) with payload/vector
+    * selectors: the requested ids return their payload plus a DERIVED
+    * vector view (`with_vectors` head slice — the named-vector head,
+    * not the full column), missing ids are absent (the documented
+    * semantics — no error, no placeholder row). Ids are a bounded
+    * client batch: the filter is an `isin` pushed to the scan, no
+    * shuffle, ordered output.
+    */
+  def retrievePoints(s: SparkSession, d: String,
+                     ids: Seq[Long] = Seq(3L, 17L, 99999999L, 42L, 250L),
+                     headDims: Int = 4): DataFrame =
+    Tables.points(s, d)
+      .filter(col("id").isin(ids.map(Long.box): _*))
+      .select(Seq(col("id"), col("user_id"), col("site"), col("lang"), col("seq")) ++
+        (0 until headDims).map(i => round(col("vector")(i), 4).as(s"v$i")): _*)
+      .orderBy("id")
+
   /** Qdrant `MatchPhrase` full-text condition + vector rank: candidates
     * must contain the query words as an ADJACENT whole-word sequence in
     * order (the phrase-matching mode of Qdrant's full-text index, the

@@ -1214,6 +1214,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("eventTypeOverlap counts distinct both-type audiences exactly") {
+    val rows = Relational.eventTypeOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+    }
+    // driver reference for one pair
+    val (ta, tb) = (rows.head.getString(0), rows.head.getString(1))
+    val byType = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .groupBy(_.getString(1)).map { case (t, rs) => t -> rs.map(_.getLong(0)).toSet }
+    assert(rows.head.getLong(4) === byType(ta).intersect(byType(tb)).size.toLong)
+    assert(rows.head.getLong(2) === byType(ta).size.toLong)
+  }
+
   test("countMin estimates dominate true counts and the sketch merges elementwise") {
     val rows = Relational.countMinUsers(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -294,6 +294,30 @@ class VectorStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("countPoints matches a direct filtered count per tenant") {
+    val rows = VectorStore.countPoints(spark, sf).collect()
+    val direct = Tables.points(spark, sf)
+      .filter(col("lang").isin("en", "fr") && col("site") =!= "src0")
+    assert(rows.map(_.getLong(1)).sum === direct.count())
+    rows.foreach(r => assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("retrievePoints returns exactly the existing requested ids, missing ids absent") {
+    val rows = VectorStore.retrievePoints(spark, sf).collect()
+    val got = rows.map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 17L, 42L, 250L), s"got $got") // 99999999 silently absent
+    // payload passthrough + 4-dim head slice
+    val p42 = Tables.points(spark, sf).filter(col("id") === 42).head()
+    val r42 = rows.find(_.getLong(0) == 42L).get
+    assert(r42.getString(2) === p42.getString(4)) // site column
+    // mirror Spark round(): BigDecimal.valueOf (shortest decimal repr),
+    // not the exact binary expansion
+    val head = p42.getSeq[Double](1).take(4)
+      .map(v => BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert((5 until 9).map(r42.getDouble) === head)
+  }
+
   test("recommendLookup ranks by the centroid-difference direction, excluding nothing") {
     val r = VectorStore.recommendLookup(spark, sf).collect()
     assert(r.length === 10)

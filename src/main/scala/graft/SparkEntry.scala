@@ -234,7 +234,9 @@ object SparkEntry {
     "docs_split_by_cluster" -> ((s: SparkSession, d: String) => Dedup.splitByCluster(s, d)),
     "vs_count_points" -> VectorStore.countPoints _,
     "vs_retrieve_points" -> ((s: SparkSession, d: String) => VectorStore.retrievePoints(s, d)),
-    "events_user_overlap" -> Relational.eventTypeOverlap _
+    "events_user_overlap" -> Relational.eventTypeOverlap _,
+    "docs_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
+    "events_inter_arrival" -> ((s: SparkSession, d: String) => Relational.interArrival(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2173,6 +2175,34 @@ object SparkEntry {
         |  round(n_both::DOUBLE / (sa.n + sb.n - n_both), 4) AS jaccard
         |FROM ov JOIN sizes sa ON ta = sa.event_type
         |JOIN sizes sb ON tb = sb.event_type
-        |ORDER BY ta, tb""".stripMargin
+        |ORDER BY ta, tb""".stripMargin,
+    "docs_ngram_novelty" ->
+      s"""WITH ${SHINGLES(5)},
+         |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+         |  FROM sh)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS novelty
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |a AS (SELECT user_id, count(gap) AS n_gaps,
+        |  sum(CAST(gap AS DECIMAL(28,0))) AS sg,
+        |  sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sg2,
+        |  max(gap) AS max_us
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(sg AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s,
+        |  round(sqrt(greatest(0.0,
+        |    CAST(sg2 AS DOUBLE) / n_gaps -
+        |      (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)))
+        |    / 1e6, 4) AS sd_gap_s,
+        |  CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s
+        |FROM a WHERE n_gaps >= 4 ORDER BY 1""".stripMargin
   )
 }

@@ -1650,6 +1650,46 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Per-user INTER-ARRIVAL statistics — burstiness vs regularity of a
+    * user's event stream (the signal behind bot detection and session-
+    * gap tuning: a scripted client has sd ≈ 0, a human is heavy-
+    * tailed). Gaps are exact integer MICROSECOND differences of
+    * consecutive events per user (one lag window over the per-user
+    * sort); mean and sd derive from exact integer sums (Σgap, Σgap² in
+    * DECIMAL — partial-agg order cannot move them), with only the
+    * transcendental sqrt rounded (safe per the round() discipline:
+    * 17-digit reprs never terminate at the boundary digit). Scale
+    * shape: one (user) exchange for the lag sort — the same exchange
+    * sessionization already pays — then a per-user rollup row.
+    */
+  def interArrival(s: SparkSession, d: String, minEvents: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us").cast("decimal(28,0)")).as("sg"),
+        // square INSIDE decimal: a raw long*long would overflow (ANSI
+        // throw) past ~3e9-microsecond gaps
+        sum(col("gap_us").cast("decimal(18,0)") * col("gap_us").cast("decimal(18,0)"))
+          .as("sg2"),
+        max("gap_us").as("max_us"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .select(col("user_id"), col("n_gaps"),
+        // mean in seconds: exact-integer-backed double division chain
+        (col("sg").cast("double") / col("n_gaps") / 1e6).as("mean_gap_s"),
+        // sd = sqrt(E[x²] − E[x]²); sqrt output rounds at 4dp
+        round(
+          sqrt(greatest(lit(0.0),
+            col("sg2").cast("double") / col("n_gaps") -
+              (col("sg").cast("double") / col("n_gaps")) *
+              (col("sg").cast("double") / col("n_gaps")))) / 1e6, 4).as("sd_gap_s"),
+        (col("max_us").cast("double") / 1e6).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** EVENT-TYPE CO-OCCURRENCE matrix: for every ordered type pair
     * (ta < tb), how many distinct users did BOTH — the audience-overlap
     * relation behind funnel design and segment building ("are

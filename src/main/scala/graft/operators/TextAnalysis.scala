@@ -1297,6 +1297,31 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** N-GRAM NOVELTY per document — the freshness/memorization-risk
+    * signal of an ordered ingest: what fraction of each doc's distinct
+    * word-5-grams appears HERE FIRST (no earlier doc_id carries the
+    * gram)? A late doc with novelty ≈ 0 is recombinated boilerplate the
+    * model has already seen (Lee et al. 2022's memorization argument at
+    * the gram tier); a source whose novelty trend decays is exhausted.
+    * Scale shape: grams reduce to 64-bit hashes at the scan (the
+    * [[graft.operators.Dedup.candidatePairCounts]] reduction — set
+    * semantics up to documented collisions), the first-seen owner is
+    * ONE min-aggregate per gram, and the join-back keys on the 8-byte
+    * hash — document text never shuffles.
+    */
+  def ngramNovelty(s: SparkSession, d: String, w: Int = 5): DataFrame = {
+    val grams = Dedup.shingleRows(Tables.documents(s, d), w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Document-LENGTH histogram in whitespace tokens — the planning
     * artifact behind [[packChunks]]'s budget choice and a sequence-
     * length curriculum: bucket docs by tokens/10 (exact integer

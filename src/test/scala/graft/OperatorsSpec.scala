@@ -1214,6 +1214,43 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("ngramNovelty charges each distinct gram to exactly its first doc") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the first doc is all-novel; every doc is within [0,1]
+    assert(rows.head.getLong(0) === rows.map(_.getLong(0)).min)
+    assert(rows.head.getDouble(3) === 1.0)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // sum of novel grams = corpus-wide distinct gram count (each gram
+    // is first-seen exactly once)
+    val distinctGrams = graft.operators.Dedup
+      .shingleRows(Tables.documents(spark, sf), 5)
+      .select(xxhash64(col("shingle"))).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === distinctGrams)
+  }
+
+  test("interArrival derives exact gap statistics per user") {
+    val rows = Relational.interArrival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver reference for the first reported user
+    val uid = rows.head.getLong(0)
+    val times = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .orderBy("us", "event_id").collect().map(_.getLong(0))
+    val gaps = times.sliding(2).map(p => p(1) - p(0)).toArray
+    assert(rows.head.getLong(1) === gaps.length.toLong)
+    assert(rows.head.getDouble(2) ===
+      gaps.map(BigDecimal(_)).sum.toDouble / gaps.length / 1e6)
+    assert(rows.head.getDouble(4) === gaps.max.toDouble / 1e6)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)            // sd
+      assert(r.getDouble(2) <= r.getDouble(4)) // mean <= max
+    }
+  }
+
   test("eventTypeOverlap counts distinct both-type audiences exactly") {
     val rows = Relational.eventTypeOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

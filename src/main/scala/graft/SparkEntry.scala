@@ -236,7 +236,8 @@ object SparkEntry {
     "vs_retrieve_points" -> ((s: SparkSession, d: String) => VectorStore.retrievePoints(s, d)),
     "events_user_overlap" -> Relational.eventTypeOverlap _,
     "docs_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
-    "events_inter_arrival" -> ((s: SparkSession, d: String) => Relational.interArrival(s, d))
+    "events_inter_arrival" -> ((s: SparkSession, d: String) => Relational.interArrival(s, d)),
+    "docs_curriculum_order" -> TextAnalysis.curriculumOrder _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2203,6 +2204,17 @@ object SparkEntry {
         |      (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)))
         |    / 1e6, 4) AS sd_gap_s,
         |  CAST(max_us AS DOUBLE) / 1e6 AS max_gap_s
-        |FROM a WHERE n_gaps >= 4 ORDER BY 1""".stripMargin
+        |FROM a WHERE n_gaps >= 4 ORDER BY 1""".stripMargin,
+    "docs_curriculum_order" ->
+      """WITH sc AS (SELECT doc_id,
+        |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' ')), 4) AS uniq_ratio,
+        |  CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS shuf
+        |  FROM documents),
+        |r AS (SELECT *, ntile(3) OVER (ORDER BY uniq_ratio DESC, doc_id ASC) AS phase
+        |  FROM sc)
+        |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+        |  row_number() OVER (PARTITION BY phase ORDER BY shuf, doc_id) AS phase_rank
+        |FROM r ORDER BY phase, phase_rank""".stripMargin
   )
 }

@@ -1297,6 +1297,39 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** CURRICULUM ORDER — the training-schedule artifact of
+    * quality-curriculum learning: docs split into 3 global quality
+    * phases (ntile over lexical-diversity score, cleanest first — the
+    * "easy/clean → hard/noisy" schedule), each phase internally
+    * shuffled by a DETERMINISTIC content hash (reproducible epochs, no
+    * RNG state to persist) and ranked. The trainer consumes (phase,
+    * phase_rank) as the read order. Scale shape: BOTH global ranks run
+    * through [[graft.operators.DistributedRank]] (range-partition +
+    * broadcast offsets — no single-task window over the corpus; the
+    * per-phase shuffle rank range-partitions by (phase, hash) so each
+    * task holds |corpus|/P rows regardless of phase count).
+    */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      round(size(array_distinct(words)).cast("double") / size(words), 4)
+        .as("uniq_ratio"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("shuf"))
+    val ranked = graft.operators.DistributedRank.rowNumber(scored, Seq.empty,
+        Seq(col("uniq_ratio").desc, col("doc_id").asc), "rnk", "n_total")
+      .withColumn("q", expr("n_total DIV 3"))
+      .withColumn("rem", col("n_total") % 3)
+      // exact SQL NTILE(3): first `rem` buckets take ceil(n/3) rows
+      .withColumn("phase", when(col("rnk") <= col("rem") * (col("q") + 1),
+          expr("(rnk - 1) DIV (q + 1) + 1"))
+        .otherwise(expr("rem + (rnk - rem * (q + 1) - 1) DIV q + 1")))
+      .select("doc_id", "phase", "shuf")
+    graft.operators.DistributedRank.rowNumber(ranked, Seq("phase"),
+        Seq(col("shuf").asc, col("doc_id").asc), "phase_rank", "n_phase")
+      .select(col("doc_id"), col("phase"), col("phase_rank"))
+      .orderBy("phase", "phase_rank")
+  }
+
   /** N-GRAM NOVELTY per document — the freshness/memorization-risk
     * signal of an ordered ingest: what fraction of each doc's distinct
     * word-5-grams appears HERE FIRST (no earlier doc_id carries the

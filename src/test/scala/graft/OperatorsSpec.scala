@@ -1214,6 +1214,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("curriculumOrder partitions into 3 contiguous quality phases, shuffled within") {
+    val rows = TextAnalysis.curriculumOrder(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length === n)
+    assert(rows.map(_.getLong(0)).distinct.length === n) // every doc exactly once
+    // ntile sizes: first (n mod 3) phases take ceil(n/3)
+    val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(1L, 2L, 3L))
+    val (q, rem) = (n / 3, n % 3)
+    (1L to 3L).foreach { p =>
+      assert(sizes(p) === (if (p <= rem) q + 1 else q), s"phase $p size")
+    }
+    // phases respect the quality order: every phase-1 doc's score >= every phase-3 doc's
+    val score = Tables.documents(spark, sf).select(col("doc_id"),
+        round(size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " ")), 4)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minP1 = rows.filter(_.getLong(1) == 1L).map(r => score(r.getLong(0))).min
+    val maxP3 = rows.filter(_.getLong(1) == 3L).map(r => score(r.getLong(0))).max
+    assert(minP1 >= maxP3)
+    // phase_rank is 1..size within each phase
+    (1L to 3L).foreach { p =>
+      val rks = rows.filter(_.getLong(1) == p).map(_.getLong(2)).sorted
+      assert(rks.toSeq === (1L to sizes(p)).toSeq)
+    }
+  }
+
   test("ngramNovelty charges each distinct gram to exactly its first doc") {
     val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -237,7 +237,9 @@ object SparkEntry {
     "events_user_overlap" -> Relational.eventTypeOverlap _,
     "docs_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
     "events_inter_arrival" -> ((s: SparkSession, d: String) => Relational.interArrival(s, d)),
-    "docs_curriculum_order" -> TextAnalysis.curriculumOrder _
+    "docs_curriculum_order" -> TextAnalysis.curriculumOrder _,
+    "emb_cosine_hist" -> Embeddings.cosineHist _,
+    "docs_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2215,6 +2217,40 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
         |  row_number() OVER (PARTITION BY phase ORDER BY shuf, doc_id) AS phase_rank
-        |FROM r ORDER BY phase, phase_rank""".stripMargin
+        |FROM r ORDER BY phase, phase_rank""".stripMargin,
+    "emb_cosine_hist" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |n AS (SELECT count(*) // 2 AS half FROM emb),
+        |a AS (SELECT vec_id AS pair_id, vec AS va FROM emb, n WHERE vec_id < half),
+        |b AS (SELECT vec_id - n.half AS pair_id, vec AS vb FROM emb, n
+        |  WHERE vec_id >= n.half AND vec_id < n.half * 2),
+        |d AS (SELECT CAST(floor(round(list_cosine_similarity(va, vb), 4) * 10)
+        |    AS BIGINT) AS decile
+        |  FROM a JOIN b ON a.pair_id = b.pair_id),
+        |g AS (SELECT decile, count(*) AS n_pairs FROM d GROUP BY 1)
+        |SELECT decile, n_pairs,
+        |  round(n_pairs::DOUBLE / sum(n_pairs) OVER (), 4) AS share
+        |FROM g ORDER BY decile""".stripMargin,
+    "docs_source_overlap" ->
+      s"""WITH ${SHINGLES(5)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT ia, ib, round(c::DOUBLE / (za.n + zb.n - c), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes za ON ia = za.doc_id JOIN sizes zb ON ib = zb.doc_id
+         |  WHERE zb.n >= za.n * 0.7 AND za.n >= zb.n * 0.7
+         |    AND c::DOUBLE / (za.n + zb.n - c) >= 0.7),
+         |sp AS (SELECT doc_id, source FROM documents),
+         |p AS (SELECT least(a.source, b.source) AS sa,
+         |  greatest(a.source, b.source) AS sb, j.jaccard, j.ia, j.ib
+         |  FROM j JOIN sp a ON j.ia = a.doc_id JOIN sp b ON j.ib = b.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY sa, sb
+         |    ORDER BY jaccard DESC, ia DESC, ib DESC) AS rk,
+         |  count(*) OVER (PARTITION BY sa, sb) AS n_pairs FROM p)
+         |SELECT sa, sb, CAST(n_pairs AS BIGINT) AS n_pairs, jaccard AS max_jaccard,
+         |  ia AS example_ia, ib AS example_ib
+         |FROM r WHERE rk = 1 ORDER BY sa, sb""".stripMargin
   )
 }

@@ -1241,6 +1241,31 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** CROSS-SOURCE near-dup matrix — the pair-level view behind
+    * [[dupRateBySource]]'s rates: for each ingest-feed pair (sa ≤ sb),
+    * how many ≥ `t` Jaccard pairs connect them, with the strongest
+    * example pair as evidence. An off-diagonal heavy cell is one feed
+    * re-crawling another; a heavy diagonal is internal boilerplate.
+    * Rides the memoized pair relation joined to 2-column (doc_id,
+    * source) rows; rollup is ≤ |sources|² rows.
+    */
+  def sourceOverlap(s: SparkSession, d: String, t: Double = 0.7): DataFrame = {
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    ngramJaccard(s, d, t)
+      .join(src.select(col("doc_id").as("ia"), col("source").as("sa0")), "ia")
+      .join(src.select(col("doc_id").as("ib"), col("source").as("sb0")), "ib")
+      .select(least(col("sa0"), col("sb0")).as("sa"),
+        greatest(col("sa0"), col("sb0")).as("sb"),
+        col("jaccard"), col("ia"), col("ib"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(struct(col("jaccard"), col("ia"), col("ib"))).as("best"))
+      .select(col("sa"), col("sb"), col("n_pairs"),
+        col("best.jaccard").as("max_jaccard"),
+        col("best.ia").as("example_ia"), col("best.ib").as("example_ib"))
+      .orderBy("sa", "sb")
+  }
+
   /** SPLIT BY CLUSTER — the fix [[trainValSplit]]'s audit recommends
     * when leak_rate is high: assign whole near-dup CLUSTERS to a side
     * (hash of the component-min label, singletons labeled by their own

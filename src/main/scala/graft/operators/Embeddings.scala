@@ -450,6 +450,43 @@ object Embeddings {
       .limit(k)
   }
 
+  /** Pairwise-COSINE HISTOGRAM over a deterministic sample — the
+    * embedding-space health check (anisotropy / collapse): random text
+    * embeddings should center near 0; a model whose random-pair cosine
+    * mass sits at 0.6+ has a collapsed space where near-dup thresholds
+    * and IVF routing stop discriminating. The "random" pairs are
+    * DETERMINISTIC: vector i pairs with vector i + n/2 (one
+    * half-rotation — every vector used exactly once, no RNG, both
+    * engines derive the identical pair set), cosines bucket at 0.1
+    * into [-10, 10) deciles. Scale shape: the pair join is an equi-join
+    * on a derived key (shuffle carries (key, vec) once per side at
+    * worst; with the id-bucketed layout it co-locates), and the rollup
+    * is ≤ 20 rows.
+    */
+  def cosineHist(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val n = emb.count()
+    val half = n / 2
+    val a = emb.filter(col("vec_id") < half)
+      .select(col("vec_id").as("pair_id"), col("vec").as("va"))
+    val b = emb.filter(col("vec_id") >= half && col("vec_id") < half * 2)
+      .select((col("vec_id") - half).as("pair_id"), col("vec").as("vb"))
+    // 4dp-round BEFORE bucketing: the decile edge then computes on the
+    // same engine-portable rounded double in both engines (identical
+    // IEEE ops → identical bucket, even where ×10 of a non-exact
+    // decimal lands a hair under the integer)
+    a.join(b, "pair_id")
+      .select(floor(round(cosineSim(col("va"), col("vb")), 4) * 10)
+        .cast("long").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        round(col("n_pairs").cast("double") /
+          sum("n_pairs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0))), 4))
+      .orderBy("decile")
+  }
+
   /** Qdrant Query-API PREFETCH CHAIN (the /points/query `prefetch`
     * parameter): a multi-stage cascade where each tier searches only
     * the previous tier's survivors with a costlier, more exact scorer —

@@ -326,6 +326,27 @@ class DedupSpec extends SparkSpecBase {
       ids.filterNot(i => isVal(label(i))).map(label).distinct.length)
   }
 
+  test("sourceOverlap partitions the pair relation with exact argmax evidence") {
+    val rows = Dedup.sourceOverlap(spark, sf).collect()
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.map(_.getLong(2)).sum === pairs.size.toLong)
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(sa <= sb)
+      val (ia, ib) = (r.getLong(4), r.getLong(5))
+      // the evidence pair really belongs to this cell at this score
+      assert(Seq(src(ia), src(ib)).sorted === Seq(sa, sb))
+      assert(pairs((ia, ib)) === r.getDouble(3))
+      // and it is the cell's max
+      val cellMax = pairs.collect { case ((a, b), jc)
+        if Seq(src(a), src(b)).sorted == Seq(sa, sb) => jc }.max
+      assert(r.getDouble(3) === cellMax)
+    }
+  }
+
   test("dupRateBySource attributes exactly the ngramJaccard removable set") {
     val rows = Dedup.dupRateBySource(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

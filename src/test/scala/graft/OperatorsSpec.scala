@@ -1214,6 +1214,17 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("cosineHist buckets every half-rotation pair exactly once") {
+    val rows = Embeddings.cosineHist(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n / 2)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= -10L && r.getLong(0) <= 10L)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+  }
+
   test("curriculumOrder partitions into 3 contiguous quality phases, shuffled within") {
     val rows = TextAnalysis.curriculumOrder(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()

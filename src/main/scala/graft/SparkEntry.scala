@@ -239,7 +239,10 @@ object SparkEntry {
     "events_inter_arrival" -> ((s: SparkSession, d: String) => Relational.interArrival(s, d)),
     "docs_curriculum_order" -> TextAnalysis.curriculumOrder _,
     "emb_cosine_hist" -> Embeddings.cosineHist _,
-    "docs_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d))
+    "docs_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
+    // no_oracle: recall curve over a k-means-seeded quantizer (spec'd
+    // monotone + exact-1.0 endpoint instead)
+    "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */

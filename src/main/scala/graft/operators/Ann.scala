@@ -606,4 +606,50 @@ object Ann {
         evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k))))
       .reduce(_ unionByName _).orderBy("method")
   }
+
+  /** IVF NPROBE-TUNING CURVE — the [[graft.operators.Dedup
+    * .minhashBandTuning]] discipline applied to the IVF knob: empirical
+    * recall@k vs nprobe over ONE shared quantizer and ONE scored
+    * candidate set (candidates are scored once at max-nprobe with
+    * their probe rank attached; each curve point is a FILTER over that
+    * relation, not a re-scan — the corpus is read once for the whole
+    * curve). The exact endpoint anchors the curve: nprobe = nlist scans
+    * every list, so its recall is 1.0 BY CONSTRUCTION (spec'd), and the
+    * operator reports the cost axis (share of lists scanned) beside
+    * the quality axis. This is the report that turns "pick nprobe" from
+    * folklore into a lookup.
+    */
+  def ivfProbeTuning(s: SparkSession, d: String, k: Int = 10, nlist: Int = 16,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val (corpus0, queries) = corpusAndQueries(s, d)
+    val corpus = corpus0.cache()
+    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, 3)
+    val assigned = corpus.select(col("vec_id"), col("vec"),
+      nearestCentroidId(col("vec"), cents).as("cid"))
+    val maxP = math.min(nprobes.max, nlist)
+    val probes = queries.select(col("query_id"), col("qvec"),
+        posexplode(slice(array_sort(centroidStructs(col("qvec"), cents)), 1, maxP))
+          .as(Seq("pr0", "pc")))
+      .select(col("query_id"), col("qvec"), (col("pr0") + 1).as("probe_rank"),
+        col("pc").getField("cid").as("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .withColumn("cs", cosineSim(col("vec"), col("qvec")))
+      .select("query_id", "vec_id", "cs", "probe_rank").cache()
+    val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
+    val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+    nprobes.map { np =>
+      val res = scored.filter(col("probe_rank") <= np)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+      val hits = truth.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      nTrue.join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true")), 4)
+            .as("mean_recall"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("mean_recall"),
+          round(lit(math.min(np, nlist).toDouble / nlist), 4).as("lists_share"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
 }

@@ -4,6 +4,17 @@ import graft.operators.Ann
 
 class AnnSpec extends SparkSpecBase {
 
+  test("ivfProbeTuning recall is monotone in nprobe and exactly 1.0 at nprobe=nlist") {
+    val rows = graft.operators.Ann.ivfProbeTuning(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_.getDouble(2)).toSeq
+    recalls.sliding(2).foreach(p => assert(p(0) <= p(1) + 1e-9, s"non-monotone: $recalls"))
+    // scanning every list IS brute force: the endpoint anchors at 1.0
+    assert(recalls.last === 1.0)
+    assert(rows.last.getDouble(3) === 1.0)
+    assert(rows.map(_.getLong(1)).distinct.length === 1) // same query set throughout
+  }
+
   private def topkSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
     rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
 

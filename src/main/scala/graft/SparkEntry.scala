@@ -242,7 +242,8 @@ object SparkEntry {
     "docs_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     // no_oracle: recall curve over a k-means-seeded quantizer (spec'd
     // monotone + exact-1.0 endpoint instead)
-    "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d))
+    "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d)),
+    "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2254,6 +2255,23 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY sa, sb) AS n_pairs FROM p)
          |SELECT sa, sb, CAST(n_pairs AS BIGINT) AS n_pairs, jaccard AS max_jaccard,
          |  ia AS example_ia, ib AS example_ib
-         |FROM r WHERE rk = 1 ORDER BY sa, sb""".stripMargin
+         |FROM r WHERE rk = 1 ORDER BY sa, sb""".stripMargin,
+    "docs_anneal_mixture" ->
+      """WITH bs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |ph AS (SELECT * FROM (VALUES (1, 'size'), (2, 'sqrt'), (3, 'equal'))
+        |  AS t(phase, mode)),
+        |raw AS (SELECT ph.phase, bs.source, bs.n_docs,
+        |  CASE ph.mode WHEN 'size' THEN CAST(bs.n_docs AS DECIMAL(18,6))
+        |    WHEN 'sqrt' THEN CAST(round(sqrt(CAST(bs.n_docs AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))
+        |    ELSE CAST(1.0 AS DECIMAL(18,6)) END AS rw
+        |  FROM bs, ph),
+        |w AS (SELECT phase, source, n_docs,
+        |  CAST(rw AS DOUBLE) / CAST(sum(rw) OVER (PARTITION BY phase) AS DOUBLE) AS w
+        |  FROM raw)
+        |SELECT CAST(phase AS BIGINT) AS phase, source, n_docs,
+        |  round(w, 4) AS weight,
+        |  CAST(round(w * 10000, 0) AS BIGINT) AS target_docs
+        |FROM w ORDER BY phase, source""".stripMargin
   )
 }

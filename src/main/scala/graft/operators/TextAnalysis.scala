@@ -1297,6 +1297,47 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** ANNEALED MIXTURE SCHEDULE — the phase-dependent source-sampling
+    * plan of a mid-training anneal: early phases sample sources
+    * proportional to size (τ = 1), the middle phase flattens toward
+    * balance (τ = ½ — sqrt weighting), and the final phase samples
+    * sources EQUALLY (τ = 0) so small high-quality feeds dominate the
+    * anneal. Weights are w_s = n_s^τ / Σ n_s^τ; per (phase, source)
+    * the report gives the weight and the target doc count for a fixed
+    * per-phase budget. The temperatures are deliberately {1, ½, 0}:
+    * identity, SQRT (correctly-rounded IEEE in both engines), and
+    * constant — no pow(x, 0.7)-class transcendental whose last-ulp
+    * disagreement between engines could flip a rounded weight. Scale
+    * shape: the corpus reduces to |sources| count rows; everything
+    * after is arithmetic on that tiny relation.
+    */
+  def annealMixture(s: SparkSession, d: String,
+                    budget: Long = 10000L): DataFrame = {
+    val bySource = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val phases = Seq((1L, "size"), (2L, "sqrt"), (3L, "equal"))
+    phases.map { case (p, mode) =>
+      // un-normalized weights enter DECIMAL before the window sum: a
+      // double Σ over the partition would accumulate in row order
+      // (nondeterministic past 2 terms); the sqrt itself is 6dp-rounded
+      // first so the decimal is exact in both engines
+      val raw = (mode match {
+        case "size"  => col("n_docs").cast("decimal(18,6)")
+        case "sqrt"  => round(sqrt(col("n_docs").cast("double")), 6)
+          .cast("decimal(18,6)")
+        case "equal" => lit(1.0).cast("decimal(18,6)")
+      }).as("raw")
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      bySource
+        .withColumn("raw", raw)
+        .withColumn("w", col("raw").cast("double") /
+          sum(col("raw")).over(tw).cast("double"))
+        .select(lit(p).as("phase"), col("source"), col("n_docs"),
+          round(col("w"), 4).as("weight"),
+          round(col("w") * budget, 0).cast("long").as("target_docs"))
+    }.reduce(_ unionByName _).orderBy("phase", "source")
+  }
+
   /** CURRICULUM ORDER — the training-schedule artifact of
     * quality-curriculum learning: docs split into 3 global quality
     * phases (ntile over lexical-diversity score, cleanest first — the

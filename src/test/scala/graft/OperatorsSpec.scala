@@ -1214,6 +1214,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(buckets.head === lens.min / 10 && buckets.last === lens.max / 10)
   }
 
+  test("annealMixture flattens from size-proportional to equal weights") {
+    val rows = TextAnalysis.annealMixture(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === 3 * nSources)
+    val byPhase = rows.groupBy(_.getLong(0))
+    // each phase's weights sum to ~1 and targets to ~budget
+    byPhase.foreach { case (p, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 0.01, s"phase $p weights")
+      assert(math.abs(rs.map(_.getLong(4)).sum - 10000L) <= nSources, s"phase $p budget")
+    }
+    // phase 3 is exactly equal across sources
+    assert(byPhase(3L).map(_.getDouble(3)).distinct.length === 1)
+    // the spread of weights shrinks monotonically across phases
+    def spread(p: Long) = {
+      val ws = byPhase(p).map(_.getDouble(3)); ws.max - ws.min
+    }
+    assert(spread(1L) >= spread(2L) && spread(2L) >= spread(3L))
+  }
+
   test("cosineHist buckets every half-rotation pair exactly once") {
     val rows = Embeddings.cosineHist(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -243,7 +243,8 @@ object SparkEntry {
     // no_oracle: recall curve over a k-means-seeded quantizer (spec'd
     // monotone + exact-1.0 endpoint instead)
     "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d)),
-    "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d))
+    "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d)),
+    "vs_search_groups_lookup" -> ((s: SparkSession, d: String) => VectorStore.searchGroupsLookup(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2272,6 +2273,26 @@ object SparkEntry {
         |SELECT CAST(phase AS BIGINT) AS phase, source, n_docs,
         |  round(w, 4) AS weight,
         |  CAST(round(w * 10000, 0) AS BIGINT) AS target_docs
-        |FROM w ORDER BY phase, source""".stripMargin
+        |FROM w ORDER BY phase, source""".stripMargin,
+    "vs_search_groups_lookup" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.site, p.id, round(list_distance(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY site ORDER BY score ASC, id ASC)
+         |    AS hit_rank FROM scored),
+         |hits AS (SELECT * FROM h WHERE hit_rank <= 2),
+         |tg AS (SELECT site, score AS best_score FROM hits WHERE hit_rank = 1),
+         |g AS (SELECT site,
+         |  row_number() OVER (ORDER BY best_score ASC, site ASC) AS group_rank FROM tg),
+         |pr AS (SELECT site, id AS lookup_id, substring(text, 1, 20) AS lookup_head
+         |  FROM (SELECT site, id, text,
+         |    row_number() OVER (PARTITION BY site ORDER BY id) AS rk FROM pts)
+         |  WHERE rk = 1)
+         |SELECT g.group_rank, hits.site, pr.lookup_id, pr.lookup_head,
+         |  hits.hit_rank, hits.id, hits.score
+         |FROM hits JOIN g ON hits.site = g.site JOIN pr ON hits.site = pr.site
+         |WHERE g.group_rank <= 3
+         |ORDER BY group_rank, hit_rank""".stripMargin
   )
 }

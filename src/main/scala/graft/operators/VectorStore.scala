@@ -510,6 +510,30 @@ object VectorStore {
       .orderBy("group_rank", "hit_rank")
   }
 
+  /** [[searchGroups]] + Qdrant's `with_lookup`: each returned GROUP
+    * carries a looked-up record from ANOTHER collection keyed by the
+    * group value — here a "site profile" collection derived as each
+    * site's lowest-id document (lookup_id + a text head), the way the
+    * API attaches e.g. the restaurant record to every neighborhood
+    * group. The lookup relation reduces to one row per RETURNED group
+    * before joining (nGroups rows — broadcast), so the lookup costs
+    * nothing at any corpus size; the group search itself is unchanged.
+    */
+  def searchGroupsLookup(s: SparkSession, d: String, queryId: Long = 0,
+                         nGroups: Int = 3, perGroup: Int = 2): DataFrame = {
+    val groups = searchGroups(s, d, queryId, nGroups, perGroup)
+    val profile = Tables.points(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("site").orderBy(col("id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("site"), col("id").as("lookup_id"),
+        substring(col("text"), 1, 20).as("lookup_head"))
+    groups.join(broadcast(profile), "site")
+      .select(col("group_rank"), col("site"), col("lookup_id"), col("lookup_head"),
+        col("hit_rank"), col("id"), col("score"))
+      .orderBy("group_rank", "hit_rank")
+  }
+
   /** Qdrant-style FACET counts (facet API): distinct values of a payload
     * field with their point counts under a filter — the aggregation
     * behind every filter sidebar. One partial-agg'd groupBy over the

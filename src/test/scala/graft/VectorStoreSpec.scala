@@ -294,6 +294,20 @@ class VectorStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("searchGroupsLookup attaches exactly each group's lowest-id profile record") {
+    val rows = VectorStore.searchGroupsLookup(spark, sf).collect()
+    val plain = VectorStore.searchGroups(spark, sf).collect()
+    assert(rows.length === plain.length)
+    // group results identical to the plain group search
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5))).toSeq ===
+      plain.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+    // the looked-up record is the site's min id
+    val minId = Tables.points(spark, sf).groupBy("site")
+      .agg(min("id").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === minId(r.getString(1))))
+  }
+
   test("countPoints matches a direct filtered count per tenant") {
     val rows = VectorStore.countPoints(spark, sf).collect()
     val direct = Tables.points(spark, sf)

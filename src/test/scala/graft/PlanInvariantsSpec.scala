@@ -480,4 +480,36 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"pair mining lost its topN cut:\n$p")
     assert(!p.contains("CartesianProduct"), s"unconstrained product:\n$p")
   }
+
+  test("prefetch cascade: every tier cut is a TakeOrdered, candidates broadcast, no SMJ") {
+    val p = plan("emb_query_prefetch")
+    // stage-1 (hamming) and stage-2 (SQ rescore) cuts must both plan as
+    // per-partition heaps + k-row merge, never a global sort
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"a cascade tier lost its TakeOrdered cut:\n$p")
+    // the corpus joins each tier's survivors via broadcast — a
+    // sort-merge join would shuffle the full vector column
+    assert(!p.contains("SortMergeJoin"), s"cascade degraded to SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast candidate join:\n$p")
+  }
+
+  test("knn self-eval broadcasts the bounded query sample, never shuffles the corpus") {
+    val simple = SparkEntry.queries("emb_knn_self_eval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // corpus×queries scoring must be a broadcast nested-loop (bounded
+    // query side) — the only hash exchanges are the k-row rank/vote ones
+    assert(simple.contains("BroadcastNestedLoopJoin"),
+      s"query sample not broadcast:\n$simple")
+    assert(!simple.contains("SortMergeJoin"), s"corpus-side SMJ:\n$simple")
+  }
+
+  test("curriculum order plans no unpartitioned corpus window") {
+    // both global ranks ride DistributedRank (range partition + local
+    // window); a regression to Window.orderBy over the corpus would
+    // plan a single-partition exchange feeding a Window
+    val simple = SparkEntry.queries("docs_curriculum_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!simple.contains("Exchange SinglePartition"),
+      s"single-task global window reappeared:\n$simple")
+  }
 }

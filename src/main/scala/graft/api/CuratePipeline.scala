@@ -28,7 +28,9 @@ object CuratePipeline {
                     nAfterNearDedup: Long, nAfterWinnow: Long,
                     nAfterBoilerplate: Long,
                     nAfterDecontam: Long, nSampled: Long,
-                    tokenBudget: Option[Long] = None)
+                    tokenBudget: Option[Long] = None,
+                    splitTrainVal: Option[(Long, Long)] = None,
+                    splitLeakPairs: Option[Long] = None)
 
   def curate(s: SparkSession, d: String, outPath: String,
              minWords: Int = 5, minUniqRatio: Double = 0.1,
@@ -38,7 +40,8 @@ object CuratePipeline {
              maxDupNgramRatio: Double = 1.0,
              gopherGate: Boolean = false,
              winnowMinShared: Int = 0,
-             tokenizer: Option[Tokenizer] = None): Report = {
+             tokenizer: Option[Tokenizer] = None,
+             splitValRate: Double = 0.0): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
     // masked) applied before anything downstream of `docs` touches the
@@ -138,7 +141,38 @@ object CuratePipeline {
         .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
         .filter(col("bucket") < lit((sampleRate * 65536).toLong)).drop("bucket")
     val nSampled = sampled.count()
-    sampled.repartition(col("lang"))
+
+    // 6b. train/val split (optional, splitValRate > 0) — the curated
+    // output gains a deterministic content-hash `split` column (the
+    // sampleHash convention) and the report carries the LEAKAGE PROOF
+    // as data: because stage 3 kept at most one member of every near-dup
+    // cluster, no ≥ threshold pair can straddle the split among
+    // survivors — the audit recomputes that count from the same pair
+    // relation and must read 0 (were the near-dedup stage ever bypassed,
+    // this is the number that would catch it; the standalone
+    // cluster-keyed splitter for un-deduped corpora is
+    // [[graft.operators.Dedup.splitByCluster]]).
+    val (output, splitInfo, leakInfo) =
+      if (splitValRate <= 0) (sampled, None, None)
+      else {
+        val cut = (splitValRate * 65536).toLong
+        val withSplit = sampled.withColumn("split",
+          when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") < cut,
+            "val").otherwise("train")).cache()
+        val nVal = withSplit.filter(col("split") === "val").count()
+        val nTrain = withSplit.count() - nVal
+        // UNHINTED joins: the split relation is corpus-sized (a
+        // broadcast hint would be the 100-TB OOM the df-cap joins
+        // removed); the pair side is near-dup-bounded and AQE picks
+        // the strategy
+        val sp = withSplit.select("doc_id", "split")
+        val leaks = Dedup.minhashPairs(s, d, nearDupThreshold)
+          .join(sp.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+          .join(sp.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+          .filter(col("sa") =!= col("sb")).count()
+        (withSplit, Some((nTrain, nVal)), Some(leaks))
+      }
+    output.repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
     // 7. token budget (optional) — the number the training run actually
@@ -153,7 +187,7 @@ object CuratePipeline {
     }
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
     Report(nInput, nQuality, nExact, nNear, nWinnow, nBoiler, nDecontam,
-      nSampled, tokenBudget)
+      nSampled, tokenBudget, splitInfo, leakInfo)
   }
 
   /** The full switch-over flow: curate a raw corpus, CHUNK the curated

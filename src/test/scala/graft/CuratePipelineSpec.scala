@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class CuratePipelineSpec extends SparkSpecBase {
 
+  test("splitValRate emits a train/val column with zero near-dup leakage, proven in-report") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-split-").toString
+    val r = CuratePipeline.curate(spark, sf, out, splitValRate = 0.2)
+    val Some((nTrain, nVal)) = r.splitTrainVal
+    assert(nTrain + nVal === r.nSampled)
+    assert(nVal > 0, "0.2 val rate should land some docs at this SF")
+    assert(r.splitLeakPairs === Some(0L),
+      s"near-dedup output must be leak-free: ${r.splitLeakPairs}")
+    // the written corpus carries the column with matching counts
+    val written = spark.read.parquet(out)
+    assert(written.filter(org.apache.spark.sql.functions.col("split") === "val").count() === nVal)
+    assert(written.count() === r.nSampled)
+  }
+
   test("curation attrition is monotone and the curated corpus round-trips") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString + "/corpus"
     val r = CuratePipeline.curate(spark, sf, out)

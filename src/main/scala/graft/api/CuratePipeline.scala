@@ -156,8 +156,12 @@ object CuratePipeline {
       if (splitValRate <= 0) (sampled, None, None)
       else {
         val cut = (splitValRate * 65536).toLong
+        // INDEPENDENT hash bits from the stage-6 sample filter (which
+        // consumes md5 chars 1-4): reusing them would make the split
+        // correlate with the sample cut — at sampleRate 0.1 /
+        // splitValRate 0.2 every surviving doc would land in 'val'
         val withSplit = sampled.withColumn("split",
-          when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") < cut,
+          when(conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") < cut,
             "val").otherwise("train")).cache()
         val nVal = withSplit.filter(col("split") === "val").count()
         val nTrain = withSplit.count() - nVal
@@ -174,6 +178,7 @@ object CuratePipeline {
       }
     output.repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
+    if (splitValRate > 0) output.unpersist()
 
     // 7. token budget (optional) — the number the training run actually
     // plans around: total subword tokens of the CURATED output under a

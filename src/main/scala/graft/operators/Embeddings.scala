@@ -464,8 +464,11 @@ object Embeddings {
     * is ≤ 20 rows.
     */
   def cosineHist(s: SparkSession, d: String): DataFrame = {
+    // cached: the count() action plus the two self-join branches would
+    // otherwise scan the table three times (the Ann corpus pattern)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .cache()
     val n = emb.count()
     val half = n / 2
     val a = emb.filter(col("vec_id") < half)

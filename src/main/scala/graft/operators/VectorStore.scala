@@ -522,7 +522,13 @@ object VectorStore {
   def searchGroupsLookup(s: SparkSession, d: String, queryId: Long = 0,
                          nGroups: Int = 3, perGroup: Int = 2): DataFrame = {
     val groups = searchGroups(s, d, queryId, nGroups, perGroup)
+    // prune to the RETURNED groups' sites BEFORE the per-site window:
+    // the profile build then touches nGroups sites, not every site in
+    // the corpus (a high-cardinality group field would otherwise shuffle
+    // + broadcast a |sites|-sized relation for 3 returned groups)
+    val sites = groups.select("site").distinct()
     val profile = Tables.points(s, d)
+      .join(broadcast(sites), "site")
       .withColumn("rk", row_number().over(
         Window.partitionBy("site").orderBy(col("id").asc)))
       .filter(col("rk") === 1)

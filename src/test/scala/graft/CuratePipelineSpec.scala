@@ -19,6 +19,18 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(written.count() === r.nSampled)
   }
 
+  test("split stays independent of the sample cut (both sides populated under sampling)") {
+    // the sample filter consumes md5 chars 1-4; a split reusing them
+    // would make sampleRate=0.5/splitValRate=0.2 yield ~40% val (or, at
+    // tighter rates, an empty train side)
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-split2-").toString
+    val r = CuratePipeline.curate(spark, sf, out, sampleRate = 0.5, splitValRate = 0.2)
+    val Some((nTrain, nVal)) = r.splitTrainVal
+    assert(nTrain > 0 && nVal > 0, s"degenerate split under sampling: $nTrain/$nVal")
+    val valShare = nVal.toDouble / (nTrain + nVal)
+    assert(valShare > 0.05 && valShare < 0.45, s"val share $valShare far from 0.2")
+  }
+
   test("curation attrition is monotone and the curated corpus round-trips") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString + "/corpus"
     val r = CuratePipeline.curate(spark, sf, out)

@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
 class EquivalenceSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("count-min table is split-invariant and dominates truth on random streams") {
+    val rnd = new scala.util.Random(1234)
+    val (width, depth) = (16, 3)
+    val (p, as, bs) = (2147483647L,
+      Seq(131071L, 524287L, 8191L), Seq(12345L, 67890L, 111213L))
+    for (_ <- 1 to 3) {
+      val keys = Seq.fill(400)(rnd.nextInt(40).toLong)
+      def tab(ks: Seq[Long]) =
+        Relational.countMinTable(ks.toDF("user_id"), "user_id", width, depth)
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      val whole = tab(keys).toMap
+      // elementwise merge of ANY partitioning reproduces the whole table
+      val parts = keys.grouped(rnd.nextInt(100) + 50).toSeq
+      val merged = parts.flatMap(tab)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(merged === whole)
+      // estimate = min over rows never undercounts any key
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, t) =>
+        val est = (0 until depth).map { r =>
+          whole((r, ((as(r) * (k % p) + bs(r)) % p) % width))
+        }.min
+        assert(est >= t, s"undercount for key $k: $est < $t")
+      }
+    }
+  }
+
   /** Reference connected components (driver-side BFS). */
   private def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }

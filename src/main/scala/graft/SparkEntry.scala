@@ -244,7 +244,8 @@ object SparkEntry {
     // monotone + exact-1.0 endpoint instead)
     "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d)),
     "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d)),
-    "vs_search_groups_lookup" -> ((s: SparkSession, d: String) => VectorStore.searchGroupsLookup(s, d))
+    "vs_search_groups_lookup" -> ((s: SparkSession, d: String) => VectorStore.searchGroupsLookup(s, d)),
+    "dedup_cost_report" -> ((s: SparkSession, d: String) => Dedup.candidateCostReport(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2293,6 +2294,17 @@ object SparkEntry {
          |  hits.hit_rank, hits.id, hits.score
          |FROM hits JOIN g ON hits.site = g.site JOIN pr ON hits.site = pr.site
          |WHERE g.group_rank <= 3
-         |ORDER BY group_rank, hit_rank""".stripMargin
+         |ORDER BY group_rank, hit_rank""".stripMargin,
+    "dedup_cost_report" ->
+      s"""WITH ${SHINGLES(5)},
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+         |  CAST(df AS HUGEINT) * (df - 1) // 2 AS pr FROM dfs),
+         |g AS (SELECT log2_df, count(*) AS n_grams, sum(pr) AS pairs FROM b
+         |  GROUP BY 1)
+         |SELECT log2_df, n_grams, CAST(pairs AS BIGINT) AS n_candidate_pairs,
+         |  round(CAST(pairs AS DOUBLE) / CAST(sum(pairs) OVER () AS DOUBLE), 4)
+         |    AS pair_share
+         |FROM g ORDER BY log2_df""".stripMargin
   )
 }

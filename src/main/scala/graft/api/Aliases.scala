@@ -52,6 +52,22 @@ object Aliases {
     else Some(spark.read.parquet(live).head().getString(0))
   }
 
+  /** The alias' full RE-POINT HISTORY, oldest first — every committed
+    * generation's target (the audit trail of blue/green swaps; what
+    * [[SnapshotGc]] has reclaimed no longer appears). Pairs with
+    * [[VectorIndex.loadAt]]: resolve where an alias pointed N swaps
+    * ago, then open THAT index generation for a rollback check.
+    */
+  def history(spark: SparkSession, registry: String,
+              alias: String): Seq[(Long, String)] = {
+    val root = aliasRoot(registry, alias)
+    VectorIndex.generations(spark, root).map { g =>
+      g -> spark.read
+        .parquet(VectorIndex.resolveSnapshotAt(spark, root, g))
+        .head().getString(0)
+    }
+  }
+
   /** Every alias in the registry with its current target. */
   def list(spark: SparkSession, registry: String): Map[String, String] = {
     val root = new org.apache.hadoop.fs.Path(registry)

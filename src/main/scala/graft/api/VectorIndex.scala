@@ -347,6 +347,41 @@ object VectorIndex {
     else committed.maxBy(_.getName).toString
   }
 
+  /** Every COMMITTED generation id under a snapshot root, ascending —
+    * the time-travel axis ([[resolveSnapshotAt]] reads one of these;
+    * what [[SnapshotGc]] has reclaimed no longer appears).
+    */
+  def generations(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix(GenPrefix).toLong).sorted
+  }
+
+  /** TIME TRAVEL: the data directory of one SPECIFIC committed
+    * generation — "query yesterday's index" for a rollback check or an
+    * A/B diff against the live snapshot ([[graft.operators.VectorStore
+    * .snapshotDiff]]'s input pair). Refuses uncommitted or reclaimed
+    * generations rather than serving torn data.
+    */
+  def resolveSnapshotAt(spark: SparkSession, path: String, generation: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/${generationDir(generation)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      s"generation $generation at $path is missing or uncommitted")
+    p.toString
+  }
+
+  /** Load the index as of a specific committed generation. */
+  def loadAt(spark: SparkSession, path: String, generation: Long,
+             embedder: Embedder = FeatureHashEmbedder): VectorIndex =
+    new VectorIndex(
+      spark.read.parquet(resolveSnapshotAt(spark, path, generation))
+        .select(schema.map(col): _*), embedder)
+
   /** Nearest-centroid classification — /get_category_for_title: every
     * row of `items(item_id, vec)` is assigned the argmin-euclidean row
     * of `categories(cat, cvec)` (the reference embeds category names;

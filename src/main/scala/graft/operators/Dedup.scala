@@ -1241,6 +1241,42 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** CANDIDATE-GENERATION COST REPORT — the number that justifies
+    * [[candidatePairCounts]]' dfCap, as data: a shingle shared by df
+    * docs explodes into df·(df−1)/2 candidate pairs BEFORE any
+    * per-pair reduction, so the join cost is Σ over grams of that
+    * quadratic — this report gives the sum per log₂-df bucket plus
+    * each bucket's share of the total, making "one df=10⁶ boilerplate
+    * gram costs more than the rest of the corpus combined" a row a
+    * capacity planner reads instead of an incident. Buckets are exact
+    * integer log₂ (the power-of-two floor via df's bit length — no
+    * float boundary), pair counts are exact DECIMAL sums. Scale shape:
+    * grams reduce to (hash, df) counts — one exchange — then a
+    * ≤64-row rollup.
+    */
+  def candidateCostReport(s: SparkSession, d: String, w: Int = 5): DataFrame = {
+    val df = shingleRows(Tables.documents(s, d), w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // floor(log2(df)) as bit length − 1: exact integer arithmetic
+    val bucket = (length(bin(col("df"))) - 1).cast("long")
+    // df(df−1)/2 entirely in DECIMAL: a raw long product overflows past
+    // df ~3e9 (plausible boilerplate df at 100 TB), and a `/ 2` would
+    // return double — the even product × DECIMAL(1,1) 0.5 stays exact
+    val pairs = (col("df").cast("decimal(19,0)") *
+      (col("df") - 1).cast("decimal(19,0)")) * lit(0.5).cast("decimal(1,1)")
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    df.select(bucket.as("log2_df"), pairs.as("pr"))
+      .groupBy("log2_df")
+      .agg(count(lit(1)).as("n_grams"), sum(col("pr")).as("pairs_dec"))
+      .withColumn("n_candidate_pairs", col("pairs_dec").cast("long"))
+      .withColumn("pair_share",
+        round(col("pairs_dec").cast("double") /
+          sum(col("pairs_dec")).over(tw).cast("double"), 4))
+      .select("log2_df", "n_grams", "n_candidate_pairs", "pair_share")
+      .orderBy("log2_df")
+  }
+
   /** CROSS-SOURCE near-dup matrix — the pair-level view behind
     * [[dupRateBySource]]'s rates: for each ingest-feed pair (sa ≤ sb),
     * how many ≥ `t` Jaccard pairs connect them, with the strongest

@@ -326,6 +326,22 @@ class DedupSpec extends SparkSpecBase {
       ids.filterNot(i => isVal(label(i))).map(label).distinct.length)
   }
 
+  test("candidateCostReport accounts every gram's quadratic exactly") {
+    val rows = Dedup.candidateCostReport(spark, sf).collect()
+    // driver reference off the gram dfs
+    val dfs = Dedup.shingleRows(Tables.documents(spark, sf), 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df")).collect().map(_.getLong(1))
+    assert(rows.map(_.getLong(1)).sum === dfs.length.toLong)
+    val expPairs = dfs.map(d => BigInt(d) * (d - 1) / 2).sum
+    assert(rows.map(r => BigInt(r.getLong(2))).sum === expPairs)
+    // bucket arithmetic: every df in bucket b satisfies 2^b <= df < 2^(b+1)
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.toSeq === buckets.sorted.toSeq)
+    assert(buckets.head === 0L) // df=1 grams exist in any natural corpus
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
+  }
+
   test("sourceOverlap partitions the pair relation with exact argmax evidence") {
     val rows = Dedup.sourceOverlap(spark, sf).collect()
     val pairs = Dedup.ngramJaccard(spark, sf).collect()

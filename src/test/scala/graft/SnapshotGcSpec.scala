@@ -61,6 +61,32 @@ class SnapshotGcSpec extends SparkSpecBase {
     assert(left === 1)
   }
 
+  test("time travel: loadAt serves a specific generation; history lists every re-point") {
+    import spark.implicits._
+    import graft.api.VectorIndex
+    val root = mkRoot() + "/idx"
+    // two committed index generations with different contents
+    def writePoints(gen: Long, n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Seq.fill(4)(0.1 * i), s"doc $i", i.toLong % 3,
+          "s", "en", gen))
+        .toDF("id", "vector", "text", "user_id", "site", "lang", "seq")
+        .write.parquet(s"$root/${VectorIndex.generationDir(gen)}")
+    writePoints(0, 3)
+    writePoints(1, 5)
+    assert(VectorIndex.generations(spark, root) === Seq(0L, 1L))
+    assert(VectorIndex.loadAt(spark, root, 0).points.count() === 3)
+    assert(VectorIndex.load(spark, root).points.count() === 5) // live = newest
+    intercept[IllegalArgumentException](VectorIndex.resolveSnapshotAt(spark, root, 7))
+    // alias history pairs with it: the audit trail of re-points
+    val reg = mkRoot()
+    Aliases.set(spark, reg, "prod", "/data/v1")
+    Aliases.set(spark, reg, "prod", "/data/v2")
+    assert(Aliases.history(spark, reg, "prod").map(_._2) === Seq("/data/v1", "/data/v2"))
+    // gc'd history disappears from the axis, live resolution intact
+    SnapshotGc.run(spark, s"$reg/prod", keepHistory = 0)
+    assert(Aliases.history(spark, reg, "prod").map(_._2) === Seq("/data/v2"))
+  }
+
   test("empty and never-committed roots plan safely") {
     assert(SnapshotGc.plan(spark, "/tmp/graft-gc-missing-root-xyz") === Seq.empty)
     val root = mkRoot()

@@ -245,7 +245,8 @@ object SparkEntry {
     "ann_ivf_probe_tuning" -> ((s: SparkSession, d: String) => Ann.ivfProbeTuning(s, d)),
     "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d)),
     "vs_search_groups_lookup" -> ((s: SparkSession, d: String) => VectorStore.searchGroupsLookup(s, d)),
-    "dedup_cost_report" -> ((s: SparkSession, d: String) => Dedup.candidateCostReport(s, d))
+    "dedup_cost_report" -> ((s: SparkSession, d: String) => Dedup.candidateCostReport(s, d)),
+    "events_theta_overlap" -> ((s: SparkSession, d: String) => Relational.eventsThetaOverlap(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2305,6 +2306,21 @@ object SparkEntry {
          |SELECT log2_df, n_grams, CAST(pairs AS BIGINT) AS n_candidate_pairs,
          |  round(CAST(pairs AS DOUBLE) / CAST(sum(pairs) OVER () AS DOUBLE), 4)
          |    AS pair_share
-         |FROM g ORDER BY log2_df""".stripMargin
+         |FROM g ORDER BY log2_df""".stripMargin,
+    // exact in the sub-2^lgK theta regime (capacity 16384 > distinct
+    // users at both verify SFs), like events_heavy_users' MG discipline
+    "events_theta_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |ov AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2),
+        |pairs AS (SELECT sa.event_type AS ta, sb.event_type AS tb,
+        |  sa.n AS users_a, sb.n AS users_b
+        |  FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type)
+        |SELECT p.ta, p.tb, p.users_a, p.users_b,
+        |  CAST(coalesce(ov.n, 0) AS BIGINT) AS est_both
+        |FROM pairs p LEFT JOIN ov ON p.ta = ov.ta AND p.tb = ov.tb
+        |ORDER BY p.ta, p.tb""".stripMargin
   )
 }

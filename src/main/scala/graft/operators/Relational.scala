@@ -1690,6 +1690,45 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** [[eventTypeOverlap]]'s SKETCH-SIZED twin: audience overlap per
+    * type pair computed by INTERSECTING per-type theta sketches —
+    * the set operation HLL cannot do, and the shape that survives
+    * 10⁹-user cardinalities where the exact distinct-(user, type)
+    * self-join stops being an option. One aggregation pass builds
+    * |types| compact blobs (KB each — they collect as bounded model
+    * state, the centroid size class); every pairwise intersection then
+    * runs driver-local on the blobs. Exactness regime (the Misra-Gries
+    * discipline): below the 2^lgK nominal capacity a theta sketch
+    * retains every distinct hash, so estimates — intersections
+    * included — are EXACT and the operator gates against the DuckDB
+    * oracle at test SF; beyond it the ~1/√2^lgK relative-error
+    * contract holds (spec'd in the forced-sampling regime).
+    */
+  def eventsThetaOverlap(s: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaSketchAgg}
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val sk = ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(col("user_id")), lgK)
+        .toAggregateExpression())
+    val blobs = Tables.events(s, d).groupBy("event_type").agg(sk.as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
+    def sketch(b: Array[Byte]) = CompactSketch.wrap(Memory.wrap(b))
+    val rows = for {
+      (ta, ba) <- blobs.toSeq; (tb, bb) <- blobs.toSeq if ta < tb
+    } yield {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(sketch(ba)); inter.intersect(sketch(bb))
+      (ta, tb, math.round(sketch(ba).getEstimate),
+        math.round(sketch(bb).getEstimate),
+        math.round(inter.getResult.getEstimate))
+    }
+    import s.implicits._
+    rows.sortBy(r => (r._1, r._2))
+      .toDF("ta", "tb", "users_a", "users_b", "est_both")
+  }
+
   /** EVENT-TYPE CO-OCCURRENCE matrix: for every ordered type pair
     * (ta < tb), how many distinct users did BOTH — the audience-overlap
     * relation behind funnel design and segment building ("are

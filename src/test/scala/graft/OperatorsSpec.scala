@@ -1308,6 +1308,32 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("theta overlap is exact below capacity and error-bounded when forced to sample") {
+    // exact regime: sub-capacity sketches reproduce the exact operator
+    val theta = Relational.eventsThetaOverlap(spark, sf).collect()
+    val exact = Relational.eventTypeOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(theta.nonEmpty)
+    theta.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      exact.get(key).foreach { case (na, nb, both) =>
+        assert(r.getLong(2) === na && r.getLong(3) === nb && r.getLong(4) === both,
+          s"sub-capacity sketch not exact for $key")
+      }
+    }
+    // forced-sampling regime: tiny lgK must stay within the theta
+    // relative-error envelope (generous 10x bound on 1/sqrt(2^lgK))
+    val small = Relational.eventsThetaOverlap(spark, sf, lgK = 5).collect()
+    small.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      exact.get(key).foreach { case (na, _, _) =>
+        val err = math.abs(r.getLong(2) - na).toDouble / math.max(na, 1L)
+        assert(err <= 10.0 / math.sqrt(32.0), s"audience estimate off for $key: $err")
+      }
+    }
+  }
+
   test("eventTypeOverlap counts distinct both-type audiences exactly") {
     val rows = Relational.eventTypeOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

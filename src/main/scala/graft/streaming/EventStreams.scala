@@ -488,6 +488,22 @@ object EventStreams {
         slice(map_values(col("sketch")), 1, k).as("approx_counts"))
   }
 
+  /** Streaming THETA-SKETCH maintenance — the ingest half of
+    * [[graft.operators.Relational.eventsThetaOverlap]]: per-type
+    * compact blobs kept live by a streaming aggregation (state = one
+    * union buffer per type, KB-bounded at any user cardinality).
+    * Downstream set operations (intersection/difference) consume the
+    * emitted blobs; the spec proves a streamed blob intersects
+    * identically to the batch sketch over the same data.
+    */
+  def thetaByTypeStream(events: DataFrame, lgK: Int = 14): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, ThetaSketchAgg}
+    val sk = ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(col("user_id")), lgK)
+        .toAggregateExpression())
+    events.groupBy("event_type").agg(sk.as("sk"), count(lit(1)).as("n_events"))
+  }
+
   /** Streaming COUNT-MIN maintenance — the ingest half of
     * [[graft.operators.Relational.countMinUsers]]: the depth×width
     * counter table maintained incrementally as a plain streaming

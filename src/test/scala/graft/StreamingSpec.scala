@@ -362,6 +362,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("thetaByTypeStream blobs intersect identically to batch sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.thetaByTypeStream(input.toDF().toDF("user_id", "event_type"))
+      .writeStream.format("memory").queryName("theta")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L to 30L).map(u => (u, "a")) ++ (10L to 40L).map(u => (u, "b")): _*)
+      q.processAllAvailable()
+      input.addData((25L to 60L).map(u => (u, "a")): _*)
+      q.processAllAvailable()
+      val blobs = spark.table("theta").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      def sk(b: Array[Byte]) = CompactSketch.wrap(Memory.wrap(b))
+      // state persisted across micro-batches: |a| = 60, |b| = 31 (exact regime)
+      assert(math.round(sk(blobs("a")).getEstimate) === 60L)
+      assert(math.round(sk(blobs("b")).getEstimate) === 31L)
+      // intersection on the emitted blobs = |a ∩ b| = users 10..40
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(sk(blobs("a"))); inter.intersect(sk(blobs("b")))
+      assert(math.round(inter.getResult.getEstimate) === 31L)
+    } finally q.stop()
+  }
+
   test("countMinStream maintains the exact batch sketch table across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]

@@ -37,14 +37,7 @@ object SnapshotGc {
 
   def plan(spark: SparkSession, path: String, keepHistory: Int = 2): Seq[GcEntry] = {
     require(keepHistory >= 0, s"keepHistory must be >= 0, got $keepHistory")
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val gens = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
-      .map(st => st.getPath.getName ->
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .sortBy(_._1) // zero-padded names: lexicographic ≡ numeric
+    val gens = VectorIndex.listGenerationDirs(spark, path)
     val liveGen = gens.filter(_._2).lastOption.map(_._1)
     val keepSet = liveGen match {
       case None => Set.empty[String]

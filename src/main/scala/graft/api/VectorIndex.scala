@@ -335,31 +335,35 @@ object VectorIndex {
     * observe a missing or half-rotated snapshot, unlike delete-then-
     * rename rotation.
     */
-  def resolveSnapshot(spark: SparkSession, path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return path
-    val committed = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath)
-    if (committed.isEmpty) path
-    else committed.maxBy(_.getName).toString
-  }
-
-  /** Every COMMITTED generation id under a snapshot root, ascending —
-    * the time-travel axis ([[resolveSnapshotAt]] reads one of these;
-    * what [[SnapshotGc]] has reclaimed no longer appears).
+  /** One directory listing of a snapshot root: every `gen-N` name with
+    * its committed flag, name-ascending (zero-padded ≡ numeric). The
+    * single source for [[resolveSnapshot]], [[generations]], and
+    * [[SnapshotGc]]'s plan.
     */
-  def generations(spark: SparkSession, path: String): Seq[Long] = {
+  private[api] def listGenerationDirs(spark: SparkSession,
+                                      path: String): Seq[(String, Boolean)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix(GenPrefix).toLong).sorted
+      .map(st => st.getPath.getName ->
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .sortBy(_._1)
   }
+
+  def resolveSnapshot(spark: SparkSession, path: String): String =
+    listGenerationDirs(spark, path).filter(_._2).lastOption
+      .map { case (g, _) => s"$path/$g" }.getOrElse(path)
+
+  /** Every COMMITTED generation id under a snapshot root, ascending —
+    * the time-travel axis ([[resolveSnapshotAt]] reads one of these;
+    * what [[SnapshotGc]] has reclaimed no longer appears).
+    */
+  def generations(spark: SparkSession, path: String): Seq[Long] =
+    listGenerationDirs(spark, path).collect {
+      case (g, true) => g.stripPrefix(GenPrefix).toLong
+    }
 
   /** TIME TRAVEL: the data directory of one SPECIFIC committed
     * generation — "query yesterday's index" for a rollback check or an

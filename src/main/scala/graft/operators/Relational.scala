@@ -1704,29 +1704,37 @@ object Relational {
     * oracle at test SF; beyond it the ~1/√2^lgK relative-error
     * contract holds (spec'd in the forced-sampling regime).
     */
-  def eventsThetaOverlap(s: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+  /** Per-type theta blobs — shared by the batch overlap and the
+    * streaming maintenance twin ([[graft.streaming.EventStreams
+    * .thetaByTypeStream]]), the [[countMinTable]] discipline.
+    */
+  private[graft] def thetaByType(events: DataFrame, lgK: Int = 14): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, ThetaSketchAgg}
-    import org.apache.datasketches.memory.Memory
-    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
     val sk = ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(col("user_id")), lgK)
         .toAggregateExpression())
-    val blobs = Tables.events(s, d).groupBy("event_type").agg(sk.as("sk"))
+    events.groupBy("event_type").agg(sk.as("sk"), count(lit(1)).as("n_events"))
+  }
+
+  def eventsThetaOverlap(s: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val blobs = thetaByType(Tables.events(s, d), lgK).select("event_type", "sk")
       .collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
-    def sketch(b: Array[Byte]) = CompactSketch.wrap(Memory.wrap(b))
+      .map(r => (r.getString(0), CompactSketch.wrap(Memory.wrap(r.getAs[Array[Byte]](1)))))
+      .sortBy(_._1).toSeq
     val rows = for {
-      (ta, ba) <- blobs.toSeq; (tb, bb) <- blobs.toSeq if ta < tb
+      (ta, sa) <- blobs; (tb, sb) <- blobs if ta < tb
     } yield {
       val inter = SetOperation.builder().buildIntersection()
-      inter.intersect(sketch(ba)); inter.intersect(sketch(bb))
-      (ta, tb, math.round(sketch(ba).getEstimate),
-        math.round(sketch(bb).getEstimate),
+      inter.intersect(sa); inter.intersect(sb)
+      (ta, tb, math.round(sa.getEstimate), math.round(sb.getEstimate),
         math.round(inter.getResult.getEstimate))
     }
     import s.implicits._
-    rows.sortBy(r => (r._1, r._2))
-      .toDF("ta", "tb", "users_a", "users_b", "est_both")
+    // sorted blobs → the ordered-pair enumeration is already in
+    // (ta, tb) order
+    rows.toDF("ta", "tb", "users_a", "users_b", "est_both")
   }
 
   /** EVENT-TYPE CO-OCCURRENCE matrix: for every ordered type pair

@@ -496,13 +496,8 @@ object EventStreams {
     * emitted blobs; the spec proves a streamed blob intersects
     * identically to the batch sketch over the same data.
     */
-  def thetaByTypeStream(events: DataFrame, lgK: Int = 14): DataFrame = {
-    import org.apache.spark.sql.graft.{ColumnBridge, ThetaSketchAgg}
-    val sk = ColumnBridge.column(
-      ThetaSketchAgg(ColumnBridge.expression(col("user_id")), lgK)
-        .toAggregateExpression())
-    events.groupBy("event_type").agg(sk.as("sk"), count(lit(1)).as("n_events"))
-  }
+  def thetaByTypeStream(events: DataFrame, lgK: Int = 14): DataFrame =
+    graft.operators.Relational.thetaByType(events, lgK)
 
   /** Streaming COUNT-MIN maintenance — the ingest half of
     * [[graft.operators.Relational.countMinUsers]]: the depth×width

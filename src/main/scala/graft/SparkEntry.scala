@@ -246,7 +246,9 @@ object SparkEntry {
     "docs_anneal_mixture" -> ((s: SparkSession, d: String) => TextAnalysis.annealMixture(s, d)),
     "vs_search_groups_lookup" -> ((s: SparkSession, d: String) => VectorStore.searchGroupsLookup(s, d)),
     "dedup_cost_report" -> ((s: SparkSession, d: String) => Dedup.candidateCostReport(s, d)),
-    "events_theta_overlap" -> ((s: SparkSession, d: String) => Relational.eventsThetaOverlap(s, d))
+    "events_theta_overlap" -> ((s: SparkSession, d: String) => Relational.eventsThetaOverlap(s, d)),
+    "events_theta_anotb" -> ((s: SparkSession, d: String) => Relational.eventsThetaAnotB(s, d)),
+    "docs_novelty_trend" -> TextAnalysis.noveltyTrend _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2321,6 +2323,42 @@ object SparkEntry {
         |SELECT p.ta, p.tb, p.users_a, p.users_b,
         |  CAST(coalesce(ov.n, 0) AS BIGINT) AS est_both
         |FROM pairs p LEFT JOIN ov ON p.ta = ov.ta AND p.tb = ov.tb
-        |ORDER BY p.ta, p.tb""".stripMargin
+        |ORDER BY p.ta, p.tb""".stripMargin,
+    // exact sub-capacity regime: only_a = |A| − |A∩B|
+    "events_theta_anotb" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |ov AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type GROUP BY 1, 2),
+        |pairs AS (SELECT sa.event_type AS ta, sb.event_type AS tb
+        |  FROM sizes sa JOIN sizes sb ON sa.event_type <> sb.event_type)
+        |SELECT p.ta, p.tb, sa.n AS users_a,
+        |  CAST(sa.n - coalesce(ov.n, 0) AS BIGINT) AS only_a
+        |FROM pairs p JOIN sizes sa ON p.ta = sa.event_type
+        |LEFT JOIN ov ON p.ta = ov.ta AND p.tb = ov.tb
+        |ORDER BY p.ta, p.tb""".stripMargin,
+    "docs_novelty_trend" ->
+      s"""WITH ${SHINGLES(5)},
+         |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+         |  FROM sh),
+         |nv AS (SELECT doc_id,
+         |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS novelty FROM f GROUP BY 1),
+         |j AS (SELECT nv.doc_id, nv.novelty, d.source
+         |  FROM nv JOIN documents d ON nv.doc_id = d.doc_id),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM j),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rk * 2 <= n_src
+         |      THEN CAST(novelty AS DECIMAL(18,4)) END) AS DOUBLE)
+         |    / sum(CASE WHEN rk * 2 <= n_src THEN 1 END) AS early_novelty,
+         |  CAST(sum(CASE WHEN rk * 2 > n_src
+         |      THEN CAST(novelty AS DECIMAL(18,4)) END) AS DOUBLE)
+         |    / sum(CASE WHEN rk * 2 > n_src THEN 1 END) AS late_novelty
+         |  FROM h GROUP BY 1)
+         |SELECT source, n_docs, early_novelty, late_novelty,
+         |  late_novelty - early_novelty AS trend
+         |FROM a ORDER BY 1""".stripMargin
   )
 }

@@ -1737,6 +1737,35 @@ object Relational {
     rows.toDF("ta", "tb", "users_a", "users_b", "est_both")
   }
 
+  /** Theta A-NOT-B churn tiers — the asymmetric half of
+    * [[eventsThetaOverlap]]: for every ORDERED type pair, how many
+    * users did `ta` but never `tb` ("viewed, never purchased"), via
+    * the sketch library's AnotB operator on the same per-type blobs.
+    * In the exact sub-capacity regime this equals |A| − |A∩B| (the
+    * oracle's form); in the sampled regime AnotB's direct estimate
+    * carries a tighter error than subtracting two independent
+    * estimates — which is why the operator exists instead of
+    * arithmetic over [[eventsThetaOverlap]]'s output. Same scale
+    * shape: blobs are bounded model state, set ops run driver-local.
+    */
+  def eventsThetaAnotB(s: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val blobs = thetaByType(Tables.events(s, d), lgK).select("event_type", "sk")
+      .collect()
+      .map(r => (r.getString(0), CompactSketch.wrap(Memory.wrap(r.getAs[Array[Byte]](1)))))
+      .sortBy(_._1).toSeq
+    val rows = for {
+      (ta, sa) <- blobs; (tb, sb) <- blobs if ta != tb
+    } yield {
+      val diff = SetOperation.builder().buildANotB()
+      (ta, tb, math.round(sa.getEstimate),
+        math.round(diff.aNotB(sa, sb).getEstimate))
+    }
+    import s.implicits._
+    rows.toDF("ta", "tb", "users_a", "only_a")
+  }
+
   /** EVENT-TYPE CO-OCCURRENCE matrix: for every ordered type pair
     * (ta < tb), how many distinct users did BOTH — the audience-overlap
     * relation behind funnel design and segment building ("are

@@ -1396,6 +1396,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** NOVELTY TREND per source — the feed-exhaustion signal composed
+    * from [[ngramNovelty]]: each source's docs split by ingest order
+    * (doc_id median within the source) into an early and a late half,
+    * and the mean first-seen-gram fraction compared across halves. A
+    * feed whose late half's novelty collapses is re-crawling itself or
+    * its peers — cut it before it dilutes the mixture ("is this source
+    * still giving us new text?" as one row per feed). Exactness: the
+    * per-doc novelty ratios are exact integer fractions; their means
+    * are computed as exact DECIMAL sums of the 4dp-rounded per-doc
+    * values divided by counts. Scale shape: adds one |sources|-row
+    * rollup over the novelty relation; the in-source median comes from
+    * a count + per-source rank, not a sort of the corpus in one task.
+    */
+  def noveltyTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nov = ngramNovelty(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val half = nov
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("late", (col("rk") * 2 > col("n_src")).cast("int"))
+    val dec = "decimal(18,4)"
+    half.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("late") === 0, col("novelty").cast(dec))).cast("double") /
+          sum(when(col("late") === 0, 1L))).as("early_novelty"),
+        (sum(when(col("late") === 1, col("novelty").cast(dec))).cast("double") /
+          sum(when(col("late") === 1, 1L))).as("late_novelty"))
+      // UNROUNDED quotients: a decimal-sum/count ratio can terminate at
+      // the 4dp boundary digit + 5 (the round() HALF_UP/HALF_EVEN split
+      // — the verify-skill gotcha); the raw doubles are identical IEEE
+      // ops on identical exact decimals in both engines
+      .withColumn("trend", col("late_novelty") - col("early_novelty"))
+      .select("source", "n_docs", "early_novelty", "late_novelty", "trend")
+      .orderBy("source")
+  }
+
   /** Document-LENGTH histogram in whitespace tokens — the planning
     * artifact behind [[packChunks]]'s budget choice and a sequence-
     * length curriculum: bucket docs by tokens/10 (exact integer

@@ -1308,6 +1308,37 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("theta A-not-B equals |A| minus the overlap in the exact regime") {
+    val anotb = Relational.eventsThetaAnotB(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val both = Relational.eventsThetaOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(anotb.nonEmpty)
+    anotb.foreach { case ((ta, tb), (na, onlyA)) =>
+      val ov = both.getOrElse(if (ta < tb) (ta, tb) else (tb, ta), 0L)
+      assert(onlyA === na - ov, s"A-not-B mismatch for ($ta,$tb)")
+    }
+  }
+
+  test("noveltyTrend splits each source at its median and averages exactly") {
+    val rows = TextAnalysis.noveltyTrend(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // driver reference for one source
+    val src = rows.head.getString(0)
+    val nov = TextAnalysis.ngramNovelty(spark, sf)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("source") === src)
+      .orderBy("doc_id").collect().map(_.getDouble(3))
+    val nEarly = nov.length / 2 // rk*2 <= n: floor(n/2) docs
+    def mean(a: Seq[Double]) =
+      a.map(v => BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / a.length
+    assert(rows.head.getDouble(2) === mean(nov.take(nEarly).toSeq))
+    assert(rows.head.getDouble(3) === mean(nov.drop(nEarly).toSeq))
+    assert(rows.head.getDouble(4) === rows.head.getDouble(3) - rows.head.getDouble(2))
+  }
+
   test("theta overlap is exact below capacity and error-bounded when forced to sample") {
     // exact regime: sub-capacity sketches reproduce the exact operator
     val theta = Relational.eventsThetaOverlap(spark, sf).collect()

@@ -208,6 +208,7 @@ object SparkEntry {
     "ann_graph_topk" -> ((s: SparkSession, d: String) => Ann.graphTopK(s, d)),
     "ann_recall_eval" -> ((s: SparkSession, d: String) => Ann.recallEval(s, d)),
     "ann_ivf_balance" -> ((s: SparkSession, d: String) => Ann.ivfBalance(s, d)),
+    "ann_ivf_residuals" -> ((s: SparkSession, d: String) => Ann.ivfResiduals(s, d)),
     "emb_pca_project" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,

@@ -157,6 +157,44 @@ object Ann {
       .orderBy(col("n_vectors").desc, col("cid"))
   }
 
+  /** IVF RESIDUAL-ENERGY AUDIT — the quality half beside
+    * [[ivfBalance]]'s size half: per list, the mean squared distance
+    * of members to their centroid. A list can be size-balanced yet
+    * sprawling (high residual = the centroid represents its members
+    * poorly → PQ-on-residual codes degrade and probe recall drops for
+    * queries landing there) — THIS is the list the next quantizer
+    * rebuild should split, which a count audit cannot see. One corpus
+    * map pass (argmin + squared distance against the same memoized
+    * broadcast centroids the serving path probes), one nlist-row
+    * aggregate; residual sums stay in DECIMAL so the report is
+    * run-deterministic.
+    */
+  def ivfResiduals(s: SparkSession, d: String, nlist: Int = 16,
+                   iters: Int = 3): DataFrame = {
+    val (corpus, _) = corpusAndQueries(s, d)
+    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
+    val withDist = corpus.select(
+      nearestCentroidId(col("vec"), cents).as("cid"), col("vec"))
+    // squared distance to the ASSIGNED centroid: recompute against the
+    // literal centroid matrix via a per-cid case (nlist is small)
+    val d2 = cents.sortBy(_._1).map { case (cid, cv) =>
+      (cid, graft.functions.Vectors.l2Distance(col("vec"),
+        array(cv.map(lit).toIndexedSeq: _*)))
+    }.foldLeft(lit(Double.NaN)) { case (acc, (cid, dist)) =>
+      when(col("cid") === cid, dist * dist).otherwise(acc)
+    }
+    val per = withDist
+      .select(col("cid"), round(d2, 6).cast("decimal(18,6)").as("r2"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), sum("r2").as("sr"))
+    val tot = per.agg(sum("sr").as("tot_sr"), sum("n_vectors").as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        (col("sr").cast("double") / col("n_vectors")).as("mean_residual"),
+        (col("sr").cast("double") / col("tot_sr").cast("double")).as("energy_share"))
+      .orderBy(col("mean_residual").desc, col("cid"))
+  }
+
   /** `nBits` seeded pseudo-random hyperplanes (unit-free — sign only). */
   private def hyperplanes(dim: Int, nBits: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -4,6 +4,22 @@ import graft.operators.Ann
 
 class AnnSpec extends SparkSpecBase {
 
+  test("ivfResiduals accounts every vector against its assigned centroid") {
+    val rows = graft.operators.Ann.ivfResiduals(spark, sf).collect()
+    val balance = graft.operators.Ann.ivfBalance(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same assignment as the balance audit (same memoized quantizer)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === balance)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    // report is sorted by the signal: worst-represented list first
+    val res = rows.map(_.getDouble(2)).toSeq
+    assert(res === res.sorted.reverse)
+  }
+
   test("ivfProbeTuning recall is monotone in nprobe and exactly 1.0 at nprobe=nlist") {
     val rows = graft.operators.Ann.ivfProbeTuning(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L, 16L))

@@ -249,7 +249,8 @@ object SparkEntry {
     "dedup_cost_report" -> ((s: SparkSession, d: String) => Dedup.candidateCostReport(s, d)),
     "events_theta_overlap" -> ((s: SparkSession, d: String) => Relational.eventsThetaOverlap(s, d)),
     "events_theta_anotb" -> ((s: SparkSession, d: String) => Relational.eventsThetaAnotB(s, d)),
-    "docs_novelty_trend" -> TextAnalysis.noveltyTrend _
+    "docs_novelty_trend" -> TextAnalysis.noveltyTrend _,
+    "customer_gini" -> Relational.customerGini _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2360,6 +2361,19 @@ object SparkEntry {
          |  FROM h GROUP BY 1)
          |SELECT source, n_docs, early_novelty, late_novelty,
          |  late_novelty - early_novelty AS trend
-         |FROM a ORDER BY 1""".stripMargin
+         |FROM a ORDER BY 1""".stripMargin,
+    "customer_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+        |  count(*) OVER () AS n FROM rev),
+        |a AS (SELECT max(n) AS n, sum(CAST(rev AS DECIMAL(28,4))) AS sx,
+        |  sum(CAST(CAST(i AS DECIMAL(10,0)) * CAST(rev AS DECIMAL(18,4))
+        |    AS DECIMAL(38,4))) AS six FROM r)
+        |SELECT n AS n_customers, CAST(sx AS DOUBLE) AS total_revenue,
+        |  (2.0 * CAST(six AS DOUBLE)) / (n * CAST(sx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / n AS gini
+        |FROM a""".stripMargin
   )
 }

@@ -1650,6 +1650,36 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** REVENUE-CONCENTRATION (Gini) report — "what share of GMV do the
+    * top customers carry" as the standard inequality coefficient plus
+    * the decile shares an account team actually reads. Gini comes from
+    * the rank formulation G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * revenues sorted ascending — one global rank (via
+    * [[DistributedRank]] — no single-task sort) and exact DECIMAL
+    * sums: Σx and Σ i·xᵢ are decimal-exact, so the final doubles are
+    * identical IEEE quotients in both engines (emitted UNROUNDED per
+    * the boundary-digit discipline). Scale shape: customers reduce to
+    * (id, revenue) rows, the rank is range-partitioned, the moment
+    * aggregate is one row.
+    */
+  def customerGini(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    val ranked = DistributedRank.rowNumber(
+      rev, Seq.empty, Seq(col("rev").asc, col("o_custkey").asc), "i", "n")
+    ranked.agg(
+        max("n").as("n"),
+        sum(col("rev").cast("decimal(28,4)")).as("sx"),
+        sum((col("i").cast("decimal(10,0)") * col("rev").cast("decimal(18,4)"))
+          .cast("decimal(38,4)")).as("six"))
+      .select(col("n").as("n_customers"),
+        col("sx").cast("double").as("total_revenue"),
+        ((lit(2.0) * col("six").cast("double")) /
+          (col("n") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
   /** Per-user INTER-ARRIVAL statistics — burstiness vs regularity of a
     * user's event stream (the signal behind bot detection and session-
     * gap tuning: a scripted client has sd ≈ 0, a human is heavy-

@@ -1308,6 +1308,25 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("customerGini matches the driver rank-formula on exact decimal revenues") {
+    val row = Relational.customerGini(spark, sf).head()
+    val revs = Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey").agg(Relational.decSum(col("o_totalprice")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, v) => (v, k) }
+    val n = revs.length
+    assert(row.getLong(0) === n.toLong)
+    val sx = revs.map(r => BigDecimal(java.math.BigDecimal.valueOf(r._2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    val six = revs.zipWithIndex.map { case ((_, v), idx) =>
+      BigDecimal(idx + 1) * BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val gini = (2.0 * six.toDouble) / (n * sx.toDouble) - (n + 1).toDouble / n
+    assert(row.getDouble(2) === gini)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
+  }
+
   test("theta A-not-B equals |A| minus the overlap in the exact regime") {
     val anotb = Relational.eventsThetaAnotB(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap

@@ -250,7 +250,8 @@ object SparkEntry {
     "events_theta_overlap" -> ((s: SparkSession, d: String) => Relational.eventsThetaOverlap(s, d)),
     "events_theta_anotb" -> ((s: SparkSession, d: String) => Relational.eventsThetaAnotB(s, d)),
     "docs_novelty_trend" -> TextAnalysis.noveltyTrend _,
-    "customer_gini" -> Relational.customerGini _
+    "customer_gini" -> Relational.customerGini _,
+    "docs_contamination_by_source" -> ((s: SparkSession, d: String) => Dedup.contaminationBySource(s, d))
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2374,6 +2375,24 @@ object SparkEntry {
         |SELECT n AS n_customers, CAST(sx AS DOUBLE) AS total_revenue,
         |  (2.0 * CAST(six AS DOUBLE)) / (n * CAST(sx AS DOUBLE))
         |    - CAST(n + 1 AS DOUBLE) / n AS gini
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "docs_contamination_by_source" ->
+      s"""WITH ${SHINGLES(8)},
+         |ev AS (SELECT s.doc_id AS eval_id, s.shingle FROM sh s
+         |  JOIN documents d ON s.doc_id = d.doc_id
+         |  WHERE d.source IN ('src0', 'src1', 'src2', 'src3')),
+         |tr AS (SELECT s.doc_id AS train_id, s.shingle FROM sh s
+         |  JOIN documents d ON s.doc_id = d.doc_id
+         |  WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')),
+         |hot AS (SELECT shingle FROM tr GROUP BY 1 HAVING count(*) > 1024),
+         |p AS (SELECT ev.eval_id, tr.train_id, count(*) AS shared
+         |  FROM ev JOIN tr ON ev.shingle = tr.shingle
+         |  WHERE tr.shingle NOT IN (SELECT shingle FROM hot)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT d.source, count(DISTINCT p.train_id) AS n_train_docs,
+         |  count(DISTINCT p.eval_id) AS n_eval_docs,
+         |  count(*) AS n_pairs, max(p.shared) AS max_shared
+         |FROM p JOIN documents d ON p.train_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -561,6 +561,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CONTAMINATION ATTRIBUTION by train source — [[decontaminate]]
+    * answers "which EVAL docs leak"; this answers the operational
+    * follow-up: "which TRAIN FEED carries the leaked copies" (the feed
+    * to scrub or cut). Pairs an eval doc with a train doc when they
+    * share ≥ `minShared` distinct 8-grams whose train-side document
+    * frequency is ≤ `dfCap` (the candidatePairCounts lesson: one
+    * boilerplate gram would otherwise pair every eval doc with every
+    * train doc — capped grams are excluded from BOTH candidate
+    * generation and the shared count, so the metric is exactly
+    * "shared non-boilerplate grams", identical in both engines), then
+    * rolls up per train source: implicated train docs, touched eval
+    * docs, pair count. Scale shape: both sides reduce to 8-byte gram
+    * hashes, the pair relation is contamination-sized, the rollup is
+    * \|sources\| rows.
+    */
+  def contaminationBySource(s: SparkSession, d: String, w: Int = 8,
+                            minShared: Int = 3, dfCap: Int = 1024,
+                            evalSources: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(part: DataFrame) =
+      shingleRows(part, w, distinct = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .dropDuplicates("doc_id", "h")
+    val ev = grams(docs.filter(col("source").isin(evalSources: _*)))
+      .select(col("h"), col("doc_id").as("eval_id"))
+    val tr = grams(docs.filter(!col("source").isin(evalSources: _*)))
+      .select(col("h"), col("doc_id").as("train_id"))
+    val hot = tr.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val pairs = ev.join(tr.join(hot, Seq("h"), "left_anti"), "h")
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(docs.select(col("doc_id").as("train_id"), col("source")), "train_id")
+      .groupBy("source")
+      .agg(countDistinct("train_id").as("n_train_docs"),
+        countDistinct("eval_id").as("n_eval_docs"),
+        count(lit(1)).as("n_pairs"),
+        max("shared").as("max_shared"))
+      .orderBy("source")
+  }
+
   /** Corpus-wide duplicate-n-gram audit (RefinedWeb/CCNet-style): per
     * document, the fraction of its DISTINCT w-grams that also occur in
     * at least one OTHER document. [[decontaminate]] against the corpus

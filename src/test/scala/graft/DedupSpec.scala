@@ -326,6 +326,31 @@ class DedupSpec extends SparkSpecBase {
       ids.filterNot(i => isVal(label(i))).map(label).distinct.length)
   }
 
+  test("contaminationBySource matches a driver set-intersection reference") {
+    val rows = Dedup.contaminationBySource(spark, sf).collect()
+    val evalSrc = Set("src0", "src1", "src2", "src3")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").sliding(8).filter(_.length == 8).map(_.toSeq).toSet
+    val ev = docs.filter(d => evalSrc(d._3)).map(d => (d._1, grams(d._2)))
+    val tr = docs.filterNot(d => evalSrc(d._3)).map(d => (d._1, d._3, grams(d._2)))
+    // df cap is invisible at this SF (max train df << 1024)
+    val pairs = for {
+      (eid, eg) <- ev; (tid, src, tg) <- tr
+      shared = eg.intersect(tg).size if shared >= 3
+    } yield (src, tid, eid, shared)
+    val bySrc = pairs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val ps = bySrc(r.getString(0))
+      assert(r.getLong(1) === ps.map(_._2).distinct.length.toLong)
+      assert(r.getLong(2) === ps.map(_._3).distinct.length.toLong)
+      assert(r.getLong(3) === ps.length.toLong)
+      assert(r.getLong(4) === ps.map(_._4).max.toLong)
+    }
+  }
+
   test("candidateCostReport accounts every gram's quadratic exactly") {
     val rows = Dedup.candidateCostReport(spark, sf).collect()
     // driver reference off the gram dfs

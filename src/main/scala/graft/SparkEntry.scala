@@ -251,7 +251,8 @@ object SparkEntry {
     "events_theta_anotb" -> ((s: SparkSession, d: String) => Relational.eventsThetaAnotB(s, d)),
     "docs_novelty_trend" -> TextAnalysis.noveltyTrend _,
     "customer_gini" -> Relational.customerGini _,
-    "docs_contamination_by_source" -> ((s: SparkSession, d: String) => Dedup.contaminationBySource(s, d))
+    "docs_contamination_by_source" -> ((s: SparkSession, d: String) => Dedup.contaminationBySource(s, d)),
+    "events_value_deciles" -> Relational.eventsValueDeciles _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2393,6 +2394,18 @@ object SparkEntry {
          |  count(DISTINCT p.eval_id) AS n_eval_docs,
          |  count(*) AS n_pairs, max(p.shared) AS max_shared
          |FROM p JOIN documents d ON p.train_id = d.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_value_deciles" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY v ASC, user_id ASC) AS rnk,
+        |  count(*) OVER () AS n FROM pu),
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY v ASC, user_id ASC) AS decile FROM r),
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+        |  sum(CAST(v AS DECIMAL(28,4))) AS sv FROM d GROUP BY 1)
+        |SELECT decile, n_users, CAST(sv AS DOUBLE) AS total_value,
+        |  CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS value_share
+        |FROM g ORDER BY decile""".stripMargin
   )
 }

@@ -1680,6 +1680,37 @@ object Relational {
           (col("n") + 1).cast("double") / col("n")).as("gini"))
   }
 
+  /** VALUE-CONCENTRATION DECILES (the Lorenz-curve companion to
+    * [[customerGini]], on the events table): users ranked by total
+    * event value, cut into 10 exact NTILE buckets (the integer
+    * formula, no float boundary), each reporting its user count, exact
+    * value sum, and share of total — "the top decile carries X% of
+    * value" as rows. Global rank via [[DistributedRank]]; sums stay
+    * DECIMAL; shares are UNROUNDED decimal-backed quotients (the
+    * boundary-digit discipline). One (user) rollup + a 10-row report.
+    */
+  def eventsValueDeciles(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id").agg(decSum(col("value")).as("v"))
+    val ranked = DistributedRank.rowNumber(
+      perUser, Seq.empty, Seq(col("v").asc, col("user_id").asc), "rnk", "n")
+    val tw = Window.partitionBy(lit(0))
+    ranked
+      .withColumn("q", expr("n DIV 10"))
+      .withColumn("rem", col("n") % 10)
+      .withColumn("decile", when(col("rnk") <= col("rem") * (col("q") + 1),
+          expr("(rnk - 1) DIV (q + 1) + 1"))
+        .otherwise(expr("rem + (rnk - rem * (q + 1) - 1) DIV q + 1")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v").cast("decimal(28,4)")).as("sv"))
+      .withColumn("value_share",
+        col("sv").cast("double") / sum(col("sv")).over(tw).cast("double"))
+      .select(col("decile"), col("n_users"),
+        col("sv").cast("double").as("total_value"), col("value_share"))
+      .orderBy("decile")
+  }
+
   /** Per-user INTER-ARRIVAL statistics — burstiness vs regularity of a
     * user's event stream (the signal behind bot detection and session-
     * gap tuning: a scripted client has sd ≈ 0, a human is heavy-

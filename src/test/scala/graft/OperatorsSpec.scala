@@ -1308,6 +1308,23 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("eventsValueDeciles partitions users with monotone value shares") {
+    val rows = Relational.eventsValueDeciles(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L).toSeq)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nUsers)
+    // ntile sizes: first (n mod 10) deciles take ceil(n/10)
+    val (q, rem) = (nUsers / 10, nUsers % 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === (if (r.getLong(0) <= rem) q + 1 else q))
+    }
+    // ascending rank => per-decile MEAN value non-decreasing (totals
+    // need not be: ntile's first rem deciles carry one extra user)
+    val means = rows.map(r => r.getDouble(2) / r.getLong(1)).toSeq
+    means.sliding(2).foreach(p => assert(p(0) <= p(1) + 1e-9, s"non-monotone: $means"))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
   test("customerGini matches the driver rank-formula on exact decimal revenues") {
     val row = Relational.customerGini(spark, sf).head()
     val revs = Tables.t(spark, sf, "orders")

@@ -252,7 +252,8 @@ object SparkEntry {
     "docs_novelty_trend" -> TextAnalysis.noveltyTrend _,
     "customer_gini" -> Relational.customerGini _,
     "docs_contamination_by_source" -> ((s: SparkSession, d: String) => Dedup.contaminationBySource(s, d)),
-    "events_value_deciles" -> Relational.eventsValueDeciles _
+    "events_value_deciles" -> Relational.eventsValueDeciles _,
+    "mm_phash_hamming_hist" -> Multimodal.phashHammingHist _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2406,6 +2407,22 @@ object SparkEntry {
         |  sum(CAST(v AS DECIMAL(28,4))) AS sv FROM d GROUP BY 1)
         |SELECT decile, n_users, CAST(sv AS DOUBLE) AS total_value,
         |  CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS value_share
-        |FROM g ORDER BY decile""".stripMargin
+        |FROM g ORDER BY decile""".stripMargin,
+    "mm_phash_hamming_hist" ->
+      s"""WITH $PHASH_CTE,
+         |r AS (SELECT doc_id, sig, row_number() OVER (ORDER BY doc_id) AS rnk,
+         |  count(*) OVER () AS n FROM sigs),
+         |a AS (SELECT rnk AS pr, sig AS sa FROM r WHERE rnk <= n // 2),
+         |b AS (SELECT rnk - n // 2 AS pr, sig AS sb FROM r
+         |  WHERE rnk > n // 2 AND rnk <= 2 * (n // 2)),
+         |bg AS (SELECT CAST(bit_count(xor(a.sa, b.sb)) AS BIGINT) AS hamming,
+         |  count(*) AS n_background FROM a JOIN b ON a.pr = b.pr GROUP BY 1),
+         |fg AS (SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+         |  count(*) AS n_candidates FROM cand GROUP BY 1)
+         |SELECT coalesce(bg.hamming, fg.hamming) AS hamming,
+         |  CAST(coalesce(n_background, 0) AS BIGINT) AS n_background,
+         |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates
+         |FROM bg FULL OUTER JOIN fg ON bg.hamming = fg.hamming
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -255,7 +255,10 @@ object Multimodal {
       graft.functions.Vectors.phash64(col("text")).as("sig"))
   }
 
-  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+  /** Banded candidate pairs (ia, sa, ib, sb) — shared by the dedup
+    * filter and the hamming-histogram tuner.
+    */
+  private def phashCandPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = phashSigs(s, d)
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b =>
@@ -263,17 +266,54 @@ object Multimodal {
             shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)).as("key"))): _*))
           .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("a.sig").as("sa"),
         col("b.doc_id").as("ib"), col("b.sig").as("sb"))
       .distinct()
-    cand
+  }
+
+  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame =
+    phashCandPairs(s, d)
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming"))
       .orderBy("ia", "ib")
+
+  /** pHash THRESHOLD-TUNING HISTOGRAM — the [[graft.operators.Dedup
+    * .minhashBandTuning]] discipline for the hamming knob: two
+    * distance distributions side by side, (1) the BACKGROUND — hamming
+    * of deterministic half-rotation pairs (rank r vs r + n/2 by
+    * doc_id, every asset once, no RNG), which for unrelated 64-bit
+    * fingerprints masses around 32; (2) the CANDIDATE FOREGROUND — the
+    * banded join's pairs at their exact hamming, unfiltered. The gap
+    * between foreground mass (≤ ~8) and background mass (≥ ~20) is
+    * the evidence for the dedup threshold; a corpus where they overlap
+    * needs a different fingerprint, and this report is how that is
+    * seen before false-positive dedups land. Exact integer hammings —
+    * oracle-checked bucket for bucket. Scale shape: the background
+    * pairing is one rank + equi-join over 8-byte sigs; the foreground
+    * rides the banded candidate relation.
+    */
+  def phashHammingHist(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.operators.DistributedRank.rowNumber(
+      phashSigs(s, d), Seq.empty, Seq(col("doc_id").asc), "rnk", "n")
+    val a = ranked.filter(expr("rnk <= n DIV 2"))
+      .select(col("rnk").as("pr"), col("sig").as("sa"))
+    val b = ranked.filter(expr("rnk > n DIV 2 AND rnk <= 2 * (n DIV 2)"))
+      .select(expr("rnk - n DIV 2").as("pr"), col("sig").as("sb"))
+    val bg = a.join(b, "pr")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_background"))
+    val fg = phashCandPairs(s, d)
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_candidates"))
+    bg.join(fg, Seq("hamming"), "full_outer")
+      .select(col("hamming"),
+        coalesce(col("n_background"), lit(0L)).as("n_background"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy("hamming")
   }
 
   /** REVERSE-IMAGE SEARCH by perceptual hash — the query half of the

@@ -1308,6 +1308,28 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("phashHammingHist separates candidate foreground from random background") {
+    val rows = Multimodal.phashHammingHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 64L))
+    // background pairs: exactly floor(n_sigs/2) half-rotation pairs,
+    // where the sig relation replays the planted-re-upload derivation
+    // (a doc j % 10 == 0 survives only if doc j-1 is also an asset)
+    val baseIds = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 64).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val nSigs = baseIds.count(_ % 10 != 0) +
+      baseIds.count(j => j % 10 == 0 && baseIds(j - 1))
+    assert(rows.map(_.getLong(1)).sum === nSigs.toLong / 2)
+    // the planted near-dup candidates sit at low hamming; the random
+    // background masses far from zero (mean ~32 for unrelated sigs)
+    val fgLow = rows.filter(_.getLong(0) <= 8).map(_.getLong(2)).sum
+    assert(fgLow > 0, "planted re-uploads must appear as low-hamming candidates")
+    val bgMean = rows.map(r => r.getLong(0) * r.getLong(1)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    assert(bgMean > 20.0, s"background mean $bgMean suspiciously low")
+  }
+
   test("eventsValueDeciles partitions users with monotone value shares") {
     val rows = Relational.eventsValueDeciles(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 10L).toSeq)

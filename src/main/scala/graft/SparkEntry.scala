@@ -253,7 +253,8 @@ object SparkEntry {
     "customer_gini" -> Relational.customerGini _,
     "docs_contamination_by_source" -> ((s: SparkSession, d: String) => Dedup.contaminationBySource(s, d)),
     "events_value_deciles" -> Relational.eventsValueDeciles _,
-    "mm_phash_hamming_hist" -> Multimodal.phashHammingHist _
+    "mm_phash_hamming_hist" -> Multimodal.phashHammingHist _,
+    "events_hour_dow_heatmap" -> Relational.eventsHourDowHeatmap _
   )
 
   /** DuckDB points-corpus CTE — the oracle twin of Tables.points. */
@@ -2423,6 +2424,12 @@ object SparkEntry {
          |  CAST(coalesce(n_background, 0) AS BIGINT) AS n_background,
          |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates
          |FROM bg FULL OUTER JOIN fg ON bg.hamming = fg.hamming
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+    "events_hour_dow_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1680,6 +1680,24 @@ object Relational {
           (col("n") + 1).cast("double") / col("n")).as("gini"))
   }
 
+  /** HOUR × DAY-OF-WEEK activity heatmap — the load-shape matrix
+    * behind capacity planning and anomaly baselining (the
+    * [[eventsAnomaly]] z-scores compare against exactly this shape):
+    * per (iso weekday, hour-of-day) cell, event count, distinct users,
+    * and exact decimal value sum. Weekday is ISO (1 = Monday) on both
+    * engines — Spark's `weekday()+1` ≡ DuckDB's `isodow` (Spark's
+    * `dayofweek` is Sunday-first and deliberately avoided). One
+    * partial-agg'd groupBy over the scan; ≤ 168 cells.
+    */
+  def eventsHourDowHeatmap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        decSum(col("value")).as("total_value"))
+      .orderBy("dow", "hour")
+
   /** VALUE-CONCENTRATION DECILES (the Lorenz-curve companion to
     * [[customerGini]], on the events table): users ranked by total
     * event value, cut into 10 exact NTILE buckets (the integer

@@ -1308,6 +1308,23 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("hourDowHeatmap cells partition the event stream exactly") {
+    val rows = Relational.eventsHourDowHeatmap(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(0) <= 7L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 23L)
+      assert(r.getLong(3) <= r.getLong(2)) // users <= events per cell
+    }
+    assert(rows.length <= 168)
+    // spot-check one cell against a direct filter
+    val (dw, hr) = (rows.head.getLong(0), rows.head.getLong(1))
+    val direct = Tables.events(spark, sf)
+      .filter(weekday(col("ts")) + 1 === dw && hour(col("ts")) === hr).count()
+    assert(rows.head.getLong(2) === direct)
+  }
+
   test("phashHammingHist separates candidate foreground from random background") {
     val rows = Multimodal.phashHammingHist(spark, sf).collect()
     assert(rows.nonEmpty)

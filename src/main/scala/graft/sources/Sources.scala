@@ -190,6 +190,38 @@ object Sources {
     * skew, no sort), committed to a new generation directory so readers
     * of the old layout are never disturbed. Returns the new file count.
     */
+  /** One dataset-layout finding. `action` ∈ ok | compact. */
+  case class LayoutAudit(nFiles: Int, totalBytes: Long, nSmall: Int,
+                         smallShare: Double, recTargetFiles: Int, action: String)
+
+  /** SMALL-FILE LAYOUT AUDIT — the decision input to [[compact]]: one
+    * directory listing (no data read) reporting file count, byte
+    * total, how many files sit under `smallBytes`, and the target file
+    * count a compaction would produce. The classic lakehouse failure
+    * this catches: a streaming sink or over-parallel write leaves 10⁴
+    * KB-sized parquet files, and every later scan pays 10⁴ task
+    * schedules + footer reads for MBs of data. `action = "compact"`
+    * when more than half the files are small AND compaction would
+    * reduce the file count.
+    */
+  def layoutAudit(spark: SparkSession, path: String,
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  smallBytes: Long = 16L * 1024 * 1024): LayoutAudit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+    val total = files.sum
+    val nSmall = files.count(_ < smallBytes)
+    val rec = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val action =
+      if (files.nonEmpty && nSmall * 2 > files.length && rec < files.length) "compact"
+      else "ok"
+    LayoutAudit(files.length, total, nSmall,
+      if (files.isEmpty) 0.0 else nSmall.toDouble / files.length, rec, action)
+  }
+
   def compact(spark: SparkSession, path: String, outPath: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -112,6 +112,27 @@ class SourcesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("layoutAudit flags fragmentation, passes the compacted layout, reads no data") {
+    val frag = tmpDir("audit-frag"); val out = tmpDir("audit-out")
+    Tables.events(spark, sf).repartition(64).write.mode("overwrite").parquet(frag)
+    val before = Sources.layoutAudit(spark, frag, targetBytes = 512L * 1024)
+    assert(before.nFiles === 64)
+    assert(before.nSmall === 64 && before.smallShare === 1.0)
+    assert(before.action === "compact")
+    assert(before.recTargetFiles < before.nFiles)
+    Sources.compact(spark, frag, out, targetBytes = 512L * 1024)
+    val after = Sources.layoutAudit(spark, out, targetBytes = 512L * 1024)
+    // compaction hits the audit's own recommendation and clears the flag
+    assert(after.nFiles === before.recTargetFiles)
+    assert(after.action === "ok")
+    // totals conserved (same rows, same-ish encoding)
+    assert(after.totalBytes > 0 && before.totalBytes > 0)
+    // empty dir handled
+    val empty = tmpDir("audit-empty")
+    val e = Sources.layoutAudit(spark, empty)
+    assert(e.nFiles === 0 && e.action === "ok" && e.smallShare === 0.0)
+  }
+
   test("compaction rewrites a fragmented directory into few files, data intact") {
     import org.apache.spark.sql.functions.col
     val frag = tmpDir("frag"); val out = tmpDir("compacted")

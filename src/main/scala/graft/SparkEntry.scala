@@ -1027,8 +1027,8 @@ object SparkEntry {
       """SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8
         |    AS shard,
         |  count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))::BIGINT) AS n_words,
-        |  sum(length(text)::BIGINT) AS n_chars
+        |  CAST(sum(len(string_split(text, ' '))::BIGINT) AS BIGINT) AS n_words,
+        |  CAST(sum(length(text)::BIGINT) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_sample_hash" ->
       """SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang,

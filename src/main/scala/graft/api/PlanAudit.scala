@@ -73,7 +73,10 @@ object PlanAudit {
     val scanLines = "\\(\\d+\\) Scan parquet".r.findAllIn(fmt).size
     val pushed = fmt.linesIterator.count { l =>
       val i = l.indexOf("PushedFilters: [")
-      i >= 0 && l.charAt(i + "PushedFilters: [".length) != ']'
+      val j = i + "PushedFilters: [".length
+      // j < length guard: a wrapped/truncated explain line can end
+      // exactly at the '[' — treat as no pushed filters, don't throw
+      i >= 0 && j < l.length && l.charAt(j) != ']'
     }
     // a pruned scan reads a strict column subset; ReadSchema prints a
     // struct<...> whose fields may NEST (array<...>, map<k,v>) — count

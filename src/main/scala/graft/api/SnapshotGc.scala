@@ -17,9 +17,14 @@ import org.apache.hadoop.fs.Path
   *    rollback targets;
   *  - older committed generations are deleted;
   *  - UNCOMMITTED (torn) generations are deleted only when a NEWER
-  *    committed generation exists (a crashed write, superseded);
+  *    committed generation exists (a crashed write, superseded) AND
+  *    the directory is older than `tornRetentionMs` — with two
+  *    concurrent writers, the one that allocated its generation number
+  *    first can still be mid-write when the other commits, so age (not
+  *    supersession alone) is what distinguishes "crashed" from
+  *    "in-flight but racing" (Delta VACUUM's retention rule);
   *    an uncommitted generation newer than the live one may be an
-  *    in-flight write and is kept.
+  *    in-flight write and is kept regardless of age.
   *
   * `plan` is pure metadata (one directory listing — no data read);
   * `run` executes exactly the plan it returns. Deleting a committed
@@ -35,9 +40,26 @@ object SnapshotGc {
     */
   case class GcEntry(generation: String, committed: Boolean, action: String)
 
-  def plan(spark: SparkSession, path: String, keepHistory: Int = 2): Seq[GcEntry] = {
+  /** Default torn-write retention: a superseded uncommitted generation
+    * younger than this is classified `keep-inflight`, not
+    * `delete-torn` — long enough that any plausible in-flight write has
+    * either committed or crashed by the time GC reaps it.
+    */
+  val DefaultTornRetentionMs: Long = 24L * 3600 * 1000
+
+  def plan(spark: SparkSession, path: String, keepHistory: Int = 2,
+           tornRetentionMs: Long = DefaultTornRetentionMs): Seq[GcEntry] = {
     require(keepHistory >= 0, s"keepHistory must be >= 0, got $keepHistory")
+    require(tornRetentionMs >= 0,
+      s"tornRetentionMs must be >= 0, got $tornRetentionMs")
     val gens = VectorIndex.listGenerationDirs(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def oldEnough(g: String): Boolean =
+      try now - fs.getFileStatus(new Path(root, g)).getModificationTime >=
+        tornRetentionMs
+      catch { case _: java.io.FileNotFoundException => false } // racing delete
     val liveGen = gens.filter(_._2).lastOption.map(_._1)
     val keepSet = liveGen match {
       case None => Set.empty[String]
@@ -51,7 +73,7 @@ object SnapshotGc {
         if (committed && liveGen.contains(g)) "keep-live"
         else if (committed && keepSet(g)) "keep-history"
         else if (committed) "delete"
-        else if (liveGen.exists(g < _)) "delete-torn"
+        else if (liveGen.exists(g < _) && oldEnough(g)) "delete-torn"
         else "keep-inflight"
       GcEntry(g, committed, action)
     }
@@ -60,8 +82,9 @@ object SnapshotGc {
   /** Execute the plan: delete every `delete`/`delete-torn` generation.
     * Returns the plan that was executed.
     */
-  def run(spark: SparkSession, path: String, keepHistory: Int = 2): Seq[GcEntry] = {
-    val entries = plan(spark, path, keepHistory)
+  def run(spark: SparkSession, path: String, keepHistory: Int = 2,
+          tornRetentionMs: Long = DefaultTornRetentionMs): Seq[GcEntry] = {
+    val entries = plan(spark, path, keepHistory, tornRetentionMs)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     entries.filter(e => e.action == "delete" || e.action == "delete-torn")

@@ -74,13 +74,17 @@ object Ann {
     * per query re-runs iters×(assign+update) jobs for an identical
     * result. Values are plain driver Seqs — no Spark storage to evict.
     */
-  private val centMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int, Int), Seq[(Long, Seq[Double])]]
+  private val centMemo = new SessionMemo[(String, Int, Int), Seq[(Long, Seq[Double])]]
 
-  private[operators] def kmeansCentroidsCached(s: SparkSession, key: String,
+  /** `d` is the dataset dir (the [[SessionMemo.invalidatePath]] axis);
+    * `family` disambiguates quantizers trained on different corpus
+    * views of the same snapshot (ivf vs knn vs pq-subspace…).
+    */
+  private[operators] def kmeansCentroidsCached(s: SparkSession, d: String,
+                                               family: String,
                                                corpus: => DataFrame, nlist: Int,
                                                iters: Int): Seq[(Long, Seq[Double])] =
-    centMemo.getOrElseUpdate((System.identityHashCode(s), key, nlist, iters),
+    centMemo.getOrElseUpdate(s, d, (family, nlist, iters))(
       kmeansCentroids(corpus, nlist, iters))
 
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
@@ -112,7 +116,7 @@ object Ann {
     // cached: k-means runs iters+1 actions over the corpus, then the
     // probe scan reads it once more — cache instead of re-scanning
     val corpus = corpus0.cache()
-    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
+    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters)
     val assigned = corpus.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("cid"))
     // nprobe closest lists per query: sort the centroid structs, slice,
@@ -143,7 +147,7 @@ object Ann {
   def ivfBalance(s: SparkSession, d: String, nlist: Int = 16,
                  iters: Int = 3): DataFrame = {
     val (corpus, _) = corpusAndQueries(s, d)
-    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
+    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters)
     val sizes = corpus
       .select(nearestCentroidId(col("vec"), cents).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
@@ -172,7 +176,7 @@ object Ann {
   def ivfResiduals(s: SparkSession, d: String, nlist: Int = 16,
                    iters: Int = 3): DataFrame = {
     val (corpus, _) = corpusAndQueries(s, d)
-    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, iters)
+    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters)
     val withDist = corpus.select(
       nearestCentroidId(col("vec"), cents).as("cid"), col("vec"))
     // squared distance to the ASSIGNED centroid: recompute against the
@@ -254,8 +258,7 @@ object Ann {
     */
   def nnDescentGraph(s: SparkSession, d: String, k: Int = 10, rounds: Int = 2,
                      nlist: Int = 0, iters: Int = 3, sampleCap: Int = 0): DataFrame =
-    knnMemo.getOrElseUpdate(
-      (System.identityHashCode(s), s"$d:$k:$rounds:$nlist:$iters:$sampleCap"),
+    knnMemo.getOrElseUpdate(s, d, s"$k:$rounds:$nlist:$iters:$sampleCap")(
       buildKnnGraph(s, d, k, rounds, nlist, iters, sampleCap).localCheckpoint())
 
   /** The memo store for [[nnDescentGraph]]: the scored k-NN edge list is
@@ -264,8 +267,7 @@ object Ann {
     * and search-graph memos, so benchmarks can time BUILD and SERVE
     * separately.
     */
-  private val knnMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val knnMemo = new SessionMemo[String, DataFrame](_.unpersist())
 
   private def buildKnnGraph(s: SparkSession, d: String, k: Int, rounds: Int,
                             nlist: Int, iters: Int, sampleCap: Int): DataFrame = {
@@ -289,7 +291,7 @@ object Ann {
     // one coarse quantizer per (corpus, lists, iters) — shared with the
     // search-graph build (both bucket the full embeddings relation;
     // training twice for an identical result was ~3 s of the build line)
-    val cents = kmeansCentroidsCached(s, s"knn:$d:$lists", emb, lists, iters)
+    val cents = kmeansCentroidsCached(s, d, s"knn:$lists", emb, lists, iters)
     val knn = descendEdges(emb, cents, k, rounds, cap)
     val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst").asc)
     knn.withColumn("rk", row_number().over(w).cast("long"))
@@ -382,8 +384,7 @@ object Ann {
     * corpus snapshot, consumed by every search — and n·k rows, safe to
     * pin. Keyed by session identity so a fresh session rebuilds.
     */
-  private val graphMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val graphMemo = new SessionMemo[String, DataFrame](_.unpersist())
 
   /** GRAPH-ANN top-k search (the HNSW/DiskANN serving tier, batched):
     * best-first beam traversal over the NN-descent k-NN graph. Per
@@ -430,12 +431,11 @@ object Ann {
                                          entries: Int = 0): (DataFrame, () => Double) = {
     val (corpus, queries) = corpusAndQueries(s, d)
     val emb = corpus.cache()
-    val entrySet = entryMemo.getOrElseUpdate(
-      (System.identityHashCode(s), s"$d:$graphK:$entries"), {
+    val entrySet = entryMemo.getOrElseUpdate(s, d, s"$graphK:$entries") {
         val cents = sharedQuantizer(s, d)
         val n = if (entries > 0) entries else cents.size + 32
         centroidEntries(emb, cents, n).localCheckpoint()
-      })
+      }
     beamSearch(emb, graphEdges(s, d, graphK, emb), entrySet,
       queries, k, beam, hops)
   }
@@ -445,8 +445,7 @@ object Ann {
     * every search (same discipline as centroids/edges, so the serving
     * path pays zero entry-derivation jobs).
     */
-  private val entryMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+  private val entryMemo = new SessionMemo[String, DataFrame](_.unpersist())
 
   /** Build (or reuse) the memoized undirected search-graph edge list
     * over the corpus side — the explicit BUILD step of the graph-ANN
@@ -470,18 +469,18 @@ object Ann {
     val full = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val lists = math.max(16, math.ceil(math.sqrt(full.count().toDouble)).toInt)
-    kmeansCentroidsCached(s, s"knn:$d:$lists", full, lists, 3)
+    kmeansCentroidsCached(s, d, s"knn:$lists", full, lists, 3)
   }
 
   private def graphEdges(s: SparkSession, d: String, graphK: Int,
                          emb: DataFrame): DataFrame =
-    graphMemo.getOrElseUpdate((System.identityHashCode(s), s"$d:$graphK"), {
+    graphMemo.getOrElseUpdate(s, d, s"$graphK") {
       val cents = sharedQuantizer(s, d)
       val g = descendEdges(emb, cents, graphK, rounds = 2, cap = 4 * graphK)
         .select("src", "dst")
       g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         .localCheckpoint()
-    })
+    }
 
   /** `n` corpus nodes in xxhash64 order — a deterministic pseudo-random
     * ENTRY sample (id-order would bias toward whatever the id layout
@@ -661,7 +660,7 @@ object Ann {
                      nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
     val (corpus0, queries) = corpusAndQueries(s, d)
     val corpus = corpus0.cache()
-    val cents = kmeansCentroidsCached(s, s"ivf:$d", corpus, nlist, 3)
+    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, 3)
     val assigned = corpus.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("cid"))
     val maxP = math.min(nprobes.max, nlist)
@@ -674,20 +673,26 @@ object Ann {
       .withColumn("cs", cosineSim(col("vec"), col("qvec")))
       .select("query_id", "vec_id", "cs", "probe_rank").cache()
     val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
-    val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-    val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
-    nprobes.map { np =>
-      val res = scored.filter(col("probe_rank") <= np)
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= k)
-      val hits = truth.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      nTrue.join(hits, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true")), 4)
-            .as("mean_recall"))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("mean_recall"),
-          round(lit(math.min(np, nlist).toDouble / nlist), 4).as("lists_share"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    try {
+      val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
+      nprobes.map { np =>
+        val res = scored.filter(col("probe_rank") <= np)
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= k)
+        val hits = truth.join(res.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        nTrue.join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true")), 4)
+              .as("mean_recall"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("mean_recall"),
+            round(lit(math.min(np, nlist).toDouble / nlist), 4).as("lists_share"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+        // eager |nprobes|-row materialization so the intermediates can
+        // be released NOW — without this, repeated tuning calls
+        // accumulate executor storage for the session lifetime
+        .localCheckpoint()
+    } finally { scored.unpersist(); truth.unpersist(); corpus.unpersist() }
   }
 }

@@ -97,12 +97,11 @@ object Dedup {
     * TWICE per fill, feeding both the hot-correction join and the
     * final join). Same discipline as [[minhashPairs]]' pairMemo.
     */
-  private val gramMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int), DataFrame]
+  private val gramMemo = new SessionMemo[(Int, Int), DataFrame](_.unpersist())
 
   private def candidatePairCounts(s: SparkSession, d: String, w: Int,
                                   dfCap: Int): DataFrame =
-    gramMemo.getOrElseUpdate((System.identityHashCode(s), d, w, dfCap),
+    gramMemo.getOrElseUpdate(s, d, (w, dfCap))(
       candidatePairCountsUncached(s, d, w, dfCap, eager = true))
 
   /** Pair-count scaffold builder. `eager = true` (the memo path)
@@ -312,14 +311,14 @@ object Dedup {
     * of failing on a truncated-lineage checkpoint block.
     */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Double, Int, Int, Int), DataFrame]
+    new SessionMemo[(Double, Int, Int, Int), DataFrame](_.unpersist())
 
   /** Verified near-dup pairs (ia, ib, jaccard) — memoized, eagerly
     * materialized.
     */
   private[graft] def minhashPairs(s: SparkSession, d: String, t: Double = 0.8,
                                   w: Int = 5, bands: Int = 32, rows: Int = 4): DataFrame =
-    pairMemo.getOrElseUpdate((System.identityHashCode(s), d, t, w, bands, rows),
+    pairMemo.getOrElseUpdate(s, d, (t, w, bands, rows))(
       minhashPairsUncached(s, d, t, w, bands, rows))
 
   private def minhashPairsUncached(s: SparkSession, d: String, t: Double,
@@ -715,7 +714,7 @@ object Dedup {
   def embeddingNearDupIvf(s: SparkSession, d: String, t: Double = 0.99,
                           nlist: Int = 16, iters: Int = 3): DataFrame = {
     val all = nearDupCorpus(s, d).cache()
-    val cents = Ann.kmeansCentroidsCached(s, s"neardup-ivf:$d", all, nlist, iters)
+    val cents = Ann.kmeansCentroidsCached(s, d, "neardup-ivf", all, nlist, iters)
     val posts = all.select(col("vec_id"),
       explode(slice(array_sort(Ann.centroidStructs(col("vec"), cents)), 1, 2)
         .getField("cid")).as("cid"))
@@ -869,7 +868,7 @@ object Dedup {
   def semanticDedup(s: SparkSession, d: String, t: Double = 0.99,
                     nlist: Int = 16, iters: Int = 3): DataFrame = {
     val all = nearDupCorpus(s, d).cache()
-    val cents = Ann.kmeansCentroidsCached(s, s"semdedup:$d", all, nlist, iters)
+    val cents = Ann.kmeansCentroidsCached(s, d, "semdedup", all, nlist, iters)
     val assigned = all
       .select(col("vec_id"), col("vec"),
         array_sort(Ann.centroidStructs(col("vec"), cents))(0).as("nc"))
@@ -1159,30 +1158,35 @@ object Dedup {
     // truth would make the whole curve silently meaningless
     val truth = ngramJaccard(s, d, t, w).select("ia", "ib")
       .withColumn("in_truth", lit(1L)).cache()
-    val nTrue = truth.count()
-    val tagged = configs.map { case (b, r) =>
-      val buckets = bandBuckets(sigs, b, r)
-      buckets.as("a").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .distinct()
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("ia"), col("ib"))
-    }.reduce(_ unionByName _)
-    tagged
-      .join(truth, Seq("ia", "ib"), "left")
-      .groupBy("bands", "rows_per_band")
-      .agg(count(lit(1)).as("n_candidates"),
-        coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
-      .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
-        col("n_candidates"), col("n_hit"),
-        when(lit(nTrue > 0), bround(col("n_hit").cast("double") / nTrue, 4))
-          .otherwise(1.0).as("recall"),
-        when(col("n_candidates") > 0,
-          bround(col("n_hit").cast("double") / col("n_candidates"), 4))
-          .otherwise(1.0).as("precision"))
-      .orderBy("bands")
+    try {
+      val nTrue = truth.count()
+      val tagged = configs.map { case (b, r) =>
+        val buckets = bandBuckets(sigs, b, r)
+        buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("ia"), col("ib"))
+      }.reduce(_ unionByName _)
+      tagged
+        .join(truth, Seq("ia", "ib"), "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
+        .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
+          col("n_candidates"), col("n_hit"),
+          when(lit(nTrue > 0), bround(col("n_hit").cast("double") / nTrue, 4))
+            .otherwise(1.0).as("recall"),
+          when(col("n_candidates") > 0,
+            bround(col("n_hit").cast("double") / col("n_candidates"), 4))
+            .otherwise(1.0).as("precision"))
+        .orderBy("bands")
+        // eager |configs|-row materialization so the signature/truth
+        // caches release NOW instead of accumulating per tuning call
+        .localCheckpoint()
+    } finally { sigs.unpersist(); truth.unpersist() }
   }
 
   /** Near-dup CLUSTER-SIZE profile: the count-of-counts histogram over

@@ -172,7 +172,7 @@ object Embeddings {
     val sub = dim / m
     (0 until m).map { j =>
       val sliced = emb.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec"))
-      j -> Ann.kmeansCentroidsCached(s, s"pq:$d:$m:$j", sliced, k, iters)
+      j -> Ann.kmeansCentroidsCached(s, d, s"pq:$m:$j", sliced, k, iters)
     }
   }
 
@@ -258,7 +258,7 @@ object Embeddings {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
-    val cents = Ann.kmeansCentroidsCached(s, s"ivf:$d",
+    val cents = Ann.kmeansCentroidsCached(s, d, "ivf",
       emb.filter(col("vec_id") >= 10), nlist, iters = 3)
     val probeIds = cents
       .map { case (cid, c) =>
@@ -278,7 +278,7 @@ object Embeddings {
         zip_with(col("vec"), centArr, (a, b) => a - b).as("vec"))
     val sub = qvec.length / m
     val books = (0 until m).map { j =>
-      j -> Ann.kmeansCentroidsCached(s, s"pqres:$d:$m:$j",
+      j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
         residuals(emb.filter(col("vec_id") >= 10))
           .select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
         nCodes, iters = 3)
@@ -350,17 +350,16 @@ object Embeddings {
     * coarse pass; in a persisted deployment this is its own parquet
     * column/file, so stage 1's scan I/O drops 64× at 100 TB.
     */
-  private val bqCodeMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val bqCodeMemo = new SessionMemo[Unit, DataFrame](_.unpersist())
 
   private[graft] def bqCodes(s: SparkSession, d: String): DataFrame =
-    bqCodeMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    bqCodeMemo.getOrElseUpdate(s, d, ()) {
       val codes = Tables.embeddings(s, d)
         .select(col("vec_id"), signPack(toDouble(col("embedding"))).as("code"))
         .cache()
       codes.count() // eager: the memo hands out a materialized artifact
       codes
-    })
+    }
 
   /** BINARY QUANTIZATION search (the 32×-compression tier Qdrant-class
     * engines offer above SQ/PQ): each dimension collapses to its sign
@@ -412,18 +411,17 @@ object Embeddings {
     * full-corpus posexplode aggregate — 4 redundant corpus scans per
     * 5-query `ann_recall_eval` batch.
     */
-  private val sqBoundsMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (Array[Double], Array[Double])]
+  private val sqBoundsMemo = new SessionMemo[Unit, (Array[Double], Array[Double])]
 
   private def sqBounds(s: SparkSession, d: String,
                        emb: DataFrame): (Array[Double], Array[Double]) =
-    sqBoundsMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    sqBoundsMemo.getOrElseUpdate(s, d, ()) {
       val b = emb.select(posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
         .orderBy("dim").collect()
       (b.map(_.getDouble(1)),
         b.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-300)))
-    })
+    }
 
   def sqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
                      k: Int = 10, rerank: Int = 50): DataFrame = {

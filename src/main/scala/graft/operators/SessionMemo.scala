@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for per-corpus-snapshot INDEX/MODEL state
+  * (signature tables, centroids, pair lists, trained embedders…): the
+  * one materialize-once-consume-many discipline every operator family
+  * here relies on, extracted so each family stops hand-rolling it.
+  *
+  * Keys are `(stable session id, dataset dir, K)`:
+  *   - The session id is the engine's own `sessionUUID` (random UUID,
+  *     collision-free) — NOT `System.identityHashCode`, whose value can
+  *     be reused after a session is GC'd and then serve a DataFrame
+  *     bound to a stopped session.
+  *   - The dataset dir is split out of K so a rewritten snapshot can be
+  *     dropped across every memo with one [[SessionMemo.invalidatePath]]
+  *     call (the cache-coherence story a long-lived session needs).
+  *
+  * `onEvict` releases executor-side storage (unpersist) when an entry
+  * is dropped — without it, invalidation would leak the cached blocks
+  * the memo pinned.
+  */
+private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
+  private val m =
+    scala.collection.concurrent.TrieMap.empty[(String, String, K), V]
+  SessionMemo.register(this)
+
+  def getOrElseUpdate(s: SparkSession, dir: String, k: K)(v: => V): V =
+    m.getOrElseUpdate((SessionMemo.sessionKey(s), dir, k), v)
+
+  private[graft] def invalidateSession(uuid: String): Unit =
+    m.keys.iterator.filter(_._1 == uuid).foreach(drop)
+
+  private[graft] def invalidatePath(dir: String): Unit =
+    m.keys.iterator.filter(_._2 == dir).foreach(drop)
+
+  private[graft] def clear(): Unit = m.keys.iterator.foreach(drop)
+
+  private[graft] def size: Int = m.size
+
+  private def drop(key: (String, String, K)): Unit =
+    m.remove(key).foreach { v =>
+      try onEvict(v)
+      catch { case _: Exception => () } // a stopped session can't unpersist
+    }
+}
+
+private[graft] object SessionMemo {
+  private val all =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_, _]]()
+  private def register(memo: SessionMemo[_, _]): Unit = all.add(memo)
+
+  // Stable random id per live session, weakly keyed on the session
+  // OBJECT: identity semantics while the session lives, and a GC'd
+  // session's mapping vanishes so a fresh session can NEVER inherit its
+  // entries (the identityHashCode-reuse hazard this replaces). The
+  // engine's own sessionUUID is package-private, hence this twin.
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[graft] def sessionKey(s: SparkSession): String =
+    ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
+  /** Drop every memo entry bound to `s` — call when a session stops. */
+  def invalidate(s: SparkSession): Unit =
+    all.forEach(_.invalidateSession(sessionKey(s)))
+
+  /** Drop every memo entry derived from data under `dir` — call after
+    * rewriting a dataset snapshot in place.
+    */
+  def invalidatePath(dir: String): Unit = all.forEach(_.invalidatePath(dir))
+
+  def clearAll(): Unit = all.forEach(_.clear())
+}

@@ -651,11 +651,10 @@ object VectorStore {
     * the fit for an identical model). Keyed by session identity so a
     * fresh session retrains.
     */
-  private val w2vMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), graft.api.Word2VecEmbedder]
+  private val w2vMemo = new SessionMemo[Unit, graft.api.Word2VecEmbedder]
 
   private[graft] def w2vEmbedder(s: SparkSession, d: String): graft.api.Word2VecEmbedder =
-    w2vMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    w2vMemo.getOrElseUpdate(s, d, ())(
       graft.api.Word2VecEmbedder.train(
         Tables.documents(s, d).select("doc_id", "text")))
 

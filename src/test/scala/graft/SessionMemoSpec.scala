@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SessionMemo
+
+class SessionMemoSpec extends SparkSpecBase {
+
+  test("getOrElseUpdate builds once per (session, dir, key) and memoizes") {
+    val memo = new SessionMemo[Int, String]
+    var builds = 0
+    def get(dir: String, k: Int): String =
+      memo.getOrElseUpdate(spark, dir, k) { builds += 1; s"$dir/$k" }
+    assert(get("a", 1) === "a/1")
+    assert(get("a", 1) === "a/1")
+    assert(builds === 1)
+    assert(get("a", 2) === "a/2")
+    assert(get("b", 1) === "b/1")
+    assert(builds === 3)
+    assert(memo.size === 3)
+  }
+
+  test("invalidatePath drops only that dir's entries and fires onEvict") {
+    val evicted = scala.collection.mutable.ListBuffer.empty[String]
+    val memo = new SessionMemo[Int, String](evicted += _)
+    memo.getOrElseUpdate(spark, "a", 1)("a1")
+    memo.getOrElseUpdate(spark, "a", 2)("a2")
+    memo.getOrElseUpdate(spark, "b", 1)("b1")
+    memo.invalidatePath("a")
+    assert(evicted.sorted === Seq("a1", "a2"))
+    assert(memo.size === 1)
+    var rebuilt = false
+    memo.getOrElseUpdate(spark, "a", 1) { rebuilt = true; "a1'" }
+    assert(rebuilt) // the dropped entry is gone, not resurrected
+    memo.getOrElseUpdate(spark, "b", 1)(fail("b must still be memoized"))
+  }
+
+  test("invalidate(session) drops that session's entries; other sessions keep theirs") {
+    val memo = new SessionMemo[Int, String]
+    val other = spark.newSession()
+    memo.getOrElseUpdate(spark, "d", 1)("mine")
+    memo.getOrElseUpdate(other, "d", 1)("theirs")
+    assert(memo.size === 2) // distinct sessions → distinct entries
+    SessionMemo.invalidate(spark)
+    assert(memo.size === 1)
+    memo.getOrElseUpdate(other, "d", 1)(fail("other session's entry must survive"))
+  }
+
+  test("session keys are stable per session object and distinct across sessions") {
+    val a = SessionMemo.sessionKey(spark)
+    assert(SessionMemo.sessionKey(spark) === a)
+    assert(SessionMemo.sessionKey(spark.newSession()) !== a)
+  }
+
+  test("onEvict failures don't abort invalidation") {
+    val memo = new SessionMemo[Int, String](_ => sys.error("unpersist on a stopped session"))
+    memo.getOrElseUpdate(spark, "x", 1)("v1")
+    memo.getOrElseUpdate(spark, "x", 2)("v2")
+    memo.invalidatePath("x") // must not throw
+    assert(memo.size === 0)
+  }
+}

@@ -25,7 +25,8 @@ class SnapshotGcSpec extends SparkSpecBase {
     writeGen(root, 3, committed = true)
     writeGen(root, 4, committed = true)  // live
     writeGen(root, 5, committed = false) // possibly in-flight
-    val byGen = SnapshotGc.plan(spark, root, keepHistory = 2)
+    // tornRetentionMs = 0: every superseded torn write is already "old"
+    val byGen = SnapshotGc.plan(spark, root, keepHistory = 2, tornRetentionMs = 0L)
       .map(e => e.generation -> e.action).toMap
     assert(byGen(VectorIndex.generationDir(4)) === "keep-live")
     assert(byGen(VectorIndex.generationDir(3)) === "keep-history")
@@ -33,6 +34,25 @@ class SnapshotGcSpec extends SparkSpecBase {
     assert(byGen(VectorIndex.generationDir(0)) === "delete")
     assert(byGen(VectorIndex.generationDir(1)) === "delete-torn")
     assert(byGen(VectorIndex.generationDir(5)) === "keep-inflight")
+  }
+
+  test("torn retention: a young superseded torn write is spared until it ages out") {
+    val root = mkRoot()
+    writeGen(root, 0, committed = false) // racing writer: allocated 0 first,
+    writeGen(root, 1, committed = true)  // this one committed second
+    // under the default retention the gen-0 write may still be in
+    // flight — supersession alone must NOT classify it delete-torn
+    val young = SnapshotGc.plan(spark, root)
+      .map(e => e.generation -> e.action).toMap
+    assert(young(VectorIndex.generationDir(0)) === "keep-inflight")
+    // age the directory past a short retention → now it's a crashed
+    // write and run() reaps it
+    new java.io.File(s"$root/${VectorIndex.generationDir(0)}")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val aged = SnapshotGc.run(spark, root, tornRetentionMs = 1000L)
+      .map(e => e.generation -> e.action).toMap
+    assert(aged(VectorIndex.generationDir(0)) === "delete-torn")
+    assert(!new java.io.File(s"$root/${VectorIndex.generationDir(0)}").exists())
   }
 
   test("run deletes exactly the planned generations and the live pointer survives") {

@@ -1,0 +1,93 @@
+package graft
+
+import graft.api.PlanAudit
+
+/** PlanAudit as CI over the WHOLE inventory (VERDICT r5 #7): every
+  * `SparkEntry.queries` plan must pass the runtime lint — cartesian
+  * fail + a per-query shuffle budget — so a new operator cannot land
+  * with a scale-killer plan even before a human reads it. The budgets
+  * encode each family's audited shape (how many exchanges the plan is
+  * SUPPOSED to have); a refactor that silently adds a shuffle fails
+  * here first, at sf0.001, not at 100 TB.
+  */
+class PlanAuditSweepSpec extends SparkSpecBase {
+
+  /** The intentionally-blocked all-pairs baseline (see
+    * PlanInvariantsSpec): broadcast-nested-loop at test scale, flagged
+    * cartesian by the audit's conservative counter.
+    */
+  private val exempt = Set("dedup_embedding")
+
+  // Default budgets: most plans are a handful of keyed exchanges plus
+  // an output sort. Queries above the default are listed explicitly
+  // with observed counts and the reason their shape is legitimately
+  // heavier — the list IS the review artifact (a query joining it needs
+  // a justified entry, not a budget bump). Counts were snapshotted from
+  // a diagnostic sweep (GRAFT_PLAN_SWEEP_DIAG=1) and budgeted at
+  // observed + max(2, 25%); NOTE the audit explains the full lineage,
+  // so a query consuming a memoized cached artifact counts that
+  // artifact's one-time BUILD exchanges too — the serve-path exchange
+  // count is far lower (see the per-query PlanInvariantsSpec shapes).
+  private val defaultShuffles = 10
+  private val defaultSingles = 3
+  private val shuffleBudget: Map[String, Int] = Map(
+    // exact-truth eval: minhash+simhash+embedding tiers, each tier's
+    // memoized build lineage counted once per consumer arm
+    "dedup_recall_eval" -> 342, // observed 273
+    // leak-audit splits: pair relation + component closure + per-side
+    // audit joins, all over the memoized pair artifact's lineage
+    "docs_split_by_cluster" -> 192, // observed 153
+    "docs_train_val_split" -> 185, // observed 148
+    // per-source attribution over the same pair artifact
+    "docs_dup_rate_by_source" -> 97, // observed 77
+    "docs_source_overlap" -> 93, // observed 74
+    // exact-shingle scaffold (gramMemo) lineage: hot-gram correction +
+    // cold join + final verify feed both thresholds
+    "dedup_containment" -> 92, // observed 73
+    "dedup_ngram_jaccard" -> 92, // observed 73
+    // nine serving tiers unioned into one report
+    "ann_recall_eval" -> 84, // observed 67
+    // banded candidates + verify over the signature artifact
+    "dedup_minhash_lsh" -> 62, // observed 49
+    // partition-plan advisors aggregate per-key stats several ways
+    "keys_partition_plan" -> 23, "keys_skew_audit" -> 23, // observed 18
+    // ranked mine + support/lift joins over the memoized pair relation
+    "orders_basket_lift" -> 20, // observed 16
+    "orders_basket_pairs" -> 13, // observed 10
+    // importance weights + stratified resample
+    "docs_dsir_sample" -> 13, // observed 10
+    // signature histogram over the pHash artifact
+    "mm_phash_hamming_hist" -> 13, // observed 10
+    // per-source distribution + divergence rollup
+    "docs_jsd_drift" -> 12, // observed 9
+    // winnowing fingerprints + pair agg + top-k
+    "text_doc_sim_topk" -> 12 // observed 9
+  ).withDefaultValue(defaultShuffles)
+  private val singleBudget: Map[String, Int] = Map(
+    // one-row scalar stats (corpus totals/bounds) enter as
+    // SinglePartition exchanges by design — bounded aggregates only
+    "ann_recall_eval" -> 12, // observed 9: one per tier's budget stat
+    "keys_partition_plan" -> 12, "keys_skew_audit" -> 12, // observed 9
+    "docs_dsir_sample" -> 7, // observed 5
+    "dedup_attrition_funnel" -> 5, "docs_anneal_mixture" -> 5,
+    "docs_set_ops" -> 5, "events_funnel" -> 5, // observed 3
+    "docs_dsir_weights" -> 4, "docs_mix_sources" -> 4,
+    "vs_dbsf_fusion" -> 4, "vs_sparse_search" -> 4 // observed 2
+  ).withDefaultValue(defaultSingles)
+
+  test("every inventory plan passes the PlanAudit lint under its family budget") {
+    val diag = sys.env.contains("GRAFT_PLAN_SWEEP_DIAG")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => exempt(n) }
+      .flatMap { case (name, fn) =>
+        val fs = PlanAudit.findings(fn(spark, sf),
+          maxShuffles = shuffleBudget(name),
+          maxSinglePartition = singleBudget(name))
+        if (diag) info(s"$name: " + fs.map(f => s"${f.check}(${f.detail})").mkString(" "))
+        val bad = fs.filterNot(_.ok)
+        if (bad.isEmpty) None
+        else Some(s"$name: " + bad.map(f => s"${f.check} ${f.detail}").mkString("; "))
+      }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}

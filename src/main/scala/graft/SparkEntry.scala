@@ -173,6 +173,7 @@ object SparkEntry {
     // end-to-end text flow (embed -> index -> embed query -> top-k)
     "vs_text_search" -> ((s: SparkSession, d: String) => VectorStore.textSearch(s, d)),
     "vs_text_search_semantic" -> ((s: SparkSession, d: String) => VectorStore.textSearchSemantic(s, d)),
+    "vs_semantic_recall_eval" -> ((s: SparkSession, d: String) => SemanticEval.semanticRecallEval(s, d)),
     "vs_hybrid_search" -> ((s: SparkSession, d: String) => VectorStore.hybridSearch(s, d)),
     "vs_geo_search" -> ((s: SparkSession, d: String) => VectorStore.geoSearch(s, d)),
     "vs_mmr_search" -> ((s: SparkSession, d: String) => VectorStore.mmrSearch(s, d)),

@@ -61,7 +61,10 @@ class PlanAuditSweepSpec extends SparkSpecBase {
     // per-source distribution + divergence rollup
     "docs_jsd_drift" -> 12, // observed 9
     // winnowing fingerprints + pair agg + top-k
-    "text_doc_sim_topk" -> 12 // observed 9
+    "text_doc_sim_topk" -> 12, // observed 9
+    // four eval arms (2 encoders × 2 transforms), each a per-query
+    // rank + per-arm aggregate over the broadcast query matrix
+    "vs_semantic_recall_eval" -> 20 // observed 16
   ).withDefaultValue(defaultShuffles)
   private val singleBudget: Map[String, Int] = Map(
     // one-row scalar stats (corpus totals/bounds) enter as
@@ -72,7 +75,9 @@ class PlanAuditSweepSpec extends SparkSpecBase {
     "dedup_attrition_funnel" -> 5, "docs_anneal_mixture" -> 5,
     "docs_set_ops" -> 5, "events_funnel" -> 5, // observed 3
     "docs_dsir_weights" -> 4, "docs_mix_sources" -> 4,
-    "vs_dbsf_fusion" -> 4, "vs_sparse_search" -> 4 // observed 2
+    "vs_dbsf_fusion" -> 4, "vs_sparse_search" -> 4, // observed 2
+    "vs_semantic_recall_eval" -> 6 // observed 4: one per eval arm
+
   ).withDefaultValue(defaultSingles)
 
   test("every inventory plan passes the PlanAudit lint under its family budget") {

@@ -106,7 +106,13 @@ object Bench {
       // rank-and-limit serving over the warm artifact.
       "basket_pairs_warm" -> (Seq("orders_basket_pairs", "orders_basket_lift")
         .exists(selected.contains),
-        () => { operators.Relational.basketPairSupport(spark, sfDir, 2).count(); () }))
+        () => { operators.Relational.basketPairSupport(spark, sfDir, 2).count(); () }),
+      // the memoized Word2Vec corpus fit (MODEL state shared by the
+      // semantic-search and semantic-eval lines): timed once here so
+      // neither query line carries the training cost
+      "w2v_warm" -> (Seq("vs_text_search_semantic", "vs_semantic_recall_eval")
+        .exists(selected.contains),
+        () => { operators.VectorStore.w2vEmbedder(spark, sfDir); () }))
       .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val resultTimes = selected.map { case (name, fn) =>
       def run(): Double = {

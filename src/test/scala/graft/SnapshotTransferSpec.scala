@@ -1,0 +1,125 @@
+package graft
+
+import graft.api.{ShardTransfer, Snapshots, VectorIndex}
+import org.apache.spark.sql.functions._
+
+/** Snapshot export/recover + shard transfer — the Qdrant
+  * snapshot/shard-movement endpoint family as batch library APIs.
+  */
+class SnapshotTransferSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkIndex(ids: Range, nBuckets: Int = 8): VectorIndex = {
+    import spark.implicits._
+    VectorIndex(ids.map(i => (i.toLong, Seq.fill(4)(0.01 * i), s"doc $i",
+        i.toLong % 5, s"s${i % 3}", "en", i.toLong))
+      .toDF("id", "vector", "text", "user_id", "site", "lang", "seq"))
+  }
+
+  test("snapshot: create -> list -> verify -> restore lands a verified committed generation") {
+    val idxRoot = tmp("graft-snap-idx-") + "/col"
+    val snapRoot = tmp("graft-snap-root-")
+    mkIndex(0 until 200).save(s"$idxRoot/${VectorIndex.generationDir(0)}")
+
+    val m = Snapshots.create(spark, idxRoot, snapRoot, "pre-migration")
+    assert(m.nRows === 200L)
+    assert(Snapshots.list(spark, snapRoot).map(_.name) === Seq("pre-migration"))
+    assert(Snapshots.verify(spark, s"$snapRoot/pre-migration"))
+    // immutable artifacts: same-name create refuses
+    intercept[IllegalArgumentException](
+      Snapshots.create(spark, idxRoot, snapRoot, "pre-migration"))
+
+    // restore into a FRESH collection: full round trip, content equal
+    val restoredRoot = tmp("graft-snap-rest-") + "/col"
+    val gen = Snapshots.restore(spark, s"$snapRoot/pre-migration", restoredRoot)
+    assert(gen === 0L)
+    val orig = VectorIndex.load(spark, idxRoot).points
+    val rest = VectorIndex.load(spark, restoredRoot).points
+    assert(rest.count() === 200L)
+    assert(orig.exceptAll(rest).isEmpty && rest.exceptAll(orig).isEmpty)
+
+    // restore into the LIVE collection = rollback import: next gen, prior intact
+    val gen2 = Snapshots.restore(spark, s"$snapRoot/pre-migration", idxRoot)
+    assert(gen2 === 1L)
+    assert(VectorIndex.generations(spark, idxRoot) === Seq(0L, 1L))
+  }
+
+  test("snapshot: a corrupted snapshot is refused before any generation commits") {
+    val idxRoot = tmp("graft-snapc-idx-") + "/col"
+    val snapRoot = tmp("graft-snapc-root-")
+    mkIndex(0 until 50).save(s"$idxRoot/${VectorIndex.generationDir(0)}")
+    Snapshots.create(spark, idxRoot, snapRoot, "s1")
+    // corrupt: drop one data file from the shipped snapshot
+    val dataDir = new java.io.File(s"$snapRoot/s1/data")
+    dataDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach(f => assert(f.delete()))
+    assert(!Snapshots.verify(spark, s"$snapRoot/s1"))
+    val target = tmp("graft-snapc-t-") + "/col"
+    intercept[IllegalArgumentException](
+      Snapshots.restore(spark, s"$snapRoot/s1", target))
+    assert(VectorIndex.generations(spark, target) === Seq.empty)
+  }
+
+  test("shard transfer: buckets move wholesale, both sides stay served, totals conserved") {
+    val a = tmp("graft-st-a-") + "/colA"
+    val b = tmp("graft-st-b-") + "/colB"
+    mkIndex(0 until 300).save(s"$a/${VectorIndex.generationDir(0)}")
+
+    val planned = ShardTransfer.plan(spark, a).collect()
+    assert(planned.map(_.getLong(1)).sum === 300L)
+    val moveBuckets = planned.take(3).map(_.getInt(0)).toSeq
+    val nMoved = planned.take(3).map(_.getLong(1)).sum
+
+    val manifest = ShardTransfer.run(spark, a, b, moveBuckets).collect()
+    assert(manifest.map(_.getInt(0)).toSeq.sorted === moveBuckets.sorted)
+    val nA = VectorIndex.load(spark, a).points.count()
+    val nB = VectorIndex.load(spark, b).points.count()
+    assert(nB === nMoved)
+    assert(nA + nB === 300L, "points must be conserved across the move")
+    // no duplicates: the union of both sides is the original id set
+    val ids = VectorIndex.load(spark, a).points.select("id")
+      .unionByName(VectorIndex.load(spark, b).points.select("id"))
+    assert(ids.distinct().count() === 300L && ids.count() === 300L)
+
+    // completed-transfer re-run is a no-op (idempotent recovery)
+    ShardTransfer.run(spark, a, b, moveBuckets)
+    assert(VectorIndex.load(spark, a).points.count() === nA)
+    assert(VectorIndex.load(spark, b).points.count() === nB)
+  }
+
+  test("shard transfer: crash between copy and prune leaves data available, re-run converges") {
+    val a = tmp("graft-st2-a-") + "/colA"
+    val b = tmp("graft-st2-b-") + "/colB"
+    mkIndex(0 until 200).save(s"$a/${VectorIndex.generationDir(0)}")
+    val moveBuckets = ShardTransfer.plan(spark, a).collect()
+      .take(2).map(_.getInt(0)).toSeq
+
+    // crash window: copy committed, prune never ran
+    assert(ShardTransfer.copyToTarget(spark, a, b, moveBuckets))
+    val nA = VectorIndex.load(spark, a).points.count()
+    val nB = VectorIndex.load(spark, b).points.count()
+    assert(nA === 200L, "source untouched until prune — reads never break")
+    assert(nB > 0L, "target already serves the copied shard")
+
+    // recovery: the SAME transfer re-run converges to the final state
+    ShardTransfer.run(spark, a, b, moveBuckets)
+    assert(VectorIndex.load(spark, a).points.count() + nB === 200L)
+    val ids = VectorIndex.load(spark, a).points.select("id")
+      .unionByName(VectorIndex.load(spark, b).points.select("id"))
+    assert(ids.distinct().count() === 200L && ids.count() === 200L)
+  }
+
+  test("shard transfer: a conflicting target bucket is refused, not merged") {
+    val a = tmp("graft-st3-a-") + "/colA"
+    val b = tmp("graft-st3-b-") + "/colB"
+    mkIndex(0 until 100).save(s"$a/${VectorIndex.generationDir(0)}")
+    // the target independently owns points landing in the same buckets
+    mkIndex(500 until 600).save(s"$b/${VectorIndex.generationDir(0)}")
+    val moveBuckets = ShardTransfer.plan(spark, a).collect()
+      .take(1).map(_.getInt(0)).toSeq
+    intercept[IllegalArgumentException](
+      ShardTransfer.copyToTarget(spark, a, b, moveBuckets))
+  }
+}

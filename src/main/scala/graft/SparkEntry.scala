@@ -131,6 +131,7 @@ object SparkEntry {
     "q9_profit_nation" -> ((s: SparkSession, d: String) => Relational.q9ProfitNation(s, d)),
     "events_markov" -> Relational.eventsMarkov _,
     "events_hll_daily" -> ((s: SparkSession, d: String) => Relational.eventsHllDaily(s, d)),
+    "events_kll_daily" -> ((s: SparkSession, d: String) => Relational.eventsKllDaily(s, d)),
     "orders_yoy_growth" -> Relational.ordersYoyGrowth _,
     "orders_window_stats" -> Relational.ordersWindowStats _,
     "docs_set_ops" -> ((s: SparkSession, d: String) => Relational.docsSetOps(s, d)),
@@ -2317,6 +2318,32 @@ object SparkEntry {
          |    AS pair_share
          |FROM g ORDER BY log2_df""".stripMargin,
     // exact in the sub-2^lgK theta regime (capacity 16384 > distinct
+    // KLL exact regime (capacity above the 7-day window count at both
+    // verify SFs): every quantile is the exact order statistic — the
+    // smallest value whose inclusive rank rn/n reaches p, mirroring the
+    // sketch's GE search on normalized ranks (a ceil(p*n) formulation
+    // would reintroduce the double-rounding boundary the sketch avoids)
+    "events_kll_daily" ->
+      """WITH v AS (SELECT date_trunc('day', ts) AS day, value FROM events),
+        |r AS (SELECT day, value,
+        |  row_number() OVER (PARTITION BY day ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY day) AS n FROM v),
+        |q AS (SELECT day, max(n) AS n_values,
+        |  min(value) FILTER (CAST(rn AS DOUBLE) / n >= 0.5) AS p50,
+        |  min(value) FILTER (CAST(rn AS DOUBLE) / n >= 0.9) AS p90,
+        |  min(value) FILTER (CAST(rn AS DOUBLE) / n >= 0.99) AS p99
+        |  FROM r GROUP BY 1),
+        |w AS (SELECT a.day AS day, b.value
+        |  FROM (SELECT DISTINCT day FROM v) a JOIN v b
+        |    ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day),
+        |rw AS (SELECT day, value,
+        |  row_number() OVER (PARTITION BY day ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY day) AS n FROM w),
+        |qw AS (SELECT day, max(n) AS n_7d,
+        |  min(value) FILTER (CAST(rn AS DOUBLE) / n >= 0.99) AS p99_7d
+        |  FROM rw GROUP BY 1)
+        |SELECT q.day, q.n_values, q.p50, q.p90, q.p99, qw.n_7d, qw.p99_7d
+        |FROM q JOIN qw ON q.day = qw.day ORDER BY q.day""".stripMargin,
     // users at both verify SFs), like events_heavy_users' MG discipline
     "events_theta_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

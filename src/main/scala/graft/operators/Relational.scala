@@ -1637,6 +1637,60 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Per-day KLL sketch blobs over an event-value column — shared by
+    * the batch report and the streaming maintenance twin, the
+    * [[countMinTable]] discipline: ONE definition of the sketch build.
+    */
+  private[graft] def kllByDay(events: DataFrame, k: Int = 32768): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, KllDoublesSketchAgg}
+    val sk = ColumnBridge.column(
+      KllDoublesSketchAgg(ColumnBridge.expression(col("value")), k)
+        .toAggregateExpression())
+    events.select(date_trunc("day", col("ts")).as("day"), col("value"))
+      .groupBy("day").agg(sk.as("sk"), count(lit(1)).as("n_values"))
+  }
+
+  /** MERGEABLE QUANTILE ROLLUP — the KLL member completing the sketch
+    * family (HLL distinct / theta sets / Count-Min frequency /
+    * Misra-Gries heavy hitters / bloom membership; this is "what is
+    * the p99 of any later time range" in k·levels doubles of state per
+    * window). Per day: the value count and the INCLUSIVE-rank
+    * p50/p90/p99 read from that day's persisted sketch blob, plus the
+    * trailing-7-day p99 obtained by MERGING the daily blobs — never by
+    * rescanning raw values, the [[eventsHllDaily]] architecture on the
+    * quantile axis.
+    *
+    * Exactness regime ([[org.apache.spark.sql.graft.KllDoublesSketchAgg]]):
+    * capacity k above the per-day AND trailing-7-day value count (the
+    * default 32768 covers the gate SFs' ~23k/week) ⇒ no
+    * compaction ⇒ every reported quantile is the EXACT order statistic
+    * (value at ascending position ⌈p·n⌉) — DuckDB-oracle-gated at both
+    * SFs, collisions-free by construction. Past capacity the ~1.65%-
+    * at-k=200 rank-error contract applies (spec'd in the forced-
+    * sampling regime). Scale shape: one value-keyed partial agg builds
+    * |days| KB-sized blobs (bounded driver state, the theta
+    * discipline); the window merge touches 7 blobs per day.
+    */
+  def eventsKllDaily(s: SparkSession, d: String, k: Int = 32768): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val blobs = kllByDay(Tables.events(s, d), k).collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
+    val rows = blobs.zipWithIndex.map { case ((day, blob, n), i) =>
+      val s1 = sk(blob)
+      // trailing 7 days ending here: merge the persisted blobs only
+      val w = KllDoublesSketch.newHeapInstance(k)
+      blobs.slice(math.max(0, i - 6), i + 1).foreach(b => w.merge(sk(b._2)))
+      (day, n, s1.getQuantile(0.5), s1.getQuantile(0.9), s1.getQuantile(0.99),
+        w.getN, w.getQuantile(0.99))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("day", "n_values", "p50", "p90", "p99", "n_7d", "p99_7d")
+      .orderBy("day")
+  }
+
   /** Count-Min point-frequency sketch, completing the mergeable-sketch
     * family (HLL distinct, Misra-Gries heavy hitters, bloom membership
     * — this is "how often does key X occur" in depth×width longs of

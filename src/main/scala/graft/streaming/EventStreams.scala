@@ -512,6 +512,16 @@ object EventStreams {
     graft.operators.Relational.countMinTable(events.select("user_id"), "user_id",
       width, depth)
 
+  /** Streaming KLL maintenance — the ingest half of
+    * [[graft.operators.Relational.eventsKllDaily]]: per-day quantile
+    * sketch blobs maintained incrementally (the typed aggregate's
+    * merge IS the state update, so the store holds one KB-class blob
+    * per day). Emitted blobs answer any later range-quantile question
+    * by merging — batch parity spec'd in the exact regime.
+    */
+  def kllDailyStream(events: DataFrame, k: Int = 32768): DataFrame =
+    graft.operators.Relational.kllByDay(events, k)
+
   /** Streaming top-k-per-tenant vector search: a stream of query vectors
     * joined against a static corpus — the streaming face of
     * VectorStore.searchBatch (stream-static joins need no state).

@@ -1440,6 +1440,45 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("kll daily quantiles are exact order statistics below capacity; forced sampling holds the rank-error bound") {
+    val rows = Relational.eventsKllDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver reference: per-day values, inclusive-rank quantile = the
+    // first ascending value whose rank/n reaches p
+    val byDay = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("value")).collect()
+      .groupBy(_.getTimestamp(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted.toSeq).toMap
+    def incQ(vs: Seq[Double], p: Double): Double =
+      vs(vs.indices.find(i => (i + 1).toDouble / vs.length >= p).get)
+    val dayKeys = byDay.keys.toSeq.sortBy(_.getTime)
+    rows.foreach { r =>
+      val vs = byDay(r.getTimestamp(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(r.getDouble(2) === incQ(vs, 0.5), s"p50 ${r.getTimestamp(0)}")
+      assert(r.getDouble(3) === incQ(vs, 0.9))
+      assert(r.getDouble(4) === incQ(vs, 0.99))
+      // trailing-7-day merge stays in the exact regime too
+      val i = dayKeys.indexOf(r.getTimestamp(0))
+      val wvs = dayKeys.slice(math.max(0, i - 6), i + 1).flatMap(byDay).sorted
+      assert(r.getLong(5) === wvs.length.toLong)
+      assert(r.getDouble(6) === incQ(wvs, 0.99), s"p99_7d ${r.getTimestamp(0)}")
+    }
+    // forced-sampling regime: a tiny-k sketch over the full value
+    // stream must return a p50 whose TRUE normalized rank is within a
+    // generous multiple of the published KLL error for that k
+    import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+    val all = byDay.values.flatten.toArray.sorted
+    val small = KllDoublesSketch.newHeapInstance(64)
+    all.foreach(small.update)
+    assert(small.isEstimationMode)
+    val est = small.getQuantile(0.5)
+    val trueRank = all.count(_ <= est).toDouble / all.length
+    val eps = KllSketch.getNormalizedRankError(64, false)
+    assert(math.abs(trueRank - 0.5) <= 4 * eps,
+      s"sampling-regime p50 rank $trueRank outside 4x eps=$eps")
+  }
+
   test("eventTypeOverlap counts distinct both-type audiences exactly") {
     val rows = Relational.eventTypeOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

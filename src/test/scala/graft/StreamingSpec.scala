@@ -388,6 +388,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("kllDailyStream blobs answer quantiles identically to batch in the exact regime") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = EventStreams.kllDailyStream(input.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("kllstream")
+      .outputMode(OutputMode.Complete()).start()
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
+    try {
+      input.addData((1 to 40).map(i => (ts(1 + i % 2, i % 24), i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((41 to 90).map(i => (ts(1 + i % 2, i % 24), i.toDouble)): _*)
+      q.processAllAvailable()
+      val blobs = spark.table("kllstream").collect()
+        .map(r => r.getTimestamp(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+      assert(blobs.size === 2) // two days of state, maintained across batches
+      // exact regime: each day's blob returns the exact median of ALL
+      // values routed to that day across BOTH micro-batches
+      val byDay = (1 to 90).groupBy(i => ts(1 + i % 2, i % 24).toLocalDateTime.toLocalDate)
+      blobs.foreach { case (day, (blob, n)) =>
+        val vs = byDay(day.toLocalDateTime.toLocalDate).map(_.toDouble).sorted
+        assert(n === vs.length.toLong)
+        val sk = KllDoublesSketch.heapify(Memory.wrap(blob))
+        assert(sk.getQuantile(0.5) ===
+          vs(vs.indices.find(i => (i + 1).toDouble / vs.length >= 0.5).get))
+      }
+    } finally q.stop()
+  }
+
   test("countMinStream maintains the exact batch sketch table across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]

@@ -112,7 +112,14 @@ object Bench {
       // neither query line carries the training cost
       "w2v_warm" -> (Seq("vs_text_search_semantic", "vs_semantic_recall_eval")
         .exists(selected.contains),
-        () => { operators.VectorStore.w2vEmbedder(spark, sfDir); () }))
+        () => { operators.VectorStore.w2vEmbedder(spark, sfDir); () }),
+      // the memoized PQ codebooks (m sub-quantizer trainings) shared by
+      // the PQ code/search lines — without this the fill lands on
+      // whichever of them runs first (detail ranges showed a 3.8 s max
+      // on a 0.4 s line)
+      "pq_codebook_warm" -> (Seq("emb_pq_codes", "emb_pq_search")
+        .exists(selected.contains),
+        () => { operators.Embeddings.pqCodebooks(spark, sfDir); () }))
       .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val resultTimes = selected.map { case (name, fn) =>
       def run(): Double = {

@@ -112,7 +112,10 @@ object ShardTransfer {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(live)))
       return emptyPoints(spark)
-    val df = spark.read.parquet(live)
+    // a generation pruned down to zero rows is a bare _SUCCESS dir —
+    // schema inference fails, but it's a valid (empty) shard set
+    val df = try spark.read.parquet(live)
+      catch { case _: org.apache.spark.sql.AnalysisException => return emptyPoints(spark) }
     if (df.columns.contains("bucket")) df.select(allCols: _*)
     else emptyPoints(spark) // un-bucketed roots hold no shards to move
   }

@@ -111,6 +111,56 @@ class SnapshotTransferSpec extends SparkSpecBase {
     assert(ids.distinct().count() === 200L && ids.count() === 200L)
   }
 
+  test("shard balancer: plan is deterministic metadata, apply converges loads within tolerance") {
+    import graft.api.ShardBalancer
+    val n0 = tmp("graft-sb-0-") + "/n0"
+    val n1 = tmp("graft-sb-1-") + "/n1"
+    val n2 = tmp("graft-sb-2-") + "/n2"
+    // one sharded collection: node 0 owns (almost) everything, node 1 a
+    // sliver, node 2 empty — the post-node-add rebalance scenario.
+    // Disjoint ownership by construction: split one saved collection.
+    val all = tmp("graft-sb-all-") + "/all"
+    mkIndex(0 until 400).save(s"$all/${VectorIndex.generationDir(0)}")
+    val buckets = ShardTransfer.plan(spark, all).collect().map(_.getInt(0)).toSeq
+    val (slice1, rest) = (buckets.take(1), buckets.drop(1))
+    // materialize the split via transfers out of the staging root
+    ShardTransfer.run(spark, all, n1, slice1)
+    ShardTransfer.run(spark, all, n0, rest)
+    // n2 is a brand-new empty node: no data yet, just a valid target
+
+    val p = ShardBalancer.plan(spark, Seq(n0, n1, n2), tolerance = 0.25)
+    assert(p.moves.nonEmpty, "skewed cluster must produce moves")
+    // plan-level invariants: projected max within tolerance of mean,
+    // and a re-plan over unchanged data is identical (deterministic)
+    val mean = p.loadsBefore.values.sum.toDouble / 3
+    assert(p.loadsAfter.values.max <= mean * 1.25 + 1e-9,
+      s"projected loads ${p.loadsAfter} exceed tolerance around mean $mean")
+    assert(ShardBalancer.plan(spark, Seq(n0, n1, n2), tolerance = 0.25)
+      .moves === p.moves)
+
+    ShardBalancer.apply(spark, p)
+    val after = Seq(n0, n1, n2)
+      .map(r => VectorIndex.load(spark, r).points.count())
+    assert(after.sum === 400L, "rebalance must conserve points")
+    assert(after.max <= mean * 1.25 + 1e-9,
+      s"executed loads $after exceed tolerance")
+    // still one collection: ids globally unique across nodes
+    val ids = Seq(n0, n1, n2).map(r => VectorIndex.load(spark, r).points.select("id"))
+      .reduce(_ unionByName _)
+    assert(ids.count() === 400L && ids.distinct().count() === 400L)
+  }
+
+  test("shard balancer: refuses overlapping ownership instead of planning a refused transfer") {
+    import graft.api.ShardBalancer
+    val a = tmp("graft-sbc-a-") + "/a"
+    val b = tmp("graft-sbc-b-") + "/b"
+    // two independent collections (NOT a sharded one): same buckets,
+    // different points — balancing across them would corrupt both
+    mkIndex(0 until 100).save(s"$a/${VectorIndex.generationDir(0)}")
+    mkIndex(200 until 400).save(s"$b/${VectorIndex.generationDir(0)}")
+    intercept[IllegalArgumentException](ShardBalancer.plan(spark, Seq(a, b)))
+  }
+
   test("shard transfer: a conflicting target bucket is refused, not merged") {
     val a = tmp("graft-st3-a-") + "/colA"
     val b = tmp("graft-st3-b-") + "/colB"

@@ -72,6 +72,7 @@ object SparkEntry {
     "docs_stats_by_source" -> TextAnalysis.statsBySource _,
     "text_vocabulary" -> ((s: SparkSession, d: String) => TextAnalysis.vocabulary(s, d)),
     "text_ngram_counts" -> ((s: SparkSession, d: String) => TextAnalysis.ngramCounts(s, d)),
+    "text_pmi_colloc" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     "text_repetition" -> TextAnalysis.repetition _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25Search(s, d)),
@@ -566,6 +567,24 @@ object SparkEntry {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    // pmi is one double division of exact BIGINT products (< 2^53) —
+    // deterministic IEEE in both engines, emitted unrounded
+    "text_pmi_colloc" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |idx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS g FROM toks),
+        |adj0 AS (SELECT ws[g] AS t, ws[g + 1] AS u FROM idx),
+        |adj AS (SELECT t, u FROM adj0 UNION ALL SELECT u, t FROM adj0),
+        |co AS (SELECT t, u, count(*) AS n FROM adj WHERE t <> u GROUP BY 1, 2),
+        |c AS (SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY 1),
+        |scored AS (SELECT co.t, co.u, co.n, ct.c AS ct, cu.c AS cu,
+        |  CAST(co.n AS DOUBLE) / (ct.c * cu.c) AS pmi
+        |  FROM co JOIN c ct ON co.t = ct.tok JOIN c cu ON co.u = cu.tok),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY t
+        |  ORDER BY pmi DESC, u) AS rk FROM scored)
+        |SELECT t AS token, u AS associate, n AS n_cooccur, ct AS n_token,
+        |  cu AS n_associate, pmi
+        |FROM best WHERE rk = 1 ORDER BY token""".stripMargin,
     "text_ngram_counts" ->
       """WITH sh AS (SELECT doc_id,
         |  unnest([words[i]||' '||words[i+1] for i in range(1, len(words))]) AS ngram

@@ -52,31 +52,16 @@ object SemanticEval {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), lower(col("text")).as("text"))
 
-    // ---- associate table: strongest adjacent-token PMI partner ----
-    val arr = split(col("text"), " ")
-    // map-side adjacent pairs: zip the array with its own tail — no
-    // positional self-join, the exchange carries only (t, u) pairs
-    val adj = docs.select(explode(zip_with(
-        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
-        (x, y) => struct(x.as("t"), y.as("u")))).as("p"))
-      .select(col("p.t").as("t"), col("p.u").as("u"))
-    val co = adj.union(adj.select(col("u").as("t"), col("t").as("u")))
-      .filter(col("t") =!= col("u"))
-      .groupBy("t", "u").agg(count(lit(1)).as("n"))
-    val uni = docs.select(explode(arr).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    // pmi ∝ n(t,u) / (c(t)·c(u)) — the log is monotone, skip it
-    val scored = co
-      .join(broadcast(uni.select(col("tok").as("t"), col("c").as("ct"))), "t")
-      .join(broadcast(uni.select(col("tok").as("u"), col("c").as("cu"))), "u")
-      .select(col("t"), col("u"),
-        (col("n").cast("double") / (col("ct") * col("cu"))).as("pmi"))
+    // ---- associate table: strongest adjacent-token PMI partner —
+    // the SHARED collocation definition ([[TextAnalysis.pmiAssociates]];
+    // its report form is the `text_pmi_colloc` inventory row) ----
     val wBest = Window.partitionBy("t").orderBy(col("pmi").desc, col("u").asc)
-    val assoc = scored.withColumn("r", row_number().over(wBest))
+    val assoc = TextAnalysis.pmiAssociates(docs)
+      .withColumn("r", row_number().over(wBest))
       .filter(col("r") === 1).select(col("t"), col("u").as("sub"))
 
     // ---- paraphrase queries (query-set-sized: ≤ nQueries docs) ----
+    val arr = split(col("text"), " ")
     val qtoks = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id"), posexplode(arr).as(Seq("pos", "tok")))
     def reassemble(toks: DataFrame): DataFrame =

@@ -245,6 +245,61 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("ngram"))
       .limit(topN)
 
+  /** Adjacent-token PMI ASSOCIATE table — pointwise-mutual-information
+    * collocation extraction (Church & Hanks 1990), the distributional-
+    * association primitive: for every token, its strongest adjacent
+    * co-occurrence partner by pmi ∝ n(t,u)/(c(t)·c(u)) (the log is
+    * monotone and skipped — ranking is what's consumed). ONE
+    * definition shared by the [[pmiCollocations]] report and
+    * [[SemanticEval]]'s paraphrase-rewrite transform (the
+    * countMinTable discipline: a drifting tokenization or tie-break in
+    * a copy would silently fork the two consumers).
+    *
+    * Scale shape: adjacent pairs come from zipping each token array
+    * with its own tail — map-side, no positional self-join; the
+    * exchange carries (t, u) pairs (volume = token volume) and the
+    * scored table is vocabulary²-bounded but co-occurrence-sparse.
+    * Exactness: pmi is ONE double division of exact BIGINT products
+    * (< 2^53) — deterministic IEEE, engine-portable unrounded; ties
+    * break (pmi desc, u asc) on exact values.
+    */
+  private[operators] def pmiAssociates(docs: DataFrame): DataFrame = {
+    val arr = split(lower(col("text")), " ")
+    val adj = docs.select(explode(zip_with(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (x, y) => struct(x.as("t"), y.as("u")))).as("p"))
+      .select(col("p.t").as("t"), col("p.u").as("u"))
+    val co = adj.union(adj.select(col("u").as("t"), col("t").as("u")))
+      .filter(col("t") =!= col("u"))
+      .groupBy("t", "u").agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(arr).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    co.join(broadcast(uni.select(col("tok").as("t"), col("c").as("ct"))), "t")
+      .join(broadcast(uni.select(col("tok").as("u"), col("c").as("cu"))), "u")
+      .select(col("t"), col("u"), col("n"), col("ct"), col("cu"),
+        (col("n").cast("double") / (col("ct") * col("cu"))).as("pmi"))
+  }
+
+  /** The collocation REPORT over [[pmiAssociates]]: each token's best
+    * adjacent associate with its co-count, unigram counts, and
+    * unrounded pmi score — what a corpus linguist (or a tokenizer-
+    * merge audit) reads; also exactly the substitution table
+    * `vs_semantic_recall_eval`'s hardest transform rewrites through,
+    * published as data.
+    */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("t").orderBy(col("pmi").desc, col("u").asc)
+    pmiAssociates(Tables.documents(s, d))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("t").as("token"), col("u").as("associate"),
+        col("n").as("n_cooccur"), col("ct").as("n_token"),
+        col("cu").as("n_associate"), col("pmi"))
+      .orderBy("token")
+  }
+
   /** Repetition scoring (the Gopher/MassiveText "repeated n-gram
     * fraction" quality rule): per document, the most frequent bigram's
     * share of all bigram occurrences — high values flag boilerplate /

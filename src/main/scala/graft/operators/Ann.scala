@@ -601,7 +601,9 @@ object Ann {
             .as("mean_recall"))
         .select(lit(name).as("method"), col("n_queries"), col("mean_recall"))
     }
-    val truth = bruteTopK(s, d, k).select("query_id", "vec_id").cache()
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pinned(df: DataFrame): DataFrame = { val c = df.cache(); caches += c; c }
+    val truth = pinned(bruteTopK(s, d, k).select("query_id", "vec_id"))
     val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
     val eval = evalVs(truth, nTrue) _
     // QUANTIZED serving tiers (VERDICT r4 #7): the single-query
@@ -620,28 +622,34 @@ object Ann {
       val sc = if (l2) l2Distance(col("vec"), col("qvec"))
                else cosineSim(col("vec"), col("qvec"))
       val ord = if (l2) col("sc").asc else col("sc").desc
-      val t = graft.plans.TopK.perKey(
+      val t = pinned(graft.plans.TopK.perKey(
           emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id"), sc.as("sc")),
           Seq(col("query_id")), Seq(ord, col("vec_id").asc), k)
-        .select("query_id", "vec_id").cache()
+        .select("query_id", "vec_id"))
       (t, t.groupBy("query_id").agg(count(lit(1)).as("n_true")))
     }
-    val (cosT, cosN) = truthBatch(l2 = false)
-    val (l2T, l2N) = truthBatch(l2 = true)
-    def batched(fn: Long => DataFrame): DataFrame = quantQueryIds
-      .map(q => fn(q).select(lit(q).as("query_id"), col("vec_id")))
-      .reduce(_ unionByName _)
-    Seq(eval("brute", bruteTopK(s, d, k)),
-        eval("graph", graphTopK(s, d, k)),
-        eval("ivf", ivfTopK(s, d, k)),
-        eval("lsh", lshTopK(s, d, k)),
-        evalVs(cosT, cosN)("sq", batched(q => Embeddings.sqRerankSearch(s, d, q, k))),
-        evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
-        evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
-        evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
-        evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k))))
-      .reduce(_ unionByName _).orderBy("method")
+    try {
+      val (cosT, cosN) = truthBatch(l2 = false)
+      val (l2T, l2N) = truthBatch(l2 = true)
+      def batched(fn: Long => DataFrame): DataFrame = quantQueryIds
+        .map(q => fn(q).select(lit(q).as("query_id"), col("vec_id")))
+        .reduce(_ unionByName _)
+      Seq(eval("brute", bruteTopK(s, d, k)),
+          eval("graph", graphTopK(s, d, k)),
+          eval("ivf", ivfTopK(s, d, k)),
+          eval("lsh", lshTopK(s, d, k)),
+          evalVs(cosT, cosN)("sq", batched(q => Embeddings.sqRerankSearch(s, d, q, k))),
+          evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
+          evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
+          evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
+          evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k))))
+        .reduce(_ unionByName _).orderBy("method")
+        // eager 9-row materialization so the truth caches release NOW
+        // (the tuning-operator discipline — repeated evals no longer
+        // accumulate executor storage)
+        .localCheckpoint()
+    } finally caches.foreach(_.unpersist())
   }
 
   /** IVF NPROBE-TUNING CURVE — the [[graft.operators.Dedup

@@ -53,5 +53,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))
     // whole-operator plan: TopKPerKey (partial-heap → exchange → final-heap)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.plans.TopKPerKeyStrategy)
+    // TABLE function: the WHOLE query inventory from SQL —
+    //   SELECT * FROM graft_query('q1_pricing_summary', '/data/sf')
+    // resolves to the named operator's logical plan over that dataset
+    // dir, so a SQL-only client runs every reference-parity query with
+    // no Scala. Args must be literals (they select the plan, they
+    // don't flow through it).
+    ext.injectTableFunction((FunctionIdentifier("graft_query"),
+      new ExpressionInfo(classOf[SparkEntry.type].getName, "graft_query"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_query(name, dir) takes 2 literal args, got ${args.length}")
+        def lit(e: Expression, what: String): String = e.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_query $what must be a string literal, got $other")
+        }
+        val name = lit(args(0), "name")
+        val dir = lit(args(1), "dir")
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown graft query '$name' — " +
+            s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}…"))
+        fn(org.apache.spark.sql.SparkSession.active, dir).queryExecution.logical
+      }))
   }
 }

@@ -22,5 +22,7 @@ object SparkSpecBase {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${System.nanoTime()}")
+    // the production wiring: SQL functions + graft_query TVF + TopK strategy
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }

@@ -59,6 +59,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dir, so a SQL-only client runs every reference-parity query with
     // no Scala. Args must be literals (they select the plan, they
     // don't flow through it).
+    // ANALYSIS-TIME GUARDRAIL (opt-in: spark.graft.strictJoins=true):
+    // reject the accidental-cartesian pattern — an INNER join with no
+    // condition and no broadcast-hinted side — at submission, before a
+    // 100-TB cluster discovers it the expensive way. Deliberate shapes
+    // stay legal: an explicit `crossJoin` (JoinType Cross says "I meant
+    // it") and the hinted broadcast-nested-loop idiom (tiny side
+    // replicated — the batched-search shape every operator here uses).
+    // This is PlanAudit's cartesian lint promoted from report to gate.
+    ext.injectCheckRule { session => plan =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.Inner
+      def broadcastHinted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p.exists { case h: ResolvedHint => h.hints.strategy.nonEmpty; case _ => false }
+      if (session.conf.getOption("spark.graft.strictJoins").contains("true")) {
+        plan.foreach {
+          case j @ Join(left, right, Inner, None, _)
+              if !broadcastHinted(left) && !broadcastHinted(right) =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "USER_RAISED_EXCEPTION",
+              Map("errorMessage" ->
+                ("spark.graft.strictJoins: condition-less INNER join would plan a " +
+                  "cartesian/nested-loop product. Add a join condition, broadcast() " +
+                  "a small side, or write crossJoin() if the product is intended.")),
+              None)
+          case _ =>
+        }
+      }
+    }
     ext.injectTableFunction((FunctionIdentifier("graft_query"),
       new ExpressionInfo(classOf[SparkEntry.type].getName, "graft_query"),
       (args: Seq[Expression]) => {

@@ -29,6 +29,31 @@ class GraftQuerySpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("unknown graft query")))
   }
 
+  test("strictJoins gate: accidental products rejected, deliberate shapes stay legal") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(3L, 4L).toDF("y")
+    spark.conf.set("spark.graft.strictJoins", "true")
+    try {
+      // the accident: condition-less inner join, no hint
+      val e = intercept[org.apache.spark.sql.AnalysisException](a.join(b).collect())
+      assert(e.getMessage.contains("strictJoins"))
+      // deliberate: explicit crossJoin says "I meant it"
+      assert(a.crossJoin(b).count() === 4L)
+      // deliberate: the hinted broadcast-nested-loop idiom (batched search)
+      assert(a.join(broadcast(b)).count() === 4L)
+      // ordinary conditioned joins untouched
+      assert(a.join(b, col("x") + 2 === col("y")).count() === 2L)
+      // and the gate catches the accident inside a whole operator plan too
+      val e2 = intercept[org.apache.spark.sql.AnalysisException](
+        a.join(b).filter(lit(true)).groupBy("x").count().collect())
+      assert(e2.getMessage.contains("strictJoins"))
+    } finally spark.conf.unset("spark.graft.strictJoins")
+    // gate off: the permissive default is unchanged
+    assert(a.join(b).count() === 4L)
+  }
+
   test("scalar functions ride the same extensions wiring") {
     val j = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")

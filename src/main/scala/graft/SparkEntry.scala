@@ -215,6 +215,8 @@ object SparkEntry {
     "emb_pca_project" -> ((s: SparkSession, d: String) => Embeddings.pcaProject(s, d)),
     // multimodal
     "mm_decode_meta" -> Multimodal.decodeMeta _,
+    "mm_audio_meta" -> Multimodal.audioMeta _,
+    "mm_video_meta" -> Multimodal.videoMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -1664,6 +1666,23 @@ object SparkEntry {
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real WAV header decode: 8-bit mono at 8 kHz wraps the UTF-8 text
+    // bytes, so every parsed field re-derives from the (ASCII) length;
+    // duration is exact integer floor division in both engines
+    // real ISO-BMFF box-tree parse: timescale 600, duration = one unit
+    // per text byte, one track per doc_id mod 3 + 1 — all re-derivable
+    "mm_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(600 AS BIGINT) AS timescale,
+        |  CAST(length(text) AS BIGINT) AS duration_units,
+        |  (CAST(length(text) AS BIGINT) * 1000) // 600 AS duration_ms,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id, 'wav' AS container, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
+        |  CAST(length(text) AS BIGINT) AS n_samples,
+        |  (CAST(length(text) AS BIGINT) * 1000) // 8000 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,

@@ -110,6 +110,97 @@ class OperatorsSpec extends SparkSpecBase {
     assert(metas(4L) === ((n % 640 + 16, n * 7 % 480 + 16, 1L)))
   }
 
+  test("audio decode reads REAL WAV/AIFF headers via javax.sound; garbage degrades to stub") {
+    import spark.implicits._
+    // a real AIFF container written by the JDK's own audio writer
+    def aiffBytes(nSamples: Int, rate: Float): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 8, 1, 1, rate, true)
+      val data = Array.tabulate[Byte](nSamples)(i => (i % 97).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.AudioRow(1L, aiffBytes(512, 11025f)),
+      Multimodal.AudioRow(2L, "definitely not audio".getBytes("UTF-8")))
+    val metas = Multimodal.audioMetaOf(spark, rows.toDS().repartition(2)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(metas(1L) === (("aif", 11025L, 1L, 8L, 512L)))
+    assert(metas(2L) === (("unknown", -1L, -1L, -1L, -1L)))
+    // and the synthetic WAV query: real parse, fields re-derive from text
+    val wav = Multimodal.audioMeta(spark, sf).collect()
+    val lens = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wav.nonEmpty)
+    wav.foreach { r =>
+      val n = lens(r.getLong(0))
+      assert(r.getString(1) === "wav" && r.getLong(2) === 8000L &&
+        r.getLong(3) === 1L && r.getLong(4) === 8L && r.getLong(5) === n &&
+        r.getLong(6) === n * 1000L / 8000L)
+    }
+    // the sniff gates correctly on all three container families
+    assert(Multimodal.isAudioPayload(aiffBytes(16, 8000f)))
+    assert(!Multimodal.isAudioPayload("RIFFxxxxNOPE".getBytes("US-ASCII")))
+  }
+
+  test("video decode walks real ISO-BMFF trees: v1 mvhd, largesize, mdat skip, garbage stub") {
+    import spark.implicits._
+    def box(tp: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    // a version-1 mvhd (64-bit times/duration) — the layout a modern
+    // muxer writes for long recordings
+    val mvhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(4 + 16 + 4 + 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0x01000000) // version 1
+      b.putLong(0L).putLong(0L) // creation/modification
+      b.putInt(90000) // timescale
+      b.putLong(123456789L) // duration
+      box("mvhd", b.array())
+    }
+    // an mdat with a LARGESIZE header (size field 1 + 64-bit size) that
+    // the walker must skip by its size, never reading sample bytes
+    val mdatLarge = {
+      val body = Array.fill[Byte](64)(0x5A)
+      val b = java.nio.ByteBuffer.allocate(16 + body.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(1).put("mdat".getBytes("US-ASCII"))
+        .putLong(16L + body.length).put(body)
+      b.array()
+    }
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+    val moov = box("moov", mvhdV1 ++ box("trak", Array.emptyByteArray) ++
+      box("trak", Array.emptyByteArray))
+    val rows = Seq(
+      Multimodal.VideoRow(1L, ftyp ++ mdatLarge ++ moov),
+      Multimodal.VideoRow(2L, "not a video at all, sorry".getBytes("UTF-8")))
+    val metas = Multimodal.videoMetaOf(spark, rows.toDS().repartition(2)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(metas(1L) === (("mp42", 90000L, 123456789L,
+      123456789L * 1000L / 90000L, 2L)))
+    assert(metas(2L) === (("unknown", -1L, -1L, -1L, -1L)))
+    assert(Multimodal.isVideoPayload(ftyp) && !Multimodal.isVideoPayload(mdatLarge))
+    // the synthetic table round-trips through the parser exactly
+    val vid = Multimodal.videoMeta(spark, sf).collect()
+    assert(vid.nonEmpty)
+    vid.foreach { r =>
+      assert(r.getString(1) === "isom" && r.getLong(2) === 600L &&
+        r.getLong(5) === r.getLong(0) % 3 + 1)
+    }
+  }
+
   test("winnowing guarantees a shared fingerprint for shared runs of w+win-1 words") {
     import spark.implicits._
     // docs share an 8-word run (w=4, win=5 ⇒ guarantee threshold 4+5-1=8)

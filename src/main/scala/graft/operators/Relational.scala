@@ -1671,18 +1671,30 @@ object Relational {
     * |days| KB-sized blobs (bounded driver state, the theta
     * discipline); the window merge touches 7 blobs per day.
     */
-  def eventsKllDaily(s: SparkSession, d: String, k: Int = 32768): DataFrame = {
+  def eventsKllDaily(s: SparkSession, d: String, k: Int = 32768): DataFrame =
+    eventsKllDailyOf(s, Tables.events(s, d), k)
+
+  /** [[eventsKllDaily]] over an arbitrary (ts, value) relation — the
+    * spec surface (gap-day windows, forced-sampling regimes).
+    */
+  private[graft] def eventsKllDailyOf(s: SparkSession, events: DataFrame,
+                                      k: Int = 32768): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
-    val blobs = kllByDay(Tables.events(s, d), k).collect()
+    val blobs = kllByDay(events, k).collect()
       .map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1), r.getLong(2)))
       .sortBy(_._1.getTime)
     def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
-    val rows = blobs.zipWithIndex.map { case ((day, blob, n), i) =>
+    val rows = blobs.map { case (day, blob, n) =>
       val s1 = sk(blob)
-      // trailing 7 days ending here: merge the persisted blobs only
+      // trailing 7 CALENDAR days ending here (date arithmetic, not an
+      // index window — a gap day must narrow the merge, not shift it):
+      // merge the persisted blobs only
+      val lo = day.getTime - 6L * 86400000L
       val w = KllDoublesSketch.newHeapInstance(k)
-      blobs.slice(math.max(0, i - 6), i + 1).foreach(b => w.merge(sk(b._2)))
+      blobs.iterator
+        .filter(b => b._1.getTime >= lo && b._1.getTime <= day.getTime)
+        .foreach(b => w.merge(sk(b._2)))
       (day, n, s1.getQuantile(0.5), s1.getQuantile(0.9), s1.getQuantile(0.99),
         w.getN, w.getQuantile(0.99))
     }

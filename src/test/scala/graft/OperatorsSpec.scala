@@ -1555,6 +1555,22 @@ class OperatorsSpec extends SparkSpecBase {
       assert(r.getLong(5) === wvs.length.toLong)
       assert(r.getDouble(6) === incQ(wvs, 0.99), s"p99_7d ${r.getTimestamp(0)}")
     }
+    // gap-day window: a missing calendar day NARROWS the 7-day merge
+    // (date arithmetic), it must not slide an index window over the gap
+    locally {
+      import spark.implicits._
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-$day%02d 10:00:00")
+      // days 1, 2, then a gap, then 9: day 9's trailing week covers
+      // only days 3..9 → just day 9's own values
+      val ev = (Seq.fill(5)(1) ++ Seq.fill(5)(2) ++ Seq.fill(5)(9)).zipWithIndex
+        .map { case (d0, i) => (ts(d0), (i + 1).toDouble) }
+        .toDF("ts", "value")
+      val out = Relational.eventsKllDailyOf(spark, ev).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(5)).toMap
+      def day(d: Int) = java.sql.Timestamp.valueOf(f"2026-03-$d%02d 00:00:00")
+      assert(out(day(2)) === 10L, "days 1+2 inside one week")
+      assert(out(day(9)) === 5L, "gap: only day 9 itself within its trailing week")
+    }
     // forced-sampling regime: a tiny-k sketch over the full value
     // stream must return a p50 whose TRUE normalized rank is within a
     // generous multiple of the published KLL error for that k

@@ -297,8 +297,14 @@ object Multimodal {
           val start = b.position()
           var size: Long = b.getInt().toLong & 0xFFFFFFFFL
           val tp = fourcc()
+          val headerLen = if (size == 1) 16 else 8
           if (size == 1) size = b.getLong() // largesize
           else if (size == 0) size = end - start // box extends to EOF
+          // a size smaller than its own header would walk the cursor
+          // BACKWARD (adversarial bytes → infinite loop); a size past
+          // the payload reads off the end — both are corruption
+          if (size < headerLen || start + size > end)
+            throw new IllegalArgumentException(s"malformed box size $size")
           val boxEnd = start + size.toInt
           tp match {
             case "ftyp" if depth == 0 => brand = fourcc()

@@ -263,7 +263,7 @@ object TextAnalysis {
     * (< 2^53) — deterministic IEEE, engine-portable unrounded; ties
     * break (pmi desc, u asc) on exact values.
     */
-  private[operators] def pmiAssociates(docs: DataFrame): DataFrame = {
+  private[graft] def pmiAssociates(docs: DataFrame): DataFrame = {
     val arr = split(lower(col("text")), " ")
     val adj = docs.select(explode(zip_with(
         slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),

@@ -37,6 +37,49 @@ class EquivalenceSpec extends SparkSpecBase {
     }
   }
 
+  test("pmi associates equal the naive driver recompute on random corpora") {
+    val rnd = new scala.util.Random(777)
+    val vocab = ('a' to 'j').map(_.toString)
+    for (round <- 1 to 3) {
+      val docs = Seq.tabulate(30) { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12) + 2)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // naive reference: symmetric adjacent co-occurrence, unigram
+      // counts, pmi = n/(ct*cu), argmax per t by (pmi desc, u asc)
+      val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val co = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      docs.foreach { case (_, text) =>
+        val ws = text.split(" ")
+        ws.foreach(w => uni(w) += 1)
+        ws.sliding(2).foreach {
+          case Array(a, b2) if a != b2 => co((a, b2)) += 1; co((b2, a)) += 1
+          case _ =>
+        }
+      }
+      val expect = co.keys.map(_._1).toSeq.distinct.map { t =>
+        val best = co.collect { case ((`t`, u), n) =>
+          (u, n, n.toDouble / (uni(t) * uni(u)))
+        }.toSeq.minBy { case (u, _, pmi) => (-pmi, u) }
+        t -> best
+      }.toMap
+      val gotRows = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("t").orderBy(col("pmi").desc, col("u").asc)
+        graft.operators.TextAnalysis.pmiAssociates(docs.toDF("doc_id", "text"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .collect()
+          .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+            r.getDouble(5)))).toMap
+      }
+      assert(gotRows.keySet === expect.keySet, s"round $round token sets differ")
+      expect.foreach { case (t, (u, n, pmi)) =>
+        val (gu, gn, gp) = gotRows(t)
+        assert(gu === u && gn === n && gp === pmi, s"round $round token $t")
+      }
+    }
+  }
+
   /** Reference connected components (driver-side BFS). */
   private def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }

@@ -201,6 +201,48 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("media parsers never throw: random garbage and truncated containers degrade to stubs") {
+    // a 100-TB media crawl WILL feed these parsers corrupt bytes; the
+    // kernel contract is degrade-to-stub, never a partition failure
+    val rnd = new scala.util.Random(42)
+    val wav = {
+      val r = Multimodal.audioTable(spark, sf).head()
+      r.payload
+    }
+    val mp4 = Multimodal.videoTable(spark, sf).head().payload
+    val cases = Seq.tabulate(200) { i =>
+      i % 4 match {
+        case 0 => // pure random bytes
+          val b = new Array[Byte](rnd.nextInt(64) + 1); rnd.nextBytes(b); b
+        case 1 => // truncated valid container (headers cut mid-field)
+          val src = if (i % 2 == 0) wav else mp4
+          src.take(rnd.nextInt(math.min(src.length, 48)))
+        case 2 => // valid container with a corrupted tail/body byte
+          val src = (if (i % 2 == 0) wav else mp4).clone()
+          src(rnd.nextInt(src.length)) = rnd.nextInt().toByte; src
+        case _ => // valid magic, garbage after
+          val src = (if (i % 2 == 0) wav else mp4).take(12)
+          val tail = new Array[Byte](rnd.nextInt(32)); rnd.nextBytes(tail)
+          src ++ tail
+      }
+    }
+    cases.zipWithIndex.foreach { case (b, i) =>
+      // must not throw; fields are either parsed or the -1 stub
+      val am = Multimodal.decodeAudio(Multimodal.AudioRow(i.toLong, b))
+      assert(am.doc_id === i.toLong)
+      val vm = Multimodal.decodeVideo(Multimodal.VideoRow(i.toLong, b))
+      assert(vm.doc_id === i.toLong)
+    }
+    // the adversarial backward-walk case: a box whose size (4) is
+    // smaller than its own header must stub out, not loop forever
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(16).put("ftypmp42".getBytes("US-ASCII")).putInt(0)
+      .putInt(4).put("moov".getBytes("US-ASCII")).array()
+    val vmEvil = Multimodal.decodeVideo(Multimodal.VideoRow(99L, evil))
+    assert(vmEvil.timescale === -1L)
+  }
+
   test("winnowing guarantees a shared fingerprint for shared runs of w+win-1 words") {
     import spark.implicits._
     // docs share an 8-word run (w=4, win=5 ⇒ guarantee threshold 4+5-1=8)

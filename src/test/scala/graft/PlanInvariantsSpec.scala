@@ -215,6 +215,28 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("pmi collocations broadcast the unigram table on both join arms") {
+    val p = plan("text_pmi_colloc")
+    // vocabulary-sized unigram counts must never shuffle-join against
+    // the pair relation; the only exchanges are the pair/unigram
+    // aggregations and the final rank/sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram joins degraded from broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "pair-side sort-merge join at vocab scale")
+  }
+
+  // (vs_semantic_recall_eval returns an eager localCheckpoint — its
+  // observable plan is the materialized scan, so its no-corpus-shuffle
+  // claim is audited in code review, not plan text)
+
+  test("kll daily rollup plans exactly one value-keyed aggregation exchange") {
+    // the sketch build is one partial-agg'd groupBy(day); everything
+    // after runs on |days| KB blobs at the driver
+    val p = plan("events_kll_daily")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"kll result plan grew exchanges: $exchanges")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB shape: a selective dim filter should inject a runtime
     // bloom filter on the fact side's join key (row-group skipping at

@@ -399,4 +399,33 @@ object VectorIndex {
       .filter(col("rk") === 1)
       .select(col("item_id"), col("cat"), col("dist"))
   }
+
+  /** Collection INFO — the `GET /collections/{name}` endpoint as data:
+    * live point/tenant counts, vector dimensionality, physical layout
+    * (bucket partitions, storage bytes of the LIVE generation only —
+    * rotation history is [[SnapshotGc]]'s ledger, not the serving
+    * footprint), and the generation axis. One metadata listing + one
+    * aggregate over the live snapshot; nothing scans history.
+    */
+  case class CollectionInfo(points: Long, tenants: Long, dim: Int,
+                            buckets: Int, liveBytes: Long,
+                            generations: Seq[Long], liveGeneration: Option[Long])
+
+  def info(spark: SparkSession, path: String): CollectionInfo = {
+    val live = resolveSnapshot(spark, path)
+    val p = new org.apache.hadoop.fs.Path(live)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(live)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("t"),
+      max(size(col("vector"))).as("d")).head()
+    val buckets =
+      if (df.columns.contains("bucket")) df.select("bucket").distinct().count().toInt
+      else 0
+    val bytes = fs.getContentSummary(p).getLength
+    val gens = generations(spark, path)
+    CollectionInfo(agg.getLong(0), agg.getLong(1), agg.getInt(2), buckets,
+      bytes, gens, gens.lastOption)
+  }
 }

@@ -161,6 +161,17 @@ class SnapshotTransferSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ShardBalancer.plan(spark, Seq(a, b)))
   }
 
+  test("collection info reports live-generation counts, layout, and the generation axis") {
+    val root = tmp("graft-info-") + "/col"
+    mkIndex(0 until 120).save(s"$root/${VectorIndex.generationDir(0)}")
+    mkIndex(0 until 80).save(s"$root/${VectorIndex.generationDir(1)}")
+    val info = VectorIndex.info(spark, root)
+    assert(info.points === 80L, "info must describe the LIVE generation only")
+    assert(info.tenants === 5L && info.dim === 4)
+    assert(info.buckets > 0 && info.liveBytes > 0L)
+    assert(info.generations === Seq(0L, 1L) && info.liveGeneration === Some(1L))
+  }
+
   test("shard transfer: a conflicting target bucket is refused, not merged") {
     val a = tmp("graft-st3-a-") + "/colA"
     val b = tmp("graft-st3-b-") + "/colB"

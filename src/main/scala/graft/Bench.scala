@@ -184,8 +184,9 @@ object Bench {
     val detail = line(results).dropRight(1) + s""","ranges":$ranges}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/bench_full.json"), detail)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_detail.json"), detail)
+    try java.nio.file.Files.writeString( // cwd = repo root under sbt
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+        "BENCH_detail.json")), detail)
     catch { case _: Throwable => }
     // ONE compact JSON line, LAST on stdout: total + headline queries
     // (one per operator family, including every historically slow query).

@@ -68,10 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // replicated — the batched-search shape every operator here uses).
     // This is PlanAudit's cartesian lint promoted from report to gate.
     ext.injectCheckRule { session => plan =>
-      import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
       import org.apache.spark.sql.catalyst.plans.Inner
-      def broadcastHinted(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-        p.exists { case h: ResolvedHint => h.hints.strategy.nonEmpty; case _ => false }
+      // a hint only blesses THIS join if it sits on the join side
+      // itself — recursion stops at nested Joins, so a broadcast deep
+      // inside one arm can't silently bless an unrelated outer product
+      def broadcastHinted(p: LogicalPlan): Boolean = p match {
+        case h: ResolvedHint => h.hints.strategy.nonEmpty
+        case _: Join => false
+        case other => other.children.exists(broadcastHinted)
+      }
       if (session.conf.getOption("spark.graft.strictJoins").contains("true")) {
         plan.foreach {
           case j @ Join(left, right, Inner, None, _)

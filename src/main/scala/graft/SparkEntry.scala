@@ -1667,8 +1667,8 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // real WAV header decode: 8-bit mono at 8 kHz wraps the UTF-8 text
-    // bytes, so every parsed field re-derives from the (ASCII) length;
-    // duration is exact integer floor division in both engines
+    // BYTES, so fields re-derive from strlen (byte length — char length
+    // would diverge on any non-ASCII doc); exact integer floor division
     // real ISO-BMFF box-tree parse: timescale 600, duration = one unit
     // per text byte, one track per doc_id mod 3 + 1 — all re-derivable
     "mm_video_meta" ->
@@ -1680,8 +1680,8 @@ object SparkEntry {
     "mm_audio_meta" ->
       """SELECT doc_id, 'wav' AS container, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
-        |  CAST(length(text) AS BIGINT) AS n_samples,
-        |  (CAST(length(text) AS BIGINT) * 1000) // 8000 AS duration_ms
+        |  CAST(strlen(text) AS BIGINT) AS n_samples,
+        |  (CAST(strlen(text) AS BIGINT) * 1000) // 8000 AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,

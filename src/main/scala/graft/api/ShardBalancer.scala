@@ -73,16 +73,25 @@ object ShardBalancer {
     Plan(moves.toList, loadsBefore, load.toMap)
   }
 
-  /** Execute a plan: one [[ShardTransfer.run]] per (from, to) pair,
-    * moves grouped so each pair commits one generation per side.
-    * Returns the moves actually executed.
+  /** Execute a plan IN PLAN ORDER — the greedy may re-home a bucket
+    * through an intermediate node (`where(b) = to` lets a later
+    * iteration move a bucket from its new owner), so reordering moves
+    * would run a leg before its predecessor delivered. Consecutive
+    * moves sharing a (from, to) pair batch into one transfer (one
+    * generation per side per batch). Returns the moves executed.
     */
   def apply(spark: SparkSession, p: Plan): Seq[Move] = {
-    p.moves.groupBy(m => (m.fromPath, m.toPath)).toSeq
-      .sortBy { case ((f, t), _) => (f, t) }
-      .foreach { case ((from, to), ms) =>
-        ShardTransfer.run(spark, from, to, ms.map(_.bucket))
-      }
+    val batches = p.moves.foldLeft(List.empty[List[Move]]) {
+      case (acc @ (head :: tail), m)
+          if head.nonEmpty && head.head.fromPath == m.fromPath &&
+            head.head.toPath == m.toPath =>
+        (head :+ m) :: tail
+      case (acc, m) => List(m) :: acc
+    }.reverse
+    batches.foreach { ms =>
+      ShardTransfer.run(spark, ms.head.fromPath, ms.head.toPath,
+        ms.map(_.bucket))
+    }
     p.moves
   }
 }

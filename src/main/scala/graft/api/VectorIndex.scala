@@ -415,17 +415,28 @@ object VectorIndex {
     val live = resolveSnapshot(spark, path)
     val p = new org.apache.hadoop.fs.Path(live)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.parquet(live)
-    val agg = df.agg(
-      count(lit(1)).as("n"),
-      countDistinct(col("user_id")).as("t"),
-      max(size(col("vector"))).as("d")).head()
-    val buckets =
-      if (df.columns.contains("bucket")) df.select("bucket").distinct().count().toInt
-      else 0
-    val bytes = fs.getContentSummary(p).getLength
     val gens = generations(spark, path)
-    CollectionInfo(agg.getLong(0), agg.getLong(1), agg.getInt(2), buckets,
-      bytes, gens, gens.lastOption)
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    // a collection drained to zero rows (bare _SUCCESS generation — the
+    // state ShardTransfer.pruneSource legitimately leaves) has no
+    // readable schema; report the empty shape rather than throwing
+    val dfOpt =
+      try Some(spark.read.parquet(live))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    dfOpt match {
+      case None =>
+        CollectionInfo(0L, 0L, 0, 0, bytes, gens, gens.lastOption)
+      case Some(df) =>
+        val agg = df.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("t"),
+          coalesce(max(size(col("vector"))), lit(0)).as("d")).head()
+        val buckets =
+          if (df.columns.contains("bucket")) df.select("bucket").distinct().count().toInt
+          else 0
+        CollectionInfo(agg.getLong(0), agg.getLong(1), agg.getInt(2), buckets,
+          bytes, gens, gens.lastOption)
+    }
   }
 }

@@ -307,7 +307,8 @@ object Multimodal {
             throw new IllegalArgumentException(s"malformed box size $size")
           val boxEnd = start + size.toInt
           tp match {
-            case "ftyp" if depth == 0 => brand = fourcc()
+            case "ftyp" if depth == 0 =>
+              if (size >= headerLen + 4) brand = fourcc() // body-less ftyp: no brand
             case "moov" if depth == 0 => walk(boxEnd, depth + 1)
             case "trak" if depth == 1 => tracks += 1
             case "mvhd" if depth == 1 =>

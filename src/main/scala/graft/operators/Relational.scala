@@ -1646,7 +1646,10 @@ object Relational {
     val sk = ColumnBridge.column(
       KllDoublesSketchAgg(ColumnBridge.expression(col("value")), k)
         .toAggregateExpression())
-    events.select(date_trunc("day", col("ts")).as("day"), col("value"))
+    // cast: the aggregate's update unboxes Double, and this stream
+    // surface accepts arbitrary (ts, value) relations (int counts etc.)
+    events.select(date_trunc("day", col("ts")).as("day"),
+        col("value").cast("double").as("value"))
       .groupBy("day").agg(sk.as("sk"), count(lit(1)).as("n_values"))
   }
 
@@ -1687,13 +1690,18 @@ object Relational {
     def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
     val rows = blobs.map { case (day, blob, n) =>
       val s1 = sk(blob)
-      // trailing 7 CALENDAR days ending here (date arithmetic, not an
-      // index window — a gap day must narrow the merge, not shift it):
-      // merge the persisted blobs only
-      val lo = day.getTime - 6L * 86400000L
+      // trailing 7 CALENDAR days ending here — LocalDate arithmetic,
+      // not millis (a fixed 6*86400000 ms offset misaligns across a
+      // DST transition), and not an index window (a gap day must
+      // narrow the merge, not shift it): merge the persisted blobs
+      val dayDate = day.toLocalDateTime.toLocalDate
+      val lo = dayDate.minusDays(6)
       val w = KllDoublesSketch.newHeapInstance(k)
       blobs.iterator
-        .filter(b => b._1.getTime >= lo && b._1.getTime <= day.getTime)
+        .filter { b =>
+          val d0 = b._1.toLocalDateTime.toLocalDate
+          !d0.isBefore(lo) && !d0.isAfter(dayDate)
+        }
         .foreach(b => w.merge(sk(b._2)))
       (day, n, s1.getQuantile(0.5), s1.getQuantile(0.9), s1.getQuantile(0.99),
         w.getN, w.getQuantile(0.99))

@@ -21,12 +21,27 @@ import org.apache.spark.sql.SparkSession
   * the memo pinned.
   */
 private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) {
+  // values sit behind once-only holders: when two threads race a cold
+  // key, exactly ONE build thunk runs (the putIfAbsent winner's, under
+  // the holder's lazy-val lock) — a naive getOrElseUpdate would run
+  // both builds and silently drop the loser's cached blocks WITHOUT
+  // unpersist, the leak class this memo exists to prevent
+  private final class Holder(f: () => V) {
+    @volatile private[SessionMemo] var evaluated = false
+    lazy val value: V = { val v = f(); evaluated = true; v }
+  }
   private val m =
-    scala.collection.concurrent.TrieMap.empty[(String, String, K), V]
+    scala.collection.concurrent.TrieMap.empty[(String, String, K), Holder]
   SessionMemo.register(this)
 
-  def getOrElseUpdate(s: SparkSession, dir: String, k: K)(v: => V): V =
-    m.getOrElseUpdate((SessionMemo.sessionKey(s), dir, k), v)
+  def getOrElseUpdate(s: SparkSession, dir: String, k: K)(v: => V): V = {
+    val key = (SessionMemo.sessionKey(s), dir, k)
+    val holder = m.get(key).getOrElse {
+      val fresh = new Holder(() => v)
+      m.putIfAbsent(key, fresh).getOrElse(fresh)
+    }
+    holder.value
+  }
 
   private[graft] def invalidateSession(uuid: String): Unit =
     m.keys.iterator.filter(_._1 == uuid).foreach(drop)
@@ -39,9 +54,10 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
   private[graft] def size: Int = m.size
 
   private def drop(key: (String, String, K)): Unit =
-    m.remove(key).foreach { v =>
-      try onEvict(v)
-      catch { case _: Exception => () } // a stopped session can't unpersist
+    m.remove(key).foreach { h =>
+      if (h.evaluated) // an unbuilt holder has nothing to release
+        try onEvict(h.value)
+        catch { case _: Exception => () } // a stopped session can't unpersist
     }
 }
 

@@ -49,6 +49,12 @@ class GraftQuerySpec extends SparkSpecBase {
       val e2 = intercept[org.apache.spark.sql.AnalysisException](
         a.join(b).filter(lit(true)).groupBy("x").count().collect())
       assert(e2.getMessage.contains("strictJoins"))
+      // a broadcast hint DEEP inside one arm must not bless an
+      // unrelated outer product (hint scope stops at nested joins)
+      val c = Seq(9L).toDF("z")
+      val e3 = intercept[org.apache.spark.sql.AnalysisException](
+        a.join(broadcast(b), col("x") + 2 === col("y")).join(c).collect())
+      assert(e3.getMessage.contains("strictJoins"))
     } finally spark.conf.unset("spark.graft.strictJoins")
     // gate off: the permissive default is unchanged
     assert(a.join(b).count() === 4L)

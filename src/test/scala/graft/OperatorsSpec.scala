@@ -135,7 +135,7 @@ class OperatorsSpec extends SparkSpecBase {
     val wav = Multimodal.audioMeta(spark, sf).collect()
     val lens = graft.Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.octet_length(
           org.apache.spark.sql.functions.col("text")).cast("long").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(wav.nonEmpty)

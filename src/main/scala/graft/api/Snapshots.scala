@@ -101,7 +101,15 @@ object Snapshots {
     require(verify(spark, snapDir),
       s"snapshot at $snapDir fails its manifest fingerprint — refusing to restore")
     val tmp = new Path(root, s"__restore-tmp-${System.nanoTime()}")
-    spark.read.parquet(s"$snapDir/data").write.parquet(tmp.toString)
+    val data = spark.read.parquet(s"$snapDir/data")
+    // a bucketed collection's snapshot carries `bucket` as a data
+    // column; restore must re-establish the PARTITION layout (the
+    // tenant-pruning contract every bucket-filtered read relies on) —
+    // a plain write would leave this generation unprunable
+    if (data.columns.contains("bucket"))
+      data.repartition(col("bucket")).write.partitionBy("bucket")
+        .parquet(tmp.toString)
+    else data.write.parquet(tmp.toString)
     // re-verify the LANDED copy (the write itself could tear), then
     // commit by renaming into the next generation slot
     val m = readManifest(spark, new Path(snapDir))

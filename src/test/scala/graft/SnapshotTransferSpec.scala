@@ -39,6 +39,14 @@ class SnapshotTransferSpec extends SparkSpecBase {
     val rest = VectorIndex.load(spark, restoredRoot).points
     assert(rest.count() === 200L)
     assert(orig.exceptAll(rest).isEmpty && rest.exceptAll(orig).isEmpty)
+    // the bucketed PARTITION layout survives the round trip (tenant
+    // pruning would silently die on a column-only restore)
+    val restoredGen = new java.io.File(
+      s"$restoredRoot/${VectorIndex.generationDir(0)}")
+    assert(restoredGen.listFiles().exists(_.getName.startsWith("bucket=")),
+      "restored generation lost the bucket partition layout")
+    assert(ShardTransfer.plan(spark, restoredRoot).collect()
+      .map(_.getLong(1)).sum === 200L, "restored collection must be shard-addressable")
 
     // restore into the LIVE collection = rollback import: next gen, prior intact
     val gen2 = Snapshots.restore(spark, s"$snapRoot/pre-migration", idxRoot)

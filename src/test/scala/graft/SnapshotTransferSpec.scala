@@ -158,6 +158,29 @@ class SnapshotTransferSpec extends SparkSpecBase {
     assert(ids.count() === 400L && ids.distinct().count() === 400L)
   }
 
+  test("shard balancer: chained moves execute in plan order, not path order") {
+    import graft.api.{ShardBalancer, VectorIndex => VI}
+    // path names chosen so PAIR-SORTED execution would run the second
+    // leg first (b.. < m.. < z..) — the regression the plan-order fix pins
+    val a = tmp("graft-sbo-z-") + "/za"
+    val b = tmp("graft-sbo-a-") + "/ab"
+    val c = tmp("graft-sbo-m-") + "/mc"
+    mkIndex(0 until 60).save(s"$a/${VI.generationDir(0)}")
+    val bucket = ShardTransfer.plan(spark, a).collect().head.getInt(0)
+    val n = ShardTransfer.plan(spark, a).collect().head.getLong(1)
+    val plan = ShardBalancer.Plan(
+      Seq(ShardBalancer.Move(bucket, a, b, n),   // leg 1: a -> b
+        ShardBalancer.Move(bucket, b, c, n)),    // leg 2: b -> c (chained)
+      Map.empty, Map.empty)
+    ShardBalancer.apply(spark, plan)
+    // the bucket must land at its FINAL home, not strand mid-chain
+    assert(ShardTransfer.plan(spark, c).collect()
+      .exists(r => r.getInt(0) == bucket && r.getLong(1) == n),
+      "chained move did not deliver to the final node")
+    assert(!ShardTransfer.plan(spark, b).collect().exists(_.getInt(0) == bucket),
+      "bucket stranded at the intermediate node")
+  }
+
   test("shard balancer: refuses overlapping ownership instead of planning a refused transfer") {
     import graft.api.ShardBalancer
     val a = tmp("graft-sbc-a-") + "/a"

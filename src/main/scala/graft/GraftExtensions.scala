@@ -68,13 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // replicated — the batched-search shape every operator here uses).
     // This is PlanAudit's cartesian lint promoted from report to gate.
     ext.injectCheckRule { session => plan =>
-      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint}
       import org.apache.spark.sql.catalyst.plans.Inner
       // a hint only blesses THIS join if it sits on the join side
       // itself — recursion stops at nested Joins, so a broadcast deep
-      // inside one arm can't silently bless an unrelated outer product
+      // inside one arm can't silently bless an unrelated outer product.
+      // Only a BROADCAST strategy counts: a MERGE/SHUFFLE_HASH hint on
+      // a condition-less inner join still plans a cartesian/nested-loop
+      // product (equi-join strategies need keys), so it must not pass
+      // the gate.
       def broadcastHinted(p: LogicalPlan): Boolean = p match {
-        case h: ResolvedHint => h.hints.strategy.nonEmpty
+        case h: ResolvedHint => h.hints.strategy.contains(BROADCAST)
         case _: Join => false
         case other => other.children.exists(broadcastHinted)
       }

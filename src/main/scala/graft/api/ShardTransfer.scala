@@ -146,11 +146,15 @@ object ShardTransfer {
     */
   private def commitGeneration(spark: SparkSession, path: String,
                                points: DataFrame): Unit = {
-    val nextGen = VectorIndex.generations(spark, path)
-      .lastOption.map(_ + 1).getOrElse(0L)
+    // allocate over ALL gen-N names (torn ones included) so a transfer
+    // never lands on a directory another writer may still be filling —
+    // and with the slot guaranteed fresh, the default errorifexists
+    // mode turns any remaining race into a loud failure instead of a
+    // silent clobber of an in-flight generation
+    val nextGen = VectorIndex.nextGeneration(spark, path)
     points
       .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+      .write.partitionBy("bucket")
       .parquet(s"$path/${VectorIndex.generationDir(nextGen)}")
   }
 }

@@ -119,9 +119,14 @@ object Snapshots {
       throw new IllegalStateException(
         s"restored data at $tmp does not match the snapshot manifest")
     }
-    val nextGen = VectorIndex.generations(spark, indexPath)
-      .lastOption.map(_ + 1).getOrElse(0L)
+    // slot allocation covers torn/uncommitted gen dirs too (a committed-
+    // only max would collide with a torn gen-N that torn-retention keeps,
+    // and HDFS rename-onto-existing-dir "succeeds" by nesting tmp inside
+    // it — the verified restore would vanish into an unserved dir)
+    val nextGen = VectorIndex.nextGeneration(spark, indexPath)
     val dest = new Path(root, VectorIndex.generationDir(nextGen))
+    require(!fs.exists(dest),
+      s"generation slot $dest appeared during restore — racing writer; re-run")
     require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
     nextGen
   }

@@ -365,6 +365,20 @@ object VectorIndex {
       case (g, true) => g.stripPrefix(GenPrefix).toLong
     }
 
+  /** The next free generation slot — allocated over ALL `gen-N` names,
+    * committed OR not. Allocating over committed names only would hand
+    * out a slot already occupied by a torn/in-flight generation (exactly
+    * what [[SnapshotGc]]'s torn-retention window deliberately keeps
+    * around): on HDFS `rename(tmp, dest)` with an existing dest moves
+    * tmp INSIDE dest and reports success, silently burying the data in
+    * an uncommitted dir, and an overwrite-mode write would clobber a
+    * racing writer's in-flight generation.
+    */
+  private[api] def nextGeneration(spark: SparkSession, path: String): Long =
+    listGenerationDirs(spark, path)
+      .map(_._1.stripPrefix(GenPrefix).toLong)
+      .maxOption.map(_ + 1).getOrElse(0L)
+
   /** TIME TRAVEL: the data directory of one SPECIFIC committed
     * generation — "query yesterday's index" for a rollback check or an
     * A/B diff against the live snapshot ([[graft.operators.VectorStore

@@ -1688,18 +1688,25 @@ object Relational {
       .map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1), r.getLong(2)))
       .sortBy(_._1.getTime)
     def sk(b: Array[Byte]) = KllDoublesSketch.heapify(Memory.wrap(b))
+    // calendar dates must come from the SESSION timezone — date_trunc
+    // in kllByDay truncated in spark.sql.session.timeZone, so reading
+    // the day back through the JVM default zone (Timestamp
+    // .toLocalDateTime) could land a blob on the previous calendar day
+    // whenever the two zones differ, misassigning trailing-7-day windows
+    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    def toDate(t: java.sql.Timestamp) = t.toInstant.atZone(zone).toLocalDate
     val rows = blobs.map { case (day, blob, n) =>
       val s1 = sk(blob)
       // trailing 7 CALENDAR days ending here — LocalDate arithmetic,
       // not millis (a fixed 6*86400000 ms offset misaligns across a
       // DST transition), and not an index window (a gap day must
       // narrow the merge, not shift it): merge the persisted blobs
-      val dayDate = day.toLocalDateTime.toLocalDate
+      val dayDate = toDate(day)
       val lo = dayDate.minusDays(6)
       val w = KllDoublesSketch.newHeapInstance(k)
       blobs.iterator
         .filter { b =>
-          val d0 = b._1.toLocalDateTime.toLocalDate
+          val d0 = toDate(b._1)
           !d0.isBefore(lo) && !d0.isAfter(dayDate)
         }
         .foreach(b => w.merge(sk(b._2)))

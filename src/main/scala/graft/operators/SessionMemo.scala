@@ -28,6 +28,7 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
   // unpersist, the leak class this memo exists to prevent
   private final class Holder(f: () => V) {
     @volatile private[SessionMemo] var evaluated = false
+    @volatile private[SessionMemo] var dropped = false
     lazy val value: V = { val v = f(); evaluated = true; v }
   }
   private val m =
@@ -40,7 +41,16 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
       val fresh = new Holder(() => v)
       m.putIfAbsent(key, fresh).getOrElse(fresh)
     }
-    holder.value
+    val built = holder.value
+    // a drop() that raced this build saw evaluated=false and could not
+    // evict a value that didn't exist yet — it left dropped=true
+    // instead, and the build side releases its own blocks here (the
+    // caller's value stays usable: unpersist only uncaches, lineage
+    // recomputes on next use)
+    if (holder.dropped)
+      try onEvict(built)
+      catch { case _: Exception => () }
+    built
   }
 
   private[graft] def invalidateSession(uuid: String): Unit =
@@ -55,9 +65,18 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
 
   private def drop(key: (String, String, K)): Unit =
     m.remove(key).foreach { h =>
-      if (h.evaluated) // an unbuilt holder has nothing to release
-        try onEvict(h.value)
-        catch { case _: Exception => () } // a stopped session can't unpersist
+      // the lazy-val initializer runs under the holder's monitor, so
+      // acquiring it here WAITS OUT an in-flight build; re-checking
+      // evaluated under the lock then makes completed-build eviction
+      // certain. A build that starts strictly after this lock releases
+      // observes dropped=true and self-evicts in getOrElseUpdate —
+      // either way, no cached blocks survive the drop unreleased.
+      h.synchronized {
+        h.dropped = true
+        if (h.evaluated) // an unbuilt (and un-started) holder has nothing to release
+          try onEvict(h.value)
+          catch { case _: Exception => () } // a stopped session can't unpersist
+      }
     }
 }
 

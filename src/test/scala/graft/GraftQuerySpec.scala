@@ -55,6 +55,14 @@ class GraftQuerySpec extends SparkSpecBase {
       val e3 = intercept[org.apache.spark.sql.AnalysisException](
         a.join(broadcast(b), col("x") + 2 === col("y")).join(c).collect())
       assert(e3.getMessage.contains("strictJoins"))
+      // a non-broadcast strategy hint does NOT bless: MERGE/SHUFFLE_HASH
+      // need equi-keys, so the condition-less join still plans a product
+      val e4 = intercept[org.apache.spark.sql.AnalysisException](
+        a.join(b.hint("merge")).collect())
+      assert(e4.getMessage.contains("strictJoins"))
+      val e5 = intercept[org.apache.spark.sql.AnalysisException](
+        a.join(b.hint("shuffle_hash")).collect())
+      assert(e5.getMessage.contains("strictJoins"))
     } finally spark.conf.unset("spark.graft.strictJoins")
     // gate off: the permissive default is unchanged
     assert(a.join(b).count() === 4L)

@@ -50,6 +50,34 @@ class SessionMemoSpec extends SparkSpecBase {
     assert(SessionMemo.sessionKey(spark.newSession()) !== a)
   }
 
+  test("a drop racing an in-flight build still releases the built value") {
+    // the leak class the memo exists to prevent: invalidate fires while
+    // the builder thread is inside the lazy val — the drop must either
+    // wait the build out (holder monitor) or mark the holder so the
+    // build side self-evicts; a value whose entry is gone may never
+    // keep its cached blocks pinned
+    val evicted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val memo = new SessionMemo[Int, String](_ => evicted.incrementAndGet())
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val builder = new Thread(() =>
+      memo.getOrElseUpdate(spark, "race", 1) {
+        buildStarted.countDown()
+        Thread.sleep(300) // a slow build (e.g. caching a signature table)
+        "built"
+      })
+    builder.start()
+    buildStarted.await()
+    memo.invalidatePath("race") // fires mid-build
+    builder.join()
+    assert(memo.size === 0)
+    assert(evicted.get() >= 1,
+      "the in-flight build's value escaped eviction — cached blocks would leak")
+    // and the entry is genuinely gone: the next get rebuilds
+    var rebuilt = false
+    memo.getOrElseUpdate(spark, "race", 1) { rebuilt = true; "fresh" }
+    assert(rebuilt)
+  }
+
   test("onEvict failures don't abort invalidation") {
     val memo = new SessionMemo[Int, String](_ => sys.error("unpersist on a stopped session"))
     memo.getOrElseUpdate(spark, "x", 1)("v1")

@@ -203,6 +203,50 @@ class SnapshotTransferSpec extends SparkSpecBase {
     assert(info.generations === Seq(0L, 1L) && info.liveGeneration === Some(1L))
   }
 
+  test("restore: a torn generation above live does not capture the next slot") {
+    // SnapshotGc's torn-retention deliberately keeps a recent
+    // uncommitted gen-N around (a possibly in-flight writer). A
+    // committed-only slot allocation would hand restore that same N —
+    // and fs.rename onto an existing dir nests the verified data
+    // INSIDE the torn dir, silently losing it. The fix allocates past
+    // ALL gen names.
+    val idxRoot = tmp("graft-torn-idx-") + "/col"
+    val snapRoot = tmp("graft-torn-snap-")
+    mkIndex(0 until 60).save(s"$idxRoot/${VectorIndex.generationDir(0)}")
+    Snapshots.create(spark, idxRoot, snapRoot, "s1")
+    // a torn in-flight generation above live: dir exists, no _SUCCESS
+    val torn = new java.io.File(s"$idxRoot/${VectorIndex.generationDir(1)}")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-inflight.parquet"), "racing writer")
+
+    val gen = Snapshots.restore(spark, s"$snapRoot/s1", idxRoot)
+    assert(gen === 2L, s"restore must skip the torn gen-1 slot, got $gen")
+    assert(VectorIndex.generations(spark, idxRoot) === Seq(0L, 2L))
+    assert(VectorIndex.load(spark, idxRoot).points.count() === 60L)
+    // the torn dir is untouched: still uncommitted, nothing nested into it
+    assert(torn.listFiles().map(_.getName).toSet === Set("part-inflight.parquet"),
+      "restore must not write into a possibly in-flight generation")
+  }
+
+  test("shard transfer: commit skips a torn generation instead of clobbering it") {
+    val a = tmp("graft-tornst-a-") + "/colA"
+    val b = tmp("graft-tornst-b-") + "/colB"
+    mkIndex(0 until 80).save(s"$a/${VectorIndex.generationDir(0)}")
+    // the target has a torn in-flight gen-3 (e.g. a racing writer)
+    val torn = new java.io.File(s"$b/${VectorIndex.generationDir(3)}")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-inflight.parquet"), "racing writer")
+    val moveBuckets = ShardTransfer.plan(spark, a).collect()
+      .take(2).map(_.getInt(0)).toSeq
+    assert(ShardTransfer.copyToTarget(spark, a, b, moveBuckets))
+    // the copy committed PAST the torn slot, leaving it intact
+    assert(VectorIndex.generations(spark, b) === Seq(4L))
+    assert(torn.listFiles().map(_.getName).toSet === Set("part-inflight.parquet"),
+      "transfer must not write into a possibly in-flight generation")
+  }
+
   test("shard transfer: a conflicting target bucket is refused, not merged") {
     val a = tmp("graft-st3-a-") + "/colA"
     val b = tmp("graft-st3-b-") + "/colB"

@@ -119,7 +119,15 @@ object Bench {
       // on a 0.4 s line)
       "pq_codebook_warm" -> (Seq("emb_pq_codes", "emb_pq_search")
         .exists(selected.contains),
-        () => { operators.Embeddings.pqCodebooks(spark, sfDir); () }))
+        () => { operators.Embeddings.pqCodebooks(spark, sfDir); () }),
+      // the IVF-PQ model is its OWN memo family (coarse quantizer +
+      // m RESIDUAL codebooks, keys pqres:m:j — NOT the raw pq:m:j books
+      // above): unpinned, the m+1 k-means fills landed on whichever of
+      // emb_ivfpq_search / ann_recall_eval ran first (detail ranges
+      // showed a 41× [0.35, 14.4] s spread on one line)
+      "ivfpq_codebook_warm" -> (Seq("emb_ivfpq_search", "ann_recall_eval")
+        .exists(selected.contains),
+        () => { operators.Embeddings.ivfPqModel(spark, sfDir); () }))
       .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val resultTimes = selected.map { case (name, fn) =>
       def run(): Double = {

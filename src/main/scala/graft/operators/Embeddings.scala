@@ -250,6 +250,13 @@ object Embeddings {
     * precomputed columns of the list-partitioned layout — here they
     * derive on the fly. Approximate (k-means + codebook dependent) →
     * recall spec, not a DuckDB oracle.
+    *
+    * FIRST-CALL COST: the coarse quantizer + m residual codebooks are
+    * MODEL state (m+1 k-means trainings, ~14 s at sf0.1 cold) trained
+    * lazily through the per-snapshot memo and amortized over every
+    * later search — force [[ivfPqModel]] (what Bench's
+    * `ivfpq_codebook_warm` line does) to pay it once, off the serving
+    * path.
     */
   def ivfPqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
                   rerank: Int = 50, nlist: Int = 16, nprobe: Int = 4,
@@ -258,31 +265,14 @@ object Embeddings {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
-    val cents = Ann.kmeansCentroidsCached(s, d, "ivf",
-      emb.filter(col("vec_id") >= 10), nlist, iters = 3)
+    val (cents, books) = ivfPqModel(s, d, nlist, m, nCodes)
     val probeIds = cents
       .map { case (cid, c) =>
         (cid, c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (cid, dist) => (dist, cid) }.take(nprobe).map(_._1)
-    // residual frame: v − centroid(list(v)), the codebook training and
-    // coding input (assignment is the native argmin kernel; the
-    // centroid literal dispatches on cid)
-    val centArr = cents.foldLeft(lit(null).cast("array<double>")) {
-      case (acc, (cid, c)) =>
-        when(col("cid") === cid, array(c.map(lit): _*)).otherwise(acc)
-    }
-    def residuals(base: DataFrame): DataFrame = base
-      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("cid"))
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("vec"), centArr, (a, b) => a - b).as("vec"))
+    val residuals = residualsOf(cents) _
     val sub = qvec.length / m
-    val books = (0 until m).map { j =>
-      j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
-        residuals(emb.filter(col("vec_id") >= 10))
-          .select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
-        nCodes, iters = 3)
-    }
     // per-probed-list ADC tables from the query's own residual q − c_l
     val adc = probeIds.flatMap { cid =>
       val c = cents.find(_._1 == cid).get._2
@@ -312,6 +302,48 @@ object Embeddings {
       .select(col("vec_id"), round(l2Distance(col("vec"), q), 4).as("dist"))
       .orderBy(col("dist").asc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The query-independent IVF-PQ model: the coarse quantizer plus the
+    * m RESIDUAL sub-codebooks (trained on v − list centroid). All m+1
+    * k-means fits flow through the per-corpus-snapshot memo, so calling
+    * this once (Bench's `ivfpq_codebook_warm`; an index build job in a
+    * deployment) pins the whole model and every subsequent
+    * [[ivfPqSearch]] is pure serving.
+    */
+  private[graft] def ivfPqModel(s: SparkSession, d: String, nlist: Int = 16,
+                                m: Int = 8, nCodes: Int = 16)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val cents = Ann.kmeansCentroidsCached(s, d, "ivf",
+      emb.filter(col("vec_id") >= 10), nlist, iters = 3)
+    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = (0 until m).map { j =>
+      j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
+        residualsOf(cents)(emb.filter(col("vec_id") >= 10))
+          .select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
+        nCodes, iters = 3)
+    }
+    (cents, books)
+  }
+
+  /** Residual frame v − centroid(list(v)) — the codebook training and
+    * coding input (assignment is the native argmin kernel; the centroid
+    * literal dispatches on cid).
+    */
+  private def residualsOf(cents: Seq[(Long, Seq[Double])])
+                         (base: DataFrame): DataFrame = {
+    val centArr = cents.foldLeft(lit(null).cast("array<double>")) {
+      case (acc, (cid, c)) =>
+        when(col("cid") === cid, array(c.map(lit): _*)).otherwise(acc)
+    }
+    base
+      .select(col("vec_id"), col("vec"), nearestCentroidId(col("vec"), cents).as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("vec"), centArr, (a, b) => a - b).as("vec"))
   }
 
   /** MATRYOSHKA (MRL-style) truncated-prefix search: stage 1 ranks the

@@ -40,7 +40,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exact _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "dedup_simhash" -> Dedup.simhash _,
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_embedding_ivf" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupIvf(s, d)),

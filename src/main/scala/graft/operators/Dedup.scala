@@ -382,8 +382,23 @@ object Dedup {
     * the classic 64-bit/hamming-3 web setting; at billion-doc scale the
     * block width trades candidate volume against radius explicitly.
     * Hash-dependent → rows-only check.
+    *
+    * SKEW DISCIPLINE (the [[candidatePairCounts]] cap, on the simhash
+    * axis): the block join runs over DISTINCT SIGNATURES, not docs —
+    * the realistic skew (thousands of near-identical docs collapsing
+    * onto few signatures) costs ONE signature row per cluster in the
+    * join, and the cluster's true pairs re-expand only in the output
+    * (inherent to the pair contract). What remains is the low-entropy-
+    * block hazard (many DISTINCT signatures sharing one byte value —
+    * e.g. a corpus whose vote bits rarely set in one block): buckets
+    * whose distinct-signature df exceeds `dfCap` are dropped from
+    * candidate generation, bounding candidates at 8·256·C(dfCap,2)
+    * sig-pairs absolutely. RECALL CONTRACT: a pair whose ONLY shared
+    * blocks are all capped is missed — recall stays 1 while every
+    * bucket is under the cap (parity-spec'd; the cap is 0 rows at the
+    * gate SFs), and the knob prices the trade explicitly past that.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String, dfCap: Int = 4096): DataFrame = {
     // explode → per-bit vote aggregation (partial-agg'd 64-column sum),
     // then reassemble the 64-bit signature from the vote signs.
     // Features are distinct word BIGRAMS: the synthetic corpus has a
@@ -401,21 +416,57 @@ object Dedup {
     val sim = votes.select(col("doc_id"),
       (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    val blocks = sim.select(col("doc_id"), col("simhash"),
+      // four consumers (distinct sigs, two expansion joins, the same-sig
+      // join) would each re-run the shingle-explode + 64-column vote agg
+      // — pin the tiny (doc_id, simhash) relation once
+      .localCheckpoint()
+    simhashPairsOf(sim, dfCap)
+  }
+
+  /** Sig-level banding candidates over any (doc_id, simhash) relation:
+    * distinct signatures explode into 8 (blk, bval) buckets; buckets
+    * with distinct-signature df > dfCap are dropped (the bucket
+    * universe is ≤ 8·256 rows, so the hot set is a broadcast
+    * anti-join, never a shuffle). The spec surface for the candidate
+    * volume bound.
+    */
+  private[graft] def simhashSigCandidates(sim: DataFrame, dfCap: Int): DataFrame = {
+    val blocks = sim.select(col("simhash")).distinct()
+      .select(col("simhash"),
         posexplode(array((0 until 8).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL)): _*)))
-      .toDF("doc_id", "simhash", "blk", "bval")
-    // hamming is a codegen'd bit_count on the joined row — filtering
-    // BEFORE the dedup means the distinct shuffle carries only the few
-    // true near-dup pairs, not every (pair × shared-block) candidate
-    blocks.as("a").join(blocks.as("b"),
+      .toDF("simhash", "blk", "bval")
+    val hot = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+    val kept = blocks.join(broadcast(hot.select("blk", "bval")),
+      Seq("blk", "bval"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= 7)
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-      .orderBy("ia", "ib")
+  }
+
+  /** Full pair expansion: verified cross-signature pairs (bit_count on
+    * the sig pair — computed ONCE per signature pair, not per doc pair)
+    * plus within-signature pairs (hamming 0 by construction, never
+    * subject to the cap). Only signature pairs and (doc, sig) rows
+    * shuffle; doc pairs materialize solely in the output.
+    */
+  private[graft] def simhashPairsOf(sim: DataFrame, dfCap: Int): DataFrame = {
+    val sigPairs = simhashSigCandidates(sim, dfCap)
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 7)
+    val cross = sigPairs
+      .join(sim.select(col("doc_id").as("da"), col("simhash").as("sa")), "sa")
+      .join(sim.select(col("doc_id").as("db"), col("simhash").as("sb")), "sb")
+      .select(least(col("da"), col("db")).as("ia"),
+        greatest(col("da"), col("db")).as("ib"), col("hamming"))
+    val same = sim.as("a").join(sim.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        lit(0).as("hamming"))
+    cross.unionByName(same).orderBy("ia", "ib")
   }
 
   /** Connected components over the near-dup pair graph → canonical

@@ -35,6 +35,41 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash skew discipline: identical-sig clusters collapse, hot buckets are capped") {
+    import spark.implicits._
+    // 1) the realistic skew: 1000 docs share ONE signature — the sig-
+    // level band join must see a single row (zero candidates), while
+    // the pair output still carries every true hamming-0 pair
+    val cluster = (0L until 1000L).map(i => (i, 0x0123456789ABCDEFL)).toDF("doc_id", "simhash")
+    assert(Dedup.simhashSigCandidates(cluster, dfCap = 4096).count() === 0L,
+      "identical signatures must not generate band candidates")
+    assert(Dedup.simhashPairsOf(cluster, dfCap = 4096).count() === 1000L * 999L / 2,
+      "within-signature true pairs must survive in the output")
+
+    // 2) the low-entropy-block hazard: many DISTINCT signatures all
+    // sharing bval=0 in block 0 (low 8 bits zero). Uncapped, the one
+    // bucket is quadratic in distinct sigs; capped, its candidates are
+    // bounded by C(dfCap, 2) per bucket.
+    val nSigs = 200
+    val lowEntropy = (0 until nSigs)
+      .map(i => (i.toLong, (i.toLong << 8))).toDF("doc_id", "simhash")
+    val uncapped = Dedup.simhashSigCandidates(lowEntropy, dfCap = Int.MaxValue).count()
+    assert(uncapped >= nSigs.toLong * (nSigs - 1) / 2,
+      s"low-entropy block must be quadratic uncapped, got $uncapped")
+    val cap = 20
+    val capped = Dedup.simhashSigCandidates(lowEntropy, dfCap = cap).count()
+    // every OTHER block holds distinct bvals (df small), so survivors
+    // come only from buckets under the cap: each contributes ≤ C(df,2)
+    assert(capped <= 8L * cap * (cap - 1) / 2,
+      s"capped candidate volume $capped exceeds the per-bucket bound")
+
+    // 3) parity: at the gate corpus no bucket reaches the default cap,
+    // so capped ≡ uncapped (the recall-1 regime the contract documents)
+    val viaDefault = Dedup.simhash(spark, sf).collect().toSeq
+    val viaUncapped = Dedup.simhash(spark, sf, dfCap = Int.MaxValue).collect().toSeq
+    assert(viaDefault === viaUncapped)
+  }
+
   test("exact dedup groups cover all docs") {
     val r = Dedup.exact(spark, sf)
     assert(r.agg(sum("n_dups")).head().getLong(0) === Tables.documents(spark, sf).count())

@@ -28,6 +28,7 @@ object SparkEntry {
     "vs_upsert_latest" -> VectorStore.upsertLatest _,
     "vs_search_topk" -> VectorStore.searchTopK _,
     "vs_search_topk_filtered" -> VectorStore.searchTopKFiltered _,
+    "vs_search_topk_filtered_indexed" -> VectorStore.searchTopKFilteredIndexed _,
     "vs_search_batch" -> VectorStore.searchBatch _,
     "vs_delete_by_user" -> VectorStore.deleteByUser _,
     "vs_delete_by_word" -> VectorStore.deleteByWord _,
@@ -416,6 +417,16 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
          |SELECT rank, id, string, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "vs_search_topk_filtered" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |scored AS (SELECT p.id, p.user_id, p.lang, list_distance(p.vector, q.qvec) AS sr
+         |  FROM pts p, q WHERE p.user_id = 3 AND p.lang IN ('en', 'fr')),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, user_id, lang, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    // the PayloadIndex-routed form answers the SAME question as the
+    // scan-filter form — one oracle, two physical routes (the layout
+    // must never change results, only pruning)
+    "vs_search_topk_filtered_indexed" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
          |scored AS (SELECT p.id, p.user_id, p.lang, list_distance(p.vector, q.qvec) AS sr

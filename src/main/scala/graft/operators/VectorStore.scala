@@ -658,6 +658,42 @@ object VectorStore {
       graft.api.Word2VecEmbedder.train(
         Tables.documents(s, d).select("doc_id", "text")))
 
+  /** Session-scoped memo of the persisted payload-field index: INDEX
+    * STATE built once per corpus snapshot (one partitioned rewrite —
+    * in a deployment this is the `create_payload_index` job, with the
+    * artifact living beside the collection), then served by every
+    * payload-filtered query.
+    */
+  private val payloadIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex]
+
+  private[graft] def payloadIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
+    payloadIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-payload-index-").toString + "/idx"
+      graft.api.PayloadIndex.create(s, Tables.points(s, d), root,
+        keyword = Seq("site", "lang"), integer = Seq("user_id"))
+    }
+
+  /** [[searchTopKFiltered]] routed through the persisted
+    * [[graft.api.PayloadIndex]] layout — the serving half of Qdrant's
+    * `create_payload_index` requirement. The user_id equality prunes to
+    * the manifest's overlapping zone directories and the lang IN-list
+    * prunes to its partition directories BEFORE any vector is read
+    * (plan-spec'd via the scan's input files); results are the
+    * scan-filter form's exactly, oracle-gated against the same SQL.
+    */
+  def searchTopKFilteredIndexed(s: SparkSession, d: String): DataFrame = {
+    val idx = payloadIndex(s, d)
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 1).select(col("vector").as("qvec"))
+    val cands = idx.read(eq = Map("lang" -> Seq("en", "fr")),
+      range = Map("user_id" -> (3L, 3L)))
+    singleTopK(cands, q, 5)
+      .select(col("rank"), col("id"), col("user_id"), col("lang"),
+        round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   /** End-to-end SEMANTIC text search — [[textSearch]]'s flow with a
     * REAL learned encoder on both sides (VERDICT r4 #2): an MLlib
     * Word2Vec model trained on the corpus itself drives the pluggable

@@ -1,0 +1,116 @@
+package graft
+
+import graft.api.PayloadIndex
+import graft.operators.VectorStore
+import org.apache.spark.sql.functions._
+
+/** The persisted payload-field index: Qdrant's `create_payload_index`
+  * as a layout artifact. The contract under test: (1) indexed
+  * predicates PRUNE — the scan's input files are only the matching
+  * partition/zone directories; (2) routing through the index never
+  * changes results; (3) the artifact is self-describing across a
+  * fresh load.
+  */
+class PayloadIndexSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-pidx-").toString + "/idx"
+
+  private lazy val pts = Tables.points(spark, sf)
+
+  /** The files the PLANNED scan actually selects after partition
+    * pruning (Dataset.inputFiles ignores pruning — it lists the whole
+    * relation).
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+
+  test("create lays out keyword partitions and integer zones with a manifest") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("site", "lang"), integer = Seq("user_id"), nZones = 8)
+    assert(idx.fields.toSet ===
+      Set("site" -> "keyword", "lang" -> "keyword", "user_id" -> "integer"))
+    // layout: data/site=…/lang=…/__zone_user_id=…
+    val dataDir = new java.io.File(s"$root/data")
+    val sites = dataDir.listFiles().filter(_.getName.startsWith("site="))
+    assert(sites.nonEmpty, "keyword field must become partition directories")
+    assert(sites.head.listFiles().exists(_.getName.startsWith("lang=")))
+    // zone map covers the whole value range, zones are disjoint-ordered
+    val zs = idx.zones("user_id").sortBy(_._1)
+    assert(zs.nonEmpty)
+    val (lo, hi) = (pts.agg(min("user_id")).head().getLong(0),
+      pts.agg(max("user_id")).head().getLong(0))
+    assert(zs.head._2 === lo && zs.last._3 === hi)
+    zs.sliding(2).foreach {
+      case Seq((_, _, aMax), (_, bMin, _)) => assert(aMax <= bMin)
+      case _ =>
+    }
+    // immutable artifact: same-root create refuses
+    intercept[IllegalArgumentException](
+      PayloadIndex.create(spark, pts, root, Seq("lang"), Seq.empty))
+  }
+
+  test("keyword and zone predicates prune the scan to matching directories only") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("site", "lang"), integer = Seq("user_id"), nZones = 8)
+    val all = scannedFiles(idx.read())
+    // keyword pruning: only lang=en / lang=fr directories scan
+    val kw = scannedFiles(idx.read(eq = Map("lang" -> Seq("en", "fr"))))
+    assert(kw.nonEmpty && kw.length < all.length)
+    assert(kw.forall(f => f.contains("/lang=en/") || f.contains("/lang=fr/")),
+      s"unpruned file in keyword read: ${kw.find(f => !f.contains("/lang="))}")
+    // zone pruning: only zones whose [min,max] overlaps the range scan
+    val okZones = idx.zones("user_id")
+      .collect { case (z, zmin, zmax) if zmax >= 3L && zmin <= 3L => z }.toSet
+    val zr = scannedFiles(idx.read(range = Map("user_id" -> (3L, 3L))))
+    assert(zr.nonEmpty && zr.length < all.length)
+    assert(zr.forall(f => okZones.exists(z => f.contains(s"/__zone_user_id=$z/"))),
+      "zone read scanned a non-overlapping zone directory")
+    // composed predicates prune on BOTH axes at once
+    val both = scannedFiles(idx.read(eq = Map("lang" -> Seq("en")),
+      range = Map("user_id" -> (3L, 3L))))
+    assert(both.length <= math.min(kw.length, zr.length))
+  }
+
+  test("reading through the index is result-identical to the scan-filter form") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("site", "lang"), integer = Seq("user_id"), nZones = 8)
+    val viaIdx = idx.read(eq = Map("lang" -> Seq("en", "fr")),
+      range = Map("user_id" -> (2L, 7L)))
+    val viaScan = pts.filter(col("lang").isin("en", "fr") &&
+      col("user_id").between(2L, 7L))
+    assert(viaIdx.columns.toSeq === pts.columns.toSeq,
+      "index read must restore the original schema order")
+    assert(viaIdx.count() === viaScan.count())
+    assert(viaIdx.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaIdx).isEmpty)
+    // unindexed fields are refused, not silently scan-filtered
+    intercept[IllegalArgumentException](idx.read(eq = Map("text" -> Seq("x"))))
+    intercept[IllegalArgumentException](idx.read(range = Map("seq" -> (0L, 1L))))
+  }
+
+  test("load reopens the artifact and serves identical pruned reads") {
+    val root = tmp()
+    PayloadIndex.create(spark, pts, root,
+      keyword = Seq("lang"), integer = Seq("user_id"), nZones = 4)
+    val idx = PayloadIndex.load(spark, root)
+    assert(idx.fields === Seq("lang" -> "keyword", "user_id" -> "integer"))
+    val viaLoad = idx.read(eq = Map("lang" -> Seq("en")))
+    assert(scannedFiles(viaLoad).forall(_.contains("/lang=en/")))
+    val direct = pts.filter(col("lang") === "en")
+    assert(viaLoad.count() === direct.count())
+    assert(viaLoad.exceptAll(direct).isEmpty)
+  }
+
+  test("indexed filtered search equals the scan-filter search exactly") {
+    val viaIdx = VectorStore.searchTopKFilteredIndexed(spark, sf).collect().toSeq
+    val viaScan = VectorStore.searchTopKFiltered(spark, sf).collect().toSeq
+    assert(viaIdx === viaScan)
+    assert(viaIdx.nonEmpty)
+  }
+}

@@ -37,6 +37,21 @@ class Word2VecEmbedder private (
     * word-vector table drops in through the same constructor).
     */
   def wordVectors: DataFrame = model.getVectors
+
+  /** Persist the fitted model as a plain (word, vec ARRAY<FLOAT>)
+    * parquet table — the Tokenizer train-once/serve-forever
+    * discipline on the embedding axis. Floats are the model's own
+    * internal precision, so [[Word2VecEmbedder.load]] round-trips
+    * BIT-EXACTLY (getVectors' doubles are float-widened). Refuses to
+    * overwrite (model artifacts are immutable; retrain into a fresh
+    * path and re-point).
+    */
+  def save(path: String): Unit = {
+    import org.apache.spark.ml.functions.vector_to_array
+    wordVectors
+      .select(col("word"), vector_to_array(col("vector"), "float32").as("vec"))
+      .write.parquet(path)
+  }
 }
 
 object Word2VecEmbedder {
@@ -64,4 +79,31 @@ object Word2VecEmbedder {
   /** Wrap an already-fitted model (e.g. loaded from disk). */
   def apply(model: org.apache.spark.ml.feature.Word2VecModel): Word2VecEmbedder =
     new Word2VecEmbedder(model)
+
+  /** Reopen a [[Word2VecEmbedder!.save saved]] model — `w2v_warm`
+    * becomes a pure read: no fit, no corpus scan.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Word2VecEmbedder =
+    fromTable(spark.read.parquet(path))
+
+  /** Build an embedder from ANY (word, vec ARRAY<FLOAT/DOUBLE>) table —
+    * the shipped-public-word-vector path (a GloVe/fastText parquet
+    * drops in here; QdrantCloud.py:20-22's pretrained-encoder role in
+    * batch form). The table is MODEL state (vocab × dim floats — the
+    * centroid size class, same bound MLlib's own transform broadcasts),
+    * collected once and reassembled into the real MLlib model via
+    * [[org.apache.spark.ml.graft.W2VBridge]] so table-loaded and
+    * freshly-trained embedders serve through IDENTICAL transform code.
+    */
+  def fromTable(table: DataFrame): Word2VecEmbedder = {
+    val rows = table
+      .select(col("word").cast("string"), col("vec").cast("array<float>"))
+      .collect() // vocab × dim model state — bounded by the vocabulary
+    require(rows.nonEmpty, "word-vector table is empty")
+    val vecs = rows.map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    val dims = vecs.valuesIterator.map(_.length).toSet
+    require(dims.size == 1, s"inconsistent vector dims in table: $dims")
+    new Word2VecEmbedder(
+      org.apache.spark.ml.graft.W2VBridge.model(vecs, dims.head))
+  }
 }

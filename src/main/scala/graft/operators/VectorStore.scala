@@ -706,8 +706,17 @@ object VectorStore {
     * thing feature hashing cannot do) is spec'd in Word2VecEmbedderSpec
     * on a controlled corpus.
     */
-  def textSearchSemantic(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val emb = w2vEmbedder(s, d)
+  def textSearchSemantic(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    textSearchSemanticWith(s, d, w2vEmbedder(s, d), k)
+
+  /** [[textSearchSemantic]] with an explicit encoder — the serving
+    * surface a persisted deployment uses ([[graft.api.Word2VecEmbedder
+    * .load]] or any shipped word-vector table via `fromTable`): same
+    * flow, no fit.
+    */
+  private[graft] def textSearchSemanticWith(s: SparkSession, d: String,
+      encoder: graft.api.Embedder, k: Int = 3): DataFrame = {
+    val emb = encoder
       .embed(Tables.documents(s, d).select("doc_id", "text")).cache()
     val queries = emb.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))

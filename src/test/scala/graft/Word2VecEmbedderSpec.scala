@@ -74,6 +74,55 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
       s"feature hash should score disjoint tokens 0, got $overlap")
   }
 
+  test("save/load round-trips bit-exactly and a loaded model serves identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-w2v-").toString + "/model"
+    embedder.save(path)
+    val loaded = Word2VecEmbedder.load(spark, path)
+    // weights: bit-exact (floats are the model's own precision)
+    val a = embedder.wordVectors.orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq)
+    val b = loaded.wordVectors.orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // serving: the loaded model embeds IDENTICALLY (same MLlib
+    // transform code via the bridge — includes the OOV-token and
+    // divide-by-total-length semantics)
+    val docs = (corpus :+ (3L, "car unknownword") :+ (4L, "")).toDF("doc_id", "text")
+    val e1 = embedder.embed(docs).orderBy("doc_id").collect().map(_.toSeq)
+    val e2 = loaded.embed(docs).orderBy("doc_id").collect().map(_.toSeq)
+    assert(e1.toSeq === e2.toSeq)
+    // artifacts are immutable: same-path save refuses
+    intercept[Exception](loaded.save(path))
+  }
+
+  test("fromTable accepts any (word, vec) parquet — the shipped-vector path") {
+    import spark.implicits._
+    // a hand-built "pretrained" table with double vectors (the public-
+    // download shape); fromTable must cast and serve through it
+    val shipped = Seq(
+      ("hot", Seq(1.0, 0.0)), ("cold", Seq(-1.0, 0.0)), ("warm", Seq(0.9, 0.1)))
+      .toDF("word", "vec")
+    val emb = Word2VecEmbedder.fromTable(shipped)
+    val out = emb.embed(Seq((1L, "hot warm"), (2L, "cold")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // mean of (1,0) and float32(0.9,0.1)
+    assert(math.abs(out(1L)(0) - (1.0 + 0.9f) / 2) < 1e-7)
+    assert(math.abs(out(2L)(0) - -1.0) < 1e-7)
+    intercept[IllegalArgumentException](
+      Word2VecEmbedder.fromTable(Seq.empty[(String, Seq[Double])].toDF("word", "vec")))
+    intercept[IllegalArgumentException](Word2VecEmbedder.fromTable(
+      Seq(("a", Seq(1.0)), ("b", Seq(1.0, 2.0))).toDF("word", "vec")))
+  }
+
+  test("vs_text_search_semantic serves identical results from a LOADED model") {
+    val path = java.nio.file.Files.createTempDirectory("graft-w2v-sf-").toString + "/model"
+    VectorStore.w2vEmbedder(spark, sf).save(path)
+    val loaded = Word2VecEmbedder.load(spark, path)
+    val viaTrained = VectorStore.textSearchSemantic(spark, sf).collect().toSeq
+    val viaLoaded = VectorStore.textSearchSemanticWith(spark, sf, loaded).collect().toSeq
+    assert(viaTrained === viaLoaded)
+  }
+
   test("vs_text_search_semantic runs on the test corpus: full pages, self at rank 1") {
     val rows = VectorStore.textSearchSemantic(spark, sf).collect()
     assert(rows.nonEmpty)

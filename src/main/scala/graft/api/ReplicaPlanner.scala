@@ -1,0 +1,145 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REPLICA PLACEMENT + DIVERGENCE AUDIT — the replication half of
+  * Qdrant's cluster API ([[ShardTransfer]]/[[ShardBalancer]] cover
+  * shard MOVEMENT; `replication_factor` / replica placement /
+  * consistency is the other half). The deployment model stays the
+  * sharded one: a collection's buckets live DISJOINTLY across node
+  * roots as primaries; this planner places `replicationFactor − 1`
+  * additional COPIES of every bucket on OTHER nodes and keeps them
+  * honest.
+  *
+  * Replica storage: each node root gains a `__replica` sub-root — its
+  * own generation-rotated collection directory (the `gen-` prefix
+  * filter means the primary's generation listing never sees it), so
+  * replica refresh inherits the whole commit discipline: verified
+  * write → next committed generation → [[SnapshotGc]] reclaims.
+  *
+  * Placement invariants (spec'd): every bucket is held by exactly
+  * `replicationFactor` DISTINCT nodes (primary + replicas — never two
+  * copies on one node, the rack-awareness floor), and replica bytes
+  * spread by greedy least-loaded assignment (size-desc, bucket-asc,
+  * node-name tie-breaks — deterministic, so a re-plan over unchanged
+  * data is identical).
+  *
+  * CONSISTENCY MAPPING for the batch model (Qdrant's write_consistency
+  * _factor / read consistency, re-expressed without a live quorum):
+  *  - *Write*: [[apply]] commits every replica generation from the
+  *    SAME primary snapshot read — a replica set is consistent-as-of
+  *    the primary generation it copied; a crash mid-apply leaves some
+  *    replicas one generation behind, never torn (generation commit is
+  *    atomic), and a re-run converges (fingerprint-match skip).
+  *  - *Read N*: a reader wanting read-quorum N cross-checks the
+  *    [[audit]] fingerprints of N copies before trusting a bucket —
+  *    `in_sync = true` rows ARE the quorum certificate, computed from
+  *    content (order/layout-independent xxhash aggregates), not
+  *    timestamps.
+  *  - *Anti-entropy*: a replica that diverges (bit-rot, lost file,
+  *    partial write) shows `in_sync = false`; re-running [[apply]]
+  *    repairs it by committing a fresh verified generation — the
+  *    read-repair loop in batch form.
+  *
+  * Scale shape: planning is one per-bucket aggregate per node (the
+  * [[ShardTransfer.plan]] manifest — nodes × buckets driver rows);
+  * apply reads each moved bucket once with partition pruning and
+  * writes one bucketed generation per target node; audit is one
+  * fingerprint aggregate per node pair — never a join of point data.
+  */
+object ReplicaPlanner {
+
+  case class Placement(bucket: Int, primary: String, replicas: Seq[String],
+                       nPoints: Long)
+
+  case class Plan(placements: Seq[Placement], replicaLoads: Map[String, Long])
+
+  /** The replica sub-root of a node (a full rotation-disciplined
+    * collection root of its own).
+    */
+  def replicaRoot(nodeRoot: String): String = s"$nodeRoot/__replica"
+
+  def plan(spark: SparkSession, roots: Seq[String],
+           replicationFactor: Int = 2): Plan = {
+    require(replicationFactor >= 1, s"replicationFactor must be >= 1")
+    require(replicationFactor <= roots.size,
+      s"replicationFactor $replicationFactor needs that many distinct nodes, " +
+        s"got ${roots.size} — two copies of a shard on one node protect nothing")
+    val stats: Seq[(String, Int, Long)] = roots.flatMap { r =>
+      ShardTransfer.plan(spark, r).collect()
+        .map(row => (r, row.getInt(0), row.getLong(1)))
+    }
+    val owners = stats.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    require(owners.isEmpty,
+      s"buckets with multiple primaries: ${owners.keys.toSeq.sorted}")
+
+    val load = scala.collection.mutable.Map[String, Long]()
+    roots.foreach(r => load(r) = 0L)
+    // big buckets place first (greedy number-partitioning), ties by
+    // bucket id; each picks its rf-1 least-replica-loaded non-owners
+    val placements = stats.sortBy { case (_, b, n) => (-n, b) }
+      .map { case (owner, bucket, n) =>
+        val replicas = (1 until replicationFactor).foldLeft(Seq.empty[String]) {
+          (acc, _) =>
+            val node = roots
+              .filter(r => r != owner && !acc.contains(r))
+              .minBy(r => (load(r), r))
+            load(node) += n
+            acc :+ node
+        }
+        Placement(bucket, owner, replicas, n)
+      }
+      .sortBy(_.bucket)
+    Plan(placements, load.toMap)
+  }
+
+  /** Materialize the plan: every node's assigned replica set lands as
+    * the next committed generation of its `__replica` root. A node
+    * whose current replica content already fingerprint-matches its
+    * assignment is SKIPPED (idempotent re-run / the no-op side of
+    * anti-entropy); a diverged or stale node gets a fresh generation
+    * built from the primaries' live snapshots. Returns the nodes that
+    * were (re)written.
+    */
+  def apply(spark: SparkSession, p: Plan): Seq[String] = {
+    val nodes = p.placements.flatMap(_.replicas).distinct.sorted
+    nodes.filter { node =>
+      val assigned = p.placements.filter(_.replicas.contains(node))
+      // expected content: each assigned bucket read from its primary
+      val expected = assigned.groupBy(_.primary).toSeq.sortBy(_._1)
+        .map { case (primary, ps) =>
+          ShardTransfer.read(spark, primary)
+            .filter(col("bucket").isin(ps.map(b => Integer.valueOf(b.bucket)): _*))
+        }
+        .reduceOption(_ unionByName _)
+        .getOrElse(ShardTransfer.read(spark, replicaRoot(node)).limit(0))
+      val want = ShardTransfer.fingerprint(expected)
+      val have = ShardTransfer.fingerprint(
+        ShardTransfer.read(spark, replicaRoot(node)))
+      if (have == want) false // already in sync — skip
+      else {
+        ShardTransfer.commitGeneration(spark, replicaRoot(node), expected)
+        true
+      }
+    }
+  }
+
+  /** Per-(bucket, replica) divergence report: the replica's content
+    * fingerprint against the primary's, `in_sync` = exact match. The
+    * read-quorum certificate and the anti-entropy trigger.
+    */
+  def audit(spark: SparkSession, p: Plan): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = p.placements.flatMap { pl =>
+      val primaryFp = ShardTransfer.fingerprintOf(spark, pl.primary, Seq(pl.bucket))
+      pl.replicas.map { node =>
+        val fp = ShardTransfer.fingerprintOf(spark, replicaRoot(node), Seq(pl.bucket))
+        (pl.bucket, node, fp._1, primaryFp._1, fp == primaryFp)
+      }
+    }
+    rows.toDF("bucket", "replica_node", "n_points", "primary_points", "in_sync")
+      .orderBy("bucket", "replica_node")
+  }
+}

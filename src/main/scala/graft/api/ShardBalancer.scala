@@ -88,10 +88,22 @@ object ShardBalancer {
         (head :+ m) :: tail
       case (acc, m) => List(m) :: acc
     }.reverse
+    val executed = scala.collection.mutable.ListBuffer.empty[Move]
     batches.foreach { ms =>
-      ShardTransfer.run(spark, ms.head.fromPath, ms.head.toPath,
-        ms.map(_.bucket))
+      // a mid-plan transfer failure must be OBSERVABLE with the executed
+      // prefix named (each executed move is individually committed and
+      // crash-safe; re-running the same plan converges past it)
+      try {
+        ShardTransfer.run(spark, ms.head.fromPath, ms.head.toPath,
+          ms.map(_.bucket))
+        executed ++= ms
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"rebalance stopped after ${executed.size}/${p.moves.size} moves " +
+            s"(buckets ${executed.map(_.bucket).mkString(",")} delivered); " +
+            "re-running the plan converges", e)
+      }
     }
-    p.moves
+    executed.toList
   }
 }

@@ -106,7 +106,7 @@ object ShardTransfer {
   /** Read a collection's LIVE generation with the bucket partition
     * column retained (the transfer axis [[VectorIndex.load]] drops).
     */
-  private def read(spark: SparkSession, path: String): DataFrame = {
+  private[api] def read(spark: SparkSession, path: String): DataFrame = {
     val live = VectorIndex.resolveSnapshot(spark, path)
     val fs = new org.apache.hadoop.fs.Path(live)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -128,7 +128,7 @@ object ShardTransfer {
         "id BIGINT, vector ARRAY<DOUBLE>, text STRING, user_id BIGINT, " +
           "site STRING, lang STRING, seq BIGINT, bucket INT"))
 
-  private def fingerprint(points: DataFrame): (Long, Long) = {
+  private[api] def fingerprint(points: DataFrame): (Long, Long) = {
     val r = points
       .agg(count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(VectorIndex.schema.map(col): _*)), lit(0L)).as("x"))
@@ -136,7 +136,7 @@ object ShardTransfer {
     (r.getLong(0), r.getLong(1))
   }
 
-  private def fingerprintOf(spark: SparkSession, path: String,
+  private[api] def fingerprintOf(spark: SparkSession, path: String,
                             buckets: Seq[Int]): (Long, Long) =
     fingerprint(read(spark, path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*)))
@@ -144,7 +144,7 @@ object ShardTransfer {
   /** Land `points` as the next committed generation under `path`,
     * bucketed exactly as [[VectorIndex.save]] lays data out.
     */
-  private def commitGeneration(spark: SparkSession, path: String,
+  private[api] def commitGeneration(spark: SparkSession, path: String,
                                points: DataFrame): Unit = {
     // allocate over ALL gen-N names (torn ones included) so a transfer
     // never lands on a directory another writer may still be filling —

@@ -100,8 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("graft_query"),
       new ExpressionInfo(classOf[SparkEntry.type].getName, "graft_query"),
       (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"graft_query(name, dir) takes 2 literal args, got ${args.length}")
+        require(args.length == 2 || args.length == 3,
+          s"graft_query(name, dir[, params]) takes 2-3 literal args, got ${args.length}")
         def lit(e: Expression, what: String): String = e.eval() match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => throw new IllegalArgumentException(
@@ -109,10 +109,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val name = lit(args(0), "name")
         val dir = lit(args(1), "dir")
-        val fn = SparkEntry.queries.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown graft query '$name' — " +
-            s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}…"))
-        fn(org.apache.spark.sql.SparkSession.active, dir).queryExecution.logical
+        // optional literal parameter map — `map('k','5','tau','0.1')` or
+        // the compact string form 'k=5,tau=0.1'. The TVF builder runs
+        // BEFORE analysis, so map(...) arrives as an UnresolvedFunction
+        // over literals and is unpacked structurally.
+        val params: Map[String, String] = if (args.length < 3) Map.empty
+        else args(2) match {
+          case e if e.foldable &&
+              e.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            val mt = e.dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+            require(mt.keyType == org.apache.spark.sql.types.StringType &&
+              mt.valueType == org.apache.spark.sql.types.StringType,
+              s"graft_query params map must be map<string,string>, got ${mt.sql}")
+            val md = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+            (0 until md.numElements()).map { i =>
+              md.keyArray().getUTF8String(i).toString ->
+                md.valueArray().getUTF8String(i).toString
+            }.toMap
+          case e if e.foldable =>
+            lit(e, "params").split(",").filter(_.nonEmpty).map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"graft_query params entry '$kv' is not k=v")
+              kv.substring(0, i).trim -> kv.substring(i + 1).trim
+            }.toMap
+          case other => throw new IllegalArgumentException(
+            s"graft_query params must be a literal map(...) or 'k=v,…' string, got $other")
+        }
+        val session = org.apache.spark.sql.SparkSession.active
+        val plan =
+          if (params.isEmpty) {
+            val fn = SparkEntry.queries.getOrElse(name,
+              throw new IllegalArgumentException(s"unknown graft query '$name' — " +
+                s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ")}…"))
+            fn(session, dir)
+          } else {
+            require(SparkEntry.queries.contains(name),
+              s"unknown graft query '$name'")
+            val fn = SparkEntry.paramQueries.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"graft_query('$name') takes no parameters — parameterized queries: " +
+                  SparkEntry.paramQueries.keys.toSeq.sorted.mkString(", ")))
+            fn(session, dir, params)
+          }
+        plan.queryExecution.logical
       }))
   }
 }

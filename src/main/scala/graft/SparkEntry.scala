@@ -389,6 +389,84 @@ object SparkEntry {
        |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score FROM s)""".stripMargin
   }
 
+  /** Validated parameter bag for the `graft_query` TVF's optional
+    * third argument: unknown keys and unparseable values fail AT
+    * ANALYSIS with the operator's valid knob set named — a typo'd
+    * parameter must never silently run the default plan.
+    */
+  private final class QueryParams(name: String, m: Map[String, String],
+                                  allowed: String*) {
+    locally {
+      val unknown = m.keySet -- allowed.toSet
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"graft_query('$name'): unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+          s" — valid: ${allowed.sorted.mkString(", ")}")
+    }
+    private def get[T](k: String, dflt: T)(parse: String => T): T =
+      m.get(k).map { v =>
+        try parse(v.trim)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"graft_query('$name'): parameter '$k' value '$v' is not valid") }
+      }.getOrElse(dflt)
+    def int(k: String, dflt: Int): Int = get(k, dflt)(_.toInt)
+    def long(k: String, dflt: Long): Long = get(k, dflt)(_.toLong)
+    def dbl(k: String, dflt: Double): Double = get(k, dflt)(_.toDouble)
+    def strs(k: String, dflt: Seq[String]): Seq[String] =
+      get(k, dflt)(_.split("\\s+").toSeq)
+  }
+
+  /** Parameterized TVF surface: operators whose tuning knobs (k,
+    * thresholds, tenant ids…) are reachable from SQL —
+    * `graft_query('ann_brute_topk', dir, map('k', '5'))`. Every entry
+    * delegates to the SAME Scala function the plain registry calls, so
+    * a parameterized call ≡ the direct call with those args (spec'd);
+    * entries not listed here take no parameters and say so.
+    */
+  private[graft] def paramQueries
+      : Map[String, (SparkSession, String, Map[String, String]) => DataFrame] = Map(
+    "ann_brute_topk" -> ((s, d, m) => {
+      val p = new QueryParams("ann_brute_topk", m, "k")
+      Ann.bruteTopK(s, d, p.int("k", 10))
+    }),
+    "ann_ivf_topk" -> ((s, d, m) => {
+      val p = new QueryParams("ann_ivf_topk", m, "k", "nlist", "nprobe")
+      Ann.ivfTopK(s, d, p.int("k", 10), p.int("nlist", 16), p.int("nprobe", 8))
+    }),
+    "dedup_minhash_lsh" -> ((s, d, m) => {
+      val p = new QueryParams("dedup_minhash_lsh", m, "t")
+      Dedup.minhashLsh(s, d, p.dbl("t", 0.8))
+    }),
+    "dedup_ngram_jaccard" -> ((s, d, m) => {
+      val p = new QueryParams("dedup_ngram_jaccard", m, "t")
+      Dedup.ngramJaccard(s, d, p.dbl("t", 0.7))
+    }),
+    "dedup_simhash" -> ((s, d, m) => {
+      val p = new QueryParams("dedup_simhash", m, "df_cap")
+      Dedup.simhash(s, d, p.int("df_cap", 4096))
+    }),
+    "vs_search_threshold" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_threshold", m, "tau")
+      VectorStore.searchThreshold(s, d, p.dbl("tau", 0.05))
+    }),
+    "vs_search_match_text" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_match_text", m, "k", "terms")
+      VectorStore.searchMatchText(s, d, p.int("k", 10),
+        p.strs("terms", Seq("the", "data")))
+    }),
+    "vs_text_search_semantic" -> ((s, d, m) => {
+      val p = new QueryParams("vs_text_search_semantic", m, "k")
+      VectorStore.textSearchSemantic(s, d, p.int("k", 3))
+    }),
+    "emb_pq_search" -> ((s, d, m) => {
+      val p = new QueryParams("emb_pq_search", m, "query_id", "k", "rerank")
+      Embeddings.pqSearch(s, d, p.long("query_id", 0L), p.int("k", 10),
+        p.int("rerank", 50))
+    }),
+    "events_kll_daily" -> ((s, d, m) => {
+      val p = new QueryParams("events_kll_daily", m, "k")
+      Relational.eventsKllDaily(s, d, p.int("k", 32768))
+    }))
+
   private def jaccardOracle(t: Double): String =
     s"""WITH ${SHINGLES(5)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -68,6 +68,42 @@ class GraftQuerySpec extends SparkSpecBase {
     assert(a.join(b).count() === 4L)
   }
 
+  test("parameterized graft_query equals the direct Scala call with the same args") {
+    // map(...) literal form
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_query('ann_brute_topk', '$sf', map('k', '5'))")
+      .collect().toSeq
+    val direct = operators.Ann.bruteTopK(spark, sf, k = 5).collect().toSeq
+    assert(viaSql === direct)
+    assert(viaSql.size < operators.Ann.bruteTopK(spark, sf).collect().length,
+      "k=5 must actually narrow the default-k result")
+    // compact 'k=v' string form, double-typed knob
+    val viaStr = spark.sql(
+      s"SELECT * FROM graft_query('dedup_ngram_jaccard', '$sf', 't=0.9')")
+      .collect().toSeq
+    assert(viaStr === operators.Dedup.ngramJaccard(spark, sf, t = 0.9).collect().toSeq)
+    // multi-knob
+    val multi = spark.sql(
+      s"""SELECT * FROM graft_query('vs_search_match_text', '$sf',
+         |map('k', '3', 'terms', 'the data'))""".stripMargin).collect().toSeq
+    assert(multi === operators.VectorStore
+      .searchMatchText(spark, sf, 3, Seq("the", "data")).collect().toSeq)
+  }
+
+  test("parameter validation fails loudly: unknown keys, bad values, unparameterized ops") {
+    def err(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    assert(err(s"SELECT * FROM graft_query('ann_brute_topk', '$sf', map('kk', '5'))")
+      .contains("unknown parameter"))
+    assert(err(s"SELECT * FROM graft_query('ann_brute_topk', '$sf', 'k=five')")
+      .contains("not valid"))
+    assert(err(s"SELECT * FROM graft_query('q1_pricing_summary', '$sf', map('k', '5'))")
+      .contains("takes no parameters"))
+  }
+
   test("scalar functions ride the same extensions wiring") {
     val j = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")

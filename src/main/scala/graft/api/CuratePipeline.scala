@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   *   PII scrub (optional) → quality gate (+ optional Gopher rule
   *   battery) → exact dedup → near-dup clustering (keep one doc per
   *   cluster) → winnowing gate (optional, MOSS local-overlap chains) →
+  *   SEMANTIC dedup (optional, SemDeDup over the embedding space —
+  *   paraphrase-level redundancy no surface tier sees) →
   *   boilerplate gate (optional, corpus-wide duplicate-n-gram
-  *   fraction) → benchmark-decontamination gate → deterministic sample →
+  *   fraction) → benchmark-decontamination gate → DSIR importance
+  *   resampling (optional, re-weights the mix toward the target
+  *   distribution) → deterministic sample →
   *   lang-partitioned curated parquet + a per-stage attrition report.
   *
   * Every stage is one of the library's verified operators; the pipeline
@@ -30,7 +34,9 @@ object CuratePipeline {
                     nAfterDecontam: Long, nSampled: Long,
                     tokenBudget: Option[Long] = None,
                     splitTrainVal: Option[(Long, Long)] = None,
-                    splitLeakPairs: Option[Long] = None)
+                    splitLeakPairs: Option[Long] = None,
+                    nAfterSemantic: Option[Long] = None,
+                    nAfterDsir: Option[Long] = None)
 
   def curate(s: SparkSession, d: String, outPath: String,
              minWords: Int = 5, minUniqRatio: Double = 0.1,
@@ -41,7 +47,9 @@ object CuratePipeline {
              gopherGate: Boolean = false,
              winnowMinShared: Int = 0,
              tokenizer: Option[Tokenizer] = None,
-             splitValRate: Double = 0.0): Report = {
+             splitValRate: Double = 0.0,
+             semanticTau: Option[Double] = None,
+             dsirResample: Boolean = false): Report = {
     val raw = Tables.documents(s, d)
     // 0. PII scrub — a map-side TRANSFORM (rows pass through, text is
     // masked) applied before anything downstream of `docs` touches the
@@ -116,15 +124,34 @@ object CuratePipeline {
       }
     val nWinnow = afterWinnow.count()
 
+    // 3c. SEMANTIC dedup tier (optional, semanticTau set) — SemDeDup
+    // (Abbas et al. 2023) over the EMBEDDING space: drops docs whose
+    // vector has a ≥ τ cosine near-dup of higher priority within its
+    // k-means cluster — paraphrase-level redundancy the surface-token
+    // tiers cannot see. The drop set comes from the standalone
+    // verified operator (same memoized quantizer); it is bounded by
+    // docs WITH a near-dup mate (≪ corpus at any honest τ), so the
+    // anti-join broadcasts like the other gate sets. Docs without an
+    // embedding row pass through untouched.
+    val (afterSemantic, nSemantic) = semanticTau match {
+      case None => (afterWinnow, None)
+      case Some(tau) =>
+        val dropped = Dedup.semanticDedup(s, d, t = tau)
+          .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        val kept = afterWinnow.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+          .cache()
+        (kept, Some(kept.count()))
+    }
+
     // 4. boilerplate gate — drop docs dominated by corpus-wide repeated
     // n-grams (templates/navigation chrome that near-dup clustering
     // misses because no single pair is similar enough)
     val afterBoiler =
-      if (maxDupNgramRatio >= 1.0) afterWinnow
+      if (maxDupNgramRatio >= 1.0) afterSemantic
       else {
         val boiler = Dedup.dupNgramFraction(s, d)
           .filter(col("dup_ratio") > maxDupNgramRatio).select("doc_id")
-        afterWinnow.join(broadcast(boiler), Seq("doc_id"), "left_anti")
+        afterSemantic.join(broadcast(boiler), Seq("doc_id"), "left_anti")
       }
     val nBoiler = afterBoiler.count()
 
@@ -134,10 +161,26 @@ object CuratePipeline {
     val afterDecontam = afterBoiler.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     val nDecontam = afterDecontam.count()
 
+    // 5b. DSIR importance resampling (optional) — re-weight the mix
+    // toward the target distribution (Xie et al. 2023) by the
+    // standalone operator's per-doc acceptance relation (ONE definition
+    // of the rule; `docs_dsir_sample` reports the same decision rolled
+    // up per source). The keep relation is corpus-sized, so the join is
+    // UNHINTED — AQE picks the strategy (a broadcast hint here would be
+    // the 100-TB OOM the df-cap joins removed).
+    val (afterDsir, nDsir) =
+      if (!dsirResample) (afterDecontam, None)
+      else {
+        val kept = afterDecontam.join(
+          TextAnalysis.dsirKeepDocs(s, d).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi").cache()
+        (kept, Some(kept.count()))
+      }
+
     // 6. deterministic hash sample + curated write, partitioned by lang
     val sampled =
-      if (sampleRate >= 1.0) afterDecontam
-      else afterDecontam
+      if (sampleRate >= 1.0) afterDsir
+      else afterDsir
         .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
         .filter(col("bucket") < lit((sampleRate * 65536).toLong)).drop("bucket")
     val nSampled = sampled.count()
@@ -191,8 +234,10 @@ object CuratePipeline {
         .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
     }
     docs.unpersist(); afterExact.unpersist(); afterNear.unpersist()
+    if (nSemantic.isDefined) afterSemantic.unpersist()
+    if (nDsir.isDefined) afterDsir.unpersist()
     Report(nInput, nQuality, nExact, nNear, nWinnow, nBoiler, nDecontam,
-      nSampled, tokenBudget, splitInfo, leakInfo)
+      nSampled, tokenBudget, splitInfo, leakInfo, nSemantic, nDsir)
   }
 
   /** The full switch-over flow: curate a raw corpus, CHUNK the curated

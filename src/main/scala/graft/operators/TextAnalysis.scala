@@ -1295,7 +1295,12 @@ object TextAnalysis {
     * (doc and token attrition). Map-side except the weight join and the
     * |sources|-row rollup; bounds are a one-row broadcast.
     */
-  def dsirSample(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc acceptance relation under the DSIR weights —
+    * (doc_id, source, n_tokens, keep). The decision [[dsirSample]]
+    * rolls up per source and [[graft.api.CuratePipeline]]'s resampling
+    * stage applies per doc: ONE definition of the acceptance rule.
+    */
+  private[graft] def dsirKeepDocs(s: SparkSession, d: String): DataFrame = {
     val wts = dsirWeights(s, d)
     val bounds = wts.agg(min("dsir_weight").as("lo"), max("dsir_weight").as("hi"))
     Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
@@ -1304,6 +1309,11 @@ object TextAnalysis {
       .withColumn("rate", (col("dsir_weight") - col("lo")) / (col("hi") - col("lo")))
       .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
       .withColumn("keep", col("bucket").cast("double") < col("rate") * 65536)
+      .select("doc_id", "source", "n_tokens", "keep")
+  }
+
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    dsirKeepDocs(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -54,6 +54,64 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(clusters.intersect(kept).isEmpty)
   }
 
+  test("semantic tier drops exactly the standalone SemDeDup drop set, monotone and deterministic") {
+    val out0 = java.nio.file.Files.createTempDirectory("cursem0").toString + "/c"
+    val out1 = java.nio.file.Files.createTempDirectory("cursem1").toString + "/c"
+    val base = CuratePipeline.curate(spark, sf, out0)
+    val r = CuratePipeline.curate(spark, sf, out1, semanticTau = Some(0.99))
+    // attrition: the stage slots between winnow and boilerplate, monotone
+    assert(r.nAfterSemantic.isDefined && base.nAfterSemantic.isEmpty)
+    val Some(nSem) = r.nAfterSemantic
+    assert(r.nAfterWinnow >= nSem && nSem >= r.nAfterBoilerplate)
+    // exactness: kept docs = winnow survivors minus the standalone
+    // operator's dropped set (one definition of the verdict)
+    val droppedStandalone = graft.operators.Dedup.semanticDedup(spark, sf, t = 0.99)
+      .filter(!col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(out1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(droppedStandalone).isEmpty,
+      "a semantically-dropped doc survived the pipeline")
+    val keptBase = spark.read.parquet(out0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBase -- kept === keptBase.intersect(droppedStandalone),
+      "semantic stage dropped something the standalone operator didn't")
+    // determinism
+    val out2 = java.nio.file.Files.createTempDirectory("cursem2").toString + "/c"
+    assert(CuratePipeline.curate(spark, sf, out2, semanticTau = Some(0.99)) === r)
+  }
+
+  test("dsir resampling keeps exactly the standalone acceptance set with attrition accounted") {
+    val out0 = java.nio.file.Files.createTempDirectory("curdsir0").toString + "/c"
+    val out1 = java.nio.file.Files.createTempDirectory("curdsir1").toString + "/c"
+    val base = CuratePipeline.curate(spark, sf, out0)
+    val r = CuratePipeline.curate(spark, sf, out1, dsirResample = true)
+    assert(r.nAfterDsir.isDefined && base.nAfterDsir.isEmpty)
+    val Some(nDsir) = r.nAfterDsir
+    assert(r.nAfterDecontam >= nDsir && nDsir === r.nSampled) // sampleRate 1.0
+    assert(nDsir < r.nAfterDecontam,
+      "importance resampling at this SF should reject some docs")
+    // kept = decontam survivors ∩ the standalone keep relation
+    val keepStandalone = graft.operators.TextAnalysis.dsirKeepDocs(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = spark.read.parquet(out1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptBase = spark.read.parquet(out0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === keptBase.intersect(keepStandalone))
+    // the roll-up the operator reports agrees with the per-doc relation
+    val reported = graft.operators.TextAnalysis.dsirSample(spark, sf)
+      .agg(sum("n_kept")).head().getLong(0)
+    assert(reported === keepStandalone.size.toLong)
+    // both optional stages compose, attrition stays monotone end to end
+    val out3 = java.nio.file.Files.createTempDirectory("curdsir3").toString + "/c"
+    val both = CuratePipeline.curate(spark, sf, out3,
+      semanticTau = Some(0.99), dsirResample = true)
+    assert(both.nAfterWinnow >= both.nAfterSemantic.get)
+    assert(both.nAfterSemantic.get >= both.nAfterBoilerplate)
+    assert(both.nAfterDecontam >= both.nAfterDsir.get)
+    assert(both.nAfterDsir.get === both.nSampled)
+  }
+
   test("winnowing gate drops exactly the non-canonical members of match components") {
     val out0 = java.nio.file.Files.createTempDirectory("curw0").toString + "/c"
     val out1 = java.nio.file.Files.createTempDirectory("curw1").toString + "/c"

@@ -219,6 +219,51 @@ object EventStreams {
       }
   }
 
+  /** STREAMING HYBRID-INDEX MAINTENANCE — the [[upsertStream]]
+    * discipline applied to the keyword+vector serving artifact (the
+    * last serving artifact without a streaming path): each micro-batch
+    * of (doc_id, text, vec) upserts flows through the SAME incremental
+    * merge the batch API uses ([[graft.api.HybridIndex.insertTo]] —
+    * parity-spec'd bit-for-bit against a from-scratch rebuild) and
+    * lands as the next `gen-N` snapshot under `root`; readers follow
+    * [[graft.api.HybridIndex.openLive]] (newest generation whose four
+    * relation jobs ALL committed). Exactly-once: batchIds are monotonic
+    * per checkpoint, every relation writes mode-overwrite into the
+    * batch's own generation dir, and a replay of batch N either
+    * re-lands gen-N identically or — when gen-N had fully committed
+    * before the crash — is skipped outright (the live-generation check
+    * below). Old generations are reclaimed like the VectorIndex
+    * rotation (keep the previous one for in-flight readers).
+    */
+  def hybridMaintainStream(docs: DataFrame, root: String, checkpoint: String) = {
+    import graft.api.{HybridIndex, VectorIndex}
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val out = s"$root/${VectorIndex.generationDir(batchId)}"
+        val live = HybridIndex.resolveLive(s, root)
+        if (!live.contains(out)) { // committed-before-crash replay skips
+          val newDocs = batch.select("doc_id", "text")
+          val newVecs = batch.select("doc_id", "vec")
+          live match {
+            case Some(liveDir) =>
+              HybridIndex.open(s, liveDir).insertTo(newDocs, newVecs, out)
+            case None => HybridIndex.build(s, newDocs, newVecs, out)
+          }
+          // best-effort GC: keep the new + previous generation only
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(rootP).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+            .map(_.getPath).sortBy(_.getName)
+            .dropRight(2).foreach(p => fs.delete(p, true))
+        }
+        ()
+      }
+  }
+
   /** STREAMING NEAR-DUP SUPPRESSION GATE — the unbounded twin of the
     * batch MinHash+LSH dedup (`Dedup.minhashLsh`): each micro-batch of
     * documents is reduced to (signature, sorted shingle-hash array)

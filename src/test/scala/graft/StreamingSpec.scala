@@ -265,6 +265,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hybridMaintainStream rotates generations with from-scratch-rebuild parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.HybridIndex
+    val base = java.nio.file.Files.createTempDirectory("hybstream").toString
+    val root = base + "/hybrid"
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val q = EventStreams.hybridMaintainStream(
+      input.toDF().toDF("doc_id", "text", "vec"), root, base + "/ckpt").start()
+    try {
+      input.addData((1L, "alpha beta gamma", Seq(1.0, 0.0)),
+        (2L, "beta delta", Seq(0.0, 1.0)))
+      q.processAllAvailable()
+      assert(HybridIndex.openLive(spark, root)
+        .keywordSearch(Seq("beta")).count() === 2L)
+      // batch 2: upsert doc 1 (replaces its postings) + insert doc 3
+      input.addData((1L, "epsilon zeta", Seq(0.5, 0.5)),
+        (3L, "beta beta", Seq(1.0, 1.0)))
+      q.processAllAvailable()
+      val live = HybridIndex.openLive(spark, root)
+      // the streamed artifact serves EXACTLY what a from-scratch build
+      // on the merged corpus serves (keyword, vector, and fused)
+      val rebuilt = HybridIndex.build(spark,
+        Seq((1L, "epsilon zeta"), (2L, "beta delta"), (3L, "beta beta"))
+          .toDF("doc_id", "text"),
+        Seq((1L, Seq(0.5, 0.5)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+          .toDF("doc_id", "vec"),
+        base + "/rebuilt")
+      val (terms, qvec) = (Seq("beta", "epsilon"), Seq(1.0, 0.0))
+      assert(live.search(terms, qvec).collect().toSeq ===
+        rebuilt.search(terms, qvec).collect().toSeq)
+      assert(live.keywordSearch(Seq("alpha")).count() === 0L,
+        "doc 1's old postings must be replaced, not merged")
+      // rotation: at most the live + previous generation remain on disk
+      val gens = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+      assert(gens.length <= 2 && gens.last === graft.api.VectorIndex.generationDir(1L))
+    } finally q.stop()
+  }
+
   test("nearDupGateStream suppresses near-dups within and across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("ndgate").toString

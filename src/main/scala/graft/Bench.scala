@@ -132,7 +132,26 @@ object Bench {
       // create_payload_index job): forced here so the indexed-search
       // line measures pure pruned serving
       "payload_index_warm" -> (selected.contains("vs_search_topk_filtered_indexed"),
-        () => { operators.VectorStore.payloadIndex(spark, sfDir); () }))
+        () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
+      // the materialized per-doc LM score table, shared by the lm-score
+      // and ccnet-bucket lines: whichever ran first paid the
+      // bigram-count + score pipeline (both lines showed ~2.5× spreads)
+      "lm_score_warm" -> (Seq("text_lm_score", "text_ccnet_buckets")
+        .exists(selected.contains),
+        () => { operators.TextAnalysis.lmScoresCached(spark, sfDir); () }),
+      // the materialized PMI associate table, shared by the collocation
+      // report and all four semantic-eval arms
+      "pmi_assoc_warm" -> (Seq("text_pmi_colloc", "vs_semantic_recall_eval")
+        .exists(selected.contains),
+        () => { operators.TextAnalysis.pmiAssociatesCached(spark, sfDir); () }),
+      // the fitted PCA model (two treeAggregate passes + driver eigSym)
+      "pca_basis_warm" -> (selected.contains("emb_pca_project"),
+        () => { operators.Embeddings.pcaModel(spark, sfDir, 4); () }),
+      // the embedding-dedup tier's near-dup corpus cache + its two
+      // coarse quantizers (neardup-ivf, semdedup)
+      "dedup_quantizer_warm" -> (Seq("dedup_embedding_ivf", "dedup_semantic",
+        "dedup_embedding", "dedup_embedding_lsh").exists(selected.contains),
+        () => operators.Dedup.warmEmbeddingQuantizers(spark, sfDir)))
       .collect { case (n, (true, f)) => n -> timed(f()) }.toMap
     val resultTimes = selected.map { case (name, fn) =>
       def run(): Double = {
@@ -140,6 +159,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // ONE untimed warm-up execution per line (JMH discipline): the
+      // first execution of a plan pays whole-stage-codegen compilation
+      // + C2 warm-up of the generated loops — profiled at 1.5-2.5 s on
+      // the deepest plans (ccnet's join+rank+agg ran 3.2 s cold,
+      // 0.9 s steady) — which belongs to neither build nor serve, and
+      // polluted every line's {min,max} range with a fixed cold-start
+      // sample. Timed samples below measure steady-state serving.
+      // NOTE: this does NOT license unpinned memo fills — a shared
+      // artifact filling here hides from the ranges, so one-time state
+      // must still land on a NAMED build line above (the sweep spec +
+      // memo discipline, not the warm-up, are the guard).
+      run()
       var times = Seq(run(), run())
       // shared-box noise guard: if the two runs disagree badly, the
       // slower one hit a contention spike — buy one more sample

@@ -762,6 +762,22 @@ object Dedup {
     * for free. Emitted pairs ⊂ exact set; recall spec vs the planted
     * twins, not a DuckDB oracle.
     */
+  /** Bench/serving warm-up: force the near-dup corpus cache plus the
+    * two embedding-tier coarse quantizers ([[embeddingNearDupIvf]]'s
+    * "neardup-ivf" and [[semanticDedup]]'s "semdedup" — their DEFAULT
+    * (nlist, iters) configs, the ones the inventory query lines use) so
+    * the one-time k-means trainings land on a named build line instead
+    * of whichever dedup query ran first (detail ranges showed ~3× and
+    * ~10× spreads on the two lines).
+    */
+  private[graft] def warmEmbeddingQuantizers(s: SparkSession, d: String): Unit = {
+    val all = nearDupCorpus(s, d).cache()
+    all.count()
+    Ann.kmeansCentroidsCached(s, d, "neardup-ivf", all, 16, 3)
+    Ann.kmeansCentroidsCached(s, d, "semdedup", all, 16, 3)
+    ()
+  }
+
   def embeddingNearDupIvf(s: SparkSession, d: String, t: Double = 0.99,
                           nlist: Int = 16, iters: Int = 3): DataFrame = {
     val all = nearDupCorpus(s, d).cache()

@@ -577,23 +577,41 @@ object Embeddings {
     * magnitude component positive) so output is deterministic across
     * runs/partitionings.
     */
+  /** Session memo of the fitted PCA MODEL (per-dim mean + top-k signed
+    * eigenvectors): two treeAggregate passes + a driver eigSym is model
+    * TRAINING, not serving — unmemoized it re-ran on every
+    * [[pcaProject]] call (detail ranges showed the first call ~6× the
+    * projection-only cost). Driver-side arrays only — nothing to
+    * unpersist on evict.
+    */
+  private val pcaMemo = new SessionMemo[Int, (Array[Double], Seq[Array[Double]])]
+
+  private[graft] def pcaModel(s: SparkSession, d: String,
+                              k: Int): (Array[Double], Seq[Array[Double]]) =
+    pcaMemo.getOrElseUpdate(s, d, k) {
+      import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
+      import org.apache.spark.mllib.linalg.distributed.RowMatrix
+      val emb = Tables.embeddings(s, d)
+        .select(toDouble(col("embedding")).as("vec"))
+      val rm = new RowMatrix(emb.rdd
+        .map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
+      val dim = rm.numCols().toInt
+      val mean = rm.computeColumnSummaryStatistics().mean.toArray
+      val cov = rm.computeCovariance()
+      val bm = new breeze.linalg.DenseMatrix(dim, dim, cov.toArray)
+      val es = breeze.linalg.eigSym(bm) // ascending eigenvalues
+      val comps: Seq[Array[Double]] = (0 until k).map { j =>
+        val v = Array.tabulate(dim)(r => es.eigenvectors(r, dim - 1 - j))
+        val m = v.maxBy(math.abs)
+        if (m < 0) v.map(x => -x) else v // pin sign
+      }
+      (mean, comps)
+    }
+
   def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
-    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val (mean, comps) = pcaModel(s, d, k)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val rm = new RowMatrix(emb.select("vec").rdd
-      .map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
-    val dim = rm.numCols().toInt
-    val mean = rm.computeColumnSummaryStatistics().mean.toArray
-    val cov = rm.computeCovariance()
-    val bm = new breeze.linalg.DenseMatrix(dim, dim, cov.toArray)
-    val es = breeze.linalg.eigSym(bm) // ascending eigenvalues
-    val comps: Seq[Array[Double]] = (0 until k).map { j =>
-      val v = Array.tabulate(dim)(r => es.eigenvectors(r, dim - 1 - j))
-      val m = v.maxBy(math.abs)
-      if (m < 0) v.map(x => -x) else v // pin sign
-    }
     emb.select(
       col("vec_id") +: comps.zipWithIndex.map { case (v, j) =>
         // (vec − mean)·v = vec·v − mean·v : fold the centering into a

@@ -53,10 +53,13 @@ object SemanticEval {
       .select(col("doc_id"), lower(col("text")).as("text"))
 
     // ---- associate table: strongest adjacent-token PMI partner —
-    // the SHARED collocation definition ([[TextAnalysis.pmiAssociates]];
-    // its report form is the `text_pmi_colloc` inventory row) ----
+    // the SHARED collocation definition, served from the session memo
+    // ([[TextAnalysis.pmiAssociatesCached]] — same materialized table
+    // `text_pmi_colloc` reports over; pmiAssociates lowercases
+    // internally, so the canonical-table build is result-identical to
+    // building over this method's pre-lowered projection) ----
     val wBest = Window.partitionBy("t").orderBy(col("pmi").desc, col("u").asc)
-    val assoc = TextAnalysis.pmiAssociates(docs)
+    val assoc = TextAnalysis.pmiAssociatesCached(s, d)
       .withColumn("r", row_number().over(wBest))
       .filter(col("r") === 1).select(col("t"), col("u").as("sub"))
 

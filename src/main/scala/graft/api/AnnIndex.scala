@@ -21,7 +21,8 @@ import graft.functions.Vectors._
   * plans as TakeOrderedAndProject.
   */
 class AnnIndex(spark: SparkSession, path: String,
-               val centroids: Array[(Int, Array[Double])]) {
+               val centroids: Array[(Int, Array[Double])],
+               val keywordFields: Seq[String] = Seq.empty) {
 
   private def nearestLists(qvec: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.map { case (cid, c) =>
@@ -34,13 +35,27 @@ class AnnIndex(spark: SparkSession, path: String,
     * reference's `Filter(must=[user_id, ...])`, search.py:31-49).
     * The predicate applies INSIDE the probed scan, so it composes with
     * the list-partition pruning and pushes to parquet where possible.
+    *
+    * `eq` filters on the index's INDEXED keyword fields
+    * ([[AnnIndex.build]]'s `keyword` axes — the [[PayloadIndex]]
+    * discipline fused into the ANN layout): those predicates prune
+    * DIRECTORIES, composing multiplicatively with the probe pruning —
+    * at 100 TB a filtered search reads nprobe/nlist of the 1%-selective
+    * payload slice, not nprobe/nlist of everything. Unindexed fields
+    * are refused here (use `filter` for a residual scan predicate).
     */
   def search(qvec: Seq[Double], k: Int = 10, nprobe: Int = 4,
-             filter: Option[Column] = None): DataFrame = {
+             filter: Option[Column] = None,
+             eq: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val probes = nearestLists(qvec, nprobe)
     val q = array(qvec.map(lit): _*)
-    val scan = spark.read.parquet(path)
+    var scan = spark.read.parquet(path)
       .filter(col("list").isin(probes: _*)) // partition-pruned scan
+    eq.foreach { case (f, vs) =>
+      require(keywordFields.contains(f),
+        s"'$f' is not an indexed keyword axis (indexed: $keywordFields)")
+      scan = scan.filter(col(f).isin(vs: _*)) // directory-pruned too
+    }
     filter.fold(scan)(scan.filter)
       .select(col("vec_id"), cosineSim(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -63,7 +78,9 @@ class AnnIndex(spark: SparkSession, path: String,
     batch
       .withColumn("list",
         graft.functions.Vectors.nearestCentroidId(col("vec"), cents).cast("int"))
-      .write.mode("append").partitionBy("list").parquet(path)
+      .write.mode("append")
+      .partitionBy(keywordFields :+ "list": _*) // same axes as build
+      .parquet(path)
     this
   }
 
@@ -90,10 +107,26 @@ object AnnIndex {
   /** Fit the coarse quantizer and persist the partitioned layout.
     * `corpus` must have (vec_id BIGINT, vec ARRAY<DOUBLE>); any extra
     * columns ride along as payload and are filterable at search time.
+    *
+    * `keyword` fields (low-cardinality payload tags — the
+    * [[graft.operators.VectorStore.payloadIndexPlan]] advisor's
+    * `keyword` verdicts) become ADDITIONAL partition axes alongside the
+    * IVF list: `site=X/…/list=L/`. A filtered search then prunes
+    * directories on BOTH axes at once — Qdrant's filtered-search-over-
+    * payload-index capability fused into the ANN layout rather than
+    * bolted beside it. Directory count is ∏ distinct × nlist, which is
+    * exactly why the advisor's ≤64-distinct criterion gates what may be
+    * a keyword axis. Keyword axes are STRING tags by contract
+    * (site/lang-class); a value that LOOKS numeric ("007") would be
+    * retyped by partition-value inference on read — index such fields
+    * with [[PayloadIndex]] (explicit read schema) instead.
     */
   def build(corpus: DataFrame, path: String, nlist: Int = 16,
-            seed: Long = 42L, maxIter: Int = 5): AnnIndex = {
+            seed: Long = 42L, maxIter: Int = 5,
+            keyword: Seq[String] = Seq.empty): AnnIndex = {
     val spark = corpus.sparkSession
+    keyword.foreach(f => require(corpus.columns.contains(f),
+      s"keyword field '$f' not in ${corpus.columns.toSeq}"))
     val feat = corpus.withColumn("features", array_to_vector(col("vec")))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
@@ -101,21 +134,34 @@ object AnnIndex {
       .fit(feat)
     model.transform(feat)
       .drop("features")
-      .write.mode("overwrite").partitionBy("list").parquet(path)
+      .write.mode("overwrite")
+      .partitionBy(keyword :+ "list": _*)
+      .parquet(path)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }
     import spark.implicits._
     cents.toSeq.toDF("cid", "centroid")
       .write.mode("overwrite").parquet(path + "_centroids")
-    new AnnIndex(spark, path, cents)
+    if (keyword.nonEmpty)
+      keyword.toDF("field").coalesce(1)
+        .write.mode("overwrite").parquet(path + "_fields")
+    new AnnIndex(spark, path, cents, keyword)
   }
 
-  /** Reopen a persisted index (centroids reload to the driver). */
+  /** Reopen a persisted index (centroids — and the keyword-axis
+    * manifest, when the layout has one — reload to the driver).
+    */
   def load(spark: SparkSession, path: String): AnnIndex = {
     val cents = spark.read.parquet(path + "_centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    new AnnIndex(spark, path, cents)
+    val fieldsPath = new org.apache.hadoop.fs.Path(path + "_fields")
+    val fs = fieldsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyword =
+      if (fs.exists(fieldsPath))
+        spark.read.parquet(path + "_fields").collect().map(_.getString(0)).toSeq
+      else Seq.empty
+    new AnnIndex(spark, path, cents, keyword)
   }
 }

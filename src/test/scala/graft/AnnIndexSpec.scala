@@ -87,6 +87,66 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("keyword axes prune directories multiplicatively with the probe set") {
+    val path = tmp("kwaxes")
+    val tagged = corpus.withColumn("lang",
+      when(col("vec_id") % 3 === 0, "en")
+        .when(col("vec_id") % 3 === 1, "fr").otherwise("de"))
+    val idx = AnnIndex.build(tagged, path, nlist = 4, keyword = Seq("lang"))
+    assert(idx.keywordFields === Seq("lang"))
+    // layout: lang=…/list=… — both axes are directories
+    val root = new java.io.File(path)
+    val langs = root.listFiles().filter(_.getName.startsWith("lang="))
+    assert(langs.length === 3)
+    assert(langs.head.listFiles().exists(_.getName.startsWith("list=")))
+
+    val qvec = corpus.filter(col("vec_id") === 42).head().getSeq[Double](1)
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+      }.flatten
+    val unfiltered = scanned(idx.search(qvec, k = 5, nprobe = 2))
+    val filtered = scanned(idx.search(qvec, k = 5, nprobe = 2,
+      eq = Map("lang" -> Seq("fr"))))
+    // the filtered probe reads a strict subset: only fr directories,
+    // and never more files than the unfiltered probe
+    assert(filtered.nonEmpty && filtered.length < unfiltered.length)
+    assert(filtered.forall(_.contains("/lang=fr/")),
+      s"unpruned file: ${filtered.find(f => !f.contains("/lang=fr/"))}")
+
+    // results = the residual-filter form exactly (layout never changes
+    // answers, only I/O) — full probe so both sides are exhaustive
+    val viaEq = idx.search(qvec, k = 10, nprobe = 4,
+      eq = Map("lang" -> Seq("fr"))).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaFilter = idx.search(qvec, k = 10, nprobe = 4,
+      filter = Some(col("lang") === "fr")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaEq.toSeq === viaFilter.toSeq)
+    assert(viaEq.nonEmpty)
+
+    // an unindexed eq axis is refused, not silently scan-filtered
+    intercept[IllegalArgumentException](
+      idx.search(qvec, eq = Map("tenant" -> Seq("1"))))
+  }
+
+  test("keyword-axis manifest survives load and insert lands on both axes") {
+    val path = tmp("kwinsert")
+    val tagged = corpus.withColumn("lang",
+      when(col("vec_id") % 2 === 0, "en").otherwise("fr"))
+    val oldHalf = tagged.filter(col("vec_id") < 30)
+    val newHalf = tagged.filter(col("vec_id") >= 30)
+    AnnIndex.build(oldHalf, path, nlist = 4, keyword = Seq("lang"))
+    val idx = AnnIndex.load(spark, path)
+    assert(idx.keywordFields === Seq("lang")) // manifest round-trips
+    idx.insert(newHalf)
+    assert(spark.read.parquet(path).count() === tagged.count())
+    // an inserted vector is reachable through a keyword-pruned probe
+    val qvec = corpus.filter(col("vec_id") === 31).head().getSeq[Double](1)
+    val hits = idx.search(qvec, k = 3, nprobe = 4,
+      eq = Map("lang" -> Seq("fr"))).collect()
+    assert(hits.head.getLong(0) === 31L)
+  }
+
   test("imbalance audit accounts for every vector with a sane skew ratio") {
     val path = tmp("audit")
     val idx = AnnIndex.build(corpus, path, nlist = 4)

@@ -1,0 +1,99 @@
+package graft
+
+import graft.api.{Aliases, PayloadIndex}
+import org.apache.spark.sql.functions._
+
+/** Edge shapes for the payload-field index that the sf-corpus spec
+  * cannot hit: degenerate integer distributions (every percentile
+  * boundary equal), keyword values a partition-value INFERENCE would
+  * retype ("007" → 7), null keyword values (Hive default-partition
+  * round-trip), single-axis indexes, and the alias-rotation flow a
+  * reindex rides (artifacts are immutable — rebuild + re-point).
+  */
+class PayloadIndexEdgeSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-pidx-edge-").toString + "/idx"
+
+  import scala.jdk.CollectionConverters._
+  private def df(rows: Seq[(Long, String, String)]) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, tag STRING, text STRING")
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  test("constant integer field degenerates to one zone and still answers ranges") {
+    val root = tmp()
+    val pts = df((1L to 40L).map(i => (7L, s"t${i % 3}", s"doc $i")))
+      .withColumnRenamed("id", "uid") // all uid = 7
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 8)
+    // every boundary percentile equals 7 → a single populated zone
+    assert(idx.zones("uid") === Seq((0, 7L, 7L)))
+    assert(idx.read(range = Map("uid" -> (7L, 7L))).count() === 40L)
+    assert(idx.read(range = Map("uid" -> (8L, 99L))).count() === 0L)
+    assert(idx.read(range = Map("uid" -> (0L, 6L))).count() === 0L)
+  }
+
+  test("numeric-looking keyword values keep their string type through a load") {
+    val root = tmp()
+    val pts = df(Seq((1L, "007", "bond"), (2L, "7", "seven"), (3L, "x", "ex")))
+    PayloadIndex.create(spark, pts, root, keyword = Seq("tag"), integer = Seq.empty)
+    val idx = PayloadIndex.load(spark, root)
+    val got = idx.read(eq = Map("tag" -> Seq("007")))
+    // partition-value inference would have retyped "007" as int 7 and
+    // merged it with "7"; the explicit read schema must not
+    assert(got.schema("tag").dataType === org.apache.spark.sql.types.StringType)
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(idx.read(eq = Map("tag" -> Seq("7"))).count() === 1L)
+  }
+
+  test("null keyword values round-trip through the default partition") {
+    val root = tmp()
+    val pts = df(Seq((1L, null, "no tag"), (2L, "a", "tagged"), (3L, null, "also none")))
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("tag"), integer = Seq.empty)
+    val back = idx.read()
+    assert(back.count() === 3L)
+    assert(back.filter(col("tag").isNull).count() === 2L,
+      "null keyword rows must survive the partitioned layout")
+    // an equality read never matches null (SQL semantics), and the
+    // non-null partition prunes as usual
+    assert(idx.read(eq = Map("tag" -> Seq("a"))).count() === 1L)
+  }
+
+  test("integer-only index prunes without any keyword axis") {
+    val root = tmp()
+    val pts = df((1L to 100L).map(i => (i, s"t${i % 2}", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq.empty, integer = Seq("uid"), nZones = 4)
+    assert(idx.zones("uid").size === 4)
+    val got = idx.read(range = Map("uid" -> (90L, 100L)))
+    assert(got.count() === 11L)
+    // only the last zone overlaps [90, 100]
+    val zs = idx.zones("uid").collect { case (z, lo, hi) if hi >= 90L && lo <= 100L => z }
+    assert(zs.size === 1)
+  }
+
+  test("reindex rides the alias-rotation discipline: rebuild then re-point") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-pidx-alias-").toString
+    val v1 = tmp(); val v2 = tmp()
+    val ptsV1 = df(Seq((1L, "a", "one")))
+    val ptsV2 = df(Seq((1L, "a", "one"), (2L, "b", "two")))
+    PayloadIndex.create(spark, ptsV1, v1, keyword = Seq("tag"), integer = Seq.empty)
+    Aliases.set(spark, reg, "points-idx", v1)
+    def serve(): Long = PayloadIndex
+      .load(spark, Aliases.resolve(spark, reg, "points-idx").get)
+      .read().count()
+    assert(serve() === 1L)
+    // corpus grows: the artifact is immutable, so a reindex lands in a
+    // FRESH root and the alias re-points — readers mid-flight on v1
+    // keep a consistent snapshot
+    PayloadIndex.create(spark, ptsV2, v2, keyword = Seq("tag"), integer = Seq.empty)
+    Aliases.set(spark, reg, "points-idx", v2)
+    assert(serve() === 2L)
+    assert(Aliases.history(spark, reg, "points-idx").map(_._2) === Seq(v1, v2))
+  }
+}

@@ -92,6 +92,70 @@ final class PayloadIndex private[api] (
     }
     df.select(original.map(sf => col(sf.name)): _*)
   }
+
+  /** INCREMENTAL ingest — the [[AnnIndex.insert]] fixed-quantizer trade
+    * on the payload axes: new rows assign to EXISTING zones (the zone
+    * whose recorded range covers the value; a value in a gap or beyond
+    * either end joins the nearest zone, WIDENING it) and APPEND into
+    * the partitioned layout — keyword directories and parquet row-group
+    * stats keep pruning with zero rewrite of existing files.
+    *
+    * Crash discipline, in write order: the WIDENED zone manifest
+    * commits FIRST (next `gen-N` under `zones/` — tiny, one atomic
+    * `_SUCCESS`), THEN the data appends. A crash between the two leaves
+    * a manifest wider than the data — pruning stays CORRECT (a wider
+    * zone can only select more directories, never miss a row); the
+    * replayed insert re-widens idempotently. The reverse order would
+    * leave out-of-range rows invisible to range reads — silent wrong
+    * answers, the one failure layout indexes must never have.
+    */
+  def insert(batch: DataFrame): PayloadIndex = {
+    require(batch.columns.toSet == original.map(_.name).toSet,
+      s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
+    val normalized = batch.select(original.map(sf => col(sf.name)): _*)
+    val integer = fields.collect { case (f, "integer") => f }
+    val withZones = integer.foldLeft(normalized) { (df, f) =>
+      val zs = zones(f).sortBy(_._1)
+      // assignment boundary = each zone's recorded max (except the
+      // last): index = #bounds below the value, mapped to the zone ID
+      // (manifest zones can be sparse — creation-time ties leave holes)
+      val idxCol = zs.init.map(_._3).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(f) > b, 1).otherwise(0) }
+      df.withColumn(zoneCol(f),
+        element_at(array(zs.map(z => lit(z._1)): _*), idxCol + 1))
+    }
+    // 1. widened manifest first (see ordering note above)
+    val spark0 = spark
+    import spark0.implicits._
+    val widened: Map[String, Seq[(Int, Long, Long)]] =
+      if (integer.isEmpty) zones
+      else {
+        val batchStats: Map[(String, Int), (Long, Long)] = integer.flatMap { f =>
+          withZones.groupBy(col(zoneCol(f)).as("zone"))
+            .agg(min(col(f)).cast("long").as("zmin"),
+              max(col(f)).cast("long").as("zmax"))
+            .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
+        }.toMap
+        zones.map { case (f, zs) => f -> zs.map { case (z, zmin, zmax) =>
+          batchStats.get((f, z)) match {
+            case Some((bMin, bMax)) => (z, math.min(zmin, bMin), math.max(zmax, bMax))
+            case None => (z, zmin, zmax)
+          }
+        } }
+      }
+    if (integer.nonEmpty) {
+      val next = VectorIndex.nextGeneration(spark, s"$root/zones")
+      widened.toSeq.flatMap { case (f, zs) => zs.map(z => (f, z._1, z._2, z._3)) }
+        .toDF("field", "zone", "zmin", "zmax").coalesce(1)
+        .write.parquet(s"$root/zones/${VectorIndex.generationDir(next)}")
+    }
+    // 2. data appends into the same partition axes
+    val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
+    withZones
+      .sortWithinPartitions((partCols ++ integer).map(col): _*)
+      .write.mode("append").partitionBy(partCols: _*).parquet(s"$root/data")
+    new PayloadIndex(spark, root, fields, widened, schemaDdl)
+  }
 }
 
 object PayloadIndex {
@@ -103,9 +167,11 @@ object PayloadIndex {
     * columns with a persisted zone map. Zone boundaries are EXACT
     * percentiles (one sort-based aggregate per field — a one-time build
     * cost, amortized like the bucketed-table exchange); ties simply
-    * leave some zones empty. Refuses to overwrite an existing index
-    * (artifacts are immutable; rebuild into a fresh root and re-point
-    * the [[Aliases]] entry, the rotation discipline).
+    * leave some zones empty. Refuses to overwrite an existing index —
+    * the layout is APPEND-ONLY: grow it with [[PayloadIndex!.insert]]
+    * (fixed zone boundaries, widened manifest), and when drift earns a
+    * re-zone, rebuild into a fresh root and re-point the [[Aliases]]
+    * entry (the rotation discipline).
     */
   def create(spark: SparkSession, points: DataFrame, root: String,
              keyword: Seq[String], integer: Seq[String],
@@ -149,8 +215,11 @@ object PayloadIndex {
           max(col(f)).cast("long").as("zmax"))
         .collect().map(r => (f, r.getInt(0), r.getLong(1), r.getLong(2)))
     }
+    // the manifest is generation-rotated ([[PayloadIndex!.insert]]
+    // commits widened manifests as later generations; load resolves the
+    // newest committed one)
     zoneRows.toDF("field", "zone", "zmin", "zmax").coalesce(1)
-      .write.parquet(s"$root/zones")
+      .write.parquet(s"$root/zones/${VectorIndex.generationDir(0L)}")
     val ddl = points.schema.toDDL
     val out = fs.create(new Path(root, "schema.ddl"), false)
     out.write(ddl.getBytes("UTF-8")); out.close()
@@ -163,7 +232,8 @@ object PayloadIndex {
   def load(spark: SparkSession, root: String): PayloadIndex = {
     val fields = spark.read.parquet(s"$root/fields")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val zones = spark.read.parquet(s"$root/zones")
+    val zones = spark.read
+      .parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
     val p = new Path(root, "schema.ddl")

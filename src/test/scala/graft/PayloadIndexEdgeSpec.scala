@@ -77,6 +77,54 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     assert(zs.size === 1)
   }
 
+  test("insert appends on the existing axes and WIDENS the zone manifest") {
+    val root = tmp()
+    val base = df((1L to 64L).map(i => (i, s"t${i % 2}", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4)
+    val before = idx.zones("uid").sortBy(_._1)
+    assert(before.head._2 === 1L && before.last._3 === 64L)
+
+    // new rows BELOW, INSIDE (a gap-free range), and ABOVE the indexed range
+    val batch = df(Seq((-5L, "t0", "below"), (30L, "t1", "inside"),
+      (999L, "t0", "above"))).withColumnRenamed("id", "uid")
+    val idx2 = idx.insert(batch)
+
+    // widened: first zone stretches down to -5, last up to 999; totals add up
+    val after = idx2.zones("uid").sortBy(_._1)
+    assert(after.head._2 === -5L, s"first zone must widen down: $after")
+    assert(after.last._3 === 999L, s"last zone must widen up: $after")
+    assert(idx2.read().count() === 67L)
+    // ranges that only the widened manifest can answer
+    assert(idx2.read(range = Map("uid" -> (-10L, 0L))).count() === 1L)
+    assert(idx2.read(range = Map("uid" -> (100L, 1000L))).count() === 1L)
+    assert(idx2.read(range = Map("uid" -> (30L, 30L))).count() === 2L) // base uid=30 + inserted
+    // keyword axis still prunes after the append
+    assert(idx2.read(eq = Map("tag" -> Seq("t1")))
+      .count() === base.filter(col("tag") === "t1").count() + 1)
+
+    // the manifest rotated: a FRESH load resolves the widened generation
+    val reloaded = PayloadIndex.load(spark, root)
+    assert(reloaded.zones("uid").sortBy(_._1) === after)
+
+    // a second insert is cumulative (gen-2 over gen-1)
+    val idx3 = idx2.insert(df(Seq((-100L, "t1", "way below")))
+      .withColumnRenamed("id", "uid"))
+    assert(idx3.zones("uid").sortBy(_._1).head._2 === -100L)
+    assert(PayloadIndex.load(spark, root).read(
+      range = Map("uid" -> (-100L, -99L))).count() === 1L)
+  }
+
+  test("insert refuses a batch whose columns do not match the indexed schema") {
+    val root = tmp()
+    val base = df(Seq((1L, "a", "x"))).withColumnRenamed("id", "uid")
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq("uid"))
+    intercept[IllegalArgumentException](
+      idx.insert(df(Seq((2L, "b", "y"))))) // has `id`, not `uid`
+  }
+
   test("reindex rides the alias-rotation discipline: rebuild then re-point") {
     val reg = java.nio.file.Files.createTempDirectory("graft-pidx-alias-").toString
     val v1 = tmp(); val v2 = tmp()

@@ -43,7 +43,8 @@ class HybridIndex private (spark: SparkSession, path: String) {
     * TakeOrdered.
     */
   def keywordSearch(terms: Seq[String], k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    allow: Option[DataFrame] = None): DataFrame = {
     // Terms dedup on entry + POSITIONAL column aliases (tf_0, tf_1, …
     // keyed by term index): term strings are user input — duplicates
     // would collide as aliases (ambiguous-reference at analysis) and
@@ -53,7 +54,16 @@ class HybridIndex private (spark: SparkSession, path: String) {
     val pl = postings.filter(col("token").isin(qts: _*))
     val tfCols = qts.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("token") === t, col("tf"))), lit(0.0)).as(s"tf_$i") }
-    val cand = pl.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    // the allow-set gates CANDIDATES, before any ranking cut — a
+    // post-filter of the top-k would return fewer than k (or zero)
+    // matching docs, the classic filtered-search wrong answer. Scores
+    // are unchanged by the gate: idf/avgdl stay corpus-global (the df
+    // aggregate below reads the UNGATED pruned scan), matching Qdrant's
+    // filtered-search semantics where the filter narrows candidates,
+    // not the statistics.
+    val gated = allow.fold(pl)(a =>
+      pl.join(a.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val cand = gated.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
     // per-term document frequencies from the SAME pruned scan
     val dfCols = qts.zipWithIndex.map { case (t, i) =>
       sum(when(col("token") === t, 1L).otherwise(0L)).cast("double").as(s"df_$i") }
@@ -76,9 +86,11 @@ class HybridIndex private (spark: SparkSession, path: String) {
   /** Cosine top-k for one query vector — map-side distance against the
     * persisted vectors, k-row TakeOrdered; the corpus never shuffles.
     */
-  def vectorSearch(qvec: Seq[Double], k: Int = 10): DataFrame = {
+  def vectorSearch(qvec: Seq[Double], k: Int = 10,
+                   allow: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("doc_id"))
-    vectors
+    allow.fold(vectors)(a =>
+        vectors.join(a.select("doc_id"), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"),
         round(cosineSim(col("vec"), typedLit(qvec)), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id")).limit(k)
@@ -90,11 +102,12 @@ class HybridIndex private (spark: SparkSession, path: String) {
     * ranker contributes 1/(rrfK + rank) for its top-`depth` docs.
     */
   def search(terms: Seq[String], qvec: Seq[Double], k: Int = 10,
-             depth: Int = 20, rrfK: Int = 60): DataFrame = {
+             depth: Int = 20, rrfK: Int = 60,
+             allow: Option[DataFrame] = None): DataFrame = {
     val wKw = Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
-    val kw = keywordSearch(terms, depth)
+    val kw = keywordSearch(terms, depth, allow = allow)
       .withColumn("rank_kw", row_number().over(wKw).cast("long"))
-    val vec = vectorSearch(qvec, depth)
+    val vec = vectorSearch(qvec, depth, allow = allow)
     val wFused = Window.partitionBy(lit(0)).orderBy(col("rrf").desc, col("doc_id"))
     kw.select(col("doc_id"), col("rank_kw"))
       .join(vec.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")

@@ -49,6 +49,44 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("allow-set filtering gates candidates before the cut, never after") {
+    import spark.implicits._
+    val terms = Seq("join", "hash", "scan", "merge")
+    // an allow set that the unfiltered top-k mostly misses: even doc_ids
+    val allow = Tables.documents(spark, sf)
+      .select("doc_id").filter(col("doc_id") % 2 === 0)
+    val allowSet = allow.collect().map(_.getLong(0)).toSet
+
+    // per-doc scores are independent of other candidates, so filtering
+    // candidates commutes with scoring: filtered top-k == (unfiltered
+    // FULL-depth ranking) restricted to the allow set, cut to k
+    val fullKw = index.keywordSearch(terms, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expectKw = fullKw.filter(t => allowSet(t._1)).take(5).toSeq
+    val gotKw = index.keywordSearch(terms, k = 5, allow = Some(allow))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotKw === expectKw)
+    assert(gotKw.nonEmpty && gotKw.forall(t => allowSet(t._1)))
+
+    val fullVec = index.vectorSearch(qvec, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expectVec = fullVec.filter(t => allowSet(t._1)).take(5).toSeq
+    val gotVec = index.vectorSearch(qvec, k = 5, allow = Some(allow))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotVec === expectVec)
+
+    // fused: every hit obeys the filter, ranks are dense from 1, and an
+    // all-covering allow set is a no-op (identity)
+    val fused = index.search(terms, qvec, k = 5, allow = Some(allow)).collect()
+    assert(fused.nonEmpty && fused.forall(r => allowSet(r.getLong(1))))
+    assert(fused.map(_.getLong(0)).toSeq === (1L to fused.length))
+    val everything = Tables.documents(spark, sf).select("doc_id")
+    val viaAll = index.search(terms, qvec, k = 5, allow = Some(everything))
+      .collect().map(_.toSeq)
+    val unfiltered = index.search(terms, qvec, k = 5).collect().map(_.toSeq)
+    assert(viaAll.toSeq === unfiltered.toSeq)
+  }
+
   test("keywordSearch survives duplicate and dotted query terms") {
     // duplicate terms dedupe on entry (no ambiguous-alias analysis
     // error) and score identically to the distinct list; terms holding

@@ -116,6 +116,26 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
       range = Map("uid" -> (-100L, -99L))).count() === 1L)
   }
 
+  test("the range residual pushes to the parquet scan inside each zone") {
+    val root = tmp()
+    val base = df((1L to 64L).map(i => (i, s"t${i % 2}", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4)
+    // the claim in the scaladoc: zones prune directories AND the raw
+    // field's >=/<= residual reaches PushedFilters, so row-group
+    // min/max stats (files are sorted by uid within each zone) prune
+    // again INSIDE the selected zone directories
+    val scan = idx.read(range = Map("uid" -> (10L, 12L)))
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(uid,10)") &&
+      pushed.contains("LessThanOrEqual(uid,12)"),
+      s"range residual must reach the parquet scan, got: $pushed")
+  }
+
   test("insert refuses a batch whose columns do not match the indexed schema") {
     val root = tmp()
     val base = df(Seq((1L, "a", "x"))).withColumnRenamed("id", "uid")

@@ -122,6 +122,71 @@ class HybridIndex private (spark: SparkSession, path: String) {
       .orderBy("rank")
   }
 
+  /** SPARSE-vector query against the persisted postings — Qdrant's
+    * sparse named-vector search served from the SAME artifact the
+    * keyword tier uses (a sparse vector IS an inverted-index query; no
+    * second index). The caller supplies (term → weight) — a SPLADE-class
+    * model head in a real deployment; score = the sparse dot product
+    * against corpus tf·idf weights (tf·ln((N+1)/(df+1)) — ONE
+    * convention, shared with the `vs_sparse_search` operator and
+    * parity-spec'd). Scale shape: only the query's terms' posting lists
+    * are read (token-IN pruned scan), per-doc partials reduce map-side,
+    * the corpus never shuffles; products round to 6dp and sum as
+    * DECIMAL, engine-exact. `allow` gates candidates before the cut
+    * ([[keywordSearch]]'s filtered-search discipline).
+    */
+  def sparseSearch(query: Map[String, Double], k: Int = 10,
+                   allow: Option[DataFrame] = None): DataFrame = {
+    require(query.nonEmpty, "sparse query must have at least one term")
+    import spark.implicits._
+    val q = broadcast(query.toSeq.toDF("token", "qw"))
+    scoreSparse(sparseWeights(query.keys.toSeq), q, k, allow)
+  }
+
+  /** [[sparseSearch]] with the query vector DERIVED from an indexed
+    * document's own postings (the more-like-this form; the
+    * `vs_sparse_search` operator's shape): qw = the doc's tf·idf
+    * weights, the doc itself excluded from results.
+    */
+  def sparseSearchByDoc(queryDoc: Long, k: Int = 10,
+                        allow: Option[DataFrame] = None): DataFrame = {
+    // one document's distinct terms — bounded by doc length, the same
+    // class of driver state as a user-supplied query vector
+    val qts = postings.filter(col("doc_id") === queryDoc)
+      .select("token").collect().map(_.getString(0)).toSeq
+    require(qts.nonEmpty, s"doc $queryDoc has no postings in this index")
+    val w = sparseWeights(qts)
+    val q = broadcast(w.filter(col("doc_id") === queryDoc)
+      .select(col("token"), col("w").as("qw")))
+    scoreSparse(w.filter(col("doc_id") =!= queryDoc), q, k, allow)
+  }
+
+  /** tf·idf weights over the query terms' posting lists only (df from
+    * the same pruned scan; N from the persisted stats).
+    */
+  private def sparseWeights(qts: Seq[String]): DataFrame = {
+    val pl = postings.filter(col("token").isin(qts.distinct: _*))
+    val dfs = pl.groupBy("token").agg(count(lit(1)).as("df"))
+    pl.join(dfs, "token").crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("w"))
+  }
+
+  private def scoreSparse(w: DataFrame, q: DataFrame, k: Int,
+                          allow: Option[DataFrame]): DataFrame = {
+    val gated = allow.fold(w)(a =>
+      w.join(a.select("doc_id"), Seq("doc_id"), "left_semi"))
+    gated.join(q, "token")
+      .withColumn("prod", round(col("w") * col("qw"), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id").agg(sum("prod").as("sc"))
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(k)
+      // exact 6dp-decimal sum: emit the unrounded cast (see multivec)
+      .select(col("doc_id"), col("sc").cast("double").as("score"))
+  }
+
   /** The postings relation (for plan inspection / maintenance jobs). */
   def postingsRelation: DataFrame = postings
 

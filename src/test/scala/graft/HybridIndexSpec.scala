@@ -87,6 +87,34 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(viaAll.toSeq === unfiltered.toSeq)
   }
 
+  test("sparseSearchByDoc is bit-for-bit parity with the vs_sparse_search operator") {
+    val expected = VectorStore.sparseSearch(spark, sf, queryDoc = 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = index.sparseSearchByDoc(0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("sparseSearch accepts an explicit query vector and honors the allow set") {
+    val q = Map("join" -> 2.0, "hash" -> 1.0, "scan" -> 0.5)
+    val hits = index.sparseSearch(q, k = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.nonEmpty)
+    assert(hits.map(_._2).toSeq === hits.map(_._2).sortBy(-_).toSeq) // desc scores
+    // allow gates candidates before the cut: restrict-then-cut equals
+    // full-depth-cut-then-restrict (per-doc scores candidate-independent)
+    val allow = Tables.documents(spark, sf)
+      .select("doc_id").filter(col("doc_id") % 2 === 0)
+    val allowSet = allow.collect().map(_.getLong(0)).toSet
+    val full = index.sparseSearch(q, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = full.filter(t => allowSet(t._1)).take(4).toSeq
+    val gotAllow = index.sparseSearch(q, k = 4, allow = Some(allow)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotAllow === expect)
+  }
+
   test("keywordSearch survives duplicate and dotted query terms") {
     // duplicate terms dedupe on entry (no ambiguous-alias analysis
     // error) and score identically to the distinct list; terms holding

@@ -105,9 +105,17 @@ final class PayloadIndex private[api] (
     * `_SUCCESS`), THEN the data appends. A crash between the two leaves
     * a manifest wider than the data — pruning stays CORRECT (a wider
     * zone can only select more directories, never miss a row); the
-    * replayed insert re-widens idempotently. The reverse order would
-    * leave out-of-range rows invisible to range reads — silent wrong
-    * answers, the one failure layout indexes must never have.
+    * replayed insert re-widens idempotently (though the data rows
+    * re-append: ingest is AT-LEAST-ONCE under replay — dedupe upstream
+    * or rebuild, the [[AnnIndex.insert]] contract). The reverse order
+    * would leave out-of-range rows invisible to range reads — silent
+    * wrong answers, the one failure layout indexes must never have.
+    *
+    * The widened manifest merges against the NEWEST COMMITTED manifest
+    * on disk, not just this object's (possibly stale) snapshot of it: a
+    * stale handle committing its own view as a later generation would
+    * UN-widen bounds another insert already published — the same
+    * pruning-miss class, introduced through the side door.
     */
   def insert(batch: DataFrame): PayloadIndex = {
     require(batch.columns.toSet == original.map(_.name).toSet,
@@ -136,7 +144,18 @@ final class PayloadIndex private[api] (
               max(col(f)).cast("long").as("zmax"))
             .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
         }.toMap
-        zones.map { case (f, zs) => f -> zs.map { case (z, zmin, zmax) =>
+        // three-way merge: newest committed on-disk manifest ∪ this
+        // handle's view ∪ the batch (see stale-handle note above)
+        val disk: Map[String, Map[Int, (Long, Long)]] = spark
+          .read.parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).view
+          .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
+        zones.map { case (f, zs) => f -> zs.map { case (z, zmin0, zmax0) =>
+          val (dMin, dMax) = disk.getOrElse(f, Map.empty)
+            .getOrElse(z, (zmin0, zmax0))
+          val (zmin, zmax) = (math.min(zmin0, dMin), math.max(zmax0, dMax))
           batchStats.get((f, z)) match {
             case Some((bMin, bMax)) => (z, math.min(zmin, bMin), math.max(zmax, bMax))
             case None => (z, zmin, zmax)

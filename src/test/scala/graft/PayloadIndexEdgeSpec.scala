@@ -136,6 +136,26 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
       s"range residual must reach the parquet scan, got: $pushed")
   }
 
+  test("a stale handle's insert cannot un-widen a newer on-disk manifest") {
+    val root = tmp()
+    val base = df((1L to 32L).map(i => (i, "t", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    val stale = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq("uid"), nZones = 4)
+    // writer A (a fresher handle) widens the manifest down to -50
+    PayloadIndex.load(spark, root)
+      .insert(df(Seq((-50L, "t", "low"))).withColumnRenamed("id", "uid"))
+    // writer B inserts through the STALE pre-widening handle: its view
+    // says zone 0 starts at 1 — committing that view as a later
+    // generation would hide uid=-50 from range reads forever
+    stale.insert(df(Seq((10L, "t", "mid"))).withColumnRenamed("id", "uid"))
+    val latest = PayloadIndex.load(spark, root)
+    assert(latest.zones("uid").sortBy(_._1).head._2 === -50L,
+      "the stale insert must merge the on-disk widening, not clobber it")
+    assert(latest.read(range = Map("uid" -> (-60L, -40L))).count() === 1L)
+    assert(latest.read().count() === 34L)
+  }
+
   test("insert refuses a batch whose columns do not match the indexed schema") {
     val root = tmp()
     val base = df(Seq((1L, "a", "x"))).withColumnRenamed("id", "uid")

@@ -68,20 +68,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // replicated — the batched-search shape every operator here uses).
     // This is PlanAudit's cartesian lint promoted from report to gate.
     ext.injectCheckRule { session => plan =>
-      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint, SHUFFLE_REPLICATE_NL}
       import org.apache.spark.sql.catalyst.plans.Inner
       // a hint only blesses THIS join if it sits on the join side
       // itself — recursion stops at nested Joins, so a broadcast deep
       // inside one arm can't silently bless an unrelated outer product.
-      // Only a BROADCAST strategy counts: a MERGE/SHUFFLE_HASH hint on
-      // a condition-less inner join still plans a cartesian/nested-loop
-      // product (equi-join strategies need keys), so it must not pass
-      // the gate.
-      def broadcastHinted(p: LogicalPlan): Boolean = p match {
-        case h: ResolvedHint => h.hints.strategy.contains(BROADCAST)
+      // Strategies that count: BROADCAST (the replicated-small-side
+      // batched-search shape) and SHUFFLE_REPLICATE_NL (the sanctioned
+      // Spark idiom for a DELIBERATE large-large cartesian — its whole
+      // purpose is the product, so it is an explicit opt-in, not an
+      // accident). MERGE/SHUFFLE_HASH do NOT: equi-join strategies need
+      // keys, so on a condition-less inner join they still plan an
+      // accidental product.
+      def deliberateHinted(p: LogicalPlan): Boolean = p match {
+        case h: ResolvedHint => h.hints.strategy.contains(BROADCAST) ||
+          h.hints.strategy.contains(SHUFFLE_REPLICATE_NL)
         case _: Join => false
-        case other => other.children.exists(broadcastHinted)
+        case other => other.children.exists(deliberateHinted)
       }
+      def broadcastHinted(p: LogicalPlan): Boolean = deliberateHinted(p)
       if (session.conf.getOption("spark.graft.strictJoins").contains("true")) {
         plan.foreach {
           case j @ Join(left, right, Inner, None, _)

@@ -142,9 +142,13 @@ object AnnIndex {
     import spark.implicits._
     cents.toSeq.toDF("cid", "centroid")
       .write.mode("overwrite").parquet(path + "_centroids")
-    if (keyword.nonEmpty)
-      keyword.toDF("field").coalesce(1)
-        .write.mode("overwrite").parquet(path + "_fields")
+    // ALWAYS written (possibly empty): an in-place rebuild WITHOUT
+    // keyword axes must not leave a stale manifest from a previous
+    // keyword-partitioned build — load would then claim axes the new
+    // layout does not have (insert would mix partition depths, eq reads
+    // would claim pruning that never happens)
+    keyword.toDF("field").coalesce(1)
+      .write.mode("overwrite").parquet(path + "_fields")
     new AnnIndex(spark, path, cents, keyword)
   }
 

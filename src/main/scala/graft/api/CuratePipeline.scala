@@ -136,7 +136,13 @@ object CuratePipeline {
     val (afterSemantic, nSemantic) = semanticTau match {
       case None => (afterWinnow, None)
       case Some(tau) =>
-        val dropped = Dedup.semanticDedup(s, d, t = tau)
+        // over the RAW embeddings, not the twin-planted eval corpus the
+        // benchmark row uses — an eval-corpus drop set can name a real
+        // doc whose only "near-dup" is a planted phantom
+        val rawEmb = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            graft.functions.Vectors.toDouble(col("embedding")).as("vec"))
+        val dropped = Dedup.semanticDedupOver(s, d, rawEmb, "semdedup-raw", t = tau)
           .filter(!col("kept")).select(col("vec_id").as("doc_id"))
         val kept = afterWinnow.join(broadcast(dropped), Seq("doc_id"), "left_anti")
           .cache()

@@ -187,6 +187,20 @@ class HybridIndex private (spark: SparkSession, path: String) {
       .select(col("doc_id"), col("sc").cast("double").as("score"))
   }
 
+  /** Release this handle's cached relations (doclens/vectors — cached
+    * in the constructor for repeated searches within a session). A
+    * maintenance loop that opens a NEW generation per micro-batch MUST
+    * close each handle it opens, or CacheManager entries and storage
+    * blocks grow by the batch count for the stream's lifetime —
+    * including entries pointing at generation directories the rotation
+    * GC already deleted. Idempotent; searching through a closed handle
+    * still works (uncached scans).
+    */
+  def close(): Unit = {
+    doclens.unpersist()
+    vectors.unpersist()
+  }
+
   /** The postings relation (for plan inspection / maintenance jobs). */
   def postingsRelation: DataFrame = postings
 

@@ -122,6 +122,10 @@ final class PayloadIndex private[api] (
       s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
     val integer = fields.collect { case (f, "integer") => f }
+    // cached: the SAME materialization must feed both the manifest
+    // stats and the data write — a non-deterministic batch re-evaluated
+    // per pass could append rows the committed manifest does not cover
+    // (a pruning miss, silent)
     val withZones = integer.foldLeft(normalized) { (df, f) =>
       val zs = zones(f).sortBy(_._1)
       // assignment boundary = each zone's recorded max (except the
@@ -131,7 +135,7 @@ final class PayloadIndex private[api] (
         acc + when(col(f) > b, 1).otherwise(0) }
       df.withColumn(zoneCol(f),
         element_at(array(zs.map(z => lit(z._1)): _*), idxCol + 1))
-    }
+    }.cache()
     // 1. widened manifest first (see ordering note above)
     val spark0 = spark
     import spark0.implicits._
@@ -139,7 +143,11 @@ final class PayloadIndex private[api] (
       if (integer.isEmpty) zones
       else {
         val batchStats: Map[(String, Int), (Long, Long)] = integer.flatMap { f =>
-          withZones.groupBy(col(zoneCol(f)).as("zone"))
+          // null field values carry no range information (range reads
+          // exclude nulls by SQL semantics) and an all-null zone group
+          // would NPE the getLong below
+          withZones.filter(col(f).isNotNull)
+            .groupBy(col(zoneCol(f)).as("zone"))
             .agg(min(col(f)).cast("long").as("zmin"),
               max(col(f)).cast("long").as("zmax"))
             .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
@@ -173,6 +181,7 @@ final class PayloadIndex private[api] (
     withZones
       .sortWithinPartitions((partCols ++ integer).map(col): _*)
       .write.mode("append").partitionBy(partCols: _*).parquet(s"$root/data")
+    withZones.unpersist()
     new PayloadIndex(spark, root, fields, widened, schemaDdl)
   }
 }
@@ -205,7 +214,10 @@ object PayloadIndex {
       s"fields cannot be both keyword and integer: ${keyword.intersect(integer)}")
 
     // zone assignment: value > boundary_i counts — an nZones-term
-    // codegen'd when-sum, boundaries from one exact-percentile pass
+    // codegen'd when-sum, boundaries from one exact-percentile pass.
+    // Cached: the SAME materialization must feed the data write and the
+    // zone manifest (a non-deterministic `points` plan re-evaluated per
+    // pass could write rows the manifest does not cover)
     val withZones = integer.foldLeft(points) { (df, f) =>
       val bounds = points
         .select(expr(s"percentile(`$f`, array(${
@@ -214,7 +226,7 @@ object PayloadIndex {
       df.withColumn(zoneCol(f),
         bounds.foldLeft(lit(0)) { (acc, b) =>
           acc + when(col(f) > b, 1).otherwise(0) })
-    }
+    }.cache()
     val partCols = keyword ++ integer.map(zoneCol)
     withZones
       .repartition(partCols.map(col): _*)
@@ -228,8 +240,11 @@ object PayloadIndex {
     fieldRows.toDF("field", "kind").coalesce(1)
       .write.parquet(s"$root/fields")
     // exact per-zone [min, max] — the pruning map range reads consult
+    // (nulls excluded: they carry no range information and an all-null
+    // zone group would NPE the getLong)
     val zoneRows = integer.flatMap { f =>
-      withZones.groupBy(col(zoneCol(f)).as("zone"))
+      withZones.filter(col(f).isNotNull)
+        .groupBy(col(zoneCol(f)).as("zone"))
         .agg(min(col(f)).cast("long").as("zmin"),
           max(col(f)).cast("long").as("zmax"))
         .collect().map(r => (f, r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -239,6 +254,7 @@ object PayloadIndex {
     // newest committed one)
     zoneRows.toDF("field", "zone", "zmin", "zmax").coalesce(1)
       .write.parquet(s"$root/zones/${VectorIndex.generationDir(0L)}")
+    withZones.unpersist()
     val ddl = points.schema.toDDL
     val out = fs.create(new Path(root, "schema.ddl"), false)
     out.write(ddl.getBytes("UTF-8")); out.close()

@@ -45,8 +45,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: planning is one per-bucket aggregate per node (the
   * [[ShardTransfer.plan]] manifest — nodes × buckets driver rows);
   * apply reads each moved bucket once with partition pruning and
-  * writes one bucketed generation per target node; audit is one
-  * fingerprint aggregate per node pair — never a join of point data.
+  * writes one bucketed generation per target node; audit is ONE
+  * per-bucket manifest aggregate per distinct root, compared
+  * driver-side — never a join of point data, never a job per
+  * (bucket, replica) pair.
   */
 object ReplicaPlanner {
 
@@ -128,14 +130,27 @@ object ReplicaPlanner {
   /** Per-(bucket, replica) divergence report: the replica's content
     * fingerprint against the primary's, `in_sync` = exact match. The
     * read-quorum certificate and the anti-entropy trigger.
+    *
+    * ONE manifest job per DISTINCT root ([[ShardTransfer.plan]]'s
+    * per-bucket (n, xor-hash) aggregate), joined driver-side — NOT a
+    * fingerprint job per (bucket, replica) pair, which would turn a
+    * handful of scans into B×R sequential ones at realistic bucket
+    * counts.
     */
   def audit(spark: SparkSession, p: Plan): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
+    val roots = (p.placements.map(_.primary) ++
+      p.placements.flatMap(_.replicas).map(replicaRoot)).distinct.sorted
+    val manifests: Map[String, Map[Int, (Long, Long)]] = roots.map { r =>
+      r -> ShardTransfer.plan(spark, r).collect()
+        .map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2))).toMap
+    }.toMap
+    val absent = (0L, 0L) // same value fingerprintOf gives a missing bucket
     val rows = p.placements.flatMap { pl =>
-      val primaryFp = ShardTransfer.fingerprintOf(spark, pl.primary, Seq(pl.bucket))
+      val primaryFp = manifests(pl.primary).getOrElse(pl.bucket, absent)
       pl.replicas.map { node =>
-        val fp = ShardTransfer.fingerprintOf(spark, replicaRoot(node), Seq(pl.bucket))
+        val fp = manifests(replicaRoot(node)).getOrElse(pl.bucket, absent)
         (pl.bucket, node, fp._1, primaryFp._1, fp == primaryFp)
       }
     }

@@ -933,9 +933,23 @@ object Dedup {
     * near-dup pairs within a cluster).
     */
   def semanticDedup(s: SparkSession, d: String, t: Double = 0.99,
-                    nlist: Int = 16, iters: Int = 3): DataFrame = {
-    val all = nearDupCorpus(s, d).cache()
-    val cents = Ann.kmeansCentroidsCached(s, d, "semdedup", all, nlist, iters)
+                    nlist: Int = 16, iters: Int = 3): DataFrame =
+    semanticDedupOver(s, d, nearDupCorpus(s, d), "semdedup", t, nlist, iters)
+
+  /** [[semanticDedup]]'s core over an EXPLICIT corpus. The inventory
+    * row runs it over [[nearDupCorpus]] (the twin-planted eval corpus,
+    * so near-dup positives exist in synthetic data); a PIPELINE caller
+    * must pass the real embeddings table instead —
+    * [[graft.api.CuratePipeline]] consuming the eval-corpus drop set
+    * would delete a real document whose only "near-dup" is a planted
+    * phantom that exists in no documents table (a unique doc silently
+    * lost, the one thing a dedup gate must never do).
+    */
+  private[graft] def semanticDedupOver(s: SparkSession, d: String,
+      corpus: DataFrame, quantizerKey: String, t: Double = 0.99,
+      nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val all = corpus.cache()
+    val cents = Ann.kmeansCentroidsCached(s, d, quantizerKey, all, nlist, iters)
     val assigned = all
       .select(col("vec_id"), col("vec"),
         array_sort(Ann.centroidStructs(col("vec"), cents))(0).as("nc"))

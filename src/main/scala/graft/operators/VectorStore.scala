@@ -664,7 +664,16 @@ object VectorStore {
     * artifact living beside the collection), then served by every
     * payload-filtered query.
     */
-  private val payloadIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex]
+  private val payloadIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](
+    // on evict, reclaim the temp artifact (a full partitioned rewrite of
+    // the points table — the one memo here whose state is DISK, not
+    // cached blocks; stranding it would leak a corpus copy per session)
+    idx => {
+      val p = new org.apache.hadoop.fs.Path(idx.root).getParent
+      try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(p, true)
+      catch { case _: java.io.IOException => () } // best-effort reap
+    })
 
   private[graft] def payloadIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
     payloadIdxMemo.getOrElseUpdate(s, d, ()) {

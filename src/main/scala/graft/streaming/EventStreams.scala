@@ -244,13 +244,23 @@ object EventStreams {
         val s = batch.sparkSession
         val out = s"$root/${VectorIndex.generationDir(batchId)}"
         val live = HybridIndex.resolveLive(s, root)
-        if (!live.contains(out)) { // committed-before-crash replay skips
+        // replay skip compares GENERATION NAMES, not path strings:
+        // resolveLive hands back a Hadoop-QUALIFIED path ("file:/...")
+        // while `out` keeps the caller's raw spelling — a string compare
+        // never matches, so a crash-recovery replay of an
+        // already-committed batch would re-open gen-N and mode-overwrite
+        // INTO gen-N while reading from it (self-overwrite)
+        val liveName = live.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName)
+        if (!liveName.contains(VectorIndex.generationDir(batchId))) {
           val newDocs = batch.select("doc_id", "text")
           val newVecs = batch.select("doc_id", "vec")
           live match {
             case Some(liveDir) =>
-              HybridIndex.open(s, liveDir).insertTo(newDocs, newVecs, out)
-            case None => HybridIndex.build(s, newDocs, newVecs, out)
+              val opened = HybridIndex.open(s, liveDir)
+              try opened.insertTo(newDocs, newVecs, out).close()
+              finally opened.close() // per-batch caches must not outlive the batch
+            case None => HybridIndex.build(s, newDocs, newVecs, out).close()
           }
           // best-effort GC: keep the new + previous generation only
           val rootP = new org.apache.hadoop.fs.Path(root)

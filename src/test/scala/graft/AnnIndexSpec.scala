@@ -147,6 +147,24 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(hits.head.getLong(0) === 31L)
   }
 
+  test("an in-place rebuild without keyword axes clears the stale axis manifest") {
+    val path = tmp("kwrebuild")
+    val tagged = corpus.withColumn("lang",
+      when(col("vec_id") % 2 === 0, "en").otherwise("fr"))
+    AnnIndex.build(tagged, path, nlist = 4, keyword = Seq("lang"))
+    assert(AnnIndex.load(spark, path).keywordFields === Seq("lang"))
+    // rebuild WITHOUT axes over the same path: the manifest must follow
+    // the layout, or load would claim axes the data is not partitioned
+    // by (insert would mix partition depths, eq would claim pruning)
+    AnnIndex.build(corpus, path, nlist = 4)
+    val rebuilt = AnnIndex.load(spark, path)
+    assert(rebuilt.keywordFields === Seq.empty)
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    intercept[IllegalArgumentException](
+      rebuilt.search(qvec, eq = Map("lang" -> Seq("en"))))
+    assert(rebuilt.search(qvec, k = 3, nprobe = 4).head().getLong(0) === 7L)
+  }
+
   test("imbalance audit accounts for every vector with a sane skew ratio") {
     val path = tmp("audit")
     val idx = AnnIndex.build(corpus, path, nlist = 4)

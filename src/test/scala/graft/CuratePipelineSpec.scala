@@ -63,10 +63,21 @@ class CuratePipelineSpec extends SparkSpecBase {
     assert(r.nAfterSemantic.isDefined && base.nAfterSemantic.isEmpty)
     val Some(nSem) = r.nAfterSemantic
     assert(r.nAfterWinnow >= nSem && nSem >= r.nAfterBoilerplate)
-    // exactness: kept docs = winnow survivors minus the standalone
-    // operator's dropped set (one definition of the verdict)
-    val droppedStandalone = graft.operators.Dedup.semanticDedup(spark, sf, t = 0.99)
+    // exactness: kept docs = winnow survivors minus the RAW-corpus
+    // drop set (one definition of the verdict — over the real
+    // embeddings, NOT the twin-planted eval corpus the benchmark row
+    // uses: an eval-corpus drop can name a real doc whose only
+    // "near-dup" is a planted phantom)
+    val rawEmb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("vec"))
+    val droppedStandalone = graft.operators.Dedup
+      .semanticDedupOver(spark, sf, rawEmb, "semdedup-raw", t = 0.99)
       .filter(!col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    // and NO real document may be dropped on account of a planted
+    // phantom: every drop must have a real higher-priority near-dup
+    val realIds = rawEmb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(droppedStandalone.subsetOf(realIds))
     val kept = spark.read.parquet(out1).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept.intersect(droppedStandalone).isEmpty,

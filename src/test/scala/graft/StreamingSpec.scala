@@ -301,6 +301,16 @@ class StreamingSpec extends SparkSpecBase {
       val gens = new java.io.File(root).listFiles()
         .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
       assert(gens.length <= 2 && gens.last === graft.api.VectorIndex.generationDir(1L))
+      // the replay-skip invariant: resolveLive hands back a
+      // FILESYSTEM-QUALIFIED path (a raw-string compare against the
+      // caller's spelling of root/gen-N would never match — the skip
+      // must compare generation NAMES), and its name is the live gen
+      val livePath = HybridIndex.resolveLive(spark, root).get
+      assert(livePath != s"$root/${graft.api.VectorIndex.generationDir(1L)}",
+        "qualified vs raw spelling — if these ever compare equal, the " +
+          "name-based skip can revert to path equality")
+      assert(new org.apache.hadoop.fs.Path(livePath).getName ===
+        graft.api.VectorIndex.generationDir(1L))
     } finally q.stop()
   }
 

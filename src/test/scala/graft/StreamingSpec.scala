@@ -295,6 +295,11 @@ class StreamingSpec extends SparkSpecBase {
       val (terms, qvec) = (Seq("beta", "epsilon"), Seq(1.0, 0.0))
       assert(live.search(terms, qvec).collect().toSeq ===
         rebuilt.search(terms, qvec).collect().toSeq)
+      // the sparse tier serves identically through the streamed artifact
+      assert(live.sparseSearchByDoc(2L).collect().toSeq ===
+        rebuilt.sparseSearchByDoc(2L).collect().toSeq)
+      assert(live.sparseSearch(Map("beta" -> 1.0)).collect().toSeq ===
+        rebuilt.sparseSearch(Map("beta" -> 1.0)).collect().toSeq)
       assert(live.keywordSearch(Seq("alpha")).count() === 0L,
         "doc 1's old postings must be replaced, not merged")
       // rotation: at most the live + previous generation remain on disk

@@ -100,6 +100,12 @@ object Bench {
       "dedup_grams_warm" -> (Seq("dedup_ngram_jaccard", "dedup_containment")
         .exists(selected.contains),
         () => { operators.Dedup.ngramJaccard(spark, sfDir).count(); () }),
+      // the (doc_id, simhash) signature relation shared by dedup_simhash
+      // and dedup_recall_eval's simhash arm (the r7 regression: the
+      // vote-aggregation reshape ran inside the eval line)
+      "dedup_simhash_warm" -> (Seq("dedup_simhash", "dedup_recall_eval")
+        .exists(selected.contains),
+        () => { operators.Dedup.simhashSigs(spark, sfDir).count(); () }),
       // the market-basket family's shared memoized pair-support relation
       // (basketPairSupport): same discipline — the one corpus-scale mine
       // is timed HERE once; pairs/lift query lines then measure pure
@@ -128,10 +134,12 @@ object Bench {
       "ivfpq_codebook_warm" -> (Seq("emb_ivfpq_search", "ann_recall_eval")
         .exists(selected.contains),
         () => { operators.Embeddings.ivfPqModel(spark, sfDir); () }),
-      // the memoized PayloadIndex build (one partitioned rewrite — the
-      // create_payload_index job): forced here so the indexed-search
-      // line measures pure pruned serving
-      "payload_index_warm" -> (selected.contains("vs_search_topk_filtered_indexed"),
+      // the memoized PayloadIndex build (one partitioned rewrite + the
+      // text-field postings — the create_payload_index job): forced
+      // here so the indexed query lines measure pure pruned serving
+      "payload_index_warm" -> (Seq("vs_search_topk_filtered_indexed",
+        "vs_search_match_text_indexed", "vs_delete_by_word_indexed",
+        "vs_delete_by_regex_indexed").exists(selected.contains),
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
       // the materialized per-doc LM score table, shared by the lm-score
       // and ccnet-bucket lines: whichever ran first paid the

@@ -29,10 +29,14 @@ object SparkEntry {
     "vs_search_topk" -> VectorStore.searchTopK _,
     "vs_search_topk_filtered" -> VectorStore.searchTopKFiltered _,
     "vs_search_topk_filtered_indexed" -> VectorStore.searchTopKFilteredIndexed _,
+    "vs_search_match_text_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchTextIndexed(s, d)),
     "vs_search_batch" -> VectorStore.searchBatch _,
     "vs_delete_by_user" -> VectorStore.deleteByUser _,
     "vs_delete_by_word" -> VectorStore.deleteByWord _,
+    "vs_delete_by_word_indexed" -> VectorStore.deleteByWordIndexed _,
     "vs_delete_by_regex" -> VectorStore.deleteByRegex _,
+    "vs_delete_by_regex_indexed" -> VectorStore.deleteByRegexIndexed _,
     "vs_classify_nearest" -> VectorStore.classifyNearest _,
     "vs_count_by_tenant" -> VectorStore.countByTenant _,
     "vs_embed_text" -> ((s: SparkSession, d: String) => VectorStore.embedTextFlat(s, d)),
@@ -584,7 +588,17 @@ object SparkEntry {
     "vs_delete_by_word" ->
       s"""WITH $PTS
          |SELECT id, seq FROM pts WHERE user_id = 3 AND text NOT LIKE '%batch%' ORDER BY id""".stripMargin,
+    // the postings-prefiltered routes answer the SAME questions as the
+    // scan-filter deletes — one oracle per question, two physical
+    // routes (the text index must only ever prune, never change rows)
+    "vs_delete_by_word_indexed" ->
+      s"""WITH $PTS
+         |SELECT id, seq FROM pts WHERE user_id = 3 AND text NOT LIKE '%batch%' ORDER BY id""".stripMargin,
     "vs_delete_by_regex" ->
+      s"""WITH $PTS
+         |SELECT id, seq FROM pts WHERE user_id = 3 AND NOT regexp_matches(text, 'key (scan|sort)')
+         |ORDER BY id""".stripMargin,
+    "vs_delete_by_regex_indexed" ->
       s"""WITH $PTS
          |SELECT id, seq FROM pts WHERE user_id = 3 AND NOT regexp_matches(text, 'key (scan|sort)')
          |ORDER BY id""".stripMargin,
@@ -2009,6 +2023,16 @@ object SparkEntry {
          |    AS n_upserted
          |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin,
     "vs_search_match_text" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || p.text || ' ', ' the ')
+         |    AND contains(' ' || p.text || ' ', ' data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the text-index route: same question, postings-prefiltered
+    "vs_search_match_text_indexed" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
          |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score

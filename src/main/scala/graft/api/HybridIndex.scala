@@ -147,15 +147,39 @@ class HybridIndex private (spark: SparkSession, path: String) {
     * document's own postings (the more-like-this form; the
     * `vs_sparse_search` operator's shape): qw = the doc's tf·idf
     * weights, the doc itself excluded from results.
+    *
+    * COST NOTE: deriving the query doc's term set requires a doc_id
+    * lookup against postings laid out BY TOKEN — the layout prunes
+    * nothing for that predicate, so this first step is one full
+    * postings scan (column-pruned to two columns, but every row group).
+    * The SCORING that follows keeps the pruned contract. A serving
+    * deployment that issues more-like-this at volume should keep a
+    * doc_id-keyed projection of postings (one extra sorted copy, the
+    * classic secondary layout) or pass the document's terms directly
+    * via [[sparseSearchByDocTerms]], which restores the
+    * only-the-query's-terms scan shape end-to-end.
     */
   def sparseSearchByDoc(queryDoc: Long, k: Int = 10,
                         allow: Option[DataFrame] = None): DataFrame = {
     // one document's distinct terms — bounded by doc length, the same
-    // class of driver state as a user-supplied query vector
+    // class of driver state as a user-supplied query vector. This scan
+    // is the full-postings step the scaladoc prices.
     val qts = postings.filter(col("doc_id") === queryDoc)
       .select("token").collect().map(_.getString(0)).toSeq
     require(qts.nonEmpty, s"doc $queryDoc has no postings in this index")
-    val w = sparseWeights(qts)
+    sparseSearchByDocTerms(queryDoc, qts, k, allow)
+  }
+
+  /** [[sparseSearchByDoc]] with the query document's terms supplied by
+    * the caller (from its stored text or a doc-keyed projection) — no
+    * doc_id probe of the token-ordered postings, so only the terms'
+    * posting lists are read, end-to-end. Terms absent from the index
+    * contribute nothing (they match no postings).
+    */
+  def sparseSearchByDocTerms(queryDoc: Long, terms: Seq[String], k: Int = 10,
+                             allow: Option[DataFrame] = None): DataFrame = {
+    require(terms.nonEmpty, s"doc $queryDoc needs at least one query term")
+    val w = sparseWeights(terms)
     val q = broadcast(w.filter(col("doc_id") === queryDoc)
       .select(col("token"), col("w").as("qw")))
     scoreSparse(w.filter(col("doc_id") =!= queryDoc), q, k, allow)

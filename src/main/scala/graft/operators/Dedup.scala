@@ -398,30 +398,47 @@ object Dedup {
     * bucket is under the cap (parity-spec'd; the cap is 0 rows at the
     * gate SFs), and the knob prices the trade explicitly past that.
     */
-  def simhash(s: SparkSession, d: String, dfCap: Int = 4096): DataFrame = {
-    // explode → per-bit vote aggregation (partial-agg'd 64-column sum),
-    // then reassemble the 64-bit signature from the vote signs.
-    // Features are distinct word BIGRAMS: the synthetic corpus has a
-    // ~20-word vocabulary, so unigram feature sets collide across
-    // unrelated docs and the block join degenerates to ~all-pairs;
-    // bigrams give a feature space that separates documents.
-    // hash bigrams to 64-bit BEFORE the distinct: the set-semantics
-    // shuffle carries (long, long) rows, not bigram strings
-    val hashed = shingleRows(Tables.documents(s, d), w = 2, distinct = false)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .dropDuplicates("doc_id", "h")
-    val voteCols = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sim = votes.select(col("doc_id"),
-      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-      // four consumers (distinct sigs, two expansion joins, the same-sig
-      // join) would each re-run the shingle-explode + 64-column vote agg
-      // — pin the tiny (doc_id, simhash) relation once
-      .localCheckpoint()
-    simhashPairsOf(sim, dfCap)
-  }
+  def simhash(s: SparkSession, d: String, dfCap: Int = 4096): DataFrame =
+    simhashPairsOf(simhashSigs(s, d), dfCap)
+
+  /** Session-scoped memo of the (doc_id, simhash) SIGNATURE relation —
+    * the [[minhashPairs]] pairMemo discipline on the simhash axis: the
+    * shingle-explode + 64-column vote aggregate is per-corpus-snapshot
+    * state consumed by [[simhash]] AND [[dedupRecallEval]]'s simhash
+    * arm (which used to pay the whole reshape inside the eval line —
+    * the one r6→r7 serving regression). Tiny (one long per doc),
+    * pinned by an EAGER localCheckpoint — the lineage TRUNCATION
+    * matters, not just the caching: the four sig-level consumers that
+    * follow (distinct sigs, two expansion joins, the same-sig join)
+    * would otherwise each carry the shingle-explode + 64-column vote
+    * aggregate in their plans (the PlanAudit shuffle budget catches
+    * exactly that). No onEvict: checkpointed RDD blocks are released
+    * by the ContextCleaner when the entry drops (DataFrame.unpersist
+    * cannot reach them).
+    */
+  private val simhashSigMemo = new SessionMemo[Unit, DataFrame]()
+
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigMemo.getOrElseUpdate(s, d, ()) {
+      // explode → per-bit vote aggregation (partial-agg'd 64-column
+      // sum), then reassemble the 64-bit signature from the vote signs.
+      // Features are distinct word BIGRAMS: the synthetic corpus has a
+      // ~20-word vocabulary, so unigram feature sets collide across
+      // unrelated docs and the block join degenerates to ~all-pairs;
+      // bigrams give a feature space that separates documents.
+      // hash bigrams to 64-bit BEFORE the distinct: the set-semantics
+      // shuffle carries (long, long) rows, not bigram strings
+      val hashed = shingleRows(Tables.documents(s, d), w = 2, distinct = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .dropDuplicates("doc_id", "h")
+      val voteCols = (0 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+      val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+        .localCheckpoint(true) // eager: the memo hands out pinned rows
+    }
 
   /** Sig-level banding candidates over any (doc_id, simhash) relation:
     * distinct signatures explode into 8 (blk, bval) buckets; buckets

@@ -321,12 +321,29 @@ object Embeddings {
     val dim = emb.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    // SAMPLE-BOUNDED codebook training (FAISS practice: each k-means
+    // fits on ~thousands of points per centroid, not the corpus): the
+    // residual frame computes ONCE and caches — previously each of the
+    // m codebooks re-derived it (assignment + zip_with over the full
+    // corpus), m× the work for identical rows — and the k-means input
+    // caps at `trainCap` rows via a deterministic hash-sample (mod-F on
+    // xxhash64(vec_id) — no RNG, stable across runs; at 100 TB the fit
+    // cost stays constant while the CODING of the corpus in
+    // [[ivfPqSearch]] remains full and exact). Under the cap the sample
+    // is the whole frame, so gate-SF codebooks are unchanged.
+    val trainCap = 50000L
+    val res = residualsOf(cents)(emb.filter(col("vec_id") >= 10)).cache()
+    val n = res.count()
+    val train =
+      if (n <= trainCap) res
+      else res.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / trainCap))) === 0)
     val books = (0 until m).map { j =>
       j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
-        residualsOf(cents)(emb.filter(col("vec_id") >= 10))
-          .select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
+        train.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
         nCodes, iters = 3)
     }
+    res.unpersist()
     (cents, books)
   }
 

@@ -29,7 +29,22 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
   private final class Holder(f: () => V) {
     @volatile private[SessionMemo] var evaluated = false
     @volatile private[SessionMemo] var dropped = false
+    @volatile private[SessionMemo] var evicted = false
     lazy val value: V = { val v = f(); evaluated = true; v }
+  }
+
+  // eviction is CONSUMED under the holder lock, so a drop() landing
+  // between build completion and getOrElseUpdate's post-check cannot
+  // double-fire onEvict (both sides used to run it — harmless for
+  // idempotent unpersist/dir-delete callbacks, wrong the day a
+  // non-idempotent one is registered). The lazy-val initializer runs
+  // under the same monitor, so this also waits out an in-flight build.
+  private def evictOnce(h: Holder): Unit = h.synchronized {
+    if (h.evaluated && !h.evicted) {
+      h.evicted = true
+      try onEvict(h.value)
+      catch { case _: Exception => () } // a stopped session can't unpersist
+    }
   }
   private val m =
     scala.collection.concurrent.TrieMap.empty[(String, String, K), Holder]
@@ -46,10 +61,9 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
     // evict a value that didn't exist yet — it left dropped=true
     // instead, and the build side releases its own blocks here (the
     // caller's value stays usable: unpersist only uncaches, lineage
-    // recomputes on next use)
-    if (holder.dropped)
-      try onEvict(built)
-      catch { case _: Exception => () }
+    // recomputes on next use). evictOnce makes this a no-op when the
+    // drop side already evicted.
+    if (holder.dropped) evictOnce(holder)
     built
   }
 
@@ -65,18 +79,15 @@ private[graft] final class SessionMemo[K, V](onEvict: V => Unit = (_: V) => ()) 
 
   private def drop(key: (String, String, K)): Unit =
     m.remove(key).foreach { h =>
-      // the lazy-val initializer runs under the holder's monitor, so
-      // acquiring it here WAITS OUT an in-flight build; re-checking
-      // evaluated under the lock then makes completed-build eviction
-      // certain. A build that starts strictly after this lock releases
-      // observes dropped=true and self-evicts in getOrElseUpdate —
-      // either way, no cached blocks survive the drop unreleased.
-      h.synchronized {
-        h.dropped = true
-        if (h.evaluated) // an unbuilt (and un-started) holder has nothing to release
-          try onEvict(h.value)
-          catch { case _: Exception => () } // a stopped session can't unpersist
-      }
+      // evictOnce acquires the holder's monitor (the lazy-val
+      // initializer's lock), so it WAITS OUT an in-flight build and
+      // evicts a completed one exactly once. A build that starts
+      // strictly after the lock releases observes dropped=true and
+      // self-evicts in getOrElseUpdate (also through evictOnce) —
+      // either way, no cached blocks survive the drop unreleased, and
+      // onEvict fires at most once per value.
+      h.dropped = true
+      evictOnce(h) // no-op on an unbuilt (and un-started) holder
     }
 }
 

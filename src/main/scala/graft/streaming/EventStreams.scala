@@ -274,6 +274,29 @@ object EventStreams {
       }
   }
 
+  /** STREAMING PAYLOAD-INDEX MAINTENANCE — the unbounded twin of
+    * [[graft.api.PayloadIndex!.insert]] (VERDICT r7 #5): each
+    * micro-batch lands in the SAME append-in-place partitioned layout
+    * (keyword directories, integer zones with manifest-first widening,
+    * text postings), but EXACTLY-ONCE — committed batchIds skip on
+    * replay, and an attempt that crashed mid-publish is swept by its
+    * batch-prefixed file names before re-publishing (the full protocol
+    * on [[graft.api.PayloadIndex!.insertCommitted]]). Batch rows must
+    * carry the indexed schema. Unlike the hybrid index's
+    * generation-per-batch rotation, the payload layout is append-only:
+    * readers see each batch atomically-per-file and pruning stays
+    * correct throughout (the manifest only ever widens).
+    */
+  def payloadMaintainStream(rows: DataFrame, root: String, checkpoint: String) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.api.PayloadIndex.load(batch.sparkSession, root)
+          .insertCommitted(batch, batchId)
+        ()
+      }
+
   /** STREAMING NEAR-DUP SUPPRESSION GATE — the unbounded twin of the
     * batch MinHash+LSH dedup (`Dedup.minhashLsh`): each micro-batch of
     * documents is reduced to (signature, sorted shingle-hash array)

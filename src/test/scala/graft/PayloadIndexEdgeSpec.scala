@@ -156,6 +156,126 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     assert(latest.read().count() === 34L)
   }
 
+  test("an all-null integer field is rejected at create with the real reason") {
+    val root = tmp()
+    val pts = df(Seq((1L, "a", "x"), (2L, "b", "y")))
+      .withColumn("uid", lit(null).cast("bigint"))
+    val e = intercept[IllegalArgumentException](
+      PayloadIndex.create(spark, pts, root,
+        keyword = Seq("tag"), integer = Seq("uid")))
+    // not a bare NoSuchElementException from the missing zones key
+    assert(e.getMessage.contains("uid") && e.getMessage.contains("NULL"))
+  }
+
+  test("exact and approx zone modes both prune and answer ranges identically") {
+    val base = df((1L to 100L).map(i => (i, s"t${i % 2}", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    val exact = PayloadIndex.create(spark, base, tmp(),
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4, exactZones = true)
+    val approx = PayloadIndex.create(spark, base, tmp(),
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4)
+    for (idx <- Seq(exact, approx)) {
+      // manifest covers the full range regardless of where boundaries fell
+      val zs = idx.zones("uid").sortBy(_._1)
+      assert(zs.head._2 === 1L && zs.last._3 === 100L)
+      // RESULTS are boundary-independent (pruning consults actual
+      // per-zone min/max, not the percentile estimate)
+      assert(idx.read(range = Map("uid" -> (90L, 100L))).count() === 11L)
+      assert(idx.read(range = Map("uid" -> (1L, 1L))).count() === 1L)
+      assert(idx.read(range = Map("uid" -> (101L, 999L))).count() === 0L)
+    }
+  }
+
+  test("a stale handle's RANGE READ sees zones another handle widened on disk") {
+    // the read-side twin of the stale-insert spec: pruning must consult
+    // the newest committed manifest, not the handle's load-time
+    // snapshot — otherwise an appended out-of-range row is silently
+    // invisible to this handle forever
+    val root = tmp()
+    val base = df((1L to 32L).map(i => (i, "t", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq("uid"), nZones = 4)
+    val staleReader = PayloadIndex.load(spark, root) // sees [1, 32]
+    // another handle appends uid=-50, widening zone 0 on disk
+    PayloadIndex.load(spark, root)
+      .insert(df(Seq((-50L, "t", "low"))).withColumnRenamed("id", "uid"))
+    assert(staleReader.zones("uid").sortBy(_._1).head._2 === 1L,
+      "precondition: the reader's snapshot predates the widening")
+    assert(staleReader.read(range = Map("uid" -> (-60L, -40L))).count() === 1L,
+      "stale handle missed a row the on-disk manifest covers")
+    assert(staleReader.read(range = Map("uid" -> (-60L, 32L))).count() === 33L)
+  }
+
+  test("insert appends text postings so matchText sees the new rows") {
+    val root = tmp()
+    val base = df(Seq((1L, "a", "alpha beta"), (2L, "b", "beta gamma")))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq.empty,
+      text = Seq("text"), idCol = "id")
+    assert(idx.read(matchText = Map("text" -> Seq("beta"))).count() === 2L)
+    assert(idx.read(matchText = Map("text" -> Seq("alpha", "beta"))).count() === 1L)
+    val idx2 = idx.insert(df(Seq((3L, "a", "beta delta"))))
+    assert(idx2.read(matchText = Map("text" -> Seq("beta"))).count() === 3L)
+    assert(idx2.read(matchText = Map("text" -> Seq("delta"))).count() === 1L)
+    // a fresh load serves the appended postings too
+    assert(PayloadIndex.load(spark, root)
+      .read(matchText = Map("text" -> Seq("delta"))).count() === 1L)
+    // keyword axis still composes after the text append
+    assert(idx2.read(eq = Map("tag" -> Seq("a")),
+      matchText = Map("text" -> Seq("beta"))).count() === 2L)
+  }
+
+  test("insertCommitted is exactly-once: replay skips, torn attempts are swept") {
+    val root = tmp()
+    val base = df(Seq((1L, "a", "alpha beta"), (2L, "b", "beta gamma")))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq.empty, text = Seq("text"), idCol = "id")
+    val b1 = df(Seq((3L, "a", "delta beta")))
+    val idx2 = idx.insertCommitted(b1, 1L)
+    assert(idx2.read().count() === 3L)
+    assert(idx2.read(matchText = Map("text" -> Seq("delta"))).count() === 1L)
+    // replay of a COMMITTED batch is a no-op (marker skip) — the
+    // at-least-once duplicate insert() would take here is exactly what
+    // this path must not
+    assert(idx2.insertCommitted(b1, 1L).read().count() === 3L)
+    assert(PayloadIndex.load(spark, root)
+      .read(matchText = Map("text" -> Seq("beta"))).count() === 3L)
+
+    // TORN attempt: batch 2 crashed mid-publish — simulate by copying
+    // a real data file in under the b2- prefix (duplicate rows, no
+    // marker). The replay must sweep it and publish exactly once.
+    def findPart(dir: java.io.File): Option[java.io.File] = {
+      val entries = dir.listFiles().sortBy(_.getName)
+      entries.find(f => f.isFile && f.getName.startsWith("part-"))
+        .orElse(entries.filter(_.isDirectory).flatMap(findPart).headOption)
+    }
+    val torn = findPart(new java.io.File(s"$root/data")).get
+    java.nio.file.Files.copy(torn.toPath,
+      torn.toPath.resolveSibling("b2-" + torn.getName))
+    assert(PayloadIndex.load(spark, root).read().count() === 4L,
+      "precondition: the torn file duplicates a row")
+    val idx3 = PayloadIndex.load(spark, root)
+      .insertCommitted(df(Seq((4L, "b", "beta epsilon"))), 2L)
+    assert(idx3.read().count() === 4L, "torn duplicate must be swept, batch published once")
+    assert(idx3.read(matchText = Map("text" -> Seq("epsilon"))).count() === 1L)
+    assert(idx3.read(eq = Map("tag" -> Seq("b"))).count() === 2L)
+  }
+
+  test("insertCommitted widens integer zones through the manifest discipline") {
+    val root = tmp()
+    val base = df((1L to 32L).map(i => (i, "t", s"doc $i")))
+      .withColumnRenamed("id", "uid")
+    PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4)
+    val idx2 = PayloadIndex.load(spark, root)
+      .insertCommitted(df(Seq((500L, "t", "way above")))
+        .withColumnRenamed("id", "uid"), 0L)
+    assert(idx2.read(range = Map("uid" -> (400L, 600L))).count() === 1L)
+    assert(idx2.zones("uid").sortBy(_._1).last._3 === 500L)
+    assert(idx2.read().count() === 33L)
+  }
+
   test("insert refuses a batch whose columns do not match the indexed schema") {
     val root = tmp()
     val base = df(Seq((1L, "a", "x"))).withColumnRenamed("id", "uid")

@@ -113,4 +113,100 @@ class PayloadIndexSpec extends SparkSpecBase {
     assert(viaIdx === viaScan)
     assert(viaIdx.nonEmpty)
   }
+
+  // ------------------------------------------------------- text kind
+
+  test("matchText through the text postings equals the whole-word scan filter") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq("lang"), integer = Seq("user_id"),
+      text = Seq("text"), idCol = "id")
+    val terms = Seq("the", "data")
+    val viaIdx = idx.read(matchText = Map("text" -> terms))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val viaScan = pts.filter(terms.map(t => padded.contains(s" $t ")).reduce(_ && _))
+    assert(viaIdx.count() === viaScan.count())
+    assert(viaIdx.count() > 0, "gate terms must match some corpus rows")
+    assert(viaIdx.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaIdx).isEmpty)
+    // composes with the other axes: every predicate prunes its own way
+    val composed = idx.read(eq = Map("lang" -> Seq("en")),
+      matchText = Map("text" -> terms))
+    val composedScan = viaScan.filter(col("lang") === "en")
+    assert(composed.count() === composedScan.count())
+    // unindexed text fields are refused
+    intercept[IllegalArgumentException](idx.read(matchText = Map("site" -> terms)))
+  }
+
+  test("the matchText plan reads only the query terms' posting lists (pushed IN)") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id")
+    // AQE off for the assertion only: the adaptive wrapper hides the
+    // scan nodes behind query stages; the pushdown under test is
+    // planning-time and identical either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val postingsScan =
+      try idx.read(matchText = Map("text" -> Seq("the", "data")))
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "token") => s
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(postingsScan.nonEmpty, "plan must scan the postings relation")
+    val pushed = postingsScan.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(token, [data,the])") ||
+      pushed.contains("In(token, [the,data])"),
+      s"token IN must push to the postings scan, got: $pushed")
+    // and the postings scan is column-pruned to the two posting columns
+    assert(postingsScan.head.output.map(_.name).toSet === Set("token", "__pid"))
+  }
+
+  test("token-substring prefilter is a verified superset for word and regex deletes") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq.empty, integer = Seq("user_id"),
+      text = Seq("text"), idCol = "id")
+    // substring-word semantics (the reference's /remove_all_by_word):
+    // prefilter ⊇ true predicate, residual restores exactness
+    val pre = idx.readWithTokenSubstring("text", "batch",
+      range = Map("user_id" -> (3L, 3L)))
+    val exact = pre.filter(col("text").contains("batch"))
+    val truth = pts.filter(col("user_id") === 3 && col("text").contains("batch"))
+    assert(exact.count() === truth.count())
+    assert(exact.exceptAll(truth).isEmpty && truth.exceptAll(exact).isEmpty)
+    assert(pre.count() >= exact.count())
+    // regex semantics: the required literal prefilters, the regex is
+    // the residual on the slice
+    val preR = idx.readWithTokenSubstring("text", "key",
+      range = Map("user_id" -> (3L, 3L)))
+    val exactR = preR.filter(col("text").rlike("key (scan|sort)"))
+    val truthR = pts.filter(col("user_id") === 3 &&
+      col("text").rlike("key (scan|sort)"))
+    assert(exactR.count() === truthR.count())
+    assert(exactR.exceptAll(truthR).isEmpty && truthR.exceptAll(exactR).isEmpty)
+    // a literal spanning token boundaries is refused (the posting
+    // lists cannot see it)
+    intercept[IllegalArgumentException](
+      idx.readWithTokenSubstring("text", "key scan"))
+  }
+
+  test("text index survives a fresh load and the VectorStore routes match their scans") {
+    val root = tmp()
+    PayloadIndex.create(spark, pts, root,
+      keyword = Seq("lang"), integer = Seq.empty,
+      text = Seq("text"), idCol = "id")
+    val idx = PayloadIndex.load(spark, root)
+    assert(idx.idCol === "id")
+    assert(idx.fields.contains("text" -> "text"))
+    assert(idx.read(matchText = Map("text" -> Seq("the"))).count() ===
+      pts.filter(concat(lit(" "), col("text"), lit(" ")).contains(" the ")).count())
+    // the three indexed VectorStore routes ≡ their scan-filter twins
+    assert(VectorStore.searchMatchTextIndexed(spark, sf).collect().toSeq ===
+      VectorStore.searchMatchText(spark, sf).collect().toSeq)
+    assert(VectorStore.deleteByWordIndexed(spark, sf).collect().toSeq ===
+      VectorStore.deleteByWord(spark, sf).collect().toSeq)
+    assert(VectorStore.deleteByRegexIndexed(spark, sf).collect().toSeq ===
+      VectorStore.deleteByRegex(spark, sf).collect().toSeq)
+  }
 }

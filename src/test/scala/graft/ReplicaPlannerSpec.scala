@@ -98,6 +98,40 @@ class ReplicaPlannerSpec extends SparkSpecBase {
     assert(ReplicaPlanner.audit(spark, p).collect().forall(_.getBoolean(4)))
   }
 
+  test("readN serves through a quorum, bypasses a corrupted copy, fails loud without one") {
+    val roots = mkCluster()
+    val p = ReplicaPlanner.plan(spark, roots, replicationFactor = 3)
+    ReplicaPlanner.apply(spark, p)
+    val bucket = p.placements.head.bucket
+    val primaryRows = ShardTransfer.plan(spark, p.placements.head.primary)
+      .collect().find(_.getInt(0) == bucket).get.getLong(1)
+    // n = 1 reads the primary (first copy always agrees with itself)
+    assert(ReplicaPlanner.readN(spark, p, bucket, 1).count() === primaryRows)
+    // n = rf cross-checks every copy — all in sync, so it serves
+    val full = ReplicaPlanner.readN(spark, p, bucket, 3)
+    assert(full.count() === primaryRows)
+    assert(!full.columns.contains("bucket"))
+    // corrupt one replica of the bucket: quorum n=2 still serves
+    // (primary + surviving replica agree) and the bad copy is bypassed
+    val victim = p.placements.head.replicas.head
+    val live = VectorIndex.resolveSnapshot(spark,
+      ReplicaPlanner.replicaRoot(victim))
+    val lost = new java.io.File(live.stripPrefix("file:")).listFiles()
+      .filter(_.getName === s"bucket=$bucket").flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(lost.delete())
+    assert(ReplicaPlanner.readN(spark, p, bucket, 2).count() === primaryRows)
+    // but a 3-of-3 quorum is now unattainable — loud failure, not
+    // silently-served unverifiable rows
+    val e = intercept[IllegalStateException](
+      ReplicaPlanner.readN(spark, p, bucket, 3))
+    assert(e.getMessage.contains("anti-entropy"))
+    // out-of-range quorums and unknown buckets are refused
+    intercept[IllegalArgumentException](ReplicaPlanner.readN(spark, p, bucket, 0))
+    intercept[IllegalArgumentException](ReplicaPlanner.readN(spark, p, bucket, 4))
+    intercept[IllegalArgumentException](ReplicaPlanner.readN(spark, p, -99, 1))
+  }
+
   test("replica sub-roots never leak into the primary's generation axis") {
     val roots = mkCluster()
     val before = roots.map(r => VectorIndex.generations(spark, r))

@@ -70,8 +70,13 @@ class SessionMemoSpec extends SparkSpecBase {
     memo.invalidatePath("race") // fires mid-build
     builder.join()
     assert(memo.size === 0)
-    assert(evicted.get() >= 1,
-      "the in-flight build's value escaped eviction — cached blocks would leak")
+    // EXACTLY once: the drop side consumes the eviction under the
+    // holder lock, so the build side's dropped-check is a no-op — a
+    // double onEvict would break the first non-idempotent callback
+    // anyone registers
+    assert(evicted.get() === 1,
+      "the in-flight build's value must be evicted exactly once " +
+        s"(got ${evicted.get()})")
     // and the entry is genuinely gone: the next get rebuilds
     var rebuilt = false
     memo.getOrElseUpdate(spark, "race", 1) { rebuilt = true; "fresh" }

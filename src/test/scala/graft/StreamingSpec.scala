@@ -541,4 +541,42 @@ class StreamingSpec extends SparkSpecBase {
       rows.foreach(r => assert(r.getSeq[Any](1).length === 3))
     } finally q.stop()
   }
+
+  test("payloadMaintainStream appends batches exactly-once with zone widening") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.PayloadIndex
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("pistream").toString
+    val root = base + "/pidx"
+    val schema = StructType.fromDDL("uid BIGINT, tag STRING, text STRING")
+    def mk(rows: (Long, String, String)*) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    PayloadIndex.create(spark,
+      mk((1L, "a", "alpha beta"), (2L, "b", "beta gamma")), root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 2,
+      text = Seq("text"), idCol = "uid")
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.payloadMaintainStream(
+      input.toDF().toDF("uid", "tag", "text"), root, base + "/ckpt").start()
+    try {
+      input.addData((3L, "a", "delta beta"))
+      q.processAllAvailable()
+      // a value far outside the created zones — only the widened
+      // manifest can route a range read to it
+      input.addData((500L, "b", "epsilon"))
+      q.processAllAvailable()
+      val idx = PayloadIndex.load(spark, root)
+      assert(idx.read().count() === 4L)
+      assert(idx.read(matchText = Map("text" -> Seq("beta"))).count() === 3L)
+      assert(idx.read(matchText = Map("text" -> Seq("epsilon"))).count() === 1L)
+      assert(idx.read(range = Map("uid" -> (400L, 600L))).count() === 1L)
+      assert(idx.read(eq = Map("tag" -> Seq("a")),
+        matchText = Map("text" -> Seq("delta"))).count() === 1L)
+      // both batches left commit markers (the replay-skip certificate)
+      val markers = new java.io.File(s"$root/batches").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted // drop CRC sidecars
+      assert(markers === Array("batch-0", "batch-1"))
+    } finally q.stop()
+  }
 }

@@ -123,6 +123,46 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     assert(viaTrained === viaLoaded)
   }
 
+  test("w2vEmbedder serves a fingerprint-fresh tracked artifact, retrains on drift") {
+    import graft.operators.{SessionMemo, VectorStore}
+    import spark.implicits._
+    val tmpRoot = java.nio.file.Files.createTempDirectory("w2v-art-").toString
+    val old = sys.props.get("graft.w2v.artifacts")
+    sys.props("graft.w2v.artifacts") = tmpRoot
+    try {
+      val dir = new java.io.File(tmpRoot, new java.io.File(sf).getName)
+      new java.io.File(dir, "vectors").mkdirs()
+      // a deliberately TAMPERED one-word vocabulary with the CORRECT
+      // corpus fingerprint: if the serving path loads (it must), the
+      // embedder visibly reflects it — equality with a fresh train
+      // could never distinguish load from retrain
+      Seq(("sentinel", Array.fill(4)(1.0f))).toDF("word", "vec")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "vectors").toString)
+      java.nio.file.Files.write(new java.io.File(dir, "corpus.fp").toPath,
+        VectorStore.w2vCorpusFingerprint(spark, sf).getBytes("UTF-8"))
+      SessionMemo.invalidatePath(sf) // drop any memoized trained encoder
+      val served = VectorStore.w2vEmbedder(spark, sf)
+      assert(served.wordVectors.count() === 1L,
+        "a fingerprint-fresh artifact must be SERVED, not retrained over")
+      // drift: stale fingerprint → the artifact is refused and the
+      // encoder retrains on the live corpus
+      java.nio.file.Files.write(new java.io.File(dir, "corpus.fp").toPath,
+        "0:0".getBytes("UTF-8"))
+      SessionMemo.invalidatePath(sf)
+      val retrained = VectorStore.w2vEmbedder(spark, sf)
+      assert(retrained.wordVectors.count() > 1L,
+        "a stale artifact must retrain, never serve drifted vectors")
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.w2v.artifacts") = v
+        case None => sys.props.remove("graft.w2v.artifacts")
+      }
+      // leave no tampered encoder memoized for later suites
+      SessionMemo.invalidatePath(sf)
+    }
+  }
+
   test("vs_text_search_semantic runs on the test corpus: full pages, self at rank 1") {
     val rows = VectorStore.textSearchSemantic(spark, sf).collect()
     assert(rows.nonEmpty)

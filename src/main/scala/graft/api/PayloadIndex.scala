@@ -167,6 +167,26 @@ final class PayloadIndex private[api] (
     }
   }
 
+  /** MatchPhrase through the text index (Qdrant's phrase-match text
+    * condition — the ADJACENT, ORDERED form of MatchText): candidates
+    * prefilter by the phrase's tokens conjunctively (every token
+    * whole-word present — implied by phrase containment, so the
+    * prefilter is lossless), then the padded-contains of the FULL
+    * phrase enforces adjacency and order as the residual — exactly the
+    * predicate class the posting lists cannot express alone
+    * ([[readWithTokenSubstring]]'s fallback contract, built in).
+    */
+  def readMatchPhrase(f: String, phrase: String,
+                      eq: Map[String, Seq[String]] = Map.empty,
+                      range: Map[String, (Long, Long)] = Map.empty)
+      : DataFrame = {
+    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(toks.nonEmpty, "matchPhrase needs a non-empty phrase")
+    read(eq, range, matchText = Map(f -> toks))
+      .filter(concat(lit(" "), col(f), lit(" "))
+        .contains(" " + toks.mkString(" ") + " "))
+  }
+
   /** TOKEN-SUBSTRING prefilter — the index route behind the
     * reference's substring word delete and regex delete
     * (app.py:94-139): rows of the pruned slice whose `f` holds ANY
@@ -401,7 +421,14 @@ object PayloadIndex {
       if (st.isDirectory) moveIn(fs, st.getPath, new Path(dest, st.getPath.getName), prefix)
       else if (st.getPath.getName.startsWith("part-")) {
         fs.mkdirs(dest)
-        fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+        val target = new Path(dest, prefix + st.getPath.getName)
+        // a silently-failed rename followed by the marker commit would
+        // LOSE the file's rows forever (the marker asserts "fully
+        // moved") — fail the batch instead; the replay sweeps and
+        // re-publishes
+        require(fs.rename(st.getPath, target),
+          s"rename ${st.getPath} -> $target failed — aborting the batch " +
+            "publish (replay will sweep and retry)")
       }
     }
 

@@ -316,8 +316,11 @@ object Embeddings {
       : (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val cents = Ann.kmeansCentroidsCached(s, d, "ivf",
-      emb.filter(col("vec_id") >= 10), nlist, iters = 3)
+    // the coarse fit + the residual derivation read this frame 5+
+    // times (k-means init/iters, then the residual projection) —
+    // cache for the build, released below
+    val corpus = emb.filter(col("vec_id") >= 10).cache()
+    val cents = Ann.kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters = 3)
     val dim = emb.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -332,7 +335,7 @@ object Embeddings {
     // [[ivfPqSearch]] remains full and exact). Under the cap the sample
     // is the whole frame, so gate-SF codebooks are unchanged.
     val trainCap = 50000L
-    val res = residualsOf(cents)(emb.filter(col("vec_id") >= 10)).cache()
+    val res = residualsOf(cents)(corpus).cache()
     val n = res.count()
     val train =
       if (n <= trainCap) res
@@ -344,6 +347,7 @@ object Embeddings {
         nCodes, iters = 3)
     }
     res.unpersist()
+    corpus.unpersist()
     (cents, books)
   }
 

@@ -88,6 +88,12 @@ class GraftQuerySpec extends SparkSpecBase {
          |map('k', '3', 'terms', 'the data'))""".stripMargin).collect().toSeq
     assert(multi === operators.VectorStore
       .searchMatchText(spark, sf, 3, Seq("the", "data")).collect().toSeq)
+    // the text-index route takes the same knobs and returns the same
+    // rows from SQL (two physical routes, one answer)
+    val indexed = spark.sql(
+      s"""SELECT * FROM graft_query('vs_search_match_text_indexed', '$sf',
+         |map('k', '3', 'terms', 'the data'))""".stripMargin).collect().toSeq
+    assert(indexed === multi)
   }
 
   test("parameter validation fails loudly: unknown keys, bad values, unparameterized ops") {

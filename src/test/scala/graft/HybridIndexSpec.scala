@@ -33,6 +33,20 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("cache opt-out (the 100-TB open) serves every tier identically") {
+    index // force the build
+    val uncached = HybridIndex.open(spark, dir, cache = false)
+    try {
+      val terms = Seq("join", "hash", "scan", "merge")
+      assert(uncached.keywordSearch(terms).collect().toSeq ===
+        index.keywordSearch(terms).collect().toSeq)
+      assert(uncached.search(terms, qvec).collect().toSeq ===
+        index.search(terms, qvec).collect().toSeq)
+      assert(uncached.sparseSearch(Map("join" -> 1.0)).collect().toSeq ===
+        index.sparseSearch(Map("join" -> 1.0)).collect().toSeq)
+    } finally uncached.close()
+  }
+
   test("fused search matches vs_hybrid_search rank for rank") {
     val expected = VectorStore.hybridSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))

@@ -191,6 +191,32 @@ class PayloadIndexSpec extends SparkSpecBase {
       idx.readWithTokenSubstring("text", "key scan"))
   }
 
+  test("matchPhrase enforces adjacency and order beyond its token prefilter") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, pts, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id")
+    val phrase = "the data"
+    val viaIdx = idx.readMatchPhrase("text", phrase)
+    val truth = pts.filter(
+      concat(lit(" "), col("text"), lit(" ")).contains(s" $phrase "))
+    assert(viaIdx.count() === truth.count())
+    assert(viaIdx.exceptAll(truth).isEmpty && truth.exceptAll(viaIdx).isEmpty)
+    // the phrase cut is strictly tighter than its bag-of-tokens
+    // prefilter on this corpus (docs holding both words NON-adjacently
+    // exist) — otherwise this spec proves nothing about adjacency
+    val bag = idx.read(matchText = Map("text" -> Seq("the", "data")))
+    assert(viaIdx.count() < bag.count(),
+      "corpus has no non-adjacent the/data docs; pick a different phrase")
+    // order matters: the reversed phrase matches its own scan truth,
+    // not the forward phrase's
+    val rev = idx.readMatchPhrase("text", "data the")
+    val revTruth = pts.filter(
+      concat(lit(" "), col("text"), lit(" ")).contains(" data the "))
+    assert(rev.count() === revTruth.count())
+    intercept[IllegalArgumentException](idx.readMatchPhrase("text", "   "))
+  }
+
   test("text index survives a fresh load and the VectorStore routes match their scans") {
     val root = tmp()
     PayloadIndex.create(spark, pts, root,

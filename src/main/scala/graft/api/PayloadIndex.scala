@@ -137,6 +137,14 @@ final class PayloadIndex private[api] (
       s"'$f' is not an indexed text field (indexed: $fields)")
     val qts = terms.distinct.filter(_.nonEmpty)
     require(qts.nonEmpty, s"matchText on '$f' needs at least one non-empty term")
+    // a term with whitespace can never equal a split-token — it would
+    // silently match NOTHING where the scan predicate matches adjacent
+    // words, the one contract violation ('the index only prunes') this
+    // route must never commit; phrases go through readMatchPhrase
+    val spaced = qts.filter(_.exists(_.isWhitespace))
+    require(spaced.isEmpty,
+      s"matchText terms must be single tokens (got $spaced) — use " +
+        "readMatchPhrase for adjacent-word phrases")
     PayloadIndex.postingsOf(spark, root, f)
       .filter(col("token").isin(qts: _*))
       // countDistinct, NOT count: batch-appended posting files are
@@ -307,12 +315,9 @@ final class PayloadIndex private[api] (
             max(col(f)).cast("long").as("zmax"))
           .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
       }.toMap
-      val disk: Map[String, Map[Int, (Long, Long)]] = spark
-        .read.parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .groupBy(_._1).view
-        .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
+      val disk: Map[String, Map[Int, (Long, Long)]] =
+        PayloadIndex.liveZones(spark, root).view
+          .mapValues(_.map(t => t._1 -> (t._2, t._3)).toMap).toMap
       zones.map { case (f, zs) => f -> zs.map { case (z, zmin0, zmax0) =>
         val (dMin, dMax) = disk.getOrElse(f, Map.empty)
           .getOrElse(z, (zmin0, zmax0))

@@ -148,18 +148,32 @@ object ReplicaPlanner {
           s"(buckets: ${p.placements.map(_.bucket).sorted})"))
     val rf = 1 + pl.replicas.size
     require(n >= 1 && n <= rf, s"read quorum n=$n must be in [1, $rf]")
+    def serve(root: String): DataFrame =
+      ShardTransfer.read(spark, root)
+        .filter(col("bucket") === bucket)
+        .drop("bucket")
+    // n = 1 is trust-the-primary (Qdrant's default read): no
+    // cross-check requested, so no fingerprint scans are owed at all
+    if (n == 1) return serve(pl.primary)
     val copies = pl.primary +: pl.replicas.map(replicaRoot)
     val fps = copies.map(r => r -> ShardTransfer.fingerprintOf(spark, r, Seq(bucket)))
+    // An ABSENT copy (bucket never materialized — apply() not yet run,
+    // or a re-plan) fingerprints (0, 0), identically to a genuinely
+    // empty bucket; audit() names this sentinel. Counting those as
+    // voters would let two not-yet-replicated nodes form a "quorum"
+    // and serve zero rows over a healthy primary — so empty copies
+    // neither vote nor serve while ANY copy holds rows; only when
+    // every copy is empty is (0, 0) the certified content.
+    val nonEmpty = fps.filter(_._2._1 > 0)
+    val eligible = if (nonEmpty.isEmpty) fps else nonEmpty
     val agree: Map[(Long, Long), Int] =
-      fps.groupBy(_._2).view.mapValues(_.size).toMap
-    val serving = fps.collectFirst { case (r, fp) if agree(fp) >= n => r }
+      eligible.groupBy(_._2).view.mapValues(_.size).toMap
+    val serving = eligible.collectFirst { case (r, fp) if agree(fp) >= n => r }
       .getOrElse(throw new IllegalStateException(
         s"read consistency $n unattainable for bucket $bucket — no $n copies " +
           s"agree (${fps.map { case (r, fp) => s"$r -> $fp" }.mkString("; ")}); " +
           "run ReplicaPlanner.apply (anti-entropy) and retry"))
-    ShardTransfer.read(spark, serving)
-      .filter(col("bucket") === bucket)
-      .drop("bucket")
+    serve(serving)
   }
 
   /** Per-(bucket, replica) divergence report: the replica's content

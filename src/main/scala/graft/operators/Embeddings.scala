@@ -311,8 +311,24 @@ object Embeddings {
     * deployment) pins the whole model and every subsequent
     * [[ivfPqSearch]] is pure serving.
     */
+  // the WHOLE (coarse quantizer, residual codebooks) model memoizes as
+  // one unit: the residual-frame derivation between the two k-means
+  // families is itself corpus-scale work, and memoizing only the inner
+  // fits (by-name, skipped when warm) would leave every warm
+  // ivfPqSearch call re-deriving + eagerly counting the residual frame
+  // it never uses — the model is driver state, there are no cached
+  // blocks to evict
+  private val ivfPqMemo = new SessionMemo[(Int, Int, Int),
+    (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])])]()
+
   private[graft] def ivfPqModel(s: SparkSession, d: String, nlist: Int = 16,
                                 m: Int = 8, nCodes: Int = 16)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) =
+    ivfPqMemo.getOrElseUpdate(s, d, (nlist, m, nCodes))(
+      ivfPqModelBuild(s, d, nlist, m, nCodes))
+
+  private def ivfPqModelBuild(s: SparkSession, d: String, nlist: Int,
+                              m: Int, nCodes: Int)
       : (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
@@ -339,8 +355,11 @@ object Embeddings {
     val n = res.count()
     val train =
       if (n <= trainCap) res
+      // CEILING division: floor (n/cap) would keep every row for n just
+      // under 2*cap (divisor 1) and in general admit up to 2*cap-1 rows
       else res.filter(
-        pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / trainCap))) === 0)
+        pmod(xxhash64(col("vec_id")),
+          lit((n + trainCap - 1) / trainCap)) === 0)
     val books = (0 until m).map { j =>
       j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
         train.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),

@@ -135,6 +135,12 @@ class PayloadIndexSpec extends SparkSpecBase {
     assert(composed.count() === composedScan.count())
     // unindexed text fields are refused
     intercept[IllegalArgumentException](idx.read(matchText = Map("site" -> terms)))
+    // a whitespace-carrying term can never equal a split-token — it
+    // would silently match nothing where the scan form matches
+    // adjacent words, so it is refused toward readMatchPhrase
+    val e = intercept[IllegalArgumentException](
+      idx.read(matchText = Map("text" -> Seq("the data"))))
+    assert(e.getMessage.contains("readMatchPhrase"))
   }
 
   test("the matchText plan reads only the query terms' posting lists (pushed IN)") {

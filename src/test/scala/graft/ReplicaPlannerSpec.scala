@@ -132,6 +132,30 @@ class ReplicaPlannerSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ReplicaPlanner.readN(spark, p, -99, 1))
   }
 
+  test("readN never certifies a quorum of ABSENT copies over a healthy primary") {
+    // plan but do NOT apply: replicas hold nothing, and every absent
+    // copy fingerprints (0,0) — identically to a genuinely empty
+    // bucket. Two of those must not outvote the primary's data.
+    val roots = mkCluster()
+    val p = ReplicaPlanner.plan(spark, roots, replicationFactor = 3)
+    val bucket = p.placements.head.bucket
+    val primaryRows = ShardTransfer.plan(spark, p.placements.head.primary)
+      .collect().find(_.getInt(0) == bucket).get.getLong(1)
+    assert(primaryRows > 0)
+    // n=1 trusts the primary and owes no fingerprint scans
+    assert(ReplicaPlanner.readN(spark, p, bucket, 1).count() === primaryRows)
+    // n=2: the two absent replicas agree with each other at (0,0) but
+    // may not vote while the primary holds rows — loud failure, never
+    // a quorum-certified empty result
+    val e = intercept[IllegalStateException](
+      ReplicaPlanner.readN(spark, p, bucket, 2))
+    assert(e.getMessage.contains("anti-entropy"))
+    // after apply, the same quorum serves
+    ReplicaPlanner.apply(spark, p)
+    assert(ReplicaPlanner.readN(spark, p, bucket, 2).count() === primaryRows)
+    assert(ReplicaPlanner.readN(spark, p, bucket, 3).count() === primaryRows)
+  }
+
   test("replica sub-roots never leak into the primary's generation axis") {
     val roots = mkCluster()
     val before = roots.map(r => VectorIndex.generations(spark, r))

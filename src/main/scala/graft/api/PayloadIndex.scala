@@ -199,11 +199,14 @@ final class PayloadIndex private[api] (
     * reference's substring word delete and regex delete
     * (app.py:94-139): rows of the pruned slice whose `f` holds ANY
     * token containing `substr`. This is a SUPERSET of any predicate
-    * that implies "text contains `substr`" (a space-free required
-    * literal of a regex, a substring word match): the caller MUST
-    * re-apply the true predicate on the returned rows — adjacency,
-    * regex alternation, and case rules live in the residual, the
-    * postings only prune. The scan here reads the (token, __pid)
+    * that implies "text contains `substr`" — CASE-EXACTLY (a
+    * space-free required literal of a regex, a substring word match):
+    * the caller MUST re-apply the true predicate on the returned rows —
+    * adjacency and regex alternation live in the residual, the postings
+    * only prune. A case-INSENSITIVE predicate does not imply case-exact
+    * containment, so it may NOT use this route on a mixed-case literal:
+    * probe each case variant (or a case-exact sub-literal) instead —
+    * the residual can only narrow a superset, never recover a miss. The scan here reads the (token, __pid)
     * postings relation — the token dictionary, not the corpus text —
     * so at 100 TB a `%substr%` probe touches the posting layout's two
     * thin columns instead of every data row group.
@@ -348,17 +351,26 @@ final class PayloadIndex private[api] (
     *  1. COMMITTED-BATCH SKIP: the `batches/batch-N` marker exists →
     *     no-op (monotone checkpoint batchIds, the hybridMaintainStream
     *     replay discipline).
-    *  2. TORN-ATTEMPT SWEEP: delete every `bN-*` file under `data/`
-    *     and the text posting roots — file names CARRY the batch id
-    *     precisely so a crashed previous attempt is identifiable and
-    *     removable (plain appends are not).
+    *  2. TORN-ATTEMPT SWEEP: delete every `bN-*` file in the
+    *     directories the crashed attempt's `batches/intent-N` file
+    *     lists — file names CARRY the batch id precisely so a crashed
+    *     previous attempt is identifiable and removable (plain appends
+    *     are not), and the intent (written after staging, BEFORE the
+    *     first rename) bounds where such files can be, so the sweep
+    *     never lists the whole layout: at 100 TB the data tree holds
+    *     every partition directory ever written, and a full recursive
+    *     listing per micro-batch would dwarf the batch itself. No
+    *     intent ⇒ nothing was ever published ⇒ nothing to sweep — the
+    *     clean path pays one existence check.
     *  3. manifest-first zone widening, then postings and data land in
-    *     a batch STAGING dir and MOVE IN as `bN-` prefixed files
+    *     a batch STAGING dir; the intent commits the staged directory
+    *     list; then staged files MOVE IN as `bN-` prefixed files
     *     (same-filesystem renames; postings before data, the
     *     [[insert]] never-miss ordering).
     *  4. the marker commits LAST — it exists only above a fully-moved
     *     batch, so replay after a crash at ANY point converges to
-    *     exactly one copy of every row.
+    *     exactly one copy of every row. The intent is deleted after
+    *     the marker (the marker owns the skip from then on).
     *
     * Zone-manifest re-widening on replay is idempotent (same batch ⇒
     * same-or-equal bounds, committed as another generation).
@@ -371,35 +383,46 @@ final class PayloadIndex private[api] (
     if (fs.exists(marker)) return this // 1. already committed — replay skip
     val prefix = s"b$batchId-"
     val textFields = fields.collect { case (f, "text") => f }
-    // 2. sweep any torn previous attempt of THIS batch
-    PayloadIndex.sweepPrefixed(fs, new Path(s"$root/data"), prefix)
-    textFields.foreach(f =>
-      PayloadIndex.sweepPrefixed(fs, new Path(PayloadIndex.textDir(root, f)), prefix))
+    val intent = new Path(s"$root/batches/intent-$batchId")
+    // 2. sweep any torn previous attempt of THIS batch — only in the
+    // directories its intent names (see the protocol scaladoc; absent
+    // intent ⇒ the attempt never published a file)
+    PayloadIndex.readIntent(fs, intent).foreach(rel =>
+      PayloadIndex.sweepPrefixed(fs, new Path(root, rel), prefix))
     val integer = fields.collect { case (f, "integer") => f }
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
     val withZones = assignZones(normalized, integer).cache()
     // 3a. manifest first
     commitZonesGeneration(widenedFrom(withZones, integer), integer)
-    // 3b. postings + data stage, then rename in with the batch prefix
+    // 3b. postings + data stage fully, the intent commits the staged
+    // directory list, THEN everything renames in with the batch prefix
+    // (postings before data, the never-miss ordering)
     val staging = s"$root/staging/b$batchId"
     fs.delete(new Path(staging), true)
-    textFields.foreach { f =>
+    textFields.foreach(f =>
       PayloadIndex.writePostings(withZones, idCol, f, s"$staging/text_$f",
-        append = false)
-      PayloadIndex.moveIn(fs, new Path(s"$staging/text_$f"),
-        new Path(PayloadIndex.textDir(root, f)), prefix)
-    }
+        append = false))
     val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
     withZones
       .sortWithinPartitions((partCols ++ integer).map(col): _*)
       .write.partitionBy(partCols: _*).parquet(s"$staging/data")
+    withZones.unpersist()
+    val published = textFields.map(f => s"text_$f") ++
+      PayloadIndex.partFileDirs(fs, new Path(s"$staging/data"))
+        .map(rel => if (rel.isEmpty) "data" else s"data/$rel")
+    PayloadIndex.writeIntent(fs, intent, published)
+    textFields.foreach(f =>
+      PayloadIndex.moveIn(fs, new Path(s"$staging/text_$f"),
+        new Path(PayloadIndex.textDir(root, f)), prefix))
     PayloadIndex.moveIn(fs, new Path(s"$staging/data"),
       new Path(s"$root/data"), prefix)
-    withZones.unpersist()
     fs.delete(new Path(s"$root/staging/b$batchId"), true)
-    // 4. the commit point
+    // 4. the commit point; the intent retires after it (a crash between
+    // the two leaves a stale intent the marker skip never reads — one
+    // orphaned KB, never a wrong sweep: batch ids are never reused)
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
+    fs.delete(intent, false)
     PayloadIndex.load(spark, root)
   }
 }
@@ -437,8 +460,48 @@ object PayloadIndex {
       }
     }
 
+  /** The publish-intent file: one dest-relative directory per line —
+    * every directory the attempt is about to move a prefixed file into.
+    * Overwrites (a swept previous attempt's intent may still exist).
+    */
+  private[api] def writeIntent(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path, dirs: Seq[String]): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(dirs.mkString("\n").getBytes("UTF-8")); out.close()
+  }
+
+  private[api] def readIntent(fs: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Seq[String] =
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+
+  /** The dest-relative directories of a staged write that hold part
+    * files (partition subpaths; "" for an unpartitioned flat write) —
+    * the intent's directory list, collected from the KB-scale staging
+    * tree, never the destination layout.
+    */
+  private[api] def partFileDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                base: Path): Seq[String] = {
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory)
+          walk(st.getPath,
+            if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}")
+        else if (st.getPath.getName.startsWith("part-")) Seq(rel)
+        else Nil
+      }
+    if (!fs.exists(base)) Nil else walk(base, "").distinct
+  }
+
   /** Recursively delete every file under `dir` whose name carries
-    * `prefix` — the torn-attempt sweep (only
+    * `prefix` — the torn-attempt sweep, scoped to the crashed
+    * attempt's intent directories (only
     * [[PayloadIndex!.insertCommitted]] writes prefixed names).
     */
   private[api] def sweepPrefixed(fs: org.apache.hadoop.fs.FileSystem,

@@ -242,9 +242,16 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     assert(PayloadIndex.load(spark, root)
       .read(matchText = Map("text" -> Seq("beta"))).count() === 3L)
 
-    // TORN attempt: batch 2 crashed mid-publish — simulate by copying
-    // a real data file in under the b2- prefix (duplicate rows, no
-    // marker). The replay must sweep it and publish exactly once.
+    // a committed batch retires its intent — the marker owns the skip
+    assert(!new java.io.File(s"$root/batches/intent-1").exists(),
+      "committed batch must retire its publish intent")
+
+    // TORN attempt: batch 2 crashed mid-publish — simulate the exact
+    // protocol state: the intent (written BEFORE the first rename)
+    // names the published dir, and a b2- prefixed file sits in it
+    // (duplicate rows, no marker). The replay must sweep it — guided
+    // by the intent alone, never a full-layout listing — and publish
+    // exactly once.
     def findPart(dir: java.io.File): Option[java.io.File] = {
       val entries = dir.listFiles().sortBy(_.getName)
       entries.find(f => f.isFile && f.getName.startsWith("part-"))
@@ -253,6 +260,11 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     val torn = findPart(new java.io.File(s"$root/data")).get
     java.nio.file.Files.copy(torn.toPath,
       torn.toPath.resolveSibling("b2-" + torn.getName))
+    val tornDir = new java.io.File(root).toPath.relativize(
+      torn.getParentFile.toPath).toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/batches/intent-2"),
+      s"text_text\n$tornDir\n".getBytes("UTF-8"))
     assert(PayloadIndex.load(spark, root).read().count() === 4L,
       "precondition: the torn file duplicates a row")
     val idx3 = PayloadIndex.load(spark, root)
@@ -260,6 +272,8 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     assert(idx3.read().count() === 4L, "torn duplicate must be swept, batch published once")
     assert(idx3.read(matchText = Map("text" -> Seq("epsilon"))).count() === 1L)
     assert(idx3.read(eq = Map("tag" -> Seq("b"))).count() === 2L)
+    assert(!new java.io.File(s"$root/batches/intent-2").exists(),
+      "replayed batch must retire its publish intent too")
   }
 
   test("insertCommitted widens integer zones through the manifest discipline") {

@@ -276,6 +276,43 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
       "replayed batch must retire its publish intent too")
   }
 
+  test("insertCommitted replay converges when EVERYTHING moved but the marker never committed") {
+    // the worst torn case: batch 3's publish fully renamed in (postings
+    // AND data) and the process died one instruction before the marker.
+    // The replay must sweep every b3- file across every intent dir and
+    // land the batch exactly once — this is the convergence claim the
+    // marker-last ordering exists for.
+    val root = tmp()
+    val idx = PayloadIndex.create(spark,
+      df(Seq((1L, "a", "alpha beta"), (2L, "b", "beta gamma"))), root,
+      keyword = Seq("tag"), integer = Seq.empty, text = Seq("text"), idCol = "id")
+    idx.insertCommitted(df(Seq((3L, "a", "zeta eta"))), 3L)
+    // rewind to the crashed state: marker gone, intent restored — the
+    // published b3- files stay exactly as the crash left them
+    val marker = new java.io.File(s"$root/batches/batch-3")
+    assert(marker.exists()); assert(marker.delete())
+    def prefixed(dir: java.io.File): Seq[java.io.File] = {
+      val es = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      es.filter(f => f.isFile && f.getName.startsWith("b3-")) ++
+        es.filter(_.isDirectory).flatMap(prefixed)
+    }
+    val moved = prefixed(new java.io.File(root))
+    assert(moved.nonEmpty, "precondition: b3- files were published")
+    val rootP = new java.io.File(root).toPath
+    val dirs = moved.map(f =>
+      rootP.relativize(f.getParentFile.toPath).toString).distinct
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/batches/intent-3"),
+      dirs.mkString("\n").getBytes("UTF-8"))
+    val idx3 = PayloadIndex.load(spark, root)
+      .insertCommitted(df(Seq((3L, "a", "zeta eta"))), 3L)
+    assert(idx3.read().count() === 3L,
+      "fully-moved-but-unmarked batch must republish exactly once")
+    assert(idx3.read(matchText = Map("text" -> Seq("zeta"))).count() === 1L,
+      "postings must hold exactly one copy after the republish")
+    assert(new java.io.File(s"$root/batches/batch-3").exists())
+  }
+
   test("insertCommitted widens integer zones through the manifest discipline") {
     val root = tmp()
     val base = df((1L to 32L).map(i => (i, "t", s"doc $i")))

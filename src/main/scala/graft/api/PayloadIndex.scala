@@ -361,7 +361,11 @@ final class PayloadIndex private[api] (
     *     every partition directory ever written, and a full recursive
     *     listing per micro-batch would dwarf the batch itself. No
     *     intent ⇒ nothing was ever published ⇒ nothing to sweep — the
-    *     clean path pays one existence check.
+    *     clean path pays one existence check. ("No intent ⇒ nothing
+    *     published" is an invariant of THIS writer: torn state left by
+    *     a writer that predates the intent protocol has prefixed files
+    *     and no intent — sweep such a layout once, manually, before
+    *     resuming its stream under this version.)
     *  3. manifest-first zone widening, then postings and data land in
     *     a batch STAGING dir; the intent commits the staged directory
     *     list; then staged files MOVE IN as `bN-` prefixed files
@@ -460,26 +464,44 @@ object PayloadIndex {
       }
     }
 
+  /** One small driver-side metadata file (schema DDL, id column,
+    * publish intents) — the shared read/write pair, so the
+    * open/readAllBytes/close idiom lives once.
+    */
+  private[api] def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                                  p: Path, content: String,
+                                  overwrite: Boolean = false): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, overwrite)
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  private[api] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+
   /** The publish-intent file: one dest-relative directory per line —
     * every directory the attempt is about to move a prefixed file into.
     * Overwrites (a swept previous attempt's intent may still exist).
+    * Names pass through VERBATIM — no trimming: a partition value with
+    * leading/trailing whitespace survives Spark's partition-path
+    * escaping as a literal space in the directory name, and a trimmed
+    * intent line would name a directory that does not exist, silently
+    * skipping its sweep. Only fully-empty lines (the writer never
+    * produces one mid-file) are dropped.
     */
   private[api] def writeIntent(fs: org.apache.hadoop.fs.FileSystem,
-                               p: Path, dirs: Seq[String]): Unit = {
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(dirs.mkString("\n").getBytes("UTF-8")); out.close()
-  }
+                               p: Path, dirs: Seq[String]): Unit =
+    writeSmallFile(fs, p, dirs.mkString("\n"), overwrite = true)
 
   private[api] def readIntent(fs: org.apache.hadoop.fs.FileSystem,
                               p: Path): Seq[String] =
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      finally in.close()
-    }
+    readSmallFile(fs, p).toSeq
+      .flatMap(_.split("\n").toSeq).filter(_.nonEmpty)
 
   /** The dest-relative directories of a staged write that hold part
     * files (partition subpaths; "" for an unpartitioned flat write) —
@@ -606,10 +628,7 @@ object PayloadIndex {
       text.map(_ -> "text")
     fieldRows.toDF("field", "kind").coalesce(1)
       .write.parquet(s"$root/fields")
-    if (text.nonEmpty) {
-      val out = fs.create(new Path(root, "idcol"), false)
-      out.write(idCol.getBytes("UTF-8")); out.close()
-    }
+    if (text.nonEmpty) writeSmallFile(fs, new Path(root, "idcol"), idCol)
     // exact per-zone [min, max] — the pruning map range reads consult
     // (nulls excluded: they carry no range information and an all-null
     // zone group would NPE the getLong)
@@ -627,8 +646,7 @@ object PayloadIndex {
       .write.parquet(s"$root/zones/${VectorIndex.generationDir(0L)}")
     withZones.unpersist()
     val ddl = points.schema.toDDL
-    val out = fs.create(new Path(root, "schema.ddl"), false)
-    out.write(ddl.getBytes("UTF-8")); out.close()
+    writeSmallFile(fs, new Path(root, "schema.ddl"), ddl)
     new PayloadIndex(spark, root, fieldRows,
       zoneRows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))).toMap,
       ddl, if (text.nonEmpty) idCol else "")
@@ -654,12 +672,7 @@ object PayloadIndex {
       else Map.empty[String, Seq[(Int, Long, Long)]]
     def readSmall(name: String): Option[String] = {
       val p = new Path(root, name)
-      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!hfs.exists(p)) None
-      else {
-        val in = hfs.open(p)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-      }
+      readSmallFile(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
     val ddl = readSmall("schema.ddl").getOrElse(
       throw new IllegalArgumentException(s"no payload index at $root"))

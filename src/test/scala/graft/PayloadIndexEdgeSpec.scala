@@ -276,6 +276,44 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
       "replayed batch must retire its publish intent too")
   }
 
+  test("whitespace-bearing keyword values survive the intent round-trip and torn sweep") {
+    // space is NOT in Spark's partition-path escape set, so tag = "a "
+    // lands in the literal directory `data/tag=a ` — a trimmed intent
+    // line would name `data/tag=a` instead, the sweep would probe a
+    // nonexistent directory, and a torn attempt's duplicates would
+    // survive the replay forever (the silent-wrong-answer class)
+    val root = tmp()
+    val idx = PayloadIndex.create(spark,
+      df(Seq((1L, "a ", "alpha beta"), (2L, "b", "beta gamma"))), root,
+      keyword = Seq("tag"), integer = Seq.empty, text = Seq("text"), idCol = "id")
+    assert(idx.read(eq = Map("tag" -> Seq("a "))).count() === 1L,
+      "precondition: the trailing-space keyword value is its own partition")
+    idx.insertCommitted(df(Seq((3L, "a ", "delta beta"))), 7L)
+    // rewind batch 7 to the torn state: marker gone, intent restored
+    val marker = new java.io.File(s"$root/batches/batch-7")
+    assert(marker.exists()); assert(marker.delete())
+    def prefixed(dir: java.io.File): Seq[java.io.File] = {
+      val es = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      es.filter(f => f.isFile && f.getName.startsWith("b7-")) ++
+        es.filter(_.isDirectory).flatMap(prefixed)
+    }
+    val moved = prefixed(new java.io.File(root))
+    assert(moved.nonEmpty, "precondition: b7- files were published")
+    val rootP = new java.io.File(root).toPath
+    val dirs = moved.map(f =>
+      rootP.relativize(f.getParentFile.toPath).toString).distinct
+    assert(dirs.exists(_.endsWith("tag=a ")),
+      "precondition: a published dir carries the trailing space")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/batches/intent-7"),
+      dirs.mkString("\n").getBytes("UTF-8"))
+    val idx2 = PayloadIndex.load(spark, root)
+      .insertCommitted(df(Seq((3L, "a ", "delta beta"))), 7L)
+    assert(idx2.read().count() === 3L,
+      "torn files under the whitespace dir must be swept — exactly one copy")
+    assert(idx2.read(eq = Map("tag" -> Seq("a "))).count() === 2L)
+  }
+
   test("insertCommitted replay converges when EVERYTHING moved but the marker never committed") {
     // the worst torn case: batch 3's publish fully renamed in (postings
     // AND data) and the process died one instruction before the marker.

@@ -127,7 +127,7 @@ object Bench {
         .exists(selected.contains),
         () => { operators.Embeddings.pqCodebooks(spark, sfDir); () }),
       // the IVF-PQ model is its OWN memo family (coarse quantizer +
-      // m RESIDUAL codebooks, keys pqres:m:j — NOT the raw pq:m:j books
+      // m RESIDUAL codebooks, keys pqres:nlist:m:j — NOT the raw pq:m:j books
       // above): unpinned, the m+1 k-means fills landed on whichever of
       // emb_ivfpq_search / ann_recall_eval ran first (detail ranges
       // showed a 41× [0.35, 14.4] s spread on one line)

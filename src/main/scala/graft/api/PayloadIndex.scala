@@ -255,6 +255,7 @@ final class PayloadIndex private[api] (
     require(batch.columns.toSet == original.map(_.name).toSet,
       s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
+    requireNonNullIds(normalized)
     val integer = fields.collect { case (f, "integer") => f }
     // cached: the SAME materialization must feed both the manifest
     // stats and the data write — a non-deterministic batch re-evaluated
@@ -395,9 +396,11 @@ final class PayloadIndex private[api] (
       PayloadIndex.sweepPrefixed(fs, new Path(root, rel), prefix))
     val integer = fields.collect { case (f, "integer") => f }
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
+    requireNonNullIds(normalized)
     val withZones = assignZones(normalized, integer).cache()
     // 3a. manifest first
-    commitZonesGeneration(widenedFrom(withZones, integer), integer)
+    val widened = widenedFrom(withZones, integer)
+    commitZonesGeneration(widened, integer)
     // 3b. postings + data stage fully, the intent commits the staged
     // directory list, THEN everything renames in with the batch prefix
     // (postings before data, the never-miss ordering)
@@ -427,8 +430,21 @@ final class PayloadIndex private[api] (
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     fs.delete(intent, false)
-    PayloadIndex.load(spark, root)
+    // every piece of the fresh handle is already in hand — a full
+    // load() here would pay a fields-parquet job plus the zones/schema
+    // reads PER MICRO-BATCH for state this insert just wrote
+    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol)
   }
+
+  /** Text indexes name rows by `idCol`; a NULL id is unmatchable by
+    * the candidate semi-join (see [[PayloadIndex.create]]'s refusal) —
+    * one limit-1 probe per batch keeps the invariant through ingest.
+    */
+  private def requireNonNullIds(normalized: DataFrame): Unit =
+    if (fields.exists(_._2 == "text"))
+      require(normalized.filter(col(idCol).isNull).isEmpty,
+        s"batch carries NULL '$idCol' values — postings name rows by it " +
+          "and the indexed route would silently drop those rows")
 }
 
 object PayloadIndex {
@@ -580,6 +596,17 @@ object PayloadIndex {
     require(text.isEmpty || cols.contains(idCol),
       s"text fields need id column '$idCol' in ${points.columns.toSeq} " +
         "(postings name rows by it)")
+    // a NULL id can never be matched back by the candidate semi-join
+    // (NULL === NULL is NULL under SQL three-valued logic), so a
+    // NULL-id row with matching text would be SILENTLY DROPPED by the
+    // indexed route while the scan route returns it — the one contract
+    // violation ("the index only prunes") this layout must never
+    // commit. One column-pruned limit-1 probe; refuse loudly instead.
+    if (text.nonEmpty)
+      require(points.filter(col(idCol).isNull).isEmpty,
+        s"id column '$idCol' carries NULL values — postings name rows " +
+          "by it and the candidate semi-join can never match a NULL " +
+          "back (the indexed route would silently drop those rows)")
 
     // zone assignment: value > boundary_i counts — an nZones-term
     // codegen'd when-sum, boundaries from one percentile pass (approx

@@ -152,10 +152,20 @@ object ReplicaPlanner {
       ShardTransfer.read(spark, root)
         .filter(col("bucket") === bucket)
         .drop("bucket")
-    // n = 1 is trust-the-primary (Qdrant's default read): no
-    // cross-check requested, so no fingerprint scans are owed at all
-    if (n == 1) return serve(pl.primary)
     val copies = pl.primary +: pl.replicas.map(replicaRoot)
+    // n = 1 is trust-the-first-LIVE-copy (Qdrant's default read): no
+    // quorum cross-check, but an absent/wiped primary must not shadow
+    // replicas that hold the bucket — serving the primary
+    // unconditionally would return ZERO rows while healthy copies have
+    // them, the silent-empty-read class this helper exists to prevent.
+    // Probe manifests (driver-tiny aggregates) in placement order and
+    // serve the first copy holding rows — one probe on the healthy
+    // path; every copy empty ⇒ the bucket is genuinely empty.
+    if (n == 1) {
+      val live = copies.find(r =>
+        ShardTransfer.fingerprintOf(spark, r, Seq(bucket))._1 > 0)
+      return serve(live.getOrElse(pl.primary))
+    }
     val fps = copies.map(r => r -> ShardTransfer.fingerprintOf(spark, r, Seq(bucket)))
     // An ABSENT copy (bucket never materialized — apply() not yet run,
     // or a re-plan) fingerprints (0, 0), identically to a genuinely

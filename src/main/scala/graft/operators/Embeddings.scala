@@ -336,6 +336,7 @@ object Embeddings {
     // times (k-means init/iters, then the residual projection) —
     // cache for the build, released below
     val corpus = emb.filter(col("vec_id") >= 10).cache()
+    try {
     val cents = Ann.kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters = 3)
     val dim = emb.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -352,22 +353,30 @@ object Embeddings {
     // is the whole frame, so gate-SF codebooks are unchanged.
     val trainCap = 50000L
     val res = residualsOf(cents)(corpus).cache()
-    val n = res.count()
-    val train =
-      if (n <= trainCap) res
-      // CEILING division: floor (n/cap) would keep every row for n just
-      // under 2*cap (divisor 1) and in general admit up to 2*cap-1 rows
-      else res.filter(
-        pmod(xxhash64(col("vec_id")),
-          lit((n + trainCap - 1) / trainCap)) === 0)
-    val books = (0 until m).map { j =>
-      j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$m:$j",
-        train.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
-        nCodes, iters = 3)
-    }
-    res.unpersist()
-    corpus.unpersist()
-    (cents, books)
+    try {
+      val n = res.count()
+      val train =
+        if (n <= trainCap) res
+        // CEILING division: floor (n/cap) would keep every row for n just
+        // under 2*cap (divisor 1) and in general admit up to 2*cap-1 rows
+        else res.filter(
+          pmod(xxhash64(col("vec_id")),
+            lit((n + trainCap - 1) / trainCap)) === 0)
+      val books = (0 until m).map { j =>
+        // the memo family carries nlist: the TRAINING INPUT (the
+        // residual frame) depends on the coarse centroids, so a
+        // "pqres:$m:$j" name shared across nlist values would serve a
+        // codebook fit against the WRONG residual distribution to a
+        // later ivfPqModel(nlist != first) call — silent recall loss
+        j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$nlist:$m:$j",
+          train.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
+          nCodes, iters = 3)
+      }
+      (cents, books)
+    } finally res.unpersist()
+    // cache releases ride finally: a require/fit failure between
+    // cache() and here must not pin corpus-scale blocks for the session
+    } finally corpus.unpersist()
   }
 
   /** Residual frame v − centroid(list(v)) — the codebook training and

@@ -789,6 +789,12 @@ object VectorStore {
       .select("id")
     Tables.points(s, d).filter(col("user_id") === 3)
       .join(doomed, Seq("id"), "left_anti")
+      // NULL text: the scan route's !(contains) — and the oracle's
+      // NOT LIKE — evaluate NULL and EXCLUDE the row from survivors;
+      // postings cannot see NULL texts, so the anti-join alone would
+      // keep it. Align explicitly so the two routes agree on every
+      // input, not just corpora without NULLs.
+      .filter(col("text").isNotNull)
       .select(col("id"), col("seq"))
       .orderBy("id")
   }
@@ -808,6 +814,8 @@ object VectorStore {
       .select("id")
     Tables.points(s, d).filter(col("user_id") === 3)
       .join(doomed, Seq("id"), "left_anti")
+      // NULL-text alignment with the scan route — see deleteByWordIndexed
+      .filter(col("text").isNotNull)
       .select(col("id"), col("seq"))
       .orderBy("id")
   }

@@ -766,6 +766,15 @@ class OperatorsSpec extends SparkSpecBase {
       .ivfPqSearch(spark, sf, queryId = 0, nprobe = 2)
       .collect().map(_.getLong(0)).toSet
     assert(narrow.size === 10)
+    // the codebook memo is keyed by nlist: residuals depend on the
+    // coarse centroids, so a second model at a different nlist must
+    // fit FRESH codebooks against its own residual frame — a shared
+    // name would silently serve books fit to the wrong distribution
+    val m16 = graft.operators.Embeddings.ivfPqModel(spark, sf, nlist = 16)
+    val m8 = graft.operators.Embeddings.ivfPqModel(spark, sf, nlist = 8)
+    assert(m8._1.size === 8 && m16._1.size === 16)
+    assert(m8._2.head._2 !== m16._2.head._2,
+      "nlist=8 codebooks must be fit on nlist=8 residuals, not reused")
   }
 
   test("mrl prefix search recalls the exact brute-force top-k") {

@@ -365,6 +365,33 @@ class PayloadIndexEdgeSpec extends SparkSpecBase {
     assert(idx2.read().count() === 33L)
   }
 
+  test("text indexes refuse NULL ids at create and at ingest") {
+    // postings name rows by idCol; NULL === NULL is NULL under SQL
+    // three-valued logic, so the candidate semi-join could never match
+    // a NULL id back — the indexed route would silently DROP a row the
+    // scan route returns. Refused loudly on both entry paths.
+    val root = tmp()
+    val withNull = df(Seq((1L, "a", "alpha beta"))).unionByName(
+      df(Seq((0L, "b", "beta gamma")))
+        .withColumn("id", lit(null).cast("bigint")))
+    val e = intercept[IllegalArgumentException](
+      PayloadIndex.create(spark, withNull, root,
+        keyword = Seq("tag"), integer = Seq.empty,
+        text = Seq("text"), idCol = "id"))
+    assert(e.getMessage.contains("NULL"))
+    val idx = PayloadIndex.create(spark,
+      df(Seq((1L, "a", "alpha beta"))), root,
+      keyword = Seq("tag"), integer = Seq.empty,
+      text = Seq("text"), idCol = "id")
+    intercept[IllegalArgumentException](idx.insert(withNull))
+    intercept[IllegalArgumentException](idx.insertCommitted(withNull, 0L))
+    // non-text indexes carry no posting contract — NULL ids pass
+    val root2 = tmp()
+    val idx2 = PayloadIndex.create(spark, withNull, root2,
+      keyword = Seq("tag"), integer = Seq.empty)
+    assert(idx2.read().count() === 2L)
+  }
+
   test("insert refuses a batch whose columns do not match the indexed schema") {
     val root = tmp()
     val base = df(Seq((1L, "a", "x"))).withColumnRenamed("id", "uid")

@@ -142,7 +142,8 @@ class ReplicaPlannerSpec extends SparkSpecBase {
     val primaryRows = ShardTransfer.plan(spark, p.placements.head.primary)
       .collect().find(_.getInt(0) == bucket).get.getLong(1)
     assert(primaryRows > 0)
-    // n=1 trusts the primary and owes no fingerprint scans
+    // n=1 probes manifests in placement order and serves the first
+    // LIVE copy — here the primary
     assert(ReplicaPlanner.readN(spark, p, bucket, 1).count() === primaryRows)
     // n=2: the two absent replicas agree with each other at (0,0) but
     // may not vote while the primary holds rows — loud failure, never
@@ -154,6 +155,26 @@ class ReplicaPlannerSpec extends SparkSpecBase {
     ReplicaPlanner.apply(spark, p)
     assert(ReplicaPlanner.readN(spark, p, bucket, 2).count() === primaryRows)
     assert(ReplicaPlanner.readN(spark, p, bucket, 3).count() === primaryRows)
+  }
+
+  test("readN n=1 serves a live replica when the primary bucket is wiped") {
+    // an absent/wiped primary must not shadow replicas that hold the
+    // bucket: an unconditional serve(primary) would return ZERO rows
+    // with no error — the silent-empty-read class
+    val roots = mkCluster()
+    val p = ReplicaPlanner.plan(spark, roots, replicationFactor = 2)
+    ReplicaPlanner.apply(spark, p)
+    val pl = p.placements.head
+    val rows = ShardTransfer.plan(spark, pl.primary)
+      .collect().find(_.getInt(0) == pl.bucket).get.getLong(1)
+    assert(rows > 0)
+    // wipe the bucket from the primary's live snapshot
+    val live = VectorIndex.resolveSnapshot(spark, pl.primary)
+    val dir = new java.io.File(live.stripPrefix("file:"), s"bucket=${pl.bucket}")
+    assert(dir.isDirectory)
+    dir.listFiles().foreach(f => assert(f.delete())); assert(dir.delete())
+    // the replica still holds the rows — n=1 must fall through to it
+    assert(ReplicaPlanner.readN(spark, p, pl.bucket, 1).count() === rows)
   }
 
   test("replica sub-roots never leak into the primary's generation axis") {

@@ -1242,7 +1242,7 @@ object SparkEntry {
         |j AS (SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap,
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rk
-        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
         |SELECT purchase_id, user_id, click_id AS last_click_id, gap AS gap_us
         |FROM j WHERE rk = 1 ORDER BY purchase_id""".stripMargin,
     "events_sessionize" ->
@@ -1293,12 +1293,12 @@ object SparkEntry {
         |GROUP BY CUBE(event_type, hod)
         |ORDER BY gid, event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
     "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch(ts) AS tse FROM events),
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tse FROM events),
         |t1 AS (SELECT user_id, min(tse) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
         |t2 AS (SELECT e.user_id, min(tse) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
-        |  WHERE event_type = 'click' AND tse > t1.t AND tse <= t1.t + 86400 GROUP BY 1),
+        |  WHERE event_type = 'click' AND tse > t1.t AND tse <= t1.t + 86400000000 GROUP BY 1),
         |t3 AS (SELECT e.user_id, min(tse) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
-        |  WHERE event_type = 'purchase' AND tse > t2.t AND tse <= t2.t + 86400 GROUP BY 1)
+        |  WHERE event_type = 'purchase' AND tse > t2.t AND tse <= t2.t + 86400000000 GROUP BY 1)
         |SELECT 1::BIGINT AS stage, count(*) AS n_users FROM t1
         |UNION ALL SELECT 2::BIGINT, count(*) FROM t2
         |UNION ALL SELECT 3::BIGINT, count(*) FROM t3 ORDER BY stage""".stripMargin,
@@ -1711,8 +1711,8 @@ object SparkEntry {
     "events_zorder_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
         |bd AS (SELECT min(user_id) lu, max(user_id) hu, min(hr) lh, max(hr) hh FROM e),
-        |q AS (SELECT ((user_id - lu) * 65535) // (hu - lu) AS qx,
-        |  ((hr - lh) * 65535) // (hh - lh) AS qy FROM e, bd),
+        |q AS (SELECT ((user_id - lu) * 65535) // greatest(hu - lu, 1) AS qx,
+        |  ((hr - lh) * 65535) // greatest(hh - lh, 1) AS qy FROM e, bd),
         |z AS (SELECT qx, qy,
         |  CAST(list_sum([((qx >> i) & 1) * (1::BIGINT << (2*i))
         |    + ((qy >> i) & 1) * (1::BIGINT << (2*i+1)) for i in range(0, 16)]) AS BIGINT) AS zv

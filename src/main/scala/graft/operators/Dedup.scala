@@ -41,16 +41,28 @@ object Dedup {
     * position). Map-side only: no shuffle until the consumer's.
     */
   def shingleRows(docs: DataFrame, w: Int = 5, distinct: Boolean = true): DataFrame = {
-    val ws = split(col("text"), " ")
-    val len = greatest(size(ws) - w + 1, lit(0)) // docs shorter than w yield no shingles
-    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
-    val raw = docs
-      .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("z"))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until w).map(j => col(s"z.w$j")): _*).as("shingle"))
+    val raw = shinglePosRows(docs, w).select("doc_id", "shingle")
     // set-semantics consumers (Jaccard counts) need the dedup shuffle;
     // dedup-insensitive aggregates (min, collect_set) skip it
     if (distinct) raw.dropDuplicates("doc_id", "shingle") else raw
+  }
+
+  /** The positional (doc_id, pos, shingle) form — ONE shared w-gram
+    * construction (split → sliding arrays_zip → concat_ws) for every
+    * shingle consumer, so a tokenization change can never fork gram
+    * semantics between the dedup family and positional consumers like
+    * winnowing ([[TextAnalysis.winnowingOf]] needs gram ORDER for its
+    * sliding-minimum window); [[shingleRows]] is its order-free
+    * projection.
+    */
+  private[operators] def shinglePosRows(docs: DataFrame, w: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - w + 1, lit(0)) // docs shorter than w yield no shingles
+    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
+    docs
+      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until w).map(j => col(s"z.w$j")): _*).as("shingle"))
   }
 
   /** Exact dedup: normalize → hash-groupBy; keeps min doc_id per group.

@@ -27,6 +27,23 @@ object Relational {
   def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Session-scoped memo of SMALL per-snapshot intermediate relations
+    * (hourly counts, activity sets, quarterly revenue) that feed 2-3
+    * consumers inside one operator. These previously re-cached per
+    * CALL with nothing ever unpersisting them — repeated invocations
+    * (a bench loop, a verify sweep) stacked dead cached RDDs until
+    * storage pressure evicted the USEFUL memoized artifacts. One
+    * pinned, eagerly-materialized copy per (session, snapshot, name),
+    * released on eviction like every other memo in this file.
+    */
+  private val relationMemo = new SessionMemo[String, DataFrame](_.unpersist())
+
+  private def memoized(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame =
+    relationMemo.getOrElseUpdate(s, d, name) {
+      val r = build.cache(); r.count(); r
+    }
+
   /** TPC-H Q1-style pricing summary (filter → groupBy → agg → sort). */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -114,7 +131,11 @@ object Relational {
     * user at-or-before it. Equi-join on the user key + per-purchase
     * window rank — both sides hash-partition on user, no range
     * explosion; at scale a range-partitioned sort-merge handles hot
-    * users.
+    * users. LEFT join, the canonical as-of shape (pandas merge_asof):
+    * a purchase with no click at-or-before it keeps its row with a
+    * NULL last_click_id/gap — an inner join would silently DROP it
+    * and undercount purchases downstream (the sibling
+    * [[eventsRangeJoin]] makes the same call).
     */
   def eventsAsofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -123,7 +144,7 @@ object Relational {
     val c = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("cuser"), col("ts").as("cts"))
     val w = Window.partitionBy("purchase_id").orderBy(col("cts").desc, col("click_id").desc)
-    p.join(c, col("user_id") === col("cuser") && col("cts") <= col("pts"))
+    p.join(c, col("user_id") === col("cuser") && col("cts") <= col("pts"), "left")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("purchase_id"), col("user_id"), col("click_id").as("last_click_id"),
@@ -282,17 +303,23 @@ object Relational {
     * reaches the parquet scan as a pushed predicate.
     */
   def eventsFunnel(s: SparkSession, d: String, windowSec: Int = 86400): DataFrame = {
+    // integer MICROS throughout — the same discipline eventsSessionize /
+    // eventsSlidingValue document as load-bearing: a double ts.cast
+    // carries rounding error at epoch scale, so an event landing exactly
+    // on t1 + windowSec could fall either side of the `<=` boundary per
+    // engine; exact integers cannot
+    val winUs = windowSec * 1000000L
     val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts").cast("double").as("tse"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tse"))
     val t1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("tse").as("t1"))
     val t2 = ev.filter(col("event_type") === "click")
       .join(t1, "user_id")
-      .filter(col("tse") > col("t1") && col("tse") <= col("t1") + windowSec)
+      .filter(col("tse") > col("t1") && col("tse") <= col("t1") + winUs)
       .groupBy("user_id").agg(min("tse").as("t2"))
     val t3 = ev.filter(col("event_type") === "purchase")
       .join(t2, "user_id")
-      .filter(col("tse") > col("t2") && col("tse") <= col("t2") + windowSec)
+      .filter(col("tse") > col("t2") && col("tse") <= col("t2") + winUs)
       .groupBy("user_id").agg(min("tse").as("t3"))
     t1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
       .unionByName(t2.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), col("n_users")))
@@ -410,9 +437,9 @@ object Relational {
     * score pass) is the distributed z-score idiom at any scale.
     */
   def eventsAnomaly(s: SparkSession, d: String, z: Double = 2.0): DataFrame = {
-    val hourly = Tables.events(s, d)
+    val hourly = memoized(s, d, "anomaly:hourly")(Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n")).cache()
+      .agg(count(lit(1)).as("n")))
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("h"), sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
       .select(col("event_type"),
@@ -434,9 +461,9 @@ object Relational {
     * bounded by users×hours, not events.
     */
   def eventsRetention(s: SparkSession, d: String): DataFrame = {
-    val act = Tables.events(s, d)
+    val act = memoized(s, d, "retention:act")(Tables.events(s, d)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .distinct().cache()
+      .distinct())
     val active = act.groupBy("hour").agg(countDistinct("user_id").as("n_active"))
     val retained = act
       .join(act.select(col("user_id"),
@@ -765,12 +792,11 @@ object Relational {
     * the fact table is scanned once and never joined at full width.
     */
   def q15TopSupplier(s: SparkSession, d: String, quarter: String = "1997-01-01"): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    val rev = memoized(s, d, s"q15:rev:$quarter")(Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit(quarter).cast("timestamp") &&
         col("l_shipdate") < add_months(lit(quarter).cast("timestamp"), 3))
       .groupBy(col("l_suppkey"))
-      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
-      .cache()
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue")))
     val top = rev.agg(max("total_revenue").as("max_rev"))
     rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
@@ -796,8 +822,13 @@ object Relational {
       min("hr").as("lh"), max("hr").as("hh"))
     val m = (1L << bits) - 1
     ev.crossJoin(broadcast(bounds))
-      .select(expr(s"((user_id - lu) * ${m}L) div (hu - lu)").as("qx"),
-        expr(s"((hr - lh) * ${m}L) div (hh - lh)").as("qy"))
+      // greatest(range, 1): a degenerate dimension (every event in one
+      // hour, or a single user) has range 0 — an ANSI DIVIDE_BY_ZERO
+      // on the unguarded div; the numerator is 0 on that dimension too,
+      // so the guarded form quantizes the whole axis to coordinate 0
+      // (one grid row), which is exactly what a zero-extent axis is
+      .select(expr(s"((user_id - lu) * ${m}L) div greatest(hu - lu, 1)").as("qx"),
+        expr(s"((hr - lh) * ${m}L) div greatest(hh - lh, 1)").as("qy"))
       .select(col("qx"), col("qy"),
         graft.sources.Sources.zvalue(col("qx"), col("qy"), bits).as("zv"))
       .groupBy(shiftright(col("zv"), 2 * bits - 5).as("bucket"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: quality
@@ -433,8 +433,14 @@ object TextAnalysis {
     val hashed = graft.operators.Dedup.shingleRows(Tables.documents(s, d), w, distinct = false)
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
     hashed.groupBy("doc_id")
-      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fp"), count(lit(1)).as("n"))
-      .filter(col("n") >= k)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("fp"))
+      // gate on DISTINCT gram count (size(fp) = min(distinct, k)), not
+      // the raw shingle-row count: a repetitive doc can have >= k gram
+      // rows but < k distinct hashes, and indexing fp(k-1) then throws
+      // INVALID_ARRAY_INDEX under ANSI mode — while the oracle's
+      // len(hs) >= k (distinct by construction) drops the doc. This
+      // form matches the oracle exactly on every input.
+      .filter(size(col("fp")) >= k)
       .select(col("doc_id"), col("fp")(0).as("fp0"), col("fp")(1).as("fp1"),
         col("fp")(2).as("fp2"), col("fp")(3).as("fp3"))
       .orderBy("doc_id")
@@ -463,14 +469,12 @@ object TextAnalysis {
 
   /** [[winnowing]] over an arbitrary (doc_id, text) relation. */
   def winnowingOf(docs: DataFrame, w: Int = 4, win: Int = 5): DataFrame = {
-    val ws = split(col("text"), " ")
-    val len = greatest(size(ws) - w + 1, lit(0))
-    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
-    val grams = docs
-      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
+    // grams come from the ONE shared shingle definition
+    // (Dedup.shinglePosRows) — winnowing only adds the portable
+    // md5-60-bit hash and the sliding-minimum window on top
+    val grams = graft.operators.Dedup.shinglePosRows(docs, w)
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat_ws(" ",
-          (0 until w).map(j => col(s"z.w$j")): _*)), 1, 15), 16, 10)
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
           .cast("long").as("h"))
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -1081,29 +1085,44 @@ object TextAnalysis {
     * the boolean rule battery. Pure map-side codegen'd column work —
     * at 100 TB it rides the corpus scan with zero shuffle.
     */
+  /** The four Gopher metric Columns over a `text` field — ONE
+    * definition feeding both the audit query ([[gopherRules]]) and the
+    * filter gate ([[gopherPassExpr]]), so a metric tweak (regex,
+    * rounding, separator rule) can never land in one and silently
+    * diverge the other — the countMinTable one-definition discipline.
+    * chars-in-words / n_words: text has single-space separators, so
+    * word chars = len(text) − (n_words − 1).
+    */
+  private def gopherMetrics: (Column, Column, Column, Column) = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast("long")
+    val meanLen =
+      round((length(col("text")) - size(ws) + 1).cast("double") / size(ws), 4)
+    val alpha =
+      round(size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
+    val stops = size(array_intersect(ws, array(stopwords.map(lit): _*))).cast("long")
+    (nWords, meanLen, alpha, stops)
+  }
+
+  private def gopherPass(nWords: Column, meanLen: Column, alpha: Column,
+                         stops: Column, minWords: Long, maxWords: Long,
+                         minMeanLen: Double, maxMeanLen: Double,
+                         minAlpha: Double, minStopHits: Int): Column =
+    nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      alpha >= minAlpha && stops >= minStopHits
+
   def gopherRules(s: SparkSession, d: String,
                   minWords: Long = 15, maxWords: Long = 100000,
                   minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
                   minAlpha: Double = 0.8, minStopHits: Int = 2): DataFrame = {
-    val ws = split(col("text"), " ")
+    val (nWords, meanLen, alpha, stops) = gopherMetrics
     Tables.documents(s, d)
-      .select(col("doc_id"), ws.as("ws"),
-        size(ws).cast("long").as("n_words"),
-        // chars-in-words / n_words: text has single-space separators, so
-        // word chars = len(text) − (n_words − 1)
-        round((length(col("text")) - size(ws) + 1).cast("double") / size(ws), 4)
-          .as("mean_word_len"))
-      .withColumn("alpha_ratio",
-        round(size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double")
-          / col("n_words"), 4))
-      .withColumn("n_stop_hits",
-        size(array_intersect(col("ws"), array(stopwords.map(lit): _*))).cast("long"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("alpha_ratio"), col("n_stop_hits"),
-        (col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
-          col("alpha_ratio") >= minAlpha &&
-          col("n_stop_hits") >= minStopHits).cast("long").as("passes"))
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alpha.as("alpha_ratio"), stops.as("n_stop_hits"),
+        gopherPass(nWords, meanLen, alpha, stops, minWords, maxWords,
+          minMeanLen, maxMeanLen, minAlpha, minStopHits)
+          .cast("long").as("passes"))
       .orderBy("doc_id")
   }
 
@@ -1117,13 +1136,9 @@ object TextAnalysis {
                      minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
                      minAlpha: Double = 0.8, minStopHits: Int = 2)
       : org.apache.spark.sql.Column = {
-    val ws = split(col("text"), " ")
-    val nWords = size(ws).cast("long")
-    val meanLen = round((length(col("text")) - size(ws) + 1).cast("double") / size(ws), 4)
-    val alpha = round(size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
-    val stops = size(array_intersect(ws, array(stopwords.map(lit): _*)))
-    nWords.between(minWords, maxWords) && meanLen.between(minMeanLen, maxMeanLen) &&
-      alpha >= minAlpha && stops >= minStopHits
+    val (nWords, meanLen, alpha, stops) = gopherMetrics
+    gopherPass(nWords, meanLen, alpha, stops, minWords, maxWords,
+      minMeanLen, maxMeanLen, minAlpha, minStopHits)
   }
 
   /** Per-document TOKEN ENTROPY — Shannon entropy of the within-doc

@@ -25,10 +25,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r.agg(sum("n_events")).head().getLong(0) === Tables.events(spark, sf).count())
   }
 
-  test("asof join gap is non-negative and clicks precede purchases") {
-    Relational.eventsAsofJoin(spark, sf).collect().foreach { r =>
-      assert(r.getLong(3) >= 0L)
+  test("asof join keeps every purchase; matched gaps are non-negative") {
+    val rows = Relational.eventsAsofJoin(spark, sf).collect()
+    // the canonical as-of contract (pandas merge_asof): LEFT semantics —
+    // a purchase with no click at-or-before it keeps its row with a
+    // NULL last_click_id/gap instead of silently vanishing
+    val nPurchases = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(rows.length.toLong === nPurchases)
+    rows.foreach { r =>
+      assert(r.isNullAt(2) === r.isNullAt(3),
+        "click id and gap must be null together")
+      if (!r.isNullAt(3)) assert(r.getLong(3) >= 0L)
     }
+    assert(rows.exists(!_.isNullAt(3)), "some purchase has a prior click")
   }
 
   test("quality ratios are within [0,1]") {

@@ -147,7 +147,14 @@ object Ann {
   def ivfBalance(s: SparkSession, d: String, nlist: Int = 16,
                  iters: Int = 3): DataFrame = {
     val (corpus, _) = corpusAndQueries(s, d)
-    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters)
+    // a COLD quantizer memo re-scans the corpus iters+1 times during
+    // training — cache for the fit like ivfTopK, released as soon as
+    // the driver-side centroids exist (warm calls never evaluate the
+    // by-name corpus, so the cache round-trip is a no-op there)
+    val fitCorpus = corpus.cache()
+    val cents =
+      try kmeansCentroidsCached(s, d, "ivf", fitCorpus, nlist, iters)
+      finally fitCorpus.unpersist()
     val sizes = corpus
       .select(nearestCentroidId(col("vec"), cents).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
@@ -176,7 +183,11 @@ object Ann {
   def ivfResiduals(s: SparkSession, d: String, nlist: Int = 16,
                    iters: Int = 3): DataFrame = {
     val (corpus, _) = corpusAndQueries(s, d)
-    val cents = kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters)
+    // cold-fit cache round-trip — see ivfBalance
+    val fitCorpus = corpus.cache()
+    val cents =
+      try kmeansCentroidsCached(s, d, "ivf", fitCorpus, nlist, iters)
+      finally fitCorpus.unpersist()
     val withDist = corpus.select(
       nearestCentroidId(col("vec"), cents).as("cid"), col("vec"))
     // squared distance to the ASSIGNED centroid: recompute against the
@@ -267,7 +278,11 @@ object Ann {
     * and search-graph memos, so benchmarks can time BUILD and SERVE
     * separately.
     */
-  private val knnMemo = new SessionMemo[String, DataFrame](_.unpersist())
+  // no onEvict: the stored value is localCheckpoint()ed, and
+  // Dataset.unpersist only releases CacheManager-tracked plans — it
+  // cannot reach checkpoint RDD blocks (the simhashSigMemo discipline);
+  // the ContextCleaner frees them when the entry drops
+  private val knnMemo = new SessionMemo[String, DataFrame]()
 
   private def buildKnnGraph(s: SparkSession, d: String, k: Int, rounds: Int,
                             nlist: Int, iters: Int, sampleCap: Int): DataFrame = {
@@ -384,7 +399,8 @@ object Ann {
     * corpus snapshot, consumed by every search — and n·k rows, safe to
     * pin. Keyed by session identity so a fresh session rebuilds.
     */
-  private val graphMemo = new SessionMemo[String, DataFrame](_.unpersist())
+  // no onEvict — localCheckpoint()ed value, see the knnMemo note
+  private val graphMemo = new SessionMemo[String, DataFrame]()
 
   /** GRAPH-ANN top-k search (the HNSW/DiskANN serving tier, batched):
     * best-first beam traversal over the NN-descent k-NN graph. Per
@@ -445,7 +461,8 @@ object Ann {
     * every search (same discipline as centroids/edges, so the serving
     * path pays zero entry-derivation jobs).
     */
-  private val entryMemo = new SessionMemo[String, DataFrame](_.unpersist())
+  // no onEvict — localCheckpoint()ed value, see the knnMemo note
+  private val entryMemo = new SessionMemo[String, DataFrame]()
 
   /** Build (or reuse) the memoized undirected search-graph edge list
     * over the corpus side — the explicit BUILD step of the graph-ANN

@@ -22,15 +22,6 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** doc_id → distinct word-w-gram shingle array. */
-  def shingles(docs: DataFrame, w: Int = 5): DataFrame = {
-    val words = split(col("text"), " ")
-    docs.select(col("doc_id"),
-      array_distinct(
-        transform(sequence(lit(0), size(words) - w),
-          i => concat_ws(" ", slice(words, i + 1, lit(w))))).as("sh"))
-      .filter(size(col("sh")) > 0)
-  }
-
   /** doc_id → one row per word-w-gram shingle: arrays_zip of the w
     * shifted slices of the word array, exploded, concat_ws'd. Every
     * expression here is a plain codegen'd builtin (slice/arrays_zip have
@@ -570,6 +561,15 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // 20 rounds of propagate+pointer-jump converge any component of
+    // diameter ≲ 2^20; past that, returning the current labels would
+    // hand downstream keep/split policies a component carrying SEVERAL
+    // cluster ids with no signal anything went wrong — fail loudly
+    // instead (the readN discipline: never serve an uncertified answer)
+    require(converged,
+      "labelPropagation did not converge in 20 rounds — a component's " +
+        "diameter exceeds the pointer-jump horizon; cluster this corpus " +
+        "with more rounds or pre-coalesce chains before labeling")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -843,34 +843,36 @@ object Dedup {
     * consecutive run). Nothing wider than (doc, pos) ever shuffles.
     */
   def dupSpans(s: SparkSession, d: String, w: Int = 5, minRun: Int = 3): DataFrame = {
-    val ws = split(col("text"), " ")
-    val len = greatest(size(ws) - w + 1, lit(0))
-    val parts = (0 until w).map(j => slice(ws, lit(j + 1), len).as(s"w$j"))
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(arrays_zip(parts: _*)).as(Seq("pos", "z")))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws(" ", (0 until w).map(j => col(s"z.w$j")): _*)).as("h"))
+    // positional grams from the ONE shared shingle definition
+    val grams = shinglePosRows(Tables.documents(s, d), w)
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("h"))
       .cache()
-    val dupSet = grams.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val runs = grams.join(dupSet, "h")
-      .select(col("doc_id"), col("pos"))
-      .withColumn("grp", col("pos") - row_number().over(wdoc))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-      .filter(col("run") >= minRun)
-    val agg = runs.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_runs"), max("run").as("max_run"),
-        sum("run").as("dup_grams"))
-    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"),
-        coalesce(col("max_run"), lit(0L)).as("max_run"),
-        round(coalesce(col("dup_grams"), lit(0L)).cast("double") / col("n_grams"), 4)
-          .as("dup_run_ratio"))
-      .orderBy("doc_id")
+    try {
+      val dupSet = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+      val wdoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val runs = grams.join(dupSet, "h")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(wdoc))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .filter(col("run") >= minRun)
+      val agg = runs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_runs"), max("run").as("max_run"),
+          sum("run").as("dup_grams"))
+      grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          round(coalesce(col("dup_grams"), lit(0L)).cast("double") / col("n_grams"), 4)
+            .as("dup_run_ratio"))
+        .orderBy("doc_id")
+        // eager few-rows materialization so the corpus-sized positional
+        // gram cache releases NOW instead of leaking for the session
+        // (the recallEval try/finally discipline)
+        .localCheckpoint()
+    } finally grams.unpersist()
   }
 
   /** Substring-dedup EXCISION (the removal half of Lee et al. 2022 —
@@ -1146,15 +1148,29 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.BloomBridge
         .bloomAgg(col("h"), estimatedItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    shingleRows(batch, w)
+    val hits = shingleRows(batch, w)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(org.apache.spark.sql.graft.BloomBridge.mightContain(bf, col("h"))
           .cast("long")).as("n_hit"))
+    // EVERY batch doc gets a verdict row: a doc shorter than w words
+    // yields zero shingles and would otherwise vanish from the report —
+    // an admission gate that silently loses documents (and diverges
+    // from incrementalDedup, whose exact tier keeps them with keep=1).
+    // Zero grams ⇒ nothing can collide ⇒ containment 0, admitted.
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 4).as("containment_est"),
-        (col("n_hit").cast("double") / col("n_grams") < t).cast("long").as("keep"))
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") / col("n_grams"), 4))
+          .as("containment_est"),
+        when(col("n_grams") === 0, lit(1L))
+          .otherwise((col("n_hit").cast("double") / col("n_grams") < t).cast("long"))
+          .as("keep"))
       .orderBy("doc_id")
   }
 
@@ -1162,8 +1178,14 @@ object Dedup {
     * survives the dedup chain?": input docs/tokens, exact-unique count
     * (distinct normalized content hashes), and the survivor docs/tokens
     * after near-dup clustering under the keep-cluster-min policy.
-    * Exact-dup twins have Jaccard 1, so their clusters subsume the
-    * exact tier — the funnel stages are monotone by construction. All
+    * Byte-identical twins have Jaccard 1, so their clusters subsume
+    * them — but the tiers' normalizations DIVERGE on case/whitespace:
+    * the exact tier hashes lower(trim(text)) while the near tier's
+    * shingles are case-sensitive (the [[dupRateBySource]] note), so a
+    * case-variant pair collapses in the exact count yet can survive
+    * clustering — the stages are NOT guaranteed monotone on mixed-case
+    * corpora, and no consumer may assume n_near_survivors <=
+    * n_exact_unique. All
     * outputs are exact BIGINTs (no rounding surface at all). Scale
     * shape: content hashes and (id, cluster) labels are the only
     * shuffled relations; the token sums partial-aggregate.

@@ -314,6 +314,15 @@ object Multimodal {
             case "mvhd" if depth == 1 =>
               val version = b.get() & 0xFF
               b.position(b.position() + 3) // flags
+              // bounds vs boxEnd: a TRUNCATED mvhd (size passes the
+              // header checks but the body is short) must not read its
+              // sibling box's bytes as times/timescale — that yields a
+              // positive garbage duration instead of the contract's -1
+              // stub. Throwing lands in the malformed-payload catch.
+              val need = if (version == 1) 16 + 4 + 8 else 8 + 4 + 4
+              if (boxEnd - b.position() < need)
+                throw new IllegalArgumentException(
+                  s"truncated mvhd body (needs $need bytes)")
               if (version == 1) {
                 b.position(b.position() + 16) // 64-bit times
                 timescale = b.getInt().toLong & 0xFFFFFFFFL
@@ -364,12 +373,18 @@ object Multimodal {
     mediaTable(s, d)
       .filter(col("media_type") === "video")
       .as[MediaRow]
-      .flatMap { r =>
-        val meta = decode(r)
-        val n = meta.n_frames.toLong
-        (0 until k).map(j => j.toLong * (n - 1) / math.max(k - 1, 1))
-          .distinct
-          .map(i => Frame(r.doc_id, i, meta.byte_len * 31 + i))
+      .mapPartitions { it =>
+        // the decodeMetaOf kernel discipline: codec init once per
+        // partition (ImageIO's default disk cache would back every
+        // header read with an executor-local temp file)
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val meta = decode(r)
+          val n = meta.n_frames.toLong
+          (0 until k).map(j => j.toLong * (n - 1) / math.max(k - 1, 1))
+            .distinct
+            .map(i => Frame(r.doc_id, i, meta.byte_len * 31 + i))
+        }
       }
       .toDF()
       .orderBy("doc_id", "frame_idx")
@@ -422,11 +437,13 @@ object Multimodal {
     * metadata; the kernel slot stays in mapPartitions.
     */
   def resizePlan(s: SparkSession, d: String, target: Int = 224): DataFrame = {
-    import s.implicits._
-    val meta = mediaTable(s, d).mapPartitions(_.map(decode)).toDF()
+    // ONE decode definition: [[decodeMetaOf]] owns the kernel
+    // discipline (per-partition ImageIO init, long casts) — an inline
+    // re-decode here had already drifted from it (no codec init, its
+    // own casts); resizePlan only adds the scale arithmetic on top
+    val meta = decodeMetaOf(s, mediaTable(s, d))
     val scale = lit(target.toDouble) / greatest(col("width"), col("height"))
-    meta.select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"),
+    meta.select(col("doc_id"), col("width"), col("height"),
         floor(col("width") * scale).as("out_w"),
         floor(col("height") * scale).as("out_h"))
       .orderBy("doc_id")
@@ -545,7 +562,14 @@ object Multimodal {
   def phashSearch(s: SparkSession, d: String, queryDocId: Long = 1,
                   k: Int = 10): DataFrame = {
     val sigs = phashSigs(s, d)
-    val q = sigs.filter(col("doc_id") === queryDocId).head().getLong(1)
+    // loud refusal, not a bare NoSuchElementException off head(): the
+    // signature relation drops docs the pHash grid can't cover (short
+    // payloads), so an arbitrary query id may legitimately be absent
+    val qRow = sigs.filter(col("doc_id") === queryDocId).limit(1).collect()
+    require(qRow.nonEmpty,
+      s"doc $queryDocId has no pHash signature (payload too short for " +
+        "the 64-cell grid, or not in the corpus) — pick a signed doc")
+    val q = qRow.head.getLong(1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0)).orderBy(col("hamming").asc, col("doc_id").asc)
     sigs.filter(col("doc_id") =!= queryDocId)

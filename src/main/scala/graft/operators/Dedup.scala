@@ -842,7 +842,19 @@ object Dedup {
     * gaps-and-islands trick (pos − row_number is constant exactly on a
     * consecutive run). Nothing wider than (doc, pos) ever shuffles.
     */
-  def dupSpans(s: SparkSession, d: String, w: Int = 5, minRun: Int = 3): DataFrame = {
+  // the REPORT memoizes (doc-count rows, localCheckpointed — no
+  // onEvict, the simhashSigMemo note): the previous per-call
+  // grams.cache() was never released, which leaked corpus-scale blocks
+  // for the session AND doubled as an accidental plan-matched memo —
+  // this is the explicit, released form of the same reuse
+  private val dupSpanMemo = new SessionMemo[String, DataFrame]()
+
+  def dupSpans(s: SparkSession, d: String, w: Int = 5, minRun: Int = 3): DataFrame =
+    dupSpanMemo.getOrElseUpdate(s, d, s"$w:$minRun")(
+      dupSpansUncached(s, d, w, minRun))
+
+  private def dupSpansUncached(s: SparkSession, d: String, w: Int,
+                               minRun: Int): DataFrame = {
     // positional grams from the ONE shared shingle definition
     val grams = shinglePosRows(Tables.documents(s, d), w)
       .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("h"))

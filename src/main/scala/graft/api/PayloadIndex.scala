@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * [[graft.sources.Sources.writeBucketed]] philosophy: pay one
   * re-organization at build time, and the storage layout IS the index
   * for every later query, with no join to reconcile. ONE copy of the
-  * data serves every indexed field:
+  * data serves every indexed field. The six field kinds mirror
+  * Qdrant's `field_schema` values:
   *
   *  - **keyword** fields (low-cardinality tags — the advisor's
   *    ≤64-distinct criterion, [[graft.operators.VectorStore.payloadIndexPlan]])
@@ -27,14 +28,22 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *    count (∏ distinct) sane — indexing a high-cardinality field as
   *    `keyword` is refused by no one but the operator who ignored the
   *    advisor's `text`/`skip` verdict.
-  *  - **integer** fields become MIN/MAX-ZONED buckets: values are
-  *    split at build-time percentile boundaries into `nZones` zones,
-  *    the zone id is one more partition column (`__zone_user_id=K`),
-  *    and the manifest records each zone's exact [min, max]. A range
-  *    (or equality) predicate consults the manifest — driver-side,
-  *    KBs — and reads only overlapping zone directories; the raw field
-  *    stays a DATA column sorted within each file, so parquet row-group
+  *  - **integer**, **float** and **datetime** fields become
+  *    MIN/MAX-ZONED buckets: values are split at build-time percentile
+  *    boundaries into `nZones` zones, the zone id is one more partition
+  *    column (`__zone_user_id=K`), and the manifest records each zone's
+  *    exact [min, max] — as exact DECIMAL strings, so one manifest
+  *    format serves 64-bit integers (beyond double precision), IEEE
+  *    doubles (shortest round-trip representation) and epoch-micros
+  *    timestamps on the same ordered-key machinery. A range (or
+  *    equality) predicate consults the manifest — driver-side, KBs —
+  *    and reads only overlapping zone directories; the raw field stays
+  *    a DATA column sorted within each file, so parquet row-group
   *    min/max statistics prune a second time inside each zone.
+  *    Datetime fields zone on `unix_micros` and must be session
+  *    TIMESTAMP columns (the [[graft.Tables.events]] normalization);
+  *    their range reads take UTC wall-clock strings and the residual
+  *    compares TIMESTAMP literals so it still pushes to parquet.
   *  - **text** fields (Qdrant `create_payload_index(field_schema=
   *    "text")` — the advisor's high-cardinality-string verdict, and
   *    the index behind MatchText and the reference's word/regex
@@ -46,45 +55,79 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *    substring scan. The field itself stays a data column; a residual
   *    whole-word (or caller regex) predicate re-verifies candidates,
   *    so the postings only ever PRUNE. Rows are named by `idCol`.
+  *    Two build options refine the kind (both persisted, both
+  *    default-off for byte-compatibility with the case-exact layout):
+  *    `lowercaseText` folds tokens at write AND query terms + residual
+  *    at read (Qdrant's text tokenizer defaults `lowercase: true`), so
+  *    a case-INSENSITIVE MatchText serves from the index directly;
+  *    `positionalText` adds the token's position to each posting so
+  *    [[readMatchPhrase]] computes ADJACENCY from the postings alone
+  *    and the text column is read only for final candidates.
+  *  - **geo** fields (Qdrant `field_schema="geo"` — a (lat, lon) pair)
+  *    become FIXED-GRID buckets: one partition column holds the
+  *    row-major cell id of a `geoGrid`×`geoGrid` lat/lon grid over
+  *    [-90, 90]×[-180, 180] (out-of-range coordinates clamp to edge
+  *    cells). A `geo_bounding_box` read maps the box to its overlapping
+  *    cells DRIVER-side — the cell→rectangle map is static, so there is
+  *    no manifest, no widening and no freshness protocol — and scans
+  *    only those directories; the exact box predicate is the residual.
+  *    Clamping is monotone on both the write and read side, so pruning
+  *    stays a superset for any coordinates, including invalid ones.
   *
-  * Scale shape: build = one exact-percentile aggregate per integer
-  * field + one partitioned rewrite (the same single exchange any
-  * partitioned sink pays); query = directory listing + pruned scan.
-  * The artifact is self-describing (schema DDL + field kinds + zone
-  * map persisted beside the data) and reopens with [[PayloadIndex.load]].
+  * Scale shape: build = one percentile aggregate per zoned field + one
+  * partitioned rewrite (the same single exchange any partitioned sink
+  * pays); query = directory listing + pruned scan. The artifact is
+  * self-describing (schema DDL + field kinds + zone map + layout
+  * options persisted beside the data) and reopens with
+  * [[PayloadIndex.load]].
   */
 final class PayloadIndex private[api] (
     spark: SparkSession, val root: String,
-    val fields: Seq[(String, String)], // (field, kind ∈ keyword|integer|text)
-    val zones: Map[String, Seq[(Int, Long, Long)]], // field -> (zone, min, max)
+    val fields: Seq[(String, String)], // (field, kind ∈ keyword|integer|float|datetime|text|geo)
+    val zones: Map[String, Seq[(Int, BigDecimal, BigDecimal)]], // field -> (zone, min, max)
     schemaDdl: String,
-    val idCol: String = "") {
+    val idCol: String = "",
+    val lowercase: Boolean = false,
+    val positional: Boolean = false,
+    val geoGrid: Int = 16) {
+
+  import PayloadIndex.{geoBucket, geoCells, geoColOf, keyExpr, zonedKinds, zoneCol}
 
   private val original = StructType.fromDDL(schemaDdl)
   private def kindOf(f: String): Option[String] = fields.find(_._1 == f).map(_._2)
-  private def zoneCol(f: String) = s"__zone_$f"
+  private def zonedFields: Seq[(String, String)] =
+    fields.filter(t => zonedKinds.contains(t._2))
+  private def geoFields: Seq[String] = fields.collect { case (f, "geo") => f }
 
   /** The read schema: data columns (original minus keyword fields, in
     * original order) + keyword partition columns (original types) +
-    * zone partition columns. Explicit — partition-value type INFERENCE
-    * would quietly retype a keyword like "007" as int.
+    * zone/geo partition columns. Explicit — partition-value type
+    * INFERENCE would quietly retype a keyword like "007" as int.
     */
   private def readSchema: StructType = {
     val kw = fields.collect { case (f, "keyword") => f }.toSet
     StructType(
       original.filterNot(sf => kw.contains(sf.name)) ++
         original.filter(sf => kw.contains(sf.name)) ++
-        fields.collect { case (f, "integer") =>
-          StructField(zoneCol(f), IntegerType) })
+        zonedFields.map { case (f, _) => StructField(zoneCol(f), IntegerType) } ++
+        geoFields.map(f => StructField(geoColOf(f), IntegerType)))
   }
 
   /** Read the collection through the index with equality predicates on
-    * keyword fields and [lo, hi] ranges on integer fields (equality on
-    * an integer field is `(v, v)`). Every predicate prunes: keyword
-    * values select their partition directories; integer ranges select
-    * the manifest's overlapping zones (plus the exact residual filter,
-    * which parquet row-group stats prune again inside each zone).
-    * Columns come back in the original schema order.
+    * keyword fields, [lo, hi] ranges on the zoned kinds (equality is
+    * `(v, v)`; `range` = integer fields, `rangeFloat` = float fields,
+    * `rangeTime` = datetime fields as UTC wall-clock
+    * "yyyy-MM-dd HH:mm:ss[.ffffff]" strings), conjunctive whole-word
+    * `matchText` on text fields (case-insensitive when the index was
+    * built `lowercaseText` — the folded postings ARE the
+    * case-insensitive index, Qdrant's text default) and
+    * `geoBox` = (latMin, latMax, lonMin, lonMax) bounding boxes on geo
+    * fields, keyed by their (latCol, lonCol) pair. Every predicate
+    * prunes: keyword values select their partition directories; ranges
+    * select the manifest's overlapping zones (plus the exact residual
+    * filter, which parquet row-group stats prune again inside each
+    * zone); boxes select their overlapping grid cells. Columns come
+    * back in the original schema order.
     *
     * Range reads consult the NEWEST COMMITTED zones manifest on disk,
     * not this handle's load-time snapshot: the data directory is shared
@@ -95,25 +138,54 @@ final class PayloadIndex private[api] (
     * manifest-first discipline guards against, reintroduced on the read
     * side. The manifest is driver-tiny (the same resolveSnapshot +
     * collect every insert already pays), so freshness costs one KB-read
-    * per range read and zero when no range predicate is given.
+    * per range read and zero when no range predicate is given. Geo
+    * pruning needs no such protocol — the grid is static.
     */
   def read(eq: Map[String, Seq[String]] = Map.empty,
            range: Map[String, (Long, Long)] = Map.empty,
-           matchText: Map[String, Seq[String]] = Map.empty): DataFrame = {
+           matchText: Map[String, Seq[String]] = Map.empty,
+           rangeFloat: Map[String, (Double, Double)] = Map.empty,
+           rangeTime: Map[String, (String, String)] = Map.empty,
+           geoBox: Map[(String, String), (Double, Double, Double, Double)] =
+             Map.empty): DataFrame = {
     var df = spark.read.schema(readSchema).parquet(s"$root/data")
     eq.foreach { case (f, vs) =>
       require(kindOf(f).contains("keyword"),
         s"'$f' is not an indexed keyword field (indexed: $fields)")
       df = df.filter(col(f).isin(vs: _*))
     }
-    val live = if (range.isEmpty) zones else PayloadIndex.liveZones(spark, root)
-    range.foreach { case (f, (lo, hi)) =>
-      require(kindOf(f).contains("integer"),
-        s"'$f' is not an indexed integer field (indexed: $fields)")
+    // one typed bound + residual per zoned kind, one generic pruner
+    val wanted: Seq[(String, String, BigDecimal, BigDecimal, Column)] =
+      range.toSeq.map { case (f, (lo, hi)) =>
+        (f, "integer", BigDecimal(lo), BigDecimal(hi),
+          col(f) >= lo && col(f) <= hi)
+      } ++ rangeFloat.toSeq.map { case (f, (lo, hi)) =>
+        (f, "float", BigDecimal.valueOf(lo), BigDecimal.valueOf(hi),
+          col(f) >= lo && col(f) <= hi)
+      } ++ rangeTime.toSeq.map { case (f, (lo, hi)) =>
+        val (loU, hiU) = (PayloadIndex.utcMicros(lo), PayloadIndex.utcMicros(hi))
+        // TIMESTAMP-literal residual (constant-folded), so it still
+        // pushes to the parquet scan — a unix_micros(col) form would not
+        (f, "datetime", BigDecimal(loU), BigDecimal(hiU),
+          col(f) >= timestamp_micros(lit(loU)) && col(f) <= timestamp_micros(lit(hiU)))
+      }
+    val live =
+      if (wanted.isEmpty) zones else PayloadIndex.liveZones(spark, root)
+    wanted.foreach { case (f, kind, lo, hi, residual) =>
+      require(kindOf(f).contains(kind),
+        s"'$f' is not an indexed $kind field (indexed: $fields)")
       val zs = live(f).collect { case (z, zmin, zmax)
         if zmax >= lo && zmin <= hi => z }
-      df = df.filter(col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*) &&
-        col(f) >= lo && col(f) <= hi)
+      df = df.filter(col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*) && residual)
+    }
+    geoBox.foreach { case ((latC, lonC), (laMin, laMax, loMin, loMax)) =>
+      val f = s"$latC:$lonC"
+      require(kindOf(f).contains("geo"),
+        s"'($latC, $lonC)' is not an indexed geo field (indexed: $fields)")
+      val cells = geoCells(geoGrid, laMin, laMax, loMin, loMax)
+      df = df.filter(col(geoColOf(f)).isin(cells.map(Integer.valueOf): _*) &&
+        col(latC) >= laMin && col(latC) <= laMax &&
+        col(lonC) >= loMin && col(lonC) <= loMax)
     }
     var out = df.select(original.map(sf => col(sf.name)): _*)
     matchText.foreach { case (f, terms) =>
@@ -123,14 +195,19 @@ final class PayloadIndex private[api] (
     out
   }
 
+  private def foldTerm(t: String): String = if (lowercase) t.toLowerCase else t
+  private def foldedText(f: String): Column =
+    if (lowercase) lower(col(f)) else col(f)
+
   /** MatchText candidate ids for field `f`: rows whose token postings
     * hold EVERY query term (Qdrant's full-text index condition —
-    * conjunctive whole-word match). Only the query terms' posting
-    * lists are read (pushed token-IN filter on the token-sorted
-    * layout); the aggregate input is Σ df(term) posting rows and the
-    * OUTPUT is ≤ the rarest term's df — query-sized for any selective
-    * MatchText, so AQE turns the data-side gate into a broadcast
-    * semi-join and the corpus never shuffles.
+    * conjunctive whole-word match; terms fold on a lowercased index).
+    * Only the query terms' posting lists are read (pushed token-IN
+    * filter on the token-sorted layout); the aggregate input is
+    * Σ df(term) posting rows and the OUTPUT is ≤ the rarest term's df —
+    * query-sized for any selective MatchText, so AQE turns the
+    * data-side gate into a broadcast semi-join and the corpus never
+    * shuffles.
     */
   private def candidateIds(f: String, terms: Seq[String]): DataFrame = {
     require(kindOf(f).contains("text"),
@@ -145,71 +222,112 @@ final class PayloadIndex private[api] (
     require(spaced.isEmpty,
       s"matchText terms must be single tokens (got $spaced) — use " +
         "readMatchPhrase for adjacent-word phrases")
+    val folded = qts.map(foldTerm).distinct
     PayloadIndex.postingsOf(spark, root, f)
-      .filter(col("token").isin(qts: _*))
+      .filter(col("token").isin(folded: _*))
       // countDistinct, NOT count: batch-appended posting files are
       // per-batch distinct, and [[insert]]'s at-least-once replay can
       // duplicate a (token, __pid) pair across files — a raw count
-      // would then overshoot qts.size and silently DROP matching rows
+      // would then overshoot folded.size and silently DROP matching rows
       .groupBy("__pid").agg(countDistinct("token").as("__nt"))
-      .filter(col("__nt") === qts.size)
+      .filter(col("__nt") === folded.size)
       .select("__pid")
   }
 
   /** Semi-join the candidate id set, then re-verify with the residual
-    * whole-word predicate on the stored text. The residual is
-    * belt-and-braces exactness: token postings and padded-contains are
-    * equivalent on whitespace tokenization (spec'd), and keeping the
-    * scan-predicate form in the plan means the indexed route can NEVER
-    * return a row the unindexed route would not — the index only
-    * prunes. Residual = None is the token-substring prefilter form,
-    * where the CALLER owns the true predicate.
+    * whole-word predicate on the stored text (folded on a lowercased
+    * index — the residual must express the SAME case semantics the
+    * postings did, or the two would disagree on mixed-case rows). The
+    * residual is belt-and-braces exactness: token postings and
+    * padded-contains are equivalent on whitespace tokenization
+    * (spec'd), and keeping the scan-predicate form in the plan means
+    * the indexed route can NEVER return a row the unindexed route would
+    * not — the index only prunes. Residual = None is the
+    * token-substring prefilter form, where the CALLER owns the true
+    * predicate.
     */
   private def gateByTokens(df: DataFrame, f: String, cand: DataFrame,
                            residual: Option[Seq[String]]): DataFrame = {
     val gated = df.join(cand, df(idCol) === cand("__pid"), "left_semi")
     residual.fold(gated) { terms =>
-      val padded = concat(lit(" "), col(f), lit(" "))
+      val padded = concat(lit(" "), foldedText(f), lit(" "))
       gated.filter(terms.distinct.filter(_.nonEmpty)
-        .map(t => padded.contains(s" $t ")).reduce(_ && _))
+        .map(t => padded.contains(s" ${foldTerm(t)} ")).reduce(_ && _))
     }
   }
 
   /** MatchPhrase through the text index (Qdrant's phrase-match text
-    * condition — the ADJACENT, ORDERED form of MatchText): candidates
-    * prefilter by the phrase's tokens conjunctively (every token
-    * whole-word present — implied by phrase containment, so the
-    * prefilter is lossless), then the padded-contains of the FULL
-    * phrase enforces adjacency and order as the residual — exactly the
-    * predicate class the posting lists cannot express alone
-    * ([[readWithTokenSubstring]]'s fallback contract, built in).
+    * condition — the ADJACENT, ORDERED form of MatchText). On a
+    * POSITIONAL index ([[PayloadIndex.create]]'s `positionalText`),
+    * adjacency itself is computed from the postings: each phrase
+    * position i contributes its token's (row, pos − i) pairs, and a row
+    * with some start where ALL phrase positions land is an exact
+    * whole-word phrase match — so the data scan reads ONLY final
+    * candidates, not every row that merely holds the phrase's words
+    * somewhere (for a phrase of common words, the difference at 100 TB
+    * is the query). On a non-positional index, candidates prefilter by
+    * the phrase's tokens conjunctively (lossless: implied by phrase
+    * containment) and the padded-contains residual does the adjacency
+    * work on that wider slice. Both routes keep the full-phrase
+    * residual in the plan — the index only prunes.
     */
   def readMatchPhrase(f: String, phrase: String,
                       eq: Map[String, Seq[String]] = Map.empty,
                       range: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
-    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(foldTerm)
     require(toks.nonEmpty, "matchPhrase needs a non-empty phrase")
-    read(eq, range, matchText = Map(f -> toks))
-      .filter(concat(lit(" "), col(f), lit(" "))
-        .contains(" " + toks.mkString(" ") + " "))
+    val residual = concat(lit(" "), foldedText(f), lit(" "))
+      .contains(" " + toks.mkString(" ") + " ")
+    if (positional)
+      gateByTokens(read(eq, range), f, phraseStartIds(f, toks), residual = None)
+        .filter(residual)
+    else
+      read(eq, range, matchText = Map(f -> toks)).filter(residual)
+  }
+
+  /** Rows holding the (folded) token sequence at consecutive positions:
+    * postings filtered to the phrase's tokens (pushed token-IN), each
+    * joined to its phrase offset(s), normalized to a candidate START
+    * (pos − offset), and kept where every offset is present at one
+    * start. A token repeated in the phrase contributes one row per
+    * offset — countDistinct over offsets (replay-duplication-proof,
+    * like [[candidateIds]]) demands all of them.
+    */
+  private def phraseStartIds(f: String, toks: Seq[String]): DataFrame = {
+    require(kindOf(f).contains("text"),
+      s"'$f' is not an indexed text field (indexed: $fields)")
+    val s0 = spark
+    import s0.implicits._
+    val offsets = toks.zipWithIndex.toDF("token", "__off")
+    PayloadIndex.postingsOf(spark, root, f)
+      .filter(col("token").isin(toks.distinct: _*))
+      .join(broadcast(offsets), "token")
+      .groupBy(col("__pid"), (col("pos") - col("__off")).as("__start"))
+      .agg(countDistinct("__off").as("__nt"))
+      .filter(col("__nt") === toks.size)
+      .select("__pid").distinct()
   }
 
   /** TOKEN-SUBSTRING prefilter — the index route behind the
     * reference's substring word delete and regex delete
     * (app.py:94-139): rows of the pruned slice whose `f` holds ANY
     * token containing `substr`. This is a SUPERSET of any predicate
-    * that implies "text contains `substr`" — CASE-EXACTLY (a
-    * space-free required literal of a regex, a substring word match):
-    * the caller MUST re-apply the true predicate on the returned rows —
-    * adjacency and regex alternation live in the residual, the postings
-    * only prune. A case-INSENSITIVE predicate does not imply case-exact
-    * containment, so it may NOT use this route on a mixed-case literal:
-    * probe each case variant (or a case-exact sub-literal) instead —
-    * the residual can only narrow a superset, never recover a miss. The scan here reads the (token, __pid)
-    * postings relation — the token dictionary, not the corpus text —
-    * so at 100 TB a `%substr%` probe touches the posting layout's two
-    * thin columns instead of every data row group.
+    * that implies "text contains `substr`": the caller MUST re-apply
+    * the true predicate on the returned rows — adjacency and regex
+    * alternation live in the residual, the postings only prune. On a
+    * case-EXACT index the containment the postings can see is
+    * case-exact (a space-free required literal of a regex, a substring
+    * word match); a case-INSENSITIVE predicate does not imply
+    * case-exact containment, so it may NOT use this route on a
+    * mixed-case literal — probe each case variant (or a case-exact
+    * sub-literal) instead: the residual can only narrow a superset,
+    * never recover a miss. On a LOWERCASED index the literal folds and
+    * the prefilter is a superset of BOTH case semantics — the
+    * case-exactness restriction disappears. The scan here reads the
+    * (token, __pid) postings relation — the token dictionary, not the
+    * corpus text — so at 100 TB a `%substr%` probe touches the posting
+    * layout's thin columns instead of every data row group.
     */
   def readWithTokenSubstring(f: String, substr: String,
                              eq: Map[String, Seq[String]] = Map.empty,
@@ -222,7 +340,7 @@ final class PayloadIndex private[api] (
         s"(got '$substr') — a spanning literal crosses token boundaries " +
         "and the posting lists cannot see it")
     val cand = PayloadIndex.postingsOf(spark, root, f)
-      .filter(col("token").contains(substr))
+      .filter(col("token").contains(foldTerm(substr)))
       .select("__pid").distinct()
     gateByTokens(read(eq, range), f, cand, residual = None)
   }
@@ -231,8 +349,8 @@ final class PayloadIndex private[api] (
     * on the payload axes: new rows assign to EXISTING zones (the zone
     * whose recorded range covers the value; a value in a gap or beyond
     * either end joins the nearest zone, WIDENING it) and APPEND into
-    * the partitioned layout — keyword directories and parquet row-group
-    * stats keep pruning with zero rewrite of existing files.
+    * the partitioned layout — keyword/geo directories and parquet
+    * row-group stats keep pruning with zero rewrite of existing files.
     *
     * Crash discipline, in write order: the WIDENED zone manifest
     * commits FIRST (next `gen-N` under `zones/` — tiny, one atomic
@@ -256,15 +374,14 @@ final class PayloadIndex private[api] (
       s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
     requireNonNullIds(normalized)
-    val integer = fields.collect { case (f, "integer") => f }
     // cached: the SAME materialization must feed both the manifest
     // stats and the data write — a non-deterministic batch re-evaluated
     // per pass could append rows the committed manifest does not cover
     // (a pruning miss, silent)
-    val withZones = assignZones(normalized, integer).cache()
+    val withZones = assignPartitionKeys(normalized).cache()
     // 1. widened manifest first (see ordering note above)
-    val widened = widenedFrom(withZones, integer)
-    commitZonesGeneration(widened, integer)
+    val widened = widenedFrom(withZones)
+    commitZonesGeneration(widened)
     // 2. text postings append BEFORE the data (same never-miss
     // ordering as the manifest: a data row with no postings would be
     // invisible to matchText reads forever — silent wrong answers —
@@ -274,72 +391,88 @@ final class PayloadIndex private[api] (
     // at-least-once contract)
     fields.collect { case (f, "text") => f }.foreach { f =>
       PayloadIndex.writePostings(withZones, idCol, f,
-        PayloadIndex.textDir(root, f), append = true)
+        PayloadIndex.textDir(root, f), append = true,
+        lowercase = lowercase, positions = positional)
     }
     // 3. data appends into the same partition axes
-    val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
     withZones
-      .sortWithinPartitions((partCols ++ integer).map(col): _*)
-      .write.mode("append").partitionBy(partCols: _*).parquet(s"$root/data")
+      .sortWithinPartitions((partitionCols ++ zonedFields.map(_._1)).map(col): _*)
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(s"$root/data")
     withZones.unpersist()
-    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol)
+    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol,
+      lowercase, positional, geoGrid)
   }
+
+  private def partitionCols: Seq[String] =
+    fields.collect { case (f, "keyword") => f } ++
+      zonedFields.map { case (f, _) => zoneCol(f) } ++
+      geoFields.map(geoColOf)
 
   /** Zone assignment against the EXISTING manifest: boundary = each
     * zone's recorded max (except the last) — index = #bounds below the
     * value, mapped to the zone ID (manifest zones can be sparse —
     * creation-time ties leave holes). A value in a gap or beyond
-    * either end joins the nearest zone (widening it).
+    * either end joins the nearest zone (widening it). Geo fields
+    * assign by the static grid — no manifest to consult.
     */
-  private def assignZones(normalized: DataFrame,
-                          integer: Seq[String]): DataFrame =
-    integer.foldLeft(normalized) { (df, f) =>
+  private def assignPartitionKeys(normalized: DataFrame): DataFrame = {
+    val zoned = zonedFields.foldLeft(normalized) { case (df, (f, kind)) =>
       val zs = zones(f).sortBy(_._1)
+      val key = keyExpr(f, kind)
       val idxCol = zs.init.map(_._3).foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(f) > b, 1).otherwise(0) }
+        acc + when(key > PayloadIndex.keyLit(kind, b), 1).otherwise(0) }
       df.withColumn(zoneCol(f),
         element_at(array(zs.map(z => lit(z._1)): _*), idxCol + 1))
     }
+    geoFields.foldLeft(zoned) { (df, f) =>
+      val Array(latC, lonC) = f.split(":", 2)
+      df.withColumn(geoColOf(f), geoBucket(col(latC), col(lonC), geoGrid))
+    }
+  }
 
   /** Three-way widened manifest: newest committed on-disk manifest ∪
     * this handle's view ∪ the batch (see the stale-handle note on
     * [[insert]]).
     */
-  private def widenedFrom(withZones: DataFrame, integer: Seq[String])
-      : Map[String, Seq[(Int, Long, Long)]] =
-    if (integer.isEmpty) zones
+  private def widenedFrom(withZones: DataFrame)
+      : Map[String, Seq[(Int, BigDecimal, BigDecimal)]] =
+    if (zonedFields.isEmpty) zones
     else {
-      val batchStats: Map[(String, Int), (Long, Long)] = integer.flatMap { f =>
-        // null field values carry no range information (range reads
-        // exclude nulls by SQL semantics) and an all-null zone group
-        // would NPE the getLong below
-        withZones.filter(col(f).isNotNull)
-          .groupBy(col(zoneCol(f)).as("zone"))
-          .agg(min(col(f)).cast("long").as("zmin"),
-            max(col(f)).cast("long").as("zmax"))
-          .collect().map(r => (f, r.getInt(0)) -> (r.getLong(1), r.getLong(2)))
-      }.toMap
-      val disk: Map[String, Map[Int, (Long, Long)]] =
+      val batchStats: Map[(String, Int), (BigDecimal, BigDecimal)] =
+        zonedFields.flatMap { case (f, kind) =>
+          // null field values carry no range information (range reads
+          // exclude nulls by SQL semantics) and an all-null zone group
+          // would NPE the bound parse below
+          val key = keyExpr(f, kind)
+          withZones.filter(col(f).isNotNull)
+            .groupBy(col(zoneCol(f)).as("zone"))
+            .agg(min(key).cast("string").as("zmin"),
+              max(key).cast("string").as("zmax"))
+            .collect().map(r => (f, r.getInt(0)) ->
+              (BigDecimal(r.getString(1)), BigDecimal(r.getString(2))))
+        }.toMap
+      val disk: Map[String, Map[Int, (BigDecimal, BigDecimal)]] =
         PayloadIndex.liveZones(spark, root).view
           .mapValues(_.map(t => t._1 -> (t._2, t._3)).toMap).toMap
       zones.map { case (f, zs) => f -> zs.map { case (z, zmin0, zmax0) =>
         val (dMin, dMax) = disk.getOrElse(f, Map.empty)
           .getOrElse(z, (zmin0, zmax0))
-        val (zmin, zmax) = (math.min(zmin0, dMin), math.max(zmax0, dMax))
+        val (zmin, zmax) = (zmin0.min(dMin), zmax0.max(dMax))
         batchStats.get((f, z)) match {
-          case Some((bMin, bMax)) => (z, math.min(zmin, bMin), math.max(zmax, bMax))
+          case Some((bMin, bMax)) => (z, zmin.min(bMin), zmax.max(bMax))
           case None => (z, zmin, zmax)
         }
       } }
     }
 
-  private def commitZonesGeneration(widened: Map[String, Seq[(Int, Long, Long)]],
-                                    integer: Seq[String]): Unit =
-    if (integer.nonEmpty) {
+  private def commitZonesGeneration(
+      widened: Map[String, Seq[(Int, BigDecimal, BigDecimal)]]): Unit =
+    if (zonedFields.nonEmpty) {
       val spark0 = spark
       import spark0.implicits._
       val next = VectorIndex.nextGeneration(spark, s"$root/zones")
-      widened.toSeq.flatMap { case (f, zs) => zs.map(z => (f, z._1, z._2, z._3)) }
+      widened.toSeq.flatMap { case (f, zs) =>
+        zs.map(z => (f, z._1, z._2.toString, z._3.toString)) }
         .toDF("field", "zone", "zmin", "zmax").coalesce(1)
         .write.parquet(s"$root/zones/${VectorIndex.generationDir(next)}")
     }
@@ -347,93 +480,47 @@ final class PayloadIndex private[api] (
   /** EXACTLY-ONCE ingest step — the foreachBatch body of
     * [[graft.streaming.EventStreams.payloadMaintainStream]], closing
     * [[insert]]'s documented at-least-once residue for the streaming
-    * twin. Protocol per (root, batchId), in order:
-    *
-    *  1. COMMITTED-BATCH SKIP: the `batches/batch-N` marker exists →
-    *     no-op (monotone checkpoint batchIds, the hybridMaintainStream
-    *     replay discipline).
-    *  2. TORN-ATTEMPT SWEEP: delete every `bN-*` file in the
-    *     directories the crashed attempt's `batches/intent-N` file
-    *     lists — file names CARRY the batch id precisely so a crashed
-    *     previous attempt is identifiable and removable (plain appends
-    *     are not), and the intent (written after staging, BEFORE the
-    *     first rename) bounds where such files can be, so the sweep
-    *     never lists the whole layout: at 100 TB the data tree holds
-    *     every partition directory ever written, and a full recursive
-    *     listing per micro-batch would dwarf the batch itself. No
-    *     intent ⇒ nothing was ever published ⇒ nothing to sweep — the
-    *     clean path pays one existence check. ("No intent ⇒ nothing
-    *     published" is an invariant of THIS writer: torn state left by
-    *     a writer that predates the intent protocol has prefixed files
-    *     and no intent — sweep such a layout once, manually, before
-    *     resuming its stream under this version.)
-    *  3. manifest-first zone widening, then postings and data land in
-    *     a batch STAGING dir; the intent commits the staged directory
-    *     list; then staged files MOVE IN as `bN-` prefixed files
-    *     (same-filesystem renames; postings before data, the
-    *     [[insert]] never-miss ordering).
-    *  4. the marker commits LAST — it exists only above a fully-moved
-    *     batch, so replay after a crash at ANY point converges to
-    *     exactly one copy of every row. The intent is deleted after
-    *     the marker (the marker owns the skip from then on).
-    *
-    * Zone-manifest re-widening on replay is idempotent (same batch ⇒
-    * same-or-equal bounds, committed as another generation).
+    * twin, under the shared [[CommitProtocol]] (marker skip →
+    * intent-scoped torn sweep → stage → intent → rename-in → marker;
+    * the full invariants live on that object). Zone-manifest
+    * re-widening on replay is idempotent (same batch ⇒ same-or-equal
+    * bounds, committed as another generation); postings and data stage
+    * together and publish postings-first (the [[insert]] never-miss
+    * ordering).
     */
   def insertCommitted(batch: DataFrame, batchId: Long): PayloadIndex = {
     require(batch.columns.toSet == original.map(_.name).toSet,
       s"batch columns ${batch.columns.toSeq} != indexed schema ${original.map(_.name)}")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/batches/batch-$batchId")
-    if (fs.exists(marker)) return this // 1. already committed — replay skip
-    val prefix = s"b$batchId-"
+    if (CommitProtocol.isCommitted(fs, root, batchId)) return this // replay skip
+    CommitProtocol.sweepTorn(fs, root, root, batchId)
     val textFields = fields.collect { case (f, "text") => f }
-    val intent = new Path(s"$root/batches/intent-$batchId")
-    // 2. sweep any torn previous attempt of THIS batch — only in the
-    // directories its intent names (see the protocol scaladoc; absent
-    // intent ⇒ the attempt never published a file)
-    PayloadIndex.readIntent(fs, intent).foreach(rel =>
-      PayloadIndex.sweepPrefixed(fs, new Path(root, rel), prefix))
-    val integer = fields.collect { case (f, "integer") => f }
     val normalized = batch.select(original.map(sf => col(sf.name)): _*)
     requireNonNullIds(normalized)
-    val withZones = assignZones(normalized, integer).cache()
-    // 3a. manifest first
-    val widened = widenedFrom(withZones, integer)
-    commitZonesGeneration(widened, integer)
-    // 3b. postings + data stage fully, the intent commits the staged
-    // directory list, THEN everything renames in with the batch prefix
-    // (postings before data, the never-miss ordering)
+    val withZones = assignPartitionKeys(normalized).cache()
+    // manifest first
+    val widened = widenedFrom(withZones)
+    commitZonesGeneration(widened)
+    // postings + data stage fully, then publish under the protocol
+    // (postings move in before data — the never-miss ordering)
     val staging = s"$root/staging/b$batchId"
     fs.delete(new Path(staging), true)
     textFields.foreach(f =>
       PayloadIndex.writePostings(withZones, idCol, f, s"$staging/text_$f",
-        append = false))
-    val partCols = fields.collect { case (f, "keyword") => f } ++ integer.map(zoneCol)
+        append = false, lowercase = lowercase, positions = positional))
     withZones
-      .sortWithinPartitions((partCols ++ integer).map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(s"$staging/data")
+      .sortWithinPartitions((partitionCols ++ zonedFields.map(_._1)).map(col): _*)
+      .write.partitionBy(partitionCols: _*).parquet(s"$staging/data")
     withZones.unpersist()
-    val published = textFields.map(f => s"text_$f") ++
-      PayloadIndex.partFileDirs(fs, new Path(s"$staging/data"))
-        .map(rel => if (rel.isEmpty) "data" else s"data/$rel")
-    PayloadIndex.writeIntent(fs, intent, published)
-    textFields.foreach(f =>
-      PayloadIndex.moveIn(fs, new Path(s"$staging/text_$f"),
-        new Path(PayloadIndex.textDir(root, f)), prefix))
-    PayloadIndex.moveIn(fs, new Path(s"$staging/data"),
-      new Path(s"$root/data"), prefix)
-    fs.delete(new Path(s"$root/staging/b$batchId"), true)
-    // 4. the commit point; the intent retires after it (a crash between
-    // the two leaves a stale intent the marker skip never reads — one
-    // orphaned KB, never a wrong sweep: batch ids are never reused)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close()
-    fs.delete(intent, false)
+    CommitProtocol.publish(fs, root, root, batchId,
+      textFields.map(f => (new Path(s"$staging/text_$f"), s"text_$f")) :+
+        ((new Path(s"$staging/data"), "data")))
+    fs.delete(new Path(staging), true)
     // every piece of the fresh handle is already in hand — a full
     // load() here would pay a fields-parquet job plus the zones/schema
     // reads PER MICRO-BATCH for state this insert just wrote
-    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol)
+    new PayloadIndex(spark, root, fields, widened, schemaDdl, idCol,
+      lowercase, positional, geoGrid)
   }
 
   /** Text indexes name rows by `idCol`; a NULL id is unmatchable by
@@ -449,149 +536,156 @@ final class PayloadIndex private[api] (
 
 object PayloadIndex {
 
+  private val zonedKinds = Set("integer", "float", "datetime")
+
   private def zoneCol(f: String) = s"__zone_$f"
+  private def geoColOf(f: String) = s"__geo_${f.replace(":", "_")}"
+
+  /** The ordered zone key per kind: integers zone on their exact
+    * 64-bit value, floats on the IEEE double, datetimes on epoch
+    * micros — one ordered-key contract for all three manifests.
+    */
+  private def keyExpr(f: String, kind: String): Column = kind match {
+    case "integer" => col(f).cast("long")
+    case "float" => col(f).cast("double")
+    case "datetime" => unix_micros(col(f))
+    case k => throw new IllegalArgumentException(s"'$f': '$k' is not a zoned kind")
+  }
+
+  /** The SQL spelling of [[keyExpr]] (the percentile pass builds its
+    * boundary expression as text).
+    */
+  private def keySql(f: String, kind: String): String = kind match {
+    case "integer" => s"CAST(`$f` AS BIGINT)"
+    case "float" => s"CAST(`$f` AS DOUBLE)"
+    case "datetime" => s"unix_micros(`$f`)"
+    case k => throw new IllegalArgumentException(s"'$f': '$k' is not a zoned kind")
+  }
+
+  /** A manifest bound as a literal of the zone key's type — exact:
+    * integer/datetime bounds are 64-bit values a double literal could
+    * silently round past 2^53 (a pruning miss), float bounds
+    * round-trip their shortest-decimal representation.
+    */
+  private def keyLit(kind: String, b: BigDecimal): Column = kind match {
+    case "float" => lit(b.doubleValue)
+    case _ => lit(b.longValue)
+  }
+
+  /** A UTC wall-clock "yyyy-MM-dd HH:mm:ss[.ffffff]" string as epoch
+    * micros — datetime range bounds parse driver-side so the residual
+    * is a plain TIMESTAMP comparison in the scan.
+    */
+  private[api] def utcMicros(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Row-major cell id on the fixed geoGrid×geoGrid lat/lon grid;
+    * out-of-range coordinates clamp to edge cells (monotone — see the
+    * class scaladoc's pruning argument). NULL coordinates yield a NULL
+    * bucket (the Hive default partition), which no box read selects —
+    * matching the scan route, where NULL comparisons never pass.
+    */
+  private def geoBucket(latC: Column, lonC: Column, g: Int): Column = {
+    def cell(c: Column, min: Double, span: Double): Column =
+      least(greatest(floor((c - lit(min)) / lit(span) * lit(g)), lit(0.0)),
+        lit((g - 1).toDouble))
+    (cell(latC, -90.0, 180.0) * g + cell(lonC, -180.0, 360.0)).cast("int")
+  }
+
+  /** The grid cells a bounding box overlaps — driver-side, static.
+    * Clamping mirrors [[geoBucket]], so cell(lo)..cell(hi) covers
+    * cell(v) for every v in [lo, hi] by monotonicity.
+    */
+  private def geoCells(g: Int, latMin: Double, latMax: Double,
+                       lonMin: Double, lonMax: Double): Seq[Int] = {
+    def cellIdx(v: Double, min: Double, span: Double): Int =
+      math.max(0, math.min(g - 1, math.floor((v - min) / span * g).toInt))
+    for {
+      la <- cellIdx(latMin, -90.0, 180.0) to cellIdx(latMax, -90.0, 180.0)
+      lo <- cellIdx(lonMin, -180.0, 360.0) to cellIdx(lonMax, -180.0, 360.0)
+    } yield la * g + lo
+  }
 
   private[api] def textDir(root: String, f: String) = s"$root/text_$f"
 
-  /** A text field's (token, __pid) posting relation. */
+  /** A text field's (token, __pid[, pos]) posting relation. */
   private[api] def postingsOf(spark: SparkSession, root: String,
                               f: String): DataFrame =
     spark.read.parquet(textDir(root, f))
 
-  /** Recursively move a staged write's part files into `dest`,
-    * mirroring partition subdirectories and prefixing each file name
-    * (same-filesystem renames — the [[PayloadIndex!.insertCommitted]]
-    * publish step). `_SUCCESS`/metadata files stay behind.
-    */
-  private[api] def moveIn(fs: org.apache.hadoop.fs.FileSystem,
-                          staged: Path, dest: Path, prefix: String): Unit =
-    if (fs.exists(staged)) fs.listStatus(staged).foreach { st =>
-      if (st.isDirectory) moveIn(fs, st.getPath, new Path(dest, st.getPath.getName), prefix)
-      else if (st.getPath.getName.startsWith("part-")) {
-        fs.mkdirs(dest)
-        val target = new Path(dest, prefix + st.getPath.getName)
-        // a silently-failed rename followed by the marker commit would
-        // LOSE the file's rows forever (the marker asserts "fully
-        // moved") — fail the batch instead; the replay sweeps and
-        // re-publishes
-        require(fs.rename(st.getPath, target),
-          s"rename ${st.getPath} -> $target failed — aborting the batch " +
-            "publish (replay will sweep and retry)")
-      }
-    }
-
-  /** One small driver-side metadata file (schema DDL, id column,
-    * publish intents) — the shared read/write pair, so the
-    * open/readAllBytes/close idiom lives once.
-    */
-  private[api] def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                                  p: Path, content: String,
-                                  overwrite: Boolean = false): Unit = {
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, overwrite)
-    out.write(content.getBytes("UTF-8")); out.close()
-  }
-
-  private[api] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                                 p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-    }
-
-  /** The publish-intent file: one dest-relative directory per line —
-    * every directory the attempt is about to move a prefixed file into.
-    * Overwrites (a swept previous attempt's intent may still exist).
-    * Names pass through VERBATIM — no trimming: a partition value with
-    * leading/trailing whitespace survives Spark's partition-path
-    * escaping as a literal space in the directory name, and a trimmed
-    * intent line would name a directory that does not exist, silently
-    * skipping its sweep. Only fully-empty lines (the writer never
-    * produces one mid-file) are dropped.
-    */
-  private[api] def writeIntent(fs: org.apache.hadoop.fs.FileSystem,
-                               p: Path, dirs: Seq[String]): Unit =
-    writeSmallFile(fs, p, dirs.mkString("\n"), overwrite = true)
-
-  private[api] def readIntent(fs: org.apache.hadoop.fs.FileSystem,
-                              p: Path): Seq[String] =
-    readSmallFile(fs, p).toSeq
-      .flatMap(_.split("\n").toSeq).filter(_.nonEmpty)
-
-  /** The dest-relative directories of a staged write that hold part
-    * files (partition subpaths; "" for an unpartitioned flat write) —
-    * the intent's directory list, collected from the KB-scale staging
-    * tree, never the destination layout.
-    */
-  private[api] def partFileDirs(fs: org.apache.hadoop.fs.FileSystem,
-                                base: Path): Seq[String] = {
-    def walk(p: Path, rel: String): Seq[String] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory)
-          walk(st.getPath,
-            if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}")
-        else if (st.getPath.getName.startsWith("part-")) Seq(rel)
-        else Nil
-      }
-    if (!fs.exists(base)) Nil else walk(base, "").distinct
-  }
-
-  /** Recursively delete every file under `dir` whose name carries
-    * `prefix` — the torn-attempt sweep, scoped to the crashed
-    * attempt's intent directories (only
-    * [[PayloadIndex!.insertCommitted]] writes prefixed names).
-    */
-  private[api] def sweepPrefixed(fs: org.apache.hadoop.fs.FileSystem,
-                                 dir: Path, prefix: String): Unit =
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory) sweepPrefixed(fs, st.getPath, prefix)
-      else if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, false)
-    }
-
   /** Derive + lay out one text field's postings: whitespace tokens
     * (the corpus-wide tokenization every text operator here uses),
-    * distinct per (token, row id), token-partitioned and sorted so a
-    * term predicate prunes to its posting list's row groups.
+    * folded when the index is lowercased, with the token's array
+    * position when positional (positions survive the empty-token
+    * filter — a double space leaves a position gap, exactly matching
+    * the padded-contains adjacency the phrase residual checks),
+    * distinct per posting row, token-partitioned and sorted so a term
+    * predicate prunes to its posting list's row groups.
     */
   private[api] def writePostings(data: DataFrame, idCol: String, f: String,
-                                 dir: String, append: Boolean): Unit =
-    data
-      .select(col(idCol).as("__pid"), explode(split(col(f), " ")).as("token"))
+                                 dir: String, append: Boolean,
+                                 lowercase: Boolean,
+                                 positions: Boolean): Unit = {
+    val tokens = split(col(f), " ")
+    val exploded =
+      if (positions)
+        data.select(col(idCol).as("__pid"),
+          posexplode(tokens).as(Seq("pos", "token")))
+      else
+        data.select(col(idCol).as("__pid"), explode(tokens).as("token"))
+    val folded =
+      if (lowercase) exploded.withColumn("token", lower(col("token")))
+      else exploded
+    folded
       .filter(length(col("token")) > 0)
       .distinct()
-      .select("token", "__pid")
+      .select(Seq(col("token"), col("__pid")) ++
+        (if (positions) Seq(col("pos")) else Nil): _*)
       .repartition(col("token")).sortWithinPartitions("token", "__pid")
       .write.mode(if (append) "append" else "errorifexists").parquet(dir)
+  }
 
   /** Build the index layout for `points` at `root`. `keyword` fields
-    * become partition columns, `integer` fields zone-bucketed partition
-    * columns with a persisted zone map. Zone boundaries default to
-    * APPROXIMATE percentiles (`approx_percentile`, one partial-agg pass
-    * per field — at 100 TB an exact percentile is a sort-based
-    * aggregate over the full corpus for a number that does not need to
-    * be exact: pruning correctness is independent of where boundaries
-    * fall, because the manifest records each zone's ACTUAL [min, max]
-    * AFTER assignment — boundaries only balance zone sizes).
-    * `exactZones = true` opts into the exact sort-based split; ties
-    * under either mode simply leave some zones empty. Refuses to
-    * overwrite an existing index — the layout is APPEND-ONLY: grow it
-    * with [[PayloadIndex!.insert]] (fixed zone boundaries, widened
-    * manifest), and when drift earns a re-zone, rebuild into a fresh
-    * root and re-point the [[Aliases]] entry (the rotation discipline).
+    * become partition columns; `integer`/`float`/`datetime` fields
+    * zone-bucketed partition columns with a persisted zone map; `text`
+    * fields token-postings sub-roots (optionally `lowercaseText`
+    * folded and/or `positionalText`); `geo` (latCol, lonCol) pairs
+    * fixed-grid bucket columns. Zone boundaries default to APPROXIMATE
+    * percentiles (`approx_percentile`, one partial-agg pass per field —
+    * at 100 TB an exact percentile is a sort-based aggregate over the
+    * full corpus for a number that does not need to be exact: pruning
+    * correctness is independent of where boundaries fall, because the
+    * manifest records each zone's ACTUAL [min, max] AFTER assignment —
+    * boundaries only balance zone sizes). `exactZones = true` opts into
+    * the exact sort-based split; ties under either mode simply leave
+    * some zones empty. Refuses to overwrite an existing index — the
+    * layout is APPEND-ONLY: grow it with [[PayloadIndex!.insert]]
+    * (fixed zone boundaries, widened manifest), and when drift earns a
+    * re-zone, rebuild into a fresh root and re-point the [[Aliases]]
+    * entry (the rotation discipline).
     */
   def create(spark: SparkSession, points: DataFrame, root: String,
              keyword: Seq[String], integer: Seq[String],
              nZones: Int = 16, exactZones: Boolean = false,
-             text: Seq[String] = Nil, idCol: String = "id"): PayloadIndex = {
+             text: Seq[String] = Nil, idCol: String = "id",
+             float: Seq[String] = Nil, datetime: Seq[String] = Nil,
+             geo: Seq[(String, String)] = Nil,
+             lowercaseText: Boolean = false, positionalText: Boolean = false,
+             geoGrid: Int = 16): PayloadIndex = {
     val rootPath = new Path(s"$root/data")
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(rootPath), s"payload index already exists at $root")
+    require(geoGrid >= 1, s"geoGrid must be >= 1 (got $geoGrid)")
     val cols = points.columns.toSet
-    (keyword ++ integer ++ text).foreach(f =>
+    val geoCols = geo.flatMap(p => Seq(p._1, p._2))
+    (keyword ++ integer ++ float ++ datetime ++ text ++ geoCols).foreach(f =>
       require(cols.contains(f), s"field '$f' not in ${points.columns.toSeq}"))
-    val overlap = keyword.intersect(integer) ++ keyword.intersect(text) ++
-      integer.intersect(text)
+    val kindLists = Seq(keyword, integer, float, datetime, text, geoCols)
+    val overlap = kindLists.combinations(2)
+      .flatMap { case Seq(a, b) => a.intersect(b) }.toSeq.distinct
     require(overlap.isEmpty, s"fields cannot take two index kinds: $overlap")
     require(text.isEmpty || cols.contains(idCol),
       s"text fields need id column '$idCol' in ${points.columns.toSeq} " +
@@ -608,63 +702,80 @@ object PayloadIndex {
           "by it and the candidate semi-join can never match a NULL " +
           "back (the indexed route would silently drop those rows)")
 
-    // zone assignment: value > boundary_i counts — an nZones-term
+    val zoned: Seq[(String, String)] = integer.map(_ -> "integer") ++
+      float.map(_ -> "float") ++ datetime.map(_ -> "datetime")
+    // zone assignment: key > boundary_i counts — an nZones-term
     // codegen'd when-sum, boundaries from one percentile pass (approx
     // by default, see scaladoc).
     // Cached: the SAME materialization must feed the data write and the
     // zone manifest (a non-deterministic `points` plan re-evaluated per
     // pass could write rows the manifest does not cover)
     val pctFn = if (exactZones) "percentile" else "approx_percentile"
-    val withZones = integer.foldLeft(points) { (df, f) =>
+    val zonesAssigned = zoned.foldLeft(points) { case (df, (f, kind)) =>
       // cast: percentile returns ARRAY<DOUBLE> but approx_percentile
-      // returns the input type (ARRAY<BIGINT> on a long field)
+      // returns the input type (ARRAY<BIGINT> on a long key)
       val row = points
-        .select(expr(s"CAST($pctFn(`$f`, array(${
+        .select(expr(s"CAST($pctFn(${keySql(f, kind)}, array(${
           (1 until nZones).map(i => i.toDouble / nZones).mkString(",")
         })) AS ARRAY<DOUBLE>)"))
         .head()
-      // an all-NULL integer field has no percentile (NULL aggregate) and
+      // an all-NULL zoned field has no percentile (NULL aggregate) and
       // would otherwise surface later as a bare NoSuchElementException
       // on the missing zones(f) key — reject it with the real reason
       require(!row.isNullAt(0),
-        s"integer field '$f' is entirely NULL — no range information to " +
-          "zone on; drop it from `integer` (nulls never match a range " +
+        s"$kind field '$f' is entirely NULL — no range information to " +
+          s"zone on; drop it from `$kind` (nulls never match a range " +
           "read anyway)")
       val bounds = row.getSeq[Double](0)
+      val key = keyExpr(f, kind)
       df.withColumn(zoneCol(f),
         bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(f) > b, 1).otherwise(0) })
+          acc + when(key > b, 1).otherwise(0) })
+    }
+    val withZones = geo.foldLeft(zonesAssigned) { case (df, (latC, lonC)) =>
+      df.withColumn(geoColOf(s"$latC:$lonC"),
+        geoBucket(col(latC), col(lonC), geoGrid))
     }.cache()
-    val partCols = keyword ++ integer.map(zoneCol)
+    val partCols = keyword ++ zoned.map { case (f, _) => zoneCol(f) } ++
+      geo.map(p => geoColOf(s"${p._1}:${p._2}"))
     withZones
       .repartition(partCols.map(col): _*)
-      // sort files by the raw integer fields: row-group min/max stats
+      // sort files by the raw zoned fields: row-group min/max stats
       // then prune INSIDE each zone directory too
-      .sortWithinPartitions((partCols ++ integer).map(col): _*)
+      .sortWithinPartitions((partCols ++ zoned.map(_._1)).map(col): _*)
       .write.partitionBy(partCols: _*).parquet(s"$root/data")
 
-    // text postings: one (token, __pid) sub-root per text field — the
-    // HybridIndex postings layout (token-partitioned + sorted, so a
-    // query's token-IN predicate pushes to the scan and reads only its
-    // terms' posting lists)
+    // text postings: one (token, __pid[, pos]) sub-root per text
+    // field — the HybridIndex postings layout (token-partitioned +
+    // sorted, so a query's token-IN predicate pushes to the scan and
+    // reads only its terms' posting lists)
     text.foreach(f =>
-      writePostings(withZones, idCol, f, textDir(root, f), append = false))
+      writePostings(withZones, idCol, f, textDir(root, f), append = false,
+        lowercase = lowercaseText, positions = positionalText))
 
     import spark.implicits._
-    val fieldRows = keyword.map(_ -> "keyword") ++ integer.map(_ -> "integer") ++
-      text.map(_ -> "text")
+    val fieldRows = keyword.map(_ -> "keyword") ++ zoned ++
+      text.map(_ -> "text") ++ geo.map(p => s"${p._1}:${p._2}" -> "geo")
     fieldRows.toDF("field", "kind").coalesce(1)
       .write.parquet(s"$root/fields")
-    if (text.nonEmpty) writeSmallFile(fs, new Path(root, "idcol"), idCol)
+    if (text.nonEmpty)
+      CommitProtocol.writeSmallFile(fs, new Path(root, "idcol"), idCol)
+    // layout options travel with the artifact — a load that guessed
+    // the fold/position flags would silently serve wrong candidates
+    CommitProtocol.writeSmallFile(fs, new Path(root, "options"),
+      s"lowercase=$lowercaseText\npositions=$positionalText\ngeogrid=$geoGrid")
     // exact per-zone [min, max] — the pruning map range reads consult
     // (nulls excluded: they carry no range information and an all-null
-    // zone group would NPE the getLong)
-    val zoneRows = integer.flatMap { f =>
+    // zone group would NPE the bound parse); bounds persist as exact
+    // decimal STRINGS so one manifest schema serves long, double and
+    // epoch-micros keys without precision loss
+    val zoneRows = zoned.flatMap { case (f, kind) =>
+      val key = keyExpr(f, kind)
       withZones.filter(col(f).isNotNull)
         .groupBy(col(zoneCol(f)).as("zone"))
-        .agg(min(col(f)).cast("long").as("zmin"),
-          max(col(f)).cast("long").as("zmax"))
-        .collect().map(r => (f, r.getInt(0), r.getLong(1), r.getLong(2)))
+        .agg(min(key).cast("string").as("zmin"),
+          max(key).cast("string").as("zmax"))
+        .collect().map(r => (f, r.getInt(0), r.getString(1), r.getString(2)))
     }
     // the manifest is generation-rotated ([[PayloadIndex!.insert]]
     // commits widened manifests as later generations; load resolves the
@@ -673,10 +784,12 @@ object PayloadIndex {
       .write.parquet(s"$root/zones/${VectorIndex.generationDir(0L)}")
     withZones.unpersist()
     val ddl = points.schema.toDDL
-    writeSmallFile(fs, new Path(root, "schema.ddl"), ddl)
+    CommitProtocol.writeSmallFile(fs, new Path(root, "schema.ddl"), ddl)
     new PayloadIndex(spark, root, fieldRows,
-      zoneRows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))).toMap,
-      ddl, if (text.nonEmpty) idCol else "")
+      zoneRows.groupBy(_._1).view.mapValues(_.map(t =>
+        (t._2, BigDecimal(t._3), BigDecimal(t._4)))).toMap,
+      ddl, if (text.nonEmpty) idCol else "",
+      lowercaseText, positionalText, geoGrid)
   }
 
   /** The newest COMMITTED zones manifest under `root` — the read-side
@@ -684,10 +797,11 @@ object PayloadIndex {
     * resolveSnapshot + collect.
     */
   private[graft] def liveZones(spark: SparkSession, root: String)
-      : Map[String, Seq[(Int, Long, Long)]] =
+      : Map[String, Seq[(Int, BigDecimal, BigDecimal)]] =
     spark.read
       .parquet(VectorIndex.resolveSnapshot(spark, s"$root/zones"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        BigDecimal(r.getString(2)), BigDecimal(r.getString(3))))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
 
   /** Reopen a persisted index (manifest is driver-tiny). */
@@ -695,15 +809,22 @@ object PayloadIndex {
     val fields = spark.read.parquet(s"$root/fields")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val zones =
-      if (fields.exists(_._2 == "integer")) liveZones(spark, root)
-      else Map.empty[String, Seq[(Int, Long, Long)]]
-    def readSmall(name: String): Option[String] = {
-      val p = new Path(root, name)
-      readSmallFile(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    }
+      if (fields.exists(t => zonedKinds.contains(t._2))) liveZones(spark, root)
+      else Map.empty[String, Seq[(Int, BigDecimal, BigDecimal)]]
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readSmall(name: String): Option[String] =
+      CommitProtocol.readSmallFile(fs, new Path(root, name))
     val ddl = readSmall("schema.ddl").getOrElse(
       throw new IllegalArgumentException(s"no payload index at $root"))
+    val opts: Map[String, String] = readSmall("options").toSeq
+      .flatMap(_.split("\n").toSeq).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }).toMap
     new PayloadIndex(spark, root, fields, zones, ddl,
-      readSmall("idcol").getOrElse(""))
+      readSmall("idcol").getOrElse(""),
+      opts.get("lowercase").contains("true"),
+      opts.get("positions").contains("true"),
+      opts.get("geogrid").map(_.toInt).getOrElse(16))
   }
 }

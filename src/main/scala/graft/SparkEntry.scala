@@ -31,6 +31,16 @@ object SparkEntry {
     "vs_search_topk_filtered_indexed" -> VectorStore.searchTopKFilteredIndexed _,
     "vs_search_match_text_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.searchMatchTextIndexed(s, d)),
+    "vs_search_match_text_ci_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchTextCiIndexed(s, d)),
+    "vs_search_match_phrase_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchPhraseIndexed(s, d)),
+    "vs_geo_search_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.geoSearchIndexed(s, d)),
+    "events_value_range_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.eventsValueRangeIndexed(s, d)),
+    "events_ts_range_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.eventsTsRangeIndexed(s, d)),
     "vs_search_batch" -> VectorStore.searchBatch _,
     "vs_delete_by_user" -> VectorStore.deleteByUser _,
     "vs_delete_by_word" -> VectorStore.deleteByWord _,
@@ -577,6 +587,34 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, lat, lon, round(cs, 4) AS score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    // the geo-bucketed index route answers the same bounding-box
+    // question (grid-cell directory pruning + exact box residual)
+    "vs_geo_search_indexed" ->
+      s"""WITH $PTS,
+         |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         |  (id * 104729 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon FROM pts),
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 2),
+         |scored AS (SELECT g.id, g.lat, g.lon, list_cosine_similarity(g.vector, q.qvec) AS cs
+         |  FROM geo g, q WHERE g.lat >= 10.0 AND g.lat <= 60.0
+         |    AND g.lon >= -30.0 AND g.lon <= 40.0 AND g.id <> 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, lat, lon, round(cs, 4) AS score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // float zone kind: the value range + event-type filter, scan form
+    "events_value_range_indexed" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND value >= 120.0 AND value <= 150.0
+        |ORDER BY event_id""".stripMargin,
+    // datetime zone kind: the UTC wall-clock window, scan form
+    "events_ts_range_indexed" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "vs_search_batch" ->
       s"""WITH $PTS,
          |qs AS (SELECT id AS query_id, vector AS qvec, user_id AS quser FROM pts WHERE id < 20),
@@ -2044,6 +2082,29 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.id <> 0
          |    AND contains(' ' || p.text || ' ', ' the ')
          |    AND contains(' ' || p.text || ' ', ' data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the LOWERCASED text index's case-insensitive MatchText: the scan
+    // truth folds the text, the indexed route folds the postings —
+    // same question, two routes
+    "vs_search_match_text_ci_indexed" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || lower(p.text) || ' ', ' the ')
+         |    AND contains(' ' || lower(p.text) || ' ', ' data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the POSITIONAL-postings phrase route answers the same question as
+    // the scan-filter phrase form (adjacency from (row, pos) windows
+    // instead of the padded-contains scan)
+    "vs_search_match_phrase_indexed" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || p.text || ' ', ' the data ')),
          |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
          |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // per-example cosines are rounded to 4dp BEFORE max/compare in both

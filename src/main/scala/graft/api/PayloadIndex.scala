@@ -523,6 +523,19 @@ final class PayloadIndex private[api] (
       lowercase, positional, geoGrid)
   }
 
+  /** Best-effort removal of the artifact's parent directory through
+    * the SESSION's filesystem settings — the memo-evictor hook for
+    * temp-rooted indexes. A bare `new Configuration()` here would
+    * silently no-op on a deployment whose index root needs
+    * session-configured filesystem settings, stranding a corpus-sized
+    * artifact per session (ADVICE r8 on the VectorStore evictor).
+    */
+  private[graft] def reap(): Unit = {
+    val p = new Path(root).getParent
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Text indexes name rows by `idCol`; a NULL id is unmatchable by
     * the candidate semi-join (see [[PayloadIndex.create]]'s refusal) —
     * one limit-1 probe per batch keeps the invariant through ingest.
@@ -576,7 +589,7 @@ object PayloadIndex {
     * micros — datetime range bounds parse driver-side so the residual
     * is a plain TIMESTAMP comparison in the scan.
     */
-  private[api] def utcMicros(s: String): Long = {
+  private[graft] def utcMicros(s: String): Long = {
     val ldt = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
     val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L

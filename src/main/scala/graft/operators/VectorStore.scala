@@ -708,13 +708,11 @@ object VectorStore {
   private val payloadIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](
     // on evict, reclaim the temp artifact (a full partitioned rewrite of
     // the points table — the one memo here whose state is DISK, not
-    // cached blocks; stranding it would leak a corpus copy per session)
-    idx => {
-      val p = new org.apache.hadoop.fs.Path(idx.root).getParent
-      try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(p, true)
-      catch { case _: java.io.IOException => () } // best-effort reap
-    })
+    // cached blocks; stranding it would leak a corpus copy per session).
+    // reap() deletes through the SESSION's hadoop configuration — a
+    // bare Configuration() silently no-ops on a filesystem that needs
+    // session settings (ADVICE r8)
+    _.reap())
 
   private[graft] def payloadIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
     payloadIdxMemo.getOrElseUpdate(s, d, ()) {
@@ -724,8 +722,66 @@ object VectorStore {
         keyword = Seq("site", "lang"), integer = Seq("user_id"),
         // the advisor's `text` verdict materialized: token postings
         // for the free-text payload field (MatchText + word/regex
-        // delete prefilters)
-        text = Seq("text"), idCol = "id")
+        // delete prefilters). POSITIONAL so MatchPhrase computes
+        // adjacency from the postings ([[searchMatchPhraseIndexed]])
+        // while the case-exact MatchText routes stay byte-identical.
+        text = Seq("text"), idCol = "id", positionalText = true)
+    }
+
+  /** The LOWERCASED text index (Qdrant's text-tokenizer default,
+    * `lowercase: true`) — a separate artifact from [[payloadIndex]]
+    * because folding is a BUILD-time property of the postings: one
+    * layout cannot serve case-exact and case-insensitive MatchText at
+    * once. Carries only the columns its searches read (id, vector,
+    * text) — no partition axes, so the build is one flat rewrite plus
+    * the folded postings.
+    */
+  private val ciTextIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](_.reap())
+
+  private[graft] def ciTextIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
+    ciTextIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-payload-index-ci-").toString + "/idx"
+      graft.api.PayloadIndex.create(s,
+        Tables.points(s, d).select("id", "vector", "text"), root,
+        keyword = Seq.empty, integer = Seq.empty,
+        text = Seq("text"), idCol = "id",
+        lowercaseText = true, positionalText = true)
+    }
+
+  /** The EVENTS payload index — float zones on `value` and datetime
+    * zones on `ts` (the two remaining Qdrant `create_payload_index`
+    * field schemas, materialized on the table that actually carries
+    * score-like and timestamp payloads) beside the keyword axis on
+    * `event_type`.
+    */
+  private val eventsIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](_.reap())
+
+  private[graft] def eventsPayloadIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
+    eventsIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-payload-index-events-").toString + "/idx"
+      graft.api.PayloadIndex.create(s, Tables.events(s, d), root,
+        keyword = Seq("event_type"), integer = Seq.empty,
+        float = Seq("value"), datetime = Seq("ts"))
+    }
+
+  /** The GEO payload index — [[geoSearch]]'s derived (lat, lon)
+    * payload under the fixed-grid bucket axis (Qdrant
+    * `field_schema="geo"`), carrying only what the search reads.
+    */
+  private val geoIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](_.reap())
+
+  private[graft] def geoIndex(s: SparkSession, d: String): graft.api.PayloadIndex =
+    geoIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-payload-index-geo-").toString + "/idx"
+      graft.api.PayloadIndex.create(s,
+        Tables.points(s, d).select(col("id"), col("vector"),
+          ((col("id") * 7919 % 18000) / lit(100.0) - 90.0).as("lat"),
+          ((col("id") * 104729 % 36000) / lit(100.0) - 180.0).as("lon")),
+        root, keyword = Seq.empty, integer = Seq.empty,
+        geo = Seq(("lat", "lon")))
     }
 
   /** [[searchTopKFiltered]] routed through the persisted
@@ -818,6 +874,117 @@ object VectorStore {
       .filter(col("text").isNotNull)
       .select(col("id"), col("seq"))
       .orderBy("id")
+  }
+
+  /** [[searchMatchPhrase]] routed through the POSITIONAL text postings
+    * ([[graft.api.PayloadIndex!.readMatchPhrase]] on the positional
+    * main index): adjacency itself resolves from (row, pos) posting
+    * windows, so the text column is read only for FINAL phrase matches
+    * — for a phrase of common words ("the data") the non-positional
+    * route's conjunctive prefilter admits every row holding both words
+    * anywhere, a corpus-sized slice at 100 TB. Results are the scan
+    * route's exactly (same oracle SQL as `vs_search_match_phrase`).
+    */
+  def searchMatchPhraseIndexed(s: SparkSession, d: String, k: Int = 10,
+                               phrase: String = "the data"): DataFrame = {
+    val idx = payloadIndex(s, d)
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    idx.readMatchPhrase("text", phrase)
+      .filter(col("id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("vector"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Case-INSENSITIVE MatchText through the LOWERCASED text index
+    * (Qdrant's text-index default — its tokenizer folds, so MatchText
+    * is case-insensitive out of the box; the r8 layout could not serve
+    * this predicate from an index at all): mixed-case query terms fold
+    * against the folded postings, the folded residual re-verifies, and
+    * the ranking mirrors [[searchMatchTextIndexed]]. The oracle is the
+    * lower()-folded scan SQL — indexed route ≡ scan route on the same
+    * question.
+    */
+  def searchMatchTextCiIndexed(s: SparkSession, d: String, k: Int = 10,
+                               terms: Seq[String] = Seq("The", "DATA")): DataFrame = {
+    val idx = ciTextIndex(s, d)
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    idx.read(matchText = Map("text" -> terms))
+      .filter(col("id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("vector"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** FLOAT-range filtered read through the events payload index
+    * (Qdrant `create_payload_index(field_schema="float")` serving a
+    * score/price-style range filter): the value range consults the
+    * float zone manifest and reads only overlapping zone directories,
+    * composed with keyword pruning on the event type; the exact double
+    * residual re-verifies (and pushes to parquet row groups). Results
+    * are the scan-filter form's exactly — same oracle SQL, two
+    * physical routes.
+    */
+  def eventsValueRangeIndexed(s: SparkSession, d: String,
+                              lo: Double = 120.0, hi: Double = 150.0): DataFrame =
+    eventsPayloadIndex(s, d)
+      .read(eq = Map("event_type" -> Seq("click", "view")),
+        rangeFloat = Map("value" -> (lo, hi)))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+
+  /** DATETIME-range aggregate through the events payload index
+    * (Qdrant `field_schema="datetime"` serving a time-window filter):
+    * the UTC wall-clock window consults the epoch-micros zone manifest
+    * for directory pruning, the TIMESTAMP-literal residual pushes into
+    * the pruned scan, and the window's per-type activity aggregates on
+    * the survivors. Results ≡ the scan-filter form (same oracle SQL).
+    */
+  def eventsTsRangeIndexed(s: SparkSession, d: String,
+                           lo: String = "2024-01-10 00:00:00",
+                           hi: String = "2024-01-11 23:59:59"): DataFrame =
+    eventsPayloadIndex(s, d)
+      .read(rangeTime = Map("ts" -> (lo, hi)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").as("sum_id"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  /** [[geoSearch]] routed through the GEO payload index (Qdrant
+    * `field_schema="geo"` serving `geo_bounding_box`): the box maps to
+    * its overlapping fixed-grid cells driver-side and the scan reads
+    * only those bucket directories — at 100 TB a city-sized box reads
+    * its cells, not the planet — before the exact box residual and the
+    * cosine ranking. Results ≡ the scan route (same oracle SQL as
+    * `vs_geo_search`).
+    */
+  def geoSearchIndexed(s: SparkSession, d: String, k: Int = 10,
+                       latMin: Double = 10.0, latMax: Double = 60.0,
+                       lonMin: Double = -30.0, lonMax: Double = 40.0): DataFrame = {
+    val idx = geoIndex(s, d)
+    val q = Tables.points(s, d).filter(col("id") === 2).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("cs").desc, col("id").asc)
+    idx.read(geoBox = Map(("lat" -> "lon") -> ((latMin, latMax, lonMin, lonMax))))
+      .filter(col("id") =!= 2)
+      .join(broadcast(q))
+      .withColumn("cs", cosineSim(col("vector"), col("qvec")))
+      .orderBy(col("cs").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("lat"), col("lon"),
+        round(col("cs"), 4).as("score"))
+      .orderBy("rank")
   }
 
   /** End-to-end SEMANTIC text search — [[textSearch]]'s flow with a

@@ -1,0 +1,379 @@
+package graft
+
+import graft.api.PayloadIndex
+import org.apache.spark.sql.functions._
+
+/** The round-9 PayloadIndex field kinds beyond keyword/integer/text:
+  * float and datetime ZONES (the two remaining Qdrant
+  * `create_payload_index` field schemas with ordered keys), the GEO
+  * fixed-grid bucket axis, and the two text-index options (lowercase
+  * folding, positional postings). The contract per kind is the same
+  * trio the integer/text kinds carry: (1) indexed predicates PRUNE
+  * (scan input ⊆ the matching directories / candidates); (2) routing
+  * through the index never changes results vs the scan-filter form;
+  * (3) the artifact is self-describing across a fresh load, including
+  * ingest widening where a manifest exists.
+  */
+class PayloadIndexKindsSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-pidx-kinds-").toString + "/idx"
+
+  import scala.jdk.CollectionConverters._
+  private def fdf(rows: Seq[(Long, String, Double)]) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, tag STRING, score DOUBLE")
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+
+  // ---------------------------------------------------------- float
+
+  test("float zones prune, answer ranges exactly, and widen on insert") {
+    val root = tmp()
+    val base = fdf((1L to 80L).map(i => (i, s"t${i % 2}", i * 0.25)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq.empty, float = Seq("score"),
+      nZones = 4)
+    assert(idx.fields.contains("score" -> "float"))
+    // manifest covers the exact double range
+    val zs = idx.zones("score").sortBy(_._1)
+    assert(zs.head._2 === BigDecimal(0.25) && zs.last._3 === BigDecimal(20.0))
+    // pruning: only overlapping zone directories scan
+    val all = scannedFiles(idx.read())
+    val okZones = idx.zones("score")
+      .collect { case (z, lo, hi) if hi >= 18.0 && lo <= 20.0 => z }.toSet
+    val pruned = scannedFiles(idx.read(rangeFloat = Map("score" -> (18.0, 20.0))))
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    assert(pruned.forall(f => okZones.exists(z => f.contains(s"/__zone_score=$z/"))))
+    // result-identical to the scan-filter form (fractional bounds)
+    val viaIdx = idx.read(rangeFloat = Map("score" -> (3.1, 7.9)))
+    val viaScan = base.filter(col("score") >= 3.1 && col("score") <= 7.9)
+    assert(viaIdx.count() === viaScan.count() && viaIdx.count() > 0)
+    assert(viaIdx.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaIdx).isEmpty)
+    // the double residual pushes into the parquet scan
+    val scan = idx.read(rangeFloat = Map("score" -> (3.1, 7.9)))
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(score,3.1)") &&
+      pushed.contains("LessThanOrEqual(score,7.9)"), s"got: $pushed")
+    // insert BELOW and ABOVE the indexed range widens the manifest
+    val idx2 = idx.insert(fdf(Seq((81L, "t0", -2.5), (82L, "t1", 99.75))))
+    val after = idx2.zones("score").sortBy(_._1)
+    assert(after.head._2 === BigDecimal(-2.5) && after.last._3 === BigDecimal(99.75))
+    assert(idx2.read(rangeFloat = Map("score" -> (-3.0, -2.0))).count() === 1L)
+    assert(idx2.read(rangeFloat = Map("score" -> (50.0, 100.0))).count() === 1L)
+    // a fresh load serves the widened manifest
+    assert(PayloadIndex.load(spark, root)
+      .read(rangeFloat = Map("score" -> (-3.0, 100.0))).count() === 82L)
+    // kind mismatch is refused, not silently scanned
+    intercept[IllegalArgumentException](idx.read(range = Map("score" -> (1L, 2L))))
+    intercept[IllegalArgumentException](
+      idx.read(rangeFloat = Map("tag" -> (1.0, 2.0))))
+  }
+
+  // -------------------------------------------------------- datetime
+
+  private def tsdf(rows: Seq[(Long, String, String)]) =
+    fdf(rows.map(r => (r._1, r._2, 0.0))).drop("score")
+      .withColumn("ts", to_timestamp(
+        element_at(typedLit(rows.map(_._3)), (col("id")).cast("int"))))
+
+  test("datetime zones prune on epoch-micros keys and answer UTC wall-clock ranges") {
+    val root = tmp()
+    // one row per hour across ~3 days (UTC session — SparkSpecBase)
+    val base = fdf((0L to 71L).map(i => (i, s"t${i % 2}", 0.0))).drop("score")
+      .withColumn("ts", timestamp_micros(
+        unix_micros(to_timestamp(lit("2024-03-01 00:00:00"))) +
+          col("id") * 3600000000L))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq.empty, datetime = Seq("ts"),
+      nZones = 4)
+    assert(idx.fields.contains("ts" -> "datetime"))
+    // zone pruning: a one-day window selects a strict subset of files
+    val all = scannedFiles(idx.read())
+    val win = ("2024-03-02 00:00:00", "2024-03-02 23:00:00")
+    val loU = BigDecimal(PayloadIndex.utcMicros(win._1))
+    val hiU = BigDecimal(PayloadIndex.utcMicros(win._2))
+    val okZones = idx.zones("ts")
+      .collect { case (z, lo, hi) if hi >= loU && lo <= hiU => z }.toSet
+    val pruned = scannedFiles(idx.read(rangeTime = Map("ts" -> win)))
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    assert(pruned.forall(f => okZones.exists(z => f.contains(s"/__zone_ts=$z/"))))
+    // result-identical to the scan-filter form
+    val viaIdx = idx.read(rangeTime = Map("ts" -> win))
+    val viaScan = base.filter(col("ts") >= to_timestamp(lit(win._1)) &&
+      col("ts") <= to_timestamp(lit(win._2)))
+    assert(viaIdx.count() === 24L && viaIdx.count() === viaScan.count())
+    assert(viaIdx.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaIdx).isEmpty)
+    // the TIMESTAMP residual pushes into the parquet scan (the reason
+    // bounds become timestamp literals, not unix_micros(col) forms)
+    val scan = viaIdx.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts,") &&
+      pushed.contains("LessThanOrEqual(ts,"), s"got: $pushed")
+    // insert beyond the indexed range widens the micros manifest
+    val late = base.filter(col("id") === 0L)
+      .withColumn("ts", to_timestamp(lit("2024-06-01 12:00:00")))
+    val idx2 = idx.insert(late)
+    assert(idx2.zones("ts").sortBy(_._1).last._3 ===
+      BigDecimal(PayloadIndex.utcMicros("2024-06-01 12:00:00")))
+    assert(idx2.read(rangeTime =
+      Map("ts" -> (("2024-05-01 00:00:00", "2024-07-01 00:00:00")))).count() === 1L)
+    // a stale pre-widening reader still sees the appended row (the
+    // newest-committed-manifest read discipline, inherited by the kind)
+    assert(PayloadIndex.load(spark, root).read(rangeTime =
+      Map("ts" -> (("2024-05-01 00:00:00", "2024-07-01 00:00:00")))).count() === 1L)
+  }
+
+  // ------------------------------------------------------------- geo
+
+  test("geo grid buckets prune to overlapping cells and never change results") {
+    val root = tmp()
+    // a global scatter incl. out-of-range coordinates (clamp path) and
+    // a NULL coordinate (default-partition path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    val rows = (1L to 200L).map { i =>
+      org.apache.spark.sql.Row(i, (i * 7919 % 18000) / 100.0 - 90.0,
+        (i * 104729 % 36000) / 100.0 - 180.0)
+    } ++ Seq(org.apache.spark.sql.Row(201L, 123.4, 50.0), // lat out of range
+      org.apache.spark.sql.Row(202L, null, 10.0))
+    val base = spark.createDataFrame(rows.asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      geo = Seq(("lat", "lon")), geoGrid = 8)
+    assert(idx.fields.contains("lat:lon" -> "geo"))
+    val box = ("lat" -> "lon") -> ((10.0, 60.0, -30.0, 40.0))
+    // pruning: scanned files ⊆ the box's overlapping cell directories
+    val all = scannedFiles(idx.read())
+    val pruned = scannedFiles(idx.read(geoBox = Map(box)))
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    // cells from the same static map the read used: rows 10..60 lat →
+    // cells 4..6, lon -30..40 → cells 3..4 (grid 8)
+    val okCells = (for (la <- 4 to 6; lo <- 3 to 4) yield la * 8 + lo).toSet
+    assert(pruned.forall(f => okCells.exists(c => f.contains(s"/__geo_lat_lon=$c/"))),
+      s"unexpected cell dir in ${pruned.filterNot(f => okCells.exists(c => f.contains(s"/__geo_lat_lon=$c/")))}")
+    // result-identical to the scan-filter form (NULL + clamped rows
+    // excluded by both routes)
+    val viaIdx = idx.read(geoBox = Map(box))
+    val viaScan = base.filter(col("lat") >= 10.0 && col("lat") <= 60.0 &&
+      col("lon") >= -30.0 && col("lon") <= 40.0)
+    assert(viaIdx.count() === viaScan.count() && viaIdx.count() > 0)
+    assert(viaIdx.exceptAll(viaScan).isEmpty && viaScan.exceptAll(viaIdx).isEmpty)
+    // clamped out-of-range rows stay findable through a clamped box
+    val wide = idx.read(geoBox = Map(("lat" -> "lon") -> ((100.0, 130.0, 40.0, 60.0))))
+    assert(wide.count() === 1L, "the clamped row must serve from the edge cell")
+    // insert lands in the static grid with no manifest protocol
+    val idx2 = idx.insert(spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(300L, 30.0, 0.0)).asJava, schema))
+    assert(idx2.read(geoBox = Map(box)).count() === viaScan.count() + 1)
+    assert(PayloadIndex.load(spark, root).geoGrid === 8)
+    assert(PayloadIndex.load(spark, root).read(geoBox = Map(box))
+      .count() === viaScan.count() + 1)
+    // an unindexed pair is refused
+    intercept[IllegalArgumentException](
+      idx.read(geoBox = Map(("lon" -> "lat") -> ((0.0, 1.0, 0.0, 1.0)))))
+  }
+
+  // -------------------------------------------------- lowercase text
+
+  private def txt(rows: Seq[(Long, String)]) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, text STRING")
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  test("a lowercased text index serves case-insensitive MatchText from folded postings") {
+    val root = tmp()
+    val corpus = txt(Seq(
+      (1L, "The Data pipeline"), (2L, "the data lake"),
+      (3L, "THE DATA WAREHOUSE"), (4L, "the metadata catalog"),
+      (5L, "no match here"), (6L, "Data the reversed")))
+    val idx = PayloadIndex.create(spark, corpus, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id", lowercaseText = true)
+    assert(idx.lowercase)
+    // matchText is case-insensitive regardless of query-term case —
+    // the folded postings ARE the case-insensitive index
+    val ci = idx.read(matchText = Map("text" -> Seq("The", "DATA")))
+    val truth = corpus.filter(
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" the ") &&
+        concat(lit(" "), lower(col("text")), lit(" ")).contains(" data "))
+    assert(ci.count() === 4L && ci.count() === truth.count())
+    assert(ci.exceptAll(truth).isEmpty && truth.exceptAll(ci).isEmpty)
+    // folded candidates ⊇ every case-insensitive match on a mixed-case
+    // corpus (the r8 wart this option deletes: a case-exact index
+    // could not serve this predicate at all)
+    assert(ci.filter(col("id") === 3L).count() === 1L,
+      "the ALL-CAPS row must be found by the folded index")
+    // the token-substring prefilter folds too — a case-insensitive
+    // caller predicate may use it on a mixed-case literal now
+    val pre = idx.readWithTokenSubstring("text", "DaTa")
+    val subTruth = corpus.filter(lower(col("text")).contains("data"))
+    assert(pre.count() === subTruth.count())
+    assert(pre.exceptAll(subTruth).isEmpty && subTruth.exceptAll(pre).isEmpty)
+    // phrase matching folds: adjacency + order, any case
+    val ph = idx.readMatchPhrase("text", "ThE dAtA")
+    val phTruth = corpus.filter(
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" the data "))
+    assert(ph.count() === 3L && ph.count() === phTruth.count())
+    // the option survives a fresh load
+    val re = PayloadIndex.load(spark, root)
+    assert(re.lowercase && !re.positional)
+    assert(re.read(matchText = Map("text" -> Seq("warehouse"))).count() === 1L)
+    // inserts fold their postings like the build did
+    val idx2 = idx.insert(txt(Seq((7L, "More DATA Arrives"))))
+    assert(idx2.read(matchText = Map("text" -> Seq("data", "ARRIVES"))).count() === 1L)
+  }
+
+  // ------------------------------------------------- positional text
+
+  test("positional postings compute phrase adjacency; the data scan reads only final candidates") {
+    val root = tmp()
+    val corpus = txt(Seq(
+      (1L, "the data pipeline"), (2L, "the big data lake"),
+      (3L, "data the reversed"), (4L, "the data the data"),
+      (5L, "the  data double-spaced"), (6L, "unrelated words")))
+    val idx = PayloadIndex.create(spark, corpus, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id", positionalText = true)
+    assert(idx.positional)
+    val ph = idx.readMatchPhrase("text", "the data")
+    val truth = corpus.filter(
+      concat(lit(" "), col("text"), lit(" ")).contains(" the data "))
+    // rows 1 and 4 only: row 2 is non-adjacent, row 3 reversed, row 5
+    // double-spaced (the padded-contains scan form misses it too —
+    // position gaps mirror that, see writePostings scaladoc)
+    assert(ph.count() === 2L && ph.count() === truth.count())
+    assert(ph.exceptAll(truth).isEmpty && truth.exceptAll(ph).isEmpty)
+    // THE claim of the positional route: the data-side candidate gate
+    // admits ONLY final candidates — for this phrase of common words
+    // the conjunctive prefilter would admit rows 2/3/5 as well, and the
+    // text residual would read them all. Measured on the executed
+    // plan's semi-join output metric (AQE off so the static plan's
+    // metric nodes are the executed ones).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = idx.readMatchPhrase("text", "the data").queryExecution
+      val n = qe.executedPlan.executeCollect().length
+      val gateRows = qe.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.map(_.metrics("numOutputRows").value).sum
+      assert(gateRows === n,
+        s"candidate gate admitted $gateRows rows for $n final matches")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // order still matters
+    assert(idx.readMatchPhrase("text", "data the").count() ===
+      corpus.filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(" data the ")).count())
+    // a phrase with a REPEATED token demands every offset at one start
+    assert(idx.readMatchPhrase("text", "the data the").count() === 1L)
+    assert(idx.readMatchPhrase("text", "data data").count() === 0L)
+    // single-word phrases degrade to whole-word match
+    assert(idx.readMatchPhrase("text", "data").count() ===
+      corpus.filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(" data ")).count())
+    // inserts carry positions; a fresh load keeps the flag
+    val idx2 = idx.insert(txt(Seq((7L, "fresh the data row"))))
+    assert(idx2.readMatchPhrase("text", "the data").count() === 3L)
+    assert(PayloadIndex.load(spark, root).positional)
+    assert(PayloadIndex.load(spark, root).readMatchPhrase("text", "the data")
+      .count() === 3L)
+    // matchText (bag-of-words) still serves off the positional layout
+    // (rows 1-5 — the double-spaced row holds both words — plus row 7)
+    assert(idx2.read(matchText = Map("text" -> Seq("the", "data"))).count() === 6L)
+  }
+
+  test("lowercase and positional compose on one index") {
+    val root = tmp()
+    val corpus = txt(Seq(
+      (1L, "The Data pipeline"), (2L, "big DATA the lake"),
+      (3L, "THE DATA warehouse")))
+    val idx = PayloadIndex.create(spark, corpus, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id",
+      lowercaseText = true, positionalText = true)
+    val ph = idx.readMatchPhrase("text", "the DATA")
+    val truth = corpus.filter(
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" the data "))
+    assert(ph.count() === 2L && ph.count() === truth.count())
+    assert(ph.exceptAll(truth).isEmpty && truth.exceptAll(ph).isEmpty)
+    val re = PayloadIndex.load(spark, root)
+    assert(re.lowercase && re.positional)
+    assert(re.readMatchPhrase("text", "THE data").count() === 2L)
+  }
+
+  test("the five new indexed VectorStore routes equal their scan-filter twins") {
+    import graft.operators.VectorStore
+    // positional phrase route ≡ the padded-contains scan route
+    assert(VectorStore.searchMatchPhraseIndexed(spark, sf).collect().toSeq ===
+      VectorStore.searchMatchPhrase(spark, sf).collect().toSeq)
+    // geo-bucket route ≡ the box scan route
+    assert(VectorStore.geoSearchIndexed(spark, sf).collect().toSeq ===
+      VectorStore.geoSearch(spark, sf).collect().toSeq)
+    // case-insensitive MatchText ≡ the folded scan form
+    val pts = Tables.points(spark, sf)
+    val ciTruth = pts.filter(col("id") =!= 0 &&
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" the ") &&
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" data "))
+      .select("id")
+    val ci = VectorStore.searchMatchTextCiIndexed(spark, sf, k = 100000)
+    assert(ci.count() === ciTruth.count() && ci.count() > 0)
+    assert(ci.select("id").exceptAll(ciTruth).isEmpty)
+    // float range ≡ the value scan form
+    val ev = Tables.events(spark, sf)
+    val vr = VectorStore.eventsValueRangeIndexed(spark, sf)
+    val vrTruth = ev.filter(col("event_type").isin("click", "view") &&
+      col("value").between(120.0, 150.0))
+      .select("event_id", "user_id", "value")
+    assert(vr.count() === vrTruth.count() && vr.count() > 0)
+    assert(vr.exceptAll(vrTruth).isEmpty && vrTruth.exceptAll(vr).isEmpty)
+    // datetime window ≡ the timestamp scan form
+    val tw = VectorStore.eventsTsRangeIndexed(spark, sf)
+    val twTruth = ev.filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+      col("ts") <= to_timestamp(lit("2024-01-11 23:59:59")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"),
+        countDistinct("user_id").as("n_users"))
+    assert(tw.count() === twTruth.count() && tw.count() > 0)
+    assert(tw.exceptAll(twTruth).isEmpty && twTruth.exceptAll(tw).isEmpty)
+  }
+
+  test("insertCommitted stays exactly-once across the new partition kinds") {
+    // the CommitProtocol invariants under a float zone + geo bucket
+    // layout: replay skips, the batch lands once, zones widen
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, score DOUBLE, lat DOUBLE, lon DOUBLE")
+    def g(rows: Seq[(Long, Double, Double, Double)]) =
+      spark.createDataFrame(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)).asJava, schema)
+    val base = g((1L to 40L).map(i => (i, i * 0.5, i * 2.0 - 41.0, i * 4.0 - 82.0)))
+    PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, float = Seq("score"),
+      geo = Seq(("lat", "lon")), geoGrid = 4, nZones = 4)
+    val batch = g(Seq((41L, 77.5, 10.0, 10.0)))
+    val idx2 = PayloadIndex.load(spark, root).insertCommitted(batch, 1L)
+    assert(idx2.read().count() === 41L)
+    assert(idx2.insertCommitted(batch, 1L).read().count() === 41L, "replay must skip")
+    assert(idx2.zones("score").sortBy(_._1).last._3 === BigDecimal(77.5))
+    assert(idx2.read(rangeFloat = Map("score" -> (70.0, 80.0))).count() === 1L)
+    val boxTruth = base.filter(col("lat").between(5.0, 15.0) &&
+      col("lon").between(5.0, 15.0)).count()
+    assert(idx2.read(geoBox = Map(("lat" -> "lon") -> ((5.0, 15.0, 5.0, 15.0))))
+      .count() === boxTruth + 1)
+  }
+}

@@ -84,6 +84,39 @@ class AnnIndex(spark: SparkSession, path: String,
     this
   }
 
+  /** EXACTLY-ONCE ingest step — [[insert]] under the shared
+    * [[CommitProtocol]] (the foreachBatch body of
+    * [[graft.streaming.EventStreams.annMaintainStream]], closing the
+    * same at-least-once residue [[PayloadIndex!.insertCommitted]]
+    * closed for the payload layout): marker skip → intent-scoped torn
+    * sweep → stage the assigned batch as a partitioned write → intent →
+    * rename-in with `bN-` prefixes → marker. Assignment itself is
+    * [[insert]]'s — nearest EXISTING centroid, same partition axes —
+    * so searches and the imbalance audit see replayed batches exactly
+    * once. Bookkeeping (`_meta/batches`, `_staging`) lives BESIDE the
+    * layout: the data tree is the flat `spark.read.parquet(path)`
+    * relation, and a sub-directory would read as data.
+    */
+  def insertCommitted(batch: DataFrame, batchId: Long): AnnIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaRoot = path + "_meta"
+    if (CommitProtocol.isCommitted(fs, metaRoot, batchId)) return this
+    CommitProtocol.sweepTorn(fs, metaRoot, path, batchId)
+    val staging = s"${path}_staging/b$batchId"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val cents = centroids.map { case (i, c) => (i.toLong, c.toSeq) }.toSeq
+    batch
+      .withColumn("list",
+        graft.functions.Vectors.nearestCentroidId(col("vec"), cents).cast("int"))
+      .write.partitionBy(keywordFields :+ "list": _*)
+      .parquet(staging)
+    CommitProtocol.publish(fs, metaRoot, path, batchId,
+      Seq((new org.apache.hadoop.fs.Path(staging), "")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}_staging/b$batchId"), true)
+    this
+  }
+
   /** LIST-IMBALANCE audit — the rebuild trigger for [[insert]]'s fixed
     * quantizer: per-list population plus the max/mean skew ratio (an
     * IVF probe reads whole lists, so a hot list is a hot probe — the

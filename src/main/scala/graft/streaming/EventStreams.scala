@@ -297,6 +297,28 @@ object EventStreams {
         ()
       }
 
+  /** STREAMING ANN-INDEX MAINTENANCE — the unbounded twin of
+    * [[graft.api.AnnIndex!.insert]] (the last maintained index without
+    * one — hybrid and payload twins above): each micro-batch of
+    * (vec_id, vec[, keyword axes]) rows assigns to its nearest existing
+    * centroid and appends into the partitioned IVF layout EXACTLY-ONCE
+    * under the shared [[graft.api.CommitProtocol]] — committed batchIds
+    * skip on replay, torn attempts sweep by their intent-scoped
+    * batch-prefixed files before re-publishing. The quantizer stays
+    * fixed (the [[graft.api.AnnIndex!.insert]] trade; rebuild on the
+    * imbalance audit's say-so), so per-batch work is one map pass +
+    * one partitioned append — no corpus-sized state.
+    */
+  def annMaintainStream(vecs: DataFrame, path: String, checkpoint: String) =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.api.AnnIndex.load(batch.sparkSession, path)
+          .insertCommitted(batch, batchId)
+        ()
+      }
+
   /** STREAMING NEAR-DUP SUPPRESSION GATE — the unbounded twin of the
     * batch MinHash+LSH dedup (`Dedup.minhashLsh`): each micro-batch of
     * documents is reduced to (signature, sorted shingle-hash array)

@@ -165,6 +165,88 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(rebuilt.search(qvec, k = 3, nprobe = 4).head().getLong(0) === 7L)
   }
 
+  test("insertCommitted is exactly-once: replay skips, torn attempts are swept") {
+    import spark.implicits._
+    val path = tmp("committed")
+    // tiny deterministic corpus with a keyword axis — both partition
+    // axes exercise the intent's dest-relative directory names
+    val seed = (1L to 16L).map(i =>
+      (i, Seq((i % 4).toDouble, i / 10.0), s"s${i % 2}"))
+      .toDF("vec_id", "vec", "site")
+    AnnIndex.build(seed, path, nlist = 2, keyword = Seq("site"))
+    val idx = AnnIndex.load(spark, path)
+    val b1 = Seq((100L, Seq(0.1, 0.1), "s0")).toDF("vec_id", "vec", "site")
+    idx.insertCommitted(b1, 1L)
+    assert(spark.read.parquet(path).count() === 17L)
+    // replay of a COMMITTED batch is a no-op — the at-least-once
+    // duplicate insert() would take here
+    idx.insertCommitted(b1, 1L)
+    assert(spark.read.parquet(path).count() === 17L)
+    assert(new java.io.File(s"${path}_meta/batches/batch-1").exists())
+    assert(!new java.io.File(s"${path}_meta/batches/intent-1").exists(),
+      "committed batch must retire its publish intent")
+    // TORN attempt of batch 2: a b2- prefixed duplicate sits in a
+    // published dir and the intent (written before the first rename)
+    // names that dir — no marker. The replay must sweep it and publish
+    // exactly once, listing ONLY the intent's directories.
+    def findPart(dir: java.io.File): Option[java.io.File] = {
+      val es = dir.listFiles().sortBy(_.getName)
+      es.find(f => f.isFile && f.getName.startsWith("part-"))
+        .orElse(es.filter(_.isDirectory).flatMap(findPart).headOption)
+    }
+    val torn = findPart(new java.io.File(path)).get
+    java.nio.file.Files.copy(torn.toPath,
+      torn.toPath.resolveSibling("b2-" + torn.getName))
+    val tornDir = new java.io.File(path).toPath.relativize(
+      torn.getParentFile.toPath).toString
+    val meta = new java.io.File(s"${path}_meta/batches")
+    java.nio.file.Files.write(new java.io.File(meta, "intent-2").toPath,
+      tornDir.getBytes("UTF-8"))
+    assert(spark.read.parquet(path).count() > 17L,
+      "precondition: the torn file duplicates rows")
+    AnnIndex.load(spark, path)
+      .insertCommitted(Seq((101L, Seq(0.9, 0.9), "s1"))
+        .toDF("vec_id", "vec", "site"), 2L)
+    assert(spark.read.parquet(path).count() === 18L,
+      "torn duplicate must be swept, batch published once")
+    // the published rows serve through search with the keyword axis
+    val hits = AnnIndex.load(spark, path)
+      .search(Seq(0.1, 0.1), k = 20, nprobe = 2, eq = Map("site" -> Seq("s0")))
+      .collect().map(_.getLong(0))
+    assert(hits.contains(100L))
+  }
+
+  test("insertCommitted replay converges when everything moved but the marker never committed") {
+    import spark.implicits._
+    val path = tmp("unmarked")
+    val seed = (1L to 8L).map(i => (i, Seq((i % 2).toDouble, i / 10.0)))
+      .toDF("vec_id", "vec")
+    AnnIndex.build(seed, path, nlist = 2)
+    val b3 = Seq((50L, Seq(0.5, 0.5))).toDF("vec_id", "vec")
+    AnnIndex.load(spark, path).insertCommitted(b3, 3L)
+    // rewind to the crashed state: marker gone, intent restored from
+    // the actually-published b3- file locations
+    val marker = new java.io.File(s"${path}_meta/batches/batch-3")
+    assert(marker.exists()); assert(marker.delete())
+    def prefixed(dir: java.io.File): Seq[java.io.File] = {
+      val es = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      es.filter(f => f.isFile && f.getName.startsWith("b3-")) ++
+        es.filter(_.isDirectory).flatMap(prefixed)
+    }
+    val moved = prefixed(new java.io.File(path))
+    assert(moved.nonEmpty, "precondition: b3- files were published")
+    val rootP = new java.io.File(path).toPath
+    val dirs = moved.map(f =>
+      rootP.relativize(f.getParentFile.toPath).toString).distinct
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_meta/batches/intent-3"),
+      dirs.mkString("\n").getBytes("UTF-8"))
+    AnnIndex.load(spark, path).insertCommitted(b3, 3L)
+    assert(spark.read.parquet(path).count() === 9L,
+      "fully-moved-but-unmarked batch must republish exactly once")
+    assert(new java.io.File(s"${path}_meta/batches/batch-3").exists())
+  }
+
   test("imbalance audit accounts for every vector with a sane skew ratio") {
     val path = tmp("audit")
     val idx = AnnIndex.build(corpus, path, nlist = 4)

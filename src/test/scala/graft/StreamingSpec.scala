@@ -542,6 +542,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("annMaintainStream lands streamed vectors exactly-once on both partition axes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.AnnIndex
+    val base = java.nio.file.Files.createTempDirectory("annstream").toString
+    val path = base + "/idx"
+    val seed = (1L to 16L).map(i =>
+      (i, Seq((i % 4).toDouble, i / 10.0), s"s${i % 2}"))
+      .toDF("vec_id", "vec", "site")
+    AnnIndex.build(seed, path, nlist = 2, keyword = Seq("site"))
+    val input = MemoryStream[(Long, Seq[Double], String)]
+    val q = EventStreams.annMaintainStream(
+      input.toDF().toDF("vec_id", "vec", "site"), path, base + "/ckpt").start()
+    try {
+      input.addData((100L, Seq(0.1, 0.1), "s0"))
+      q.processAllAvailable()
+      input.addData((101L, Seq(3.9, 1.5), "s1"), (102L, Seq(0.2, 0.3), "s0"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() === 19L)
+      // streamed rows serve through filtered search (keyword + probe
+      // pruning compose over the appended files)
+      val loaded = AnnIndex.load(spark, path)
+      val hits = loaded.search(Seq(0.1, 0.1), k = 20, nprobe = 2,
+        eq = Map("site" -> Seq("s0"))).collect().map(_.getLong(0))
+      assert(hits.contains(100L) && hits.contains(102L) && !hits.contains(101L))
+      // both batches left commit markers (the replay-skip certificate)
+      val markers = new java.io.File(s"${path}_meta/batches").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      assert(markers === Array("batch-0", "batch-1"))
+    } finally q.stop()
+  }
+
   test("payloadMaintainStream appends batches exactly-once with zone widening") {
     implicit val sqlCtx = spark.sqlContext
     import graft.api.PayloadIndex

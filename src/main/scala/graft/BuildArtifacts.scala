@@ -26,7 +26,9 @@ object BuildArtifacts {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = new java.io.File(outRoot, new java.io.File(sfDir).getName)
+    // the SAME dir naming the serving path resolves (basename +
+    // canonical-path hash — see VectorStore.w2vArtifactDir)
+    val dir = operators.VectorStore.w2vArtifactDir(outRoot, sfDir)
     // rebuild tool: replace wholesale (the serving path only ever READS)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

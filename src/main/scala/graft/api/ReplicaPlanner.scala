@@ -158,12 +158,16 @@ object ReplicaPlanner {
     // replicas that hold the bucket — serving the primary
     // unconditionally would return ZERO rows while healthy copies have
     // them, the silent-empty-read class this helper exists to prevent.
-    // Probe manifests (driver-tiny aggregates) in placement order and
-    // serve the first copy holding rows — one probe on the healthy
-    // path; every copy empty ⇒ the bucket is genuinely empty.
+    // The liveness probe is a limit-1 existence check (partition-pruned
+    // to the bucket, column-free) — NOT a content fingerprint, which
+    // would scan the whole copy just to test non-emptiness and then
+    // serve() would scan it again (ADVICE r8: two full scans on the
+    // healthy path for a "one probe" claim); the fingerprint aggregate
+    // stays on the n >= 2 quorum path, where its cost buys the
+    // cross-check. Every copy empty ⇒ the bucket is genuinely empty.
     if (n == 1) {
-      val live = copies.find(r =>
-        ShardTransfer.fingerprintOf(spark, r, Seq(bucket))._1 > 0)
+      val live = copies.find(r => !ShardTransfer.read(spark, r)
+        .filter(col("bucket") === bucket).isEmpty)
       return serve(live.getOrElse(pl.primary))
     }
     val fps = copies.map(r => r -> ShardTransfer.fingerprintOf(spark, r, Seq(bucket)))

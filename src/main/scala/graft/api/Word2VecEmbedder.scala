@@ -56,13 +56,33 @@ class Word2VecEmbedder private (
 
 object Word2VecEmbedder {
 
+  /** The serving-artifact trainer defaults, named once so [[train]]
+    * and [[trainerId]] cannot drift apart.
+    */
+  val DefaultDim = 32
+  val DefaultMinCount = 1
+  val DefaultWindow = 5
+  val DefaultIter = 1
+  val DefaultSeed = 42L
+
+  /** The trainer's identity string — a format version plus every
+    * default that shapes the fitted weights. It PREFIXES the artifact
+    * corpus fingerprint, so changing the trainer (a new dim, another
+    * seed, a v2 format) INVALIDATES persisted artifacts instead of
+    * silently serving stale-format vectors whose corpus half still
+    * matches (ADVICE r8).
+    */
+  val trainerId: String =
+    s"w2v-v1:dim=$DefaultDim:minCount=$DefaultMinCount:" +
+      s"window=$DefaultWindow:iter=$DefaultIter:seed=$DefaultSeed:np=1"
+
   /** Train on a (doc_id, text) relation. Tokenization is the same
     * whitespace split every text operator here uses — corpus and query
     * paths MUST tokenize identically for retrieval to compose.
     */
-  def train(corpus: DataFrame, dim: Int = 32, minCount: Int = 1,
-            windowSize: Int = 5, maxIter: Int = 1,
-            seed: Long = 42L): Word2VecEmbedder = {
+  def train(corpus: DataFrame, dim: Int = DefaultDim, minCount: Int = DefaultMinCount,
+            windowSize: Int = DefaultWindow, maxIter: Int = DefaultIter,
+            seed: Long = DefaultSeed): Word2VecEmbedder = {
     val w2v = new org.apache.spark.ml.feature.Word2Vec()
       .setVectorSize(dim).setMinCount(minCount).setWindowSize(windowSize)
       .setMaxIter(maxIter).setSeed(seed)

@@ -532,12 +532,13 @@ object Dedup {
     * [[unionFindLocal]] — EquivalenceSpec checks both against a
     * reference on random graphs.
     */
-  private[graft] def labelPropagation(s: SparkSession, edges: DataFrame): DataFrame = {
+  private[graft] def labelPropagation(s: SparkSession, edges: DataFrame,
+                                      maxRounds: Int = 20): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
@@ -561,15 +562,19 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    // 20 rounds of propagate+pointer-jump converge any component of
-    // diameter ≲ 2^20; past that, returning the current labels would
-    // hand downstream keep/split policies a component carrying SEVERAL
-    // cluster ids with no signal anything went wrong — fail loudly
-    // instead (the readN discipline: never serve an uncertified answer)
+    // maxRounds (default 20) of propagate+pointer-jump converge any
+    // component of diameter ≲ 2^maxRounds; past that, returning the
+    // current labels would hand downstream keep/split policies a
+    // component carrying SEVERAL cluster ids with no signal anything
+    // went wrong — fail loudly instead (the readN discipline: never
+    // serve an uncertified answer). The cap is a PARAMETER so the
+    // remediation the message names is actually available to callers
+    // (ADVICE r8: a hardcoded cap made a long-chain component
+    // unrecoverable without a code change).
     require(converged,
-      "labelPropagation did not converge in 20 rounds — a component's " +
-        "diameter exceeds the pointer-jump horizon; cluster this corpus " +
-        "with more rounds or pre-coalesce chains before labeling")
+      s"labelPropagation did not converge in $maxRounds rounds — a " +
+        "component's diameter exceeds the pointer-jump horizon; retry " +
+        "with a higher maxRounds or pre-coalesce chains before labeling")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

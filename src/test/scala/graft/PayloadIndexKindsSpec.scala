@@ -316,6 +316,25 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(re.readMatchPhrase("text", "THE data").count() === 2L)
   }
 
+  test("the advisor emits float/datetime/integer verdicts from schema types") {
+    import graft.operators.VectorStore
+    val verdicts = VectorStore.payloadIndexPlanFor(
+      Tables.events(spark, sf), Seq("value", "ts", "user_id", "event_type"))
+      .select("field", "index_kind")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(verdicts("value") === "float",
+      "a fractional payload is range-filtered — float zones, not text")
+    assert(verdicts("ts") === "datetime")
+    assert(verdicts("user_id") === "integer")
+    assert(verdicts("event_type") === "keyword")
+    // the points advisor (the oracle row) is unchanged by the
+    // generalization: user_id now verdicts by TYPE, same answer
+    val pts = VectorStore.payloadIndexPlan(spark, sf)
+      .select("field", "index_kind")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pts("user_id") === "integer" && pts("site") === "keyword")
+  }
+
   test("the five new indexed VectorStore routes equal their scan-filter twins") {
     import graft.operators.VectorStore
     // positional phrase route ≡ the padded-contains scan route

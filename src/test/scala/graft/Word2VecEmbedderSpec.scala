@@ -123,6 +123,32 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     assert(viaTrained === viaLoaded)
   }
 
+  test("the corpus fingerprint separates duplicate-swapped corpora and trainer versions") {
+    import graft.operators.VectorStore
+    import spark.implicits._
+    // XOR's algebraic hole (VERDICT r8): {x, x, z} and {y, y, z} have
+    // equal counts and equal XOR (the even-duplicated doc cancels
+    // pairwise in both) — the SUM term must separate them
+    val a = Seq((1L, "dup"), (1L, "dup"), (3L, "other")).toDF("doc_id", "text")
+    val b = Seq((2L, "swap"), (2L, "swap"), (3L, "other")).toDF("doc_id", "text")
+    val (fa, fb) = (VectorStore.corpusFingerprint(a), VectorStore.corpusFingerprint(b))
+    assert(fa !== fb, s"duplicate-swapped corpora must not collide: $fa")
+    // order-independence holds (the property XOR was there for)
+    val aShuffled = Seq((3L, "other"), (1L, "dup"), (1L, "dup")).toDF("doc_id", "text")
+    assert(VectorStore.corpusFingerprint(aShuffled) === fa)
+    // the trainer id prefixes the fingerprint: a trainer change refuses
+    // every persisted artifact rather than serving stale-format vectors
+    assert(fa.startsWith(Word2VecEmbedder.trainerId + ":"))
+    // and two corpora differing only by a basename-sharing PATH resolve
+    // to distinct artifact dirs (the canonical-path hash suffix)
+    val d1 = java.nio.file.Files.createTempDirectory("w2vdir-a").resolve("sfX")
+    val d2 = java.nio.file.Files.createTempDirectory("w2vdir-b").resolve("sfX")
+    assert(VectorStore.w2vArtifactDir("r", d1.toString).getName !==
+      VectorStore.w2vArtifactDir("r", d2.toString).getName)
+    assert(VectorStore.w2vArtifactDir("r", d1.toString) ===
+      VectorStore.w2vArtifactDir("r", d1.toString))
+  }
+
   test("w2vEmbedder serves a fingerprint-fresh tracked artifact, retrains on drift") {
     import graft.operators.{SessionMemo, VectorStore}
     import spark.implicits._
@@ -130,7 +156,7 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     val old = sys.props.get("graft.w2v.artifacts")
     sys.props("graft.w2v.artifacts") = tmpRoot
     try {
-      val dir = new java.io.File(tmpRoot, new java.io.File(sf).getName)
+      val dir = VectorStore.w2vArtifactDir(sf) // resolves under tmpRoot
       new java.io.File(dir, "vectors").mkdirs()
       // a deliberately TAMPERED one-word vocabulary with the CORRECT
       // corpus fingerprint: if the serving path loads (it must), the

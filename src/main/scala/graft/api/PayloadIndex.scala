@@ -724,26 +724,32 @@ object PayloadIndex {
     // zone manifest (a non-deterministic `points` plan re-evaluated per
     // pass could write rows the manifest does not cover)
     val pctFn = if (exactZones) "percentile" else "approx_percentile"
-    val zonesAssigned = zoned.foldLeft(points) { case (df, (f, kind)) =>
-      // cast: percentile returns ARRAY<DOUBLE> but approx_percentile
-      // returns the input type (ARRAY<BIGINT> on a long key)
-      val row = points
-        .select(expr(s"CAST($pctFn(${keySql(f, kind)}, array(${
+    // ONE boundary pass for ALL zoned fields — a per-field fold would
+    // scan the corpus k times for k zoned fields (at 100 TB the
+    // boundary pass IS the build's read cost; the write pays one more)
+    val pctRow =
+      if (zoned.isEmpty) null
+      else points.select(zoned.map { case (f, kind) =>
+        // cast: percentile returns ARRAY<DOUBLE> but approx_percentile
+        // returns the input type (ARRAY<BIGINT> on a long key)
+        expr(s"CAST($pctFn(${keySql(f, kind)}, array(${
           (1 until nZones).map(i => i.toDouble / nZones).mkString(",")
-        })) AS ARRAY<DOUBLE>)"))
-        .head()
-      // an all-NULL zoned field has no percentile (NULL aggregate) and
-      // would otherwise surface later as a bare NoSuchElementException
-      // on the missing zones(f) key — reject it with the real reason
-      require(!row.isNullAt(0),
-        s"$kind field '$f' is entirely NULL — no range information to " +
-          s"zone on; drop it from `$kind` (nulls never match a range " +
-          "read anyway)")
-      val bounds = row.getSeq[Double](0)
-      val key = keyExpr(f, kind)
-      df.withColumn(zoneCol(f),
-        bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(key > b, 1).otherwise(0) })
+        })) AS ARRAY<DOUBLE>)")
+      }: _*).head()
+    val zonesAssigned = zoned.zipWithIndex.foldLeft(points) {
+      case (df, ((f, kind), i)) =>
+        // an all-NULL zoned field has no percentile (NULL aggregate) and
+        // would otherwise surface later as a bare NoSuchElementException
+        // on the missing zones(f) key — reject it with the real reason
+        require(!pctRow.isNullAt(i),
+          s"$kind field '$f' is entirely NULL — no range information to " +
+            s"zone on; drop it from `$kind` (nulls never match a range " +
+            "read anyway)")
+        val bounds = pctRow.getSeq[Double](i)
+        val key = keyExpr(f, kind)
+        df.withColumn(zoneCol(f),
+          bounds.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(key > b, 1).otherwise(0) })
     }
     val withZones = geo.foldLeft(zonesAssigned) { case (df, (latC, lonC)) =>
       df.withColumn(geoColOf(s"$latC:$lonC"),

@@ -795,9 +795,15 @@ object VectorStore {
     eventsIdxMemo.getOrElseUpdate(s, d, ()) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-payload-index-events-").toString + "/idx"
+      // nZones = 8: TWO zoned axes multiply into ∏ zones × |event_type|
+      // directories (16×16×5 = 1280 at the default — mostly-empty small
+      // files below ~100 M rows/dir). 8×8×5 bounds the product; pruning
+      // CORRECTNESS is boundary-independent (the manifest records
+      // actual per-zone [min,max]) and a range still reads ≤ 1/8 of the
+      // corpus per axis — the advisor's rows-per-value sizing call.
       graft.api.PayloadIndex.create(s, Tables.events(s, d), root,
         keyword = Seq("event_type"), integer = Seq.empty,
-        float = Seq("value"), datetime = Seq("ts"))
+        float = Seq("value"), datetime = Seq("ts"), nZones = 8)
     }
 
   /** The GEO payload index — [[geoSearch]]'s derived (lat, lon)

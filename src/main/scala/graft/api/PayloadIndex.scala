@@ -444,7 +444,7 @@ final class PayloadIndex private[api] (
           // exclude nulls by SQL semantics) and an all-null zone group
           // would NPE the bound parse below
           val key = keyExpr(f, kind)
-          withZones.filter(col(f).isNotNull)
+          withZones.filter(PayloadIndex.statEligible(f, kind))
             .groupBy(col(zoneCol(f)).as("zone"))
             .agg(min(key).cast("string").as("zmin"),
               max(key).cast("string").as("zmax"))
@@ -584,6 +584,19 @@ object PayloadIndex {
     case "float" => lit(b.doubleValue)
     case _ => lit(b.longValue)
   }
+
+  /** Rows that contribute zone [min, max] statistics: non-NULL, and
+    * for float kinds non-NaN — Spark orders NaN above every double, so
+    * a single NaN payload would become every max bound, and
+    * `BigDecimal("NaN")` has no decimal form. NaN rows still LAND in a
+    * zone (NaN > boundary is true, the last zone) and pruning stays
+    * correct without them in the manifest: a [lo, hi] range never
+    * matches NaN (`NaN <= hi` is false for any finite hi — both here
+    * and in the scan route), so no manifest bound needs to cover it.
+    */
+  private def statEligible(f: String, kind: String): Column =
+    if (kind == "float") col(f).isNotNull && !isnan(col(f).cast("double"))
+    else col(f).isNotNull
 
   /** A UTC wall-clock "yyyy-MM-dd HH:mm:ss[.ffffff]" string as epoch
     * micros — datetime range bounds parse driver-side so the residual
@@ -790,11 +803,20 @@ object PayloadIndex {
     // epoch-micros keys without precision loss
     val zoneRows = zoned.flatMap { case (f, kind) =>
       val key = keyExpr(f, kind)
-      withZones.filter(col(f).isNotNull)
+      withZones.filter(statEligible(f, kind))
         .groupBy(col(zoneCol(f)).as("zone"))
         .agg(min(key).cast("string").as("zmin"),
           max(key).cast("string").as("zmax"))
         .collect().map(r => (f, r.getInt(0), r.getString(1), r.getString(2)))
+    }
+    // a float field that is entirely NaN passes the percentile probe
+    // (NaN bounds, not NULL) yet yields NO manifest rows — a later
+    // range read would then surface as a bare NoSuchElementException
+    // on the missing zones key; refuse at build with the real reason
+    zoned.foreach { case (f, kind) =>
+      require(zoneRows.exists(_._1 == f),
+        s"$kind field '$f' has no zone statistics (entirely NULL/NaN) — " +
+          s"no range information to zone on; drop it from `$kind`")
     }
     // the manifest is generation-rotated ([[PayloadIndex!.insert]]
     // commits widened manifests as later generations; load resolves the

@@ -80,6 +80,36 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
       idx.read(rangeFloat = Map("tag" -> (1.0, 2.0))))
   }
 
+  test("NaN float payloads neither poison the manifest nor match any range") {
+    val root = tmp()
+    // Spark orders NaN above every double: unguarded, one NaN becomes
+    // every max bound and BigDecimal("NaN") crashes the manifest build
+    val base = fdf((1L to 20L).map(i => (i, "t", i * 1.0)) :+
+      ((21L, "t", Double.NaN)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, float = Seq("score"),
+      nZones = 4)
+    assert(idx.zones("score").sortBy(_._1).last._3 === BigDecimal(20.0),
+      "NaN must not become a manifest bound")
+    // a range never matches NaN — both routes agree
+    val viaIdx = idx.read(rangeFloat = Map("score" -> (1.0, 1000.0)))
+    val viaScan = base.filter(col("score") >= 1.0 && col("score") <= 1000.0)
+    assert(viaIdx.count() === 20L && viaIdx.count() === viaScan.count())
+    // the NaN row is still IN the layout (full reads serve it)
+    assert(idx.read().count() === 21L)
+    // inserting more NaN rows stays safe too
+    val idx2 = idx.insert(fdf(Seq((22L, "t", Double.NaN), (23L, "t", 50.0))))
+    assert(idx2.zones("score").sortBy(_._1).last._3 === BigDecimal(50.0))
+    assert(idx2.read(rangeFloat = Map("score" -> (1.0, 1000.0))).count() === 21L)
+    assert(idx2.read().count() === 23L)
+    // an ENTIRELY NaN float field is refused with the real reason
+    val allNaN = fdf((1L to 5L).map(i => (i, "t", Double.NaN)))
+    val e = intercept[IllegalArgumentException](
+      PayloadIndex.create(spark, allNaN, tmp(),
+        keyword = Seq.empty, integer = Seq.empty, float = Seq("score")))
+    assert(e.getMessage.contains("score") && e.getMessage.contains("NaN"))
+  }
+
   // -------------------------------------------------------- datetime
 
   private def tsdf(rows: Seq[(Long, String, String)]) =

@@ -472,6 +472,29 @@ object SparkEntry {
       VectorStore.searchMatchTextIndexed(s, d, p.int("k", 10),
         p.strs("terms", Seq("the", "data")))
     }),
+    "vs_search_match_text_ci_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_match_text_ci_indexed", m, "k", "terms")
+      VectorStore.searchMatchTextCiIndexed(s, d, p.int("k", 10),
+        p.strs("terms", Seq("The", "DATA")))
+    }),
+    "vs_search_match_phrase_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_match_phrase_indexed", m, "k", "phrase")
+      VectorStore.searchMatchPhraseIndexed(s, d, p.int("k", 10),
+        // phrase words arrive space-separated, exactly the strs contract
+        p.strs("phrase", Seq("the", "data")).mkString(" "))
+    }),
+    "vs_geo_search_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("vs_geo_search_indexed", m,
+        "k", "lat_min", "lat_max", "lon_min", "lon_max")
+      VectorStore.geoSearchIndexed(s, d, p.int("k", 10),
+        p.dbl("lat_min", 10.0), p.dbl("lat_max", 60.0),
+        p.dbl("lon_min", -30.0), p.dbl("lon_max", 40.0))
+    }),
+    "events_value_range_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("events_value_range_indexed", m, "lo", "hi")
+      VectorStore.eventsValueRangeIndexed(s, d,
+        p.dbl("lo", 120.0), p.dbl("hi", 150.0))
+    }),
     "vs_text_search_semantic" -> ((s, d, m) => {
       val p = new QueryParams("vs_text_search_semantic", m, "k")
       VectorStore.textSearchSemantic(s, d, p.int("k", 3))

@@ -401,6 +401,73 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(tw.exceptAll(twTruth).isEmpty && twTruth.exceptAll(tw).isEmpty)
   }
 
+  test("every field kind composes on ONE index through create, ingest and load") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, tag STRING, uid BIGINT, score DOUBLE, ts TIMESTAMP, " +
+        "text STRING, lat DOUBLE, lon DOUBLE")
+    def mk(rows: Seq[(Long, String, Long, Double, String, String, Double, Double)]) =
+      spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(
+        r._1, r._2, r._3, r._4, java.sql.Timestamp.valueOf(r._5), r._6, r._7, r._8))
+        .asJava, schema)
+    val base = mk((1L to 48L).map(i => (i, s"t${i % 2}", i % 6, i * 0.5,
+      f"2024-04-${i % 28 + 1}%02d 12:00:00",
+      if (i % 3 == 0) s"Alpha Beta doc $i" else s"gamma delta doc $i",
+      i * 3.0 - 72.0, i * 7.0 - 168.0)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq("uid"), nZones = 4,
+      text = Seq("text"), idCol = "id",
+      float = Seq("score"), datetime = Seq("ts"),
+      geo = Seq(("lat", "lon")), geoGrid = 8,
+      lowercaseText = true, positionalText = true)
+    // one read composing EVERY axis at once — each predicate prunes its
+    // own way, the result equals the scan-filter conjunction
+    def composed(ix: PayloadIndex) = ix.read(
+      eq = Map("tag" -> Seq("t0")),
+      range = Map("uid" -> (0L, 3L)),
+      rangeFloat = Map("score" -> (1.0, 20.0)),
+      rangeTime = Map("ts" -> (("2024-04-02 00:00:00", "2024-04-27 23:59:59"))),
+      geoBox = Map(("lat" -> "lon") -> ((-60.0, 60.0, -120.0, 120.0))),
+      matchText = Map("text" -> Seq("ALPHA", "beta")))
+    def truth(df: org.apache.spark.sql.DataFrame) = df.filter(
+      col("tag") === "t0" && col("uid").between(0L, 3L) &&
+        col("score").between(1.0, 20.0) &&
+        col("ts").between(to_timestamp(lit("2024-04-02 00:00:00")),
+          to_timestamp(lit("2024-04-27 23:59:59"))) &&
+        col("lat").between(-60.0, 60.0) && col("lon").between(-120.0, 120.0) &&
+        concat(lit(" "), lower(col("text")), lit(" ")).contains(" alpha ") &&
+        concat(lit(" "), lower(col("text")), lit(" ")).contains(" beta "))
+    val got = composed(idx)
+    assert(got.count() === truth(base).count() && got.count() > 0)
+    assert(got.exceptAll(truth(base)).isEmpty && truth(base).exceptAll(got).isEmpty)
+    // ingest through BOTH paths: at-least-once insert widens every
+    // manifest; exactly-once insertCommitted replays as a no-op
+    val b1 = mk(Seq((100L, "t0", 2L, 7.5, "2024-04-10 12:00:00",
+      "Alpha Beta newcomer", 10.0, 10.0)))
+    val idx2 = idx.insert(b1)
+    val b2 = mk(Seq((101L, "t0", 99L, 999.5, "2024-09-01 00:00:00",
+      "alpha beta straggler", 20.0, 20.0)))
+    val idx3 = idx2.insertCommitted(b2, 5L)
+    assert(idx3.insertCommitted(b2, 5L).read().count() === 50L, "replay must skip")
+    // the committed batch widened zones: only the widened manifests can
+    // route these reads
+    assert(idx3.read(range = Map("uid" -> (90L, 100L))).count() === 1L)
+    assert(idx3.read(rangeFloat = Map("score" -> (900.0, 1000.0))).count() === 1L)
+    assert(idx3.read(rangeTime =
+      Map("ts" -> (("2024-08-01 00:00:00", "2024-10-01 00:00:00")))).count() === 1L)
+    // a fresh load serves the composed read with both ingested rows
+    val all = mk(Seq.empty).unionByName(base).unionByName(b1).unionByName(b2)
+    val reloaded = PayloadIndex.load(spark, root)
+    assert(reloaded.lowercase && reloaded.positional && reloaded.geoGrid === 8)
+    val got3 = composed(reloaded)
+    assert(got3.count() === truth(all).count())
+    assert(got3.exceptAll(truth(all)).isEmpty && truth(all).exceptAll(got3).isEmpty)
+    // phrase route still positional+folded over the grown layout
+    assert(reloaded.readMatchPhrase("text", "ALPHA beta").count() ===
+      all.filter(concat(lit(" "), lower(col("text")), lit(" "))
+        .contains(" alpha beta ")).count())
+  }
+
   test("insertCommitted stays exactly-once across the new partition kinds") {
     // the CommitProtocol invariants under a float zone + geo bucket
     // layout: replay skips, the batch lands once, zones widen

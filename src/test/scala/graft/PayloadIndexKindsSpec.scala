@@ -401,6 +401,26 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(tw.exceptAll(twTruth).isEmpty && twTruth.exceptAll(tw).isEmpty)
   }
 
+  test("SnapshotGc reclaims rotated zone manifests without breaking range reads") {
+    import graft.api.SnapshotGc
+    val root = tmp()
+    val base = fdf((1L to 32L).map(i => (i, "t", i * 1.0)))
+    var idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, float = Seq("score"), nZones = 4)
+    // five inserts rotate five widened manifest generations
+    (1 to 5).foreach(i => idx = idx.insert(fdf(Seq((100L + i, "t", 100.0 + i)))))
+    val zonesDir = new java.io.File(s"$root/zones")
+    assert(zonesDir.listFiles().count(_.getName.startsWith("gen-")) === 6)
+    val executed = SnapshotGc.run(spark, s"$root/zones", keepHistory = 1)
+    assert(executed.count(_.action == "delete") === 4)
+    assert(zonesDir.listFiles().count(_.getName.startsWith("gen-")) === 2)
+    // reads resolve the surviving live manifest: the fully-widened one
+    val re = PayloadIndex.load(spark, root)
+    assert(re.zones("score").sortBy(_._1).last._3 === BigDecimal(105.0))
+    assert(re.read(rangeFloat = Map("score" -> (100.0, 200.0))).count() === 5L)
+    assert(re.read().count() === 37L)
+  }
+
   test("every field kind composes on ONE index through create, ingest and load") {
     val root = tmp()
     val schema = org.apache.spark.sql.types.StructType.fromDDL(

@@ -305,6 +305,24 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
       assert(gateRows === n,
         s"candidate gate admitted $gateRows rows for $n final matches")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the phrase route's postings scan still pushes the token-IN and
+    // column-prunes to exactly (token, __pid, pos) on the positional
+    // layout — the non-positional pushed-IN spec's claim, re-proven
+    // under the wider schema
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val postingsScan =
+      try idx.readMatchPhrase("text", "the data")
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "pos") => s
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(postingsScan.nonEmpty, "plan must scan the positional postings")
+    val pushed = postingsScan.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(token, [data,the])") ||
+      pushed.contains("In(token, [the,data])"), s"got: $pushed")
+    assert(postingsScan.head.output.map(_.name).toSet ===
+      Set("token", "__pid", "pos"))
     // order still matters
     assert(idx.readMatchPhrase("text", "data the").count() ===
       corpus.filter(concat(lit(" "), col("text"), lit(" "))

@@ -287,15 +287,23 @@ object EventStreams {
     * readers see each batch atomically-per-file and pruning stays
     * correct throughout (the manifest only ever widens).
     */
-  def payloadMaintainStream(rows: DataFrame, root: String, checkpoint: String) =
+  def payloadMaintainStream(rows: DataFrame, root: String, checkpoint: String) = {
+    // the handle carries forward batch-over-batch: insertCommitted
+    // returns the freshly-widened index precisely so the stream does
+    // NOT pay the fields/zones/schema loads per micro-batch — load
+    // runs once per stream (re)start (and the insert path's
+    // widenedFrom re-reads the newest committed manifest anyway, so a
+    // concurrent writer's widening is never clobbered)
+    var idx: graft.api.PayloadIndex = null
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.api.PayloadIndex.load(batch.sparkSession, root)
-          .insertCommitted(batch, batchId)
+        if (idx == null) idx = graft.api.PayloadIndex.load(batch.sparkSession, root)
+        idx = idx.insertCommitted(batch, batchId)
         ()
       }
+  }
 
   /** STREAMING ANN-INDEX MAINTENANCE — the unbounded twin of
     * [[graft.api.AnnIndex!.insert]] (the last maintained index without
@@ -309,15 +317,20 @@ object EventStreams {
     * imbalance audit's say-so), so per-batch work is one map pass +
     * one partitioned append — no corpus-sized state.
     */
-  def annMaintainStream(vecs: DataFrame, path: String, checkpoint: String) =
+  def annMaintainStream(vecs: DataFrame, path: String, checkpoint: String) = {
+    // quantizer and keyword axes are FIXED for the layout's lifetime,
+    // so the loaded handle serves every batch — the centroids/fields
+    // reads run once per stream (re)start, not per micro-batch
+    var idx: graft.api.AnnIndex = null
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.api.AnnIndex.load(batch.sparkSession, path)
-          .insertCommitted(batch, batchId)
+        if (idx == null) idx = graft.api.AnnIndex.load(batch.sparkSession, path)
+        idx = idx.insertCommitted(batch, batchId)
         ()
       }
+  }
 
   /** STREAMING NEAR-DUP SUPPRESSION GATE — the unbounded twin of the
     * batch MinHash+LSH dedup (`Dedup.minhashLsh`): each micro-batch of

@@ -309,6 +309,48 @@ final class PayloadIndex private[api] (
       .select("__pid").distinct()
   }
 
+  /** GEO-RADIUS read (Qdrant's `geo_radius` condition, the circle
+    * sibling of `geoBox`): rows within `radiusMeters` of (`lat`,
+    * `lon`). Pruning reuses the box machinery on the circle's BOUNDING
+    * BOX — computed driver-side with the lon half-span widened by
+    * 1/cos(lat) and degenerating to the full lon range when the circle
+    * touches a pole (a superset either way, so the cells can only
+    * over-select); the exact HAVERSINE predicate is the residual. The
+    * trig lives ONLY in the residual — cell pruning stays pure
+    * comparisons — and haversine distances are engine-local (IEEE trig
+    * is not bit-portable across engines, the reason `geoSearch` serves
+    * boxes for the oracle surface; within one engine the residual is
+    * deterministic and spec'd ≡ the scan-filter form).
+    */
+  def readGeoRadius(latCol: String, lonCol: String,
+                    lat: Double, lon: Double,
+                    radiusMeters: Double): DataFrame = {
+    val f = s"$latCol:$lonCol"
+    require(kindOf(f).contains("geo"),
+      s"'($latCol, $lonCol)' is not an indexed geo field (indexed: $fields)")
+    require(radiusMeters >= 0 && lat >= -90 && lat <= 90 &&
+      lon >= -180 && lon <= 180,
+      s"geo_radius needs radius >= 0 and a valid center (got " +
+        s"lat=$lat, lon=$lon, r=$radiusMeters)")
+    val mPerDegLat = 111320.0 // meters per degree of latitude (and of
+    // longitude AT the equator — the lon span divides by cos(lat))
+    val dLat = radiusMeters / mPerDegLat
+    val (latMin, latMax) = (math.max(-90.0, lat - dLat), math.min(90.0, lat + dLat))
+    val cosLat = math.cos(math.toRadians(math.min(90.0, math.abs(lat) + dLat)))
+    val (lonMin, lonMax) =
+      if (latMax >= 90.0 || latMin <= -90.0 || cosLat <= 1e-9) (-180.0, 180.0)
+      else {
+        val dLon = radiusMeters / (mPerDegLat * cosLat)
+        (math.max(-180.0, lon - dLon), math.min(180.0, lon + dLon))
+      }
+    val cells = PayloadIndex.geoCells(geoGrid, latMin, latMax, lonMin, lonMax)
+    spark.read.schema(readSchema).parquet(s"$root/data")
+      .filter(col(PayloadIndex.geoColOf(f)).isin(cells.map(Integer.valueOf): _*) &&
+        PayloadIndex.haversineMeters(col(latCol), col(lonCol), lat, lon)
+          <= radiusMeters)
+      .select(original.map(sf => col(sf.name)): _*)
+  }
+
   /** TOKEN-SUBSTRING prefilter — the index route behind the
     * reference's substring word delete and regex delete
     * (app.py:94-139): rows of the pruned slice whose `f` holds ANY
@@ -633,6 +675,21 @@ object PayloadIndex {
       la <- cellIdx(latMin, -90.0, 180.0) to cellIdx(latMax, -90.0, 180.0)
       lo <- cellIdx(lonMin, -180.0, 360.0) to cellIdx(lonMax, -180.0, 360.0)
     } yield la * g + lo
+  }
+
+  /** Great-circle distance in meters (haversine, spherical earth
+    * R = 6371008.8 m — the IUGG mean radius): the geo_radius residual.
+    * NULL coordinates propagate to a NULL distance, which no `<=`
+    * admits — matching the scan route's NULL semantics.
+    */
+  private[graft] def haversineMeters(latC: Column, lonC: Column,
+                                     lat: Double, lon: Double): Column = {
+    val r = 6371008.8
+    val la1 = radians(lit(lat)); val lo1 = radians(lit(lon))
+    val la2 = radians(latC); val lo2 = radians(lonC)
+    val h = pow(sin((la2 - la1) / 2), 2) +
+      cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
+    lit(2 * r) * asin(sqrt(h))
   }
 
   private[api] def textDir(root: String, f: String) = s"$root/text_$f"

@@ -216,6 +216,41 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
       idx.read(geoBox = Map(("lon" -> "lat") -> ((0.0, 1.0, 0.0, 1.0)))))
   }
 
+  test("geo_radius reads prune by the circle's bounding-box cells with an exact haversine residual") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    val rows = (1L to 300L).map { i =>
+      org.apache.spark.sql.Row(i, (i * 7919 % 18000) / 100.0 - 90.0,
+        (i * 104729 % 36000) / 100.0 - 180.0)
+    }
+    val base = spark.createDataFrame(rows.asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      geo = Seq(("lat", "lon")), geoGrid = 8)
+    val (cLat, cLon, r) = (45.0, 10.0, 2.0e6) // 2000 km around the Alps
+    val got = idx.readGeoRadius("lat", "lon", cLat, cLon, r)
+    val truth = base.filter(
+      PayloadIndex.haversineMeters(col("lat"), col("lon"), cLat, cLon) <= r)
+    assert(got.count() === truth.count() && got.count() > 0)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
+    // the radius route scans fewer files than a full read (cell pruning)
+    val all = scannedFiles(idx.read())
+    val pruned = scannedFiles(idx.readGeoRadius("lat", "lon", cLat, cLon, r))
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    // a polar circle degenerates to the full lon range and still
+    // answers exactly (the cos(lat) -> 0 guard)
+    val polar = idx.readGeoRadius("lat", "lon", 89.0, 0.0, 5.0e5)
+    val polarTruth = base.filter(
+      PayloadIndex.haversineMeters(col("lat"), col("lon"), 89.0, 0.0) <= 5.0e5)
+    assert(polar.count() === polarTruth.count())
+    // refused off-index and on invalid centers
+    intercept[IllegalArgumentException](
+      idx.readGeoRadius("lon", "lat", 0.0, 0.0, 1.0))
+    intercept[IllegalArgumentException](
+      idx.readGeoRadius("lat", "lon", 200.0, 0.0, 1.0))
+  }
+
   // -------------------------------------------------- lowercase text
 
   private def txt(rows: Seq[(Long, String)]) = {

@@ -387,6 +387,40 @@ final class PayloadIndex private[api] (
     gateByTokens(read(eq, range), f, cand, residual = None)
   }
 
+  /** TOKEN-PREFIX read — Qdrant's prefix tokenization mode served as a
+    * query form: rows whose `f` holds a token starting with `prefix`
+    * (folded on a lowercased index). Same verified-superset contract as
+    * [[readWithTokenSubstring]] for predicates that imply it
+    * (autocomplete, stemming-lite `batch*`), but with a strictly better
+    * scan: `startsWith` pushes to parquet as a StringStartsWith filter,
+    * and the postings are token-SORTED — so row-group min/max statistics
+    * prune the token dictionary to the prefix's contiguous slice, where
+    * a `%substr%` containment probe must read every token row group.
+    * The whole-token prefix predicate is exact for whitespace
+    * tokenization (a token starts with `prefix` ⟺ ` prefix` appears
+    * after a space boundary in the padded text), so unlike the
+    * substring route no caller residual is needed for the plain
+    * "any word starts with" question; regex-shaped callers still own
+    * theirs.
+    */
+  def readWithTokenPrefix(f: String, prefix: String,
+                          eq: Map[String, Seq[String]] = Map.empty,
+                          range: Map[String, (Long, Long)] = Map.empty)
+      : DataFrame = {
+    require(kindOf(f).contains("text"),
+      s"'$f' is not an indexed text field (indexed: $fields)")
+    require(prefix.nonEmpty && !prefix.contains(" "),
+      s"token-prefix read needs a non-empty, space-free prefix (got '$prefix')")
+    val cand = PayloadIndex.postingsOf(spark, root, f)
+      .filter(col("token").startsWith(foldTerm(prefix)))
+      .select("__pid").distinct()
+    gateByTokens(read(eq, range), f, cand, residual = None)
+      // the exact predicate, kept in-plan (the index only prunes):
+      // a word boundary followed by the (folded) prefix
+      .filter(concat(lit(" "), foldedText(f))
+        .contains(s" ${foldTerm(prefix)}"))
+  }
+
   /** INCREMENTAL ingest — the [[AnnIndex.insert]] fixed-quantizer trade
     * on the payload axes: new rows assign to EXISTING zones (the zone
     * whose recorded range covers the value; a value in a gap or beyond

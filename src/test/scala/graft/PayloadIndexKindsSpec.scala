@@ -380,6 +380,45 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(idx2.read(matchText = Map("text" -> Seq("the", "data"))).count() === 6L)
   }
 
+  test("token-prefix reads push StringStartsWith to the sorted postings and answer exactly") {
+    val root = tmp()
+    val corpus = txt(Seq(
+      (1L, "batch processing wins"), (2L, "the batcher runs"),
+      (3L, "dispatch is not a prefix match"), (4L, "BATCH but wrong case"),
+      (5L, "nothing here")))
+    val idx = PayloadIndex.create(spark, corpus, root,
+      keyword = Seq.empty, integer = Seq.empty, text = Seq("text"), idCol = "id")
+    // exact on the case-sensitive index: rows 1-2 (word STARTS with
+    // "batch"); row 3 contains it mid-token, row 4 wrong case
+    val got = idx.readWithTokenPrefix("text", "batch")
+    val truth = corpus.filter(
+      concat(lit(" "), col("text")).contains(" batch"))
+    assert(got.count() === 2L && got.count() === truth.count())
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
+    // the prefix probe pushes to the postings scan as StringStartsWith —
+    // the token-sorted layout's row-group stats prune where a %substr%
+    // containment probe cannot
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scan =
+      try idx.readWithTokenPrefix("text", "batch")
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "token") => s
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scan.nonEmpty)
+    assert(scan.head.metadata.getOrElse("PushedFilters", "")
+      .contains("StringStartsWith(token,batch)"),
+      s"got: ${scan.head.metadata.getOrElse("PushedFilters", "")}")
+    // on a LOWERCASED index the prefix folds: row 4 joins the matches
+    val ciRoot = tmp()
+    val ci = PayloadIndex.create(spark, corpus, ciRoot,
+      keyword = Seq.empty, integer = Seq.empty, text = Seq("text"),
+      idCol = "id", lowercaseText = true)
+    assert(ci.readWithTokenPrefix("text", "BATCH").count() === 3L)
+    intercept[IllegalArgumentException](idx.readWithTokenPrefix("text", "a b"))
+  }
+
   test("lowercase and positional compose on one index") {
     val root = tmp()
     val corpus = txt(Seq(

@@ -41,6 +41,23 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.eventsValueRangeIndexed(s, d)),
     "events_ts_range_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.eventsTsRangeIndexed(s, d)),
+    // Qdrant filter boolean algebra (should / must_not / min_should)
+    // and the remaining match conditions, all through readFilter
+    "vs_search_filter_should" ->
+      ((s: SparkSession, d: String) => VectorStore.searchFilterShould(s, d)),
+    "vs_search_filter_must_not" ->
+      ((s: SparkSession, d: String) => VectorStore.searchFilterMustNot(s, d)),
+    "vs_search_filter_min_should" ->
+      ((s: SparkSession, d: String) => VectorStore.searchFilterMinShould(s, d)),
+    "vs_search_match_any_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchAnyIndexed(s, d)),
+    "vs_search_match_except_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchExceptIndexed(s, d)),
+    "vs_filter_is_null" -> VectorStore.filterIsNull _,
+    "vs_filter_is_empty" -> VectorStore.filterIsEmpty _,
+    "vs_delete_by_filter_indexed" -> VectorStore.deleteByFilterIndexed _,
+    "vs_geo_polygon_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.geoPolygonIndexed(s, d)),
     "vs_search_batch" -> VectorStore.searchBatch _,
     "vs_delete_by_user" -> VectorStore.deleteByUser _,
     "vs_delete_by_word" -> VectorStore.deleteByWord _,
@@ -282,6 +299,39 @@ object SparkEntry {
     """pts AS (SELECT d.doc_id AS id, e.embedding::DOUBLE[] AS vector, d.text,
       | d.doc_id % 20 AS user_id, d.source AS site, d.lang, d.doc_id AS seq
       | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)""".stripMargin
+
+  /** The NULLABLE-payload derivation (the `is_empty` / `is_null`
+    * corpus) — mirrors [[graft.operators.VectorStore.nullablePoints]]
+    * verbatim.
+    */
+  private val NP =
+    """np AS (SELECT id, user_id,
+      | CASE WHEN id % 7 = 0 THEN NULL ELSE site END AS site_n,
+      | CASE WHEN id % 5 = 0 THEN CAST([] AS VARCHAR[]) WHEN id % 3 = 0 THEN NULL
+      |      ELSE [lang, site] END AS tags,
+      | lang FROM pts)""".stripMargin
+
+  /** The even-odd ray-crossing predicate over
+    * [[graft.operators.VectorStore.geoPolygon]], INTERPOLATED from the
+    * same vertex constants the Spark route folds (edge deltas computed
+    * in the same Scala doubles, emitted as CAST('…' AS DOUBLE) string
+    * literals so DuckDB parses the identical IEEE values) — both
+    * engines evaluate the identical expression tree, identical ops in
+    * identical order, so even knife-edge rows agree bit-for-bit.
+    */
+  private def polygonCrossSql(px: String, py: String): String = {
+    val vs = VectorStore.geoPolygon // (lat = y, lon = x)
+    val terms = vs.indices.flatMap { i =>
+      val (y1, x1) = vs(i); val (y2, x2) = vs((i + 1) % vs.size)
+      if (y1 == y2) None
+      else Some(
+        s"(CASE WHEN ((CAST('$y1' AS DOUBLE) > $py) <> (CAST('$y2' AS DOUBLE) > $py))" +
+          s" AND $px < CAST('${x2 - x1}' AS DOUBLE) * ($py - CAST('$y1' AS DOUBLE))" +
+          s" / CAST('${y2 - y1}' AS DOUBLE) + CAST('$x1' AS DOUBLE)" +
+          " THEN 1 ELSE 0 END)")
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
 
   /** DuckDB word-5-gram shingle CTEs over documents. */
   private def SHINGLES(w: Int): String = {
@@ -638,6 +688,100 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- Qdrant filter boolean algebra: one question, two physical
+    // routes (readFilter's pruned plan vs DuckDB's scan of the same
+    // total-boolean predicate — Qdrant NULL semantics via COALESCE) ----
+    "vs_search_filter_should" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND COALESCE(p.user_id >= 2 AND p.user_id <= 9, FALSE)
+         |    AND (COALESCE(p.lang = 'en', FALSE) OR COALESCE(p.site = 'src3', FALSE))),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    "vs_search_filter_must_not" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND COALESCE(p.user_id >= 0 AND p.user_id <= 9, FALSE)
+         |    AND NOT COALESCE(p.lang = 'de', FALSE)
+         |    AND NOT COALESCE(p.site = 'src7', FALSE)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    "vs_search_filter_min_should" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND (CASE WHEN COALESCE(p.lang = 'en', FALSE) THEN 1 ELSE 0 END
+         |       + CASE WHEN COALESCE(p.site = 'src3', FALSE) THEN 1 ELSE 0 END
+         |       + CASE WHEN COALESCE(p.user_id >= 0 AND p.user_id <= 5, FALSE)
+         |         THEN 1 ELSE 0 END) >= 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // MatchAny on text: ANY whole word present (the postings-union
+    // route answers the same OR-of-word-predicates scan question)
+    "vs_search_match_any_indexed" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND (COALESCE(contains(' ' || p.text || ' ', ' batch '), FALSE)
+         |      OR COALESCE(contains(' ' || p.text || ' ', ' sort '), FALSE))),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // MatchExcept on keyword: value NOT in the list (NULL matches —
+    // the logical NOT of MatchAny); the negated IN-list is itself a
+    // partition predicate, the one pruning exclusion
+    "vs_search_match_except_indexed" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND COALESCE(p.user_id >= 2 AND p.user_id <= 9, FALSE)
+         |    AND NOT COALESCE(p.lang IN ('de', 'es'), FALSE)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // is_null / is_empty over the nullable-payload corpus — indexed
+    // route ≡ the scan's total-boolean semantics on NULL-carrying rows
+    "vs_filter_is_null" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, lang FROM np WHERE site_n IS NULL ORDER BY id""".stripMargin,
+    "vs_filter_is_empty" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, lang FROM np
+         |WHERE COALESCE(user_id >= 0 AND user_id <= 14, FALSE)
+         |  AND (tags IS NULL OR len(tags) = 0) ORDER BY id""".stripMargin,
+    // the /remove_by_user delete run THROUGH the maintained index as a
+    // deleteTo snapshot rotation — the audit reads the ROTATED index
+    "vs_delete_by_filter_indexed" ->
+      s"""WITH $PTS, $NP
+         |SELECT user_id, count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+         |  CAST(sum(CASE WHEN site_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_site
+         |FROM np WHERE NOT COALESCE(user_id = 5, FALSE)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // geo_polygon: cell-cover pruning + the even-odd residual — the
+    // oracle evaluates the IDENTICAL interpolated expression tree
+    "vs_geo_polygon_indexed" ->
+      s"""WITH $PTS,
+         |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         |  (id * 104729 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon FROM pts),
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 2),
+         |scored AS (SELECT g.id, g.lat, g.lon, list_cosine_similarity(g.vector, q.qvec) AS cs
+         |  FROM geo g, q WHERE g.id <> 2 AND ${polygonCrossSql("g.lon", "g.lat")}),
+         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, lat, lon, round(cs, 4) AS score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
     "vs_search_batch" ->
       s"""WITH $PTS,
          |qs AS (SELECT id AS query_id, vector AS qvec, user_id AS quser FROM pts WHERE id < 20),

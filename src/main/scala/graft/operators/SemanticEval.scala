@@ -78,41 +78,43 @@ object SemanticEval {
       .select(col("doc_id"), col("pos"), coalesce(col("sub"), col("tok")).as("tok")))
 
     // ---- encoders behind the seam: each encoder's CORPUS embedding is
-    // computed once and shared by its two arms (without the cache each
-    // arm re-ran the full corpus encode — the eval's dominant cost) ----
+    // SESSION-MEMOIZED ([[VectorStore.w2vCorpusEmbedding]] /
+    // fhCorpusEmbedding over the lowered projection — shared with any
+    // other semantic consumer and pinned to the bench's
+    // `semantic_corpus_warm` line, VERDICT r9 #7: the per-call
+    // cache/unpersist made the first semantic line of a session absorb
+    // both corpus encodes, HashMap order deciding which) ----
     val w2v = VectorStore.w2vEmbedder(s, d)
     def fh(df: DataFrame): DataFrame = VectorStore.embedDocs(df)
-    val corpusFh = fh(docs).cache()
-    val corpusW2v = w2v.embed(docs).cache()
-    try {
-      val arms = Seq(
-        ("feature_hash", "dropout", corpusFh, fh(dropoutQ)),
-        ("feature_hash", "associate", corpusFh, fh(associateQ)),
-        ("word2vec", "dropout", corpusW2v, w2v.embed(dropoutQ)),
-        ("word2vec", "associate", corpusW2v, w2v.embed(associateQ)))
+    val corpusFh = VectorStore.fhCorpusEmbedding(s, d, lowered = true)
+    val corpusW2v = VectorStore.w2vCorpusEmbedding(s, d, lowered = true)
+    val arms = Seq(
+      ("feature_hash", "dropout", corpusFh, fh(dropoutQ)),
+      ("feature_hash", "associate", corpusFh, fh(associateQ)),
+      ("word2vec", "dropout", corpusW2v, w2v.embed(dropoutQ)),
+      ("word2vec", "associate", corpusW2v, w2v.embed(associateQ)))
 
-      // ---- recall@k / MRR@k per arm ----
-      val wRank = Window.partitionBy("query_id")
-        .orderBy(col("cs").desc, col("doc_id").asc)
-      arms.map { case (emb, tr, corpusEmb, queryEmb) =>
-        corpusEmb.join(broadcast(queryEmb
-            .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))))
-          .withColumn("cs", cosineSim(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(wRank))
-          .filter(col("rank") <= k)
-          .groupBy("query_id")
-          .agg(max(when(col("doc_id") === col("query_id"), 1.0).otherwise(0.0)).as("hit"),
-            coalesce(max(when(col("doc_id") === col("query_id"),
-              lit(1.0) / col("rank"))), lit(0.0)).as("rr"))
-          .agg(count(lit(1)).as("n_queries"),
-            bround(avg("hit"), 4).as("recall_at_k"),
-            bround(avg("rr"), 4).as("mrr_at_k"))
-          .select(lit(emb).as("embedder"), lit(tr).as("transform"),
-            col("n_queries"), col("recall_at_k"), col("mrr_at_k"))
-      }.reduce(_ unionByName _).orderBy("embedder", "transform")
-        // eager 4-row materialization so the corpus-embedding caches
-        // release NOW (the tuning-operator discipline)
-        .localCheckpoint()
-    } finally { corpusFh.unpersist(); corpusW2v.unpersist() }
+    // ---- recall@k / MRR@k per arm ----
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("doc_id").asc)
+    arms.map { case (emb, tr, corpusEmb, queryEmb) =>
+      corpusEmb.join(broadcast(queryEmb
+          .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))))
+        .withColumn("cs", cosineSim(col("embedding"), col("qvec")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .groupBy("query_id")
+        .agg(max(when(col("doc_id") === col("query_id"), 1.0).otherwise(0.0)).as("hit"),
+          coalesce(max(when(col("doc_id") === col("query_id"),
+            lit(1.0) / col("rank"))), lit(0.0)).as("rr"))
+        .agg(count(lit(1)).as("n_queries"),
+          bround(avg("hit"), 4).as("recall_at_k"),
+          bround(avg("rr"), 4).as("mrr_at_k"))
+        .select(lit(emb).as("embedder"), lit(tr).as("transform"),
+          col("n_queries"), col("recall_at_k"), col("mrr_at_k"))
+    }.reduce(_ unionByName _).orderBy("embedder", "transform")
+      // eager 4-row materialization (the tuning-operator discipline);
+      // the memoized corpus embeddings stay for the next consumer
+      .localCheckpoint()
   }
 }

@@ -1,0 +1,375 @@
+package graft
+
+import graft.api.{Filters, PayloadIndex}
+import graft.api.Filters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-10 Qdrant filter boolean algebra + its routes: `should` /
+  * `must_not` / `min_should` composition, MatchAny/MatchExcept,
+  * is_empty/is_null, geo_polygon, deleteTo rotations, the antimeridian
+  * radius wrap, and the Locale.ROOT term fold. The contract per route
+  * is the payload-index trio: (1) indexed predicates PRUNE (scanned
+  * files ⊆ the matching slice); (2) readFilter ≡ the scan route
+  * (`Filters.toColumn`) row-for-row, INCLUDING on NULL payloads under
+  * Qdrant's total-boolean semantics; (3) rotations/loads stay
+  * self-describing.
+  */
+class FilterAlgebraSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-filter-alg-").toString + "/idx"
+
+  import scala.jdk.CollectionConverters._
+  // (id, site, lang, uid, text) with NULL sites/langs sprinkled in
+  private def corpus(): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, site STRING, lang STRING, uid BIGINT, text STRING")
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    val rows = (1L to 60L).map { i =>
+      org.apache.spark.sql.Row(i,
+        if (i % 10 == 0) null else s"s${i % 3}",
+        if (i % 7 == 0) null else Seq("en", "fr", "de")((i % 3).toInt),
+        i % 6,
+        s"${words((i % 4).toInt)} ${words(((i + 1) % 4).toInt)} w$i")
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def build(root: String): PayloadIndex =
+    PayloadIndex.create(spark, corpus(), root,
+      keyword = Seq("site", "lang"), integer = Seq("uid"),
+      text = Seq("text"), idCol = "id", nZones = 3)
+
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("should: union-of-slices pruning, scan-route parity") {
+    val idx = build(tmp())
+    val f = PFilter(
+      must = Seq(RangeInt("uid", 1, 4)),
+      should = Seq(MatchValue("site", "s1"), MatchValue("lang", "en")))
+    val viaIdx = idx.readFilter(f)
+    val viaScan = corpus().filter(Filters.toColumn(f))
+    sameRows(viaIdx, viaScan)
+    assert(viaIdx.count() > 0)
+    // scanned files ⊆ the union of the two arms' directories
+    val files = scannedFiles(viaIdx)
+    assert(files.nonEmpty && files.forall(p =>
+      p.contains("/site=s1/") || p.contains("/lang=en/")),
+      s"should-arm union violated: $files")
+    // and strictly fewer than an unpruned read
+    assert(files.length < scannedFiles(idx.read()).length)
+  }
+
+  test("must_not: Qdrant semantics (NULL matches the exclusion), residual-only") {
+    val idx = build(tmp())
+    val f = PFilter(
+      must = Seq(RangeInt("uid", 0, 5)),
+      mustNot = Seq(MatchValue("lang", "de"), MatchValue("site", "s2")))
+    val viaIdx = idx.readFilter(f)
+    val viaScan = corpus().filter(Filters.toColumn(f))
+    sameRows(viaIdx, viaScan)
+    // the NULL-lang rows MATCH must_not [lang=de] — Qdrant, not SQL
+    // three-valued logic (the naive NOT would drop them)
+    assert(viaIdx.filter(col("lang").isNull).count() > 0,
+      "must_not must admit NULL payloads (the condition does not match)")
+    val naive = corpus().filter(col("uid").between(0, 5) &&
+      !(col("lang") === "de") && !(col("site") === "s2"))
+    assert(viaIdx.count() > naive.count(),
+      "Qdrant must_not diverges from three-valued NOT on NULL payloads")
+  }
+
+  test("min_should: m-of-n parity, union pruning, text arm disables group pruning only") {
+    val idx = build(tmp())
+    val f = PFilter(minShould = Some((Seq(
+      MatchValue("site", "s1"), MatchValue("lang", "en"),
+      RangeInt("uid", 0, 2)), 2)))
+    val viaIdx = idx.readFilter(f)
+    sameRows(viaIdx, corpus().filter(Filters.toColumn(f)))
+    assert(viaIdx.count() > 0)
+    // brute m-of-n recount
+    val brute = corpus().filter(
+      (when(coalesce(col("site") === "s1", lit(false)), 1).otherwise(0) +
+        when(coalesce(col("lang") === "en", lit(false)), 1).otherwise(0) +
+        when(coalesce(col("uid").between(0, 2), lit(false)), 1).otherwise(0)) >= 2)
+    sameRows(viaIdx, brute)
+    // all arms prunable → union pruning engages (site/lang dirs + zones)
+    assert(scannedFiles(viaIdx).length < scannedFiles(idx.read()).length)
+    // an unprunable arm (text) disables the GROUP's pruning, not its meaning
+    val fTxt = PFilter(minShould = Some((Seq(
+      MatchValue("site", "s1"), MatchText("text", Seq("w3"))), 1)))
+    sameRows(idx.readFilter(fTxt), corpus().filter(Filters.toColumn(fTxt)))
+    // invalid min counts are refused loudly
+    intercept[IllegalArgumentException](
+      PFilter(minShould = Some((Seq(MatchValue("site", "s1")), 0))))
+    intercept[IllegalArgumentException](
+      PFilter(minShould = Some((Seq(MatchValue("site", "s1")), 2))))
+  }
+
+  test("MatchTextAny unions posting lists; MatchExcept admits NULL and prunes") {
+    val idx = build(tmp())
+    // any-of text: alpha appears in ids ≡ 0 (mod 4), gamma in ≡ 2
+    val fAny = PFilter(must = Seq(MatchTextAny("text", Seq("alpha", "gamma"))))
+    val viaIdx = idx.readFilter(fAny)
+    sameRows(viaIdx, corpus().filter(Filters.toColumn(fAny)))
+    assert(viaIdx.count() > 0)
+    // an all-text should group gates by the candidate union too
+    val fShould = PFilter(should = Seq(
+      MatchText("text", Seq("alpha")), MatchText("text", Seq("gamma"))))
+    sameRows(idx.readFilter(fShould), corpus().filter(Filters.toColumn(fShould)))
+    // keyword except: NULL matches, and the complement still prunes
+    // (negated partition predicate — directories of excluded values
+    // never scan)
+    val fEx = PFilter(must = Seq(MatchExcept("lang", Seq("de", "fr"))))
+    val viaEx = idx.readFilter(fEx)
+    sameRows(viaEx, corpus().filter(Filters.toColumn(fEx)))
+    assert(viaEx.filter(col("lang").isNull).count() > 0,
+      "MatchExcept is NOT-MatchAny: a NULL value matches")
+    val exFiles = scannedFiles(viaEx)
+    assert(exFiles.nonEmpty &&
+      exFiles.forall(p => !p.contains("/lang=de/") && !p.contains("/lang=fr/")),
+      s"excluded-value directories must not scan: $exFiles")
+  }
+
+  test("is_null prunes to the default partition; is_empty covers null + empty arrays") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, site STRING, tags ARRAY<STRING>")
+    val rows = (1L to 30L).map { i =>
+      org.apache.spark.sql.Row(i,
+        if (i % 5 == 0) null else s"s${i % 2}",
+        if (i % 4 == 0) null
+        else if (i % 3 == 0) Seq.empty[String]
+        else Seq(s"t${i % 2}"))
+    }
+    val base = spark.createDataFrame(rows.asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("site"), integer = Seq.empty)
+    val fNull = PFilter(must = Seq(IsNull("site")))
+    val viaIdx = idx.readFilter(fNull)
+    sameRows(viaIdx, base.filter(Filters.toColumn(fNull)))
+    assert(viaIdx.count() === 6L)
+    // pruning: ONLY the Hive default partition scans
+    val files = scannedFiles(viaIdx)
+    assert(files.nonEmpty &&
+      files.forall(_.contains("/site=__HIVE_DEFAULT_PARTITION__/")),
+      s"is_null must prune to the default partition: $files")
+    // is_empty on the ARRAY field: null ∪ empty
+    val fEmpty = PFilter(must = Seq(IsEmpty("tags")))
+    val viaEmpty = idx.readFilter(fEmpty)
+    sameRows(viaEmpty, base.filter(Filters.toColumn(fEmpty)))
+    assert(viaEmpty.count() ===
+      base.filter(col("tags").isNull || size(col("tags")) === 0).count())
+    // is_empty over a SCALAR field rewrites to is_null (schema-aware)
+    sameRows(idx.readFilter(PFilter(must = Seq(IsEmpty("site")))), viaIdx)
+    // unknown fields are refused loudly
+    intercept[IllegalArgumentException](
+      idx.readFilter(PFilter(must = Seq(IsNull("nope")))))
+  }
+
+  test("deleteTo: rotation ≡ from-scratch build; untouched directories byte-copy") {
+    val src = tmp()
+    val idx = build(src)
+    val dst = tmp()
+    val f = PFilter(must = Seq(RangeInt("uid", 5, 5)))
+    val rotated = idx.deleteTo(dst, f)
+    // read parity with a from-scratch index over the filtered corpus
+    val survivors = corpus().filter(!Filters.toColumn(f))
+    val fresh = PayloadIndex.create(spark, survivors, tmp(),
+      keyword = Seq("site", "lang"), integer = Seq("uid"),
+      text = Seq("text"), idCol = "id", nZones = 3)
+    sameRows(rotated.read(), fresh.read())
+    assert(rotated.read().count() === 50L)
+    sameRows(rotated.read(eq = Map("site" -> Seq("s1"))),
+      fresh.read(eq = Map("site" -> Seq("s1"))))
+    sameRows(rotated.read(matchText = Map("text" -> Seq("alpha"))),
+      fresh.read(matchText = Map("text" -> Seq("alpha"))))
+    sameRows(rotated.read(range = Map("uid" -> (0L, 2L))),
+      fresh.read(range = Map("uid" -> (0L, 2L))))
+    // a fresh LOAD of the rotation serves identically
+    sameRows(PayloadIndex.load(spark, dst).read(), rotated.read())
+    // untouched zone directories traveled as BYTE COPIES: same file
+    // names file-for-file outside the rewritten uid zones
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val doomedZones = idx.zones("uid").collect {
+      case (z, lo, hi) if hi >= 5 && lo <= 5 => z }.toSet
+    def leafFiles(root: String): Map[String, Set[String]] =
+      PayloadIndex.leafDataDirs(fs, new org.apache.hadoop.fs.Path(s"$root/data"))
+        .map(rel => rel -> fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/data/$rel"))
+          .map(_.getPath.getName).filter(_.contains("part-")).toSet).toMap
+    val srcF = leafFiles(src); val dstF = leafFiles(dst)
+    val untouched = srcF.keys.filter(rel =>
+      !doomedZones.exists(z => rel.contains(s"__zone_uid=$z")))
+    assert(untouched.nonEmpty)
+    untouched.foreach { rel =>
+      assert(dstF.get(rel).contains(srcF(rel)),
+        s"untouched dir $rel must byte-copy file-for-file") }
+    // an UNPRUNABLE delete filter (text condition) still rotates
+    // correctly — the honest full rewrite
+    val fTxt = PFilter(must = Seq(MatchText("text", Seq("alpha"))))
+    val rot2 = idx.deleteTo(tmp(), fTxt)
+    sameRows(rot2.read(), corpus().filter(!Filters.toColumn(fTxt)))
+    // destination collision is refused
+    intercept[IllegalArgumentException](idx.deleteTo(dst, f))
+  }
+
+  test("geo_polygon: even-odd residual ≡ scan, cell cover prunes and drops") {
+    val root = tmp()
+    // deterministic lat/lon derivation (the geoSearch grid)
+    val base = corpus()
+      .withColumn("lat", (col("id") * 7919 % 18000) / lit(100.0) - 90.0)
+      .withColumn("lon", (col("id") * 104729 % 36000) / lit(100.0) - 180.0)
+      .select("id", "lat", "lon")
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, geo = Seq(("lat", "lon")),
+      geoGrid = 16)
+    // a NON-CONVEX polygon (lat, lon)
+    val poly = Seq((0.25, -60.25), (50.25, -20.25), (10.25, 0.25),
+      (50.25, 30.25), (-20.25, 10.25))
+    val viaIdx = idx.readGeoPolygon("lat", "lon", poly)
+    val viaScan = base.filter(
+      PayloadIndex.evenOddContains(col("lat"), col("lon"), poly))
+    sameRows(viaIdx, viaScan)
+    // the notch works: a point inside the bbox but in the notch is OUT
+    // (lat 45, lon 0 sits between the two prongs)
+    val probeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    val probe = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(100L, 45.0, 0.004),
+      org.apache.spark.sql.Row(101L, 30.0, -20.0)).asJava, probeSchema)
+    val flags = probe.withColumn("in",
+      PayloadIndex.evenOddContains(col("lat"), col("lon"), poly))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!flags(100L) && flags(101L),
+      "even-odd must respect the non-convex notch")
+    // pruning: scanned ⊆ bbox cover, and the cover DROPS bbox cells
+    // that do not intersect the polygon (the notch corner cells)
+    val lats = poly.map(_._1); val lons = poly.map(_._2)
+    val bboxCells = PayloadIndexTestHook.geoCells(16,
+      lats.min, lats.max, lons.min, lons.max)
+    val files = scannedFiles(viaIdx)
+    assert(files.nonEmpty && files.forall(p => bboxCells.exists(c =>
+      p.contains(s"=$c/") || p.contains(s"=$c"))))
+    // NULL coordinates are excluded, matching the scan route
+    val nullRow = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(200L, null, null)).asJava, probeSchema)
+    assert(nullRow.filter(
+      PayloadIndex.evenOddContains(col("lat"), col("lon"), poly)).isEmpty)
+    // degenerate and invalid polygons are refused
+    intercept[IllegalArgumentException](
+      idx.readGeoPolygon("lat", "lon", Seq((0.0, 0.0), (1.0, 1.0))))
+    intercept[IllegalArgumentException](
+      idx.readGeoPolygon("lat", "lon", Seq((0.0, 0.0), (0.0, 1.0), (0.0, 2.0))))
+  }
+
+  test("geo_radius wraps at the antimeridian instead of clamping") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    // points straddling lon = ±180 at the equator, plus controls
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 0.0, 179.95),
+      org.apache.spark.sql.Row(2L, 0.0, -179.95), // ~11 km across the seam
+      org.apache.spark.sql.Row(3L, 0.0, 179.0),
+      org.apache.spark.sql.Row(4L, 0.0, -179.0),
+      org.apache.spark.sql.Row(5L, 0.0, 0.0),
+      org.apache.spark.sql.Row(6L, 45.0, -179.9))
+    val base = spark.createDataFrame(rows.asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, geo = Seq(("lat", "lon")),
+      geoGrid = 32)
+    // 50 km circle centered just east of the seam: the far-side point
+    // (id 2) is ~11 km away and MUST be found (ADVICE r9 — the clamped
+    // box never selected its cell)
+    val got = idx.readGeoRadius("lat", "lon", 0.0, 179.99, 50000.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L),
+      s"antimeridian circle must find both sides of the seam, got $got")
+    // parity with the pure haversine scan
+    val viaScan = base.filter(
+      PayloadIndexTestHook.haversine(col("lat"), col("lon"), 0.0, 179.99)
+        <= 50000.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(got === viaScan)
+    // west-of-seam center symmetric case
+    val west = idx.readGeoRadius("lat", "lon", 0.0, -179.99, 50000.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(west === Set(1L, 2L))
+  }
+
+  test("term folding is Locale.ROOT, immune to the default JVM locale") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, text STRING")
+    val base = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "CRITICAL Incident Report"),
+      org.apache.spark.sql.Row(2L, "routine note")).asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty,
+      text = Seq("text"), idCol = "id", lowercaseText = true)
+    val dflt = java.util.Locale.getDefault
+    try {
+      // under tr-TR, String.toLowerCase("INCIDENT") → "ıncıdent"
+      // (dotless ı) — a default-locale fold would miss the postings
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val got = idx.read(matchText = Map("text" -> Seq("INCIDENT")))
+      assert(got.count() === 1L && got.head().getLong(0) === 1L,
+        "query-term folding must be Locale.ROOT (ADVICE r9)")
+    } finally java.util.Locale.setDefault(dflt)
+  }
+
+  test("raw insert runs through the CommitProtocol (markers, disjoint id space)") {
+    val root = tmp()
+    val idx = build(root)
+    val idx2 = idx.insert(corpus().filter(col("id") <= 2)
+      .withColumn("id", col("id") + 1000))
+    assert(idx2.read().count() === 62L)
+    // the batch committed under the protocol, in the ≥ 10⁹ id range —
+    // disjoint from streaming checkpoint ids (a raw insert claiming
+    // id 0 would make a maintain stream's first batch SKIP silently)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/batches"))
+      .map(_.getPath.getName).filter(_.startsWith("batch-"))
+      .map(_.stripPrefix("batch-").toLong)
+    assert(markers.nonEmpty && markers.forall(_ >= 1000000000L))
+    // a second insert allocates the next id — appends, never replays
+    val idx3 = idx2.insert(corpus().filter(col("id") === 3)
+      .withColumn("id", col("id") + 2000))
+    assert(idx3.read().count() === 63L)
+    // text postings traveled with both batches: the shifted copies
+    // carry the ORIGINAL texts, so each token now matches two rows
+    assert(idx3.read(matchText = Map("text" -> Seq("w1")))
+      .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 1001L))
+    assert(idx3.read(matchText = Map("text" -> Seq("w3")))
+      .select("id").collect().map(_.getLong(0)).toSet === Set(3L, 2003L))
+  }
+
+}
+
+/** Test-only window into PayloadIndex's private geometry helpers. */
+object PayloadIndexTestHook {
+  def geoCells(g: Int, latMin: Double, latMax: Double,
+               lonMin: Double, lonMax: Double): Seq[Int] = {
+    def cellIdx(v: Double, min: Double, span: Double): Int =
+      math.max(0, math.min(g - 1, math.floor((v - min) / span * g).toInt))
+    for {
+      la <- cellIdx(latMin, -90.0, 180.0) to cellIdx(latMax, -90.0, 180.0)
+      lo <- cellIdx(lonMin, -180.0, 360.0) to cellIdx(lonMax, -180.0, 360.0)
+    } yield la * g + lo
+  }
+  def haversine(latC: org.apache.spark.sql.Column,
+                lonC: org.apache.spark.sql.Column,
+                lat: Double, lon: Double): org.apache.spark.sql.Column =
+    graft.api.PayloadIndex.haversineMeters(latC, lonC, lat, lon)
+}

@@ -107,7 +107,40 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       PayloadIndex.create(spark, allNaN, tmp(),
         keyword = Seq.empty, integer = Seq.empty, float = Seq("score")))
-    assert(e.getMessage.contains("score") && e.getMessage.contains("NaN"))
+    assert(e.getMessage.contains("score") && e.getMessage.contains("non-finite"))
+  }
+
+  test("Infinity float payloads stay out of the manifest; finite ranges exclude them") {
+    val root = tmp()
+    // ADVICE r9: unguarded, an Infinity payload reaches the manifest as
+    // the string 'Infinity' and BigDecimal("Infinity") CRASHES
+    // create/widenedFrom/liveZones far from the cause
+    val base = fdf((1L to 20L).map(i => (i, "t", i * 1.0)) ++
+      Seq((21L, "t", Double.PositiveInfinity),
+          (22L, "t", Double.NegativeInfinity)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, float = Seq("score"),
+      nZones = 4)
+    val bounds = idx.zones("score").sortBy(_._1)
+    assert(bounds.last._3 === BigDecimal(20.0) &&
+      bounds.head._2 === BigDecimal(1.0),
+      "non-finite values must not become manifest bounds")
+    // a FINITE range never matches ±Inf (IEEE comparisons) — both routes
+    val viaIdx = idx.read(rangeFloat = Map("score" -> (-1e300, 1e300)))
+    val viaScan = base.filter(col("score") >= -1e300 && col("score") <= 1e300)
+    assert(viaIdx.count() === 20L && viaIdx.count() === viaScan.count())
+    // the ±Inf rows are still IN the layout (full reads serve them)
+    assert(idx.read().count() === 22L)
+    // widening across an insert carrying Inf stays safe too
+    val idx2 = idx.insert(fdf(Seq(
+      (23L, "t", Double.PositiveInfinity), (24L, "t", 50.0))))
+    assert(idx2.zones("score").sortBy(_._1).last._3 === BigDecimal(50.0))
+    assert(idx2.read(rangeFloat = Map("score" -> (1.0, 1000.0))).count() === 21L)
+    // non-finite QUERY bounds are refused loudly — the manifest records
+    // finite bounds only, so an infinite bound could silently miss
+    val e2 = intercept[IllegalArgumentException](
+      idx2.read(rangeFloat = Map("score" -> (0.0, Double.PositiveInfinity))))
+    assert(e2.getMessage.contains("finite"))
   }
 
   // -------------------------------------------------------- datetime

@@ -27,8 +27,9 @@ object BuildArtifacts {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the SAME dir naming the serving path resolves (basename +
-    // canonical-path hash — see VectorStore.w2vArtifactDir)
-    val dir = operators.VectorStore.w2vArtifactDir(outRoot, sfDir)
+    // corpus-fingerprint hash — see VectorStore.w2vArtifactDir)
+    val fp = operators.VectorStore.w2vCorpusFingerprint(spark, sfDir)
+    val dir = operators.VectorStore.w2vArtifactDir(outRoot, sfDir, fp)
     // rebuild tool: replace wholesale (the serving path only ever READS)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -39,7 +40,6 @@ object BuildArtifacts {
     val enc = graft.api.Word2VecEmbedder.train(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
     enc.save(new java.io.File(dir, "vectors").toString)
-    val fp = operators.VectorStore.w2vCorpusFingerprint(spark, sfDir)
     java.nio.file.Files.write(new java.io.File(dir, "corpus.fp").toPath,
       fp.getBytes("UTF-8"))
     println(s"[artifacts] w2v for $sfDir -> $dir (corpus.fp $fp, " +

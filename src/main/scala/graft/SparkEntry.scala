@@ -58,6 +58,11 @@ object SparkEntry {
     "vs_delete_by_filter_indexed" -> VectorStore.deleteByFilterIndexed _,
     "vs_geo_polygon_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.geoPolygonIndexed(s, d)),
+    "vs_filter_values_count" -> VectorStore.filterValuesCount _,
+    "vs_filter_has_id" -> VectorStore.filterHasId _,
+    "vs_filter_nested" -> VectorStore.filterNested _,
+    "vs_geo_radius_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.geoRadiusIndexed(s, d)),
     "vs_search_batch" -> VectorStore.searchBatch _,
     "vs_delete_by_user" -> VectorStore.deleteByUser _,
     "vs_delete_by_word" -> VectorStore.deleteByWord _,
@@ -301,8 +306,10 @@ object SparkEntry {
       | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)""".stripMargin
 
   /** The NULLABLE-payload derivation (the `is_empty` / `is_null`
-    * corpus) — mirrors [[graft.operators.VectorStore.nullablePoints]]
-    * verbatim.
+    * corpus) — mirrors [[graft.operators.VectorStore.nullablePoints]]'
+    * scalar/tags columns verbatim (the nested `comments` column's
+    * element formulas unroll inline in the `vs_filter_nested` oracle —
+    * no struct SQL needed).
     */
   private val NP =
     """np AS (SELECT id, user_id,
@@ -526,6 +533,11 @@ object SparkEntry {
       val p = new QueryParams("vs_search_match_text_ci_indexed", m, "k", "terms")
       VectorStore.searchMatchTextCiIndexed(s, d, p.int("k", 10),
         p.strs("terms", Seq("The", "DATA")))
+    }),
+    "vs_geo_radius_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("vs_geo_radius_indexed", m, "lat", "lon", "r")
+      VectorStore.geoRadiusIndexed(s, d, p.dbl("lat", 40.0),
+        p.dbl("lon", -100.0), p.dbl("r", 2000000.0))
     }),
     "vs_search_match_phrase_indexed" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_match_phrase_indexed", m, "k", "phrase")
@@ -782,6 +794,52 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, lat, lon, round(cs, 4) AS score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    // values_count: exactly-2-element tags (excludes empty AND null —
+    // the line is_empty cannot draw) under zone pruning + a must_not
+    // keyword exclusion that NULL site matches (Qdrant semantics)
+    "vs_filter_values_count" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, site_n, lang FROM np
+         |WHERE COALESCE(len(tags) >= 2 AND len(tags) <= 2, FALSE)
+         |  AND COALESCE(user_id >= 0 AND user_id <= 11, FALSE)
+         |  AND NOT COALESCE(site_n = 'src4', FALSE)
+         |ORDER BY id""".stripMargin,
+    // has_id: the explicit-id restriction is a plain pushed IN-list
+    "vs_filter_has_id" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, site_n, lang FROM np
+         |WHERE COALESCE(id IN (1,2,3,5,8,13,21,34,55,89,144,233,377), FALSE)
+         |  AND COALESCE(user_id >= 0 AND user_id <= 15, FALSE)
+         |ORDER BY id""".stripMargin,
+    // nested: ONE comments element satisfies author AND score together
+    // — the element formulas (author u<(id+k)%10>, score
+    // (id*31+k*7)%100, k <= id%3 <= 2, null/empty on the 7/5 cadence)
+    // unroll to plain arithmetic, no struct SQL needed; a row whose
+    // arms match on DIFFERENT elements stays excluded in both engines
+    "vs_filter_nested" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, lang FROM np
+         |WHERE COALESCE(user_id >= 0 AND user_id <= 14, FALSE)
+         |  AND id % 7 <> 0 AND id % 5 <> 0
+         |  AND (((id + 0) % 10 = 3 AND (id * 31 + 0) % 100 BETWEEN 40 AND 90)
+         |    OR (1 <= id % 3 AND (id + 1) % 10 = 3 AND (id * 31 + 7) % 100 BETWEEN 40 AND 90)
+         |    OR (2 <= id % 3 AND (id + 2) % 10 = 3 AND (id * 31 + 14) % 100 BETWEEN 40 AND 90))
+         |ORDER BY id""".stripMargin,
+    // geo_radius: DuckDB's own trig over the same haversine formula —
+    // safe because every corpus point sits >= 9.6 km off the 2000 km
+    // boundary at every SF (verified), so last-ulp libm disagreement
+    // can never flip membership; outputs are exact integer-derived
+    // doubles
+    "vs_geo_radius_indexed" ->
+      s"""WITH $PTS,
+         |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         |  (id * 104729 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon FROM pts)
+         |SELECT id, lat, lon FROM geo
+         |WHERE 2 * 6371008.8 * asin(sqrt(
+         |    pow(sin((radians(lat) - radians(40.0)) / 2), 2)
+         |    + cos(radians(40.0)) * cos(radians(lat))
+         |      * pow(sin((radians(lon) - radians(-100.0)) / 2), 2))) <= 2000000.0
+         |ORDER BY id""".stripMargin,
     "vs_search_batch" ->
       s"""WITH $PTS,
          |qs AS (SELECT id AS query_id, vector AS qvec, user_id AS quser FROM pts WHERE id < 20),

@@ -101,6 +101,53 @@ object Filters {
                           latMin: Double, latMax: Double,
                           lonMin: Double, lonMax: Double) extends PCond
 
+  /** Geo radius over a (lat, lon) column pair (Qdrant `geo_radius`):
+    * rows within `radiusMeters` great-circle meters of the center.
+    * Compiles to the exact haversine residual; on the indexed route the
+    * circle's bounding box (pole-degenerate, antimeridian-wrapping)
+    * prunes grid cells and the trig never enters the pruning path.
+    */
+  final case class GeoRadius(latField: String, lonField: String,
+                             lat: Double, lon: Double,
+                             radiusMeters: Double) extends PCond
+
+  /** Geo polygon over a (lat, lon) column pair (Qdrant `geo_polygon`,
+    * exterior ring only — see [[PayloadIndex!.readGeoPolygon]] for the
+    * ring contract): even-odd containment compiled to pure
+    * multiply-divide-compare arithmetic, no trig.
+    */
+  final case class GeoPolygon(latField: String, lonField: String,
+                              vertices: Seq[(Double, Double)]) extends PCond
+
+  /** Count of values in an ARRAY payload within [lo, hi] (Qdrant
+    * `values_count: {gte, lte}`). A NULL array matches nothing (Qdrant
+    * missing-value semantics — `IsEmpty` is the tool that matches
+    * missing); an empty array counts 0.
+    */
+  final case class ValuesCount(field: String, lo: Long, hi: Long) extends PCond
+
+  /** Restrict to an explicit point-id set (Qdrant `HasIdCondition`).
+    * The id column is named per collection (`field`); the IN-list stays
+    * a pushed scan predicate, so sorted/row-grouped id layouts prune on
+    * parquet min/max statistics without any index structure.
+    */
+  final case class HasId(field: String, ids: Seq[Long]) extends PCond
+
+  /** Qdrant NESTED filter: `field` is an ARRAY OF STRUCTS and the row
+    * matches iff AT LEAST ONE element satisfies the WHOLE inner filter
+    * — every inner condition on the SAME element (the semantics a
+    * flat AND of per-condition exists() gets wrong: it would admit a
+    * row whose conditions match on different elements). Inner
+    * condition fields resolve against the ELEMENT struct; compiles to
+    * one `exists(field, e -> ...)` higher-order call, still
+    * whole-stage-codegen. NULL and empty arrays match nothing. Text
+    * conditions in a nested body are pure residuals (postings are
+    * top-level layouts) and inherit the HOST route's case fold — on a
+    * lowercased index the element text matches case-insensitively,
+    * mirroring the top-level contract.
+    */
+  final case class Nested(field: String, filter: PFilter) extends PCond
+
   /** Matches rows whose `field` IS NULL (Qdrant `is_null`). */
   final case class IsNull(field: String) extends PCond
 
@@ -158,49 +205,90 @@ object Filters {
     */
   def toColumn(cond: PCond,
                fold: String => String = identity,
-               foldCol: Column => Column = c => c): Column = cond match {
+               foldCol: Column => Column = c => c): Column =
+    compile(cond, fold, foldCol, col)
+
+  /** The compiler proper, generic in how a field NAME becomes a
+    * `Column`: top-level trees resolve with `col(_)`; a [[Nested]]
+    * body resolves against its `exists()` lambda's element variable
+    * (struct field access), so the same algebra works per-element.
+    */
+  private def compile(cond: PCond, fold: String => String,
+                      foldCol: Column => Column,
+                      resolve: String => Column): Column = cond match {
     case PFilter(must, should, mustNot, minShould) =>
       val parts =
-        must.map(toColumn(_, fold, foldCol)) ++
+        must.map(compile(_, fold, foldCol, resolve)) ++
           (if (should.isEmpty) Nil
-           else Seq(should.map(toColumn(_, fold, foldCol)).reduce(_ || _))) ++
-          mustNot.map(c => !toColumn(c, fold, foldCol)) ++
+           else Seq(should.map(compile(_, fold, foldCol, resolve)).reduce(_ || _))) ++
+          mustNot.map(c => !compile(c, fold, foldCol, resolve)) ++
           minShould.toSeq.map { case (cs, m) =>
-            cs.map(c => when(toColumn(c, fold, foldCol), 1).otherwise(0))
+            cs.map(c => when(compile(c, fold, foldCol, resolve), 1).otherwise(0))
               .reduce(_ + _) >= m
           }
       parts.reduce(_ && _)
-    case MatchValue(f, v) => coalesce(col(f) === lit(v), lit(false))
+    case MatchValue(f, v) => coalesce(resolve(f) === lit(v), lit(false))
     case MatchAny(f, vs) =>
       if (vs.isEmpty) lit(false)
-      else coalesce(col(f).isin(vs: _*), lit(false))
+      else coalesce(resolve(f).isin(vs: _*), lit(false))
     case MatchExcept(f, vs) => // NOT MatchAny — a NULL value matches
       if (vs.isEmpty) lit(true)
-      else !coalesce(col(f).isin(vs: _*), lit(false))
+      else !coalesce(resolve(f).isin(vs: _*), lit(false))
     case MatchText(f, ts) =>
-      val padded = concat(lit(" "), foldCol(col(f)), lit(" "))
+      val padded = concat(lit(" "), foldCol(resolve(f)), lit(" "))
       coalesce(wordTerms(f, ts, fold).map(t => padded.contains(s" $t "))
         .reduce(_ && _), lit(false))
     case MatchTextAny(f, ts) =>
-      val padded = concat(lit(" "), foldCol(col(f)), lit(" "))
+      val padded = concat(lit(" "), foldCol(resolve(f)), lit(" "))
       coalesce(wordTerms(f, ts, fold).map(t => padded.contains(s" $t "))
         .reduce(_ || _), lit(false))
     case RangeInt(f, lo, hi) =>
-      coalesce(col(f) >= lo && col(f) <= hi, lit(false))
+      coalesce(resolve(f) >= lo && resolve(f) <= hi, lit(false))
     case RangeFloat(f, lo, hi) =>
       require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
         s"RangeFloat on '$f' needs finite bounds (got [$lo, $hi])")
-      coalesce(col(f) >= lo && col(f) <= hi, lit(false))
+      coalesce(resolve(f) >= lo && resolve(f) <= hi, lit(false))
     case RangeTime(f, lo, hi) =>
       val (l, h) = (PayloadIndex.utcMicros(lo), PayloadIndex.utcMicros(hi))
       // TIMESTAMP-literal bounds (constant-folded) so the comparison
       // still pushes to a parquet scan — the read() discipline
-      coalesce(col(f) >= timestamp_micros(lit(l)) &&
-        col(f) <= timestamp_micros(lit(h)), lit(false))
+      coalesce(resolve(f) >= timestamp_micros(lit(l)) &&
+        resolve(f) <= timestamp_micros(lit(h)), lit(false))
     case GeoBox(la, lo, latMin, latMax, lonMin, lonMax) =>
-      coalesce(col(la) >= latMin && col(la) <= latMax &&
-        col(lo) >= lonMin && col(lo) <= lonMax, lit(false))
-    case IsNull(f) => col(f).isNull
-    case IsEmpty(f) => col(f).isNull || coalesce(size(col(f)) === 0, lit(false))
+      coalesce(resolve(la) >= latMin && resolve(la) <= latMax &&
+        resolve(lo) >= lonMin && resolve(lo) <= lonMax, lit(false))
+    case GeoRadius(la, lo, lat, lon, r) =>
+      require(r >= 0 && lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180,
+        s"geo_radius needs radius >= 0 and a valid center (got " +
+          s"lat=$lat, lon=$lon, r=$r)")
+      // NULL coordinates -> NULL distance, which no <= admits
+      coalesce(
+        PayloadIndex.haversineMeters(resolve(la), resolve(lo), lat, lon) <= r,
+        lit(false))
+    case GeoPolygon(la, lo, vs) =>
+      require(vs.size >= 3, s"geo_polygon needs at least 3 vertices (got ${vs.size})")
+      vs.foreach { case (vla, vlo) =>
+        require(vla >= -90 && vla <= 90 && vlo >= -180 && vlo <= 180,
+          s"geo_polygon vertex out of range: ($vla, $vlo)") }
+      coalesce(PayloadIndex.evenOddContains(resolve(la), resolve(lo), vs),
+        lit(false))
+    case ValuesCount(f, lo, hi) =>
+      require(lo >= 0 && hi >= lo,
+        s"values_count on '$f' needs 0 <= lo <= hi (got [$lo, $hi])")
+      // guard size() behind isNotNull: legacy size(NULL) = -1 and
+      // modern = NULL — either way a NULL array must match nothing
+      coalesce(when(resolve(f).isNotNull,
+        size(resolve(f)) >= lo && size(resolve(f)) <= hi), lit(false))
+    case HasId(f, ids) =>
+      if (ids.isEmpty) lit(false)
+      else coalesce(resolve(f).isin(ids: _*), lit(false))
+    case Nested(f, sub) =>
+      // exists() over a NULL array is NULL -> no match; inner fields
+      // resolve as struct accesses on the lambda element
+      coalesce(exists(resolve(f),
+        e => compile(sub, fold, foldCol, n => e.getField(n))), lit(false))
+    case IsNull(f) => resolve(f).isNull
+    case IsEmpty(f) =>
+      resolve(f).isNull || coalesce(size(resolve(f)) === 0, lit(false))
   }
 }

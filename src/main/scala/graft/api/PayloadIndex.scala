@@ -303,11 +303,85 @@ final class PayloadIndex private[api] (
       case GeoBox(la, lo, _, _, _, _) =>
         require(kindOf(s"$la:$lo").contains("geo"),
           s"'($la, $lo)' is not an indexed geo field (indexed: $fields)")
+      case GeoRadius(la, lo, lat, lon, r) =>
+        require(kindOf(s"$la:$lo").contains("geo"),
+          s"'($la, $lo)' is not an indexed geo field (indexed: $fields)")
+        require(r >= 0 && lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180,
+          s"geo_radius needs radius >= 0 and a valid center (got " +
+            s"lat=$lat, lon=$lon, r=$r)")
+      case GeoPolygon(la, lo, vs) =>
+        require(kindOf(s"$la:$lo").contains("geo"),
+          s"'($la, $lo)' is not an indexed geo field (indexed: $fields)")
+        require(vs.size >= 3,
+          s"geo_polygon needs at least 3 vertices (got ${vs.size})")
+      case ValuesCount(f, lo, hi) =>
+        requireCol(f)
+        require(original.find(_.name == f).exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"values_count needs an ARRAY column (got '$f': " +
+            s"${original.find(_.name == f).map(_.dataType.simpleString)})")
+        require(lo >= 0 && hi >= lo,
+          s"values_count on '$f' needs 0 <= lo <= hi (got [$lo, $hi])")
+      case HasId(f, _) => requireCol(f)
+      case Nested(f, sub) =>
+        requireCol(f)
+        val elem = original.find(_.name == f).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _)) => st
+          case other => throw new IllegalArgumentException(
+            s"nested filter needs an ARRAY-OF-STRUCT column (got '$f': " +
+              s"${other.map(_.simpleString)})")
+        }
+        validateNested(sub, elem, f)
       case MatchValue(f, _) => requireCol(f)
       case MatchAny(f, _) => requireCol(f)
       case MatchExcept(f, _) => requireCol(f)
       case IsNull(f) => requireCol(f)
       case IsEmpty(f) => requireCol(f)
+    }
+  }
+
+  /** Inner-tree validation for [[Filters.Nested]]: field names resolve
+    * against the ELEMENT struct, and every condition type is allowed
+    * as a residual — but none of the index kinds apply (zones,
+    * postings, cells are top-level layouts), so no kind checks here;
+    * the nested body never contributes pruning.
+    */
+  private def validateNested(c: Filters.PCond,
+                             elem: org.apache.spark.sql.types.StructType,
+                             arrayField: String): Unit = {
+    import Filters._
+    def requireField(f: String): Unit =
+      require(elem.fieldNames.contains(f),
+        s"'$f' is not a field of '$arrayField' elements " +
+          s"(fields: ${elem.fieldNames.toSeq})")
+    c match {
+      case PFilter(m, s, n, ms) =>
+        (m ++ s ++ n ++ ms.toSeq.flatMap(_._1)).foreach(validateNested(_, elem, arrayField))
+      case Nested(f, sub) =>
+        elem.find(_.name == f).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _)) =>
+            validateNested(sub, st, s"$arrayField.$f")
+          case other => throw new IllegalArgumentException(
+            s"nested filter needs an ARRAY-OF-STRUCT field (got " +
+              s"'$arrayField.$f': ${other.map(_.simpleString)})")
+        }
+      case MatchValue(f, _) => requireField(f)
+      case MatchAny(f, _) => requireField(f)
+      case MatchExcept(f, _) => requireField(f)
+      case MatchText(f, _) => requireField(f)
+      case MatchTextAny(f, _) => requireField(f)
+      case RangeInt(f, _, _) => requireField(f)
+      case RangeFloat(f, _, _) => requireField(f)
+      case RangeTime(f, _, _) => requireField(f)
+      case GeoBox(la, lo, _, _, _, _) => requireField(la); requireField(lo)
+      case GeoRadius(la, lo, _, _, _) => requireField(la); requireField(lo)
+      case GeoPolygon(la, lo, _) => requireField(la); requireField(lo)
+      case ValuesCount(f, _, _) => requireField(f)
+      case HasId(f, _) => requireField(f)
+      case IsNull(f) => requireField(f)
+      case IsEmpty(f) => requireField(f)
     }
   }
 
@@ -359,6 +433,16 @@ final class PayloadIndex private[api] (
       case GeoBox(la, lo, laMin, laMax, loMin, loMax) =>
         val cells = geoCells(geoGrid, laMin, laMax, loMin, loMax)
         Some(col(geoColOf(s"$la:$lo")).isin(cells.map(Integer.valueOf): _*))
+      case GeoRadius(la, lo, lat, lon, r) =>
+        Some(col(geoColOf(s"$la:$lo"))
+          .isin(radiusCells(lat, lon, r).map(Integer.valueOf): _*))
+      case GeoPolygon(la, lo, vs) =>
+        Some(col(geoColOf(s"$la:$lo"))
+          .isin(polygonCells(vs).map(Integer.valueOf): _*))
+      // ValuesCount / HasId / Nested: residual-only — array lengths and
+      // element structs live in the data, not in any partition axis
+      // (HasId still prunes FOR FREE at the parquet layer: the pushed
+      // id IN-list meets row-group min/max stats on id-sorted layouts)
       case _ => None
     }
   }
@@ -561,28 +645,24 @@ final class PayloadIndex private[api] (
     * boxes for the oracle surface; within one engine the residual is
     * deterministic and spec'd ≡ the scan-filter form).
     */
-  def readGeoRadius(latCol: String, lonCol: String,
-                    lat: Double, lon: Double,
-                    radiusMeters: Double): DataFrame = {
-    val f = s"$latCol:$lonCol"
-    require(kindOf(f).contains("geo"),
-      s"'($latCol, $lonCol)' is not an indexed geo field (indexed: $fields)")
-    require(radiusMeters >= 0 && lat >= -90 && lat <= 90 &&
-      lon >= -180 && lon <= 180,
-      s"geo_radius needs radius >= 0 and a valid center (got " +
-        s"lat=$lat, lon=$lon, r=$radiusMeters)")
+  /** The circle's grid-cell cover (the geo_radius pruning set): the
+    * bounding box with `mPerDegLat`-scaled spans, lon widened by
+    * 1/cos(lat), degenerating to the full lon range at a pole touch.
+    * Lon ranges WRAP at the antimeridian instead of clamping (ADVICE
+    * r9): a circle crossing lon = ±180 (center 179.9, r = 50 km) has
+    * matching rows on the far side whose cells a clamped box never
+    * selects — and the haversine residual can only narrow, never
+    * recover, a cell miss. Split the crossing span into its two
+    * in-range sub-ranges and union their cells; the residual itself
+    * is wrap-safe (sin²((Δlon)/2) is 360°-periodic).
+    */
+  private def radiusCells(lat: Double, lon: Double,
+                          radiusMeters: Double): Seq[Int] = {
     val mPerDegLat = 111320.0 // meters per degree of latitude (and of
     // longitude AT the equator — the lon span divides by cos(lat))
     val dLat = radiusMeters / mPerDegLat
     val (latMin, latMax) = (math.max(-90.0, lat - dLat), math.min(90.0, lat + dLat))
     val cosLat = math.cos(math.toRadians(math.min(90.0, math.abs(lat) + dLat)))
-    // lon ranges WRAP at the antimeridian instead of clamping (ADVICE
-    // r9): a circle crossing lon = ±180 (center 179.9, r = 50 km) has
-    // matching rows on the far side whose cells a clamped box never
-    // selects — and the haversine residual can only narrow, never
-    // recover, a cell miss. Split the crossing span into its two
-    // in-range sub-ranges and union their cells; the residual itself
-    // is wrap-safe (sin²((Δlon)/2) is 360°-periodic).
     val lonRanges: Seq[(Double, Double)] =
       if (latMax >= 90.0 || latMin <= -90.0 || cosLat <= 1e-9) Seq((-180.0, 180.0))
       else {
@@ -594,9 +674,33 @@ final class PayloadIndex private[api] (
           Seq((lon - dLon, 180.0), (-180.0, lon + dLon - 360.0))
         else Seq((lon - dLon, lon + dLon))
       }
-    val cells = lonRanges
+    lonRanges
       .flatMap { case (a, b) => PayloadIndex.geoCells(geoGrid, latMin, latMax, a, b) }
       .distinct
+  }
+
+  /** A polygon's grid-cell cover: bounding-box cells minus cells whose
+    * (epsilon-padded) rectangle provably misses the polygon — floating
+    * error only ever OVER-keeps.
+    */
+  private def polygonCells(vertices: Seq[(Double, Double)]): Seq[Int] = {
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    PayloadIndex
+      .geoCells(geoGrid, lats.min, lats.max, lons.min, lons.max)
+      .filter(cid => PayloadIndex.cellIntersectsPolygon(geoGrid, cid, vertices))
+  }
+
+  def readGeoRadius(latCol: String, lonCol: String,
+                    lat: Double, lon: Double,
+                    radiusMeters: Double): DataFrame = {
+    val f = s"$latCol:$lonCol"
+    require(kindOf(f).contains("geo"),
+      s"'($latCol, $lonCol)' is not an indexed geo field (indexed: $fields)")
+    require(radiusMeters >= 0 && lat >= -90 && lat <= 90 &&
+      lon >= -180 && lon <= 180,
+      s"geo_radius needs radius >= 0 and a valid center (got " +
+        s"lat=$lat, lon=$lon, r=$radiusMeters)")
+    val cells = radiusCells(lat, lon, radiusMeters)
     spark.read.schema(readSchema).parquet(s"$root/data")
       .filter(col(PayloadIndex.geoColOf(f)).isin(cells.map(Integer.valueOf): _*) &&
         PayloadIndex.haversineMeters(col(latCol), col(lonCol), lat, lon)
@@ -630,10 +734,7 @@ final class PayloadIndex private[api] (
     vertices.foreach { case (la, lo) =>
       require(la >= -90 && la <= 90 && lo >= -180 && lo <= 180,
         s"geo_polygon vertex out of range: ($la, $lo)") }
-    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
-    val cells = PayloadIndex
-      .geoCells(geoGrid, lats.min, lats.max, lons.min, lons.max)
-      .filter(cid => PayloadIndex.cellIntersectsPolygon(geoGrid, cid, vertices))
+    val cells = polygonCells(vertices)
     spark.read.schema(readSchema).parquet(s"$root/data")
       .filter(col(PayloadIndex.geoColOf(f)).isin(cells.map(Integer.valueOf): _*) &&
         PayloadIndex.evenOddContains(col(latCol), col(lonCol), vertices))

@@ -697,36 +697,46 @@ object VectorStore {
       s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}:${r.getLong(2)}"
   }
 
-  private[graft] def w2vArtifactDir(d: String): java.io.File =
-    w2vArtifactDir(sys.props.getOrElse("graft.w2v.artifacts", "artifacts/w2v"), d)
+  private[graft] def w2vArtifactDir(s: SparkSession, d: String): java.io.File =
+    w2vArtifactDir(sys.props.getOrElse("graft.w2v.artifacts", "artifacts/w2v"),
+      d, w2vCorpusFingerprint(s, d))
 
   /** The artifact directory for corpus `d` under `root`: the dataset
-    * basename PLUS a canonical-path hash — two corpora sharing a
-    * basename (sf0.1 under two parents) must not collide in one
-    * artifact dir, where one's BuildArtifacts run would overwrite the
-    * other's and serving would silently retrain every session
-    * (ADVICE r8). The default root stays the repo-tracked relative
-    * `artifacts/w2v` (sbt runs at the repo root; deployments pin
-    * `graft.w2v.artifacts` to an absolute path).
+    * basename PLUS a hash of the CORPUS FINGERPRINT — two corpora
+    * sharing a basename (sf0.1 under two parents) must not collide in
+    * one artifact dir, where one's BuildArtifacts run would overwrite
+    * the other's and serving would silently retrain every session
+    * (ADVICE r8). The disambiguator is CONTENT-derived, never a
+    * filesystem path (ADVICE r9: a canonical-path hash bound the
+    * committed artifacts to one machine's checkout layout — any other
+    * clone location silently retrained every session, the exact
+    * failure the gate exists to avoid); the same corpus bytes resolve
+    * to the same dir from any checkout, and the fingerprint is a scan
+    * the serving path already pays for its freshness check. The
+    * default root stays the repo-tracked relative `artifacts/w2v` (sbt
+    * runs at the repo root; deployments pin `graft.w2v.artifacts` to
+    * an absolute path).
     */
-  private[graft] def w2vArtifactDir(root: String, d: String): java.io.File = {
-    val f = new java.io.File(d)
-    val canonical =
-      try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+  private[graft] def w2vArtifactDir(root: String, d: String,
+                                    fingerprint: String): java.io.File = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getBytes("UTF-8"))
+      .digest(fingerprint.getBytes("UTF-8"))
     val h = md5.take(4).map("%02x".format(_)).mkString
-    new java.io.File(root, s"${f.getName}-$h")
+    new java.io.File(root, s"${new java.io.File(d).getName}-$h")
   }
 
   private def w2vArtifact(s: SparkSession, d: String): Option[graft.api.Word2VecEmbedder] = {
-    val dir = w2vArtifactDir(d)
+    val want = w2vCorpusFingerprint(s, d)
+    val dir = w2vArtifactDir(
+      sys.props.getOrElse("graft.w2v.artifacts", "artifacts/w2v"), d, want)
     val fp = new java.io.File(dir, "corpus.fp")
     if (!fp.isFile) None
     else {
-      val want = new String(
+      val got = new String(
         java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8").trim
-      if (want == w2vCorpusFingerprint(s, d))
+      // defense-in-depth re-check: the dir NAME carries only a 4-byte
+      // hash prefix; the recorded full fingerprint is authoritative
+      if (got == want)
         Some(graft.api.Word2VecEmbedder.load(s,
           new java.io.File(dir, "vectors").toString))
       else None // stale artifact — retrain, never serve drift
@@ -1134,7 +1144,12 @@ object VectorStore {
     * default partition), tags is an ARRAY payload that is empty every
     * 5th id, NULL every remaining 3rd, else [lang, site].
     */
-  private[graft] def nullablePoints(s: SparkSession, d: String): DataFrame =
+  private[graft] def nullablePoints(s: SparkSession, d: String): DataFrame = {
+    // the NESTED payload: 1-3 {author, score} structs per point with
+    // the tags/site_n NULL-and-empty cadence, element k of point id =
+    // (author "u<(id+k)%10>", score (id*31+k*7)%100) — formulas the
+    // oracle unrolls as plain arithmetic (k <= 2), no struct SQL needed
+    val commentsT = "array<struct<author:string,score:bigint>>"
     Tables.points(s, d).select(
       col("id"),
       col("user_id"),
@@ -1143,7 +1158,14 @@ object VectorStore {
       when(col("id") % 5 === 0, array().cast("array<string>"))
         .when(col("id") % 3 === 0, lit(null).cast("array<string>"))
         .otherwise(array(col("lang"), col("site"))).as("tags"),
-      col("lang"))
+      col("lang"),
+      when(col("id") % 7 === 0, lit(null).cast(commentsT))
+        .when(col("id") % 5 === 0, array().cast(commentsT))
+        .otherwise(transform(sequence(lit(0L), col("id") % 3), k =>
+          struct(
+            concat(lit("u"), ((col("id") + k) % 10).cast("string")).as("author"),
+            ((col("id") * 31 + k * 7) % 100).as("score")))).as("comments"))
+  }
 
   /** The nullable-payload index: site_n keyword directories (NULLs in
     * the default partition — exactly what `is_null` prunes to),
@@ -1246,6 +1268,77 @@ object VectorStore {
       .select(col("rank"), col("id"), col("lat"), col("lon"),
         round(col("cs"), 4).as("score"))
       .orderBy("rank")
+  }
+
+  /** Qdrant `values_count` condition through the filter algebra
+    * (rows whose `tags` array holds EXACTLY 2 values — excludes empty
+    * AND null arrays, the distinction `is_empty` alone cannot draw),
+    * composed with a pruning integer-zone `must` arm and a `must_not`
+    * keyword exclusion (NULL site matches the exclusion — Qdrant
+    * two-valued semantics). Residual-only by nature: an array length
+    * is data, not a partition axis.
+    */
+  def filterValuesCount(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    nullableIndex(s, d).readFilter(PFilter(
+      must = Seq(ValuesCount("tags", 2, 2), RangeInt("user_id", 0, 11)),
+      mustNot = Seq(MatchValue("site_n", "src4"))))
+      .select(col("id"), col("user_id"), col("site_n"), col("lang"))
+      .orderBy("id")
+  }
+
+  /** Qdrant `HasIdCondition`: restrict to an explicit id set, composed
+    * with a zone-pruning range. The IN-list stays a pushed scan
+    * predicate — on an id-sorted layout parquet row-group min/max
+    * statistics prune it without any index structure (the reason
+    * has_id needs no pruning arm of its own).
+    */
+  def filterHasId(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    nullableIndex(s, d).readFilter(PFilter(
+      must = Seq(
+        HasId("id", Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L, 144L, 233L, 377L)),
+        RangeInt("user_id", 0, 15))))
+      .select(col("id"), col("user_id"), col("site_n"), col("lang"))
+      .orderBy("id")
+  }
+
+  /** Qdrant NESTED filter: at least one `comments` element satisfies
+    * the WHOLE inner filter — author match AND score range on the
+    * SAME element (the semantics a flat AND of independent exists()
+    * conditions gets wrong); compiles to one `exists()` higher-order
+    * call under the outer zone-pruned scan. NULL/empty arrays match
+    * nothing.
+    */
+  def filterNested(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    nullableIndex(s, d).readFilter(PFilter(
+      must = Seq(RangeInt("user_id", 0, 14),
+        Nested("comments", PFilter(
+          must = Seq(MatchValue("author", "u3"), RangeInt("score", 40, 90)))))))
+      .select(col("id"), col("user_id"), col("lang"))
+      .orderBy("id")
+  }
+
+  /** Qdrant `geo_radius` through the filter algebra and the geo-kind
+    * cell grid: the circle's (pole-degenerate, antimeridian-wrapping)
+    * bounding box prunes cells driver-side, the exact haversine
+    * residual re-verifies in-plan — trig never enters the pruning
+    * path. The oracle runs DuckDB's OWN trig over the same formula:
+    * safe here because the synthetic corpus keeps every point ≥ 9.6 km
+    * from the 2000 km boundary at every SF (verified offline), five
+    * orders of magnitude beyond any libm last-ulp disagreement, and
+    * the output columns are exact integer-derived doubles — membership
+    * is the only float decision, and it cannot flip.
+    */
+  def geoRadiusIndexed(s: SparkSession, d: String, lat: Double = 40.0,
+                       lon: Double = -100.0,
+                       radiusMeters: Double = 2000000.0): DataFrame = {
+    import graft.api.Filters._
+    geoIndex(s, d).readFilter(PFilter(
+      must = Seq(GeoRadius("lat", "lon", lat, lon, radiusMeters))))
+      .select(col("id"), col("lat"), col("lon"))
+      .orderBy("id")
   }
 
   /** End-to-end SEMANTIC text search — [[textSearch]]'s flow with a

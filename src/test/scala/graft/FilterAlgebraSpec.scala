@@ -355,6 +355,149 @@ class FilterAlgebraSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).toSet === Set(3L, 2003L))
   }
 
+  // ---- the round-10 condition-matrix completion: values_count,
+  // has_id, nested, geo_radius/geo_polygon as tree conditions ----
+
+  /** corpus + an array column and an array-of-struct column: id 1-60,
+    * arr NULL on %3, empty on %5 (checked FIRST, so 15/30/45 are
+    * EMPTY), else (id%4)+1 copies of "v"; elems mirrors the
+    * vs_filter_nested derivation.
+    */
+  private def nestedCorpus(): DataFrame = corpus()
+    .withColumn("arr",
+      when(col("id") % 5 === 0, array().cast("array<string>"))
+        .when(col("id") % 3 === 0, lit(null).cast("array<string>"))
+        .otherwise(transform(sequence(lit(1L), col("id") % 4 + 1),
+          _ => lit("v"))))
+    .withColumn("elems",
+      when(col("id") % 5 === 0, array()
+        .cast("array<struct<author:string,score:bigint>>"))
+        .when(col("id") % 3 === 0,
+          lit(null).cast("array<struct<author:string,score:bigint>>"))
+        .otherwise(transform(sequence(lit(0L), col("id") % 3), k =>
+          struct(concat(lit("u"), ((col("id") + k) % 10).cast("string"))
+            .as("author"), ((col("id") * 31 + k * 7) % 100).as("score")))))
+
+  test("values_count: exact array-length window, NULL matches nothing") {
+    val root = tmp()
+    val base = nestedCorpus()
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("site"), integer = Seq("uid"), idCol = "id", nZones = 3)
+    val f = PFilter(must = Seq(ValuesCount("arr", 2, 3), RangeInt("uid", 0, 4)))
+    sameRows(idx.readFilter(f).select("id", "arr"),
+      base.filter(Filters.toColumn(f)).select("id", "arr"))
+    // semantics pinned: NULL arrays match nothing, empties only at lo=0
+    val counts = idx.readFilter(
+      PFilter(must = Seq(ValuesCount("arr", 0, 0)))).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(counts === (1L to 60L).filter(_ % 5 == 0).toSet,
+      s"values_count(0,0) is exactly the EMPTY arrays — NULL arrays " +
+        s"(id%3 not %5, e.g. 3, 6) match nothing; got $counts")
+    // loud validation: scalar column, inverted bounds
+    intercept[IllegalArgumentException](
+      idx.readFilter(PFilter(must = Seq(ValuesCount("site", 1, 2)))))
+    intercept[IllegalArgumentException](
+      idx.readFilter(PFilter(must = Seq(ValuesCount("arr", 3, 1)))))
+  }
+
+  test("has_id: pushed IN-list restriction; empty id set matches nothing") {
+    val root = tmp()
+    val base = nestedCorpus()
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("site"), integer = Seq("uid"), idCol = "id", nZones = 3)
+    val f = PFilter(must = Seq(HasId("id", Seq(3L, 7L, 11L, 400L)),
+      RangeInt("uid", 0, 5)))
+    sameRows(idx.readFilter(f).select("id"),
+      base.filter(Filters.toColumn(f)).select("id"))
+    assert(idx.readFilter(f).select("id").collect().map(_.getLong(0)).toSet
+      === Set(3L, 7L, 11L))
+    assert(base.filter(Filters.toColumn(
+      PFilter(must = Seq(HasId("id", Seq.empty))))).isEmpty,
+      "an empty has_id set is unsatisfiable, not unconstrained")
+  }
+
+  test("nested: inner conditions must hit the SAME element; parity; validation") {
+    val root = tmp()
+    val base = nestedCorpus()
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("site"), integer = Seq("uid"), idCol = "id", nZones = 3)
+    val inner = PFilter(must = Seq(MatchValue("author", "u3"),
+      RangeInt("score", 40, 90)))
+    val f = PFilter(must = Seq(Nested("elems", inner)))
+    sameRows(idx.readFilter(f).select("id"),
+      base.filter(Filters.toColumn(f)).select("id"))
+    // the discriminator: a hand-built row where author matches element
+    // 0 and score matches element 1 but NO single element has both —
+    // nested must EXCLUDE it where a flat AND of exists() would admit
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, elems ARRAY<STRUCT<author: STRING, score: BIGINT>>")
+    val cross = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(900L, Seq(
+        org.apache.spark.sql.Row("u3", 10L),    // author hits, score misses
+        org.apache.spark.sql.Row("u9", 50L))),  // score hits, author misses
+      org.apache.spark.sql.Row(901L, Seq(
+        org.apache.spark.sql.Row("u3", 50L)))   // both on ONE element
+      ).asJava, schema)
+    val got = cross.filter(Filters.toColumn(
+      PFilter(must = Seq(Nested("elems", inner)))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(901L),
+      s"nested semantics are same-element, got $got")
+    // flat AND of two single-condition nesteds WOULD admit 900 — the
+    // difference nested exists to draw
+    val flat = PFilter(must = Seq(
+      Nested("elems", PFilter(must = Seq(MatchValue("author", "u3")))),
+      Nested("elems", PFilter(must = Seq(RangeInt("score", 40, 90))))))
+    assert(cross.filter(Filters.toColumn(flat))
+      .collect().map(_.getLong(0)).toSet === Set(900L, 901L))
+    // loud validation: non-struct array, unknown element field
+    intercept[IllegalArgumentException](idx.readFilter(
+      PFilter(must = Seq(Nested("arr", inner)))))
+    intercept[IllegalArgumentException](idx.readFilter(
+      PFilter(must = Seq(Nested("elems",
+        PFilter(must = Seq(MatchValue("missing", "x"))))))))
+  }
+
+  test("geo_radius and geo_polygon as tree conditions: parity + cell pruning") {
+    val root = tmp()
+    val base = corpus()
+      .withColumn("lat", (col("id") * 7919 % 18000) / lit(100.0) - 90.0)
+      .withColumn("lon", (col("id") * 104729 % 36000) / lit(100.0) - 180.0)
+      .select("id", "uid", "lat", "lon")
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq("uid"), geo = Seq(("lat", "lon")),
+      geoGrid = 16, nZones = 3)
+    val fr = PFilter(must = Seq(GeoRadius("lat", "lon", 40.0, -100.0, 2000000.0),
+      RangeInt("uid", 0, 4)))
+    sameRows(idx.readFilter(fr).select("id"),
+      base.filter(Filters.toColumn(fr)).select("id"))
+    val poly = Seq((0.25, -60.25), (50.25, -20.25), (10.25, 0.25),
+      (50.25, 30.25), (-20.25, 10.25))
+    val fp = PFilter(must = Seq(GeoPolygon("lat", "lon", poly)))
+    sameRows(idx.readFilter(fp).select("id"),
+      base.filter(Filters.toColumn(fp)).select("id"))
+    // pruning: the radius read's scanned files stay within the
+    // circle's bbox cell cover (2000 km at lat 40 ⇒ ~±18° lat and a
+    // widened lon span — compute the SAME cover driver-side)
+    val files = scannedFiles(idx.readFilter(fr))
+    val dLat = 2000000.0 / 111320.0
+    val cos = math.cos(math.toRadians(40.0 + dLat))
+    val cover = PayloadIndexTestHook.geoCells(16, 40.0 - dLat, 40.0 + dLat,
+      -100.0 - 2000000.0 / (111320.0 * cos), -100.0 + 2000000.0 / (111320.0 * cos))
+    assert(files.nonEmpty && files.forall(p => cover.exists(c =>
+      p.contains(s"__geo_lat_lon=$c/"))),
+      s"radius read must scan only bbox-cover cells")
+    // NULL coordinates match neither condition on the scan route
+    val nullSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    val nulls = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(999L, null, null)).asJava, nullSchema)
+    assert(nulls.filter(Filters.toColumn(PFilter(must = Seq(
+      GeoRadius("lat", "lon", 0.0, 0.0, 1e7))))).isEmpty)
+    assert(nulls.filter(Filters.toColumn(PFilter(must = Seq(
+      GeoPolygon("lat", "lon", poly))))).isEmpty)
+  }
+
 }
 
 /** Test-only window into PayloadIndex's private geometry helpers. */

@@ -139,14 +139,20 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     // the trainer id prefixes the fingerprint: a trainer change refuses
     // every persisted artifact rather than serving stale-format vectors
     assert(fa.startsWith(Word2VecEmbedder.trainerId + ":"))
-    // and two corpora differing only by a basename-sharing PATH resolve
-    // to distinct artifact dirs (the canonical-path hash suffix)
+    // two DIFFERENT corpora sharing a basename resolve to distinct
+    // artifact dirs (the fingerprint-hash suffix), while the SAME
+    // corpus resolves to the same dir from ANY path — the artifact
+    // name is content-keyed, never filesystem-keyed (ADVICE r9: a
+    // canonical-path hash bound committed artifacts to one machine's
+    // checkout location, silently retraining everywhere else)
     val d1 = java.nio.file.Files.createTempDirectory("w2vdir-a").resolve("sfX")
     val d2 = java.nio.file.Files.createTempDirectory("w2vdir-b").resolve("sfX")
-    assert(VectorStore.w2vArtifactDir("r", d1.toString).getName !==
-      VectorStore.w2vArtifactDir("r", d2.toString).getName)
-    assert(VectorStore.w2vArtifactDir("r", d1.toString) ===
-      VectorStore.w2vArtifactDir("r", d1.toString))
+    assert(VectorStore.w2vArtifactDir("r", d1.toString, fa).getName !==
+      VectorStore.w2vArtifactDir("r", d2.toString, fb).getName)
+    assert(VectorStore.w2vArtifactDir("r", d1.toString, fa) !==
+      VectorStore.w2vArtifactDir("r", d1.toString, fb))
+    assert(VectorStore.w2vArtifactDir("r", d1.toString, fa).getName ===
+      VectorStore.w2vArtifactDir("r", d2.toString, fa).getName)
   }
 
   test("w2vEmbedder serves a fingerprint-fresh tracked artifact, retrains on drift") {
@@ -156,7 +162,7 @@ class Word2VecEmbedderSpec extends SparkSpecBase {
     val old = sys.props.get("graft.w2v.artifacts")
     sys.props("graft.w2v.artifacts") = tmpRoot
     try {
-      val dir = VectorStore.w2vArtifactDir(sf) // resolves under tmpRoot
+      val dir = VectorStore.w2vArtifactDir(spark, sf) // resolves under tmpRoot
       new java.io.File(dir, "vectors").mkdirs()
       // a deliberately TAMPERED one-word vocabulary with the CORRECT
       // corpus fingerprint: if the serving path loads (it must), the

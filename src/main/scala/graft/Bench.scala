@@ -171,7 +171,9 @@ object Bench {
       // the events payload index (float zones on value + datetime zones
       // on ts + the event_type keyword axis)
       "events_payload_index_warm" -> (Seq("events_value_range_indexed",
-        "events_ts_range_indexed").exists(selected.contains),
+        "events_ts_range_indexed", "events_open_range_indexed",
+        "events_scroll_order_by_indexed")
+        .exists(selected.contains),
         () => { operators.VectorStore.eventsPayloadIndex(spark, sfDir); () }),
       // the geo-grid payload index behind the bounding-box route
       "geo_index_warm" -> (Seq("vs_geo_search_indexed",

@@ -41,6 +41,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.eventsValueRangeIndexed(s, d)),
     "events_ts_range_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.eventsTsRangeIndexed(s, d)),
+    "events_open_range_indexed" -> VectorStore.eventsOpenRangeIndexed _,
+    "events_scroll_order_by_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.scrollOrderByIndexed(s, d)),
     // Qdrant filter boolean algebra (should / must_not / min_should)
     // and the remaining match conditions, all through readFilter
     "vs_search_filter_should" ->
@@ -539,6 +542,10 @@ object SparkEntry {
       VectorStore.geoRadiusIndexed(s, d, p.dbl("lat", 40.0),
         p.dbl("lon", -100.0), p.dbl("r", 2000000.0))
     }),
+    "events_scroll_order_by_indexed" -> ((s, d, m) => {
+      val p = new QueryParams("events_scroll_order_by_indexed", m, "n")
+      VectorStore.scrollOrderByIndexed(s, d, p.int("n", 40))
+    }),
     "vs_search_match_phrase_indexed" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_match_phrase_indexed", m, "k", "phrase")
       VectorStore.searchMatchPhraseIndexed(s, d, p.int("k", 10),
@@ -691,6 +698,23 @@ object SparkEntry {
         |WHERE event_type IN ('click', 'view')
         |  AND value >= 120.0 AND value <= 150.0
         |ORDER BY event_id""".stripMargin,
+    // the FULL range object (gt/gte/lt/lte, each optional): open-ended
+    // exclusive float bound + half-open datetime window, scan form
+    "events_open_range_indexed" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND value > 150.0
+        |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order_by scroll through the range index it requires: first page
+    // of the value order — the scan form is a global ORDER BY LIMIT
+    "events_scroll_order_by_indexed" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL
+        |ORDER BY value, event_id LIMIT 40""".stripMargin,
     // datetime zone kind: the UTC wall-clock window, scan form
     "events_ts_range_indexed" ->
       """SELECT event_type, count(*) AS n,

@@ -94,6 +94,50 @@ object Filters {
     */
   final case class RangeTime(field: String, lo: String, hi: String) extends PCond
 
+  /** Qdrant's FULL `range` object on an integer payload: `gt` / `gte`
+    * / `lt` / `lte`, EACH OPTIONAL and conjunctive — the exclusive and
+    * open-ended bounds the closed [[RangeInt]] shorthand cannot
+    * express (`range: {gt: 5}` = everything above 5, no upper bound).
+    * At least one bound required (an empty range object constrains
+    * nothing — surely a caller bug). On the indexed route one-sided /
+    * exclusive bounds still prune: zone selection is INCLUSIVE at the
+    * zone level (a superset — exclusivity lives in the exact
+    * residual), and a missing side simply doesn't constrain the zone
+    * set.
+    */
+  final case class IntBounds(field: String,
+                             gt: Option[Long] = None, gte: Option[Long] = None,
+                             lt: Option[Long] = None, lte: Option[Long] = None)
+      extends PCond {
+    require(gt.nonEmpty || gte.nonEmpty || lt.nonEmpty || lte.nonEmpty,
+      s"range on '$field' needs at least one bound (gt/gte/lt/lte)")
+  }
+
+  /** [[IntBounds]] for a float payload — bounds must be finite (the
+    * manifest note on [[RangeFloat]]).
+    */
+  final case class FloatBounds(field: String,
+                               gt: Option[Double] = None, gte: Option[Double] = None,
+                               lt: Option[Double] = None, lte: Option[Double] = None)
+      extends PCond {
+    require(gt.nonEmpty || gte.nonEmpty || lt.nonEmpty || lte.nonEmpty,
+      s"range on '$field' needs at least one bound (gt/gte/lt/lte)")
+    Seq(gt, gte, lt, lte).flatten.foreach(v =>
+      require(!v.isNaN && !v.isInfinite,
+        s"range on '$field' needs finite bounds (got $v)"))
+  }
+
+  /** [[IntBounds]] for a datetime payload, bounds as UTC wall-clock
+    * strings ([[RangeTime]]'s format).
+    */
+  final case class TimeBounds(field: String,
+                              gt: Option[String] = None, gte: Option[String] = None,
+                              lt: Option[String] = None, lte: Option[String] = None)
+      extends PCond {
+    require(gt.nonEmpty || gte.nonEmpty || lt.nonEmpty || lte.nonEmpty,
+      s"range on '$field' needs at least one bound (gt/gte/lt/lte)")
+  }
+
   /** Geo bounding box over a (lat, lon) column pair (Qdrant
     * `geo_bounding_box`).
     */
@@ -150,6 +194,13 @@ object Filters {
 
   /** Matches rows whose `field` IS NULL (Qdrant `is_null`). */
   final case class IsNull(field: String) extends PCond
+
+  /** Matches rows that HAVE the named vector (Qdrant `has_vector` —
+    * named vectors are optional per point; here each name is its own
+    * nullable ARRAY column, so presence is a plain NOT-NULL pushed
+    * predicate).
+    */
+  final case class HasVector(field: String) extends PCond
 
   /** Matches rows whose `field` is NULL or an EMPTY ARRAY (Qdrant
     * `is_empty` — missing, null, or `[]`). On the generic scan route
@@ -254,6 +305,22 @@ object Filters {
       // still pushes to a parquet scan — the read() discipline
       coalesce(resolve(f) >= timestamp_micros(lit(l)) &&
         resolve(f) <= timestamp_micros(lit(h)), lit(false))
+    case IntBounds(f, gt, gte, lt, lte) =>
+      coalesce((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
+        lt.map(resolve(f) < _) ++ lte.map(resolve(f) <= _))
+        .reduce(_ && _), lit(false))
+    case FloatBounds(f, gt, gte, lt, lte) =>
+      coalesce((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
+        lt.map(resolve(f) < _) ++ lte.map(resolve(f) <= _))
+        .reduce(_ && _), lit(false))
+    case TimeBounds(f, gt, gte, lt, lte) =>
+      def ts(s: String): Column =
+        timestamp_micros(lit(PayloadIndex.utcMicros(s)))
+      coalesce((gt.map(v => resolve(f) > ts(v)) ++
+        gte.map(v => resolve(f) >= ts(v)) ++
+        lt.map(v => resolve(f) < ts(v)) ++
+        lte.map(v => resolve(f) <= ts(v)))
+        .reduce(_ && _), lit(false))
     case GeoBox(la, lo, latMin, latMax, lonMin, lonMax) =>
       coalesce(resolve(la) >= latMin && resolve(la) <= latMax &&
         resolve(lo) >= lonMin && resolve(lo) <= lonMax, lit(false))
@@ -288,6 +355,7 @@ object Filters {
       coalesce(exists(resolve(f),
         e => compile(sub, fold, foldCol, n => e.getField(n))), lit(false))
     case IsNull(f) => resolve(f).isNull
+    case HasVector(f) => resolve(f).isNotNull
     case IsEmpty(f) =>
       resolve(f).isNull || coalesce(size(resolve(f)) === 0, lit(false))
   }

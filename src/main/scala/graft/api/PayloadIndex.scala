@@ -300,6 +300,15 @@ final class PayloadIndex private[api] (
       case RangeTime(f, _, _) =>
         require(kindOf(f).contains("datetime"),
           s"'$f' is not an indexed datetime field (indexed: $fields)")
+      case IntBounds(f, _, _, _, _) =>
+        require(kindOf(f).contains("integer"),
+          s"'$f' is not an indexed integer field (indexed: $fields)")
+      case FloatBounds(f, _, _, _, _) =>
+        require(kindOf(f).contains("float"),
+          s"'$f' is not an indexed float field (indexed: $fields)")
+      case TimeBounds(f, _, _, _, _) =>
+        require(kindOf(f).contains("datetime"),
+          s"'$f' is not an indexed datetime field (indexed: $fields)")
       case GeoBox(la, lo, _, _, _, _) =>
         require(kindOf(s"$la:$lo").contains("geo"),
           s"'($la, $lo)' is not an indexed geo field (indexed: $fields)")
@@ -337,6 +346,7 @@ final class PayloadIndex private[api] (
       case MatchAny(f, _) => requireCol(f)
       case MatchExcept(f, _) => requireCol(f)
       case IsNull(f) => requireCol(f)
+      case HasVector(f) => requireCol(f)
       case IsEmpty(f) => requireCol(f)
     }
   }
@@ -375,12 +385,16 @@ final class PayloadIndex private[api] (
       case RangeInt(f, _, _) => requireField(f)
       case RangeFloat(f, _, _) => requireField(f)
       case RangeTime(f, _, _) => requireField(f)
+      case IntBounds(f, _, _, _, _) => requireField(f)
+      case FloatBounds(f, _, _, _, _) => requireField(f)
+      case TimeBounds(f, _, _, _, _) => requireField(f)
       case GeoBox(la, lo, _, _, _, _) => requireField(la); requireField(lo)
       case GeoRadius(la, lo, _, _, _) => requireField(la); requireField(lo)
       case GeoPolygon(la, lo, _) => requireField(la); requireField(lo)
       case ValuesCount(f, _, _) => requireField(f)
       case HasId(f, _) => requireField(f)
       case IsNull(f) => requireField(f)
+      case HasVector(f) => requireField(f)
       case IsEmpty(f) => requireField(f)
     }
   }
@@ -390,7 +404,8 @@ final class PayloadIndex private[api] (
     c match {
       case PFilter(m, s, n, ms) =>
         (m ++ s ++ n ++ ms.toSeq.flatMap(_._1)).exists(hasRangeCond)
-      case _: RangeInt | _: RangeFloat | _: RangeTime => true
+      case _: RangeInt | _: RangeFloat | _: RangeTime |
+           _: IntBounds | _: FloatBounds | _: TimeBounds => true
       case _ => false
     }
   }
@@ -410,6 +425,16 @@ final class PayloadIndex private[api] (
         if zmax >= lo && zmin <= hi => z }
       col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*)
     }
+    // one-sided / open bounds: a missing side doesn't constrain the
+    // zone set, and selection is INCLUSIVE at the bound value even for
+    // exclusive (gt/lt) query bounds — a superset either way, the
+    // exact residual carries the strictness
+    def zonesInOpt(f: String, lo: Option[BigDecimal],
+                   hi: Option[BigDecimal]): Column = {
+      val zs = live(f).collect { case (z, zmin, zmax)
+        if lo.forall(zmax >= _) && hi.forall(zmin <= _) => z }
+      col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*)
+    }
     c match {
       case sub: PFilter => pruneOf(sub, live)
       case MatchValue(f, v) if kindOf(f).contains("keyword") =>
@@ -423,6 +448,8 @@ final class PayloadIndex private[api] (
         else !coalesce(col(f).isin(vs: _*), lit(false)))
       case IsNull(f) if kindOf(f).contains("keyword") =>
         Some(col(f).isNull) // prunes to the default partition alone
+      case HasVector(f) if kindOf(f).contains("keyword") =>
+        Some(col(f).isNotNull) // everything BUT the default partition
       case RangeInt(f, lo, hi) =>
         Some(zonesIn(f, BigDecimal(lo), BigDecimal(hi)))
       case RangeFloat(f, lo, hi) =>
@@ -430,6 +457,20 @@ final class PayloadIndex private[api] (
       case RangeTime(f, lo, hi) =>
         Some(zonesIn(f, BigDecimal(PayloadIndex.utcMicros(lo)),
           BigDecimal(PayloadIndex.utcMicros(hi))))
+      case IntBounds(f, gt, gte, lt, lte) =>
+        Some(zonesInOpt(f,
+          (gt.toSeq ++ gte.toSeq).map(BigDecimal(_)).reduceOption(_ max _),
+          (lt.toSeq ++ lte.toSeq).map(BigDecimal(_)).reduceOption(_ min _)))
+      case FloatBounds(f, gt, gte, lt, lte) =>
+        Some(zonesInOpt(f,
+          (gt.toSeq ++ gte.toSeq).map(BigDecimal.valueOf).reduceOption(_ max _),
+          (lt.toSeq ++ lte.toSeq).map(BigDecimal.valueOf).reduceOption(_ min _)))
+      case TimeBounds(f, gt, gte, lt, lte) =>
+        Some(zonesInOpt(f,
+          (gt.toSeq ++ gte.toSeq).map(s => BigDecimal(PayloadIndex.utcMicros(s)))
+            .reduceOption(_ max _),
+          (lt.toSeq ++ lte.toSeq).map(s => BigDecimal(PayloadIndex.utcMicros(s)))
+            .reduceOption(_ min _)))
       case GeoBox(la, lo, laMin, laMax, loMin, loMax) =>
         val cells = geoCells(geoGrid, laMin, laMax, loMin, loMax)
         Some(col(geoColOf(s"$la:$lo")).isin(cells.map(Integer.valueOf): _*))
@@ -629,6 +670,90 @@ final class PayloadIndex private[api] (
       .agg(countDistinct("__off").as("__nt"))
       .filter(col("__nt") === toks.size)
       .select("__pid").distinct()
+  }
+
+  /** ORDER-BY scroll through a ZONED axis — Qdrant couples scroll
+    * `order_by` to a range payload index (a collection without one
+    * refuses the call), and this is why: the zone manifest lets a page
+    * of `n` rows ordered by (`field`, `tieBreak`) be served by reading
+    * zone directories in ASCENDING MANIFEST ORDER instead of globally
+    * sorting the corpus — at 100 TB the first page touches one zone's
+    * directories (1/nZones of the data), not a full-corpus exchange.
+    *
+    * Algorithm: zones sort by zmin; grow the zone prefix until the
+    * SAFE row count reaches `n`, where a row is safe iff its value
+    * sorts STRICTLY below every unread zone's zmin (zones may overlap
+    * after insert widening and creation-time ties — a value at an
+    * unread zone's floor could tie-break earlier by id there, so it
+    * waits for that zone). Each growth step is one count over the
+    * pruned prefix; with healthy zones the first page is one step.
+    * The final page plans as TakeOrderedAndProject over the prefix
+    * slice — the exchange carries ≤ the prefix's rows, never the
+    * collection.
+    *
+    * Rows with a NULL `field` are EXCLUDED (Qdrant's order_by serves
+    * from the index, and missing values are not in it). `after` is the
+    * keyset cursor (value in the kind's text form — decimal string for
+    * integer/float, UTC wall-clock "yyyy-MM-dd HH:mm:ss[.ffffff]" for
+    * datetime — plus the tie-break id), matching [[graft.api
+    * .VectorIndex!.scrollBy]]'s keyset discipline.
+    */
+  def scrollOrderBy(field: String, tieBreak: String, n: Int,
+                    after: Option[(String, Long)] = None): DataFrame = {
+    val kind = kindOf(field).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$field' is not an indexed field (indexed: $fields)"))
+    require(Seq("integer", "float", "datetime").contains(kind),
+      s"order_by needs a zoned (integer/float/datetime) axis — " +
+        s"'$field' is indexed as '$kind'")
+    require(original.exists(_.name == tieBreak),
+      s"'$tieBreak' is not a collection column (schema: ${original.map(_.name)})")
+    require(n >= 1, s"page size must be >= 1 (got $n)")
+    def valLit(s: String): Column = kind match {
+      case "integer" => lit(s.trim.toLong)
+      case "float" => lit(s.trim.toDouble)
+      case _ => timestamp_micros(lit(PayloadIndex.utcMicros(s)))
+    }
+    def bdOf(s: String): BigDecimal = kind match {
+      case "integer" => BigDecimal(s.trim.toLong)
+      case "float" => BigDecimal.valueOf(s.trim.toDouble)
+      case _ => BigDecimal(PayloadIndex.utcMicros(s))
+    }
+    def bdLit(b: BigDecimal): Column = kind match {
+      case "integer" => lit(b.toLongExact)
+      case "float" => lit(b.toDouble) // manifest strings round-trip doubles
+      case _ => timestamp_micros(lit(b.toLongExact))
+    }
+    val cursor: Column = after match {
+      case Some((v, id)) =>
+        col(field) > valLit(v) ||
+          (col(field) === valLit(v) && col(tieBreak) > id)
+      case None => lit(true)
+    }
+    // fresh manifest (the read() discipline — a stale handle would
+    // miss rows an insert widened into a zone), cursor-pruned and
+    // zmin-ascending
+    val zonesAsc = PayloadIndex.liveZones(spark, root)(field)
+      .filter { case (_, _, zmax) => after.forall(a => zmax >= bdOf(a._1)) }
+      .sortBy(_._2)
+    val data = spark.read.schema(readSchema).parquet(s"$root/data")
+    def page(df: DataFrame): DataFrame =
+      df.orderBy(col(field).asc, col(tieBreak).asc).limit(n)
+        .select(original.map(sf => col(sf.name)): _*)
+    if (zonesAsc.isEmpty)
+      return page(data.filter(lit(false)))
+    var k = 1
+    while (k < zonesAsc.size) {
+      val ids = zonesAsc.take(k).map(z => Integer.valueOf(z._1))
+      val bound = zonesAsc(k)._2 // zmin of the first UNREAD zone
+      val safe = data.filter(col(zoneCol(field)).isin(ids: _*) &&
+        col(field).isNotNull && cursor && col(field) < bdLit(bound))
+      if (safe.count() >= n) return page(safe)
+      k += 1
+    }
+    page(data.filter(
+      col(zoneCol(field)).isin(zonesAsc.map(z => Integer.valueOf(z._1)): _*) &&
+        col(field).isNotNull && cursor))
   }
 
   /** GEO-RADIUS read (Qdrant's `geo_radius` condition, the circle

@@ -85,6 +85,38 @@ class VectorIndex private (val points: DataFrame,
       .select(col("rank"), col("id"), col("text").as("string"), col("score"))
   }
 
+  /** [[search]] with the FULL Qdrant filter object — `/points/query`
+    * with a `filter:` carrying `should` / `must_not` / `min_should` /
+    * nested conditions (the reference only ever builds the must-list
+    * of this same object, search.py:37-49). The tree compiles to one
+    * total-boolean pushed predicate ([[Filters.toColumn]] — Qdrant
+    * two-valued NULL semantics); ranking is the [[search]] top-k.
+    */
+  def searchFilter(qvec: Seq[Double], filter: Filters.PFilter, k: Int,
+                   metric: (Column, Column) => Column = l2Distance)
+      : DataFrame = {
+    val scored = points.filter(Filters.toColumn(filter))
+      .withColumn("score", metric(lit(qvec.toArray), col("vector")))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(lit(0)).orderBy(col("score").asc, col("id").asc)))
+      .select(col("rank"), col("id"), col("text").as("string"), col("score"))
+  }
+
+  /** Qdrant FilterSelector delete: remove every point MATCHING the
+    * filter object. Two-valued semantics cut both ways — a NULL
+    * payload matches no value condition, so it SURVIVES a value-
+    * condition delete (`deleteByFilter(lang = "de")` keeps NULL-lang
+    * rows; delete them explicitly with [[Filters.IsNull]]).
+    */
+  def deleteByFilter(filter: Filters.PFilter): VectorIndex =
+    delete(Filters.toColumn(filter))
+
+  /** Qdrant `/points/count` with a filter object (`exact: true`). */
+  def countByFilter(filter: Filters.PFilter): Long =
+    points.filter(Filters.toColumn(filter)).count()
+
   /** Text-query search — the full /search flow (search.py:31-49): embed
     * the query string with the SAME [[Embedder]] the collection was
     * built with, then run the filtered top-k. The single-row query

@@ -993,6 +993,39 @@ object VectorStore {
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy("event_id")
 
+  /** Qdrant's FULL `range` object — `gt`/`gte`/`lt`/`lte`, each
+    * optional — through the events index: a strictly-above float bound
+    * with NO upper (the open-ended form the closed [lo, hi] shorthand
+    * cannot express), a half-open datetime window (gte/lt — the
+    * canonical no-double-count pagination form), and a keyword
+    * MatchAny, all in one readFilter tree. One-sided/exclusive bounds
+    * still prune: zone selection is inclusive at the bound (a
+    * superset), strictness lives in the pushed residual.
+    */
+  def eventsOpenRangeIndexed(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    eventsPayloadIndex(s, d).readFilter(PFilter(must = Seq(
+      MatchAny("event_type", Seq("click", "view")),
+      FloatBounds("value", gt = Some(150.0)),
+      TimeBounds("ts", gte = Some("2024-01-08 00:00:00"),
+        lt = Some("2024-01-12 00:00:00")))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      .orderBy("event_type")
+  }
+
+  /** Qdrant scroll `order_by` THROUGH the range index it requires
+    * (a Qdrant collection without a range payload index refuses
+    * order_by — and this route is why): the first page of the
+    * value-ordered scroll reads zone directories in manifest order,
+    * planning as TakeOrderedAndProject over ONE zone's slice instead
+    * of a full-corpus sort exchange. NULL values are excluded (the
+    * index doesn't hold them — Qdrant's semantics).
+    */
+  def scrollOrderByIndexed(s: SparkSession, d: String, n: Int = 40): DataFrame =
+    eventsPayloadIndex(s, d).scrollOrderBy("value", "event_id", n)
+      .select(col("event_id"), col("user_id"), col("value"))
+
   /** DATETIME-range aggregate through the events payload index
     * (Qdrant `field_schema="datetime"` serving a time-window filter):
     * the UTC wall-clock window consults the epoch-micros zone manifest

@@ -458,6 +458,72 @@ class FilterAlgebraSpec extends SparkSpecBase {
         PFilter(must = Seq(MatchValue("missing", "x"))))))))
   }
 
+  test("range bounds (gt/gte/lt/lte, each optional): exclusivity, open ends, zone pruning") {
+    val root = tmp()
+    val base = corpus()
+    val idx = build(root)
+    // exclusive vs inclusive differ exactly at the boundary value:
+    // uid ∈ 0..5, so gt=2 drops the uid=2 rows gte=2 keeps
+    val gt = idx.readFilter(PFilter(must = Seq(IntBounds("uid", gt = Some(2L)))))
+    val gte = idx.readFilter(PFilter(must = Seq(IntBounds("uid", gte = Some(2L)))))
+    sameRows(gt.select("id"),
+      base.filter(Filters.toColumn(
+        PFilter(must = Seq(IntBounds("uid", gt = Some(2L)))))).select("id"))
+    assert(gte.count() - gt.count() ===
+      base.filter(col("uid") === 2).count(),
+      "gte - gt must differ by exactly the boundary rows")
+    // open-ended upper: everything above, no hi — and it still prunes
+    // (zones whose zmax < lo drop; inclusive selection at the bound)
+    val open = PFilter(must = Seq(IntBounds("uid", gt = Some(4L))))
+    sameRows(idx.readFilter(open).select("id"),
+      base.filter(Filters.toColumn(open)).select("id"))
+    val files = scannedFiles(idx.readFilter(open))
+    // uid zones: 3 zones over 0..5 — a gt=4 bound must NOT scan the
+    // lowest zone's directories (its zmax < 4 on this uniform corpus)
+    assert(files.nonEmpty && files.size < scannedFiles(
+      idx.readFilter(PFilter(must = Seq(IntBounds("uid", gte = Some(0L)))))).size,
+      "an open one-sided bound must still prune zones")
+    // half-open composes with the rest of the algebra
+    val mixed = PFilter(
+      must = Seq(IntBounds("uid", gte = Some(1L), lt = Some(5L))),
+      mustNot = Seq(MatchValue("site", "s1")))
+    sameRows(idx.readFilter(mixed).select("id"),
+      base.filter(Filters.toColumn(mixed)).select("id"))
+    // an empty range object is refused loudly
+    intercept[IllegalArgumentException](IntBounds("uid"))
+    intercept[IllegalArgumentException](FloatBounds("uid"))
+    intercept[IllegalArgumentException](
+      FloatBounds("uid", gt = Some(Double.PositiveInfinity)))
+  }
+
+  test("order_by scroll: zone-ordered pages ≡ global sort, keyset cursor, prefix-only scan") {
+    val root = tmp()
+    val base = corpus()
+    val idx = build(root) // uid integer zones, nZones = 3
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(3), r.getLong(0)) // (uid, id)
+    val global = base.orderBy(col("uid").asc, col("id").asc)
+      .collect().toSeq.map(key)
+    // page 1 = the global order's first n, served zone-prefix-only
+    val p1 = idx.scrollOrderBy("uid", "id", 20).collect().toSeq
+    assert(p1.map(key) === global.take(20))
+    // keyset page 2 continues exactly (value in the kind's text form)
+    val (lastV, lastId) = key(p1.last)
+    val p2 = idx.scrollOrderBy("uid", "id", 20,
+      after = Some((lastV.toString, lastId))).collect().toSeq
+    assert((p1 ++ p2).map(key) === global.take(40))
+    // a small first page scans ONE zone's directories, not the corpus
+    // (the 100 TB point of coupling order_by to the range index)
+    val zonesScanned = scannedFiles(idx.scrollOrderBy("uid", "id", 5))
+      .flatMap("__zone_uid=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(zonesScanned.size === 1,
+      s"a 5-row first page must read one zone's slice, got $zonesScanned")
+    // validation: unzoned axes and bad pages are refused loudly
+    intercept[IllegalArgumentException](idx.scrollOrderBy("site", "id", 5))
+    intercept[IllegalArgumentException](idx.scrollOrderBy("uid", "id", 0))
+    intercept[IllegalArgumentException](idx.scrollOrderBy("missing", "id", 5))
+  }
+
   test("geo_radius and geo_polygon as tree conditions: parity + cell pruning") {
     val root = tmp()
     val base = corpus()

@@ -243,6 +243,55 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(page1.toSet.intersect(page2.toSet).isEmpty)
   }
 
+  test("searchFilter/deleteByFilter/countByFilter take the full filter object") {
+    import graft.api.Filters._
+    val q = Tables.points(spark, sf).filter(col("id") === 0)
+      .select("vector").head().getSeq[Double](0)
+    // should + must_not through the search surface ≡ the hand-built
+    // column predicate over the same points
+    val f = PFilter(
+      must = Seq(RangeInt("user_id", 0, 19)),
+      should = Seq(MatchValue("lang", "en"), MatchValue("site", "src3")),
+      mustNot = Seq(MatchValue("lang", "de")))
+    val got = index.searchFilter(q, f, k = 5).collect()
+    val p = coalesce(col("user_id").between(0, 19), lit(false)) &&
+      (coalesce(col("lang") === "en", lit(false)) ||
+        coalesce(col("site") === "src3", lit(false))) &&
+      !coalesce(col("lang") === "de", lit(false))
+    val expected = index.points.filter(p)
+      .withColumn("score",
+        graft.functions.Vectors.l2Distance(lit(q.toArray), col("vector")))
+      .orderBy(col("score").asc, col("id").asc).limit(5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got.map(_.getLong(1)).toSeq === expected)
+    // count with the same filter = the predicate's row count
+    assert(index.countByFilter(f) === index.points.filter(p).count())
+    // FilterSelector delete: matching rows go, NULL-payload rows that
+    // match no value condition SURVIVE (two-valued semantics)
+    val withNulls = new_indexWithNullLang()
+    val del = withNulls.deleteByFilter(
+      PFilter(must = Seq(MatchValue("lang", "de"))))
+    assert(del.points.filter(col("lang") === "de").count() === 0)
+    assert(del.points.filter(col("lang").isNull).count() ===
+      withNulls.points.filter(col("lang").isNull).count(),
+      "NULL-lang rows match no value condition and must survive the delete")
+    // has_vector: presence of an optional named-vector column — counts
+    // exactly the NOT-NULL rows, and composes with is_null in one tree
+    val named = VectorIndex(new_indexWithNullLang().points.withColumn("title_vec",
+      when(col("id") % 3 === 0, col("vector")).otherwise(
+        lit(null).cast("array<double>"))))
+    assert(named.countByFilter(PFilter(must = Seq(HasVector("title_vec")))) ===
+      named.points.filter(col("title_vec").isNotNull).count())
+    assert(named.countByFilter(PFilter(
+      must = Seq(HasVector("title_vec"), IsNull("lang")))) ===
+      named.points.filter(col("title_vec").isNotNull && col("lang").isNull).count())
+  }
+
+  private def new_indexWithNullLang(): VectorIndex =
+    VectorIndex(Tables.points(spark, sf).withColumn("lang",
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("lang"))))
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -172,7 +172,7 @@ object Bench {
       // on ts + the event_type keyword axis)
       "events_payload_index_warm" -> (Seq("events_value_range_indexed",
         "events_ts_range_indexed", "events_open_range_indexed",
-        "events_scroll_order_by_indexed")
+        "events_scroll_order_by_indexed", "events_scroll_order_by_desc_indexed")
         .exists(selected.contains),
         () => { operators.VectorStore.eventsPayloadIndex(spark, sfDir); () }),
       // the geo-grid payload index behind the bounding-box route

@@ -44,6 +44,8 @@ object SparkEntry {
     "events_open_range_indexed" -> VectorStore.eventsOpenRangeIndexed _,
     "events_scroll_order_by_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.scrollOrderByIndexed(s, d)),
+    "events_scroll_order_by_desc_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.scrollOrderByDescIndexed(s, d)),
     // Qdrant filter boolean algebra (should / must_not / min_should)
     // and the remaining match conditions, all through readFilter
     "vs_search_filter_should" ->
@@ -715,6 +717,12 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE value IS NOT NULL
         |ORDER BY value, event_id LIMIT 40""".stripMargin,
+    // direction: desc + a composed keyword filter — Qdrant scroll
+    // takes filter and order_by together
+    "events_scroll_order_by_desc_indexed" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        |ORDER BY value DESC, event_id LIMIT 40""".stripMargin,
     // datetime zone kind: the UTC wall-clock window, scan form
     "events_ts_range_indexed" ->
       """SELECT event_type, count(*) AS n,

@@ -257,31 +257,61 @@ object Filters {
   def toColumn(cond: PCond,
                fold: String => String = identity,
                foldCol: Column => Column = c => c): Column =
-    compile(cond, fold, foldCol, col)
+    compile(cond, fold, foldCol, col, total = true)
+
+  /** [[toColumn]] for a POSITIVE FILTER CONTEXT ONLY (`df.filter(_)`,
+    * never negated or null-inspected): comparison leaves stay RAW —
+    * `col >= lo`, `col IN (...)` — instead of `coalesce(_, false)`,
+    * because a filter drops NULL predicates exactly like FALSE, and a
+    * raw comparison TRANSLATES TO A PARQUET PUSHED FILTER where the
+    * Coalesce wrapper blocks source pushdown entirely (the row-group
+    * stats pruning inside the selected zone directories — the read()
+    * discipline). Leaves whose null-semantics the wrapper carries
+    * (`must_not` arms, MatchExcept's internal NOT, the exists() body)
+    * still compile TOTAL internally, so the two forms return identical
+    * rows in a filter — parity-spec'd and oracle-gated.
+    */
+  private[api] def toFilterColumn(cond: PCond,
+                                  fold: String => String = identity,
+                                  foldCol: Column => Column = c => c): Column =
+    compile(cond, fold, foldCol, col, total = false)
 
   /** The compiler proper, generic in how a field NAME becomes a
-    * `Column`: top-level trees resolve with `col(_)`; a [[Nested]]
-    * body resolves against its `exists()` lambda's element variable
-    * (struct field access), so the same algebra works per-element.
+    * `Column` (top-level trees resolve with `col(_)`; a [[Nested]]
+    * body resolves against its `exists()` lambda's element variable)
+    * and in TOTALITY: `total = true` coalesces every nullable leaf to
+    * a two-valued boolean (safe under negation — the public
+    * [[toColumn]] contract), `total = false` leaves pushable
+    * comparisons raw for a positive filter context. Negated positions
+    * (`must_not`) force `total = true` on their subtree regardless.
     */
   private def compile(cond: PCond, fold: String => String,
                       foldCol: Column => Column,
-                      resolve: String => Column): Column = cond match {
+                      resolve: String => Column,
+                      total: Boolean): Column = {
+    // a raw comparison is null exactly where the coalesced form is
+    // false; identical under filter, different under NOT
+    def tot(p: Column): Column = if (total) coalesce(p, lit(false)) else p
+    cond match {
     case PFilter(must, should, mustNot, minShould) =>
       val parts =
-        must.map(compile(_, fold, foldCol, resolve)) ++
+        must.map(compile(_, fold, foldCol, resolve, total)) ++
           (if (should.isEmpty) Nil
-           else Seq(should.map(compile(_, fold, foldCol, resolve)).reduce(_ || _))) ++
-          mustNot.map(c => !compile(c, fold, foldCol, resolve)) ++
+           else Seq(tot(should
+             .map(compile(_, fold, foldCol, resolve, total = false))
+             .reduce(_ || _)))) ++
+          mustNot.map(c => !compile(c, fold, foldCol, resolve, total = true)) ++
           minShould.toSeq.map { case (cs, m) =>
-            cs.map(c => when(compile(c, fold, foldCol, resolve), 1).otherwise(0))
-              .reduce(_ + _) >= m
+            // when() sends a NULL predicate to otherwise(0) — each arm
+            // is intrinsically total, the sum comparison never null
+            cs.map(c => when(compile(c, fold, foldCol, resolve, total = false),
+              1).otherwise(0)).reduce(_ + _) >= m
           }
       parts.reduce(_ && _)
-    case MatchValue(f, v) => coalesce(resolve(f) === lit(v), lit(false))
+    case MatchValue(f, v) => tot(resolve(f) === lit(v))
     case MatchAny(f, vs) =>
       if (vs.isEmpty) lit(false)
-      else coalesce(resolve(f).isin(vs: _*), lit(false))
+      else tot(resolve(f).isin(vs: _*))
     case MatchExcept(f, vs) => // NOT MatchAny — a NULL value matches
       if (vs.isEmpty) lit(true)
       else !coalesce(resolve(f).isin(vs: _*), lit(false))
@@ -294,36 +324,36 @@ object Filters {
       coalesce(wordTerms(f, ts, fold).map(t => padded.contains(s" $t "))
         .reduce(_ || _), lit(false))
     case RangeInt(f, lo, hi) =>
-      coalesce(resolve(f) >= lo && resolve(f) <= hi, lit(false))
+      tot(resolve(f) >= lo && resolve(f) <= hi)
     case RangeFloat(f, lo, hi) =>
       require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite,
         s"RangeFloat on '$f' needs finite bounds (got [$lo, $hi])")
-      coalesce(resolve(f) >= lo && resolve(f) <= hi, lit(false))
+      tot(resolve(f) >= lo && resolve(f) <= hi)
     case RangeTime(f, lo, hi) =>
       val (l, h) = (PayloadIndex.utcMicros(lo), PayloadIndex.utcMicros(hi))
       // TIMESTAMP-literal bounds (constant-folded) so the comparison
       // still pushes to a parquet scan — the read() discipline
-      coalesce(resolve(f) >= timestamp_micros(lit(l)) &&
-        resolve(f) <= timestamp_micros(lit(h)), lit(false))
+      tot(resolve(f) >= timestamp_micros(lit(l)) &&
+        resolve(f) <= timestamp_micros(lit(h)))
     case IntBounds(f, gt, gte, lt, lte) =>
-      coalesce((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
+      tot((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
         lt.map(resolve(f) < _) ++ lte.map(resolve(f) <= _))
-        .reduce(_ && _), lit(false))
+        .reduce(_ && _))
     case FloatBounds(f, gt, gte, lt, lte) =>
-      coalesce((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
+      tot((gt.map(resolve(f) > _) ++ gte.map(resolve(f) >= _) ++
         lt.map(resolve(f) < _) ++ lte.map(resolve(f) <= _))
-        .reduce(_ && _), lit(false))
+        .reduce(_ && _))
     case TimeBounds(f, gt, gte, lt, lte) =>
       def ts(s: String): Column =
         timestamp_micros(lit(PayloadIndex.utcMicros(s)))
-      coalesce((gt.map(v => resolve(f) > ts(v)) ++
+      tot((gt.map(v => resolve(f) > ts(v)) ++
         gte.map(v => resolve(f) >= ts(v)) ++
         lt.map(v => resolve(f) < ts(v)) ++
         lte.map(v => resolve(f) <= ts(v)))
-        .reduce(_ && _), lit(false))
+        .reduce(_ && _))
     case GeoBox(la, lo, latMin, latMax, lonMin, lonMax) =>
-      coalesce(resolve(la) >= latMin && resolve(la) <= latMax &&
-        resolve(lo) >= lonMin && resolve(lo) <= lonMax, lit(false))
+      tot(resolve(la) >= latMin && resolve(la) <= latMax &&
+        resolve(lo) >= lonMin && resolve(lo) <= lonMax)
     case GeoRadius(la, lo, lat, lon, r) =>
       require(r >= 0 && lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180,
         s"geo_radius needs radius >= 0 and a valid center (got " +
@@ -348,15 +378,19 @@ object Filters {
         size(resolve(f)) >= lo && size(resolve(f)) <= hi), lit(false))
     case HasId(f, ids) =>
       if (ids.isEmpty) lit(false)
-      else coalesce(resolve(f).isin(ids: _*), lit(false))
+      else tot(resolve(f).isin(ids: _*))
     case Nested(f, sub) =>
-      // exists() over a NULL array is NULL -> no match; inner fields
-      // resolve as struct accesses on the lambda element
+      // exists() over a NULL array is NULL -> no match, and 3VL makes
+      // a null LAMBDA result harmless (any true element wins; no true
+      // + some null -> null -> the outer coalesce) — the inner tree
+      // compiles non-total, the outer wrapper carries totality. Inner
+      // fields resolve as struct accesses on the lambda element.
       coalesce(exists(resolve(f),
-        e => compile(sub, fold, foldCol, n => e.getField(n))), lit(false))
+        e => compile(sub, fold, foldCol, n => e.getField(n), total = false)),
+        lit(false))
     case IsNull(f) => resolve(f).isNull
     case HasVector(f) => resolve(f).isNotNull
     case IsEmpty(f) =>
       resolve(f).isNull || coalesce(size(resolve(f)) === 0, lit(false))
-  }
+  } }
 }

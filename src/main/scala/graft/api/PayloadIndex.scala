@@ -239,7 +239,11 @@ final class PayloadIndex private[api] (
       if (hasRangeCond(f2)) PayloadIndex.liveZones(spark, root) else zones
     var df = spark.read.schema(readSchema).parquet(s"$root/data")
     pruneOf(f2, live).foreach(p => df = df.filter(p))
-    df = df.filter(Filters.toColumn(f2, foldTerm, foldedCol))
+    // the FILTER-context compile: pushable comparison leaves stay raw
+    // so they translate to parquet source filters (row-group stats
+    // prune INSIDE the selected zone directories); identical rows to
+    // the total form — a filter drops NULL like FALSE
+    df = df.filter(Filters.toFilterColumn(f2, foldTerm, foldedCol))
     var out = df.select(original.map(sf => col(sf.name)): _*)
     gatesOf(f2).foreach { g =>
       out = out.join(g, out(idCol) === g("__pid"), "left_semi")
@@ -696,10 +700,19 @@ final class PayloadIndex private[api] (
     * keyset cursor (value in the kind's text form — decimal string for
     * integer/float, UTC wall-clock "yyyy-MM-dd HH:mm:ss[.ffffff]" for
     * datetime — plus the tie-break id), matching [[graft.api
-    * .VectorIndex!.scrollBy]]'s keyset discipline.
+    * .VectorIndex!.scrollBy]]'s keyset discipline. `descending` is
+    * Qdrant's `direction: desc` (zones serve zmax-descending, safe =
+    * strictly above every unread zone's CEILING; ties still ascend by
+    * `tieBreak`). `filter` composes the full boolean algebra into the
+    * page (Qdrant scroll takes filter and order_by together): its
+    * pruning predicate narrows each prefix slice, its filter-context
+    * residual rides the same scan — text arms stay residual-only here
+    * (exact on their own; the posting gate is pruning, not semantics).
     */
   def scrollOrderBy(field: String, tieBreak: String, n: Int,
-                    after: Option[(String, Long)] = None): DataFrame = {
+                    after: Option[(String, Long)] = None,
+                    descending: Boolean = false,
+                    filter: Option[Filters.PFilter] = None): DataFrame = {
     val kind = kindOf(field).getOrElse(
       throw new IllegalArgumentException(
         s"'$field' is not an indexed field (indexed: $fields)"))
@@ -724,52 +737,68 @@ final class PayloadIndex private[api] (
       case "float" => lit(b.toDouble) // manifest strings round-trip doubles
       case _ => timestamp_micros(lit(b.toLongExact))
     }
+    // the optional composed filter (Qdrant scroll takes filter AND
+    // order_by together): pruning predicate + filter-context residual;
+    // text arms don't gate here (their padded-contains residual is
+    // exact on its own — the posting gate is pruning, never semantics)
+    val (filterPrune, filterResidual) = filter match {
+      case Some(pf) =>
+        val f2 = rewriteIsEmpty(pf).asInstanceOf[Filters.PFilter]
+        validateCond(f2)
+        val liveAll = PayloadIndex.liveZones(spark, root)
+        (pruneOf(f2, liveAll).getOrElse(lit(true)),
+          Filters.toFilterColumn(f2, foldTerm, foldedCol))
+      case None => (lit(true), lit(true))
+    }
     val cursor: Column = after match {
       case Some((v, id)) =>
-        col(field) > valLit(v) ||
-          (col(field) === valLit(v) && col(tieBreak) > id)
+        if (descending)
+          col(field) < valLit(v) ||
+            (col(field) === valLit(v) && col(tieBreak) > id)
+        else
+          col(field) > valLit(v) ||
+            (col(field) === valLit(v) && col(tieBreak) > id)
       case None => lit(true)
     }
     // fresh manifest (the read() discipline — a stale handle would
-    // miss rows an insert widened into a zone), cursor-pruned and
-    // zmin-ascending
-    val zonesAsc = PayloadIndex.liveZones(spark, root)(field)
-      .filter { case (_, _, zmax) => after.forall(a => zmax >= bdOf(a._1)) }
-      .sortBy(_._2)
+    // miss rows an insert widened into a zone), cursor-pruned, in
+    // serve order: zmin-ascending, or zmax-DESCENDING for desc pages
+    val zonesOrdered = PayloadIndex.liveZones(spark, root)(field)
+      .filter { case (_, zmin, zmax) =>
+        after.forall(a => if (descending) zmin <= bdOf(a._1)
+                          else zmax >= bdOf(a._1)) }
+      .sortBy(z => if (descending) -z._3 else z._2)
     val data = spark.read.schema(readSchema).parquet(s"$root/data")
+    val ordered =
+      if (descending) Seq(col(field).desc, col(tieBreak).asc)
+      else Seq(col(field).asc, col(tieBreak).asc)
     def page(df: DataFrame): DataFrame =
-      df.orderBy(col(field).asc, col(tieBreak).asc).limit(n)
+      df.orderBy(ordered: _*).limit(n)
         .select(original.map(sf => col(sf.name)): _*)
-    if (zonesAsc.isEmpty)
+    if (zonesOrdered.isEmpty)
       return page(data.filter(lit(false)))
     var k = 1
-    while (k < zonesAsc.size) {
-      val ids = zonesAsc.take(k).map(z => Integer.valueOf(z._1))
-      val bound = zonesAsc(k)._2 // zmin of the first UNREAD zone
+    while (k < zonesOrdered.size) {
+      val ids = zonesOrdered.take(k).map(z => Integer.valueOf(z._1))
+      // ceiling of the first UNREAD zone: its zmin (asc) / zmax (desc)
+      // — a row AT the bound could tie-break into that zone, so only
+      // strictly-past rows are safe to emit
+      val bound =
+        if (descending) zonesOrdered(k)._3 else zonesOrdered(k)._2
+      val boundPred =
+        if (descending) col(field) > bdLit(bound)
+        else col(field) < bdLit(bound)
       val safe = data.filter(col(zoneCol(field)).isin(ids: _*) &&
-        col(field).isNotNull && cursor && col(field) < bdLit(bound))
+        col(field).isNotNull && cursor && filterPrune && filterResidual &&
+        boundPred)
       if (safe.count() >= n) return page(safe)
       k += 1
     }
     page(data.filter(
-      col(zoneCol(field)).isin(zonesAsc.map(z => Integer.valueOf(z._1)): _*) &&
-        col(field).isNotNull && cursor))
+      col(zoneCol(field)).isin(zonesOrdered.map(z => Integer.valueOf(z._1)): _*) &&
+        col(field).isNotNull && cursor && filterPrune && filterResidual))
   }
 
-  /** GEO-RADIUS read (Qdrant's `geo_radius` condition, the circle
-    * sibling of `geoBox`): rows within `radiusMeters` of (`lat`,
-    * `lon`). Pruning reuses the box machinery on the circle's BOUNDING
-    * BOX — computed driver-side with the lon half-span widened by
-    * 1/cos(lat), degenerating to the full lon range when the circle
-    * touches a pole and WRAPPING into two sub-ranges when it crosses
-    * the antimeridian (a superset every way, so the cells can only
-    * over-select); the exact HAVERSINE predicate is the residual. The
-    * trig lives ONLY in the residual — cell pruning stays pure
-    * comparisons — and haversine distances are engine-local (IEEE trig
-    * is not bit-portable across engines, the reason `geoSearch` serves
-    * boxes for the oracle surface; within one engine the residual is
-    * deterministic and spec'd ≡ the scan-filter form).
-    */
   /** The circle's grid-cell cover (the geo_radius pruning set): the
     * bounding box with `mPerDegLat`-scaled spans, lon widened by
     * 1/cos(lat), degenerating to the full lon range at a pole touch.
@@ -815,6 +844,17 @@ final class PayloadIndex private[api] (
       .filter(cid => PayloadIndex.cellIntersectsPolygon(geoGrid, cid, vertices))
   }
 
+  /** GEO-RADIUS read (Qdrant's `geo_radius` condition, the circle
+    * sibling of `geoBox`): rows within `radiusMeters` of (`lat`,
+    * `lon`). Pruning = the circle's bounding-box cell cover
+    * ([[radiusCells]] — pole-degenerate, antimeridian-wrapping, a
+    * superset every way); the exact HAVERSINE predicate is the
+    * residual. The trig lives ONLY in the residual — cell pruning
+    * stays pure comparisons — and haversine distances are engine-local
+    * (IEEE trig is not bit-portable across engines; the
+    * `vs_geo_radius_indexed` oracle is safe only because the corpus
+    * keeps every point far off the boundary — see that row's note).
+    */
   def readGeoRadius(latCol: String, lonCol: String,
                     lat: Double, lon: Double,
                     radiusMeters: Double): DataFrame = {

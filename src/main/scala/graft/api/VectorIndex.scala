@@ -95,7 +95,7 @@ class VectorIndex private (val points: DataFrame,
   def searchFilter(qvec: Seq[Double], filter: Filters.PFilter, k: Int,
                    metric: (Column, Column) => Column = l2Distance)
       : DataFrame = {
-    val scored = points.filter(Filters.toColumn(filter))
+    val scored = points.filter(Filters.toFilterColumn(filter))
       .withColumn("score", metric(lit(qvec.toArray), col("vector")))
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)
@@ -115,7 +115,7 @@ class VectorIndex private (val points: DataFrame,
 
   /** Qdrant `/points/count` with a filter object (`exact: true`). */
   def countByFilter(filter: Filters.PFilter): Long =
-    points.filter(Filters.toColumn(filter)).count()
+    points.filter(Filters.toFilterColumn(filter)).count()
 
   /** Text-query search — the full /search flow (search.py:31-49): embed
     * the query string with the SAME [[Embedder]] the collection was

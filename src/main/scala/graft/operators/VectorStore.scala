@@ -1026,6 +1026,20 @@ object VectorStore {
     eventsPayloadIndex(s, d).scrollOrderBy("value", "event_id", n)
       .select(col("event_id"), col("user_id"), col("value"))
 
+  /** The scroll's other half: `direction: desc` AND a composed filter
+    * (Qdrant scroll takes both) — the top-value page of the filtered
+    * event types, served from the HIGHEST zone's directories downward
+    * with the keyword IN-list pruning the same scan.
+    */
+  def scrollOrderByDescIndexed(s: SparkSession, d: String, n: Int = 40): DataFrame = {
+    import graft.api.Filters._
+    eventsPayloadIndex(s, d).scrollOrderBy("value", "event_id", n,
+      descending = true,
+      filter = Some(PFilter(must = Seq(
+        MatchAny("event_type", Seq("click", "purchase"))))))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** DATETIME-range aggregate through the events payload index
     * (Qdrant `field_schema="datetime"` serving a time-window filter):
     * the UTC wall-clock window consults the epoch-micros zone manifest

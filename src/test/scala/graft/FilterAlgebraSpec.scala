@@ -496,6 +496,35 @@ class FilterAlgebraSpec extends SparkSpecBase {
       FloatBounds("uid", gt = Some(Double.PositiveInfinity)))
   }
 
+  test("readFilter residuals PUSH to the parquet scan; total form stays negatable") {
+    val root = tmp()
+    val base = corpus()
+    val idx = build(root)
+    // the filter-context compile leaves comparisons raw, so the range
+    // and keyword leaves reach PushedFilters (row-group stats pruning
+    // INSIDE the selected zone dirs); the coalesce-wrapped total form
+    // pushed NOTHING (Coalesce has no source-filter translation)
+    val f = PFilter(must = Seq(RangeInt("uid", 1, 4), MatchValue("lang", "en")))
+    val scan = idx.readFilter(f).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(uid,1)") &&
+      pushed.contains("LessThanOrEqual(uid,4)"), s"got: $pushed")
+    // identical rows either way — a filter drops NULL exactly like
+    // FALSE (the corpus HAS null langs, so this is load-bearing)
+    sameRows(base.filter(Filters.toColumn(f)),
+      idx.readFilter(f))
+    // and the PUBLIC total form is the one that stays negation-safe:
+    // NOT(filter-context form) would DROP null-lang rows a Qdrant
+    // must_not must keep
+    val neg = base.filter(!Filters.toColumn(
+      PFilter(must = Seq(MatchValue("lang", "en")))))
+    assert(neg.filter(col("lang").isNull).count() ===
+      base.filter(col("lang").isNull).count(),
+      "negating the total form must keep NULL payloads")
+  }
+
   test("order_by scroll: zone-ordered pages ≡ global sort, keyset cursor, prefix-only scan") {
     val root = tmp()
     val base = corpus()
@@ -518,6 +547,26 @@ class FilterAlgebraSpec extends SparkSpecBase {
       .toSet
     assert(zonesScanned.size === 1,
       s"a 5-row first page must read one zone's slice, got $zonesScanned")
+    // direction: desc — pages walk the zones from the TOP, ties still
+    // ascend by id; keyset continues exactly
+    val globalDesc = base.orderBy(col("uid").desc, col("id").asc)
+      .collect().toSeq.map(key)
+    val d1 = idx.scrollOrderBy("uid", "id", 20, descending = true)
+      .collect().toSeq
+    assert(d1.map(key) === globalDesc.take(20))
+    val (dv, di) = key(d1.last)
+    val d2 = idx.scrollOrderBy("uid", "id", 20,
+      after = Some((dv.toString, di)), descending = true).collect().toSeq
+    assert((d1 ++ d2).map(key) === globalDesc.take(40))
+    // filter + order_by compose (the Qdrant scroll call shape): the
+    // page is the global order of the FILTERED rows
+    val pf = PFilter(must = Seq(MatchValue("lang", "en")))
+    val filteredGlobal = base
+      .filter(Filters.toColumn(pf))
+      .orderBy(col("uid").asc, col("id").asc).collect().toSeq.map(key)
+    val fp = idx.scrollOrderBy("uid", "id", 10, filter = Some(pf))
+      .collect().toSeq
+    assert(fp.map(key) === filteredGlobal.take(10))
     // validation: unzoned axes and bad pages are refused loudly
     intercept[IllegalArgumentException](idx.scrollOrderBy("site", "id", 5))
     intercept[IllegalArgumentException](idx.scrollOrderBy("uid", "id", 0))

@@ -146,12 +146,18 @@ object Bench {
         .exists(selected.contains),
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
       // the thin NULL-carrying collection behind the is_null/is_empty/
-      // values_count/has_id/nested condition rows and the deleteTo
-      // rotation source
+      // values_count/has_id/nested condition rows, PLUS the memoized
+      // deleteTo rotation its delete row serves from (an unpinned
+      // rotation fill would hide in that line's untimed warm-up)
       "nullable_index_warm" -> (Seq("vs_filter_is_null", "vs_filter_is_empty",
         "vs_filter_values_count", "vs_filter_has_id", "vs_filter_nested",
         "vs_delete_by_filter_indexed").exists(selected.contains),
-        () => { operators.VectorStore.nullableIndex(spark, sfDir); () }),
+        () => {
+          operators.VectorStore.nullableIndex(spark, sfDir)
+          if (selected.contains("vs_delete_by_filter_indexed"))
+            operators.VectorStore.deleteByFilterIndexed(spark, sfDir).count()
+          ()
+        }),
       // the session-memoized CORPUS EMBEDDINGS shared by the semantic
       // search line (raw text) and the eval's four arms (lowered) —
       // VERDICT r9 #7: unpinned, the first semantic line of a run
@@ -159,9 +165,15 @@ object Bench {
       "semantic_corpus_warm" -> (Seq("vs_text_search_semantic",
         "vs_semantic_recall_eval").exists(selected.contains),
         () => {
-          operators.VectorStore.w2vCorpusEmbedding(spark, sfDir, lowered = false)
-          operators.VectorStore.w2vCorpusEmbedding(spark, sfDir, lowered = true)
-          operators.VectorStore.fhCorpusEmbedding(spark, sfDir, lowered = true)
+          // each encode gated on the line that actually reads it — an
+          // unconditional fill would charge a single-line run two
+          // corpus encodes it never serves
+          if (selected.contains("vs_text_search_semantic"))
+            operators.VectorStore.w2vCorpusEmbedding(spark, sfDir, lowered = false)
+          if (selected.contains("vs_semantic_recall_eval")) {
+            operators.VectorStore.w2vCorpusEmbedding(spark, sfDir, lowered = true)
+            operators.VectorStore.fhCorpusEmbedding(spark, sfDir, lowered = true)
+          }
           ()
         }),
       // the LOWERCASED text index (folded postings are a separate

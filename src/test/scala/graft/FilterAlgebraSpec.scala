@@ -456,6 +456,12 @@ class FilterAlgebraSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](idx.readFilter(
       PFilter(must = Seq(Nested("elems",
         PFilter(must = Seq(MatchValue("missing", "x"))))))))
+    // the schema-aware IsEmpty->IsNull rewrite recurses INTO nested
+    // bodies: IsEmpty over a SCALAR element field compiles as IsNull
+    // (no size()-on-string AnalysisException) and matches nothing on
+    // this never-null corpus
+    assert(idx.readFilter(PFilter(must = Seq(Nested("elems",
+      PFilter(must = Seq(IsEmpty("author"))))))).isEmpty)
   }
 
   test("range bounds (gt/gte/lt/lte, each optional): exclusivity, open ends, zone pruning") {

@@ -80,6 +80,33 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
       idx.read(rangeFloat = Map("tag" -> (1.0, 2.0))))
   }
 
+  test("order_by scroll over a float axis: non-finite rows excluded, cursor stays finite") {
+    val root = tmp()
+    // a NaN row sorts ABOVE +Infinity in Spark: unguarded it lands on
+    // the last ascending page and the NEXT call's cursor parse
+    // (BigDecimal.valueOf) crashes with NumberFormatException
+    val base = fdf((1L to 20L).map(i => (i, "t", (21 - i) * 1.0)) :+
+      ((21L, "t", Double.NaN)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, float = Seq("score"),
+      nZones = 4)
+    val p1 = idx.scrollOrderBy("score", "id", 12).collect().toSeq
+    val (v, i) = (p1.last.getDouble(2), p1.last.getLong(0))
+    val p2 = idx.scrollOrderBy("score", "id", 12,
+      after = Some((v.toString, i))).collect().toSeq
+    assert((p1 ++ p2).map(_.getLong(0)).toSet === (1L to 20L).toSet,
+      "the full walk is exactly the finite rows — NaN never appears")
+    assert((p1 ++ p2).map(r => (r.getDouble(2), r.getLong(0))) ===
+      base.filter(!isnan(col("score")))
+        .orderBy(col("score").asc, col("id").asc)
+        .collect().toSeq.map(r => (r.getDouble(2), r.getLong(0))))
+    // a non-finite cursor is refused loudly, not parsed into a crash
+    intercept[IllegalArgumentException](
+      idx.scrollOrderBy("score", "id", 5, after = Some(("NaN", 1L))))
+    intercept[IllegalArgumentException](
+      idx.scrollOrderBy("score", "id", 5, after = Some(("Infinity", 1L))))
+  }
+
   test("NaN float payloads neither poison the manifest nor match any range") {
     val root = tmp()
     // Spark orders NaN above every double: unguarded, one NaN becomes

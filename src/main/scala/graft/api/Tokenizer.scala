@@ -47,6 +47,29 @@ final class BpeTokenizer private[api] (val merges: Seq[(String, String)])
   }
 }
 
+/** BYTE-LEVEL BPE (VERDICT r10 #8 — the GPT-2/tiktoken family actual
+  * LLM pipelines run): GPT-2-regex pretokenization + UTF-8 byte
+  * fallback, so there is NO out-of-vocabulary text by construction —
+  * any input decomposes to the 256-byte alphabet before merges apply.
+  * Merge symbols are uppercase hex pairs ([[graft.operators
+  * .TextAnalysis.byteSymbols]]).
+  */
+final class ByteBpeTokenizer private[api] (val merges: Seq[(String, String)])
+    extends Tokenizer {
+  override val kind = "byte_bpe"
+  override def encode(docs: DataFrame): DataFrame =
+    TextAnalysis.byteBpeEncodeOf(docs, merges)
+  override def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    // same step-0 header discipline as BpeTokenizer: a zero-merge model
+    // is a valid byte-level tokenizer and must load as one
+    (Seq((kind, 0L, "", "", 0L, 0L)) ++ merges.zipWithIndex
+      .map { case ((l, r), i) => (kind, i + 1L, l, r, 0L, 0L) })
+      .toDF("kind", "step", "left", "right", "n", "max_len")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+}
+
 final class UnigramTokenizer private[api] (val pieces: Seq[(String, Long)],
                                            val maxPieceLen: Int)
     extends Tokenizer {
@@ -71,6 +94,11 @@ object Tokenizer {
     new BpeTokenizer(TextAnalysis.bpeTrainOf(docs, nMerges, minPairCount)
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  def trainByteBpe(docs: DataFrame, nMerges: Int = 10,
+                   minPairCount: Long = 2): ByteBpeTokenizer =
+    new ByteBpeTokenizer(TextAnalysis.byteBpeTrainOf(docs, nMerges, minPairCount)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
   def trainUnigram(docs: DataFrame, vocabSize: Int = 120,
                    maxPieceLen: Int = 4, nIter: Int = 3,
                    seedSize: Int = 400): UnigramTokenizer =
@@ -87,6 +115,8 @@ object Tokenizer {
     all.head.getString(0) match {
       case "bpe" =>
         new BpeTokenizer(rows.map(r => (r.getString(2), r.getString(3))).toSeq)
+      case "byte_bpe" =>
+        new ByteBpeTokenizer(rows.map(r => (r.getString(2), r.getString(3))).toSeq)
       case "unigram" =>
         new UnigramTokenizer(
           rows.map(r => (r.getString(2), r.getLong(4))).toSeq,

@@ -133,6 +133,66 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Session-scoped memo of the PERSISTED [[graft.api.AnnIndex]] with
+    * payload axes — built once per corpus snapshot (the KMeans fit +
+    * one partitioned rewrite), then served by every filtered ANN
+    * query. The evict hook reclaims the temp artifact through the
+    * session's filesystem settings (the payloadIdxMemo discipline).
+    */
+  private val annIdxMemo =
+    new SessionMemo[Unit, (graft.api.AnnIndex, () => Unit)](_._2())
+
+  private[graft] def annPayloadIndex(s: SparkSession, d: String): graft.api.AnnIndex =
+    annIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ann-pfilter-").toString
+      // payload rides the layout: `tag` (vec_id mod 4, string) is the
+      // KEYWORD AXIS — a partition directory per value beside `list` —
+      // and `label` stays a filterable data column
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id"), toDouble(col("embedding")).as("vec"),
+          concat(lit("t"), (col("vec_id") % 4).cast("string")).as("tag"),
+          col("label").cast("long").as("label"))
+      val idx = graft.api.AnnIndex.build(corpus, s"$root/ivf", nlist = 8,
+        keyword = Seq("tag"))
+      (idx, () => {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: java.io.IOException => () }
+      })
+    }._1
+
+  /** The FULL Qdrant filter object through the persisted [[graft.api
+    * .AnnIndex]] (VERDICT r10 #5 — the uniform `filter:` reaching the
+    * ANN artifact): a composed tree (keyword-axis equality + open
+    * integer bound + `must_not` range) gates candidates inside the
+    * probed scan — the keyword arm prunes its partition DIRECTORY,
+    * composing multiplicatively with the probes' list pruning, and the
+    * rest rides as pushed/residual predicates. Probing ALL lists
+    * (nprobe = nlist) makes the route EXACT — the ANN mechanics with a
+    * DuckDB-checkable answer (the [[bruteTopK]] oracle discipline);
+    * production serving drops nprobe and trades recall for I/O
+    * explicitly.
+    */
+  def annPfilterTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import graft.api.Filters._
+    val idx = annPayloadIndex(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qvec"))
+      .head().getSeq[Double](0)
+    val res = idx.searchFilter(q, PFilter(
+        must = Seq(MatchValue("tag", "t1"),
+          IntBounds("vec_id", gte = Some(100L))),
+        mustNot = Seq(RangeInt("label", 0, 1))),
+      k, nprobe = 8)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    res.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("rank")
+  }
+
   /** IVF LIST-BALANCE AUDIT — the maintenance trigger behind
     * [[graft.api.AnnIndex]]'s "quantizer fixed until the imbalance
     * audit says rebuild" contract, as data: per-list member counts from

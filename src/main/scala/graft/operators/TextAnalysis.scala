@@ -548,6 +548,134 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** The GPT-2 pretokenization regex (Radford et al. 2019 — published
+    * with the model; the pattern virtually every byte-level BPE
+    * pipeline since has reused): contractions, optionally-space-
+    * prefixed letter runs, digit runs, symbol runs, and trailing /
+    * inner whitespace. Java regex syntax (\p{L}/\p{N} + lookahead)
+    * runs unchanged in Spark's codegen'd regexp_extract_all.
+    */
+  private[graft] val byteBpePretokenRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** A pretoken's BYTE-symbol sequence: UTF-8 bytes as uppercase hex
+    * pairs (`hex` then a zero-width \G split). Hex pairs ARE the
+    * 256-symbol byte alphabet — GPT-2's bytes_to_unicode table maps
+    * bytes to printable glyphs for the same purpose and differs only
+    * cosmetically; hex keeps the whole decomposition inside
+    * whole-stage codegen with no mapping table. Merged symbols are
+    * concatenated hex strings, so any byte sequence (emoji halves,
+    * split CJK code points) is representable mid-merge — the property
+    * byte-level BPE exists for.
+    */
+  private[graft] def byteSymbols(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    // Spark's split keeps TRAILING EMPTY strings (limit = -1 semantics,
+    // unlike Java's String.split default) and the zero-width \G pattern
+    // matches at end-of-input — drop the trailing "" or it becomes a
+    // phantom 257th symbol the merge loop happily learns pairs against
+    array_remove(split(hex(encode(w, "UTF-8")), "(?<=\\G..)"), "")
+
+  /** BYTE-LEVEL BPE TRAINING (VERDICT r10 #8 — the GPT-2/tiktoken
+    * tokenizer family actual LLM pipelines run, beside [[bpeTrain]]'s
+    * word-level form): pretokenize with [[byteBpePretokenRe]], decompose
+    * each pretoken to UTF-8 byte symbols ([[byteSymbols]] — no OOV by
+    * construction), and run the SAME distributed merge loop over the
+    * pretoken-frequency table. Returns (step, left, right, pair_count)
+    * with hex-pair symbol strings.
+    *
+    * Scale shape is [[bpeTrainOf]]'s: one corpus-sized groupBy builds
+    * the pretoken-frequency relation; every merge iteration runs over
+    * the DISTINCT-PRETOKEN vocabulary with a one-row TakeOrdered
+    * argmax; merges never cross pretoken boundaries (the regex is the
+    * boundary — GPT-2's rule). Determinism: ties break (left, right)
+    * lexicographic on the hex strings, the fold is left-to-right
+    * non-overlapping — parity-spec'd merge-for-merge against an
+    * in-Scala reference on UTF-8 edge cases.
+    */
+  def byteBpeTrain(s: SparkSession, d: String, nMerges: Int = 10,
+                   minPairCount: Long = 2): DataFrame =
+    byteBpeTrainOf(Tables.documents(s, d), nMerges, minPairCount)
+
+  /** [[byteBpeTrain]] over an arbitrary (doc_id, text) relation — the
+    * [[graft.api.Tokenizer]] training surface.
+    */
+  def byteBpeTrainOf(docs: DataFrame, nMerges: Int = 10,
+                     minPairCount: Long = 2): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(regexp_extract_all(col("text"),
+        lit(byteBpePretokenRe), lit(0))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(byteSymbols(col("w")).as("toks"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.length + 1, l, r, n))
+        words = words
+          .select(mergeFold(col("toks"), l, r).as("toks"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy("step")
+  }
+
+  /** [[byteBpeEncodeOf]] with the merge table trained on the same
+    * corpus — the driver-checked shape.
+    */
+  def byteBpeEncode(s: SparkSession, d: String, nMerges: Int = 10,
+                    minPairCount: Long = 2): DataFrame = {
+    val merges = byteBpeTrain(s, d, nMerges, minPairCount).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    byteBpeEncodeOf(Tables.documents(s, d), merges)
+  }
+
+  /** BYTE-LEVEL BPE ENCODING with a trained merge table — the apply
+    * side of [[byteBpeTrainOf]] ([[bpeEncodeOf]]'s discipline: the
+    * merge folds run over the DISTINCT-PRETOKEN vocabulary, never the
+    * token stream; doc counts come from one corpus pass joined back on
+    * the pretoken string). Per doc: pretoken count, BPE token count,
+    * and UTF-8 BYTE count (the byte-level analogue of n_chars —
+    * fertility is tokens/byte here).
+    */
+  def byteBpeEncodeOf(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val toks = merges.foldLeft(byteSymbols(col("w"))) {
+      case (c, (l, r)) => mergeFold(c, l, r)
+    }
+    val pretokens = docs
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(byteBpePretokenRe), lit(0))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = pretokens.select("w").distinct()
+      .select(col("w"), size(toks).as("n_toks"))
+    pretokens
+      .join(vocab, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        sum(length(encode(col("w"), "UTF-8"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** One left-to-right non-overlapping merge pass of BPE pair (l, r)
     * over a token array — shared by [[bpeTrain]] (the training loop's
     * vocabulary update) and [[bpeEncode]] (the apply side), so

@@ -317,6 +317,42 @@ object VectorStore {
       .select(col("id"), col("ctx_score"), col("target_cos"))
   }
 
+  /** CONTEXT-ONLY discovery (Qdrant /points/query `context:` with NO
+    * target — VERDICT r10 #4, [[discover]]'s sibling mode, the "browse
+    * away from negatives" call): rank by the context score ALONE —
+    * Σ min(0, cos(v,pos) − cos(v,neg)) over the example pairs; a point
+    * scores 0 (best) when it sits on the positive side of every pair's
+    * bisecting boundary, each violated pair subtracting its margin.
+    * Qdrant documents context results as unordered within a score
+    * level; ties break by id here (deterministic, oracle-stable). Same
+    * physical shape as [[discover]]: example vectors inline as
+    * literals, one map pass + k-row TakeOrdered, the corpus never
+    * shuffles. Pair terms subtract 4dp-rounded cosines so the ranking
+    * is engine-portable. The library form is
+    * [[graft.api.VectorIndex!.contextSearch]].
+    */
+  def contextSearch(s: SparkSession, d: String,
+                    pairs: Seq[(Long, Long)] = Seq((1L, 2L), (3L, 4L)),
+                    k: Int = 10): DataFrame = {
+    val pts = Tables.points(s, d)
+    val exIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(Long.box)
+    val vecs = pts.filter(col("id").isin(exIds: _*))
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    exIds.foreach(id => require(vecs.contains(id),
+      s"context example point $id is not in the collection"))
+    def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
+    val ctx = pairs.map { case (p, n) =>
+      least(lit(0.0), round(cosineSim(col("vector"), litVec(p)), 4) -
+        round(cosineSim(col("vector"), litVec(n)), 4))
+    }.reduce(_ + _)
+    pts.filter(!col("id").isin(exIds: _*))
+      .withColumn("ctx_score", round(ctx, 4))
+      .orderBy(col("ctx_score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("ctx_score"))
+  }
+
   /** Qdrant /recommend with `strategy: best_score` — the OTHER published
     * recommend strategy beside [[recommend]]'s average_vector: instead
     * of searching with one synthetic query vector, each candidate is
@@ -551,6 +587,25 @@ object VectorStore {
       .groupBy(col("site"), col("lang"))
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_tenants"))
       .orderBy("site", "lang")
+
+  /** [[facetCounts]] under the FULL filter OBJECT (VERDICT r10 #9 —
+    * Qdrant's facet API takes the same `filter:` every query mode
+    * takes, not just an eq-list): site facets of the tenant range
+    * MINUS an excluded language, through [[graft.api.PayloadIndex!
+    * .readFilter]] — the range prunes zone directories, the negated
+    * keyword prunes complement directories, and the facet aggregate
+    * runs over the pruned survivors (partial-agg'd; the corpus never
+    * shuffles payloads, only (site, partial-count) rows).
+    */
+  def facetCountsFiltered(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    payloadIndex(s, d).readFilter(PFilter(
+      must = Seq(RangeInt("user_id", 1, 8)),
+      mustNot = Seq(MatchValue("lang", "de"))))
+      .groupBy(col("site"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_tenants"))
+      .orderBy("site")
+  }
 
   /** Keyset SCROLL page (the reference pages its collection with
     * client.scroll to drive word/regex deletes — app.py:99-107): one
@@ -1058,6 +1113,43 @@ object VectorStore {
         countDistinct("user_id").as("n_users"))
       .orderBy("event_type")
 
+  /** RFC 3339 datetime bounds through the same index route (VERDICT
+    * r10 #2 — `2024-01-05T12:00:00Z` is the first literal a porting
+    * Qdrant user types, and the engine previously threw on the `T`):
+    * a half-open window whose lower bound uses the `Z` suffix and
+    * whose upper uses a `+02:00` offset — both normalize to UTC micros
+    * DRIVER-side, so the zone pruning and the pushed TIMESTAMP-literal
+    * residual are byte-identical to the wall-clock-form plan, and the
+    * oracle states the window in converted UTC (the +02:00 bound IS
+    * 04:30 UTC — the offset arithmetic is what this row proves).
+    * Composed with a keyword arm in one filter tree.
+    */
+  def eventsTsRangeRfc3339Indexed(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    eventsPayloadIndex(s, d).readFilter(PFilter(must = Seq(
+      MatchValue("event_type", "click"),
+      TimeBounds("ts", gte = Some("2024-01-05T12:00:00Z"),
+        lt = Some("2024-01-07T06:30:00+02:00")))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").as("sum_id"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Qdrant `order_by.start_from` — the public VALUE-ONLY cursor form
+    * (VERDICT r10 #6: begin AT a value, inclusive, no id tie-break —
+    * `after`'s keyset pair is this library's richer internal cursor):
+    * one mid-stream page of the value order starting at 100.0, served
+    * from the zone prefix the cursor admits. Spec'd ≡ `after = (v, -∞)`;
+    * oracle = the scan form's `value >= 100` ordered page.
+    */
+  def scrollStartFromIndexed(s: SparkSession, d: String, n: Int = 40,
+                             from: String = "100.0"): DataFrame =
+    eventsPayloadIndex(s, d).scrollOrderBy("value", "event_id", n,
+      startFrom = Some(from))
+      .select(col("event_id"), col("user_id"), col("value"))
+
   /** [[geoSearch]] routed through the GEO payload index (Qdrant
     * `field_schema="geo"` serving `geo_bounding_box`): the box maps to
     * its overlapping fixed-grid cells driver-side and the scan reads
@@ -1126,6 +1218,38 @@ object VectorStore {
       minShould = Some((Seq(MatchValue("lang", "en"),
         MatchValue("site", "src3"), RangeInt("user_id", 0, 5)), 2)))), k)
   }
+
+  /** Qdrant `match: {phrase:}` as a first-class filter-TREE condition
+    * (VERDICT r10 #1 — the phrase ROUTE existed via readMatchPhrase,
+    * but a Qdrant user composes phrase with ranges and keywords in ONE
+    * `must`/`must_not` tree): phrase + integer range + negated keyword
+    * through [[graft.api.PayloadIndex!.readFilter]]. On this
+    * POSITIONAL index the phrase arm gates the scan through the
+    * (row, pos − i) phrase-START set — the data scan reads only true
+    * phrase matches (gate rows = final matches, plan-spec'd) — while
+    * the range prunes zones and the negated keyword prunes complement
+    * directories; the full-tree residual re-verifies. Results ≡ the
+    * scan route (same oracle SQL, Qdrant NULL semantics).
+    */
+  def searchFilterPhrase(s: SparkSession, d: String, k: Int = 10,
+                         phrase: String = "the data"): DataFrame = {
+    import graft.api.Filters._
+    filterRank(s, d, payloadIndex(s, d).readFilter(PFilter(
+      must = Seq(MatchPhrase("text", phrase), RangeInt("user_id", 1, 15)),
+      mustNot = Seq(MatchValue("lang", "de")))), k)
+  }
+
+  /** The GENERIC filter-object search — any caller-built [[graft.api
+    * .Filters.PFilter]] tree through the indexed route + the shared
+    * rank tail. This is what the SQL surface calls (VERDICT r10 #7):
+    * `graft_query('vs_search_filter_should', dir, map('filter',
+    * '{"must": [...]}'))` parses the Qdrant-syntax JSON
+    * ([[graft.api.Filters.fromJson]]) and lands here, so a SQL-only
+    * client reaches the full boolean algebra.
+    */
+  def searchFilterWith(s: SparkSession, d: String,
+                       pf: graft.api.Filters.PFilter, k: Int = 10): DataFrame =
+    filterRank(s, d, payloadIndex(s, d).readFilter(pf), k)
 
   /** The shared rank tail of the filter-algebra searches: cosine
     * against point 1's vector over the filtered slice, k-row
@@ -1528,6 +1652,25 @@ object VectorStore {
       .orderBy(col("hk"), col("id"))
       .limit(k)
       .select(col("id"), col("user_id"), col("site"), col("lang"))
+
+  /** [[randomSample]] under the FULL filter OBJECT (VERDICT r10 #9 —
+    * Qdrant's `"sample": "random"` composes with `filter:` like every
+    * query mode): the deterministic hash-order draw over the
+    * [[graft.api.PayloadIndex!.readFilter]]-pruned slice — keyword
+    * IN-list directories ∩ tenant zone slice — so the k-row
+    * TakeOrdered reads the filter's survivors only, never the
+    * collection.
+    */
+  def randomSampleFiltered(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import graft.api.Filters._
+    payloadIndex(s, d).readFilter(PFilter(
+      must = Seq(MatchAny("lang", Seq("en", "fr")), RangeInt("user_id", 2, 12))))
+      .withColumn("hk",
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("hk"), col("id"))
+      .limit(k)
+      .select(col("id"), col("user_id"), col("site"), col("lang"))
+  }
 
   /** Qdrant FORMULA QUERY (score boosting, Qdrant 1.14): final score =
     * a payload-conditional re-weighting of the similarity score —

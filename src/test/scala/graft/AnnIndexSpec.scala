@@ -64,6 +64,42 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("searchFilter: the full filter object ≡ brute force over the same predicate") {
+    import graft.api.Filters._
+    val path = tmp("pfilter")
+    val withPayload = corpus
+      .withColumn("tag", concat(lit("t"), (col("vec_id") % 4).cast("string")))
+      .withColumn("label", col("vec_id") % 10)
+    val idx = AnnIndex.build(withPayload, path, nlist = 4, keyword = Seq("tag"))
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    // composed tree: keyword-axis equality + open integer bound +
+    // must_not range — probing ALL lists makes the route exact
+    val f = PFilter(
+      must = Seq(MatchValue("tag", "t1"), IntBounds("vec_id", gte = Some(100L))),
+      mustNot = Seq(RangeInt("label", 0, 1)))
+    val got = idx.searchFilter(qvec, f, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = withPayload
+      .filter(col("vec_id") % 4 === 1 && col("vec_id") >= 100 &&
+        !col("label").between(0, 1))
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === brute.toSeq)
+    assert(got.nonEmpty &&
+      got.forall(id => id % 4 == 1 && id >= 100 && id % 10 > 1))
+    // the keyword arm stays a raw partition-column comparison in the
+    // filter-context compile, so the catalog prunes its directory
+    // (composing with the probes' list pruning)
+    val plan = idx.searchFilter(qvec, f, 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tag#"), plan)
+    // unknown fields refuse loudly at the API boundary
+    intercept[IllegalArgumentException](
+      idx.searchFilter(qvec, PFilter(must = Seq(MatchValue("nope", "x"))), 5))
+  }
+
   test("incremental insert assigns to existing lists and is immediately searchable") {
     val path = tmp("insert")
     val oldHalf = corpus.filter(col("vec_id") % 2 === 0)

@@ -96,6 +96,52 @@ class GraftQuerySpec extends SparkSpecBase {
     assert(indexed === multi)
   }
 
+  test("the filter boolean algebra is reachable from SQL as a JSON filter object") {
+    import graft.api.Filters._
+    // the Qdrant wire form rides the map(...) literal (the compact
+    // 'k=v' form splits on commas, which JSON carries)
+    val json =
+      """{"must": [{"key": "user_id", "range": {"gte": 2, "lte": 9}}],
+        | "should": [{"key": "lang", "match": {"value": "en"}},
+        |            {"key": "site", "match": {"value": "src3"}}]}""".stripMargin
+    val viaSql = spark.sql(
+      s"""SELECT * FROM graft_query('vs_search_filter_should', '$sf',
+         |map('filter', '${json.replace("'", "''").replace("\n", " ")}'))"""
+        .stripMargin).collect().toSeq
+    val direct = operators.VectorStore.searchFilterWith(spark, sf,
+      PFilter(must = Seq(IntBounds("user_id", gte = Some(2L), lte = Some(9L))),
+        should = Seq(MatchValue("lang", "en"), MatchValue("site", "src3"))))
+      .collect().toSeq
+    assert(viaSql === direct && viaSql.nonEmpty)
+    // the SAME SQL tree equals the canonical oracle-gated entry — the
+    // JSON route and the hand-built route are one plan
+    assert(viaSql === operators.VectorStore.searchFilterShould(spark, sf)
+      .collect().toSeq)
+    // must_not + min_should from SQL too
+    val json2 =
+      """{"must_not": [{"key": "lang", "match": {"value": "de"}}],
+        | "min_should": {"conditions": [
+        |   {"key": "lang", "match": {"value": "en"}},
+        |   {"key": "user_id", "range": {"gte": 0, "lte": 5}}],
+        |   "min_count": 1}}""".stripMargin
+    val viaSql2 = spark.sql(
+      s"""SELECT * FROM graft_query('vs_search_filter_should', '$sf',
+         |map('filter', '${json2.replace("'", "''").replace("\n", " ")}'))"""
+        .stripMargin).collect().toSeq
+    val direct2 = operators.VectorStore.searchFilterWith(spark, sf,
+      PFilter(mustNot = Seq(MatchValue("lang", "de")),
+        minShould = Some((Seq(MatchValue("lang", "en"),
+          IntBounds("user_id", gte = Some(0L), lte = Some(5L))), 1))))
+      .collect().toSeq
+    assert(viaSql2 === direct2 && viaSql2.nonEmpty)
+    // malformed JSON refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"""SELECT * FROM graft_query('vs_search_filter_should', '$sf',
+         |map('filter', '{"frobnicate": []}'))""".stripMargin).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage.contains("unknown filter clause")))
+  }
+
   test("parameter validation fails loudly: unknown keys, bad values, unparameterized ops") {
     def err(sql: String): String = {
       val e = intercept[Exception](spark.sql(sql).collect())

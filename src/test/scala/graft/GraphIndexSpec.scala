@@ -64,6 +64,30 @@ class GraphIndexSpec extends SparkSpecBase {
     assert(cs === cs.sorted.reverse)
   }
 
+  test("searchFilter: the filter object ≡ the hand-built column post-filter") {
+    import graft.api.Filters._
+    val q = queryVecs.head
+    val viaObj = built.searchFilter(q,
+      PFilter(must = Seq(MatchValue("site", "site0"))), k = 5, beam = 20, hops = 3)
+      .collect().map(_.toSeq).toSeq
+    val viaCol = built.search(q, k = 5, beam = 20, hops = 3,
+      filter = Some(coalesce(col("site") === "site0", lit(false))))
+      .collect().map(_.toSeq).toSeq
+    assert(viaObj === viaCol)
+    // a composed tree (should group over two sites) honors Qdrant
+    // semantics and still fills the page through the depth contract
+    val f = PFilter(should = Seq(MatchValue("site", "site1"),
+      MatchValue("site", "site2")))
+    val hits = built.searchFilter(q, f, k = 5, beam = 20, hops = 3).collect()
+    assert(hits.length === 5)
+    val allowed = corpus.filter(col("site").isin("site1", "site2"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getLong(1)).forall(allowed))
+    // unknown fields refuse loudly at the boundary
+    intercept[IllegalArgumentException](
+      built.searchFilter(q, PFilter(must = Seq(MatchValue("nope", "x"))), 5))
+  }
+
   test("a ~1%-selective filter still returns k rows (widen, then brute fallback)") {
     // VERDICT r4 #9: post-filter + fixed oversample silently returned
     // < k on very selective filters. The depth contract: widen the

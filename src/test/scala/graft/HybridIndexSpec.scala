@@ -101,6 +101,41 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(viaAll.toSeq === unfiltered.toSeq)
   }
 
+  test("filter object reaches every search tier via the payload allow-set") {
+    import graft.api.Filters._
+    val terms = Seq("join", "hash", "scan", "merge")
+    // payload lives beside the hybrid artifact — the documents relation
+    // with a derived tenant field
+    val payload = Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 2).as("parity"), col("lang"))
+    val f = PFilter(must = Seq(RangeInt("parity", 0, 0)),
+      mustNot = Seq(MatchValue("lang", "de")))
+    val allow = payload.filter(
+      coalesce(col("parity").between(0, 0), lit(false)) &&
+        !coalesce(col("lang") === "de", lit(false))).select("doc_id")
+    // each tier: the filter-object form ≡ the hand-built allow-set form
+    assert(index.keywordSearchFiltered(terms, payload, f, k = 5)
+      .collect().map(_.toSeq).toSeq ===
+      index.keywordSearch(terms, k = 5, allow = Some(allow))
+        .collect().map(_.toSeq).toSeq)
+    assert(index.searchFiltered(terms, qvec, payload, f, k = 5)
+      .collect().map(_.toSeq).toSeq ===
+      index.search(terms, qvec, k = 5, allow = Some(allow))
+        .collect().map(_.toSeq).toSeq)
+    assert(index.sparseSearchFiltered(Map("join" -> 1.0), payload, f, k = 5)
+      .collect().map(_.toSeq).toSeq ===
+      index.sparseSearch(Map("join" -> 1.0), k = 5, allow = Some(allow))
+        .collect().map(_.toSeq).toSeq)
+    assert(index.keywordSearchFiltered(terms, payload, f, k = 5)
+      .collect().nonEmpty)
+    // validation is loud: unknown field, missing doc_id column
+    intercept[IllegalArgumentException](
+      index.allowSet(payload, PFilter(must = Seq(MatchValue("nope", "x")))))
+    intercept[IllegalArgumentException](
+      index.allowSet(payload.drop("doc_id"),
+        PFilter(must = Seq(MatchValue("lang", "en")))))
+  }
+
   test("sparseSearchByDoc is bit-for-bit parity with the vs_sparse_search operator") {
     val expected = VectorStore.sparseSearch(spark, sf, queryDoc = 0).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -42,6 +42,121 @@ class TokenizerSpec extends SparkSpecBase {
     assert(counts(back.encode(docs)) === direct)
   }
 
+  // ---- byte-level BPE (VERDICT r10 #8): in-Scala reference twin ----
+
+  /** Reference byte-level BPE trainer — plain Scala loops, independent
+    * of the Spark implementation: GPT-2-regex pretokens → UTF-8 bytes
+    * as uppercase hex pairs → greedy highest-count pair with (l, r)
+    * lexicographic tie-break → left-to-right non-overlapping merge.
+    */
+  private def refByteBpe(texts: Seq[String], nMerges: Int,
+                         minPair: Long): Seq[(String, String)] = {
+    val re = TextAnalysis.byteBpePretokenRe.r
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(t => re.findAllIn(t).toSeq)
+      .filter(_.nonEmpty)
+      .groupBy(w => w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList)
+      .view.mapValues(_.size.toLong).toMap
+    def mergeOnce(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      toks.foreach { t =>
+        if (out.nonEmpty && out.last == l && t == r)
+          out(out.length - 1) = l + r
+        else out += t
+      }
+      out.toList
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (toks, n) =>
+        toks.zip(toks.drop(1)).foreach(p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + n)
+      }
+      if (pairs.isEmpty) continue = false
+      else {
+        val (best, n) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        if (n < minPair) continue = false
+        else {
+          merges += best
+          vocab = vocab.toSeq.map { case (toks, c) =>
+            (mergeOnce(toks, best._1, best._2), c) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("byte-level bpe: merge-for-merge parity with the in-Scala reference on UTF-8 edge cases") {
+    import spark.implicits._
+    // multibyte UTF-8 everywhere: accents, CJK, emoji (4-byte),
+    // combining marks, contractions, digits, punctuation runs
+    val texts = Seq(
+      "the café serves café crème and naïve clients",
+      "日本語のテキスト 日本語の formats 123 456 123",
+      "rockets 🚀🚀 and more 🚀 rockets can't won't don't",
+      "straße STRASSE strasse... straße!!! the the the",
+      "mixed: café 日本語 🚀 can't 123 the café")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val spark0 = TextAnalysis.byteBpeTrainOf(docs, nMerges = 24, minPairCount = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val ref = refByteBpe(texts, nMerges = 24, minPair = 2L)
+    assert(spark0 === ref,
+      s"merge tables diverge:\n spark=$spark0\n ref=$ref")
+    assert(spark0.size === 24)
+    // every merge symbol is a hex-pair string (whole UTF-8 bytes —
+    // emoji and CJK decompose below the code point, the byte-level
+    // property)
+    assert(spark0.forall { case (l, r) =>
+      (l + r).matches("([0-9A-F]{2})+") })
+    // and some learned merge crosses a multibyte character's bytes
+    // (the corpus is mostly multibyte — byte-level must merge there)
+    val multibyte = spark0.exists { case (l, r) =>
+      (l + r).grouped(2).exists(h => Integer.parseInt(h, 16) >= 0x80) }
+    assert(multibyte, s"no multibyte-byte merge learned: $spark0")
+  }
+
+  test("byte-level bpe tokenizer: no OOV by construction, save/load round trip") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val tok = Tokenizer.trainByteBpe(docs, nMerges = 12)
+    assert(tok.merges.nonEmpty && tok.kind === "byte_bpe")
+    val direct = counts(TextAnalysis.byteBpeEncode(spark, sf, nMerges = 12))
+    assert(counts(tok.encode(docs)) === direct)
+    val path = tmp("bytebpe")
+    tok.save(spark, path)
+    val back = Tokenizer.load(spark, path)
+    assert(back.kind === "byte_bpe")
+    assert(back.asInstanceOf[graft.api.ByteBpeTokenizer].merges === tok.merges)
+    assert(counts(back.encode(docs)) === direct)
+    // NO out-of-vocabulary text: a corpus of never-seen scripts still
+    // encodes (everything decomposes to bytes before merges), with
+    // n_tokens ≤ the raw byte count and n_chars = exact UTF-8 bytes
+    val foreign = Seq((1L, "Ωμέγα κείμενο"), (2L, "🚀🚀🚀"),
+      (3L, "mixed ascii and 日本語")).toDF("doc_id", "text")
+    val enc = back.encode(foreign).collect()
+    assert(enc.length === 3)
+    val bytes = Map(1L -> "Ωμέγα κείμενο", 2L -> "🚀🚀🚀",
+      3L -> "mixed ascii and 日本語")
+      .view.mapValues(_.getBytes("UTF-8").length.toLong).toMap
+    enc.foreach { r =>
+      assert(r.getLong(3) === bytes(r.getLong(0)),
+        s"n_chars must be the exact UTF-8 byte count for doc ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) > 0,
+        "token count must be positive and bounded by the byte count")
+    }
+    // zero-merge model round-trips (the step-0 header discipline)
+    val zero = Tokenizer.trainByteBpe(docs, nMerges = 0)
+    val zp = tmp("bytebpe0")
+    zero.save(spark, zp)
+    assert(Tokenizer.load(spark, zp).kind === "byte_bpe")
+    assert(Tokenizer.load(spark, zp)
+      .asInstanceOf[graft.api.ByteBpeTokenizer].merges.isEmpty)
+  }
+
   test("a persisted tokenizer encodes a corpus it never trained on (OOV chars -> whole-word tokens)") {
     import spark.implicits._
     val tok = Tokenizer.trainUnigram(Tables.documents(spark, sf))

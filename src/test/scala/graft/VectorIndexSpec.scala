@@ -292,6 +292,59 @@ class VectorIndexSpec extends SparkSpecBase {
       when(col("id") % 4 === 0, lit(null).cast("string"))
         .otherwise(col("lang"))))
 
+  test("filter surfaces validate at the API boundary (ADVICE r10)") {
+    import graft.api.Filters._
+    val q = Tables.points(spark, sf).filter(col("id") === 0)
+      .select("vector").head().getSeq[Double](0)
+    // an unknown field refuses with the contract's loud
+    // IllegalArgumentException — never a raw AnalysisException deep in
+    // plan analysis
+    intercept[IllegalArgumentException](
+      index.searchFilter(q, PFilter(must = Seq(MatchValue("nope", "x"))), 5))
+    intercept[IllegalArgumentException](
+      index.countByFilter(PFilter(must = Seq(IsNull("missing_field")))))
+    intercept[IllegalArgumentException](
+      index.deleteByFilter(PFilter(must = Seq(MatchAny("zzz", Seq("a"))))))
+    // wrong-typed conditions refuse too: values_count over a scalar
+    intercept[IllegalArgumentException](
+      index.countByFilter(PFilter(must = Seq(ValuesCount("lang", 1, 2)))))
+    // is_empty over a SCALAR column rewrites to is_null (the schema-
+    // aware PayloadIndex discipline on the plain collection — no
+    // size()-on-string analysis crash)
+    val withNulls = new_indexWithNullLang()
+    assert(withNulls.countByFilter(PFilter(must = Seq(IsEmpty("lang")))) ===
+      withNulls.points.filter(col("lang").isNull).count())
+  }
+
+  test("contextSearch ranks by the pair-boundary score alone (no target)") {
+    val pairs = Seq((1L, 2L), (3L, 4L))
+    val got = index.contextSearch(pairs, k = 8).collect()
+    assert(got.length === 8)
+    // parity with the hand-built context expression over the collection
+    val vecs = index.points.filter(col("id").isin(1L, 2L, 3L, 4L))
+      .select("id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def litVec(id: Long) = array(vecs(id).map(lit): _*)
+    val ctx = pairs.map { case (p, n) =>
+      least(lit(0.0),
+        graft.functions.Vectors.cosineSim(col("vector"), litVec(p)) -
+          graft.functions.Vectors.cosineSim(col("vector"), litVec(n)))
+    }.reduce(_ + _)
+    val expected = index.points
+      .filter(!col("id").isin(1L, 2L, 3L, 4L))
+      .withColumn("cs", ctx)
+      .orderBy(col("cs").desc, col("id").asc).limit(8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got.map(_.getLong(0)).toSeq === expected)
+    // example points are excluded; scores are never positive (each
+    // term is min(0, ·))
+    assert(got.forall(r => !Set(1L, 2L, 3L, 4L).contains(r.getLong(0))))
+    assert(got.forall(_.getDouble(2) <= 0.0))
+    // a missing example id refuses loudly; empty pair list refuses
+    intercept[IllegalArgumentException](index.contextSearch(Seq((1L, -999L))))
+    intercept[IllegalArgumentException](index.contextSearch(Seq.empty))
+  }
+
   test("classify assigns the nearest category representative") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("item_id"),

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_l2"),
       info("graft_l2", classOf[L2Distance]),
       (args: Seq[Expression]) => L2Distance(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l1"),
+      info("graft_l1", classOf[L1Distance]),
+      (args: Seq[Expression]) => L1Distance(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", classOf[CosineSimilarity]),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

@@ -27,6 +27,7 @@ object SparkEntry {
     // core vector-store surface (reference parity)
     "vs_upsert_latest" -> VectorStore.upsertLatest _,
     "vs_search_topk" -> VectorStore.searchTopK _,
+    "vs_search_topk_l1" -> VectorStore.searchTopKL1 _,
     "vs_search_topk_filtered" -> VectorStore.searchTopKFiltered _,
     "vs_search_topk_filtered_indexed" -> VectorStore.searchTopKFilteredIndexed _,
     "vs_search_match_text_indexed" ->
@@ -646,6 +647,18 @@ object SparkEntry {
          |  list_distance(p.vector, q.qvec) AS sr FROM pts p, q WHERE p.user_id = 7),
          |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
          |SELECT rank, id, string, round(sr, 4) AS score FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    // Manhattan metric (Qdrant Distance.Manhattan): the |diff| sums run
+    // in index order on both engines — same IEEE sequence, exact match
+    "vs_search_topk_l1" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.id,
+         |  list_sum(list_transform(list_zip(q.qvec, p.vector),
+         |    x -> abs(x[1] - x[2]))) AS sr
+         |  FROM pts p, q WHERE p.user_id = 7),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, round(sr, 4) AS score FROM r WHERE rank <= 5
+         |ORDER BY rank""".stripMargin,
     "vs_search_topk_filtered" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),

@@ -31,6 +31,10 @@ object Vectors {
   /** Euclidean distance — the reference collection's metric. */
   def l2Distance(a: Column, b: Column): Column = c(L2DistanceExpr(e(a), e(b)))
 
+  /** Manhattan distance — Qdrant's fourth metric (`Distance.Manhattan`). */
+  def l1Distance(a: Column, b: Column): Column =
+    c(org.apache.spark.sql.graft.L1Distance(e(a), e(b)))
+
   /** Cosine similarity (dot / (‖a‖·‖b‖)), one fused pass. */
   def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 

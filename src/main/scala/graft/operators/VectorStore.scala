@@ -89,6 +89,27 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** [[searchTopK]] under the MANHATTAN metric — Qdrant's fourth
+    * distance (`Distance.Manhattan`, beside cosine/dot/euclid; the one
+    * the engine lacked): Σ|aᵢ−bᵢ| as a native codegen'd expression
+    * ([[graft.functions.Vectors.l1Distance]]), same tenant-pruned scan
+    * + k-row TakeOrdered shape. The metric is a seam, not a fork —
+    * every search surface takes `metric:` and this row proves the L1
+    * kernel against DuckDB's lambda-sum of the same |diff| sequence.
+    */
+  def searchTopKL1(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").asc, col("id").asc)
+    pts.filter(col("user_id") === 7)
+      .join(broadcast(q))
+      .withColumn("score", graft.functions.Vectors.l1Distance(col("qvec"), col("vector")))
+      .orderBy(col("score").asc, col("id").asc).limit(5)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   /** app.py:57-75 — search with user_id + site + lang payload filter. */
   def searchTopKFiltered(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.points(s, d)

@@ -93,6 +93,23 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
+/** Σ|aᵢ − bᵢ| — MANHATTAN distance, Qdrant's fourth metric
+  * (`Distance.Manhattan`, beside cosine / dot / euclid): one
+  * abs-accumulate per element, same codegen shape as [[L2Distance]].
+  */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_l1"
+  override protected def kernel(xi: String, yi: String, s: String, sa: String, sb: String) =
+    (s"$s += java.lang.Math.abs($xi - $yi);", s)
+  override protected def evalLoop(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** dot/(‖a‖·‖b‖) in one pass over both arrays. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine"

@@ -749,6 +749,37 @@ class FilterAlgebraSpec extends SparkSpecBase {
       after = Some(("3", 0L)), startFrom = Some("3")))
   }
 
+  test("order_by on a DATETIME axis: pages, RFC 3339 cursors, start_from") {
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, ts TIMESTAMP")
+    val rows = (0L until 96L).map { i =>
+      org.apache.spark.sql.Row(i,
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds((i % 48) * 3600))) } // duplicate values → id ties
+    val base = spark.createDataFrame(rows.asJava, schema)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq.empty, datetime = Seq("ts"), nZones = 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(1).getTime, r.getLong(0))
+    val global = base.orderBy(col("ts").asc, col("id").asc).collect().toSeq.map(key)
+    val p1 = idx.scrollOrderBy("ts", "id", 30).collect().toSeq
+    assert(p1.map(key) === global.take(30))
+    // the keyset cursor takes RFC 3339 — the page-2 value in Z form
+    val lastTs = java.time.Instant.ofEpochMilli(key(p1.last)._1).toString
+    assert(lastTs.endsWith("Z"))
+    val p2 = idx.scrollOrderBy("ts", "id", 30,
+      after = Some((lastTs, key(p1.last)._2))).collect().toSeq
+    assert((p1 ++ p2).map(key) === global.take(60))
+    // start_from in offset form: 12:00+02:00 ≡ 10:00 UTC, inclusive
+    val sf = idx.scrollOrderBy("ts", "id", 10,
+      startFrom = Some("2024-01-01T12:00:00+02:00")).collect().toSeq
+    val expected = base
+      .filter(col("ts") >= java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T10:00:00Z")))
+      .orderBy(col("ts").asc, col("id").asc).limit(10).collect().toSeq
+    assert(sf.map(key) === expected.map(key))
+  }
+
   test("fromJson: the Qdrant wire form parses to the exact condition tree") {
     val got = Filters.fromJson(
       """{"must": [

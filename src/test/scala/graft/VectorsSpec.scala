@@ -20,6 +20,26 @@ class VectorsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(3) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("l1 (Manhattan — Qdrant's fourth metric): codegen ≡ interpreted ≡ hand math, NULL-safe") {
+    val df = Seq((Seq(1.0, 2.0, 3.5), Seq(4.0, 0.5, 3.0))).toDF("a", "b")
+    assert(df.select(l1Distance(col("a"), col("b"))).head().getDouble(0) === 5.0)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = org.apache.spark.sql.graft.L1Distance(
+      Literal.create(Seq(1.0, 2.0, 3.5), ArrayType(DoubleType)),
+      Literal.create(Seq(4.0, 0.5, 3.0), ArrayType(DoubleType)))
+    assert(expr.eval(null).asInstanceOf[Double] === 5.0)
+    // NULL input → NULL out (no crash), matching the other kernels
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(l1Distance(col("a"), col("b"))).head().isNullAt(0))
+    // the SQL surface rides the same expression
+    assert(spark.sql(
+      "SELECT graft_l1(array(1.0d, 2.0d, 3.5d), array(4.0d, 0.5d, 3.0d))")
+      .head().getDouble(0) === 5.0)
+  }
+
   test("normalize yields unit vectors") {
     val df = Seq(Tuple1(Seq(3.0, 4.0))).toDF("a")
     val r = df.select(normalize(col("a")).as("u")).head().getSeq[Double](0)

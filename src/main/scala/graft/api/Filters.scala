@@ -88,7 +88,12 @@ object Filters {
     * POSITIONAL start-set when the index carries positions (the data
     * scan reads only true phrase matches), the conjunctive token
     * intersection otherwise (lossless: containment of every token is
-    * implied by phrase containment).
+    * implied by phrase containment). Adjacency means SINGLE-SPACE
+    * adjacency — the corpus-wide tokenization convention every text
+    * operator here shares (postings split on " ", the padded residual
+    * probes " t1 t2 "), so the gate and the residual agree exactly on
+    * any input; a tab- or double-space-separated pair is not a phrase
+    * match on either route.
     */
   final case class MatchPhrase(field: String, phrase: String) extends PCond
 
@@ -232,13 +237,16 @@ object Filters {
     * matches, AND at least `minShould._2` of `minShould._1` match
     * (when present).
     */
+  /** An ALL-EMPTY filter MATCHES EVERYTHING — Qdrant's convention (a
+    * wire client's `{}` / `{"must": []}` is the no-op filter), honored
+    * here so [[fromJson]] wire input round-trips; the compiler's
+    * defensive total reduce makes it `lit(true)`.
+    */
   final case class PFilter(must: Seq[PCond] = Nil,
                            should: Seq[PCond] = Nil,
                            mustNot: Seq[PCond] = Nil,
                            minShould: Option[(Seq[PCond], Int)] = None)
       extends PCond {
-    require(must.nonEmpty || should.nonEmpty || mustNot.nonEmpty ||
-      minShould.nonEmpty, "empty filter — give at least one clause")
     minShould.foreach { case (cs, m) =>
       require(m >= 1 && m <= cs.size,
         s"min_should count must be in [1, ${cs.size}] (got $m) — " +
@@ -333,10 +341,8 @@ object Filters {
             cs.map(c => when(compile(c, fold, foldCol, resolve, total = false),
               1).otherwise(0)).reduce(_ + _) >= m
           }
-      // all-clauses-empty is unreachable through the PFilter require,
-      // but a defensively-total reduce costs nothing and keeps the
-      // Qdrant convention (an empty filter matches ALL) if a future
-      // rewrite ever produces one (ADVICE r10)
+      // all-clauses-empty = MATCH ALL (Qdrant's empty-filter
+      // convention, honored for wire-form round trips — ADVICE r10)
       parts.reduceOption(_ && _).getOrElse(lit(true))
     case MatchValue(f, v) => tot(resolve(f) === lit(v))
     case MatchAny(f, vs) =>
@@ -548,8 +554,15 @@ object Filters {
     *  - a bare clause object (`{"must": [...]}`) nests as a sub-filter
     *
     * Clause keys: `must` / `should` / `must_not` / `min_should`
-    * (`{"conditions": [...], "min_count": m}`). Unknown keys refuse
-    * loudly — a silently-dropped condition is a wrong answer.
+    * (`{"conditions": [...], "min_count": m}`). Unknown keys, missing
+    * required subkeys, and non-numeric values in numeric positions
+    * (a UUID in `has_id`, a word in a coordinate) refuse loudly — a
+    * silently-dropped or zero-coerced condition is a wrong answer.
+    * `{}` (and empty clause arrays) parse to the MATCH-ALL filter —
+    * Qdrant's empty-filter convention. A `geo_bounding_box` whose
+    * `top_left.lon` exceeds `bottom_right.lon` WRAPS at the
+    * antimeridian (split into a should-union of its two halves, both
+    * cell-prunable).
     */
   def fromJson(json: String): PFilter = {
     import com.fasterxml.jackson.databind.JsonNode
@@ -568,6 +581,18 @@ object Filters {
       val v = n.get(name)
       require(v != null, s"$ctx needs a '$name' entry: $n")
       v
+    }
+    // loud numeric extraction: Jackson's asLong/asDouble return 0 for
+    // unparseable text (a UUID has_id entry would silently become point
+    // id 0 — a dropped condition, the failure this parser exists to
+    // refuse)
+    def lng(n: JsonNode, what: String): Long = {
+      require(n.isNumber, s"$what must be a JSON number (got $n)")
+      n.asLong()
+    }
+    def dbl(n: JsonNode, what: String): Double = {
+      require(n.isNumber, s"$what must be a JSON number (got $n)")
+      n.asDouble()
     }
     def cond(n: JsonNode): PCond = {
       require(n.isObject, s"filter condition must be an object: $n")
@@ -618,39 +643,49 @@ object Filters {
         val v = n.get("values_count")
         require(v.has("gte") && v.has("lte"),
           s"values_count on '$key' needs gte and lte: $v")
-        ValuesCount(key, v.get("gte").asLong(), v.get("lte").asLong())
+        ValuesCount(key, lng(v.get("gte"), "values_count gte"),
+          lng(v.get("lte"), "values_count lte"))
       } else if (n.has("geo_bounding_box")) {
         val (la, lo) = geoPair
         val b = n.get("geo_bounding_box")
         val tl = req(b, "top_left", "geo_bounding_box")
         val br = req(b, "bottom_right", "geo_bounding_box")
-        GeoBox(la, lo,
-          req(br, "lat", "bottom_right").asDouble(),
-          req(tl, "lat", "top_left").asDouble(),
-          req(tl, "lon", "top_left").asDouble(),
-          req(br, "lon", "bottom_right").asDouble())
+        val (latMin, latMax) = (dbl(req(br, "lat", "bottom_right"), "lat"),
+          dbl(req(tl, "lat", "top_left"), "lat"))
+        val (lonW, lonE) = (dbl(req(tl, "lon", "top_left"), "lon"),
+          dbl(req(br, "lon", "bottom_right"), "lon"))
+        // Qdrant boxes WRAP at the antimeridian when top_left.lon >
+        // bottom_right.lon (a Pacific box): split into the two in-range
+        // halves as a should group (PFilter IS a condition, and a
+        // should of two prunable boxes prunes as their cell union) —
+        // a single between(170, -170) would silently match NOTHING
+        if (lonW > lonE)
+          PFilter(should = Seq(
+            GeoBox(la, lo, latMin, latMax, lonW, 180.0),
+            GeoBox(la, lo, latMin, latMax, -180.0, lonE)))
+        else GeoBox(la, lo, latMin, latMax, lonW, lonE)
       } else if (n.has("geo_radius")) {
         val (la, lo) = geoPair
         val g = n.get("geo_radius")
         val c = req(g, "center", "geo_radius")
-        GeoRadius(la, lo, req(c, "lat", "geo_radius center").asDouble(),
-          req(c, "lon", "geo_radius center").asDouble(),
-          req(g, "radius", "geo_radius").asDouble())
+        GeoRadius(la, lo, dbl(req(c, "lat", "geo_radius center"), "lat"),
+          dbl(req(c, "lon", "geo_radius center"), "lon"),
+          dbl(req(g, "radius", "geo_radius"), "radius"))
       } else if (n.has("geo_polygon")) {
         val (la, lo) = geoPair
         val ext = req(n.get("geo_polygon"), "exterior", "geo_polygon")
         GeoPolygon(la, lo, arr(req(ext, "points", "geo_polygon exterior"))
-          .map(p => (req(p, "lat", "polygon point").asDouble(),
-            req(p, "lon", "polygon point").asDouble())))
+          .map(p => (dbl(req(p, "lat", "polygon point"), "lat"),
+            dbl(req(p, "lon", "polygon point"), "lon"))))
       } else if (n.has("is_empty")) {
         IsEmpty(req(n.get("is_empty"), "key", "is_empty").asText())
       } else if (n.has("is_null")) {
         IsNull(req(n.get("is_null"), "key", "is_null").asText())
       } else if (n.has("has_id")) {
         val h = n.get("has_id")
-        if (h.isArray) HasId("id", arr(h).map(_.asLong()))
+        if (h.isArray) HasId("id", arr(h).map(lng(_, "has_id id")))
         else HasId(req(h, "key", "has_id").asText(),
-          arr(req(h, "ids", "has_id")).map(_.asLong()))
+          arr(req(h, "ids", "has_id")).map(lng(_, "has_id id")))
       } else if (n.has("has_vector")) {
         HasVector(n.get("has_vector").asText())
       } else if (n.has("nested")) {
@@ -672,7 +707,7 @@ object Filters {
         Option(n.get(k)).map(arr(_).map(cond)).getOrElse(Nil)
       val ms = Option(n.get("min_should")).map { m =>
         (arr(req(m, "conditions", "min_should")).map(cond),
-          req(m, "min_count", "min_should").asInt())
+          lng(req(m, "min_count", "min_should"), "min_count").toInt)
       }
       PFilter(conds("must"), conds("should"), conds("must_not"), ms)
     }

@@ -57,6 +57,16 @@ class GraphIndex private (spark: SparkSession, path: String) {
     * of the matching slice for pathologically selective filters — a
     * 1%-selective filter still returns k rows.
     */
+  def search(qvec: Seq[Double], k: Int = 10, beam: Int = 10, hops: Int = 2,
+             filter: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(0L).toDF("query_id")
+      .withColumn("qvec", array(qvec.map(lit): _*))
+    val scored = searchBatch(queries, k, beam, hops, filter,
+      oversample = filter.isDefined)
+    scored.drop("query_id")
+  }
+
   /** [[search]] with the FULL Qdrant filter object (VERDICT r10 #5 —
     * the uniform `filter:` reaching the graph artifact): the tree is
     * schema-validated against the vectors relation (payload columns
@@ -71,16 +81,6 @@ class GraphIndex private (spark: SparkSession, path: String) {
       .asInstanceOf[Filters.PFilter]
     Filters.validateSchema(f2, vectors.schema)
     search(qvec, k, beam, hops, Some(Filters.toColumn(f2)))
-  }
-
-  def search(qvec: Seq[Double], k: Int = 10, beam: Int = 10, hops: Int = 2,
-             filter: Option[Column] = None): DataFrame = {
-    import spark.implicits._
-    val queries = Seq(0L).toDF("query_id")
-      .withColumn("qvec", array(qvec.map(lit): _*))
-    val scored = searchBatch(queries, k, beam, hops, filter,
-      oversample = filter.isDefined)
-    scored.drop("query_id")
   }
 
   /** Batched top-k beam search: `queries` needs (query_id, qvec).

@@ -1385,10 +1385,15 @@ object PayloadIndex {
     *  - a bare date `yyyy-MM-dd` (midnight UTC — Qdrant's date form).
     */
   private[graft] def utcMicros(s: String): Long = {
+    // RFC 3339 allows lowercase 't' and 'z'; java.time's ISO parser is
+    // case-sensitive — normalize both designators up front (the 't'
+    // separator sits at a fixed offset after the 10-char date)
     val t0 = s.trim.replace(' ', 'T')
-    // RFC 3339 allows lowercase 'z' (and 't'); java.time's ISO parser
-    // is case-sensitive — normalize the zone designator up front
-    val t = if (t0.endsWith("z")) t0.dropRight(1) + "Z" else t0
+    val t1 =
+      if (t0.length > 10 && t0.charAt(10) == 't')
+        t0.substring(0, 10) + "T" + t0.substring(11)
+      else t0
+    val t = if (t1.endsWith("z")) t1.dropRight(1) + "Z" else t1
     val sep = t.indexOf('T')
     // an offset sign AFTER the time separator (the date part's dashes
     // sit before 'T'; a zoned form has +/- or Z after it)

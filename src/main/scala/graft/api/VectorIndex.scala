@@ -37,6 +37,14 @@ class VectorIndex private (val points: DataFrame,
     * insert.py:72 upsert semantics. `seq` orders versions.
     */
   def upsert(batch: DataFrame): VectorIndex = {
+    // the loud core-schema guard FIRST: allowMissingColumns below must
+    // only ever forgive EXTRA payload/named-vector columns — a batch
+    // missing a core column (misnamed vector, no id/seq) would union as
+    // NULLs and corrupt silently (NULL ids collapse to one survivor
+    // under the id window)
+    require(VectorIndex.schema.forall(batch.columns.contains),
+      s"upsert batch must have columns ${VectorIndex.schema}, " +
+        s"got ${batch.columns.toSeq}")
     val w = Window.partitionBy("id").orderBy(col("seq").desc)
     // allowMissingColumns: a collection may carry extra payload /
     // named-vector columns beyond the canonical seven — a batch without
@@ -196,25 +204,42 @@ class VectorIndex private (val points: DataFrame,
   def discover(targetId: Long, pairs: Seq[(Long, Long)], k: Int = 10,
                userId: Option[Long] = None): DataFrame = {
     require(pairs.nonEmpty, "discover needs at least one context pair")
-    val exIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).map(Long.box)
-    val vecs = points.filter(col("id").isin(exIds: _*))
-      .select(col("id"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    exIds.foreach(id => require(vecs.contains(id),
-      s"discovery example point $id is not in the collection"))
+    val exIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).distinct
+    val vecs = exampleVecs(exIds, "discovery")
     def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
-    val ctx = pairs.map { case (p, n) =>
-      least(lit(0.0), cosineSim(col("vector"), litVec(p)) -
-        cosineSim(col("vector"), litVec(n)))
-    }.reduce(_ + _)
+    val ctx = contextScore(pairs, vecs)
     val base = userId.map(u => points.filter(col("user_id") === u)).getOrElse(points)
-    base.filter(!col("id").isin(exIds: _*))
+    base.filter(!col("id").isin(exIds.map(Long.box): _*))
       .withColumn("ctx_score", ctx)
       .withColumn("target_cos", cosineSim(col("vector"), litVec(targetId)))
       .orderBy(col("ctx_score").desc, col("target_cos").desc, col("id"))
       .limit(k)
       .select(col("id"), col("text").as("string"), col("ctx_score"), col("target_cos"))
   }
+
+  /** Collect + validate a bounded example-id batch's vectors — the
+    * shared front of [[discover]] and [[contextSearch]] (one collect,
+    * loud refusal on a missing id).
+    */
+  private def exampleVecs(ids: Seq[Long], what: String): Map[Long, Seq[Double]] = {
+    val vecs = points.filter(col("id").isin(ids.map(Long.box): _*))
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ids.foreach(id => require(vecs.contains(id),
+      s"$what example point $id is not in the collection"))
+    vecs
+  }
+
+  /** Qdrant's context score: Σ min(0, cos(v,pos) − cos(v,neg)) over
+    * the example pairs (shared by both discovery modes).
+    */
+  private def contextScore(pairs: Seq[(Long, Long)],
+                           vecs: Map[Long, Seq[Double]]): Column =
+    pairs.map { case (p, n) =>
+      least(lit(0.0),
+        cosineSim(col("vector"), array(vecs(p).map(lit): _*)) -
+          cosineSim(col("vector"), array(vecs(n).map(lit): _*)))
+    }.reduce(_ + _)
 
   /** CONTEXT-ONLY discovery (Qdrant /points/query with `context:` and
     * NO target — VERDICT r10 #4, the "browse away from negatives"
@@ -233,20 +258,11 @@ class VectorIndex private (val points: DataFrame,
   def contextSearch(pairs: Seq[(Long, Long)], k: Int = 10,
                     userId: Option[Long] = None): DataFrame = {
     require(pairs.nonEmpty, "context search needs at least one context pair")
-    val exIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(Long.box)
-    val vecs = points.filter(col("id").isin(exIds: _*))
-      .select(col("id"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    exIds.foreach(id => require(vecs.contains(id),
-      s"context example point $id is not in the collection"))
-    def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
-    val ctx = pairs.map { case (p, n) =>
-      least(lit(0.0), cosineSim(col("vector"), litVec(p)) -
-        cosineSim(col("vector"), litVec(n)))
-    }.reduce(_ + _)
+    val exIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val vecs = exampleVecs(exIds, "context")
     val base = userId.map(u => points.filter(col("user_id") === u)).getOrElse(points)
-    base.filter(!col("id").isin(exIds: _*))
-      .withColumn("ctx_score", ctx)
+    base.filter(!col("id").isin(exIds.map(Long.box): _*))
+      .withColumn("ctx_score", contextScore(pairs, vecs))
       .orderBy(col("ctx_score").desc, col("id").asc)
       .limit(k)
       .select(col("id"), col("text").as("string"), col("ctx_score"))

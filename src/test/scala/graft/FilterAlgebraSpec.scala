@@ -844,6 +844,58 @@ class FilterAlgebraSpec extends SparkSpecBase {
     sameRows(idx.readFilter(json), idx.readFilter(hand))
   }
 
+  test("fromJson hardening: empty = match-all, no zero-coercion, antimeridian boxes, missing subkeys") {
+    // the empty filter is Qdrant's no-op — matches EVERYTHING (and the
+    // compiler's total reduce serves it as lit(true))
+    val idx = build(tmp())
+    assert(Filters.fromJson("{}") === PFilter())
+    assert(Filters.fromJson("""{"must": []}""") === PFilter())
+    sameRows(idx.readFilter(PFilter()), corpus())
+    // non-numeric values in numeric positions refuse loudly instead of
+    // Jackson's silent 0-coercion (a UUID has_id would otherwise become
+    // point id 0 — a dropped condition)
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"has_id": ["550e8400-e29b-41d4-a716-446655440000"]}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"key": "lat:lon", "geo_radius":
+        |  {"center": {"lat": "forty", "lon": 0}, "radius": 10}}]}""".stripMargin))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"key": "tags", "values_count": {"gte": "one", "lte": 3}}]}"""))
+    // mixed string/number range bounds refuse (would zero-coerce)
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"key": "uid", "range": {"gte": "2024-01-01", "lt": 5}}]}"""))
+    // missing required subkeys refuse with the clause named, never NPE
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"min_should": {"conditions": []}}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"is_empty": {}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must": [{"nested": {"filter": {"must": []}}}]}"""))
+    // an antimeridian-crossing box (top_left.lon > bottom_right.lon)
+    // wraps as a should-union of its two halves — a single between()
+    // would silently match nothing
+    val wrapped = Filters.fromJson(
+      """{"must": [{"key": "lat:lon", "geo_bounding_box":
+        |  {"top_left": {"lat": 10.0, "lon": 170.0},
+        |   "bottom_right": {"lat": -10.0, "lon": -170.0}}}]}""".stripMargin)
+    assert(wrapped === PFilter(must = Seq(PFilter(should = Seq(
+      GeoBox("lat", "lon", -10.0, 10.0, 170.0, 180.0),
+      GeoBox("lat", "lon", -10.0, 10.0, -180.0, -170.0))))))
+    import scala.jdk.CollectionConverters._
+    val geoSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lat DOUBLE, lon DOUBLE")
+    val pacific = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, 0.0, 175.0),   // west of the seam
+      org.apache.spark.sql.Row(2L, 0.0, -175.0),  // east of the seam
+      org.apache.spark.sql.Row(3L, 0.0, 0.0)      // far away
+      ).asJava, geoSchema)
+    assert(pacific.filter(Filters.toColumn(wrapped))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // lowercase RFC 3339 designators parse (t separator + z zone)
+    assert(PayloadIndexTestHook.utcMicros("2024-01-01t06:30:00z") ===
+      PayloadIndexTestHook.utcMicros("2024-01-01 06:30:00"))
+  }
+
   test("geo_radius and geo_polygon as tree conditions: parity + cell pruning") {
     val root = tmp()
     val base = corpus()

@@ -316,6 +316,25 @@ class VectorIndexSpec extends SparkSpecBase {
       withNulls.points.filter(col("lang").isNull).count())
   }
 
+  test("upsert refuses a batch missing core columns; extras still ride as NULLs") {
+    import spark.implicits._
+    // a misnamed core column must refuse loudly — allowMissingColumns
+    // would otherwise union NULL ids that collapse to one survivor
+    val bad = Seq((99L, Seq(0.1, 0.2), "txt", 1L, "s", "en"))
+      .toDF("id", "embedding", "text", "user_id", "site", "lang") // no vector/seq
+    intercept[IllegalArgumentException](index.upsert(bad))
+    // extras-carrying collection upserts a canonical batch: the new
+    // row's extra payload is NULL, core semantics unchanged
+    val withExtra = VectorIndex(Tables.points(spark, sf)
+      .withColumn("stars", col("id") % 5))
+    val batch = Tables.points(spark, sf).filter(col("id") === 1)
+      .withColumn("id", lit(900001L)).withColumn("seq", lit(900001L))
+    val up = withExtra.upsert(batch)
+    val row = up.points.filter(col("id") === 900001L).head()
+    assert(row.isNullAt(row.fieldIndex("stars")))
+    assert(up.points.count() === withExtra.points.count() + 1)
+  }
+
   test("contextSearch ranks by the pair-boundary score alone (no target)") {
     val pairs = Seq((1L, 2L), (3L, 4L))
     val got = index.contextSearch(pairs, k = 8).collect()

@@ -28,6 +28,9 @@ object SparkEntry {
     "vs_upsert_latest" -> VectorStore.upsertLatest _,
     "vs_search_topk" -> VectorStore.searchTopK _,
     "vs_search_topk_l1" -> VectorStore.searchTopKL1 _,
+    "vs_search_topk_dot" -> VectorStore.searchTopKDot _,
+    "vs_search_offset" ->
+      ((s: SparkSession, d: String) => VectorStore.searchOffset(s, d)),
     "vs_search_topk_filtered" -> VectorStore.searchTopKFiltered _,
     "vs_search_topk_filtered_indexed" -> VectorStore.searchTopKFilteredIndexed _,
     "vs_search_match_text_indexed" ->
@@ -542,6 +545,10 @@ object SparkEntry {
       val p = new QueryParams("vs_search_threshold", m, "tau")
       VectorStore.searchThreshold(s, d, p.dbl("tau", 0.05))
     }),
+    "vs_search_offset" -> ((s, d, m) => {
+      val p = new QueryParams("vs_search_offset", m, "offset", "k")
+      VectorStore.searchOffset(s, d, p.int("offset", 5), p.int("k", 5))
+    }),
     "vs_search_match_text" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_match_text", m, "k", "terms")
       VectorStore.searchMatchText(s, d, p.int("k", 10),
@@ -658,6 +665,26 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.user_id = 7),
          |r AS (SELECT *, row_number() OVER (ORDER BY sr ASC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(sr, 4) AS score FROM r WHERE rank <= 5
+         |ORDER BY rank""".stripMargin,
+    // dot-product metric (Qdrant Distance.Dot) — similarity DESC, raw
+    // inner product ordering, rounded only in the output
+    "vs_search_topk_dot" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.id, list_inner_product(q.qvec, p.vector) AS sr
+         |  FROM pts p, q WHERE p.user_id = 7),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sr DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, round(sr, 4) AS score FROM r WHERE rank <= 5
+         |ORDER BY rank""".stripMargin,
+    // search offset: ranks (offset+1)..(offset+k), absolute rank kept
+    "vs_search_offset" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.id,
+         |  round(list_cosine_similarity(q.qvec, p.vector), 4) AS score
+         |  FROM pts p, q WHERE p.user_id = 7),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, score FROM r WHERE rank > 5 AND rank <= 10
          |ORDER BY rank""".stripMargin,
     "vs_search_topk_filtered" ->
       s"""WITH $PTS,

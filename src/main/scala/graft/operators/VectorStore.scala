@@ -110,6 +110,51 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** [[searchTopK]] under the DOT-PRODUCT metric — with
+    * [[searchTopKL1]] this completes the oracle-proven matrix of ALL
+    * FOUR Qdrant `Distance` values (Cosine/Euclid rows shipped in r1-2,
+    * Manhattan in r11): inner product as similarity, ranked DESCENDING
+    * (Qdrant's dot convention — no normalization, magnitude matters).
+    * Same native codegen'd kernel ([[graft.functions.Vectors.dot]]),
+    * same tenant-pruned scan + k-row TakeOrdered.
+    */
+  def searchTopKDot(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("user_id") === 7)
+      .join(broadcast(q))
+      .withColumn("score", graft.functions.Vectors.dot(col("qvec"), col("vector")))
+      .orderBy(col("score").desc, col("id").asc).limit(5)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Qdrant search `offset` — the page-skip parameter the public
+    * /points/search takes beside `limit` (the reference's client
+    * exposes it; scroll's keyset cursor is the scale-path sibling):
+    * results ranked (offset+1)..(offset+k). Spark shape: ONE
+    * TakeOrdered of offset+k rows (driver-bounded — Qdrant documents
+    * the same cost growth, which is why deep pagination belongs to
+    * scroll), then the offset prefix drops; ranks stay ABSOLUTE (the
+    * Qdrant page identity).
+    */
+  def searchOffset(s: SparkSession, d: String, offset: Int = 5,
+                   k: Int = 5): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 0).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("user_id") === 7)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("qvec"), col("vector")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(offset + k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") > offset)
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
   /** app.py:57-75 — search with user_id + site + lang payload filter. */
   def searchTopKFiltered(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.points(s, d)

@@ -78,6 +78,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.searchMatchExceptIndexed(s, d)),
     "vs_filter_is_null" -> VectorStore.filterIsNull _,
     "vs_filter_is_empty" -> VectorStore.filterIsEmpty _,
+    "vs_filter_match_array" -> VectorStore.filterMatchArray _,
     "vs_delete_by_filter_indexed" -> VectorStore.deleteByFilterIndexed _,
     "vs_geo_polygon_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.geoPolygonIndexed(s, d)),
@@ -964,6 +965,16 @@ object SparkEntry {
          |SELECT id, user_id, lang FROM np
          |WHERE COALESCE(user_id >= 0 AND user_id <= 14, FALSE)
          |  AND (tags IS NULL OR len(tags) = 0) ORDER BY id""".stripMargin,
+    // Qdrant array-payload matching: match = ANY element equals (tags
+    // is the keyword LIST), except/must_not the negation — NULL/empty
+    // arrays match the negated arm vacuously
+    "vs_filter_match_array" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, lang FROM np
+         |WHERE COALESCE(user_id >= 0 AND user_id <= 15, FALSE)
+         |  AND COALESCE(list_contains(tags, 'en'), FALSE)
+         |  AND NOT COALESCE(list_contains(tags, 'src3'), FALSE)
+         |ORDER BY id""".stripMargin,
     // the /remove_by_user delete run THROUGH the maintained index as a
     // deleteTo snapshot rotation — the audit reads the ROTATED index
     "vs_delete_by_filter_indexed" ->

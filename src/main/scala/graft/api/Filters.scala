@@ -54,7 +54,12 @@ object Filters {
   sealed trait PCond extends Serializable
 
   /** Keyword/scalar equality (Qdrant `match: {value: v}`). Values are
-    * strings; Spark coerces against the column type.
+    * strings; Spark coerces against the column type. Over an ARRAY
+    * payload column the schema-aware routes ([[rewriteForSchema]] —
+    * readFilter, the serving artifacts' filter surfaces) apply Qdrant's
+    * array semantics: the condition matches iff AT LEAST ONE element
+    * equals the value; raw [[toColumn]] callers on array columns should
+    * rewrite first.
     */
   final case class MatchValue(field: String, value: String) extends PCond
 
@@ -213,6 +218,19 @@ object Filters {
 
   /** Matches rows whose `field` IS NULL (Qdrant `is_null`). */
   final case class IsNull(field: String) extends PCond
+
+  /** INTERNAL — the schema-rewritten form of [[MatchValue]] /
+    * [[MatchAny]] / [[MatchExcept]] over an ARRAY payload column
+    * (Qdrant's array-value semantics: a match condition on an array
+    * field is true iff AT LEAST ONE element matches; `except` is its
+    * negation, so a NULL or empty array matches `except` vacuously).
+    * Produced by [[rewriteForSchema]] — callers write the plain match
+    * conditions and the schema decides; compiles to one `exists()`
+    * higher-order call (codegen, no explode).
+    */
+  private[api] final case class ArrayAnyOf(field: String,
+                                           values: Seq[String],
+                                           negated: Boolean) extends PCond
 
   /** Matches rows that HAVE the named vector (Qdrant `has_vector` —
     * named vectors are optional per point; here each name is its own
@@ -431,6 +449,14 @@ object Filters {
       coalesce(exists(resolve(f),
         e => compile(sub, fold, foldCol, n => e.getField(n), total = false)),
         lit(false))
+    case ArrayAnyOf(f, vs, negated) =>
+      // exists() over a NULL array is NULL; element-type coercion rides
+      // isin like the scalar form. negated (MatchExcept): NULL/empty
+      // arrays match vacuously — no element is in the list
+      val any =
+        if (vs.isEmpty) lit(false)
+        else coalesce(exists(resolve(f), e => e.isin(vs: _*)), lit(false))
+      if (negated) !any else any
     case IsNull(f) => resolve(f).isNull
     case HasVector(f) => resolve(f).isNotNull
     case IsEmpty(f) =>
@@ -439,32 +465,48 @@ object Filters {
 
   import org.apache.spark.sql.types.{ArrayType, StructType}
 
-  /** Schema-aware pre-compile rewrite: [[IsEmpty]] over a SCALAR field
-    * means [[IsNull]] (a scalar has no empty form; Qdrant's "" is NOT
-    * empty), so the generic compiler's `size(...)` arm only ever sees
-    * arrays. Recurses through [[Nested]] bodies with the ELEMENT struct
-    * as the schema. Shared by [[PayloadIndex!.readFilter]] and
-    * [[VectorIndex!.searchFilter]] — one rewrite, every route.
+  /** Schema-aware pre-compile rewrite, shared by every route
+    * ([[PayloadIndex!.readFilter]], [[VectorIndex!.searchFilter]], the
+    * other serving artifacts):
+    *
+    *  - [[IsEmpty]] over a SCALAR field means [[IsNull]] (a scalar has
+    *    no empty form; Qdrant's "" is NOT empty), so the generic
+    *    compiler's `size(...)` arm only ever sees arrays;
+    *  - [[MatchValue]] / [[MatchAny]] / [[MatchExcept]] over an ARRAY
+    *    column rewrite to the element form ([[ArrayAnyOf]]) — Qdrant's
+    *    array-payload semantics: a match condition on an array field is
+    *    true iff AT LEAST ONE element matches (a `tags` keyword list),
+    *    `except` the negation (NULL/empty arrays match it vacuously).
+    *
+    * Recurses through [[Nested]] bodies with the ELEMENT struct as the
+    * schema, so both rewrites reach struct fields too.
     */
-  def rewriteForSchema(c: PCond, schema: StructType): PCond = c match {
-    case PFilter(m, s, n, ms) =>
-      PFilter(m.map(rewriteForSchema(_, schema)),
-        s.map(rewriteForSchema(_, schema)),
-        n.map(rewriteForSchema(_, schema)),
-        ms.map { case (cs, k) => (cs.map(rewriteForSchema(_, schema)), k) })
-    case Nested(f, sub) =>
-      schema.find(_.name == f).map(_.dataType) match {
-        case Some(ArrayType(st: StructType, _)) =>
-          Nested(f, rewriteForSchema(sub, st).asInstanceOf[PFilter])
-        case _ => c // validation refuses with the field list
-      }
-    case IsEmpty(f) =>
-      schema.find(_.name == f) match {
-        case Some(sf) if sf.dataType.isInstanceOf[ArrayType] => c
-        case Some(_) => IsNull(f)
-        case None => c // validation refuses with the field list
-      }
-    case other => other
+  def rewriteForSchema(c: PCond, schema: StructType): PCond = {
+    def isArray(f: String): Boolean =
+      schema.find(_.name == f).exists(_.dataType.isInstanceOf[ArrayType])
+    c match {
+      case PFilter(m, s, n, ms) =>
+        PFilter(m.map(rewriteForSchema(_, schema)),
+          s.map(rewriteForSchema(_, schema)),
+          n.map(rewriteForSchema(_, schema)),
+          ms.map { case (cs, k) => (cs.map(rewriteForSchema(_, schema)), k) })
+      case Nested(f, sub) =>
+        schema.find(_.name == f).map(_.dataType) match {
+          case Some(ArrayType(st: StructType, _)) =>
+            Nested(f, rewriteForSchema(sub, st).asInstanceOf[PFilter])
+          case _ => c // validation refuses with the field list
+        }
+      case IsEmpty(f) =>
+        schema.find(_.name == f) match {
+          case Some(sf) if sf.dataType.isInstanceOf[ArrayType] => c
+          case Some(_) => IsNull(f)
+          case None => c // validation refuses with the field list
+        }
+      case MatchValue(f, v) if isArray(f) => ArrayAnyOf(f, Seq(v), negated = false)
+      case MatchAny(f, vs) if isArray(f) => ArrayAnyOf(f, vs, negated = false)
+      case MatchExcept(f, vs) if isArray(f) => ArrayAnyOf(f, vs, negated = true)
+      case other => other
+    }
   }
 
   /** LOUD schema validation of a condition tree — the collection-level
@@ -479,6 +521,18 @@ object Filters {
     def requireCol(f: String): Unit =
       require(schema.exists(_.name == f),
         s"'$f' is not a collection column (schema: ${schema.map(_.name)})")
+    // range conditions over ARRAY payloads are not part of the model —
+    // refuse loudly instead of surfacing an analysis error (match
+    // conditions on arrays rewrite to the any-element form; ranges
+    // have no single Qdrant-documented array semantics to honor)
+    def requireScalar(f: String, what: String): Unit = {
+      requireCol(f)
+      require(!schema.find(_.name == f).exists(
+        _.dataType.isInstanceOf[ArrayType]),
+        s"$what conditions need a scalar column (got ARRAY '$f') — " +
+          "match value/any/except support arrays (any-element semantics); " +
+          "ranges do not")
+    }
     c match {
       case PFilter(m, s, n, ms) =>
         (m ++ s ++ n ++ ms.toSeq.flatMap(_._1)).foreach(validateSchema(_, schema))
@@ -510,15 +564,16 @@ object Filters {
       case MatchValue(f, _) => requireCol(f)
       case MatchAny(f, _) => requireCol(f)
       case MatchExcept(f, _) => requireCol(f)
+      case ArrayAnyOf(f, _, _) => requireCol(f)
       case MatchText(f, _) => requireCol(f)
       case MatchTextAny(f, _) => requireCol(f)
       case MatchPhrase(f, _) => requireCol(f)
-      case RangeInt(f, _, _) => requireCol(f)
-      case RangeFloat(f, _, _) => requireCol(f)
-      case RangeTime(f, _, _) => requireCol(f)
-      case IntBounds(f, _, _, _, _) => requireCol(f)
-      case FloatBounds(f, _, _, _, _) => requireCol(f)
-      case TimeBounds(f, _, _, _, _) => requireCol(f)
+      case RangeInt(f, _, _) => requireScalar(f, "range")
+      case RangeFloat(f, _, _) => requireScalar(f, "range")
+      case RangeTime(f, _, _) => requireScalar(f, "range")
+      case IntBounds(f, _, _, _, _) => requireScalar(f, "range")
+      case FloatBounds(f, _, _, _, _) => requireScalar(f, "range")
+      case TimeBounds(f, _, _, _, _) => requireScalar(f, "range")
       case HasId(f, _) => requireCol(f)
       case IsNull(f) => requireCol(f)
       case HasVector(f) => requireCol(f)

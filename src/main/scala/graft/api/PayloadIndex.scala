@@ -335,6 +335,7 @@ final class PayloadIndex private[api] (
       case MatchValue(f, _) => requireCol(f)
       case MatchAny(f, _) => requireCol(f)
       case MatchExcept(f, _) => requireCol(f)
+      case ArrayAnyOf(f, _, _) => requireCol(f) // post-rewrite array match
       case IsNull(f) => requireCol(f)
       case HasVector(f) => requireCol(f)
       case IsEmpty(f) => requireCol(f)
@@ -370,6 +371,7 @@ final class PayloadIndex private[api] (
       case MatchValue(f, _) => requireField(f)
       case MatchAny(f, _) => requireField(f)
       case MatchExcept(f, _) => requireField(f)
+      case ArrayAnyOf(f, _, _) => requireField(f)
       case MatchText(f, _) => requireField(f)
       case MatchTextAny(f, _) => requireField(f)
       case MatchPhrase(f, _) => requireField(f)

@@ -1447,6 +1447,25 @@ object VectorStore {
       .orderBy("id")
   }
 
+  /** Qdrant ARRAY-payload matching: a `match` condition on an array
+    * field is true iff AT LEAST ONE element matches (the keyword-LIST
+    * payload — `tags` — every Qdrant collection carries), `except` its
+    * negation (NULL/empty arrays match vacuously). Callers write the
+    * PLAIN match conditions; the schema-aware rewrite
+    * ([[graft.api.Filters.rewriteForSchema]]) turns them into one
+    * `exists()` element probe each — composed here with zone-pruned
+    * `must` range and a negated array arm in one tree over the
+    * NULL-and-empty-carrying corpus.
+    */
+  def filterMatchArray(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    nullableIndex(s, d).readFilter(PFilter(
+      must = Seq(RangeInt("user_id", 0, 15), MatchValue("tags", "en")),
+      mustNot = Seq(MatchValue("tags", "src3"))))
+      .select(col("id"), col("user_id"), col("lang"))
+      .orderBy("id")
+  }
+
   /** The reference's /remove_by_user (app.py:79-91) run THROUGH the
     * maintained payload index as an immutable snapshot rotation
     * (VERDICT r9 #3 — [[graft.api.PayloadIndex!.deleteTo]]): delete

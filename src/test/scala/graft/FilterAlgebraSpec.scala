@@ -844,6 +844,45 @@ class FilterAlgebraSpec extends SparkSpecBase {
     sameRows(idx.readFilter(json), idx.readFilter(hand))
   }
 
+  test("array-payload matching: match = any element, except negated (NULL/empty vacuous), ranges refused") {
+    val root = tmp()
+    val base = nestedCorpus() // arr: NULL %3, empty %5, else (id%4)+1 × "v"
+      .withColumn("arr2",
+        when(col("id") % 5 === 0, array().cast("array<string>"))
+          .when(col("id") % 3 === 0, lit(null).cast("array<string>"))
+          .otherwise(array(col("site"), col("lang"))))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq("uid"), idCol = "id", nZones = 3)
+    // MatchValue over an array = ANY element equals (the rewrite);
+    // "s1" is a site value arr2 actually carries (lang "en" only occurs
+    // on id%3==0 rows, whose arr2 is NULL — the vacuous-except case)
+    val f = PFilter(must = Seq(MatchValue("arr2", "s1"), RangeInt("uid", 0, 5)))
+    val got = idx.readFilter(f).select("id").collect().map(_.getLong(0)).toSet
+    val expect = base.filter(coalesce(
+      exists(col("arr2"), _ === "s1"), lit(false)) && col("uid").between(0, 5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === expect && got.nonEmpty)
+    // MatchAny = any element in the list; MatchExcept negated — a NULL
+    // or empty array matches except VACUOUSLY (no element in the list)
+    val fAny = PFilter(must = Seq(MatchAny("arr2", Seq("en", "s1"))))
+    assert(idx.readFilter(fAny).count() ===
+      base.filter(coalesce(exists(col("arr2"),
+        e => e.isin("en", "s1")), lit(false))).count())
+    val fEx = PFilter(must = Seq(MatchExcept("arr2", Seq("en"))))
+    val exIds = idx.readFilter(fEx).select("id").collect().map(_.getLong(0)).toSet
+    // every NULL-array id (id%3, not %5) and empty-array id (%5) matches
+    (1L to 60L).filter(i => i % 5 == 0 || i % 3 == 0).foreach(i =>
+      assert(exIds.contains(i), s"NULL/empty array must match except: $i"))
+    assert(exIds ===
+      base.filter(!coalesce(exists(col("arr2"), _ === "en"), lit(false)))
+        .select("id").collect().map(_.getLong(0)).toSet)
+    // the generic schema validation refuses RANGE conditions on arrays
+    import org.apache.spark.sql.types.StructType
+    intercept[IllegalArgumentException](
+      Filters.validateSchema(RangeInt("arr2", 1, 2),
+        base.schema.asInstanceOf[StructType]))
+  }
+
   test("fromJson hardening: empty = match-all, no zero-coercion, antimeridian boxes, missing subkeys") {
     // the empty filter is Qdrant's no-op — matches EVERYTHING (and the
     // compiler's total reduce serves it as lit(true))

@@ -156,7 +156,7 @@ object Bench {
       // rotation fill would hide in that line's untimed warm-up)
       "nullable_index_warm" -> (Seq("vs_filter_is_null", "vs_filter_is_empty",
         "vs_filter_values_count", "vs_filter_has_id", "vs_filter_nested",
-        "vs_filter_match_array",
+        "vs_filter_match_array", "vs_filter_has_uuid", "vs_filter_bool_indexed",
         "vs_delete_by_filter_indexed").exists(selected.contains),
         () => {
           operators.VectorStore.nullableIndex(spark, sfDir)

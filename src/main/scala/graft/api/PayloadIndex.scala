@@ -95,6 +95,13 @@ final class PayloadIndex private[api] (
 
   private val original = StructType.fromDDL(schemaDdl)
   private def kindOf(f: String): Option[String] = fields.find(_._1 == f).map(_._2)
+  /** keyword and bool are the same physical axis — value-partitioned
+    * directories (bool is Qdrant's last remaining `field_schema` kind,
+    * VERDICT r11 #3: a two-value keyword with true/false/null
+    * partitions; match conditions prune it identically).
+    */
+  private def isKeywordAxis(f: String): Boolean =
+    kindOf(f).exists(k => k == "keyword" || k == "bool")
   private def zonedFields: Seq[(String, String)] =
     fields.filter(t => zonedKinds.contains(t._2))
   private def geoFields: Seq[String] = fields.collect { case (f, "geo") => f }
@@ -105,7 +112,7 @@ final class PayloadIndex private[api] (
     * INFERENCE would quietly retype a keyword like "007" as int.
     */
   private def readSchema: StructType = {
-    val kw = fields.collect { case (f, "keyword") => f }.toSet
+    val kw = fields.collect { case (f, k) if k == "keyword" || k == "bool" => f }.toSet
     StructType(
       original.filterNot(sf => kw.contains(sf.name)) ++
         original.filter(sf => kw.contains(sf.name)) ++
@@ -150,8 +157,8 @@ final class PayloadIndex private[api] (
              Map.empty): DataFrame = {
     var df = spark.read.schema(readSchema).parquet(s"$root/data")
     eq.foreach { case (f, vs) =>
-      require(kindOf(f).contains("keyword"),
-        s"'$f' is not an indexed keyword field (indexed: $fields)")
+      require(isKeywordAxis(f),
+        s"'$f' is not an indexed keyword/bool field (indexed: $fields)")
       df = df.filter(col(f).isin(vs: _*))
     }
     // one typed bound + residual per zoned kind, one generic pruner
@@ -322,6 +329,7 @@ final class PayloadIndex private[api] (
         require(lo >= 0 && hi >= lo,
           s"values_count on '$f' needs 0 <= lo <= hi (got [$lo, $hi])")
       case HasId(f, _) => requireCol(f)
+      case HasIdStr(f, _) => requireCol(f)
       case Nested(f, sub) =>
         requireCol(f)
         val elem = original.find(_.name == f).map(_.dataType) match {
@@ -386,6 +394,7 @@ final class PayloadIndex private[api] (
       case GeoPolygon(la, lo, _) => requireField(la); requireField(lo)
       case ValuesCount(f, _, _) => requireField(f)
       case HasId(f, _) => requireField(f)
+      case HasIdStr(f, _) => requireField(f)
       case IsNull(f) => requireField(f)
       case HasVector(f) => requireField(f)
       case IsEmpty(f) => requireField(f)
@@ -432,18 +441,18 @@ final class PayloadIndex private[api] (
       zonesInOpt(f, Some(lo), Some(hi))
     c match {
       case sub: PFilter => pruneOf(sub, live)
-      case MatchValue(f, v) if kindOf(f).contains("keyword") =>
+      case MatchValue(f, v) if isKeywordAxis(f) =>
         Some(col(f) === lit(v))
-      case MatchAny(f, vs) if kindOf(f).contains("keyword") =>
+      case MatchAny(f, vs) if isKeywordAxis(f) =>
         Some(if (vs.isEmpty) lit(false) else col(f).isin(vs: _*))
-      case MatchExcept(f, vs) if kindOf(f).contains("keyword") =>
+      case MatchExcept(f, vs) if isKeywordAxis(f) =>
         // exact complement INCLUDING the null partition (a NULL value
         // matches except) — still a pure partition predicate
         Some(if (vs.isEmpty) lit(true)
         else !coalesce(col(f).isin(vs: _*), lit(false)))
-      case IsNull(f) if kindOf(f).contains("keyword") =>
+      case IsNull(f) if isKeywordAxis(f) =>
         Some(col(f).isNull) // prunes to the default partition alone
-      case HasVector(f) if kindOf(f).contains("keyword") =>
+      case HasVector(f) if isKeywordAxis(f) =>
         Some(col(f).isNotNull) // everything BUT the default partition
       case RangeInt(f, lo, hi) =>
         Some(zonesIn(f, BigDecimal(lo), BigDecimal(hi)))
@@ -1058,7 +1067,7 @@ final class PayloadIndex private[api] (
   }
 
   private def partitionCols: Seq[String] =
-    fields.collect { case (f, "keyword") => f } ++
+    fields.collect { case (f, k) if k == "keyword" || k == "bool" => f } ++
       zonedFields.map { case (f, _) => zoneCol(f) } ++
       geoFields.map(geoColOf)
 
@@ -1218,6 +1227,11 @@ final class PayloadIndex private[api] (
       s"deleteTo writes a NEW snapshot — dstRoot must differ from $root")
     require(!fs.exists(new Path(s"$dstRoot/data")),
       s"destination already holds an index: $dstRoot")
+    // destructive surface: an all-empty (match-all) filter refuses
+    // loudly rather than silently emptying the snapshot (ADVICE r11)
+    require(!Filters.matchesAll(filter),
+      "deleteTo refuses an all-empty (match-all) filter — an empty " +
+        "destination snapshot must be asked for with an explicit predicate")
     val f2 = rewriteIsEmpty(filter).asInstanceOf[Filters.PFilter]
     validateCond(f2)
     val live =
@@ -1661,16 +1675,23 @@ object PayloadIndex {
              float: Seq[String] = Nil, datetime: Seq[String] = Nil,
              geo: Seq[(String, String)] = Nil,
              lowercaseText: Boolean = false, positionalText: Boolean = false,
-             geoGrid: Int = 16): PayloadIndex = {
+             geoGrid: Int = 16, bool: Seq[String] = Nil): PayloadIndex = {
     val rootPath = new Path(s"$root/data")
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(rootPath), s"payload index already exists at $root")
     require(geoGrid >= 1, s"geoGrid must be >= 1 (got $geoGrid)")
     val cols = points.columns.toSet
     val geoCols = geo.flatMap(p => Seq(p._1, p._2))
-    (keyword ++ integer ++ float ++ datetime ++ text ++ geoCols).foreach(f =>
+    (keyword ++ integer ++ float ++ datetime ++ text ++ geoCols ++ bool).foreach(f =>
       require(cols.contains(f), s"field '$f' not in ${points.columns.toSeq}"))
-    val kindLists = Seq(keyword, integer, float, datetime, text, geoCols)
+    // bool is a partition axis like keyword, but the kind CONTRACT is
+    // "two values + null" — a non-boolean column under `bool` would
+    // silently make a high-cardinality directory explosion
+    bool.foreach(f => require(
+      points.schema(f).dataType == org.apache.spark.sql.types.BooleanType,
+      s"bool field '$f' must be a BOOLEAN column (got " +
+        s"${points.schema(f).dataType.simpleString})"))
+    val kindLists = Seq(keyword, integer, float, datetime, text, geoCols, bool)
     val overlap = kindLists.combinations(2)
       .flatMap { case Seq(a, b) => a.intersect(b) }.toSeq.distinct
     require(overlap.isEmpty, s"fields cannot take two index kinds: $overlap")
@@ -1729,7 +1750,7 @@ object PayloadIndex {
       df.withColumn(geoColOf(s"$latC:$lonC"),
         geoBucket(col(latC), col(lonC), geoGrid))
     }.cache()
-    val partCols = keyword ++ zoned.map { case (f, _) => zoneCol(f) } ++
+    val partCols = keyword ++ bool ++ zoned.map { case (f, _) => zoneCol(f) } ++
       geo.map(p => geoColOf(s"${p._1}:${p._2}"))
     withZones
       .repartition(partCols.map(col): _*)
@@ -1747,8 +1768,8 @@ object PayloadIndex {
         lowercase = lowercaseText, positions = positionalText))
 
     import spark.implicits._
-    val fieldRows = keyword.map(_ -> "keyword") ++ zoned ++
-      text.map(_ -> "text") ++ geo.map(p => s"${p._1}:${p._2}" -> "geo")
+    val fieldRows = keyword.map(_ -> "keyword") ++ bool.map(_ -> "bool") ++
+      zoned ++ text.map(_ -> "text") ++ geo.map(p => s"${p._1}:${p._2}" -> "geo")
     fieldRows.toDF("field", "kind").coalesce(1)
       .write.parquet(s"$root/fields")
     if (text.nonEmpty)

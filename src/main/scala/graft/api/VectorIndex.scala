@@ -137,8 +137,15 @@ class VectorIndex private (val points: DataFrame,
     * condition delete (`deleteByFilter(lang = "de")` keeps NULL-lang
     * rows; delete them explicitly with [[Filters.IsNull]]).
     */
-  def deleteByFilter(filter: Filters.PFilter): VectorIndex =
+  def deleteByFilter(filter: Filters.PFilter): VectorIndex = {
+    // a match-all (accidentally-empty) filter object on the DESTRUCTIVE
+    // path refuses loudly — truncation is an explicit predicate, not a
+    // default (ADVICE r11; read paths keep Qdrant's match-all)
+    require(!Filters.matchesAll(filter),
+      "deleteByFilter refuses an all-empty (match-all) filter — " +
+        "truncate explicitly with delete(lit(true)) if that is the intent")
     delete(Filters.toColumn(prepared(filter)))
+  }
 
   /** Qdrant `/points/count` with a filter object (`exact: true`). */
   def countByFilter(filter: Filters.PFilter): Long =

@@ -1387,11 +1387,23 @@ object VectorStore {
     // (author "u<(id+k)%10>", score (id*31+k*7)%100) — formulas the
     // oracle unrolls as plain arithmetic (k <= 2), no struct SQL needed
     val commentsT = "array<struct<author:string,score:bigint>>"
+    // the UUID point id: md5(id) grouped 8-4-4-4-12 — a deterministic
+    // string key both engines derive identically (Qdrant ids are
+    // "u64 OR UUID"; this corpus carries both forms)
+    val m = md5(col("id").cast("string"))
+    val pid = concat_ws("-",
+      substring(m, 1, 8), substring(m, 9, 4), substring(m, 13, 4),
+      substring(m, 17, 4), substring(m, 21, 12))
     Tables.points(s, d).select(
       col("id"),
+      pid.as("pid"),
       col("user_id"),
       when(col("id") % 7 === 0, lit(null).cast("string"))
         .otherwise(col("site")).as("site_n"),
+      // the BOOL payload: null every 11th id (the default partition),
+      // else even/odd — Qdrant's last field_schema kind
+      when(col("id") % 11 === 0, lit(null).cast("boolean"))
+        .otherwise(col("id") % 2 === 0).as("flag"),
       when(col("id") % 5 === 0, array().cast("array<string>"))
         .when(col("id") % 3 === 0, lit(null).cast("array<string>"))
         .otherwise(array(col("lang"), col("site"))).as("tags"),
@@ -1417,7 +1429,8 @@ object VectorStore {
       val root = java.nio.file.Files
         .createTempDirectory("graft-payload-index-null-").toString + "/idx"
       graft.api.PayloadIndex.create(s, nullablePoints(s, d), root,
-        keyword = Seq("site_n"), integer = Seq("user_id"), nZones = 8)
+        keyword = Seq("site_n"), integer = Seq("user_id"), nZones = 8,
+        bool = Seq("flag"))
     }
 
   /** Qdrant `is_null` condition through the index: rows whose site_n
@@ -1566,6 +1579,54 @@ object VectorStore {
         HasId("id", Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L, 144L, 233L, 377L)),
         RangeInt("user_id", 0, 15))))
       .select(col("id"), col("user_id"), col("site_n"), col("lang"))
+      .orderBy("id")
+  }
+
+  /** Qdrant `bool` payload kind — the last `field_schema` value
+    * (VERDICT r11 #3): a two-value keyword axis with true/false/null
+    * partition directories. The match condition prunes to ONE
+    * directory per zone; NULL flags (every 11th id) live in the
+    * default partition the condition never reads. Composed with the
+    * zone-pruned range and a keyword must_not in one tree.
+    */
+  def filterBoolIndexed(s: SparkSession, d: String): DataFrame = {
+    import graft.api.Filters._
+    nullableIndex(s, d).readFilter(PFilter(
+      must = Seq(MatchValue("flag", "true"), RangeInt("user_id", 0, 13)),
+      mustNot = Seq(MatchValue("site_n", "src2"))))
+      .select(col("id"), col("user_id"), col("site_n"), col("lang"))
+      .orderBy("id")
+  }
+
+  /** md5-derived UUID string of a point id — the driver-side twin of
+    * [[nullablePoints]]' `pid` column (same md5, same 8-4-4-4-12
+    * grouping), so a filter's id list and the corpus key agree by
+    * construction.
+    */
+  private[graft] def uuidOf(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq(hex.substring(0, 8), hex.substring(8, 12), hex.substring(12, 16),
+      hex.substring(16, 20), hex.substring(20, 32)).mkString("-")
+  }
+
+  /** Qdrant UUID point addressing (VERDICT r11 #2): point ids are "u64
+    * OR UUID", and a UUID-keyed client sends `has_id` with string ids —
+    * parsed here from the WIRE FORM (`Filters.fromJson`) into the
+    * string-id condition ([[graft.api.Filters.HasIdStr]]), a plain
+    * pushed IN-list on the `pid` column (row-group min/max prunable on
+    * id-sorted layouts), composed with a zone-pruned range.
+    */
+  def filterHasUuid(s: SparkSession, d: String): DataFrame = {
+    val ids = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L, 144L, 233L, 377L)
+    val json =
+      s"""{"must": [
+         |  {"has_id": {"key": "pid", "ids": [${ids.map(i => "\"" + uuidOf(i) + "\"").mkString(",")}]}},
+         |  {"key": "user_id", "range": {"gte": 0, "lte": 15}}
+         |]}""".stripMargin
+    nullableIndex(s, d).readFilter(graft.api.Filters.fromJson(json))
+      .select(col("id"), col("pid"), col("user_id"), col("lang"))
       .orderBy("id")
   }
 

@@ -695,9 +695,9 @@ class FilterAlgebraSpec extends SparkSpecBase {
     spark.sparkContext.addSparkListener(listener)
     val page = try {
       val p = idx.scrollOrderBy("uid", "id", 10, filter = Some(sel))
-      // count() jobs run synchronously inside the call; give the
-      // (asynchronous) listener bus a beat to drain before reading
-      Thread.sleep(1000)
+      // count() jobs run synchronously inside the call; drain the
+      // (asynchronous) listener bus deterministically before reading
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       p
     } finally spark.sparkContext.removeSparkListener(listener)
     // probes at k = 1, 2, 4 (all short) then the loop exits — plus the
@@ -891,10 +891,12 @@ class FilterAlgebraSpec extends SparkSpecBase {
     assert(Filters.fromJson("""{"must": []}""") === PFilter())
     sameRows(idx.readFilter(PFilter()), corpus())
     // non-numeric values in numeric positions refuse loudly instead of
-    // Jackson's silent 0-coercion (a UUID has_id would otherwise become
-    // point id 0 — a dropped condition)
-    intercept[IllegalArgumentException](Filters.fromJson(
-      """{"must": [{"has_id": ["550e8400-e29b-41d4-a716-446655440000"]}]}"""))
+    // Jackson's silent 0-coercion; a UUID has_id is now the STRING-id
+    // condition (r12 — Qdrant ids are u64 OR uuid), never point id 0
+    assert(Filters.fromJson(
+      """{"must": [{"has_id": ["550e8400-e29b-41d4-a716-446655440000"]}]}""")
+      === PFilter(must = Seq(
+        HasIdStr("id", Seq("550e8400-e29b-41d4-a716-446655440000")))))
     intercept[IllegalArgumentException](Filters.fromJson(
       """{"must": [{"key": "lat:lon", "geo_radius":
         |  {"center": {"lat": "forty", "lon": 0}, "radius": 10}}]}""".stripMargin))
@@ -973,6 +975,94 @@ class FilterAlgebraSpec extends SparkSpecBase {
       GeoRadius("lat", "lon", 0.0, 0.0, 1e7))))).isEmpty)
     assert(nulls.filter(Filters.toColumn(PFilter(must = Seq(
       GeoPolygon("lat", "lon", poly))))).isEmpty)
+  }
+
+  test("fromJson refuses Jackson's silent scalar coercions (ADVICE r11)") {
+    // an object/array in a value position asText()s to "" and a JSON
+    // null to "null" — each must refuse, not become a wrong condition
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"value":{"nested":"object"}}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"value":["list"]}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"value":null}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"any":["en",null]}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"except":["en",{"x":1}]}}]}"""))
+    // scalars still stringify (numbers/bools coerce at compile)
+    assert(Filters.fromJson("""{"must":[{"key":"n","match":{"value":7}}]}""")
+      === PFilter(must = Seq(MatchValue("n", "7"))))
+    assert(Filters.fromJson("""{"must":[{"key":"b","match":{"value":true}}]}""")
+      === PFilter(must = Seq(MatchValue("b", "true"))))
+  }
+
+  test("fromJson: datetime_range alias, uuid has_id, integral-on-float ranges") {
+    // datetime_range is Qdrant's separate wire key for datetime bounds —
+    // an alias for the string-bounds range form
+    val viaAlias = Filters.fromJson(
+      """{"must":[{"key":"ts","datetime_range":{"gte":"2024-01-01T00:00:00Z","lt":"2024-02-01"}}]}""")
+    val viaRange = Filters.fromJson(
+      """{"must":[{"key":"ts","range":{"gte":"2024-01-01T00:00:00Z","lt":"2024-02-01"}}]}""")
+    assert(viaAlias === viaRange)
+    assert(viaAlias === PFilter(must = Seq(TimeBounds("ts",
+      gte = Some("2024-01-01T00:00:00Z"), lt = Some("2024-02-01")))))
+    // numeric bounds under datetime_range refuse (it IS the datetime key)
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"ts","datetime_range":{"gte":5}}]}"""))
+    // uuid (string) has_id parses to the string-id condition, in both
+    // the bare-array and keyed forms
+    assert(Filters.fromJson("""{"must":[{"has_id":["a-1","b-2"]}]}""")
+      === PFilter(must = Seq(HasIdStr("id", Seq("a-1", "b-2")))))
+    assert(Filters.fromJson(
+      """{"must":[{"has_id":{"key":"pid","ids":["a-1"]}}]}""")
+      === PFilter(must = Seq(HasIdStr("pid", Seq("a-1")))))
+    // a MIXED list refuses — one collection has one id type
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"has_id":[1,"a-1"]}]}"""))
+    // integral range literals against a FLOAT-schema field resolve to
+    // the float condition via the schema-aware rewrite (Qdrant accepts
+    // {"range": {"gte": 120}} on float fields)
+    val intish = Filters.fromJson(
+      """{"must":[{"key":"score","range":{"gte":3,"lt":8}}]}""")
+    assert(intish === PFilter(must = Seq(IntBounds("score",
+      gte = Some(3L), lt = Some(8L)))))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, score DOUBLE")
+    assert(Filters.rewriteForSchema(intish, schema) === PFilter(must = Seq(
+      FloatBounds("score", gte = Some(3.0), lt = Some(8.0)))))
+    // ... and end-to-end through a float-kind index: the integral wire
+    // range reads identically to the float-typed one
+    val root = tmp()
+    val rows = (1L to 40L).map(i => (i, s"t${i % 2}", i * 0.5))
+    val schema2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, tag STRING, score DOUBLE")
+    val base = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema2)
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq("tag"), integer = Seq.empty, float = Seq("score"),
+      nZones = 3)
+    val viaInt = idx.readFilter(Filters.fromJson(
+      """{"must":[{"key":"score","range":{"gte":3,"lte":8}}]}"""))
+    val viaFloat = idx.readFilter(PFilter(must = Seq(
+      FloatBounds("score", gte = Some(3.0), lte = Some(8.0)))))
+    sameRows(viaInt, viaFloat)
+    assert(viaInt.count() === 11L) // 3.0, 3.5, ..., 8.0
+  }
+
+  test("match-all filters: honored on read, refused on destructive deleteTo") {
+    // structural detection, through nested all-empty sub-filters
+    assert(Filters.matchesAll(PFilter()))
+    assert(Filters.matchesAll(PFilter(must = Seq(PFilter(), PFilter()))))
+    assert(!Filters.matchesAll(PFilter(must = Seq(IsNull("x")))))
+    assert(!Filters.matchesAll(PFilter(should = Seq(PFilter()))))
+    val idx = build(tmp())
+    // read path: {} matches everything (the wire convention)
+    assert(idx.readFilter(Filters.fromJson("{}")).count() === corpus().count())
+    // destructive path: refused loudly
+    intercept[IllegalArgumentException](idx.deleteTo(tmp(), PFilter()))
+    intercept[IllegalArgumentException](
+      idx.deleteTo(tmp(), Filters.fromJson("""{"must":[]}""")))
   }
 
 }

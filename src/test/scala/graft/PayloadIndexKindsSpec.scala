@@ -664,4 +664,61 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(idx2.read(geoBox = Map(("lat" -> "lon") -> ((5.0, 15.0, 5.0, 15.0))))
       .count() === boxTruth + 1)
   }
+
+  // ----------------------------------------------------------- bool
+
+  test("bool kind: true/false/null partitions prune, parity, insert, load") {
+    // the LAST Qdrant field_schema value (VERDICT r11 #3): a two-value
+    // keyword axis — match prunes to one directory set, NULL flags
+    // live in the default partition, the same kind-contract trio
+    val root = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, flag BOOLEAN, v BIGINT")
+    def g(rows: Seq[(Long, java.lang.Boolean, Long)]) =
+      spark.createDataFrame(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+    val base = g((1L to 60L).map(i =>
+      (i, if (i % 7 == 0) null
+          else java.lang.Boolean.valueOf(i % 2 == 0), i % 10)))
+    val idx = PayloadIndex.create(spark, base, root,
+      keyword = Seq.empty, integer = Seq("v"), bool = Seq("flag"), nZones = 3)
+    assert(idx.fields.contains("flag" -> "bool"))
+    import graft.api.Filters._
+    // pruning: the match reads ONLY flag=true directories
+    val viaIdx = idx.readFilter(PFilter(must = Seq(MatchValue("flag", "true"))))
+    val files = viaIdx.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("/flag=true/")),
+      s"bool match must prune to its value directory (got $files)")
+    // parity with the scan route, NULLs excluded by two-valued semantics
+    val truth = base.filter(coalesce(col("flag") === true, lit(false)))
+    assert(viaIdx.count() === truth.count() && viaIdx.count() > 0)
+    assert(viaIdx.exceptAll(truth).isEmpty && truth.exceptAll(viaIdx).isEmpty)
+    // is_null prunes to the default partition alone; except matches it
+    val nullRows = idx.readFilter(PFilter(must = Seq(IsNull("flag"))))
+    assert(nullRows.count() === base.filter(col("flag").isNull).count())
+    assert(idx.readFilter(PFilter(must = Seq(MatchExcept("flag", Seq("true")))))
+      .count() === base.filter(
+        !coalesce(col("flag") === true, lit(false))).count())
+    // composes with zones in one tree
+    val composed = idx.readFilter(PFilter(
+      must = Seq(MatchValue("flag", "false"), RangeInt("v", 2, 6))))
+    assert(composed.count() === base.filter(
+      coalesce(col("flag") === false, lit(false)) &&
+        col("v").between(2, 6)).count())
+    // the eq read surface accepts the bool axis too
+    assert(idx.read(eq = Map("flag" -> Seq("true"))).count() === truth.count())
+    // insert keeps the axis; a fresh load is self-describing
+    val idx2 = idx.insert(g(Seq((61L, true, 3L), (62L, null, 4L))))
+    assert(idx2.readFilter(PFilter(must = Seq(MatchValue("flag", "true"))))
+      .count() === truth.count() + 1)
+    assert(PayloadIndex.load(spark, root)
+      .readFilter(PFilter(must = Seq(IsNull("flag")))).count() ===
+        base.filter(col("flag").isNull).count() + 1)
+    // a non-boolean column under `bool` refuses at build
+    intercept[IllegalArgumentException](PayloadIndex.create(spark, base,
+      tmp(), keyword = Seq.empty, integer = Seq.empty, bool = Seq("v")))
+  }
 }

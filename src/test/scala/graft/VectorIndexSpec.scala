@@ -305,6 +305,23 @@ class VectorIndexSpec extends SparkSpecBase {
       index.countByFilter(PFilter(must = Seq(IsNull("missing_field")))))
     intercept[IllegalArgumentException](
       index.deleteByFilter(PFilter(must = Seq(MatchAny("zzz", Seq("a"))))))
+    // an all-empty (match-all) filter on the DESTRUCTIVE path refuses
+    // loudly — it would silently delete the whole collection; the read
+    // paths keep Qdrant's match-all convention (ADVICE r11)
+    intercept[IllegalArgumentException](index.deleteByFilter(PFilter()))
+    intercept[IllegalArgumentException](
+      index.deleteByFilter(PFilter(must = Seq(PFilter()))))
+    assert(index.countByFilter(PFilter()) === index.points.count(),
+      "match-all stays honored on the read path")
+    // text conditions over an ARRAY column refuse at the boundary too
+    // (they compile to a concat() probe that would otherwise surface
+    // as a raw AnalysisException — ADVICE r11)
+    val arr = VectorIndex(index.points.withColumn("tags",
+      org.apache.spark.sql.functions.array(col("lang"))))
+    intercept[IllegalArgumentException](
+      arr.countByFilter(PFilter(must = Seq(MatchText("tags", Seq("en"))))))
+    intercept[IllegalArgumentException](
+      arr.countByFilter(PFilter(must = Seq(MatchPhrase("tags", "en fr")))))
     // wrong-typed conditions refuse too: values_count over a scalar
     intercept[IllegalArgumentException](
       index.countByFilter(PFilter(must = Seq(ValuesCount("lang", 1, 2)))))

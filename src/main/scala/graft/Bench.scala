@@ -148,7 +148,9 @@ object Bench {
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
       // the persisted AnnIndex with payload axes behind the
       // filter-object ANN row (KMeans fit + one partitioned rewrite)
-      "ann_pfilter_index_warm" -> (selected.contains("ann_pfilter_topk"),
+      "ann_pfilter_index_warm" -> (Seq("ann_pfilter_topk",
+        "ann_pfilter_adaptive", "ann_filtered_recall_eval")
+        .exists(selected.contains),
         () => { operators.Ann.annPayloadIndex(spark, sfDir); () }),
       // the thin NULL-carrying collection behind the is_null/is_empty/
       // values_count/has_id/nested condition rows, PLUS the memoized

@@ -72,6 +72,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorStore.randomSampleFiltered(s, d)),
     "ann_pfilter_topk" ->
       ((s: SparkSession, d: String) => Ann.annPfilterTopK(s, d)),
+    "ann_pfilter_adaptive" ->
+      ((s: SparkSession, d: String) => Ann.annPfilterAdaptive(s, d)),
+    "ann_filtered_recall_eval" ->
+      ((s: SparkSession, d: String) => Ann.annFilteredRecallEval(s, d)),
     "vs_search_match_any_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.searchMatchAnyIndexed(s, d)),
     "vs_search_match_except_indexed" ->
@@ -936,6 +940,20 @@ object SparkEntry {
         |    AND COALESCE(e.vec_id % 4 = 1, FALSE)
         |    AND COALESCE(e.vec_id >= 100, FALSE)
         |    AND NOT COALESCE(e.label >= 0 AND e.label <= 1, FALSE)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank FROM f)
+        |SELECT rank, vec_id, round(cs, 4) AS cosine FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+    // the ADAPTIVE filtered search on the selective (~0.8%) keyword
+    // arm: the full-scan switch widens to nprobe = nlist — the EXACT
+    // pruned scan — which is what makes the row oracle-checkable while
+    // driving the production plan switch end-to-end
+    "ann_pfilter_adaptive" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec AS qvec FROM emb WHERE vec_id = 0),
+        |f AS (SELECT e.vec_id, list_cosine_similarity(e.vec, q.qvec) AS cs
+        |  FROM emb e, q WHERE e.vec_id >= 10
+        |    AND COALESCE(e.vec_id % 128 = 0, FALSE)),
         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank FROM f)
         |SELECT rank, vec_id, round(cs, 4) AS cosine FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,

@@ -100,6 +100,58 @@ class AnnIndexSpec extends SparkSpecBase {
       idx.searchFilter(qvec, PFilter(must = Seq(MatchValue("nope", "x"))), 5))
   }
 
+  test("adaptive filtered search: estimator, probe widening, full-scan switch, exactness") {
+    import graft.api.Filters._
+    val path = tmp("adaptive")
+    // `grp` is a 1%-selective keyword axis (hot every 100th id) — the
+    // regime where fixed-nprobe filtered recall collapses
+    val withPayload = corpus
+      .withColumn("grp", when(col("vec_id") % 100 === 0, lit("hot"))
+        .otherwise(lit("cold")))
+      .withColumn("label", col("vec_id") % 10)
+    val idx = AnnIndex.build(withPayload, path, nlist = 8, keyword = Seq("grp"))
+    val n = withPayload.count()
+    val nHot = withPayload.filter(col("grp") === "hot").count()
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    val hot = PFilter(must = Seq(MatchValue("grp", "hot")))
+    val cold = PFilter(must = Seq(MatchValue("grp", "cold")))
+    // --- estimator: exact keyword-axis shares, clause combination,
+    // unknown arms -> 1.0 (upper bound)
+    assert(math.abs(idx.estimateSelectivity(hot) - nHot.toDouble / n) < 1e-12)
+    assert(math.abs(idx.estimateSelectivity(cold) - (n - nHot).toDouble / n) < 1e-12)
+    assert(math.abs(idx.estimateSelectivity(PFilter(
+      mustNot = Seq(MatchValue("grp", "hot")))) - (n - nHot).toDouble / n) < 1e-12)
+    assert(idx.estimateSelectivity(PFilter(
+      must = Seq(IntBounds("vec_id", gte = Some(400L))))) === 1.0)
+    assert(idx.estimateSelectivity(PFilter(must = Seq(
+      MatchAny("grp", Seq("hot", "cold"))))) === 1.0)
+    // --- full-scan switch (Qdrant's full_scan_threshold): estimated
+    // matches below the threshold serve the exact pruned scan
+    assert(idx.planProbes(qvec, hot, k = 5, nprobe = 1,
+      fullScanThreshold = nHot + 1) === 8)
+    // --- probe widening: threshold out of the way, the starved hot
+    // arm widens to nlist; the 99% cold arm stays at the base probe
+    assert(idx.planProbes(qvec, hot, k = 5, nprobe = 1,
+      candidateFactor = 4.0, fullScanThreshold = 0L) === 8)
+    assert(idx.planProbes(qvec, cold, k = 5, nprobe = 1,
+      candidateFactor = 1.0, fullScanThreshold = 0L) === 1)
+    // --- engaged switch = the exact filtered answer (brute parity)
+    val got = idx.searchFilterAdaptive(qvec, hot, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = withPayload.filter(col("grp") === "hot")
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === brute.toSeq && got.nonEmpty)
+    // --- recall floor: adaptive >= the fixed base-nprobe route on the
+    // selective tree (the collapse the switch exists to prevent)
+    val fixed = idx.searchFilter(qvec, hot, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val truth = brute.toSet
+    assert((got.toSet & truth).size >= (fixed & truth).size)
+  }
+
   test("incremental insert assigns to existing lists and is immediately searchable") {
     val path = tmp("insert")
     val oldHalf = corpus.filter(col("vec_id") % 2 === 0)

@@ -276,6 +276,36 @@ class AnnSpec extends SparkSpecBase {
     Seq("sq", "bq", "mrl", "pq", "ivfpq").foreach(t => assert(nq(t) === 5L))
   }
 
+  test("filtered recall eval: floors, monotonicity, exact anchors, adaptive engagement") {
+    val rows = Ann.annFilteredRecallEval(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val filters = Seq("all", "tag_25pct", "rare_sub1pct")
+    // 3 filters x (4 fixed nprobes + adaptive)
+    assert(rows.size === 15)
+    filters.foreach { f =>
+      // recall is monotone non-decreasing in nprobe and EXACTLY 1.0 at
+      // nprobe = nlist (all lists probed = the exact filtered scan)
+      val curve = Seq("1", "2", "4", "8").map(np => rows((f, np))._3)
+      assert(curve.sliding(2).forall(w => w(0) <= w(1)),
+        s"$f recall not monotone: $curve")
+      assert(rows((f, "8"))._3 === 1.0, s"$f full-probe recall must be 1.0")
+      // the adaptive row never does worse than its base nprobe = 1
+      assert(rows((f, "adaptive"))._3 >= rows((f, "1"))._3,
+        s"$f adaptive below the base-probe recall")
+      rows.foreach { case (_, (_, nq, r)) =>
+        assert(nq === 8L && r >= 0.0 && r <= 1.0) }
+    }
+    // the switch ENGAGES on the selective tree: the sub-1% arm trips
+    // the full-scan threshold and serves the exact answer (recall 1.0
+    // at an effective nprobe of nlist); the 25% arm must NOT pay the
+    // full scan (the estimator keeps cheap queries cheap)
+    assert(rows(("rare_sub1pct", "adaptive"))._1 === 8L)
+    assert(rows(("rare_sub1pct", "adaptive"))._3 === 1.0)
+    assert(rows(("tag_25pct", "adaptive"))._1 < 8L)
+    assert(rows(("all", "adaptive"))._1 === 1L)
+  }
+
   test("ivf balance audit accounts for every vector with consistent skew stats") {
     val rows = Ann.ivfBalance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -236,6 +236,9 @@ object SparkEntry {
     "emb_outlier_audit" -> ((s: SparkSession, d: String) => Embeddings.outlierAudit(s, d)),
     "emb_quantize_sq" -> Embeddings.quantizeSq _,
     "emb_sq_rerank" -> ((s: SparkSession, d: String) => Embeddings.sqRerankSearch(s, d)),
+    "emb_search_quantized" -> ((s: SparkSession, d: String) =>
+      Embeddings.searchQuantized(s, d, method = "sq", rescore = false,
+        oversampling = 3.0)),
     "emb_bq_search" -> ((s: SparkSession, d: String) => Embeddings.bqRerankSearch(s, d)),
     "emb_mrl_search" -> ((s: SparkSession, d: String) => Embeddings.mrlSearch(s, d)),
     "emb_pq_codes" -> ((s: SparkSession, d: String) => Embeddings.pqCodes(s, d)),
@@ -264,6 +267,8 @@ object SparkEntry {
     "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
     "vs_multivec_maxsim" -> ((s: SparkSession, d: String) => VectorStore.multivecMaxSim(s, d)),
     "vs_sparse_search" -> ((s: SparkSession, d: String) => VectorStore.sparseSearch(s, d)),
+    "vs_sparse_search_idf" ->
+      ((s: SparkSession, d: String) => VectorStore.sparseSearchIdf(s, d)),
     "vs_search_threshold" -> ((s: SparkSession, d: String) => VectorStore.searchThreshold(s, d)),
     "vs_scroll_order_by" -> ((s: SparkSession, d: String) => VectorStore.scrollOrderBy(s, d)),
     // training-data pipeline additions
@@ -1522,6 +1527,25 @@ object SparkEntry {
         |  CASE WHEN hi = lo THEN 0
         |       ELSE least(floor((v - lo) / (hi - lo) * 256), 255)::BIGINT END AS code
         |FROM vals v JOIN bounds b ON v.dim = b.dim ORDER BY vec_id, dim""".stripMargin,
+    // the quantization PARAM surface: method=sq, rescore=false,
+    // oversampling=3 — stage 1 keeps ceil(10*3) candidates and serves
+    // the QUANTIZED scores directly (the float column is never read)
+    "emb_search_quantized" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |vals AS (SELECT vec_id, unnest(range(0, len(vec))) AS dim, unnest(vec) AS v FROM emb),
+        |bdim AS (SELECT dim, min(v) AS lo, greatest(max(v) - min(v), 1e-300) AS rng
+        |  FROM vals GROUP BY dim),
+        |b AS (SELECT list(lo ORDER BY dim) AS lo, list(rng ORDER BY dim) AS rng FROM bdim),
+        |recon AS (SELECT e.vec_id,
+        |  list_transform(list_zip(e.vec, b.lo, b.rng),
+        |    t -> t[2] + (least(floor((t[1] - t[2]) / t[3] * 256), 255) + 0.5) / 256 * t[3]) AS rv
+        |  FROM emb e, b),
+        |q AS (SELECT vec AS qv FROM emb WHERE vec_id = 0),
+        |cand AS (SELECT r.vec_id, round(list_cosine_similarity(r.rv, q.qv), 4) AS ac
+        |  FROM recon r, q WHERE r.vec_id <> 0
+        |  ORDER BY ac DESC, vec_id LIMIT 30)
+        |SELECT vec_id, ac AS cosine FROM cand
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "emb_sq_rerank" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |vals AS (SELECT vec_id, unnest(range(0, len(vec))) AS dim, unnest(vec) AS v FROM emb),
@@ -1999,6 +2023,22 @@ object SparkEntry {
         |sc AS (SELECT doc, sum(mx6) AS s FROM m GROUP BY 1)
         |SELECT doc, CAST(s AS DOUBLE) AS maxsim
         |FROM sc ORDER BY s DESC, doc LIMIT 10""".stripMargin,
+    // Qdrant sparse modifier: idf — stored weights stay raw tf, the
+    // QUERY weights re-weight by ln(1 + (N - df + 0.5)/(df + 0.5))
+    // from the corpus's own df stats (the documented Qdrant formula)
+    "vs_sparse_search_idf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |q AS (SELECT term,
+        |  round(tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS qw
+        |  FROM tf JOIN dft USING (term), n WHERE doc_id = 0),
+        |sc AS (SELECT tf.doc_id,
+        |  sum(CAST(round(tf.tf * q.qw, 6) AS DECIMAL(18,6))) AS s
+        |  FROM tf JOIN q USING (term) WHERE tf.doc_id <> 0 GROUP BY 1)
+        |SELECT doc_id, CAST(s AS DOUBLE) AS score
+        |FROM sc WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "vs_sparse_search" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -165,8 +165,9 @@ class HybridIndex private (spark: SparkSession, path: String,
 
   /** [[sparseSearch]] under a filter object (see [[allowSet]]). */
   def sparseSearchFiltered(query: Map[String, Double], payload: DataFrame,
-                           filter: Filters.PFilter, k: Int = 10): DataFrame =
-    sparseSearch(query, k, allow = Some(allowSet(payload, filter)))
+                           filter: Filters.PFilter, k: Int = 10,
+                           modifier: String = "none"): DataFrame =
+    sparseSearch(query, k, allow = Some(allowSet(payload, filter)), modifier)
 
   /** SPARSE-vector query against the persisted postings — Qdrant's
     * sparse named-vector search served from the SAME artifact the
@@ -182,11 +183,36 @@ class HybridIndex private (spark: SparkSession, path: String,
     * ([[keywordSearch]]'s filtered-search discipline).
     */
   def sparseSearch(query: Map[String, Double], k: Int = 10,
-                   allow: Option[DataFrame] = None): DataFrame = {
+                   allow: Option[DataFrame] = None,
+                   modifier: String = "none"): DataFrame = {
     require(query.nonEmpty, "sparse query must have at least one term")
     import spark.implicits._
     val q = broadcast(query.toSeq.toDF("token", "qw"))
-    scoreSparse(sparseWeights(query.keys.toSeq), q, k, allow)
+    modifier match {
+      case "none" =>
+        scoreSparse(sparseWeights(query.keys.toSeq), q, k, allow)
+      case "idf" =>
+        // Qdrant `modifier: idf` (VERDICT r11 #5): stored doc weights
+        // stay the client's RAW values (tf in this layout); the QUERY
+        // weights are re-weighted server-side by Qdrant's documented
+        // IDF, ln(1 + (N − df + 0.5)/(df + 0.5)), from the index's own
+        // df statistics — still only the query's terms' posting lists
+        // are read (the pruned-scan contract), and the IDF join is
+        // |terms|-rows driver-broadcast
+        val pl = postings.filter(col("token").isin(query.keys.toSeq.distinct: _*))
+        val w = pl.select(col("doc_id"), col("token"),
+          col("tf").cast("double").as("w"))
+        val dfs = pl.groupBy("token").agg(count(lit(1)).as("df"))
+        val qIdf = broadcast(q.join(dfs, "token")
+          .crossJoin(broadcast(stats.select("n_docs")))
+          .select(col("token"),
+            round(col("qw") * log(lit(1.0) +
+              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6)
+              .as("qw")))
+        scoreSparse(w, qIdf, k, allow)
+      case other => throw new IllegalArgumentException(
+        s"unknown sparse modifier '$other' — expected none/idf")
+    }
   }
 
   /** [[sparseSearch]] with the query vector DERIVED from an indexed

@@ -205,7 +205,8 @@ object Embeddings {
     * are rescored against exact floats, like [[sqRerankSearch]].
     */
   def pqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
-               rerank: Int = 50, m: Int = 8, nCodes: Int = 16): DataFrame = {
+               rerank: Int = 50, m: Int = 8, nCodes: Int = 16,
+               rescore: Boolean = true): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
@@ -224,6 +225,10 @@ object Embeddings {
       .groupBy("vec_id").agg(sum("qdist").as("approx_d2"))
       .orderBy(col("approx_d2").asc, col("vec_id"))
       .limit(rerank)
+    if (!rescore) // serve the ADC distances directly
+      return approx.select(col("vec_id"),
+          round(col("approx_d2"), 4).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id")).limit(k)
     val q = array(qvec.map(lit): _*)
     emb.join(broadcast(approx.select("vec_id")), "vec_id")
       .select(col("vec_id"), round(l2Distance(col("vec"), q), 4).as("dist"))
@@ -260,7 +265,8 @@ object Embeddings {
     */
   def ivfPqSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
                   rerank: Int = 50, nlist: Int = 16, nprobe: Int = 4,
-                  m: Int = 8, nCodes: Int = 16): DataFrame = {
+                  m: Int = 8, nCodes: Int = 16,
+                  rescore: Boolean = true): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
@@ -297,6 +303,10 @@ object Embeddings {
       .groupBy("vec_id").agg(sum("qdist").as("approx_d2"))
       .orderBy(col("approx_d2").asc, col("vec_id"))
       .limit(rerank)
+    if (!rescore) // serve the residual-ADC distances directly
+      return coarse.select(col("vec_id"),
+          round(col("approx_d2"), 4).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id")).limit(k)
     val q = array(qvec.map(lit): _*)
     emb.join(broadcast(coarse.select("vec_id")), "vec_id")
       .select(col("vec_id"), round(l2Distance(col("vec"), q), 4).as("dist"))
@@ -406,7 +416,8 @@ object Embeddings {
     * scores (ties → vec_id), so the whole search is oracle-checkable.
     */
   def mrlSearch(s: SparkSession, d: String, queryId: Long = 0, k: Int = 10,
-                rerank: Int = 50, prefixDim: Int = 16): DataFrame = {
+                rerank: Int = 50, prefixDim: Int = 16,
+                rescore: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
@@ -417,10 +428,14 @@ object Embeddings {
         round(cosineSim(slice(col("vec"), 1, prefixDim), qPre), 4).as("pre_cosine"))
       .orderBy(col("pre_cosine").desc, col("vec_id"))
       .limit(rerank)
-    emb.join(broadcast(candidates.select("vec_id")), "vec_id")
-      .select(col("vec_id"), round(cosineSim(col("vec"), qFull), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
+    if (!rescore) // serve the prefix-head scores directly
+      candidates.select(col("vec_id"), col("pre_cosine").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    else
+      emb.join(broadcast(candidates.select("vec_id")), "vec_id")
+        .select(col("vec_id"), round(cosineSim(col("vec"), qFull), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
   }
 
   /** Session-scoped memo of the PACKED BQ code table (vec_id, code
@@ -455,7 +470,8 @@ object Embeddings {
     * (spec-proved), so the search stays fully DuckDB-oracle-checkable.
     */
   def bqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
-                     k: Int = 10, rerank: Int = 100): DataFrame = {
+                     k: Int = 10, rerank: Int = 100,
+                     rescore: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val codes = bqCodes(s, d)
@@ -467,11 +483,14 @@ object Embeddings {
       .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id"))
       .limit(rerank)
-    emb.join(broadcast(candidates), "vec_id")
-      .select(col("vec_id"), col("hamming"),
-        round(cosineSim(col("vec"), q), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
+    if (!rescore) // serve the packed-bit hamming ranks directly
+      candidates.limit(k)
+    else
+      emb.join(broadcast(candidates), "vec_id")
+        .select(col("vec_id"), col("hamming"),
+          round(cosineSim(col("vec"), q), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
   }
 
   /** Two-stage QUANTIZED search (SQ + rerank — how Qdrant-class engines
@@ -505,7 +524,8 @@ object Embeddings {
     }
 
   def sqRerankSearch(s: SparkSession, d: String, queryId: Long = 0,
-                     k: Int = 10, rerank: Int = 50): DataFrame = {
+                     k: Int = 10, rerank: Int = 50,
+                     rescore: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val (lo, rng) = sqBounds(s, d, emb)
@@ -523,10 +543,60 @@ object Embeddings {
       .select(col("vec_id"), round(cosineSim(approx, q), 4).as("approx_cosine"))
       .orderBy(col("approx_cosine").desc, col("vec_id"))
       .limit(rerank)
-    emb.join(broadcast(candidates.select("vec_id")), "vec_id")
-      .select(col("vec_id"), round(cosineSim(col("vec"), q), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
+    // rescore = false (Qdrant's quantization param): serve the
+    // QUANTIZED scores directly — stage 2 never reads the floats
+    if (!rescore)
+      candidates.select(col("vec_id"), col("approx_cosine").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    else
+      emb.join(broadcast(candidates.select("vec_id")), "vec_id")
+        .select(col("vec_id"), round(cosineSim(col("vec"), q), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+  }
+
+  /** Qdrant SEARCH-TIME QUANTIZATION PARAMS on ONE surface (VERDICT r11
+    * #6 — a Qdrant client expresses quantized serving as parameters of
+    * the same `/points/query`, `params: {quantization: {ignore,
+    * rescore, oversampling}}`, not as different entry points):
+    *
+    *  - `method` ∈ none / sq / bq / mrl / pq / ivfpq — which stored
+    *    quantization tier serves stage 1 (`none` = `ignore: true`, the
+    *    exact float scan);
+    *  - `oversampling` — Qdrant's candidate multiplier: stage 1 keeps
+    *    `ceil(k × oversampling)` candidates;
+    *  - `rescore` — whether stage 2 re-scores candidates against the
+    *    exact floats (`false` serves the quantized scores directly and
+    *    never reads the float column — the I/O the param exists to
+    *    save).
+    *
+    * Pure delegation to the proven tiers — the param form is
+    * bit-for-bit the standalone call (parity-spec'd), so every tier's
+    * oracle/recall evidence carries over.
+    */
+  def searchQuantized(s: SparkSession, d: String, queryId: Long = 0,
+                      k: Int = 10, method: String = "sq",
+                      rescore: Boolean = true, oversampling: Double = 5.0,
+                      prefixDim: Int = 16): DataFrame = {
+    require(oversampling >= 1.0, s"oversampling must be >= 1 (got $oversampling)")
+    val rerank = math.ceil(k * oversampling).toInt
+    method match {
+      case "none" =>
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+        val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+        val q = array(qvec.map(lit): _*)
+        emb.filter(col("vec_id") =!= queryId)
+          .select(col("vec_id"), round(cosineSim(col("vec"), q), 4).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      case "sq" => sqRerankSearch(s, d, queryId, k, rerank, rescore)
+      case "bq" => bqRerankSearch(s, d, queryId, k, rerank, rescore)
+      case "mrl" => mrlSearch(s, d, queryId, k, rerank, prefixDim, rescore)
+      case "pq" => pqSearch(s, d, queryId, k, rerank, rescore = rescore)
+      case "ivfpq" => ivfPqSearch(s, d, queryId, k, rerank, rescore = rescore)
+      case other => throw new IllegalArgumentException(
+        s"unknown quantization method '$other' — expected none/sq/bq/mrl/pq/ivfpq")
+    }
   }
 
   /** Pairwise-COSINE HISTOGRAM over a deterministic sample — the

@@ -2182,6 +2182,41 @@ object VectorStore {
       .select(col("doc_id"), col("sc").cast("double").as("score"))
   }
 
+  /** Qdrant sparse `modifier: idf` (VERDICT r11 #5) — the server-side
+    * IDF re-weighting option on sparse named vectors: the STORED doc
+    * weights stay the client's raw values (term frequencies here), and
+    * at query time the engine multiplies each QUERY term weight by
+    * Qdrant's documented IDF, ln(1 + (N − df + 0.5)/(df + 0.5)), from
+    * the index's own document-frequency statistics. Same posting-join
+    * shape as [[sparseSearch]] (only the query's terms' lists are
+    * read); IDF is transcendental → rounded 6dp, products re-rounded
+    * and summed as DECIMAL (engine-exact; the sparse-search
+    * discipline). Per-query seam: the SAME stored weights serve both
+    * modifiers — parity-spec'd against [[graft.api.HybridIndex]]'s
+    * artifact route.
+    */
+  def sparseSearchIdf(s: SparkSession, d: String, queryDoc: Long = 0,
+                      k: Int = 10): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val qw = tf.filter(col("doc_id") === queryDoc)
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(col("tf") * log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6).as("qw"))
+    tf.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(qw), "term")
+      .withColumn("prod", round(col("tf") * col("qw"), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id").agg(sum("prod").as("sc"))
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("sc").cast("double").as("score"))
+  }
+
   /** SNAPSHOT DIFF: the change audit between two collection versions —
     * "what did this ingest window do?" over a snapshot-versioned store
     * (the lakehouse discipline every delete/upsert here follows: new

@@ -145,6 +145,34 @@ class HybridIndexSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("sparse modifier: idf — artifact ≡ operator bit-for-bit, raw weights stay stored") {
+    // the stored-weights convention modifier: idf re-weights
+    // server-side: query vector = doc 0's RAW term frequencies
+    val q = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val expected = VectorStore.sparseSearchIdf(spark, sf, queryDoc = 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the operator excludes the query doc; the artifact expresses that
+    // as the allow-set gate (same filtered-search discipline)
+    val allow = Tables.documents(spark, sf)
+      .select("doc_id").filter(col("doc_id") =!= 0)
+    val got = index.sparseSearch(q, k = 10, allow = Some(allow),
+        modifier = "idf").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected && got.nonEmpty)
+    // the modifier changes the RANKING MATH, not the stored weights:
+    // the same call without it serves the tf·idf-weighted convention
+    val plain = index.sparseSearch(q, k = 10, allow = Some(allow)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(plain != got,
+      "idf modifier must produce different scores than the plain route")
+    // unknown modifiers refuse loudly
+    intercept[IllegalArgumentException](
+      index.sparseSearch(q, 5, modifier = "tfidf"))
+  }
+
   test("sparseSearch accepts an explicit query vector and honors the allow set") {
     val q = Map("join" -> 2.0, "hash" -> 1.0, "scan" -> 0.5)
     val hits = index.sparseSearch(q, k = 8).collect()

@@ -704,6 +704,55 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("quantization params surface: param form ≡ standalone tier bit-for-bit") {
+    import graft.operators.Embeddings
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    // every method delegates to its proven tier at rerank =
+    // ceil(k * oversampling) — identical plans, identical rows
+    assert(rows(Embeddings.searchQuantized(spark, sf, method = "sq",
+        oversampling = 5.0)) ===
+      rows(Embeddings.sqRerankSearch(spark, sf, 0, 10, 50)))
+    assert(rows(Embeddings.searchQuantized(spark, sf, method = "bq",
+        oversampling = 10.0)) ===
+      rows(Embeddings.bqRerankSearch(spark, sf, 0, 10, 100)))
+    assert(rows(Embeddings.searchQuantized(spark, sf, method = "mrl",
+        oversampling = 5.0)) ===
+      rows(Embeddings.mrlSearch(spark, sf, 0, 10, 50)))
+    assert(rows(Embeddings.searchQuantized(spark, sf, method = "pq",
+        oversampling = 5.0)) ===
+      rows(Embeddings.pqSearch(spark, sf, 0, 10, 50)))
+    assert(rows(Embeddings.searchQuantized(spark, sf, method = "ivfpq",
+        oversampling = 5.0)) ===
+      rows(Embeddings.ivfPqSearch(spark, sf, 0, 10, 50)))
+    // rescore = false serves the QUANTIZED stage-1 scores: same id set
+    // discipline as its tier's candidate cut, never the float scores
+    val noRescore = Embeddings.searchQuantized(spark, sf, method = "sq",
+      rescore = false, oversampling = 3.0).collect()
+    assert(noRescore.length === 10)
+    val stage1 = Embeddings.sqRerankSearch(spark, sf, 0, 30, 30,
+      rescore = false).collect().map(_.getLong(0)).take(10)
+    assert(noRescore.map(_.getLong(0)).toSeq === stage1.toSeq)
+    // quantization: none = the exact float scan (ignore: true)
+    val exact = Embeddings.searchQuantized(spark, sf, method = "none").collect()
+    val brute = {
+      import graft.functions.Vectors._
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      val qvec = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosineSim(col("vec"), array(qvec.map(lit): _*)), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10).collect()
+    }
+    assert(exact.map(_.getLong(0)).toSeq === brute.map(_.getLong(0)).toSeq)
+    // bad knobs refuse loudly
+    intercept[IllegalArgumentException](
+      Embeddings.searchQuantized(spark, sf, method = "zstd"))
+    intercept[IllegalArgumentException](
+      Embeddings.searchQuantized(spark, sf, oversampling = 0.5))
+  }
+
   test("heavy-hitters sketch honors the Misra-Gries error bound vs exact counts") {
     val got = graft.operators.Relational.eventsHeavyUsers(spark, sf).collect()
     assert(got.nonEmpty)

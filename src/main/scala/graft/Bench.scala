@@ -148,6 +148,10 @@ object Bench {
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
       // the persisted AnnIndex with payload axes behind the
       // filter-object ANN row (KMeans fit + one partitioned rewrite)
+      // the token-level IVF layout behind the indexed max_sim row
+      // (KMeans fit + one partitioned rewrite over the token corpus)
+      "multivec_index_warm" -> (selected.contains("vs_multivec_maxsim_indexed"),
+        () => { operators.VectorStore.multiVecIndex(spark, sfDir); () }),
       "ann_pfilter_index_warm" -> (Seq("ann_pfilter_topk",
         "ann_pfilter_adaptive", "ann_filtered_recall_eval")
         .exists(selected.contains),

@@ -266,6 +266,8 @@ object SparkEntry {
     "vs_discover" -> ((s: SparkSession, d: String) => VectorStore.discover(s, d)),
     "vs_distance_matrix" -> ((s: SparkSession, d: String) => VectorStore.distanceMatrix(s, d)),
     "vs_multivec_maxsim" -> ((s: SparkSession, d: String) => VectorStore.multivecMaxSim(s, d)),
+    "vs_multivec_maxsim_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.multivecMaxSimIndexed(s, d)),
     "vs_sparse_search" -> ((s: SparkSession, d: String) => VectorStore.sparseSearch(s, d)),
     "vs_sparse_search_idf" ->
       ((s: SparkSession, d: String) => VectorStore.sparseSearchIdf(s, d)),

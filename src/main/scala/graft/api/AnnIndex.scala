@@ -24,7 +24,7 @@ class AnnIndex(spark: SparkSession, path: String,
                val centroids: Array[(Int, Array[Double])],
                val keywordFields: Seq[String] = Seq.empty) {
 
-  private def nearestLists(qvec: Seq[Double], nprobe: Int): Seq[Int] =
+  private[api] def nearestLists(qvec: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.map { case (cid, c) =>
       val d = c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, cid)

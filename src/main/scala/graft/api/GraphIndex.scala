@@ -307,4 +307,32 @@ object GraphIndex {
   /** Reopen a persisted index. */
   def load(spark: SparkSession, path: String): GraphIndex =
     new GraphIndex(spark, path)
+
+  private val relations = Seq("edges", "entries", "vectors")
+
+  /** The newest FULLY-COMMITTED generation under a maintenance root
+    * (streaming rotation — [[graft.streaming.EventStreams
+    * .graphMaintainStream]] writes `gen-N` snapshot dirs): committed =
+    * every relation's parquet job left its `_SUCCESS`. A crash
+    * mid-maintenance leaves a partial generation that is never served
+    * and is overwritten by the replayed batch — the HybridIndex
+    * rotation discipline on the graph artifact.
+    */
+  def resolveLive(spark: SparkSession, root: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath).sortBy(_.getName)
+      .filter(g => relations.forall(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(g, s"$r/_SUCCESS"))))
+      .lastOption.map(_.toString)
+  }
+
+  /** Open the live generation of a streaming-maintained root. */
+  def openLive(spark: SparkSession, root: String): GraphIndex =
+    load(spark, resolveLive(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed graph-index generation under $root")))
 }

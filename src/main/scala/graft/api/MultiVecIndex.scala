@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+
+/** MULTIVECTOR (ColBERT late-interaction) SERVING ARTIFACT — VERDICT
+  * r11 #4: the scan-route `vs_multivec_maxsim` operator is the correct
+  * max_sim semantics, but Qdrant serves multivectors from its ANN
+  * structures; a max_sim query must not pay a full corpus scan. This
+  * artifact stores PER-TOKEN vectors as an [[AnnIndex]] relation keyed
+  * by (doc, token) — `doc` rides the IVF layout as a payload column —
+  * and serves the standard two-stage ColBERT shape:
+  *
+  *  1. CANDIDATE GENERATION — each query token probes its `nprobe`
+  *     nearest token lists and keeps its `tokenK` nearest corpus
+  *     TOKENS; the union of their parent docs is the candidate set
+  *     (≤ |query tokens| × tokenK docs). One partition-pruned scan for
+  *     all query tokens at once: the (token, probed list) pairs
+  *     broadcast, each probed corpus token scores only against the
+  *     query tokens that probed its list.
+  *  2. EXACT max_sim RERANK — candidate docs' token groups (a
+  *     broadcast semi-join gate; the corpus never shuffles) score the
+  *     full Σ-of-max-cosine against the broadcast query batch, with
+  *     the scan operator's exact-decimal discipline (per-token maxes
+  *     round 6dp, sum as DECIMAL), so on the candidate set the rerank
+  *     is BIT-IDENTICAL to the brute operator.
+  *
+  * Approximate exactly like single-vector IVF serving: a doc whose
+  * every token misses every query token's probe set cannot be
+  * generated — recall-spec'd (with the exact anchor at nprobe = nlist,
+  * tokenK ≥ corpus tokens), not oracle-checked.
+  *
+  * Scale shape: stage 1 reads nprobe/nlist of the TOKEN corpus
+  * (directory-pruned) and exchanges only (token id, doc, score)
+  * triples for the per-token cut; stage 2 reads the candidate docs'
+  * token rows and partial-aggregates — vectors never cross an exchange
+  * in either stage (plan-spec'd).
+  */
+class MultiVecIndex(spark: SparkSession, val ann: AnnIndex) {
+
+  /** max_sim top-k: `queryTokens` is the query's token-vector batch
+    * (bounded — a ColBERT query is ≤ a few dozen vectors, driver
+    * state by construction). `excludeDoc` drops one document (the
+    * more-like-this form where the query IS an indexed doc).
+    */
+  def search(queryTokens: Seq[Seq[Double]], k: Int = 10, nprobe: Int = 4,
+             tokenK: Int = 32, excludeDoc: Option[Long] = None): DataFrame = {
+    require(queryTokens.nonEmpty, "multivector query needs at least one token vector")
+    require(k >= 1 && nprobe >= 1 && tokenK >= 1,
+      s"k/nprobe/tokenK must be >= 1 (got k=$k, nprobe=$nprobe, tokenK=$tokenK)")
+    import spark.implicits._
+    val qdf = queryTokens.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("qt", "qvec")
+    // stage 1: (query token, probed list) pairs broadcast — ONE
+    // partition-pruned scan serves every query token's probe
+    val probes = queryTokens.zipWithIndex.flatMap { case (v, i) =>
+      ann.nearestLists(v, nprobe).map(l => (i.toLong, v, l))
+    }.toDF("qt", "qvec", "list")
+    val probeLists = queryTokens.flatMap(v =>
+      ann.nearestLists(v, nprobe)).distinct
+    val pts = ann.points
+    val probed = pts
+      .filter(col("list").isin(probeLists.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list")
+      .withColumn("cos", cosineSim(col("vec"), col("qvec")))
+      .select(col("qt"), col("doc"), col("vec_id"), col("cos"))
+    val nearTokens = graft.plans.TopK.perKey(probed,
+      Seq(col("qt")), Seq(col("cos").desc, col("vec_id").asc), tokenK)
+    val candDocs = excludeDoc.fold(nearTokens)(d =>
+      nearTokens.filter(col("doc") =!= d))
+      .select("doc").distinct()
+    // stage 2: exact max_sim over the candidate docs' token groups —
+    // the broadcast semi-join gates the scan, vectors stay map-side
+    val gated = excludeDoc.fold(pts)(d => pts.filter(col("doc") =!= d))
+      .join(broadcast(candDocs), Seq("doc"), "left_semi")
+    gated.join(broadcast(qdf))
+      .withColumn("cos", cosineSim(col("vec"), col("qvec")))
+      .groupBy("doc", "qt").agg(max("cos").as("mx"))
+      .withColumn("mx6", round(col("mx"), 6).cast("decimal(18,6)"))
+      .groupBy("doc").agg(sum("mx6").as("sc"))
+      .orderBy(col("sc").desc, col("doc"))
+      .limit(k)
+      // exact 6dp-decimal sum, unrounded cast — the scan operator's
+      // exactness discipline, bit-identical on the candidate set
+      .select(col("doc"), col("sc").cast("double").as("maxsim"))
+  }
+
+  /** The token vectors of one indexed document, driver-collected (a
+    * document's token bag is bounded — query-vector-sized state): the
+    * more-like-this entry point's lookup.
+    */
+  def tokensOf(doc: Long): Seq[Seq[Double]] = {
+    val rows = ann.points.filter(col("doc") === doc)
+      .select("vec_id", "vec").collect()
+    require(rows.nonEmpty, s"doc $doc has no token vectors in this index")
+    rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1)).toSeq
+  }
+}
+
+object MultiVecIndex {
+
+  /** Build the token-level IVF layout. `tokens` must have (doc BIGINT,
+    * vec_id BIGINT — globally unique token id, vec ARRAY<DOUBLE>);
+    * `doc` rides as a payload column of the list-partitioned layout.
+    */
+  def build(tokens: DataFrame, path: String, nlist: Int = 16,
+            seed: Long = 42L): MultiVecIndex = {
+    val cols = tokens.columns.toSet
+    Seq("doc", "vec_id", "vec").foreach(c => require(cols.contains(c),
+      s"token relation needs column '$c' (got ${tokens.columns.toSeq})"))
+    new MultiVecIndex(tokens.sparkSession,
+      AnnIndex.build(tokens, path, nlist, seed))
+  }
+
+  /** Reopen a persisted token layout. */
+  def load(spark: SparkSession, path: String): MultiVecIndex =
+    new MultiVecIndex(spark, AnnIndex.load(spark, path))
+}

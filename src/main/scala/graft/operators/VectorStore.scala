@@ -2147,6 +2147,47 @@ object VectorStore {
       .select(col("doc"), col("sc").cast("double").as("maxsim"))
   }
 
+  /** Session-scoped memo of the persisted [[graft.api.MultiVecIndex]]
+    * over the SAME token corpus [[multivecMaxSim]] scans (consecutive
+    * groups of 4 vec_ids = one multivector doc) — built once per
+    * corpus snapshot, then served by the indexed max_sim row.
+    */
+  private val multiVecIdxMemo =
+    new SessionMemo[Unit, (graft.api.MultiVecIndex, () => Unit)](_._2())
+
+  private[graft] def multiVecIndex(s: SparkSession, d: String,
+                                   tokens: Int = 4): graft.api.MultiVecIndex =
+    multiVecIdxMemo.getOrElseUpdate(s, d, ()) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-multivec-").toString
+      val toks = Tables.embeddings(s, d)
+        .select(expr(s"vec_id div $tokens").as("doc"),
+          col("vec_id"), toDouble(col("embedding")).as("vec"))
+      val idx = graft.api.MultiVecIndex.build(toks, s"$root/ivf", nlist = 8)
+      (idx, () => {
+        try {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: java.io.IOException => () }
+      })
+    }._1
+
+  /** MULTIVECTOR max_sim served from the ANN artifact (VERDICT r11
+    * #4 — Qdrant serves multivectors from its index structures; row
+    * 121's scan route pays the full corpus every query): the ColBERT
+    * two-stage shape — per-query-token probes generate candidate docs
+    * from the token-level IVF layout, the exact max_sim reranks only
+    * those. Deterministic (seeded quantizer) but not DuckDB-derivable
+    * → rows-only + the recall/parity specs on [[graft.api
+    * .MultiVecIndex]].
+    */
+  def multivecMaxSimIndexed(s: SparkSession, d: String, queryDoc: Long = 0,
+                            k: Int = 10): DataFrame = {
+    val idx = multiVecIndex(s, d)
+    idx.search(idx.tokensOf(queryDoc), k, nprobe = 4, tokenK = 32,
+      excludeDoc = Some(queryDoc))
+  }
+
   /** SPARSE-vector search via INVERTED POSTING LISTS (the SPLADE/BM25
     * sparse tier of hybrid retrieval engines; Qdrant sparse vectors):
     * documents and query are sparse (term → weight) maps — tf·idf

@@ -274,6 +274,56 @@ object EventStreams {
       }
   }
 
+  /** STREAMING GRAPH-INDEX MAINTENANCE (VERDICT r11 #7 — the last
+    * maintained serving artifact without a streaming twin): each
+    * micro-batch of (vec_id, vec) rows flows through the SAME
+    * search-then-link merge the batch API uses ([[graft.api.GraphIndex
+    * .insertTo]] — beam-search links + intra-batch links + degree-cap
+    * prune + orphan repair) and lands as the next `gen-N` snapshot
+    * under `root`; readers follow [[graft.api.GraphIndex.openLive]]
+    * (newest generation whose three relation jobs ALL committed).
+    * Exactly-once is the hybrid stream's rotation argument verbatim:
+    * batchIds are monotonic per checkpoint, every relation writes
+    * mode-overwrite into the batch's own generation dir, and a replay
+    * either re-lands gen-N identically (same deterministic merge over
+    * the same gen-(N−1)) or — when gen-N had fully committed before
+    * the crash — is skipped outright. The first batch BUILDS the
+    * graph from scratch (gen-<first batchId>); old generations are
+    * reclaimed keeping the previous one for in-flight readers.
+    */
+  def graphMaintainStream(vecs: DataFrame, root: String, checkpoint: String,
+                          graphK: Int = 10) = {
+    import graft.api.{GraphIndex, VectorIndex}
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val out = s"$root/${VectorIndex.generationDir(batchId)}"
+        val live = GraphIndex.resolveLive(s, root)
+        // generation-NAME compare, not path strings (the hybrid
+        // stream's qualified-path lesson)
+        val liveName = live.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName)
+        if (!liveName.contains(VectorIndex.generationDir(batchId))) {
+          live match {
+            case Some(liveDir) =>
+              GraphIndex.load(s, liveDir).insertTo(batch, out, graphK)
+            case None =>
+              GraphIndex.build(batch, out, graphK)
+          }
+          // best-effort GC: keep the new + previous generation only
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(rootP).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+            .map(_.getPath).sortBy(_.getName)
+            .dropRight(2).foreach(p => fs.delete(p, true))
+        }
+        ()
+      }
+  }
+
   /** STREAMING PAYLOAD-INDEX MAINTENANCE — the unbounded twin of
     * [[graft.api.PayloadIndex!.insert]] (VERDICT r7 #5): each
     * micro-batch lands in the SAME append-in-place partitioned layout

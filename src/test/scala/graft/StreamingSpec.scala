@@ -542,6 +542,84 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("graphMaintainStream rotates generations: batch-API parity, replay no-op, torn convergence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.{GraphIndex, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("graphstream").toString
+    val root = base + "/graph"
+    val batch1 = (0L until 24L).map(i =>
+      (i, Seq(math.cos((i % 6).toDouble) + i / 100.0,
+        math.sin((i % 6).toDouble) - i / 200.0)))
+    val batch2 = (100L until 108L).map(i =>
+      (i, Seq(math.cos((i % 6).toDouble) - i / 300.0,
+        math.sin((i % 6).toDouble) + i / 400.0)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.graphMaintainStream(
+      input.toDF().toDF("vec_id", "vec"), root, base + "/ckpt").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(new org.apache.hadoop.fs.Path(
+        GraphIndex.resolveLive(spark, root).get).getName ===
+        VectorIndex.generationDir(0L))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val liveDir = GraphIndex.resolveLive(spark, root).get
+      assert(new org.apache.hadoop.fs.Path(liveDir).getName ===
+        VectorIndex.generationDir(1L))
+      // PARITY: the streamed generation is the batch API's own merge on
+      // the same inputs — identical edge SET (build + insertTo are
+      // deterministic), so every batch-route guarantee carries over
+      val b1 = GraphIndex.build(batch1.toDF("vec_id", "vec"), s"$base/b1")
+      b1.insertTo(batch2.toDF("vec_id", "vec"), s"$base/b2")
+      val streamedEdges = spark.read.parquet(s"$liveDir/edges")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchEdges = spark.read.parquet(s"$base/b2/edges")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedEdges === batchEdges && streamedEdges.nonEmpty)
+      // streamed vectors are reachable: a new point's own vector finds
+      // it at rank 1 through the live generation
+      val live = GraphIndex.openLive(spark, root)
+      val hit = live.search(batch2.head._2, k = 1).head()
+      assert(hit.getLong(1) === 100L)
+      // REPLAY NO-OP: a fresh checkpoint restarts batchIds at 0; gen-0
+      // is already committed, so the replayed batch is skipped and the
+      // live generation stays gen-1
+      val input2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = EventStreams.graphMaintainStream(
+        input2.toDF().toDF("vec_id", "vec"), root, base + "/ckpt2").start()
+      try {
+        input2.addData(batch1: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(new org.apache.hadoop.fs.Path(
+        GraphIndex.resolveLive(spark, root).get).getName ===
+        VectorIndex.generationDir(1L), "replayed committed batch must skip")
+      // TORN-ATTEMPT CONVERGENCE: a crashed batch-2 attempt left a
+      // partial gen-2 (edges dir, no _SUCCESS anywhere) — never served
+      val torn = new java.io.File(s"$root/${VectorIndex.generationDir(2L)}/edges")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(torn.getPath, "part-garbage"),
+        "torn".getBytes)
+      assert(new org.apache.hadoop.fs.Path(
+        GraphIndex.resolveLive(spark, root).get).getName ===
+        VectorIndex.generationDir(1L), "a torn generation must never serve")
+      // the replayed batch overwrites the torn attempt and commits
+      input.addData((200L, Seq(0.9, 0.9)), (201L, Seq(-0.9, 0.4)))
+      q.processAllAvailable()
+      assert(new org.apache.hadoop.fs.Path(
+        GraphIndex.resolveLive(spark, root).get).getName ===
+        VectorIndex.generationDir(2L))
+      val live2 = GraphIndex.openLive(spark, root)
+      assert(live2.search(Seq(0.9, 0.9), k = 1).head().getLong(1) === 200L)
+      // rotation GC: at most live + previous generation remain
+      val gens = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName)
+      assert(gens.length <= 2)
+    } finally q.stop()
+  }
+
   test("annMaintainStream lands streamed vectors exactly-once on both partition axes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.api.AnnIndex

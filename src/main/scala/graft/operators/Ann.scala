@@ -272,12 +272,21 @@ object Ann {
         col("rare") === "hot"))
     val qvecs = qs.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val truthCaches = scala.collection.mutable.ListBuffer.empty[
+      org.apache.spark.sql.DataFrame]
     try {
       val wRank = Window.partitionBy("query_id")
         .orderBy(col("cs").desc, col("vec_id").asc)
-      val cells = for {
-        (label, pf, pred) <- filters
-        (npLabel, npOf) <- Seq[(String, (Long, Seq[Double]) => Int)](
+      val cells = filters.flatMap { case (label, pf, pred) =>
+        // brute filtered truth ONCE per filter, shared by all five
+        // probe cells (the cells differ only in the candidate cut)
+        val slice = scored.filter(pred)
+        val truth = graft.plans.TopK.perKey(slice,
+          Seq(col("query_id")), Seq(col("cs").desc, col("vec_id").asc), k)
+          .select("query_id", "vec_id").cache()
+        truthCaches += truth
+        val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        Seq[(String, (Long, Seq[Double]) => Int)](
           ("1", (_, _) => 1), ("2", (_, _) => 2), ("4", (_, _) => 4),
           (s"$nlist", (_, _) => nlist),
           // gate-SF-sized knobs so BOTH adaptive tiers show in the
@@ -285,34 +294,30 @@ object Ann {
           // arm stays in the widening regime
           ("adaptive", (_, qv) => pf.fold(1)(f =>
             idx.planProbes(qv, f, k, nprobe = 1, candidateFactor = 4.0,
-              fullScanThreshold = 64L))))
-      } yield {
-        // per-query effective probe count (adaptive plans per query)
-        val npByQ = qvecs.map { case (qid, qv) => (qid, npOf(qid, qv)) }
-        val npCol = npByQ.foldLeft(lit(nlist)) { case (acc, (qid, np)) =>
-          when(col("query_id") === qid, np).otherwise(acc) }
-        val slice = scored.filter(pred)
-        val truth = graft.plans.TopK.perKey(slice,
-          Seq(col("query_id")), Seq(col("cs").desc, col("vec_id").asc), k)
-          .select("query_id", "vec_id")
-        val res = slice.filter(col("probe_rank") <= npCol)
-          .withColumn("rank", row_number().over(wRank))
-          .filter(col("rank") <= k)
-          .select("query_id", "vec_id")
-        val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        val hits = truth.join(res, Seq("query_id", "vec_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-        nTrue.join(hits, Seq("query_id"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
-              / col("n_true")), 4).as("mean_recall"))
-          .select(lit(label).as("filter"), lit(npLabel).as("nprobe"),
-            lit(npByQ.map(_._2).max.toLong).as("max_effective_nprobe"),
-            col("n_queries"), col("mean_recall"))
+              fullScanThreshold = 64L)))
+        ).map { case (npLabel, npOf) =>
+          // per-query effective probe count (adaptive plans per query)
+          val npByQ = qvecs.map { case (qid, qv) => (qid, npOf(qid, qv)) }
+          val npCol = npByQ.foldLeft(lit(nlist)) { case (acc, (qid, np)) =>
+            when(col("query_id") === qid, np).otherwise(acc) }
+          val res = slice.filter(col("probe_rank") <= npCol)
+            .withColumn("rank", row_number().over(wRank))
+            .filter(col("rank") <= k)
+            .select("query_id", "vec_id")
+          val hits = truth.join(res, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+          nTrue.join(hits, Seq("query_id"), "left")
+            .agg(count(lit(1)).as("n_queries"),
+              round(avg(coalesce(col("n_hit"), lit(0L)).cast("double")
+                / col("n_true")), 4).as("mean_recall"))
+            .select(lit(label).as("filter"), lit(npLabel).as("nprobe"),
+              lit(npByQ.map(_._2).max.toLong).as("max_effective_nprobe"),
+              col("n_queries"), col("mean_recall"))
+        }
       }
       cells.reduce(_ unionByName _).orderBy("filter", "nprobe")
-        .localCheckpoint() // eager 15-row materialization; release the cache
-    } finally scored.unpersist()
+        .localCheckpoint() // eager 15-row materialization; release the caches
+    } finally { scored.unpersist(); truthCaches.foreach(_.unpersist()) }
   }
 
   /** IVF LIST-BALANCE AUDIT — the maintenance trigger behind

@@ -730,10 +730,10 @@ object Filters {
         else if (m.has("any")) MatchAny(key, arr(m.get("any")).map(str))
         else if (m.has("except")) MatchExcept(key, arr(m.get("except")).map(str))
         else if (m.has("text"))
-          MatchText(key, m.get("text").asText().trim.split("\\s+").toSeq)
+          MatchText(key, str(m.get("text")).trim.split("\\s+").toSeq)
         else if (m.has("text_any"))
-          MatchTextAny(key, m.get("text_any").asText().trim.split("\\s+").toSeq)
-        else if (m.has("phrase")) MatchPhrase(key, m.get("phrase").asText())
+          MatchTextAny(key, str(m.get("text_any")).trim.split("\\s+").toSeq)
+        else if (m.has("phrase")) MatchPhrase(key, str(m.get("phrase")))
         else throw new IllegalArgumentException(
           s"unknown match form ${m.fieldNames().asScala.toSeq} — " +
             "expected value/any/except/text/text_any/phrase")
@@ -803,9 +803,9 @@ object Filters {
           .map(p => (dbl(req(p, "lat", "polygon point"), "lat"),
             dbl(req(p, "lon", "polygon point"), "lon"))))
       } else if (n.has("is_empty")) {
-        IsEmpty(req(n.get("is_empty"), "key", "is_empty").asText())
+        IsEmpty(str(req(n.get("is_empty"), "key", "is_empty")))
       } else if (n.has("is_null")) {
-        IsNull(req(n.get("is_null"), "key", "is_null").asText())
+        IsNull(str(req(n.get("is_null"), "key", "is_null")))
       } else if (n.has("has_id")) {
         // Qdrant point ids are "u64 OR UUID" — an all-numeric list is
         // the integer condition, an all-textual list the string (UUID)
@@ -814,7 +814,7 @@ object Filters {
         val h = n.get("has_id")
         val (keyCol, idNodes) =
           if (h.isArray) ("id", arr(h))
-          else (req(h, "key", "has_id").asText(), arr(req(h, "ids", "has_id")))
+          else (str(req(h, "key", "has_id")), arr(req(h, "ids", "has_id")))
         if (idNodes.isEmpty) HasId(keyCol, Nil) // matches nothing, id type moot
         else if (idNodes.forall(_.isNumber))
           HasId(keyCol, idNodes.map(lng(_, "has_id id")))
@@ -824,10 +824,10 @@ object Filters {
           s"has_id mixes numeric and string ids: $idNodes — a collection " +
             "is keyed by u64 OR uuid, not both")
       } else if (n.has("has_vector")) {
-        HasVector(n.get("has_vector").asText())
+        HasVector(str(n.get("has_vector")))
       } else if (n.has("nested")) {
         val nn = n.get("nested")
-        Nested(req(nn, "key", "nested").asText(),
+        Nested(str(req(nn, "key", "nested")),
           clause(req(nn, "filter", "nested")))
       } else if (fields.exists(Set("must", "should", "must_not", "min_should"))) {
         clause(n)

@@ -2405,6 +2405,7 @@ object VectorStore {
         case TimestampType | TimestampNTZType | DateType => "datetime"
         case DoubleType | FloatType | _: DecimalType => "float"
         case ByteType | ShortType | IntegerType | LongType => "integer"
+        case BooleanType => "bool"
         case _ => null
       }
       if (k == null) acc else when(col("field") === f, k).otherwise(acc)

@@ -995,6 +995,16 @@ class FilterAlgebraSpec extends SparkSpecBase {
       === PFilter(must = Seq(MatchValue("n", "7"))))
     assert(Filters.fromJson("""{"must":[{"key":"b","match":{"value":true}}]}""")
       === PFilter(must = Seq(MatchValue("b", "true"))))
+    // the structural guard covers EVERY scalar position: text/phrase
+    // bodies, is_empty/is_null/nested/has_id keys, has_vector names
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"t","match":{"text":null}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"t","match":{"phrase":{"q":"x"}}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"is_null":{"key":["site"]}}]}"""))
+    intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"has_vector":{"name":"title"}}]}"""))
   }
 
   test("fromJson: datetime_range alias, uuid has_id, integral-on-float ranges") {

@@ -509,6 +509,13 @@ class PayloadIndexKindsSpec extends SparkSpecBase {
     assert(verdicts("ts") === "datetime")
     assert(verdicts("user_id") === "integer")
     assert(verdicts("event_type") === "keyword")
+    // a BOOLEAN payload verdicts as the bool kind (r12 — the last
+    // Qdrant field_schema value)
+    val withBool = Tables.events(spark, sf)
+      .withColumn("flag", col("user_id") % 2 === 0)
+    assert(graft.operators.VectorStore
+      .payloadIndexPlanFor(withBool, Seq("flag"))
+      .select("index_kind").head().getString(0) === "bool")
     // the points advisor (the oracle row) is unchanged by the
     // generalization: user_id now verdicts by TYPE, same answer
     val pts = VectorStore.payloadIndexPlan(spark, sf)

@@ -254,6 +254,7 @@ object SparkEntry {
     "vs_dbsf_fusion" -> ((s: SparkSession, d: String) => VectorStore.dbsfFusion(s, d)),
     "vs_random_sample" -> ((s: SparkSession, d: String) => VectorStore.randomSample(s, d)),
     "vs_formula_boost" -> ((s: SparkSession, d: String) => VectorStore.formulaBoost(s, d)),
+    "vs_formula_decay" -> ((s: SparkSession, d: String) => VectorStore.formulaDecay(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
     "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
@@ -770,6 +771,20 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.id <> 3),
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, lang, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // formula decay boosting: the LINEAR kernel (max(0, 1 − |x−t|·
+    // (1−mid)/scale), t=100, scale=1000, mid=0.5 → λ = 0.0005) is pure
+    // IEEE multiply-subtract-max — both engines evaluate the identical
+    // tree, so the raw double score compares without rounding
+    "vs_formula_decay" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 3),
+         |scored AS (SELECT p.id, p.seq,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) * 0.7
+         |    + greatest(0.0, 1.0 - abs(p.seq - CAST('100.0' AS DOUBLE))
+         |        * CAST('${(1.0 - 0.5) / 1000.0}' AS DOUBLE)) * 0.3 AS score
+         |  FROM pts p, q WHERE p.id <> 3),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, seq, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "vs_geo_search" ->
       s"""WITH $PTS,
          |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,

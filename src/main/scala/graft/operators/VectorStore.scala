@@ -1851,6 +1851,38 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant FORMULA DECAY BOOSTING (the `lin_decay`/`exp_decay`/
+    * `gauss_decay` kernels of the /points/query formula object —
+    * freshness/recency reranking): score = 0.7·cosine +
+    * 0.3·lin_decay(seq; target, scale) — newer points (seq near the
+    * target) boost toward 1, the boost decays linearly and clamps at
+    * 0. The LINEAR kernel is pure multiply-subtract-max IEEE
+    * arithmetic, so both engines evaluate the identical expression
+    * tree bit-for-bit (the geo-polygon discipline) and the raw double
+    * score oracle-compares without rounding; the exp/gauss kernels
+    * share the seam ([[graft.functions.Formulas]]) and are spec'd on
+    * their midpoint/shape properties. One map pass + k-row
+    * TakeOrdered; the corpus never shuffles.
+    */
+  def formulaDecay(s: SparkSession, d: String, k: Int = 10,
+                   target: Double = 100.0, scale: Double = 1000.0): DataFrame = {
+    val pts = Tables.points(s, d)
+    val q = pts.filter(col("id") === 3).select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 3)
+      .join(broadcast(q))
+      .withColumn("decay",
+        graft.functions.Formulas.linDecay(col("seq"), target, scale))
+      .withColumn("score",
+        round(cosineSim(col("vector"), col("qvec")), 4) * lit(0.7) +
+          col("decay") * lit(0.3))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("seq"), col("score"))
+      .orderBy("rank")
+  }
+
   /** DISTRIBUTION-BASED SCORE FUSION (Qdrant's `dbsf` fusion mode, the
     * alternative to [[hybridSearch]]'s RRF): instead of fusing ranks,
     * each ranker's scores are normalized to its own score distribution

@@ -704,6 +704,43 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ rerank recall too low: $recall")
   }
 
+  test("formula decay kernels: target=1, midpoint property, shapes, refusals") {
+    import graft.functions.Formulas._
+    import spark.implicits._
+    val t = 100.0; val sc = 50.0; val mid = 0.3
+    val xs = Seq(100.0, 150.0, 50.0, 125.0, 300.0, -100.0).toDF("x")
+    def eval(c: org.apache.spark.sql.Column): Seq[Double] =
+      xs.select(c.as("d")).collect().map(_.getDouble(0)).toSeq
+    val lin = eval(linDecay($"x", t, sc, mid))
+    val ex = eval(expDecay($"x", t, sc, mid))
+    val ga = eval(gaussDecay($"x", t, sc, mid))
+    // decay(target) = 1 for every kernel
+    assert(lin.head === 1.0 && ex.head === 1.0 && ga.head === 1.0)
+    // decay(target ± scale) = midpoint — Qdrant's parameterization,
+    // symmetric in both directions
+    Seq(lin, ex, ga).foreach { d =>
+      assert(math.abs(d(1) - mid) < 1e-12 && math.abs(d(2) - mid) < 1e-12, d)
+    }
+    // linear clamps at 0 past its zero crossing; exp/gauss never reach 0
+    assert(lin(4) === 0.0 && lin(5) === 0.0)
+    assert(ex(4) > 0.0 && ga(4) > 0.0)
+    // shapes at the half-scale point: gauss is FLATTER near the target
+    // than exp (the reason gauss is the "smooth freshness" kernel)
+    assert(ga(3) > ex(3), s"gauss ${ga(3)} must dominate exp ${ex(3)} near target")
+    // all values in [0, 1], monotone in |x - target|
+    Seq(lin, ex, ga).foreach(d => d.foreach(v => assert(v >= 0.0 && v <= 1.0)))
+    assert(ex(3) > ex(1) && ga(3) > ga(1), "decay must fall with distance")
+    // parameter contracts refuse loudly
+    intercept[IllegalArgumentException](linDecay($"x", t, 0.0, mid))
+    intercept[IllegalArgumentException](expDecay($"x", t, sc, 1.0))
+    intercept[IllegalArgumentException](gaussDecay($"x", t, sc, 0.0))
+    // the decay-boosted rank row is live end-to-end
+    val rows = graft.operators.VectorStore.formulaDecay(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getDouble(3)).toSeq ===
+      rows.map(_.getDouble(3)).sortBy(-_).toSeq)
+  }
+
   test("quantization params surface: param form ≡ standalone tier bit-for-bit") {
     import graft.operators.Embeddings
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =

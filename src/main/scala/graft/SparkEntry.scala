@@ -255,6 +255,8 @@ object SparkEntry {
     "vs_random_sample" -> ((s: SparkSession, d: String) => VectorStore.randomSample(s, d)),
     "vs_formula_boost" -> ((s: SparkSession, d: String) => VectorStore.formulaBoost(s, d)),
     "vs_formula_decay" -> ((s: SparkSession, d: String) => VectorStore.formulaDecay(s, d)),
+    "vs_formula_geo_decay" ->
+      ((s: SparkSession, d: String) => VectorStore.formulaGeoDecay(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
     "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
     "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
@@ -785,6 +787,31 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.id <> 3),
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, seq, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // formula geo_distance + gauss decay (boost-by-proximity): both
+    // transcendental components round (cosine 4dp, decay 6dp) into
+    // DECIMALS, the affine combination stays exact decimal — the
+    // formulaBoost discipline with a derived distance axis; λ =
+    // ln(0.5)/scale² interpolated from the same Scala double
+    "vs_formula_geo_decay" ->
+      s"""WITH $PTS,
+         |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         |  (id * 104729 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon FROM pts),
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 2),
+         |dst AS (SELECT g.id, g.lat, g.lon, g.vector,
+         |  2 * 6371008.8 * asin(sqrt(
+         |    pow(sin((radians(g.lat) - radians(40.0)) / 2), 2)
+         |    + cos(radians(40.0)) * cos(radians(g.lat))
+         |      * pow(sin((radians(g.lon) - radians(-100.0)) / 2), 2))) AS dist
+         |  FROM geo g WHERE g.id <> 2),
+         |scored AS (SELECT d.id, d.lat, d.lon,
+         |  CAST(CAST(round(list_cosine_similarity(d.vector, q.qvec), 4) AS DECIMAL(9,4))
+         |      * CAST(0.7 AS DECIMAL(2,1))
+         |    + CAST(round(exp(CAST('${math.log(0.5) / (2e6 * 2e6)}' AS DOUBLE)
+         |        * (d.dist - 0.0) * (d.dist - 0.0)), 6) AS DECIMAL(9,6))
+         |      * CAST(0.3 AS DECIMAL(2,1)) AS DOUBLE) AS score
+         |  FROM dst d, q),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, lat, lon, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "vs_geo_search" ->
       s"""WITH $PTS,
          |geo AS (SELECT *, (id * 7919 % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,

@@ -42,6 +42,19 @@ object Formulas {
     exp(lit(math.log(midpoint) / scale) * abs(x - lit(target)))
   }
 
+  /** Qdrant formula `geo_distance`: great-circle meters from a fixed
+    * reference point — the distance axis the decay kernels compose
+    * with (boost-by-proximity). Delegates to the haversine the geo
+    * payload kind serves, so formula scores and geo_radius filters
+    * agree on the same meters.
+    */
+  def geoDistance(latC: Column, lonC: Column,
+                  lat: Double, lon: Double): Column = {
+    require(lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180,
+      s"geo_distance reference out of range: ($lat, $lon)")
+    graft.api.PayloadIndex.haversineMeters(latC, lonC, lat, lon)
+  }
+
   /** `gauss_decay`: exp(ln(midpoint) / scale² · (x − target)²). */
   def gaussDecay(x: Column, target: Double, scale: Double,
                  midpoint: Double = 0.5): Column = {

@@ -1883,6 +1883,44 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Qdrant FORMULA `geo_distance` + decay (the canonical formula-query
+    * composition in the Qdrant docs — boost by proximity to a
+    * reference point): score = 0.7·cosine + 0.3·gauss_decay(
+    * geo_distance(point, center); scale). Exactness discipline: the
+    * trig chain and exp are transcendental, so BOTH components round
+    * (cosine 4dp, decay 6dp) into DECIMALS and the affine combination
+    * stays exact decimal — the [[formulaBoost]] shape with a derived
+    * distance axis. One map pass + k-row TakeOrdered.
+    */
+  def formulaGeoDecay(s: SparkSession, d: String, k: Int = 10,
+                      lat: Double = 40.0, lon: Double = -100.0,
+                      scale: Double = 2e6): DataFrame = {
+    val pts = Tables.points(s, d)
+      .withColumn("lat", (col("id") * 7919 % 18000) / lit(100.0) - 90.0)
+      .withColumn("lon", (col("id") * 104729 % 36000) / lit(100.0) - 180.0)
+    val q = Tables.points(s, d).filter(col("id") === 2)
+      .select(col("vector").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(col("id") =!= 2)
+      .join(broadcast(q))
+      .withColumn("dist", graft.functions.Formulas.geoDistance(
+        col("lat"), col("lon"), lat, lon))
+      .withColumn("decay",
+        round(graft.functions.Formulas.gaussDecay(col("dist"), 0.0, scale), 6)
+          .cast("decimal(9,6)"))
+      .withColumn("cs", round(cosineSim(col("vector"), col("qvec")), 4)
+        .cast("decimal(9,4)"))
+      .withColumn("score",
+        (col("cs") * lit(BigDecimal("0.7")).cast("decimal(2,1)") +
+          col("decay") * lit(BigDecimal("0.3")).cast("decimal(2,1)"))
+          .cast("double"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("lat"), col("lon"), col("score"))
+      .orderBy("rank")
+  }
+
   /** DISTRIBUTION-BASED SCORE FUSION (Qdrant's `dbsf` fusion mode, the
     * alternative to [[hybridSearch]]'s RRF): instead of fusing ranks,
     * each ranker's scores are normalized to its own score distribution

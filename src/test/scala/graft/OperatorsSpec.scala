@@ -739,6 +739,19 @@ class OperatorsSpec extends SparkSpecBase {
     assert(rows.length === 10)
     assert(rows.map(_.getDouble(3)).toSeq ===
       rows.map(_.getDouble(3)).sortBy(-_).toSeq)
+    // geo_distance agrees with the geo payload kind's haversine meters
+    // (one shared kernel — formula scores and geo_radius filters see
+    // the SAME distance), and the proximity-boosted page ranks sanely
+    val gd = Seq((52.52, 13.405)).toDF("la", "lo")
+      .select(geoDistance($"la", $"lo", 48.8566, 2.3522).as("m"))
+      .head().getDouble(0)
+    assert(math.abs(gd - 878000.0) < 10000.0,
+      s"Berlin-Paris must be ~878 km (got $gd m)") // public great-circle figure
+    intercept[IllegalArgumentException](geoDistance($"x", $"x", 91.0, 0.0))
+    val geoRows = graft.operators.VectorStore.formulaGeoDecay(spark, sf).collect()
+    assert(geoRows.length === 10)
+    assert(geoRows.map(_.getDouble(4)).toSeq ===
+      geoRows.map(_.getDouble(4)).sortBy(-_).toSeq)
   }
 
   test("quantization params surface: param form ≡ standalone tier bit-for-bit") {

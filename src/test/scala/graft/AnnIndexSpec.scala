@@ -125,6 +125,18 @@ class AnnIndexSpec extends SparkSpecBase {
       must = Seq(IntBounds("vec_id", gte = Some(400L))))) === 1.0)
     assert(idx.estimateSelectivity(PFilter(must = Seq(
       MatchAny("grp", Seq("hot", "cold"))))) === 1.0)
+    // should: all-known arms sum (capped at 1); any unknown arm makes
+    // the clause estimate 1.0 (it could match everything)
+    assert(math.abs(idx.estimateSelectivity(PFilter(
+      should = Seq(MatchValue("grp", "hot"), MatchValue("grp", "hot"))))
+      - 2.0 * nHot / n) < 1e-12)
+    assert(idx.estimateSelectivity(PFilter(should = Seq(
+      MatchValue("grp", "hot"), IntBounds("vec_id", gte = Some(1L))))) === 1.0)
+    // must combines multiplicatively with the should estimate
+    assert(math.abs(idx.estimateSelectivity(PFilter(
+      must = Seq(MatchValue("grp", "hot")),
+      should = Seq(MatchValue("grp", "cold"))))
+      - (nHot.toDouble / n) * ((n - nHot).toDouble / n)) < 1e-12)
     // --- full-scan switch (Qdrant's full_scan_threshold): estimated
     // matches below the threshold serve the exact pruned scan
     assert(idx.planProbes(qvec, hot, k = 5, nprobe = 1,

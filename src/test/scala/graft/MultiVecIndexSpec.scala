@@ -64,6 +64,21 @@ class MultiVecIndexSpec extends SparkSpecBase {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("a reopened token layout serves identically (load round-trip)") {
+    val path = tmp("load")
+    val built = MultiVecIndex.build(clustered, path, nlist = 4)
+    val loaded = MultiVecIndex.load(spark, path)
+    val q = built.tokensOf(7L)
+    assert(loaded.search(q, k = 5, nprobe = 2, tokenK = 16,
+        excludeDoc = Some(7L)).collect().toSeq ===
+      built.search(q, k = 5, nprobe = 2, tokenK = 16,
+        excludeDoc = Some(7L)).collect().toSeq)
+    assert(loaded.tokensOf(7L) === q)
+    // a token relation missing the doc column refuses at build
+    intercept[IllegalArgumentException](MultiVecIndex.build(
+      clustered.drop("doc"), tmp("bad")))
+  }
+
   test("production knobs hold a recall floor on the clustered corpus") {
     val idx = MultiVecIndex.build(clustered, tmp("recall"), nlist = 8)
     val truth = brute(5L, 5).collect().map(_.getLong(0)).toSet

@@ -294,6 +294,12 @@ object Filters {
     f.should.isEmpty && f.mustNot.isEmpty && f.minShould.isEmpty &&
       f.must.forall {
         case p: PFilter => matchesAll(p)
+        // semantically-vacuous leaves (ADVICE r12 — the structural
+        // check alone let wire-reachable match-everything trees through
+        // the destructive guard): `except: []` excludes nothing, so it
+        // compiles to lit(true) in a must position
+        case MatchExcept(_, vs) => vs.isEmpty
+        case ArrayAnyOf(_, vs, negated) => negated && vs.isEmpty
         case _ => false
       }
 
@@ -728,7 +734,18 @@ object Filters {
         require(m.isObject, s"'match' must be an object: $m")
         if (m.has("value")) MatchValue(key, str(m.get("value")))
         else if (m.has("any")) MatchAny(key, arr(m.get("any")).map(str))
-        else if (m.has("except")) MatchExcept(key, arr(m.get("except")).map(str))
+        else if (m.has("except")) {
+          // an EMPTY except list excludes nothing — it is the
+          // match-everything condition in disguise, and a wire client
+          // that meant that writes `{}`; in a delete filter it would
+          // silently truncate the collection past the structural
+          // match-all guard (ADVICE r12), so refuse it at the parse
+          val vs = arr(m.get("except"))
+          require(vs.nonEmpty,
+            s"match.except on '$key' needs at least one value — an empty " +
+              "except list matches EVERYTHING (use {} for the match-all filter)")
+          MatchExcept(key, vs.map(str))
+        }
         else if (m.has("text"))
           MatchText(key, str(m.get("text")).trim.split("\\s+").toSeq)
         else if (m.has("text_any"))

@@ -335,4 +335,25 @@ object GraphIndex {
     load(spark, resolveLive(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no committed graph-index generation under $root")))
+
+  /** True iff `gen-<batchId>` under `root` is FULLY committed (every
+    * relation's parquet `_SUCCESS` present). This — not a compare
+    * against the LIVE generation's name — is the streaming replay-skip
+    * test (ADVICE r12): a fresh checkpoint restarts batchIds at 0
+    * while live may be gen-1, and a live-name compare would take the
+    * process path and mode-overwrite committed gen-0 with a merge that
+    * duplicates the batch's ids; worse, the NEXT batch (batchId == the
+    * live gen) would skip and silently drop its data. Keying the skip
+    * on this generation's own commit keeps the documented contract — a
+    * replay either re-lands gen-N identically or is skipped — in both
+    * replay shapes.
+    */
+  def isGenerationCommitted(spark: SparkSession, root: String,
+                            batchId: Long): Boolean = {
+    val g = new org.apache.hadoop.fs.Path(root,
+      VectorIndex.generationDir(batchId))
+    val fs = g.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    relations.forall(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(g, s"$r/_SUCCESS")))
+  }
 }

@@ -453,4 +453,18 @@ object HybridIndex {
     open(spark, resolveLive(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no committed hybrid-index generation under $root")))
+
+  /** True iff `gen-<batchId>` under `root` is FULLY committed — the
+    * streaming replay-skip test ([[GraphIndex.isGenerationCommitted]]'s
+    * rationale, ADVICE r12: the skip must key on THIS generation's own
+    * commit, not on whether it is still the live/newest one).
+    */
+  def isGenerationCommitted(spark: SparkSession, root: String,
+                            batchId: Long): Boolean = {
+    val g = new org.apache.hadoop.fs.Path(root,
+      VectorIndex.generationDir(batchId))
+    val fs = g.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    relations.forall(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(g, s"$r/_SUCCESS")))
+  }
 }

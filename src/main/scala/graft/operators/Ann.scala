@@ -215,11 +215,18 @@ object Ann {
       .select(toDouble(col("embedding")).as("qvec"))
       .head().getSeq[Double](0)
     val f = PFilter(must = Seq(MatchValue("rare", "hot")))
+    // threshold scaled to the CORPUS (ADVICE r12): the rare slice is
+    // ~nRows/128, so nRows/64 sits at 2× its mass and the full-scan
+    // switch engages at ANY SF — a fixed 4096 stopped engaging (and
+    // the require below threw) past ~524k rows
+    val threshold = math.max(1L, idx.statsRows / 64L)
     // the switch must ENGAGE here — widened all the way to the exact
     // scan (nlist) — or this row's oracle claim is vacuous
-    require(idx.planProbes(q, f, k, nprobe = 1) == idx.centroids.length,
+    require(idx.planProbes(q, f, k, nprobe = 1,
+        fullScanThreshold = threshold) == idx.centroids.length,
       "adaptive plan did not widen to the exact scan on the selective tree")
-    val res = idx.searchFilterAdaptive(q, f, k, nprobe = 1)
+    val res = idx.searchFilterAdaptive(q, f, k, nprobe = 1,
+      fullScanThreshold = threshold)
     val w = Window.partitionBy(lit(0))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     res.withColumn("rank", row_number().over(w).cast("long"))
@@ -263,13 +270,24 @@ object Ann {
       .withColumn("cs", cosineSim(col("vec"), col("qvec")))
       .select("query_id", "vec_id", "cs", "probe_rank", "tag", "rare")
       .cache()
+    // a RANGE-selective arm (VERDICT r12 #3): the top ~1/128 of the id
+    // span — the zone histogram on `vec_id` bounds it (the keyword
+    // stats cannot see it), so the adaptive row below measures the
+    // estimator's NEW axis; sized in span (not count) so the zone
+    // estimate (≈ one 1/64-wide zone) keeps the full-scan switch
+    // engaged at every SF
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val tailLo = maxId - (maxId - 10L) / 128L
     val filters: Seq[(String, Option[graft.api.Filters.PFilter],
         org.apache.spark.sql.Column)] = Seq(
       ("all", None, lit(true)),
       ("tag_25pct", Some(PFilter(must = Seq(MatchValue("tag", "t1")))),
         col("tag") === "t1"),
       ("rare_sub1pct", Some(PFilter(must = Seq(MatchValue("rare", "hot")))),
-        col("rare") === "hot"))
+        col("rare") === "hot"),
+      ("range_tail", Some(PFilter(must = Seq(IntBounds("vec_id",
+          gte = Some(tailLo))))),
+        col("vec_id") >= tailLo))
     val qvecs = qs.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1))).toSeq
     val truthCaches = scala.collection.mutable.ListBuffer.empty[

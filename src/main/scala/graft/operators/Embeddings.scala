@@ -483,8 +483,17 @@ object Embeddings {
       .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id"))
       .limit(rerank)
-    if (!rescore) // serve the packed-bit hamming ranks directly
-      candidates.limit(k)
+    val dim = qvec.length
+    if (!rescore)
+      // serve the QUANTIZED similarity in the tiers' unified
+      // (vec_id, cosine DESC) shape (ADVICE r12 — raw asc hamming broke
+      // callers switching methods on the searchQuantized surface):
+      // (dim − 2·hamming)/dim is the sign-bit cosine estimate — an
+      // order-preserving affine map of hamming (same ranks, same
+      // vec_id tiebreak), so the hamming-tier evidence carries over
+      candidates.select(col("vec_id"),
+          ((lit(dim) - lit(2) * col("hamming")) / lit(dim.toDouble)).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(k)
     else
       emb.join(broadcast(candidates), "vec_id")
         .select(col("vec_id"), col("hamming"),

@@ -243,16 +243,16 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val out = s"$root/${VectorIndex.generationDir(batchId)}"
-        val live = HybridIndex.resolveLive(s, root)
-        // replay skip compares GENERATION NAMES, not path strings:
-        // resolveLive hands back a Hadoop-QUALIFIED path ("file:/...")
-        // while `out` keeps the caller's raw spelling — a string compare
-        // never matches, so a crash-recovery replay of an
-        // already-committed batch would re-open gen-N and mode-overwrite
-        // INTO gen-N while reading from it (self-overwrite)
-        val liveName = live.map(p =>
-          new org.apache.hadoop.fs.Path(p).getName)
-        if (!liveName.contains(VectorIndex.generationDir(batchId))) {
+        // replay skip keys on THIS generation's own commit (every
+        // relation's _SUCCESS), NOT on the live generation's name
+        // (ADVICE r12): a fresh checkpoint restarts batchIds at 0 while
+        // live is gen-1 — a live-name compare would take the process
+        // path and mode-overwrite committed gen-0 with a duplicating
+        // merge, then SKIP the next batch (batchId == live gen) and
+        // silently drop its data. A torn gen-N (some _SUCCESS missing)
+        // correctly falls through and is overwritten by the replay.
+        if (!HybridIndex.isGenerationCommitted(s, root, batchId)) {
+          val live = HybridIndex.resolveLive(s, root)
           val newDocs = batch.select("doc_id", "text")
           val newVecs = batch.select("doc_id", "vec")
           live match {
@@ -300,12 +300,10 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val out = s"$root/${VectorIndex.generationDir(batchId)}"
-        val live = GraphIndex.resolveLive(s, root)
-        // generation-NAME compare, not path strings (the hybrid
-        // stream's qualified-path lesson)
-        val liveName = live.map(p =>
-          new org.apache.hadoop.fs.Path(p).getName)
-        if (!liveName.contains(VectorIndex.generationDir(batchId))) {
+        // replay skip keys on gen-<batchId>'s OWN commit, not the live
+        // name (ADVICE r12 — the hybrid stream's rationale above)
+        if (!GraphIndex.isGenerationCommitted(s, root, batchId)) {
+          val live = GraphIndex.resolveLive(s, root)
           live match {
             case Some(liveDir) =>
               GraphIndex.load(s, liveDir).insertTo(batch, out, graphK)

@@ -121,8 +121,16 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(math.abs(idx.estimateSelectivity(cold) - (n - nHot).toDouble / n) < 1e-12)
     assert(math.abs(idx.estimateSelectivity(PFilter(
       mustNot = Seq(MatchValue("grp", "hot")))) - (n - nHot).toDouble / n) < 1e-12)
+    // a RANGE arm is no longer the blind 1.0 (VERDICT r12 #3): the
+    // zone histogram bounds it from above, never below the true share
+    val trueShare400 = withPayload.filter(col("vec_id") >= 400).count().toDouble / n
+    val est400 = idx.estimateSelectivity(PFilter(
+      must = Seq(IntBounds("vec_id", gte = Some(400L)))))
+    assert(est400 <= 1.0 && est400 >= trueShare400 - 1e-12)
+    assert(est400 < 1.0, "a selective range arm must estimate below 1")
+    // conditions NO stats axis can see stay at the 1.0 upper bound
     assert(idx.estimateSelectivity(PFilter(
-      must = Seq(IntBounds("vec_id", gte = Some(400L))))) === 1.0)
+      must = Seq(MatchText("grp", Seq("hot"))))) === 1.0)
     assert(idx.estimateSelectivity(PFilter(must = Seq(
       MatchAny("grp", Seq("hot", "cold"))))) === 1.0)
     // should: all-known arms sum (capped at 1); any unknown arm makes
@@ -131,7 +139,10 @@ class AnnIndexSpec extends SparkSpecBase {
       should = Seq(MatchValue("grp", "hot"), MatchValue("grp", "hot"))))
       - 2.0 * nHot / n) < 1e-12)
     assert(idx.estimateSelectivity(PFilter(should = Seq(
-      MatchValue("grp", "hot"), IntBounds("vec_id", gte = Some(1L))))) === 1.0)
+      MatchValue("grp", "hot"), MatchText("grp", Seq("hot"))))) === 1.0)
+    // ... and a known whole-range arm caps the sum at 1 the same way
+    assert(idx.estimateSelectivity(PFilter(should = Seq(
+      MatchValue("grp", "hot"), IntBounds("vec_id", gte = Some(0L))))) === 1.0)
     // must combines multiplicatively with the should estimate
     assert(math.abs(idx.estimateSelectivity(PFilter(
       must = Seq(MatchValue("grp", "hot")),
@@ -345,6 +356,106 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() === 9L,
       "fully-moved-but-unmarked batch must republish exactly once")
     assert(new java.io.File(s"${path}_meta/batches/batch-3").exists())
+  }
+
+  test("zone histograms bound range-arm selectivity: exact on aligned bounds, switch engages") {
+    import graft.api.Filters._
+    val path = tmp("zones")
+    // `band` takes exactly 64 integer values 0..63 — one per stats
+    // zone (64 equi-width zones over [0, 63] put each integer in its
+    // own zone), so ANY integer bound is zone-aligned and the estimate
+    // is EXACT, not just an upper bound
+    val withBand = corpus.withColumn("band", col("vec_id") % 64)
+    val idx = AnnIndex.build(withBand, path, nlist = 8)
+    val n = withBand.count().toDouble
+    def share(c: org.apache.spark.sql.Column): Double =
+      withBand.filter(c).count() / n
+    val quarter = PFilter(must = Seq(IntBounds("band",
+      gte = Some(16L), lte = Some(31L))))
+    assert(math.abs(idx.estimateSelectivity(quarter)
+      - share(col("band").between(16, 31))) < 1e-12)
+    // closed-range shorthand and float bounds ride the same histogram
+    assert(math.abs(idx.estimateSelectivity(RangeInt("band", 0L, 7L))
+      - share(col("band").between(0, 7))) < 1e-12)
+    assert(math.abs(idx.estimateSelectivity(FloatBounds("band",
+      gte = Some(16.0), lte = Some(31.0)))
+      - share(col("band").between(16, 31))) < 1e-12)
+    // open-ended bound; a whole-span bound estimates exactly 1
+    assert(math.abs(idx.estimateSelectivity(IntBounds("band", gte = Some(56L)))
+      - share(col("band") >= 56)) < 1e-12)
+    assert(idx.estimateSelectivity(IntBounds("band", gte = Some(0L))) === 1.0)
+    // an impossible range estimates 0 (and would trivially full-scan)
+    assert(idx.estimateSelectivity(IntBounds("band", gt = Some(64L))) === 0.0)
+    // upper-bound property on a NON-aligned field (vec_id spans more
+    // than 64 distinct values, so zones are coarser than the bounds)
+    val trueNarrow = share(col("vec_id") < 5)
+    val estNarrow = idx.estimateSelectivity(IntBounds("vec_id", lt = Some(5L)))
+    assert(estNarrow >= trueNarrow - 1e-12 && estNarrow <= 1.0)
+    // the FULL-SCAN SWITCH engages on a range-selective filter
+    // (VERDICT r12 #3 — the blind 1.0 kept it from ever engaging):
+    // threshold above the slice's estimated mass → nprobe = nlist,
+    // and the served answer is the exact filtered brute force
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    val est = idx.estimateSelectivity(quarter)
+    val threshold = (est * n).toLong + 2
+    assert(idx.planProbes(qvec, quarter, k = 5, nprobe = 1,
+      fullScanThreshold = threshold) === 8)
+    val got = idx.searchFilterAdaptive(qvec, quarter, k = 5, nprobe = 1,
+      fullScanThreshold = threshold).collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = withBand.filter(col("band").between(16, 31))
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === brute.toSeq && got.nonEmpty)
+  }
+
+  test("ingest invalidates the planner stats: estimates follow the grown corpus") {
+    import graft.api.Filters._
+    import spark.implicits._
+    val path = tmp("statsinval")
+    // seed: every row hot; batch: three cold rows per hot row — the
+    // hot share drops 4× after insert, and the planner must see it
+    val seed = (0L until 32L).map(i =>
+      (i, Seq((i % 4).toDouble, i / 10.0), "hot")).toDF("vec_id", "vec", "grp")
+    val idx = AnnIndex.build(seed, path, nlist = 2, keyword = Seq("grp"))
+    val hot = PFilter(must = Seq(MatchValue("grp", "hot")))
+    assert(math.abs(idx.estimateSelectivity(hot) - 1.0) < 1e-12)
+    assert(idx.statsRows === 32L)
+    val batch = (100L until 196L).map(i =>
+      (i, Seq((i % 4).toDouble, i / 10.0), "cold")).toDF("vec_id", "vec", "grp")
+    idx.insert(batch)
+    // ADVICE r12: without invalidation these read the STALE 1.0 / 32
+    assert(math.abs(idx.estimateSelectivity(hot) - 0.25) < 1e-12)
+    assert(idx.statsRows === 128L)
+    // the committed path invalidates too
+    idx.insertCommitted(Seq((200L, Seq(0.1, 0.1), "cold"))
+      .toDF("vec_id", "vec", "grp"), 7L)
+    assert(idx.statsRows === 129L)
+    // a replayed (skipped) batch leaves the stats it already has
+    idx.insertCommitted(Seq((200L, Seq(0.1, 0.1), "cold"))
+      .toDF("vec_id", "vec", "grp"), 7L)
+    assert(idx.statsRows === 129L)
+  }
+
+  test("keyword stats fill refuses a mis-declared high-cardinality axis loudly") {
+    import graft.api.Filters._
+    import spark.implicits._
+    val path = tmp("statsguard")
+    val seed = (0L until 16L).map(i =>
+      (i, Seq((i % 4).toDouble, i / 10.0), s"v$i")).toDF("vec_id", "vec", "tag")
+    val built = AnnIndex.build(seed, path, nlist = 2, keyword = Seq("tag"))
+    // a handle sized for ≤ 8 distinct values trips at STATS FILL time
+    // (before the driver map grows), naming the axis
+    val guarded = new AnnIndex(spark, path, built.centroids, Seq("tag"),
+      maxKeywordStatsDistinct = 8)
+    val e = intercept[IllegalArgumentException](
+      guarded.estimateSelectivity(PFilter(must = Seq(MatchValue("tag", "v1")))))
+    assert(e.getMessage.contains("tag") && e.getMessage.contains("distinct"))
+    // the production default is far above any sane axis: the same
+    // 16-distinct layout fills fine there
+    assert(built.estimateSelectivity(PFilter(
+      must = Seq(MatchValue("tag", "v1")))) > 0.0)
   }
 
   test("imbalance audit accounts for every vector with a sane skew ratio") {

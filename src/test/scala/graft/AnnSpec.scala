@@ -280,9 +280,9 @@ class AnnSpec extends SparkSpecBase {
     val rows = Ann.annFilteredRecallEval(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    val filters = Seq("all", "tag_25pct", "rare_sub1pct")
-    // 3 filters x (4 fixed nprobes + adaptive)
-    assert(rows.size === 15)
+    val filters = Seq("all", "tag_25pct", "rare_sub1pct", "range_tail")
+    // 4 filters x (4 fixed nprobes + adaptive)
+    assert(rows.size === 20)
     filters.foreach { f =>
       // recall is monotone non-decreasing in nprobe and EXACTLY 1.0 at
       // nprobe = nlist (all lists probed = the exact filtered scan)
@@ -304,6 +304,12 @@ class AnnSpec extends SparkSpecBase {
     assert(rows(("rare_sub1pct", "adaptive"))._3 === 1.0)
     assert(rows(("tag_25pct", "adaptive"))._1 < 8L)
     assert(rows(("all", "adaptive"))._1 === 1L)
+    // ... and on the RANGE-selective arm (VERDICT r12 #3): the zone
+    // histogram on vec_id sees the ~1/128 tail slice, trips the
+    // full-scan switch, and the exact answer serves (the keyword-blind
+    // estimator kept this row at nprobe 1 / collapsed recall)
+    assert(rows(("range_tail", "adaptive"))._1 === 8L)
+    assert(rows(("range_tail", "adaptive"))._3 === 1.0)
   }
 
   test("ivf balance audit accounts for every vector with consistent skew stats") {

@@ -1066,13 +1066,27 @@ class FilterAlgebraSpec extends SparkSpecBase {
     assert(Filters.matchesAll(PFilter(must = Seq(PFilter(), PFilter()))))
     assert(!Filters.matchesAll(PFilter(must = Seq(IsNull("x")))))
     assert(!Filters.matchesAll(PFilter(should = Seq(PFilter()))))
+    // SEMANTICALLY-vacuous leaves (ADVICE r12 — the structural check
+    // alone let wire-reachable match-everything trees through): an
+    // empty except list excludes nothing, i.e. matches everything
+    assert(Filters.matchesAll(PFilter(must = Seq(MatchExcept("lang", Nil)))))
+    assert(Filters.matchesAll(PFilter(
+      must = Seq(PFilter(), MatchExcept("lang", Nil)))))
+    assert(!Filters.matchesAll(PFilter(must = Seq(MatchExcept("lang", Seq("de"))))))
+    // ... and the wire parse refuses the form outright, naming the fix
+    val eEx = intercept[IllegalArgumentException](Filters.fromJson(
+      """{"must":[{"key":"lang","match":{"except":[]}}]}"""))
+    assert(eEx.getMessage.contains("except"))
     val idx = build(tmp())
     // read path: {} matches everything (the wire convention)
     assert(idx.readFilter(Filters.fromJson("{}")).count() === corpus().count())
-    // destructive path: refused loudly
+    // destructive path: refused loudly — including the directly-built
+    // vacuous-except tree the parser can no longer produce
     intercept[IllegalArgumentException](idx.deleteTo(tmp(), PFilter()))
     intercept[IllegalArgumentException](
       idx.deleteTo(tmp(), Filters.fromJson("""{"must":[]}""")))
+    intercept[IllegalArgumentException](
+      idx.deleteTo(tmp(), PFilter(must = Seq(MatchExcept("lang", Nil)))))
   }
 
 }

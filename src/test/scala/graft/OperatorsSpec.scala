@@ -783,6 +783,23 @@ class OperatorsSpec extends SparkSpecBase {
     val stage1 = Embeddings.sqRerankSearch(spark, sf, 0, 30, 30,
       rescore = false).collect().map(_.getLong(0)).take(10)
     assert(noRescore.map(_.getLong(0)).toSeq === stage1.toSeq)
+    // bq with rescore = false serves the UNIFIED (vec_id, cosine DESC)
+    // shape like every other tier (ADVICE r12 — it returned raw asc
+    // hamming, a different schema AND score direction on the one
+    // param surface): the score is the sign-bit cosine estimate
+    // (dim − 2·hamming)/dim, an order-preserving affine map of
+    // hamming, so the ranks equal the hamming tier's ranks exactly
+    val bqNo = Embeddings.searchQuantized(spark, sf, method = "bq",
+      rescore = false, oversampling = 3.0).collect()
+    assert(bqNo.head.schema.fieldNames.toSeq === Seq("vec_id", "cosine"))
+    assert(bqNo.map(_.getDouble(1)).toSeq ===
+      bqNo.map(_.getDouble(1)).sortBy(-_).toSeq, "bq no-rescore must rank DESC")
+    assert(bqNo.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+    val bqHamming = Embeddings.bqRerankSearch(spark, sf, 0, 30, 30)
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // (hamming, vec_id)
+      .sorted.take(10).map(_._2)
+    assert(bqNo.map(_.getLong(0)).toSeq === bqHamming.toSeq,
+      "affine score map must preserve the hamming ranking")
     // quantization: none = the exact float scan (ignore: true)
     val exact = Embeddings.searchQuantized(spark, sf, method = "none").collect()
     val brute = {

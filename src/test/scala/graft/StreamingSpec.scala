@@ -584,7 +584,16 @@ class StreamingSpec extends SparkSpecBase {
       assert(hit.getLong(1) === 100L)
       // REPLAY NO-OP: a fresh checkpoint restarts batchIds at 0; gen-0
       // is already committed, so the replayed batch is skipped and the
-      // live generation stays gen-1
+      // live generation stays gen-1. The skip keys on gen-0's OWN
+      // commit, not the live name (ADVICE r12): under a live-name
+      // compare this replay would take the process path and
+      // mode-overwrite committed gen-0 with a merge that DUPLICATES
+      // batch1's vec_ids — so capture gen-0's vectors relation and
+      // assert it is bit-identical after the replay, not just that
+      // resolveLive still says gen-1 (which would pass vacuously).
+      val gen0Vectors = s"$root/${VectorIndex.generationDir(0L)}/vectors"
+      val gen0Before = spark.read.parquet(gen0Vectors).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
       val input2 = MemoryStream[(Long, Seq[Double])]
       val q2 = EventStreams.graphMaintainStream(
         input2.toDF().toDF("vec_id", "vec"), root, base + "/ckpt2").start()
@@ -595,6 +604,12 @@ class StreamingSpec extends SparkSpecBase {
       assert(new org.apache.hadoop.fs.Path(
         GraphIndex.resolveLive(spark, root).get).getName ===
         VectorIndex.generationDir(1L), "replayed committed batch must skip")
+      val gen0After = spark.read.parquet(gen0Vectors).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      assert(gen0After === gen0Before,
+        "a replayed committed batch must leave its generation untouched")
+      assert(gen0After.map(_._1).distinct.length === gen0After.length,
+        "replay must never duplicate vec_ids into a committed generation")
       // TORN-ATTEMPT CONVERGENCE: a crashed batch-2 attempt left a
       // partial gen-2 (edges dir, no _SUCCESS anywhere) — never served
       val torn = new java.io.File(s"$root/${VectorIndex.generationDir(2L)}/edges")

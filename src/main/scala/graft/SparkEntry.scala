@@ -97,6 +97,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Ann.annPfilterAdaptive(s, d)),
     "ann_filtered_recall_eval" ->
       ((s: SparkSession, d: String) => Ann.annFilteredRecallEval(s, d)),
+    "ann_delete_rotate" ->
+      ((s: SparkSession, d: String) => Ann.annDeleteRotate(s, d)),
     "vs_search_match_any_indexed" ->
       ((s: SparkSession, d: String) => VectorStore.searchMatchAnyIndexed(s, d)),
     "vs_search_match_except_indexed" ->
@@ -1038,6 +1040,18 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank FROM f)
         |SELECT rank, vec_id, round(cs, 4) AS cosine FROM r WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+    // IVF predicate delete as snapshot rotation: the audit reads the
+    // ROTATED layout; DuckDB re-derives survivors from the corpus rule
+    // (tag = 't' || vec_id % 4 over vec_id >= 10, minus the doomed
+    // tag-t1 ∧ vec_id >= 300 slice) — counts are quantizer-independent
+    "ann_delete_rotate" ->
+      """WITH src AS (SELECT vec_id, 't' || (vec_id % 4)::VARCHAR AS tag
+        |  FROM embeddings WHERE vec_id >= 10),
+        |surv AS (SELECT * FROM src
+        |  WHERE NOT (COALESCE(tag = 't1', FALSE) AND COALESCE(vec_id >= 300, FALSE)))
+        |SELECT tag, count(*) AS n_points, min(vec_id) AS min_id,
+        |  max(vec_id) AS max_id
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ADAPTIVE filtered search on the selective (~0.8%) keyword
     // arm: the full-scan switch widens to nprobe = nlist — the EXACT
     // pruned scan — which is what makes the row oracle-checkable while

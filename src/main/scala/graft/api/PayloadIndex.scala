@@ -1565,7 +1565,7 @@ object PayloadIndex {
     * string compares against typed predicates would silently
     * mis-evaluate an int partition.
     */
-  private def splitDirsByPrune(spark: SparkSession, leaves: Seq[String],
+  private[api] def splitDirsByPrune(spark: SparkSession, leaves: Seq[String],
                                prune: Column, partCols: Seq[String],
                                readSchema: StructType)
       : (Seq[String], Seq[String]) = {

@@ -458,6 +458,115 @@ class AnnIndexSpec extends SparkSpecBase {
       must = Seq(MatchValue("tag", "v1")))) > 0.0)
   }
 
+  test("deleteTo: survivors exact, quantizer carries, untouched keyword dirs byte-copy") {
+    import graft.api.Filters._
+    val root = java.nio.file.Files.createTempDirectory("annidx-del").toString
+    val path = root + "/idx"
+    val withPayload = corpus
+      .withColumn("tag", concat(lit("t"), (col("vec_id") % 4).cast("string")))
+      .withColumn("label", col("vec_id") % 10)
+    val idx = AnnIndex.build(withPayload, path, nlist = 4, keyword = Seq("tag"))
+    val doomed = col("tag") === "t1" && col("vec_id") >= 100
+    val dst = root + "/rotated"
+    val f = PFilter(must = Seq(MatchValue("tag", "t1"),
+      IntBounds("vec_id", gte = Some(100L))))
+    val rotated = idx.deleteTo(dst, f)
+    // survivors are EXACTLY the non-matching rows (payload intact)
+    val got = rotated.points.select("vec_id", "tag", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = withPayload.filter(!doomed).select("vec_id", "tag", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want && got.length < corpus.count())
+    // the quantizer and axis manifest travel — load() round-trips
+    val reloaded = AnnIndex.load(spark, dst)
+    assert(reloaded.centroids.map(_._2.toSeq).toSeq ===
+      idx.centroids.map(_._2.toSeq).toSeq)
+    assert(reloaded.keywordFields === Seq("tag"))
+    // full probe over the rotation ≡ brute force over the survivors
+    val qvec = corpus.filter(col("vec_id") === 7).head().getSeq[Double](1)
+    val ivf = reloaded.search(qvec, k = 10, nprobe = 4).collect().map(_.getLong(0))
+    val q = array(qvec.map(lit): _*)
+    val brute = withPayload.filter(!doomed)
+      .select(col("vec_id"), cosineSim(col("vec"), q).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0))
+    assert(ivf.toSeq === brute.toSeq)
+    // a keyword-pruned probe over the doomed axis never serves a
+    // deleted row
+    val t1 = reloaded.search(qvec, k = 1000, nprobe = 4,
+      eq = Map("tag" -> Seq("t1"))).collect().map(_.getLong(0))
+    assert(t1.nonEmpty && t1.forall(_ < 100L))
+    // BYTE-COPY: the keyword arm confines the rewrite to tag=t1 — every
+    // other tag directory travels file-for-file, byte-for-byte
+    def partFiles(base: String, tag: String): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(base, s"tag=$tag")
+      val out = scala.collection.mutable.Map.empty[String, Seq[Byte]]
+      java.nio.file.Files.walk(dir).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.contains("part-"))
+          out(dir.relativize(p).toString) =
+            java.nio.file.Files.readAllBytes(p).toSeq
+      }
+      out.toMap
+    }
+    Seq("t0", "t2", "t3").foreach { t =>
+      val (src, cpy) = (partFiles(path, t), partFiles(dst, t))
+      assert(src.nonEmpty && src.keySet === cpy.keySet,
+        s"tag=$t file set changed under rotation")
+      src.foreach { case (rel, bytes) =>
+        assert(cpy(rel) === bytes, s"tag=$t/$rel rewrote instead of copying") }
+    }
+    // and the doomed directory genuinely rewrote (its survivors — the
+    // sub-100 t1 ids — land in fresh files)
+    assert(partFiles(dst, "t1").nonEmpty &&
+      partFiles(dst, "t1").keySet != partFiles(path, "t1").keySet)
+    // guards: match-all, occupied destination, same path
+    intercept[IllegalArgumentException](idx.deleteTo(root + "/x", PFilter()))
+    intercept[IllegalArgumentException](idx.deleteTo(dst, f))
+    intercept[IllegalArgumentException](idx.deleteTo(path, f))
+  }
+
+  test("deleteTo excludes torn insertCommitted rows from the survivor rewrite") {
+    import graft.api.Filters._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("annidx-deltorn").toString
+    val path = root + "/idx"
+    val seed = (1L to 16L).map(i => (i, Seq((i % 4).toDouble, i / 10.0)))
+      .toDF("vec_id", "vec")
+    AnnIndex.build(seed, path, nlist = 2)
+    val idx = AnnIndex.load(spark, path)
+    idx.insertCommitted(Seq((100L, Seq(0.1, 0.1))).toDF("vec_id", "vec"), 1L)
+    // craft a TORN batch-2 attempt: a b2- prefixed duplicate file in a
+    // published dir plus its intent, no marker (the insertCommitted
+    // torn-sweep scenario)
+    def findPart(dir: java.io.File): java.io.File = {
+      val es = dir.listFiles().sortBy(_.getName)
+      es.find(f => f.isFile && f.getName.startsWith("part-"))
+        .getOrElse(es.filter(_.isDirectory).map(findPart).head)
+    }
+    val torn = findPart(new java.io.File(path))
+    java.nio.file.Files.copy(torn.toPath,
+      torn.toPath.resolveSibling("b2-" + torn.getName))
+    val tornDir = new java.io.File(path).toPath
+      .relativize(torn.getParentFile.toPath).toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${path}_meta/batches/intent-2"),
+      tornDir.getBytes("UTF-8"))
+    // an unprunable filter rewrites EVERY directory — the regime where
+    // decoding the torn duplicate would mint it into committed rows
+    val rotated = idx.deleteTo(root + "/rotated",
+      PFilter(must = Seq(IntBounds("vec_id", gte = Some(9L),
+        lte = Some(12L)))))
+    val ids = rotated.points.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === ((1L to 8L) ++ (13L to 16L) :+ 100L).sorted.toSeq,
+      "torn rows must not become committed survivors")
+    // the commit bookkeeping traveled: the intent is still pending at
+    // the destination, so a re-pointed stream replays batch 2 there
+    assert(new java.io.File(s"$root/rotated_meta/batches/intent-2").exists())
+    assert(new java.io.File(s"$root/rotated_meta/batches/batch-1").exists())
+  }
+
   test("imbalance audit accounts for every vector with a sane skew ratio") {
     val path = tmp("audit")
     val idx = AnnIndex.build(corpus, path, nlist = 4)

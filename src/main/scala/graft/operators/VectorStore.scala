@@ -267,12 +267,18 @@ object VectorStore {
                 negIds: Seq[Long] = Seq(6L, 7L, 8L)): DataFrame = {
     val pts = Tables.points(s, d)
     val dec = "decimal(18,10)"
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
     val exampleIds = (posIds ++ negIds).map(Long.box)
     val isPos = col("id").isin(posIds.map(Long.box): _*)
+    // no negatives: the direction degenerates to Σpos (a 0-weight on
+    // the positive sum would zero the query vector — the
+    // VectorIndex.recommend guard, needed since the wire route allows
+    // Qdrant's common positive-only recommend)
+    val negWeight = math.max(negIds.size, 1)
     val ex = pts.filter(col("id").isin(exampleIds: _*))
       .select(col("id"), posexplode(col("vector")).as(Seq("dim", "v")))
     val recDims = ex.groupBy("dim").agg(
-      ((lit(negIds.size) * sum(when(isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))) -
+      ((lit(negWeight) * sum(when(isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))) -
         (lit(posIds.size) * sum(when(!isPos, col("v").cast(dec)).otherwise(lit(0).cast(dec)))))
         .cast("double").as("rv"))
     val qvec = recDims.agg(
@@ -439,6 +445,7 @@ object VectorStore {
                          posIds: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
                          negIds: Seq[Long] = Seq(6L, 7L, 8L)): DataFrame = {
     val pts = Tables.points(s, d)
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
     val exIds = (posIds ++ negIds).map(Long.box)
     val vecs = pts.filter(col("id").isin(exIds: _*))
       .select(col("id"), col("vector")).collect()
@@ -449,7 +456,10 @@ object VectorStore {
     val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
     pts.filter(!col("id").isin(exIds: _*))
       .withColumn("bp", bestOf(posIds))
-      .withColumn("bn", bestOf(negIds))
+      // no negatives: nothing can out-score a positive — bn sits below
+      // any cosine, so score = bp always (the wire route's
+      // positive-only recommend)
+      .withColumn("bn", if (negIds.isEmpty) lit(-2.0) else bestOf(negIds))
       .withColumn("score", when(col("bp") > col("bn"), col("bp"))
         .otherwise(-(col("bn") * col("bn"))))
       .orderBy(col("score").desc, col("id").asc).limit(k)
@@ -482,6 +492,39 @@ object VectorStore {
       .orderBy(col("score").desc, col("id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** Qdrant `update_vectors` served end-to-end (VERDICT r12 #4): patch
+    * the `title` named head of every id ≡ 0 (mod 9) to the NEXT 8-dim
+    * slice of the full vector (deterministic — both engines re-derive
+    * it), through [[graft.api.VectorIndex!.setVectors]]' broadcast
+    * LEFT join + coalesce, then serve a `using: title` search over the
+    * PATCHED collection. The ranking proves patched heads serve (the
+    * query anchor id 0 is itself patched); the `vec_norm` column is
+    * computed from the patched collection's FULL `vector` and compared
+    * against the raw corpus by the oracle — untouched columns travel
+    * bit-identically through the patch.
+    */
+  def updateVectors(s: SparkSession, d: String, k: Int = 10,
+                    headDims: Int = 8): DataFrame = {
+    val pts = Tables.points(s, d)
+      .withColumn("title_vec", slice(col("vector"), 1, headDims))
+    val idx = graft.api.VectorIndex(pts)
+    val patch = Tables.points(s, d).filter(col("id") % 9 === 0)
+      .select(col("id"),
+        slice(col("vector"), headDims + 1, headDims).as("title_vec"))
+    val patched = idx.setVectors(patch).points
+    val q = patched.filter(col("id") === 0)
+      .select(col("title_vec").as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    patched.filter(col("id") =!= 0 && col("user_id") === 7)
+      .join(broadcast(q))
+      .withColumn("score", round(cosineSim(col("title_vec"), col("qvec")), 4))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"),
+        round(l2Norm(col("vector")), 4).as("vec_norm"), col("score"))
       .orderBy("rank")
   }
 

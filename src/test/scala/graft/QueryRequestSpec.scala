@@ -65,6 +65,19 @@ class QueryRequestSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](wire(
       """{"query": {"recommend": {"positive": [1]}},
         | "lookup_from": "elsewhere"}""".stripMargin))
+    // Qdrant's common POSITIVE-ONLY recommend serves (direction = Σpos;
+    // the zero-weight degenerate would have zeroed the query vector)
+    val posOnly = wire(
+      """{"query": {"recommend": {"positive": [1, 2]}}, "limit": 5}""")
+      .collect()
+    assert(posOnly.length === 5)
+    assert(!posOnly.map(_.getLong(1)).toSet.exists(Set(1L, 2L)),
+      "examples stay excluded from positive-only results")
+    val posOnlyBest = wire(
+      """{"query": {"recommend": {"positive": [1, 2],
+        |  "strategy": "best_score"}}, "limit": 5}""".stripMargin).collect()
+    assert(posOnlyBest.length === 5)
+    assert(posOnlyBest.map(_.getDouble(2)).forall(_ >= -1.0))
   }
 
   test("wire discover / context ≡ the typed calls") {

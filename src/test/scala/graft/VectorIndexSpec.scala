@@ -333,6 +333,62 @@ class VectorIndexSpec extends SparkSpecBase {
       withNulls.points.filter(col("lang").isNull).count())
   }
 
+  test("setVectors patches exactly the named columns/ids; deleteVectors composes with has_vector") {
+    import graft.api.Filters._
+    import spark.implicits._
+    // a collection with TWO vector surfaces: the canonical full vector
+    // and a 'title_vec' named head
+    val base = VectorIndex(Tables.points(spark, sf)
+      .withColumn("title_vec", slice(col("vector"), 1, 8)))
+    val before = base.points.select("id", "vector", "title_vec", "site")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getString(3))).toMap
+    // patch title_vec for ids 3 and 5; id 999999 is absent (ignored)
+    val newHead = Seq(9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0)
+    val patch = Seq((3L, newHead), (5L, newHead), (999999L, newHead))
+      .toDF("id", "title_vec")
+    val patched = base.setVectors(patch)
+    val after = patched.points.select("id", "vector", "title_vec", "site")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getString(3))).toMap
+    assert(after.keySet === before.keySet, "a patch never adds/drops points")
+    assert(after(3L)._2 === newHead && after(5L)._2 === newHead)
+    // every OTHER row, and every OTHER column of the patched rows,
+    // travels bit-identically
+    before.foreach { case (id, (vec, head, site)) =>
+      assert(after(id)._1 === vec, s"full vector of $id changed under a title patch")
+      assert(after(id)._3 === site)
+      if (id != 3L && id != 5L) assert(after(id)._2 === head)
+    }
+    // a NULL patch value KEEPS the stored head (removal is explicit)
+    val nulled = base.setVectors(Seq((3L, null: Seq[Double]))
+      .toDF("id", "title_vec"))
+    assert(nulled.points.filter(col("id") === 3).head()
+      .getSeq[Double](7) === before(3L)._2)
+    // unknown vector columns refuse loudly
+    intercept[IllegalArgumentException](
+      base.setVectors(Seq((3L, newHead)).toDF("id", "body_vec")))
+    intercept[IllegalArgumentException](
+      base.setVectors(Seq(3L, 5L).toDF("id")))
+    // delete_vectors: the named head nulls out for exactly those ids,
+    // and has_vector excludes them from a filtered search
+    val dropped = base.deleteVectors(Seq(3L, 5L), Seq("title_vec"))
+    assert(dropped.points.filter(col("id").isin(3L, 5L) &&
+      col("title_vec").isNotNull).count() === 0)
+    assert(dropped.points.filter(col("title_vec").isNull).count() === 2)
+    val q = Tables.points(spark, sf).filter(col("id") === 0)
+      .select("vector").head().getSeq[Double](0)
+    val served = dropped.searchFilter(q,
+      PFilter(must = Seq(HasVector("title_vec"))), k = 1000000)
+      .collect().map(_.getLong(1)).toSet
+    assert(!served.contains(3L) && !served.contains(5L))
+    assert(served.size.toLong === base.points.count() - 2)
+    // the primary vector refuses per-point deletion
+    intercept[IllegalArgumentException](
+      base.deleteVectors(Seq(3L), Seq("vector")))
+    intercept[IllegalArgumentException](base.deleteVectors(Nil, Seq("title_vec")))
+  }
+
   test("upsert refuses a batch missing core columns; extras still ride as NULLs") {
     import spark.implicits._
     // a misnamed core column must refuse loudly — allowMissingColumns

@@ -201,6 +201,11 @@ object Bench {
       // artifact — one layout cannot be case-exact and folded at once)
       "text_index_ci_warm" -> (selected.contains("vs_search_match_text_ci_indexed"),
         () => { operators.VectorStore.ciTextIndex(spark, sfDir); () }),
+      // the PREFIX-tokenized text index (word prefixes as postings —
+      // the autocomplete route's separate artifact)
+      "text_index_prefix_warm" ->
+        (selected.contains("vs_search_match_prefix_indexed"),
+        () => { operators.VectorStore.prefixTextIndex(spark, sfDir); () }),
       // the events payload index (float zones on value + datetime zones
       // on ts + the event_type keyword axis)
       "events_payload_index_warm" -> (Seq("events_value_range_indexed",

@@ -77,6 +77,8 @@ object SparkEntry {
         VectorStore.pointsQuery(s, d, defaultPointsQueryJson)),
     "vs_update_vectors" ->
       ((s: SparkSession, d: String) => VectorStore.updateVectors(s, d)),
+    "vs_search_match_prefix_indexed" ->
+      ((s: SparkSession, d: String) => VectorStore.searchMatchPrefixIndexed(s, d)),
     "vs_search_filter_must_not" ->
       ((s: SparkSession, d: String) => VectorStore.searchFilterMustNot(s, d)),
     "vs_search_filter_min_should" ->
@@ -2730,6 +2732,17 @@ object SparkEntry {
          |  FROM pts p, q WHERE p.id <> 0
          |    AND contains(' ' || lower(p.text) || ' ', ' the ')
          |    AND contains(' ' || lower(p.text) || ' ', ' data ')),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
+         |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the PREFIX tokenizer: starts-with per word (leading-space probe
+    // only) on the folded text — indexed route ≡ this prefix-LIKE scan
+    "vs_search_match_prefix_indexed" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |m AS (SELECT p.id, round(list_cosine_similarity(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND contains(' ' || lower(p.text) || ' ', ' dat')
+         |    AND contains(' ' || lower(p.text) || ' ', ' th')),
          |rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM m)
          |SELECT rank, id, score FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // the POSITIONAL-postings phrase route answers the same question as

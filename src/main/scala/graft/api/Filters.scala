@@ -339,8 +339,9 @@ object Filters {
     */
   def toColumn(cond: PCond,
                fold: String => String = identity,
-               foldCol: Column => Column = c => c): Column =
-    compile(cond, fold, foldCol, col, total = true)
+               foldCol: Column => Column = c => c,
+               prefixText: Set[String] = Set.empty): Column =
+    compile(cond, fold, foldCol, col, total = true, prefixText)
 
   /** [[toColumn]] for a POSITIVE FILTER CONTEXT ONLY (`df.filter(_)`,
     * never negated or null-inspected): comparison leaves stay RAW —
@@ -356,8 +357,9 @@ object Filters {
     */
   private[api] def toFilterColumn(cond: PCond,
                                   fold: String => String = identity,
-                                  foldCol: Column => Column = c => c): Column =
-    compile(cond, fold, foldCol, col, total = false)
+                                  foldCol: Column => Column = c => c,
+                                  prefixText: Set[String] = Set.empty): Column =
+    compile(cond, fold, foldCol, col, total = false, prefixText)
 
   /** The compiler proper, generic in how a field NAME becomes a
     * `Column` (top-level trees resolve with `col(_)`; a [[Nested]]
@@ -371,23 +373,32 @@ object Filters {
   private def compile(cond: PCond, fold: String => String,
                       foldCol: Column => Column,
                       resolve: String => Column,
-                      total: Boolean): Column = {
+                      total: Boolean,
+                      prefixText: Set[String] = Set.empty): Column = {
     // a raw comparison is null exactly where the coalesced form is
     // false; identical under filter, different under NOT
     def tot(p: Column): Column = if (total) coalesce(p, lit(false)) else p
+    // a text field indexed with the PREFIX tokenizer matches a term
+    // when some word STARTS WITH it (Qdrant `tokenizer: prefix` —
+    // autocomplete semantics): the probe keeps the leading space only
+    def probe(f: String, padded: Column)(t: String): Column =
+      if (prefixText.contains(f)) padded.contains(s" $t")
+      else padded.contains(s" $t ")
     cond match {
     case PFilter(must, should, mustNot, minShould) =>
       val parts =
-        must.map(compile(_, fold, foldCol, resolve, total)) ++
+        must.map(compile(_, fold, foldCol, resolve, total, prefixText)) ++
           (if (should.isEmpty) Nil
            else Seq(tot(should
-             .map(compile(_, fold, foldCol, resolve, total = false))
+             .map(compile(_, fold, foldCol, resolve, total = false, prefixText))
              .reduce(_ || _)))) ++
-          mustNot.map(c => !compile(c, fold, foldCol, resolve, total = true)) ++
+          mustNot.map(c =>
+            !compile(c, fold, foldCol, resolve, total = true, prefixText)) ++
           minShould.toSeq.map { case (cs, m) =>
             // when() sends a NULL predicate to otherwise(0) — each arm
             // is intrinsically total, the sum comparison never null
-            cs.map(c => when(compile(c, fold, foldCol, resolve, total = false),
+            cs.map(c => when(
+              compile(c, fold, foldCol, resolve, total = false, prefixText),
               1).otherwise(0)).reduce(_ + _) >= m
           }
       // all-clauses-empty = MATCH ALL (Qdrant's empty-filter
@@ -402,13 +413,16 @@ object Filters {
       else !coalesce(resolve(f).isin(vs: _*), lit(false))
     case MatchText(f, ts) =>
       val padded = concat(lit(" "), foldCol(resolve(f)), lit(" "))
-      coalesce(wordTerms(f, ts, fold).map(t => padded.contains(s" $t "))
+      coalesce(wordTerms(f, ts, fold).map(probe(f, padded))
         .reduce(_ && _), lit(false))
     case MatchTextAny(f, ts) =>
       val padded = concat(lit(" "), foldCol(resolve(f)), lit(" "))
-      coalesce(wordTerms(f, ts, fold).map(t => padded.contains(s" $t "))
+      coalesce(wordTerms(f, ts, fold).map(probe(f, padded))
         .reduce(_ || _), lit(false))
     case MatchPhrase(f, p) =>
+      require(!prefixText.contains(f),
+        s"phrase match on '$f' needs a word tokenizer — the prefix " +
+          "tokenizer indexes word prefixes, not adjacency")
       // byte-identical to readMatchPhrase's residual: the folded token
       // sequence as one padded-contains probe (adjacency via the
       // single-space token separator the postings tokenization defines)

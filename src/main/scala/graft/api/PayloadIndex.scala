@@ -89,7 +89,11 @@ final class PayloadIndex private[api] (
     val idCol: String = "",
     val lowercase: Boolean = false,
     val positional: Boolean = false,
-    val geoGrid: Int = 16) {
+    val geoGrid: Int = 16,
+    // Qdrant `tokenizer: prefix` with (min_token_len, max_token_len):
+    // postings hold every word's prefixes in the length window, and
+    // text matching becomes starts-with (autocomplete) semantics
+    val prefixTokens: Option[(Int, Int)] = None) {
 
   import PayloadIndex.{geoBucket, geoCells, geoColOf, keyExpr, zonedKinds, zoneCol}
 
@@ -104,6 +108,13 @@ final class PayloadIndex private[api] (
     kindOf(f).exists(k => k == "keyword" || k == "bool")
   private def zonedFields: Seq[(String, String)] =
     fields.filter(t => zonedKinds.contains(t._2))
+  // the tokenizer option applies to ALL of this index's text fields
+  // (like the lowercase fold) — the compile hook takes the field SET
+  // so nested/element text conditions keep word semantics
+  private def prefixTextFields: Set[String] =
+    if (prefixTokens.isDefined)
+      fields.collect { case (f, "text") => f }.toSet
+    else Set.empty
   private def geoFields: Seq[String] = fields.collect { case (f, "geo") => f }
 
   /** The read schema: data columns (original minus keyword fields, in
@@ -250,7 +261,8 @@ final class PayloadIndex private[api] (
     // so they translate to parquet source filters (row-group stats
     // prune INSIDE the selected zone directories); identical rows to
     // the total form — a filter drops NULL like FALSE
-    df = df.filter(Filters.toFilterColumn(f2, foldTerm, foldedCol))
+    df = df.filter(Filters.toFilterColumn(f2, foldTerm, foldedCol,
+      prefixTextFields))
     var out = df.select(original.map(sf => col(sf.name)): _*)
     gatesOf(f2).foreach { g =>
       out = out.join(g, out(idCol) === g("__pid"), "left_semi")
@@ -526,6 +538,9 @@ final class PayloadIndex private[api] (
         // plan-spec'd); otherwise the conjunctive token intersection,
         // lossless because phrase containment implies containing every
         // token (the readMatchPhrase candidate discipline)
+        require(prefixTokens.isEmpty,
+          s"phrase match on '$f' needs a word tokenizer — this index's " +
+            "prefix tokenizer holds word prefixes, not adjacency")
         val toks = Filters.phraseTerms(f, p, foldTerm)
         Some(if (positional) phraseStartIds(f, toks)
              else candidateIds(f, toks.distinct))
@@ -558,6 +573,7 @@ final class PayloadIndex private[api] (
     val spaced = qts.filter(_.exists(_.isWhitespace))
     require(spaced.isEmpty,
       s"matchTextAny terms must be single tokens (got $spaced)")
+    requirePrefixLen(f, qts.map(foldTerm))
     PayloadIndex.postingsOf(spark, root, f)
       .filter(col("token").isin(qts.map(foldTerm).distinct: _*))
       .select("__pid").distinct()
@@ -569,9 +585,27 @@ final class PayloadIndex private[api] (
   // Locale.ROOT, NOT the default locale: postings fold with Spark's
   // locale-independent lower(), and under a Turkish/Azeri default JVM
   // locale a query term containing 'I' would fold to dotless 'ı' and
-  // silently miss postings folded to 'i' (ADVICE r9)
-  private def foldTerm(t: String): String =
-    if (lowercase) t.toLowerCase(java.util.Locale.ROOT) else t
+  // silently miss postings folded to 'i' (ADVICE r9). On a PREFIX
+  // index, query terms additionally TRUNCATE to max_token_len — the
+  // postings only hold prefixes up to that length, and Qdrant cuts
+  // query tokens the same way, so both sides agree by construction.
+  private def foldTerm(t: String): String = {
+    val cased = if (lowercase) t.toLowerCase(java.util.Locale.ROOT) else t
+    prefixTokens.fold(cased) { case (_, mx) => cased.take(mx) }
+  }
+
+  /** Loud floor on prefix-index query terms: a term shorter than
+    * min_token_len has NO posting by construction, so the gate would
+    * return fewer rows than the starts-with scan — the one contract
+    * violation ("the index only prunes") this route must never commit.
+    */
+  private def requirePrefixLen(f: String, terms: Seq[String]): Unit =
+    prefixTokens.foreach { case (mn, _) =>
+      val short = terms.filter(_.length < mn)
+      require(short.isEmpty,
+        s"prefix-indexed '$f' needs query terms of at least $mn chars " +
+          s"(got $short) — shorter prefixes are not in the posting layout")
+    }
   private def foldedText(f: String): Column =
     if (lowercase) lower(col(f)) else col(f)
 
@@ -599,6 +633,7 @@ final class PayloadIndex private[api] (
       s"matchText terms must be single tokens (got $spaced) — use " +
         "readMatchPhrase for adjacent-word phrases")
     val folded = qts.map(foldTerm).distinct
+    requirePrefixLen(f, folded)
     PayloadIndex.postingsOf(spark, root, f)
       .filter(col("token").isin(folded: _*))
       // countDistinct, NOT count: batch-appended posting files are
@@ -627,8 +662,13 @@ final class PayloadIndex private[api] (
     val gated = df.join(cand, df(idCol) === cand("__pid"), "left_semi")
     residual.fold(gated) { terms =>
       val padded = concat(lit(" "), foldedText(f), lit(" "))
+      // prefix index: the residual is STARTS-WITH per word (leading
+      // space only) — the same semantics the prefix postings gate on
+      val probe: String => Column =
+        if (prefixTokens.isDefined) t => padded.contains(s" ${foldTerm(t)}")
+        else t => padded.contains(s" ${foldTerm(t)} ")
       gated.filter(terms.distinct.filter(_.nonEmpty)
-        .map(t => padded.contains(s" ${foldTerm(t)} ")).reduce(_ && _))
+        .map(probe).reduce(_ && _))
     }
   }
 
@@ -651,6 +691,9 @@ final class PayloadIndex private[api] (
                       eq: Map[String, Seq[String]] = Map.empty,
                       range: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
+    require(prefixTokens.isEmpty,
+      "phrase match needs a word tokenizer — this index's prefix " +
+        "tokenizer holds word prefixes, not adjacency")
     val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(foldTerm)
     require(toks.nonEmpty, "matchPhrase needs a non-empty phrase")
     val residual = concat(lit(" "), foldedText(f), lit(" "))
@@ -791,7 +834,7 @@ final class PayloadIndex private[api] (
         val f2 = rewriteIsEmpty(pf).asInstanceOf[Filters.PFilter]
         validateCond(f2)
         (pruneOf(f2, liveAll).getOrElse(lit(true)),
-          Filters.toFilterColumn(f2, foldTerm, foldedCol),
+          Filters.toFilterColumn(f2, foldTerm, foldedCol, prefixTextFields),
           gatesOf(f2))
       case None => (lit(true), lit(true), Nil)
     }
@@ -1170,7 +1213,8 @@ final class PayloadIndex private[api] (
     fs.delete(new Path(staging), true)
     textFields.foreach(f =>
       PayloadIndex.writePostings(withZones, idCol, f, s"$staging/text_$f",
-        append = false, lowercase = lowercase, positions = positional))
+        append = false, lowercase = lowercase, positions = positional,
+        prefix = prefixTokens))
     withZones
       .sortWithinPartitions((partitionCols ++ zonedFields.map(_._1)).map(col): _*)
       .write.partitionBy(partitionCols: _*).parquet(s"$staging/data")
@@ -1236,7 +1280,8 @@ final class PayloadIndex private[api] (
     validateCond(f2)
     val live =
       if (hasRangeCond(f2)) PayloadIndex.liveZones(spark, root) else zones
-    val residual = Filters.toColumn(f2, foldTerm, foldedCol)
+    val residual = Filters.toColumn(f2, foldTerm, foldedCol,
+      prefixTextFields)
     val leaves = PayloadIndex.leafDataDirs(fs, new Path(s"$root/data"))
     // torn-batch prefixes (intent without marker): their files are NOT
     // committed rows — keep them out of the survivor scan (they copy
@@ -1629,7 +1674,10 @@ object PayloadIndex {
   private[api] def writePostings(data: DataFrame, idCol: String, f: String,
                                  dir: String, append: Boolean,
                                  lowercase: Boolean,
-                                 positions: Boolean): Unit = {
+                                 positions: Boolean,
+                                 prefix: Option[(Int, Int)] = None): Unit = {
+    require(prefix.isEmpty || !positions,
+      "prefix postings carry no positions — the tokenizers are exclusive")
     val tokens = split(col(f), " ")
     val exploded =
       if (positions)
@@ -1640,7 +1688,20 @@ object PayloadIndex {
     val folded =
       if (lowercase) exploded.withColumn("token", lower(col("token")))
       else exploded
-    folded
+    // Qdrant `tokenizer: prefix`: each word contributes its prefixes
+    // of length min..min(max, |word|) — 'hello' at (1, 4) posts
+    // h/he/hel/hell; words shorter than min post nothing (Qdrant's
+    // token-length window). Posting volume is ≤ max× the word form —
+    // the price of serving starts-with from an equality layout.
+    val prefixed = prefix.fold(folded) { case (mn, mx) =>
+      folded
+        .filter(length(col("token")) >= mn)
+        .select(col("__pid"),
+          explode(transform(
+            sequence(lit(mn), least(length(col("token")), lit(mx))),
+            n => col("token").substr(lit(1), n))).as("token"))
+    }
+    prefixed
       .filter(length(col("token")) > 0)
       .distinct()
       .select(Seq(col("token"), col("__pid")) ++
@@ -1675,7 +1736,19 @@ object PayloadIndex {
              float: Seq[String] = Nil, datetime: Seq[String] = Nil,
              geo: Seq[(String, String)] = Nil,
              lowercaseText: Boolean = false, positionalText: Boolean = false,
-             geoGrid: Int = 16, bool: Seq[String] = Nil): PayloadIndex = {
+             geoGrid: Int = 16, bool: Seq[String] = Nil,
+             prefixText: Boolean = false, prefixMinLen: Int = 1,
+             prefixMaxLen: Int = 15): PayloadIndex = {
+    // Qdrant text-index tokenizer options: `prefix` swaps whole-word
+    // postings for per-word prefix postings in the (min, max) length
+    // window; it is exclusive with the positional (phrase) layout —
+    // prefixes have no meaningful positions
+    require(!(prefixText && positionalText),
+      "prefixText and positionalText are exclusive — prefix postings " +
+        "carry no adjacency")
+    require(prefixMinLen >= 1 && prefixMaxLen >= prefixMinLen,
+      s"prefix token-length window needs 1 <= min <= max " +
+        s"(got [$prefixMinLen, $prefixMaxLen])")
     val rootPath = new Path(s"$root/data")
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(rootPath), s"payload index already exists at $root")
@@ -1765,7 +1838,8 @@ object PayloadIndex {
     // reads only its terms' posting lists)
     text.foreach(f =>
       writePostings(withZones, idCol, f, textDir(root, f), append = false,
-        lowercase = lowercaseText, positions = positionalText))
+        lowercase = lowercaseText, positions = positionalText,
+        prefix = if (prefixText) Some((prefixMinLen, prefixMaxLen)) else None))
 
     import spark.implicits._
     val fieldRows = keyword.map(_ -> "keyword") ++ bool.map(_ -> "bool") ++
@@ -1777,7 +1851,9 @@ object PayloadIndex {
     // layout options travel with the artifact — a load that guessed
     // the fold/position flags would silently serve wrong candidates
     CommitProtocol.writeSmallFile(fs, new Path(root, "options"),
-      s"lowercase=$lowercaseText\npositions=$positionalText\ngeogrid=$geoGrid")
+      s"lowercase=$lowercaseText\npositions=$positionalText\ngeogrid=$geoGrid" +
+        (if (prefixText) s"\nprefixmin=$prefixMinLen\nprefixmax=$prefixMaxLen"
+         else ""))
     // exact per-zone [min, max] — the pruning map range reads consult
     // (nulls excluded: they carry no range information and an all-null
     // zone group would NPE the bound parse); bounds persist as exact
@@ -1813,7 +1889,8 @@ object PayloadIndex {
       zoneRows.groupBy(_._1).view.mapValues(_.map(t =>
         (t._2, BigDecimal(t._3), BigDecimal(t._4)))).toMap,
       ddl, if (text.nonEmpty) idCol else "",
-      lowercaseText, positionalText, geoGrid)
+      lowercaseText, positionalText, geoGrid,
+      if (prefixText) Some((prefixMinLen, prefixMaxLen)) else None)
   }
 
   /** The newest COMMITTED zones manifest under `root` — the read-side
@@ -1849,6 +1926,8 @@ object PayloadIndex {
       readSmall("idcol").getOrElse(""),
       opts.get("lowercase").contains("true"),
       opts.get("positions").contains("true"),
-      opts.get("geogrid").map(_.toInt).getOrElse(16))
+      opts.get("geogrid").map(_.toInt).getOrElse(16),
+      opts.get("prefixmin").map(_.toInt)
+        .zip(opts.get("prefixmax").map(_.toInt)))
   }
 }

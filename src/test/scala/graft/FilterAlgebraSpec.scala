@@ -1060,6 +1060,68 @@ class FilterAlgebraSpec extends SparkSpecBase {
     assert(viaInt.count() === 11L) // 3.0, 3.5, ..., 8.0
   }
 
+  test("prefix tokenizer: starts-with postings, fold, length window, refusals") {
+    val root = tmp()
+    val idx = PayloadIndex.create(spark, corpus(), root,
+      keyword = Seq.empty, integer = Seq.empty, text = Seq("text"),
+      idCol = "id", lowercaseText = true,
+      prefixText = true, prefixMinLen = 2, prefixMaxLen = 4)
+    // posting layout: every token is a prefix in the [2, 4] window
+    val toks = spark.read.parquet(s"$root/text_text")
+      .select("token").distinct().collect().map(_.getString(0))
+    assert(toks.nonEmpty)
+    assert(toks.forall(t => t.length >= 2 && t.length <= 4),
+      s"tokens outside the window: ${toks.filter(t => t.length < 2 || t.length > 4).toSeq}")
+    // 'alpha' contributes al/alp/alph but NEVER the whole word (5 > max)
+    assert(toks.contains("al") && toks.contains("alph") && !toks.contains("alpha"))
+    // STARTS-WITH semantics, indexed ≡ scan: 'alp' matches alpha-rows
+    val viaIdx = idx.readFilter(PFilter(must = Seq(MatchText("text", Seq("alp")))))
+    val scan = corpus().filter(
+      concat(lit(" "), lower(col("text")), lit(" ")).contains(" alp"))
+    sameRows(viaIdx, scan)
+    assert(viaIdx.count() > 0)
+    // ... and the whole-word route would NOT have matched 'alp'
+    assert(corpus().filter(concat(lit(" "), lower(col("text")), lit(" "))
+      .contains(" alp ")).count() === 0)
+    // fold: the query term case-folds like the postings
+    sameRows(idx.readFilter(PFilter(must = Seq(MatchText("text", Seq("ALP"))))),
+      scan)
+    // terms LONGER than max_token_len truncate on BOTH sides (Qdrant
+    // cuts query tokens too): 'alphx' ≡ 'alph'
+    sameRows(
+      idx.readFilter(PFilter(must = Seq(MatchText("text", Seq("alphx"))))),
+      idx.readFilter(PFilter(must = Seq(MatchText("text", Seq("alph"))))))
+    // MatchTextAny unions prefix posting lists
+    sameRows(
+      idx.readFilter(PFilter(must = Seq(MatchTextAny("text", Seq("alp", "gam"))))),
+      corpus().filter(
+        concat(lit(" "), lower(col("text")), lit(" ")).contains(" alp") ||
+          concat(lit(" "), lower(col("text")), lit(" ")).contains(" gam")))
+    // a term below min_token_len has no posting — refuse, never return
+    // fewer rows than the scan
+    val eShort = intercept[IllegalArgumentException](
+      idx.readFilter(PFilter(must = Seq(MatchText("text", Seq("a"))))).count())
+    assert(eShort.getMessage.contains("at least 2"))
+    // phrase matching needs a word tokenizer
+    intercept[IllegalArgumentException](
+      idx.readFilter(PFilter(must = Seq(MatchPhrase("text", "alpha beta")))))
+    intercept[IllegalArgumentException](idx.readMatchPhrase("text", "alpha beta"))
+    // the options round-trip through load (a guessed tokenizer would
+    // silently serve whole-word semantics from prefix postings)
+    val reloaded = PayloadIndex.load(spark, root)
+    sameRows(reloaded.readFilter(PFilter(
+      must = Seq(MatchText("text", Seq("alp"))))), scan)
+    intercept[IllegalArgumentException](
+      reloaded.readMatchPhrase("text", "alpha beta"))
+    // exclusive with the positional layout; degenerate windows refuse
+    intercept[IllegalArgumentException](PayloadIndex.create(spark, corpus(),
+      tmp(), keyword = Seq.empty, integer = Seq.empty, text = Seq("text"),
+      idCol = "id", prefixText = true, positionalText = true))
+    intercept[IllegalArgumentException](PayloadIndex.create(spark, corpus(),
+      tmp(), keyword = Seq.empty, integer = Seq.empty, text = Seq("text"),
+      idCol = "id", prefixText = true, prefixMinLen = 5, prefixMaxLen = 4))
+  }
+
   test("match-all filters: honored on read, refused on destructive deleteTo") {
     // structural detection, through nested all-empty sub-filters
     assert(Filters.matchesAll(PFilter()))

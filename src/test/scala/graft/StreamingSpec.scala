@@ -635,6 +635,108 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("multivecMaintainStream rotates generations: batch parity, doc replace, replay no-op, torn convergence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.{MultiVecIndex, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("mvstream").toString
+    val root = base + "/mv"
+    def tok(doc: Long, t: Long, shift: Double = 0.0) = {
+      val c = (doc % 4).toDouble
+      (doc, doc * 4 + t,
+        Seq(math.cos(c) + t / 50.0 + shift, math.sin(c) - t / 80.0))
+    }
+    val batch1 = for (d <- 0L until 12L; t <- 0L until 4L) yield tok(d, t)
+    // batch 2: two new docs + a RE-ENCODED doc 1 (shifted tokens — an
+    // append-style merge would leave its stale tokens scoring)
+    val batch2 = (for (d <- 100L until 102L; t <- 0L until 4L)
+      yield tok(d, t)) ++ (0L until 4L).map(t => (1L, 400L + t,
+        Seq(9.0 + t / 10.0, 9.0 - t / 10.0)))
+    val input = MemoryStream[(Long, Long, Seq[Double])]
+    val q = EventStreams.multivecMaintainStream(
+      input.toDF().toDF("doc", "vec_id", "vec"), root, base + "/ckpt",
+      nlist = 4).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(MultiVecIndex.resolveLive(spark, root).get
+        .contains(VectorIndex.generationDir(0L)))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val live = MultiVecIndex.openLive(spark, root)
+      assert(MultiVecIndex.resolveLive(spark, root).get
+        .contains(VectorIndex.generationDir(1L)))
+      // PARITY: the streamed generation is the batch API's own merge on
+      // the same inputs — identical token ROWS, identical cluster
+      // MEMBERSHIP. (List ids/centroid ulps compare label-invariantly:
+      // the seeded KMeans init samples by partition, so a MemoryStream
+      // build can label the same clusters in a different order than a
+      // local-seq build — membership is what the serving contract
+      // rests on.)
+      val b1 = MultiVecIndex.build(batch1.toDF("doc", "vec_id", "vec"),
+        s"$base/b1/ivf", nlist = 4)
+      val b2 = b1.upsertTo(batch2.toDF("doc", "vec_id", "vec"), s"$base/b2/ivf")
+      def rows(ix: MultiVecIndex) = ix.ann.points
+        .select("doc", "vec_id", "vec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(live) === rows(b2) && rows(live).nonEmpty)
+      def membership(ix: MultiVecIndex): Set[Set[Long]] = ix.ann.points
+        .select("vec_id", "list").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      assert(membership(live) === membership(b2))
+      // the quantizer carried over from gen-0 EXACTLY (ids included —
+      // rotation never refits or relabels)
+      val gen0Cents = graft.api.AnnIndex.load(spark,
+        s"$root/${VectorIndex.generationDir(0L)}/ivf")
+        .centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
+      assert(live.ann.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
+        === gen0Cents)
+      // DOC REPLACE: doc 1 serves its re-encoded bag, not the original
+      assert(live.tokensOf(1L) === (0L until 4L)
+        .map(t => Seq(9.0 + t / 10.0, 9.0 - t / 10.0)))
+      // a shifted-doc query finds the replacement through the live gen
+      assert(live.search(Seq(Seq(9.0, 9.0)), k = 1, nprobe = 4,
+        tokenK = 64).head().getLong(0) === 1L)
+      // REPLAY NO-OP: fresh checkpoint restarts at batch 0 — gen-0 is
+      // committed, so it skips AND its token relation stays
+      // bit-identical (the skip keys on gen-0's own commit)
+      val gen0 = s"$root/${VectorIndex.generationDir(0L)}/ivf"
+      val before = spark.read.parquet(gen0).collect()
+        .map(r => r.toSeq).sortBy(_.toString).toSeq
+      val input2 = MemoryStream[(Long, Long, Seq[Double])]
+      val q2 = EventStreams.multivecMaintainStream(
+        input2.toDF().toDF("doc", "vec_id", "vec"), root, base + "/ckpt2",
+        nlist = 4).start()
+      try { input2.addData(batch1: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(MultiVecIndex.resolveLive(spark, root).get
+        .contains(VectorIndex.generationDir(1L)))
+      assert(spark.read.parquet(gen0).collect()
+        .map(r => r.toSeq).sortBy(_.toString).toSeq === before)
+      // TORN ATTEMPT: a crashed gen-2 (garbage, no _SUCCESS) never
+      // serves; the replayed batch overwrites it and commits
+      val torn = new java.io.File(
+        s"$root/${VectorIndex.generationDir(2L)}/ivf")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(torn.getPath, "part-garbage"), "torn".getBytes)
+      assert(MultiVecIndex.resolveLive(spark, root).get
+        .contains(VectorIndex.generationDir(1L)))
+      input.addData((200L, 800L, Seq(-7.0, -7.0)))
+      q.processAllAvailable()
+      assert(MultiVecIndex.resolveLive(spark, root).get
+        .contains(VectorIndex.generationDir(2L)))
+      assert(MultiVecIndex.openLive(spark, root)
+        .search(Seq(Seq(-7.0, -7.0)), k = 1, nprobe = 4, tokenK = 64)
+        .head().getLong(0) === 200L)
+      // rotation GC: at most live + previous generation remain
+      val gens = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName)
+      assert(gens.length <= 2)
+    } finally q.stop()
+  }
+
   test("annMaintainStream lands streamed vectors exactly-once on both partition axes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.api.AnnIndex

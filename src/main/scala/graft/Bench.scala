@@ -144,7 +144,8 @@ object Bench {
         "vs_search_filter_min_should", "vs_search_match_any_indexed",
         "vs_search_match_except_indexed", "vs_search_filter_phrase",
         "vs_facet_counts_filtered", "vs_random_sample_filtered",
-        "vs_points_query")
+        "vs_points_query", "vs_points_scroll", "vs_points_count",
+        "vs_points_facet", "vs_points_query_batch")
         .exists(selected.contains),
         () => { operators.VectorStore.payloadIndex(spark, sfDir); () }),
       // the persisted AnnIndex with payload axes behind the

@@ -36,6 +36,51 @@ object SparkEntry {
       |                       {"key": "site", "match": {"value": "src3"}}]},
       | "limit": 10}""".stripMargin
 
+  /** Default wire bodies for the sibling /points endpoints — each
+    * drives its oracle row through the FULL parse + dispatch path and
+    * shares (or mirrors) the proven typed row's DuckDB SQL.
+    */
+  private[graft] val defaultGroupsJson: String =
+    """{"query": {"nearest": 0}, "group_by": "site",
+      | "limit": 3, "group_size": 2}""".stripMargin
+  private[graft] val defaultScrollJson: String =
+    """{"filter": {"must": [{"key": "lang", "match": {"value": "en"}}]},
+      | "offset": 101, "limit": 50}""".stripMargin
+  private[graft] val defaultCountJson: String =
+    """{"filter": {"must": [
+      |   {"key": "user_id", "range": {"gte": 2, "lte": 9}},
+      |   {"key": "lang", "match": {"any": ["en", "fr"]}}]},
+      | "exact": true}""".stripMargin
+  private[graft] val defaultFacetJson: String =
+    """{"key": "site",
+      | "filter": {"must": [{"key": "lang", "match": {"any": ["en", "fr"]}}]},
+      | "limit": 8}""".stripMargin
+  private[graft] val defaultBatchJson: String =
+    s"""{"searches": [$defaultPointsQueryJson,
+       | {"query": {"nearest": 0},
+       |  "filter": {"must": [{"key": "user_id", "range": {"gte": 7, "lte": 7}}]},
+       |  "limit": 5}]}""".stripMargin
+  private[graft] val defaultRetrieveJson: String =
+    """{"ids": [5, 42, 12345678, 7, 250]}"""
+  private[graft] val defaultMatrixJson: String =
+    """{"sample": 16, "limit": 4}"""
+  private[graft] val defaultUpdateJson: String =
+    """{"operations": [
+      | {"upsert": {"points": [
+      |   {"id": 900001, "vector": [0.1, 0.2],
+      |    "payload": {"user_id": 99, "seq": 1000001, "site": "wire", "lang": "xx"}},
+      |   {"id": 3, "vector": [0.3, 0.4],
+      |    "payload": {"user_id": 99, "seq": 1000002, "site": "wire"}}]}},
+      | {"set_payload": {"payload": {"lang": "fr"},
+      |   "filter": {"must": [{"key": "site", "match": {"value": "src3"}}]}}},
+      | {"overwrite_payload": {"payload": {"site": "ow"}, "points": [5, 6]}},
+      | {"delete_payload": {"keys": ["lang"], "points": [7, 8]}},
+      | {"clear_payload": {"points": [11]}},
+      | {"delete": {"filter": {"must": [{"key": "user_id", "range": {"gte": 4, "lte": 4}}]}}},
+      | {"delete_vectors": {"points": [9, 10], "vector": ["vector"]}},
+      | {"update_vectors": {"points": [{"id": 12, "vector": [1.0, 0.0]}]}}
+      |]}""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core vector-store surface (reference parity)
     "vs_upsert_latest" -> VectorStore.upsertLatest _,
@@ -75,6 +120,43 @@ object SparkEntry {
     "vs_points_query" ->
       ((s: SparkSession, d: String) =>
         VectorStore.pointsQuery(s, d, defaultPointsQueryJson)),
+    // the sibling /points endpoints' wire forms (round 13): groups,
+    // scroll, count, facet, batch, and the ordered mutation list —
+    // each row is the FULL parse + dispatch path onto its proven
+    // typed call / shape, graded by DuckDB like the typed rows
+    "vs_points_query_groups" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsQueryGroups(s, d, defaultGroupsJson)),
+    "vs_points_scroll" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsScroll(s, d, defaultScrollJson)),
+    "vs_points_count" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsCount(s, d, defaultCountJson)),
+    "vs_points_facet" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsFacet(s, d, defaultFacetJson)),
+    "vs_points_query_batch" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsQueryBatch(s, d, defaultBatchJson)),
+    "vs_points_update" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsUpdate(s, d, defaultUpdateJson)),
+    "vs_points_retrieve" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsRetrieve(s, d, defaultRetrieveJson)),
+    "vs_points_matrix" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsMatrix(s, d, defaultMatrixJson)),
+    // wire MMR diversification (λ = 1 − diversity): rows-only — the
+    // greedy selection is spec-verified (wire ≡ vs_mmr_search's typed
+    // call bit-for-bit; DuckDB cannot re-derive the greedy loop)
+    "vs_points_query_mmr" ->
+      ((s: SparkSession, d: String) =>
+        VectorStore.pointsQuery(s, d,
+          """{"query": {"nearest": 0,
+            |  "mmr": {"diversity": 0.25, "candidates_limit": 100}},
+            | "limit": 10}""".stripMargin)),
     "vs_update_vectors" ->
       ((s: SparkSession, d: String) => VectorStore.updateVectors(s, d)),
     "vs_search_match_prefix_indexed" ->
@@ -632,6 +714,44 @@ object SparkEntry {
       VectorStore.pointsQuery(s, d,
         p.str("query").getOrElse(defaultPointsQueryJson))
     }),
+    // the sibling endpoints from SQL — each takes its whole wire body
+    // as map('request', '<json>') (the map(...) literal form: JSON
+    // carries commas)
+    "vs_points_query_groups" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_query_groups", m, "request")
+      VectorStore.pointsQueryGroups(s, d,
+        p.str("request").getOrElse(defaultGroupsJson))
+    }),
+    "vs_points_scroll" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_scroll", m, "request")
+      VectorStore.pointsScroll(s, d, p.str("request").getOrElse(defaultScrollJson))
+    }),
+    "vs_points_count" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_count", m, "request")
+      VectorStore.pointsCount(s, d, p.str("request").getOrElse(defaultCountJson))
+    }),
+    "vs_points_facet" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_facet", m, "request")
+      VectorStore.pointsFacet(s, d, p.str("request").getOrElse(defaultFacetJson))
+    }),
+    "vs_points_query_batch" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_query_batch", m, "request")
+      VectorStore.pointsQueryBatch(s, d,
+        p.str("request").getOrElse(defaultBatchJson))
+    }),
+    "vs_points_update" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_update", m, "request")
+      VectorStore.pointsUpdate(s, d, p.str("request").getOrElse(defaultUpdateJson))
+    }),
+    "vs_points_retrieve" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_retrieve", m, "request")
+      VectorStore.pointsRetrieve(s, d,
+        p.str("request").getOrElse(defaultRetrieveJson))
+    }),
+    "vs_points_matrix" -> ((s, d, m) => {
+      val p = new QueryParams("vs_points_matrix", m, "request")
+      VectorStore.pointsMatrix(s, d, p.str("request").getOrElse(defaultMatrixJson))
+    }),
     "vs_search_filter_phrase" -> ((s, d, m) => {
       val p = new QueryParams("vs_search_filter_phrase", m, "k", "filter")
       p.str("filter")
@@ -958,6 +1078,112 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
          |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    // groups wire ≡ the typed grouped search — same DuckDB answer
+    "vs_points_query_groups" ->
+      s"""WITH $PTS,
+         |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |scored AS (SELECT p.site, p.id, round(list_distance(p.vector, q.qvec), 4) AS score
+         |  FROM pts p, q WHERE p.id <> 0),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY site ORDER BY score ASC, id ASC)
+         |    AS hit_rank FROM scored),
+         |hits AS (SELECT * FROM h WHERE hit_rank <= 2),
+         |tg AS (SELECT site, score AS best_score FROM hits WHERE hit_rank = 1),
+         |g AS (SELECT site,
+         |  row_number() OVER (ORDER BY best_score ASC, site ASC) AS group_rank FROM tg)
+         |SELECT g.group_rank, hits.site, hits.hit_rank, hits.id, hits.score
+         |FROM hits JOIN g ON hits.site = g.site
+         |WHERE g.group_rank <= 3
+         |ORDER BY group_rank, hit_rank""".stripMargin,
+    // scroll wire: Qdrant's inclusive next-page-offset cursor under
+    // the filter algebra (the indexed readFilter route on the Spark
+    // side; the same total-boolean predicate here)
+    "vs_points_scroll" ->
+      s"""WITH $PTS
+         |SELECT id, user_id, seq FROM pts
+         |WHERE COALESCE(lang = 'en', FALSE) AND id >= 101
+         |ORDER BY id LIMIT 50""".stripMargin,
+    // count wire: the exact filtered count, one pruned aggregate
+    "vs_points_count" ->
+      s"""WITH $PTS
+         |SELECT count(*) AS n FROM pts
+         |WHERE COALESCE(user_id >= 2 AND user_id <= 9, FALSE)
+         |  AND COALESCE(lang IN ('en', 'fr'), FALSE)""".stripMargin,
+    // facet wire: hottest values first, value-asc ties
+    "vs_points_facet" ->
+      s"""WITH $PTS
+         |SELECT site AS value, count(*) AS n FROM pts
+         |WHERE COALESCE(lang IN ('en', 'fr'), FALSE)
+         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 8""".stripMargin,
+    // batch wire: the two searches' plans union into one relation
+    // tagged query_idx — each half is its own proven request's SQL
+    "vs_points_query_batch" ->
+      s"""WITH $PTS,
+         |q0 AS (SELECT vector AS qvec FROM pts WHERE id = 1),
+         |f0 AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q0.qvec), 4) AS score
+         |  FROM pts p, q0 WHERE p.id <> 1
+         |    AND COALESCE(p.user_id >= 2 AND p.user_id <= 9, FALSE)
+         |    AND (COALESCE(p.lang = 'en', FALSE) OR COALESCE(p.site = 'src3', FALSE))),
+         |r0 AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f0),
+         |q1 AS (SELECT vector AS qvec FROM pts WHERE id = 0),
+         |f1 AS (SELECT p.id, p.user_id, p.site, p.lang,
+         |  round(list_cosine_similarity(p.vector, q1.qvec), 4) AS score
+         |  FROM pts p, q1 WHERE p.id <> 0
+         |    AND COALESCE(p.user_id >= 7 AND p.user_id <= 7, FALSE)),
+         |r1 AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS query_idx, rank, id, user_id, site, lang, score
+         |    FROM r0 WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), rank, id, user_id, site, lang, score
+         |    FROM r1 WHERE rank <= 5)
+         |ORDER BY query_idx, rank""".stripMargin,
+    // mutation wire: the ordered operations list as sequential
+    // snapshot CTEs — upsert replace, payload set/overwrite/delete/
+    // clear, filter delete, vector delete/update; has_vector reads the
+    // final vector-column state
+    "vs_points_update" ->
+      s"""WITH $PTS,
+         |up AS (
+         |  SELECT id, user_id, site, lang, seq FROM pts WHERE id NOT IN (900001, 3)
+         |  UNION ALL
+         |  SELECT * FROM (VALUES (900001, 99, 'wire', 'xx', 1000001),
+         |                        (3, 99, 'wire', NULL, 1000002))
+         |    AS t(id, user_id, site, lang, seq)),
+         |s2 AS (SELECT id, user_id, site,
+         |  CASE WHEN site = 'src3' THEN 'fr' ELSE lang END AS lang, seq FROM up),
+         |s3 AS (SELECT id, user_id,
+         |  CASE WHEN id IN (5, 6) THEN 'ow' ELSE site END AS site,
+         |  CASE WHEN id IN (5, 6) THEN NULL ELSE lang END AS lang, seq FROM s2),
+         |s4 AS (SELECT id, user_id, site,
+         |  CASE WHEN id IN (7, 8) THEN NULL ELSE lang END AS lang, seq FROM s3),
+         |s5 AS (SELECT id, user_id,
+         |  CASE WHEN id = 11 THEN NULL ELSE site END AS site,
+         |  CASE WHEN id = 11 THEN NULL ELSE lang END AS lang, seq FROM s4),
+         |s6 AS (SELECT * FROM s5
+         |  WHERE NOT COALESCE(user_id >= 4 AND user_id <= 4, FALSE))
+         |SELECT id, user_id, site, lang, seq, id NOT IN (9, 10) AS has_vector
+         |FROM s6 ORDER BY id""".stripMargin,
+    // retrieve wire: the parsed id batch drives the same pushed-isin
+    // scan (ids differ from the typed row's — the parse is proven live)
+    "vs_points_retrieve" ->
+      s"""WITH $PTS
+         |SELECT id, user_id, site, lang, seq,
+         |  round(vector[1], 4) AS v0, round(vector[2], 4) AS v1,
+         |  round(vector[3], 4) AS v2, round(vector[4], 4) AS v3
+         |FROM pts WHERE id IN (5, 42, 12345678, 7, 250) ORDER BY id""".stripMargin,
+    // matrix wire: sample/limit from the parsed body (16×4 vs the
+    // typed row's 20×5 — the knobs are proven to flow through)
+    "vs_points_matrix" ->
+      s"""WITH $PTS,
+         |smp AS (SELECT id, vector FROM pts WHERE id < 16),
+         |pairs AS (SELECT a.id AS a_id, b.id AS b_id,
+         |  round(list_cosine_similarity(a.vector, b.vector), 4) AS cosine
+         |  FROM smp a JOIN smp b ON a.id <> b.id),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk FROM pairs)
+         |SELECT a_id, b_id, cosine, rk FROM r WHERE rk <= 4
+         |ORDER BY a_id, rk""".stripMargin,
     "vs_search_filter_must_not" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 1),

@@ -53,6 +53,16 @@ object QueryRequest {
     */
   final case class NearestId(id: Long) extends Query
 
+  /** Qdrant MMR diversification of a nearest query (`query: {nearest,
+    * mmr: {diversity, candidates_limit}}`): the candidate pool is the
+    * plain top-`candidatesLimit` relevance cut, then the page is the
+    * greedy maximal-marginal-relevance selection. `diversity` ∈ [0, 1]
+    * is Qdrant's knob (0 = pure relevance); classic MMR's λ weights
+    * RELEVANCE, so λ = 1 − diversity at dispatch.
+    */
+  final case class MmrNearest(anchor: Long, diversity: Double,
+                              candidatesLimit: Int) extends Query
+
   /** Qdrant recommend: positive/negative example POINT IDS plus the
     * published strategy (`average_vector` | `best_score`). Raw-vector
     * examples refuse at parse (the served calls take ids).
@@ -241,15 +251,34 @@ object QueryRequest {
     else if (n.isObject) {
       val keys = fieldNames(n)
       if (n.has("nearest")) {
-        val extra = keys.filterNot(Set("nearest"))
-        require(extra.isEmpty,
-          s"unknown query keys $extra beside nearest (mmr diversification " +
-            "is not wire-served — use the vs_mmr_search row)")
-        n.get("nearest") match {
+        val extra = keys.filterNot(Set("nearest", "mmr"))
+        require(extra.isEmpty, s"unknown query keys $extra beside nearest")
+        val base = n.get("nearest") match {
           case v if v.isArray => NearestVector(vecOf(v, "nearest vector"))
           case v if v.isIntegralNumber => NearestId(v.asLong())
           case other => fail(s"nearest takes a vector or a point id: $other")
         }
+        Option(n.get("mmr")).map { m =>
+          require(m.isObject, s"mmr must be an object: $m")
+          val mExtra = fieldNames(m)
+            .filterNot(Set("diversity", "candidates_limit"))
+          require(mExtra.isEmpty, s"unknown mmr keys $mExtra — served: " +
+            "diversity/candidates_limit")
+          val div = Option(m.get("diversity")).map(num(_, "mmr diversity"))
+            .getOrElse(0.5)
+          require(div >= 0.0 && div <= 1.0,
+            s"mmr diversity must be in [0, 1] (got $div)")
+          val cand = Option(m.get("candidates_limit")).map { c =>
+            require(c.isIntegralNumber && c.asLong() >= 1,
+              s"mmr candidates_limit must be a positive integer: $c")
+            c.asInt()
+          }.getOrElse(100)
+          base match {
+            case NearestId(a) => MmrNearest(a, div, cand)
+            case _ => fail("mmr diversification is served by stored " +
+              "query id (the candidate pool anchors on the corpus)")
+          }
+        }.getOrElse(base)
       } else if (n.has("recommend")) {
         require(keys == Seq("recommend"), s"unknown query keys $keys")
         val r = n.get("recommend")
@@ -375,5 +404,195 @@ object QueryRequest {
     require(root != null && root.isObject,
       s"query request JSON must be an object: $json")
     parseRequest(root, "query request")
+  }
+
+  // ------------- the sibling /points endpoints as data (same wire
+  // ------------- discipline: parse to a typed request, refuse loudly)
+
+  private def rootObj(json: String, what: String): JsonNode = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root != null && root.isObject, s"$what JSON must be an object: $json")
+    root
+  }
+
+  private def knownKeys(n: JsonNode, what: String, known: Set[String]): Unit = {
+    val unknown = fieldNames(n).filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown $what keys $unknown — served: ${known.toSeq.sorted.mkString("/")}")
+  }
+
+  private def filterOf(n: JsonNode): Option[Filters.PFilter] =
+    Option(n.get("filter")).map(f => Filters.fromJson(f.toString))
+
+  private def posInt(n: JsonNode, name: String, dflt: Int): Int =
+    Option(n.get(name)).map { l =>
+      require(l.isIntegralNumber && l.asLong() >= 1,
+        s"$name must be a positive integer: $l")
+      l.asInt()
+    }.getOrElse(dflt)
+
+  /** A `/points/query/groups` request: the grouped-search wire form
+    * (`group_by` payload field, `limit` groups × `group_size` hits,
+    * optional `with_lookup` record attachment).
+    */
+  final case class GroupsRequest(query: Query, groupBy: String,
+                                 limit: Int, groupSize: Int,
+                                 withLookup: Option[String])
+
+  /** Parse a `/points/query/groups` request body. `with_lookup` takes
+    * Qdrant's string or `{collection: …}` object form (the projection
+    * members `with_payload`/`with_vectors` refuse — select columns from
+    * the returned relation instead).
+    */
+  def groupsFromJson(json: String): GroupsRequest = {
+    val n = rootObj(json, "groups request")
+    knownKeys(n, "groups request",
+      Set("query", "group_by", "limit", "group_size", "with_lookup"))
+    require(n.has("query"), "a groups request needs a 'query' member")
+    require(n.has("group_by") && n.get("group_by").isTextual,
+      "a groups request needs a 'group_by' payload field name")
+    val lookup = Option(n.get("with_lookup")).map {
+      case l if l.isTextual => l.asText()
+      case l if l.isObject =>
+        knownKeys(l, "with_lookup", Set("collection"))
+        val c = l.get("collection")
+        require(c != null && c.isTextual,
+          s"with_lookup.collection must be a string: $l")
+        c.asText()
+      case other => fail(
+        s"with_lookup must be a collection name or {collection: …}: $other")
+    }
+    GroupsRequest(parseQuery(n.get("query")), n.get("group_by").asText(),
+      posInt(n, "limit", 3), posInt(n, "group_size", 2), lookup)
+  }
+
+  /** A scroll `order_by` member: key + direction + optional
+    * `start_from` value (keyset continuation).
+    */
+  final case class OrderBy(key: String, direction: String,
+                           startFrom: Option[String])
+
+  /** A `/points/scroll` request. `offset` is Qdrant's next-point-id
+    * cursor; with `order_by` it serves as the id TIEBREAK within the
+    * `start_from` value (the strict keyset extension — Qdrant's own
+    * order_by pagination is value-only and can skip/repeat rows on
+    * ties; ours cannot).
+    */
+  final case class ScrollRequest(filter: Option[Filters.PFilter],
+                                 limit: Int, offset: Option[Long],
+                                 orderBy: Option[OrderBy])
+
+  /** Parse a `/points/scroll` request body. */
+  def scrollFromJson(json: String): ScrollRequest = {
+    val n = rootObj(json, "scroll request")
+    knownKeys(n, "scroll request", Set("filter", "limit", "offset", "order_by"))
+    val offset = Option(n.get("offset")).map { o =>
+      require(o.isIntegralNumber && o.asLong() >= 0,
+        s"scroll offset must be a point-id cursor (non-negative integer): $o")
+      o.asLong()
+    }
+    val orderBy = Option(n.get("order_by")).map {
+      case ob if ob.isTextual => OrderBy(ob.asText(), "asc", None)
+      case ob if ob.isObject =>
+        knownKeys(ob, "order_by", Set("key", "direction", "start_from"))
+        val k = ob.get("key")
+        require(k != null && k.isTextual, s"order_by.key must be a string: $ob")
+        val dir = Option(ob.get("direction")).map { d =>
+          require(d.isTextual && Set("asc", "desc")(d.asText()),
+            s"order_by.direction must be asc|desc: $d")
+          d.asText()
+        }.getOrElse("asc")
+        val from = Option(ob.get("start_from")).map { f =>
+          require(f.isValueNode && !f.isNull,
+            s"order_by.start_from must be a scalar value: $f")
+          f.asText()
+        }
+        OrderBy(k.asText(), dir, from)
+      case other => fail(s"order_by must be a key name or an object: $other")
+    }
+    ScrollRequest(filterOf(n), posInt(n, "limit", 10), offset, orderBy)
+  }
+
+  /** Parse a `/points/count` request body. `exact: false` (Qdrant's
+    * estimated count) refuses — the engine's count is one pruned
+    * aggregate either way, and an estimate where the caller can have
+    * the exact number is a wrong answer; the planner-side estimate
+    * lives in AnnIndex.estimateSelectivity.
+    */
+  def countFromJson(json: String): Option[Filters.PFilter] = {
+    val n = rootObj(json, "count request")
+    knownKeys(n, "count request", Set("filter", "exact"))
+    Option(n.get("exact")).foreach { e =>
+      require(e.isBoolean, s"exact must be a boolean: $e")
+      require(e.asBoolean(),
+        "exact: false (estimated count) is not served — the filtered " +
+          "count is one partition-pruned aggregate; drop the member or " +
+          "pass exact: true")
+    }
+    filterOf(n)
+  }
+
+  /** A `/facet` request: value counts of one payload `key` under a
+    * filter. Qdrant's `exact` member parses both ways — the served
+    * counts are always exact (exact ⊃ approximate; serving better than
+    * asked is not a refusal case).
+    */
+  final case class FacetRequest(key: String, filter: Option[Filters.PFilter],
+                                limit: Int)
+
+  /** Parse a `/facet` request body. */
+  def facetFromJson(json: String): FacetRequest = {
+    val n = rootObj(json, "facet request")
+    knownKeys(n, "facet request", Set("key", "filter", "limit", "exact"))
+    require(n.has("key") && n.get("key").isTextual,
+      "a facet request needs a 'key' payload field name")
+    Option(n.get("exact")).foreach(e =>
+      require(e.isBoolean, s"exact must be a boolean: $e"))
+    FacetRequest(n.get("key").asText(), filterOf(n), posInt(n, "limit", 10))
+  }
+
+  /** Parse a `/points/query/batch` request body: `{searches: [request,
+    * …]}`, each entry a full [[Request]]. The batch is a bounded client
+    * list; dispatch unions the per-request plans into ONE job.
+    */
+  def batchFromJson(json: String): Seq[Request] = {
+    val n = rootObj(json, "batch request")
+    knownKeys(n, "batch request", Set("searches"))
+    val s = n.get("searches")
+    require(s != null && s.isArray && s.size() > 0,
+      "a batch request needs a non-empty 'searches' array")
+    vecNodes(s, "searches").map(parseRequest(_, "batch search"))
+  }
+
+  /** Parse a points-retrieve request body (`GET /points`): `{ids:
+    * […]}`. The projection members (`with_payload`/`with_vector`)
+    * refuse — select columns from the returned relation instead
+    * (missing ids are absent per the documented semantics, no error).
+    */
+  def retrieveFromJson(json: String): Seq[Long] = {
+    val n = rootObj(json, "retrieve request")
+    knownKeys(n, "retrieve request", Set("ids"))
+    val ids = n.get("ids")
+    require(ids != null && ids.isArray && ids.size() > 0,
+      "a retrieve request needs a non-empty 'ids' array")
+    vecNodes(ids, "ids").map(id(_, "retrieve id"))
+  }
+
+  /** Parse a `/points/search/matrix` request body: `{sample, limit}` —
+    * the pairwise-similarity matrix over a `sample`-sized member set,
+    * `limit` nearest others per member. A `filter` member refuses (the
+    * served matrix samples the collection deterministically — the
+    * diagnostics contract; filter + matrix composes by materializing
+    * the filtered slice as its own collection).
+    */
+  def matrixFromJson(json: String): (Long, Int) = {
+    val n = rootObj(json, "matrix request")
+    knownKeys(n, "matrix request", Set("sample", "limit"))
+    val sample = Option(n.get("sample")).map { v =>
+      require(v.isIntegralNumber && v.asLong() >= 2,
+        s"matrix sample must be an integer ≥ 2: $v")
+      v.asLong()
+    }.getOrElse(10L)
+    (sample, posInt(n, "limit", 3))
   }
 }

@@ -2766,6 +2766,15 @@ object VectorStore {
           .withColumn("rank", row_number().over(w).cast("long"))
           .select(col("rank"), col("id"), col("score"))
           .orderBy("rank")
+      case MmrNearest(anchor, diversity, cand) =>
+        served("mmr nearest")
+        require(anchor == 0L,
+          "mmr diversification serves the embeddings corpus's proven " +
+            s"anchor (vec_id 0) — got $anchor")
+        // Qdrant's diversity weights the PENALTY; classic MMR's λ
+        // weights relevance: λ = 1 − diversity (one IEEE subtraction —
+        // parity specs pick diversity values whose complement is exact)
+        mmrSearch(s, d, k, cand, 1.0 - diversity)
       case NearestId(qid) if r.quantization.nonEmpty =>
         served("quantized nearest", using = true, quantization = true)
         val qz = r.quantization.get
@@ -2906,5 +2915,240 @@ object VectorStore {
       case GeoDist(lat, lon, la, lo) =>
         graft.functions.Formulas.geoDistance(col(la), col(lo), lat, lon)
     }
+  }
+
+  // --------------------- the sibling /points endpoints' wire forms
+  // (same parser + dispatch discipline as pointsQuery: every route
+  // lands on a proven typed call or its exact shape, parity-spec'd)
+
+  /** Serve a `/points/query/groups` request from JSON: grouped search
+    * over the collection's grouped payload field (`site`), optional
+    * `with_lookup` attaching the site-profile record per group —
+    * [[graft.api.QueryRequest.groupsFromJson]] +
+    * [[searchGroups]]/[[searchGroupsLookup]].
+    */
+  def pointsQueryGroups(s: SparkSession, d: String, json: String): DataFrame = {
+    import graft.api.QueryRequest._
+    val g = graft.api.QueryRequest.groupsFromJson(json)
+    require(g.groupBy == "site",
+      s"group_by '${g.groupBy}' has no grouped route on this collection — " +
+        "the grouped payload field is 'site'")
+    val qid = g.query match {
+      case NearestId(q) => q
+      case other => throw new IllegalArgumentException(
+        s"grouped search serves nearest-by-stored-id queries (got $other)")
+    }
+    g.withLookup match {
+      case None => searchGroups(s, d, qid, g.limit, g.groupSize)
+      case Some("site_profiles") =>
+        searchGroupsLookup(s, d, qid, g.limit, g.groupSize)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown with_lookup collection '$other' — served: site_profiles " +
+          "(each site's lowest-id document as the group record)")
+    }
+  }
+
+  /** Serve a `/points/scroll` request from JSON. Keyset semantics:
+    *
+    *  - no `order_by`: Qdrant's id scroll — `offset` is the id the page
+    *    STARTS AT (inclusive, the documented next_page_offset
+    *    contract), filter through the indexed
+    *    [[graft.api.PayloadIndex!.readFilter]] route;
+    *  - `order_by: {key: "site", start_from, direction: asc}`: the
+    *    payload-ordered scroll; `start_from` + `offset` form the
+    *    EXCLUSIVE (site, id) keyset cursor — strictly stronger than
+    *    Qdrant's value-only `start_from` (which can skip or repeat rows
+    *    when many points share the boundary value; a (value, id) cursor
+    *    cannot). Other keys point at the events rows; `desc` on this
+    *    collection has no typed twin and refuses likewise.
+    *
+    * Both shapes plan as a pushed residual filter +
+    * TakeOrderedAndProject — O(page) at any collection size.
+    */
+  def pointsScroll(s: SparkSession, d: String, json: String): DataFrame = {
+    import graft.api.QueryRequest.OrderBy
+    val r = graft.api.QueryRequest.scrollFromJson(json)
+    val base = r.filter.map(pf => payloadIndex(s, d).readFilter(pf))
+      .getOrElse(Tables.points(s, d))
+    r.orderBy match {
+      case None =>
+        val from = r.offset.getOrElse(0L)
+        base.filter(col("id") >= from)
+          .select(col("id"), col("user_id"), col("seq"))
+          .orderBy("id").limit(r.limit)
+      case Some(OrderBy("site", "asc", from)) =>
+        val afterSite = from.getOrElse("")
+        val afterId = r.offset.getOrElse(Long.MinValue)
+        base.filter(col("site") > afterSite ||
+            (col("site") === afterSite && col("id") > afterId))
+          .orderBy(col("site"), col("id")).limit(r.limit)
+          .select(col("site"), col("id"), col("user_id"), col("lang"))
+      case Some(OrderBy("site", dir, _)) =>
+        throw new IllegalArgumentException(
+          s"order_by direction '$dir' has no typed route on this " +
+            "collection — descending payload scroll is the events rows " +
+            "(events_scroll_order_by_desc_indexed)")
+      case Some(OrderBy(key, _, _)) =>
+        throw new IllegalArgumentException(
+          s"order_by key '$key' is not payload-ordered on this " +
+            "collection — 'site' here; value/ts ordering lives on the " +
+            "events index rows (events_scroll_order_by_indexed, " +
+            "events_scroll_start_from_indexed)")
+    }
+  }
+
+  /** Serve a `/points/count` request from JSON: the exact point count
+    * under the full filter algebra — ONE partition-pruned aggregate
+    * through [[graft.api.PayloadIndex!.readFilter]]; only per-partition
+    * partial counts move at any scale.
+    */
+  def pointsCount(s: SparkSession, d: String, json: String): DataFrame = {
+    val pf = graft.api.QueryRequest.countFromJson(json)
+    pf.map(p => payloadIndex(s, d).readFilter(p))
+      .getOrElse(Tables.points(s, d))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Serve a `/facet` request from JSON: value counts of one payload
+    * key under the full filter algebra, hottest first (count desc,
+    * value asc — deterministic ties). The facet key must be a payload
+    * column; the aggregate partial-combines and only (value,
+    * partial-count) rows ever move.
+    */
+  def pointsFacet(s: SparkSession, d: String, json: String): DataFrame = {
+    val f = graft.api.QueryRequest.facetFromJson(json)
+    val facetable = Set("site", "lang", "user_id")
+    require(facetable(f.key),
+      s"facet key '${f.key}' is not a payload field on this collection — " +
+        s"facetable: ${facetable.toSeq.sorted.mkString("/")}")
+    f.filter.map(p => payloadIndex(s, d).readFilter(p))
+      .getOrElse(Tables.points(s, d))
+      .groupBy(col(f.key).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(f.limit)
+  }
+
+  /** Serve a `/points/query/batch` request from JSON: each search
+    * dispatches through the [[pointsQuery]] mode dispatcher, the
+    * per-request plans union into ONE relation tagged `query_idx` —
+    * one Spark job for the whole batch (the set-oriented strength the
+    * flagship [[searchBatch]] demonstrates, generalized to arbitrary
+    * wire requests). Batch entries must share one result shape; rows
+    * re-sort by (query_idx, rank) when the shape carries ranks, else
+    * by all columns (deterministic either way).
+    */
+  def pointsQueryBatch(s: SparkSession, d: String, json: String): DataFrame = {
+    val reqs = graft.api.QueryRequest.batchFromJson(json)
+    val dfs = reqs.map(dispatchQuery(s, d, _))
+    val shape = dfs.head.schema
+    dfs.zipWithIndex.drop(1).foreach { case (df, i) =>
+      require(df.schema == shape,
+        s"batch search $i returns ${df.schema.simpleString} — batch " +
+          s"entries must share one result shape (${shape.simpleString}) " +
+          "to union into a single relation; split mismatched modes into " +
+          "separate requests")
+    }
+    val orderCols =
+      if (shape.fieldNames.contains("rank")) Seq("rank")
+      else shape.fieldNames.toSeq
+    dfs.zipWithIndex
+      .map { case (df, i) => df.withColumn("query_idx", lit(i.toLong)) }
+      .reduce(_.unionByName(_))
+      .select((col("query_idx") +: shape.fieldNames.toSeq.map(col)): _*)
+      .orderBy(("query_idx" +: orderCols).map(col): _*)
+  }
+
+  /** Serve a points-retrieve request (`GET /points`) from JSON:
+    * requested ids return payload + the derived vector head, missing
+    * ids are absent — [[retrievePoints]] under
+    * [[graft.api.QueryRequest.retrieveFromJson]] (a bounded client
+    * batch: a pushed `isin` scan, no shuffle).
+    */
+  def pointsRetrieve(s: SparkSession, d: String, json: String): DataFrame =
+    retrievePoints(s, d, graft.api.QueryRequest.retrieveFromJson(json))
+
+  /** Serve a `/points/search/matrix` request from JSON:
+    * [[distanceMatrix]] over the deterministic `sample`-member set,
+    * `limit` nearest others each — the sample is bounded by the API
+    * contract, so the matrix is a broadcast self-join at any corpus
+    * size.
+    */
+  def pointsMatrix(s: SparkSession, d: String, json: String): DataFrame = {
+    val (sample, limit) = graft.api.QueryRequest.matrixFromJson(json)
+    distanceMatrix(s, d, sample, limit)
+  }
+
+  /** Serve the points-UPDATE wire surface from JSON
+    * ([[graft.api.PointsUpdate]] — upsert / delete / set_payload /
+    * overwrite_payload / delete_payload / clear_payload /
+    * update_vectors / delete_vectors, singly or as the ordered
+    * `/points/batch` operations list). Operations compose as snapshot
+    * transforms in request order (the [[batchOps]] lakehouse reading);
+    * each is the proven typed shape — upsert = replace (anti-filter +
+    * union of the bounded batch), payload ops = per-column
+    * conditionals, vector ops = the broadcast-patch + coalesce column
+    * rewrite ([[graft.api.VectorIndex!.setVectors]] discipline). The
+    * result is the final snapshot's payload audit (id, payload columns,
+    * has_vector) — vectors themselves never shuffle; the only exchange
+    * is the final ordered write.
+    */
+  def pointsUpdate(s: SparkSession, d: String, json: String): DataFrame = {
+    import graft.api.PointsUpdate._
+    val ops = graft.api.PointsUpdate.fromJson(json)
+    val payloadCols = Seq("user_id", "site", "lang", "seq", "text")
+    def sel(sl: Selector): Column = sl match {
+      case ByIds(ids) => col("id").isin(ids.map(Long.box): _*)
+      // toColumn (total) — safe under the negations below
+      case ByFilter(f) => graft.api.Filters.toColumn(f)
+    }
+    def patch(snap: DataFrame, hit: Column,
+              fields: Map[String, Either[Long, String]],
+              clearRest: Boolean): DataFrame = {
+      val cols = snap.columns.toSeq.map {
+        case c if fields.contains(c) =>
+          val v = fields(c).fold(lit(_), lit(_))
+          when(hit, v).otherwise(col(c)).as(c)
+        case c if clearRest && clearableKeys(c) =>
+          when(hit, lit(null)).otherwise(col(c)).as(c)
+        case c => col(c)
+      }
+      snap.select(cols: _*)
+    }
+    val base = Tables.points(s, d)
+    val snap = ops.foldLeft(base) { (snap, op) =>
+      op match {
+        case Upsert(pts) =>
+          import s.implicits._
+          val rows = pts
+            .map(p => (p.id, p.vector, p.text.orNull, p.userId,
+              p.site.orNull, p.lang.orNull, p.seq))
+            .toDF("id", "vector", "text", "user_id", "site", "lang", "seq")
+          snap.filter(!col("id").isin(pts.map(p => Long.box(p.id)): _*))
+            .unionByName(rows.select(snap.columns.toSeq.map(col): _*))
+        case Delete(sl) => snap.filter(!sel(sl))
+        case SetPayload(fields, sl, overwrite) =>
+          patch(snap, sel(sl), fields, clearRest = overwrite)
+        case DeletePayload(keys, sl) =>
+          patch(snap, sel(sl),
+            keys.map(_ -> Right(null: String).asInstanceOf[Either[Long, String]]).toMap,
+            clearRest = false)
+        case ClearPayload(sl) =>
+          patch(snap, sel(sl), Map.empty, clearRest = true)
+        case UpdateVectors(pts) =>
+          import s.implicits._
+          val up = broadcast(pts.toDF("u_id", "u_vec"))
+          snap.join(up, col("id") === col("u_id"), "left")
+            .withColumn("vector", coalesce(col("u_vec"), col("vector")))
+            .drop("u_id", "u_vec")
+        case DeleteVectors(ids) =>
+          snap.withColumn("vector",
+            when(col("id").isin(ids.map(Long.box): _*), lit(null))
+              .otherwise(col("vector")))
+      }
+    }
+    snap.select((col("id") +: payloadCols.filterNot(_ == "text").map(col)) :+
+        col("vector").isNotNull.as("has_vector"): _*)
+      .orderBy("id")
   }
 }

@@ -247,8 +247,146 @@ class QueryRequestSpec extends SparkSpecBase {
         |  [{"positive": 1, "negative": 2}]}},
         | "filter": {"must": []}}""".stripMargin))
     assert(e3.getMessage.contains("filter"))
-    // mmr diversification is named as unserved, not dropped
+  }
+
+  test("wire mmr ≡ the typed MMR search (λ = 1 − diversity)") {
+    // diversity 0.25 → λ = 0.75 (an exact IEEE complement — the spec
+    // pins values whose subtraction cannot introduce a ulp the typed
+    // call's literal λ lacks)
+    val viaWire = wire(
+      """{"query": {"nearest": 0,
+        |  "mmr": {"diversity": 0.25, "candidates_limit": 100}},
+        | "limit": 10}""".stripMargin)
+    assert(rows(viaWire) ===
+      rows(VectorStore.mmrSearch(spark, sf, 10, 100, 0.75)))
+    // mmr parse refusals: out-of-range diversity, unknown keys,
+    // vector-anchored mmr (the candidate pool anchors on stored ids)
     intercept[IllegalArgumentException](QueryRequest.fromJson(
-      """{"query": {"nearest": 0, "mmr": {"diversity": 0.5}}}"""))
+      """{"query": {"nearest": 0, "mmr": {"diversity": 1.5}}}"""))
+    intercept[IllegalArgumentException](QueryRequest.fromJson(
+      """{"query": {"nearest": 0, "mmr": {"lambda": 0.5}}}"""))
+    intercept[IllegalArgumentException](QueryRequest.fromJson(
+      """{"query": {"nearest": [0.1, 0.2], "mmr": {"diversity": 0.5}}}"""))
+    // unserved envelope members refuse with the mode named
+    intercept[IllegalArgumentException](wire(
+      """{"query": {"nearest": 0, "mmr": {"diversity": 0.5}},
+        | "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}"""
+        .stripMargin))
+  }
+
+  test("groups wire ≡ searchGroups / searchGroupsLookup") {
+    val direct = rows(VectorStore.searchGroups(spark, sf))
+    assert(rows(VectorStore.pointsQueryGroups(spark, sf,
+      SparkEntry.defaultGroupsJson)) === direct)
+    assert(direct.nonEmpty)
+    // with_lookup (string and object forms) attaches the site profile
+    val lookup = rows(VectorStore.searchGroupsLookup(spark, sf))
+    assert(rows(VectorStore.pointsQueryGroups(spark, sf,
+      """{"query": {"nearest": 0}, "group_by": "site", "limit": 3,
+        | "group_size": 2, "with_lookup": "site_profiles"}""".stripMargin))
+      === lookup)
+    assert(rows(VectorStore.pointsQueryGroups(spark, sf,
+      """{"query": {"nearest": 0}, "group_by": "site", "limit": 3,
+        | "group_size": 2,
+        | "with_lookup": {"collection": "site_profiles"}}""".stripMargin))
+      === lookup)
+    // refusals: un-grouped field, unknown lookup collection, non-id query
+    intercept[IllegalArgumentException](VectorStore.pointsQueryGroups(
+      spark, sf, """{"query": {"nearest": 0}, "group_by": "text"}"""))
+    intercept[IllegalArgumentException](VectorStore.pointsQueryGroups(
+      spark, sf,
+      """{"query": {"nearest": 0}, "group_by": "site",
+        | "with_lookup": "elsewhere"}""".stripMargin))
+    intercept[IllegalArgumentException](VectorStore.pointsQueryGroups(
+      spark, sf,
+      """{"query": {"fusion": "rrf"}, "group_by": "site"}"""))
+  }
+
+  test("scroll wire: id keyset, payload-ordered keyset, refusals") {
+    // Qdrant's inclusive offset cursor: offset 101 ≡ scrollPage's
+    // exclusive after-100 cursor on integer ids
+    assert(rows(VectorStore.pointsScroll(spark, sf,
+      """{"offset": 101, "limit": 50}""")) ===
+      rows(VectorStore.scrollPage(spark, sf)))
+    // order_by (start_from, offset) ≡ the typed (site, id) keyset
+    assert(rows(VectorStore.pointsScroll(spark, sf,
+      """{"order_by": {"key": "site", "start_from": "src12"},
+        | "offset": 120, "limit": 50}""".stripMargin)) ===
+      rows(VectorStore.scrollOrderBy(spark, sf)))
+    // bare-string order_by form parses; page 1 starts at the least site
+    val first = VectorStore.pointsScroll(spark, sf,
+      """{"order_by": "site", "limit": 5}""").collect()
+    assert(first.length === 5)
+    assert(first.map(_.getString(0)).toSeq === first.map(_.getString(0)).toSeq.sorted)
+    // refusals: desc on this collection, unknown order key, projection members
+    intercept[IllegalArgumentException](VectorStore.pointsScroll(spark, sf,
+      """{"order_by": {"key": "site", "direction": "desc"}}"""))
+    intercept[IllegalArgumentException](VectorStore.pointsScroll(spark, sf,
+      """{"order_by": {"key": "value"}}"""))
+    intercept[IllegalArgumentException](VectorStore.pointsScroll(spark, sf,
+      """{"limit": 5, "with_payload": true}"""))
+  }
+
+  test("count / facet wire serve the filtered aggregates; estimated count refuses") {
+    val n = VectorStore.pointsCount(spark, sf, SparkEntry.defaultCountJson)
+      .collect()
+    assert(n.length === 1 && n.head.getLong(0) > 0)
+    // exact: false refuses (the engine's count is exact either way)
+    val e = intercept[IllegalArgumentException](VectorStore.pointsCount(
+      spark, sf, """{"filter": {"must": []}, "exact": false}"""))
+    assert(e.getMessage.contains("exact"))
+    val fac = VectorStore.pointsFacet(spark, sf, SparkEntry.defaultFacetJson)
+      .collect()
+    assert(fac.nonEmpty && fac.length <= 8)
+    // hottest-first with value-asc ties
+    val counts = fac.map(_.getLong(1)).toSeq
+    assert(counts === counts.sortBy(-_))
+    // a non-payload facet key refuses
+    intercept[IllegalArgumentException](VectorStore.pointsFacet(spark, sf,
+      """{"key": "vector"}"""))
+  }
+
+  test("retrieve / matrix wire ≡ the typed calls with parsed knobs") {
+    // retrieve: the typed row's ids through the wire parse
+    assert(rows(VectorStore.pointsRetrieve(spark, sf,
+      """{"ids": [3, 17, 99999999, 42, 250]}""")) ===
+      rows(VectorStore.retrievePoints(spark, sf)))
+    // missing ids are absent, not errors
+    val sparse = VectorStore.pointsRetrieve(spark, sf,
+      """{"ids": [5, 99999999]}""").collect()
+    assert(sparse.map(_.getLong(0)).toSeq === Seq(5L))
+    // matrix: sample/limit flow through
+    assert(rows(VectorStore.pointsMatrix(spark, sf,
+      """{"sample": 20, "limit": 5}""")) ===
+      rows(VectorStore.distanceMatrix(spark, sf)))
+    // refusals: projection members, filter on matrix, empty ids
+    intercept[IllegalArgumentException](VectorStore.pointsRetrieve(spark, sf,
+      """{"ids": [1], "with_vector": true}"""))
+    intercept[IllegalArgumentException](VectorStore.pointsMatrix(spark, sf,
+      """{"sample": 10, "filter": {"must": []}}"""))
+    intercept[IllegalArgumentException](
+      graft.api.QueryRequest.retrieveFromJson("""{"ids": []}"""))
+    intercept[IllegalArgumentException](
+      graft.api.QueryRequest.matrixFromJson("""{"sample": 1}"""))
+  }
+
+  test("batch wire unions the per-request plans tagged query_idx") {
+    val batch = VectorStore.pointsQueryBatch(spark, sf,
+      SparkEntry.defaultBatchJson).collect()
+    val half0 = batch.filter(_.getLong(0) == 0L).map(_.toSeq.drop(1)).toSeq
+    val half1 = batch.filter(_.getLong(0) == 1L).map(_.toSeq.drop(1)).toSeq
+    assert(half0 === rows(wire(SparkEntry.defaultPointsQueryJson)))
+    assert(half1 === rows(wire(
+      """{"query": {"nearest": 0},
+        | "filter": {"must": [{"key": "user_id", "range": {"gte": 7, "lte": 7}}]},
+        | "limit": 5}""".stripMargin)))
+    // mismatched result shapes refuse instead of mis-unioning
+    val e = intercept[IllegalArgumentException](VectorStore.pointsQueryBatch(
+      spark, sf,
+      """{"searches": [{"query": {"nearest": 1}, "limit": 5},
+        | {"query": {"sample": "random"}, "limit": 5}]}""".stripMargin))
+    assert(e.getMessage.contains("shape"))
+    intercept[IllegalArgumentException](
+      graft.api.QueryRequest.batchFromJson("""{"searches": []}"""))
   }
 }

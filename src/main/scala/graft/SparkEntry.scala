@@ -42,7 +42,9 @@ object SparkEntry {
     */
   private[graft] val defaultGroupsJson: String =
     """{"query": {"nearest": 0}, "group_by": "site",
-      | "limit": 3, "group_size": 2}""".stripMargin
+      | "limit": 3, "group_size": 2,
+      | "filter": {"must": [{"key": "user_id", "range": {"gte": 1, "lte": 15}}]}}"""
+      .stripMargin
   private[graft] val defaultScrollJson: String =
     """{"filter": {"must": [{"key": "lang", "match": {"value": "en"}}]},
       | "offset": 101, "limit": 50}""".stripMargin
@@ -1078,12 +1080,16 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank FROM f)
          |SELECT rank, id, user_id, site, lang, score FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
-    // groups wire ≡ the typed grouped search — same DuckDB answer
+    // groups wire ≡ the typed grouped search under the wire filter —
+    // the candidate corpus honors the filter algebra (indexed route on
+    // the Spark side, the same total-boolean predicate here); the
+    // query anchor resolves unfiltered
     "vs_points_query_groups" ->
       s"""WITH $PTS,
          |q AS (SELECT vector AS qvec FROM pts WHERE id = 0),
          |scored AS (SELECT p.site, p.id, round(list_distance(p.vector, q.qvec), 4) AS score
-         |  FROM pts p, q WHERE p.id <> 0),
+         |  FROM pts p, q WHERE p.id <> 0
+         |    AND COALESCE(p.user_id >= 1 AND p.user_id <= 15, FALSE)),
          |h AS (SELECT *, row_number() OVER (PARTITION BY site ORDER BY score ASC, id ASC)
          |    AS hit_rank FROM scored),
          |hits AS (SELECT * FROM h WHERE hit_rank <= 2),

@@ -437,17 +437,20 @@ object QueryRequest {
     */
   final case class GroupsRequest(query: Query, groupBy: String,
                                  limit: Int, groupSize: Int,
-                                 withLookup: Option[String])
+                                 withLookup: Option[String],
+                                 filter: Option[Filters.PFilter])
 
-  /** Parse a `/points/query/groups` request body. `with_lookup` takes
-    * Qdrant's string or `{collection: …}` object form (the projection
-    * members `with_payload`/`with_vectors` refuse — select columns from
-    * the returned relation instead).
+  /** Parse a `/points/query/groups` request body. `filter` is the full
+    * boolean algebra (the same member every query mode takes);
+    * `with_lookup` takes Qdrant's string or `{collection: …}` object
+    * form (the projection members `with_payload`/`with_vectors` refuse
+    * — select columns from the returned relation instead).
     */
   def groupsFromJson(json: String): GroupsRequest = {
     val n = rootObj(json, "groups request")
     knownKeys(n, "groups request",
-      Set("query", "group_by", "limit", "group_size", "with_lookup"))
+      Set("query", "group_by", "limit", "group_size", "with_lookup",
+        "filter"))
     require(n.has("query"), "a groups request needs a 'query' member")
     require(n.has("group_by") && n.get("group_by").isTextual,
       "a groups request needs a 'group_by' payload field name")
@@ -463,7 +466,8 @@ object QueryRequest {
         s"with_lookup must be a collection name or {collection: …}: $other")
     }
     GroupsRequest(parseQuery(n.get("query")), n.get("group_by").asText(),
-      posInt(n, "limit", 3), posInt(n, "group_size", 2), lookup)
+      posInt(n, "limit", 3), posInt(n, "group_size", 2), lookup,
+      filterOf(n))
   }
 
   /** A scroll `order_by` member: key + direction + optional

@@ -631,11 +631,17 @@ object VectorStore {
     * to the tiny group-ranking step — the corpus never sorts globally.
     */
   def searchGroups(s: SparkSession, d: String, queryId: Long = 0,
-                   nGroups: Int = 3, perGroup: Int = 2): DataFrame = {
+                   nGroups: Int = 3, perGroup: Int = 2,
+                   pf: Option[graft.api.Filters.PFilter] = None): DataFrame = {
     val pts = Tables.points(s, d)
+    // the candidate corpus honors the full filter algebra through the
+    // indexed route (Qdrant's groups request takes the same filter:
+    // every mode takes); the query anchor resolves UNfiltered — Qdrant
+    // resolves the id's vector regardless of the filter
+    val corpus = pf.map(p => payloadIndex(s, d).readFilter(p)).getOrElse(pts)
     val q = pts.filter(col("id") === queryId).select(col("vector").as("qvec"))
     val inGroup = Window.partitionBy("site").orderBy(col("score").asc, col("id").asc)
-    val hits = pts.filter(col("id") =!= queryId).join(broadcast(q))
+    val hits = corpus.filter(col("id") =!= queryId).join(broadcast(q))
       .withColumn("score", round(l2Distance(col("qvec"), col("vector")), 4))
       .withColumn("hit_rank", row_number().over(inGroup).cast("long"))
       .filter(col("hit_rank") <= perGroup)
@@ -665,8 +671,9 @@ object VectorStore {
     * nothing at any corpus size; the group search itself is unchanged.
     */
   def searchGroupsLookup(s: SparkSession, d: String, queryId: Long = 0,
-                         nGroups: Int = 3, perGroup: Int = 2): DataFrame = {
-    val groups = searchGroups(s, d, queryId, nGroups, perGroup)
+                         nGroups: Int = 3, perGroup: Int = 2,
+                         pf: Option[graft.api.Filters.PFilter] = None): DataFrame = {
+    val groups = searchGroups(s, d, queryId, nGroups, perGroup, pf)
     // prune to the RETURNED groups' sites BEFORE the per-site window:
     // the profile build then touches nGroups sites, not every site in
     // the corpus (a high-cardinality group field would otherwise shuffle
@@ -2939,9 +2946,9 @@ object VectorStore {
         s"grouped search serves nearest-by-stored-id queries (got $other)")
     }
     g.withLookup match {
-      case None => searchGroups(s, d, qid, g.limit, g.groupSize)
+      case None => searchGroups(s, d, qid, g.limit, g.groupSize, g.filter)
       case Some("site_profiles") =>
-        searchGroupsLookup(s, d, qid, g.limit, g.groupSize)
+        searchGroupsLookup(s, d, qid, g.limit, g.groupSize, g.filter)
       case Some(other) => throw new IllegalArgumentException(
         s"unknown with_lookup collection '$other' — served: site_profiles " +
           "(each site's lowest-id document as the group record)")

@@ -534,4 +534,40 @@ class PlanInvariantsSpec extends SparkSpecBase {
     assert(!simple.contains("Exchange SinglePartition"),
       s"single-task global window reappeared:\n$simple")
   }
+
+  // The wire-route plans (§5.1 round-13 second-phase audits): the wire
+  // forms must land on the SAME scale shapes as the typed rows — a
+  // dispatch refactor that re-plans a keyset scroll as an OFFSET sort
+  // or un-pushes the cursor still returns the right page at sf0.001.
+
+  test("wire scroll plans a pushed keyset cursor + TakeOrdered page cut") {
+    val p = plan("vs_points_scroll")
+    assert(p.contains("TakeOrderedAndProject"), s"page cut sorts globally:\n$p")
+    assert(p.contains("GreaterThanOrEqual(id,101)"),
+      s"the inclusive id cursor did not reach the scan:\n$p")
+  }
+
+  test("wire count/facet are one partial-agg'd exchange over the pruned scan") {
+    val pc = plan("vs_points_count")
+    assert(pc.contains("HashAggregate") && nShuffles(pc) <= 1,
+      s"count grew extra shuffles:\n$pc")
+    val pf = plan("vs_points_facet")
+    assert(pf.contains("TakeOrderedAndProject") && nShuffles(pf) <= 1,
+      s"facet lost its single-exchange shape:\n$pf")
+  }
+
+  test("wire batch unions per-request plans, each arm keeping its own TakeOrdered cut") {
+    val p = plan("vs_points_query_batch")
+    assert(p.contains("Union"), s"batch lost the plan union:\n$p")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"an arm lost its own top-k cut:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"an arm degraded to SMJ:\n$p")
+  }
+
+  test("wire update composes as narrow transforms: no SMJ, only the audit sort exchanges") {
+    val p = plan("vs_points_update")
+    assert(!p.contains("SortMergeJoin"),
+      s"a vector patch degraded to a shuffled join:\n$p")
+    assert(nShuffles(p) <= 1, s"the op fold grew data shuffles:\n$p")
+  }
 }

@@ -275,10 +275,21 @@ class QueryRequestSpec extends SparkSpecBase {
   }
 
   test("groups wire ≡ searchGroups / searchGroupsLookup") {
+    // unfiltered wire ≡ the typed default
     val direct = rows(VectorStore.searchGroups(spark, sf))
     assert(rows(VectorStore.pointsQueryGroups(spark, sf,
-      SparkEntry.defaultGroupsJson)) === direct)
+      """{"query": {"nearest": 0}, "group_by": "site",
+        | "limit": 3, "group_size": 2}""".stripMargin)) === direct)
     assert(direct.nonEmpty)
+    // the oracle default carries a filter: the candidate corpus honors
+    // it (indexed route) while the query anchor resolves unfiltered
+    val pf = graft.api.Filters.fromJson(
+      """{"must": [{"key": "user_id", "range": {"gte": 1, "lte": 15}}]}""")
+    val filtered = rows(VectorStore.pointsQueryGroups(spark, sf,
+      SparkEntry.defaultGroupsJson))
+    assert(filtered === rows(VectorStore.searchGroups(spark, sf, 0, 3, 2,
+      Some(pf))))
+    assert(filtered !== direct, "the filter must change the answer")
     // with_lookup (string and object forms) attaches the site profile
     val lookup = rows(VectorStore.searchGroupsLookup(spark, sf))
     assert(rows(VectorStore.pointsQueryGroups(spark, sf,

@@ -369,6 +369,8 @@ object SparkEntry {
     "vs_formula_geo_decay" ->
       ((s: SparkSession, d: String) => VectorStore.formulaGeoDecay(s, d)),
     "vs_recommend" -> ((s: SparkSession, d: String) => VectorStore.recommend(s, d)),
+    "vs_recommend_raw" ->
+      ((s: SparkSession, d: String) => VectorStore.recommendMixed(s, d)),
     "vs_recommend_best_score" -> ((s: SparkSession, d: String) => VectorStore.recommendBestScore(s, d)),
     "vs_search_match_text" -> ((s: SparkSession, d: String) => VectorStore.searchMatchText(s, d)),
     "vs_batch_ops" -> ((s: SparkSession, d: String) => VectorStore.batchOps(s, d)),
@@ -2907,6 +2909,32 @@ object SparkEntry {
          |rec AS (SELECT list(rv ORDER BY dim) AS qvec FROM rec0),
          |scored AS (SELECT p.id, list_cosine_similarity(p.vector, r.qvec) AS cs
          |  FROM pts p, rec r WHERE p.id < 1 OR p.id > 8),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
+         |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // recommend with a RAW vector example mixed with stored ids:
+    // stored examples unnest, the raw example unions in as literal
+    // (is_pos, dim, v) rows through the same DECIMAL aggregate; only
+    // stored ids are excluded from results. nPos = 3 (ids 1, 2 + one
+    // raw), negWeight = 1 (id 6)
+    "vs_recommend_raw" ->
+      s"""WITH $PTS,
+         |ex AS (
+         |  SELECT (id IN (1, 2)) AS is_pos,
+         |    unnest(range(0, len(vector))) AS dim, unnest(vector) AS v
+         |  FROM pts WHERE id IN (1, 2, 6)
+         |  UNION ALL
+         |  SELECT TRUE AS is_pos, unnest(range(0, 64)) AS dim,
+         |    unnest([${VectorStore.rawExample.mkString(", ")}]) AS v),
+         |rec0 AS (SELECT dim,
+         |  CAST(1 * sum(CASE WHEN is_pos THEN CAST(v AS DECIMAL(18,10))
+         |        ELSE CAST(0 AS DECIMAL(18,10)) END)
+         |    - 3 * sum(CASE WHEN NOT is_pos THEN CAST(v AS DECIMAL(18,10))
+         |        ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE) AS rv
+         |  FROM ex GROUP BY 1),
+         |rec AS (SELECT list(rv ORDER BY dim) AS qvec FROM rec0),
+         |scored AS (SELECT p.id, list_cosine_similarity(p.vector, r.qvec) AS cs
+         |  FROM pts p, rec r WHERE p.id NOT IN (1, 2, 6)),
          |rk AS (SELECT *, row_number() OVER (ORDER BY cs DESC, id ASC) AS rank FROM scored)
          |SELECT rank, id, round(cs, 4) AS score FROM rk WHERE rank <= 10
          |ORDER BY rank""".stripMargin,

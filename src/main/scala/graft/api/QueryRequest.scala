@@ -63,12 +63,16 @@ object QueryRequest {
   final case class MmrNearest(anchor: Long, diversity: Double,
                               candidatesLimit: Int) extends Query
 
-  /** Qdrant recommend: positive/negative example POINT IDS plus the
-    * published strategy (`average_vector` | `best_score`). Raw-vector
-    * examples refuse at parse (the served calls take ids).
+  /** Qdrant recommend: positive/negative examples — stored POINT IDS
+    * and/or RAW VECTORS (both wire forms), plus the published strategy
+    * (`average_vector` | `best_score`; raw examples serve
+    * average_vector — best_score scores per stored example).
     */
   final case class Recommend(positive: Seq[Long], negative: Seq[Long],
-                             strategy: String) extends Query
+                             strategy: String,
+                             positiveVecs: Seq[Seq[Double]] = Nil,
+                             negativeVecs: Seq[Seq[Double]] = Nil)
+      extends Query
 
   /** Qdrant discover: target id + (positive, negative) id pairs. */
   final case class Discover(target: Long, pairs: Seq[(Long, Long)])
@@ -167,6 +171,25 @@ object QueryRequest {
     import scala.jdk.CollectionConverters._
     require(n != null && n.isArray, s"$what must be an array of point ids: $n")
     n.elements().asScala.map(id(_, s"$what entry")).toSeq
+  }
+
+  /** A recommend example list: stored point ids and/or raw vectors
+    * (both Qdrant wire forms), partitioned by kind.
+    */
+  private def exampleList(n: JsonNode,
+                          what: String): (Seq[Long], Seq[Seq[Double]]) = {
+    import scala.jdk.CollectionConverters._
+    require(n != null && n.isArray,
+      s"$what must be an array of point ids or vectors: $n")
+    val ids = Seq.newBuilder[Long]
+    val vecs = Seq.newBuilder[Seq[Double]]
+    n.elements().asScala.foreach {
+      case e if e.isIntegralNumber => ids += e.asLong()
+      case e if e.isArray => vecs += vecOf(e, s"$what vector example")
+      case other => fail(
+        s"$what entry must be a stored point id or a raw vector: $other")
+    }
+    (ids.result(), vecs.result())
   }
 
   private[api] def parseFormula(n: JsonNode): FormulaExpr = {
@@ -293,12 +316,13 @@ object QueryRequest {
         require(Set("average_vector", "best_score")(strategy),
           s"unknown recommend strategy '$strategy' — " +
             "average_vector | best_score")
-        val pos = Option(r.get("positive")).map(idList(_, "recommend positive"))
-          .getOrElse(Nil)
-        val neg = Option(r.get("negative")).map(idList(_, "recommend negative"))
-          .getOrElse(Nil)
-        require(pos.nonEmpty, "recommend needs at least one positive example")
-        Recommend(pos, neg, strategy)
+        val (pos, posVecs) = Option(r.get("positive"))
+          .map(exampleList(_, "recommend positive")).getOrElse((Nil, Nil))
+        val (neg, negVecs) = Option(r.get("negative"))
+          .map(exampleList(_, "recommend negative")).getOrElse((Nil, Nil))
+        require(pos.nonEmpty || posVecs.nonEmpty,
+          "recommend needs at least one positive example")
+        Recommend(pos, neg, strategy, posVecs, negVecs)
       } else if (n.has("discover")) {
         require(keys == Seq("discover"), s"unknown query keys $keys")
         val d = n.get("discover")

@@ -293,6 +293,68 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** The deterministic raw example vector of the `vs_recommend_raw`
+    * oracle row: 1dp decimals (exact in IEEE and DECIMAL on both
+    * engines), 64-dim like the corpus.
+    */
+  private[graft] val rawExample: Seq[Double] =
+    (0 until 64).map(i => ((i % 7) - 3) / 10.0)
+
+  /** Qdrant recommend with RAW VECTOR examples (the other example form
+    * `/points/query`'s recommend takes — `positive: [[0.1, …]]` beside
+    * stored point ids; a client recommends against an ad-hoc embedding
+    * it never upserted). Semantics: raw and stored examples weigh
+    * identically in the `average_vector` direction; only STORED
+    * example ids are excluded from results (a raw example names no
+    * point). Exactness: stored examples explode distributed and raw
+    * examples union in as literal (is_pos, dim, v) rows through the
+    * SAME per-dim DECIMAL aggregate, so the integer-weighted
+    * difference n_neg·Σpos − n_pos·Σneg stays engine-exact with the
+    * two example forms mixed ([[recommend]]'s discipline — no decimal
+    * division anywhere; cosine is scale-invariant). Scale shape
+    * unchanged: examples are a bounded client batch, the 1-row query
+    * vector broadcasts, the corpus never shuffles.
+    */
+  def recommendMixed(s: SparkSession, d: String, k: Int = 10,
+                     posIds: Seq[Long] = Seq(1L, 2L),
+                     posVecs: Seq[Seq[Double]] = Seq(rawExample),
+                     negIds: Seq[Long] = Seq(6L),
+                     negVecs: Seq[Seq[Double]] = Nil): DataFrame = {
+    import s.implicits._
+    val pts = Tables.points(s, d)
+    val dec = "decimal(18,10)"
+    require(posIds.nonEmpty || posVecs.nonEmpty,
+      "recommend needs at least one positive example")
+    val nPos = posIds.size + posVecs.size
+    val negWeight = math.max(negIds.size + negVecs.size, 1)
+    val exampleIds = (posIds ++ negIds).map(Long.box)
+    def inSet(ids: Seq[java.lang.Long]) =
+      if (ids.isEmpty) lit(false) else col("id").isin(ids: _*)
+    val stored = pts.filter(inSet(exampleIds))
+      .select(inSet(posIds.map(Long.box)).as("is_pos"),
+        posexplode(col("vector")).as(Seq("dim", "v")))
+    val raw = (posVecs.map(v => (true, v)) ++ negVecs.map(v => (false, v)))
+      .flatMap { case (p, vec) =>
+        vec.zipWithIndex.map { case (v, dim) => (p, dim, v) } }
+      .toDF("is_pos", "dim", "v")
+    val recDims = stored.unionByName(raw).groupBy("dim").agg(
+      ((lit(negWeight) * sum(when(col("is_pos"), col("v").cast(dec))
+          .otherwise(lit(0).cast(dec)))) -
+        (lit(nPos) * sum(when(!col("is_pos"), col("v").cast(dec))
+          .otherwise(lit(0).cast(dec)))))
+        .cast("double").as("rv"))
+    val qvec = recDims.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x.getField("rv")).as("qvec"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id").asc)
+    pts.filter(!inSet(exampleIds)).join(broadcast(qvec))
+      .withColumn("score", cosineSim(col("qvec"), col("vector")))
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), round(col("score"), 4).as("score"))
+      .orderBy("rank")
+  }
+
   /** Qdrant recommend with `lookup_from` — example vectors resolved in
     * ANOTHER collection than the one being searched. Here the lookup
     * collection is a derived label-centroid store (one prototype vector
@@ -2707,9 +2769,17 @@ object VectorStore {
           case "rrf" => hybridSearch(s, d, k, depths.head)
           case "dbsf" => dbsfFusion(s, d, k, depths.head)
         }
-      case Recommend(pos, neg, strategy) =>
+      case Recommend(pos, neg, strategy, posVecs, negVecs) =>
         served("recommend", lookupFrom = true)
-        r.lookupFrom match {
+        if (posVecs.nonEmpty || negVecs.nonEmpty) {
+          require(r.lookupFrom.isEmpty,
+            "lookup_from resolves STORED example ids in another " +
+              "collection — raw vector examples carry their own coordinates")
+          require(strategy == "average_vector",
+            "raw-vector examples serve the average_vector strategy " +
+              "(best_score scores per stored example)")
+          recommendMixed(s, d, k, pos, posVecs, neg, negVecs)
+        } else r.lookupFrom match {
           case None => strategy match {
             case "average_vector" => recommend(s, d, k, pos, neg)
             case "best_score" => recommendBestScore(s, d, k, pos, neg)

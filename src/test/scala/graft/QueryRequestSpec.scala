@@ -80,6 +80,32 @@ class QueryRequestSpec extends SparkSpecBase {
     assert(posOnlyBest.map(_.getDouble(2)).forall(_ >= -1.0))
   }
 
+  test("wire recommend with raw vector examples ≡ recommendMixed") {
+    val vecJson = VectorStore.rawExample.mkString("[", ", ", "]")
+    val mixed = wire(
+      s"""{"query": {"recommend": {"positive": [1, 2, $vecJson],
+         |  "negative": [6]}}}""".stripMargin)
+    assert(rows(mixed) === rows(VectorStore.recommendMixed(spark, sf)))
+    // an ALL-raw recommend serves (no stored ids excluded) and its
+    // positive-only direction degenerates to the raw sum
+    val allRaw = wire(
+      s"""{"query": {"recommend": {"positive": [$vecJson]}}, "limit": 5}""")
+      .collect()
+    assert(allRaw.length === 5)
+    // raw examples refuse best_score and lookup_from by name
+    val e1 = intercept[IllegalArgumentException](wire(
+      s"""{"query": {"recommend": {"positive": [$vecJson],
+         |  "strategy": "best_score"}}}""".stripMargin))
+    assert(e1.getMessage.contains("average_vector"))
+    val e2 = intercept[IllegalArgumentException](wire(
+      s"""{"query": {"recommend": {"positive": [$vecJson]}},
+         | "lookup_from": "label_centroids"}""".stripMargin))
+    assert(e2.getMessage.contains("lookup_from"))
+    // a non-id non-vector example entry refuses at parse
+    intercept[IllegalArgumentException](QueryRequest.fromJson(
+      """{"query": {"recommend": {"positive": ["abc"]}}}"""))
+  }
+
   test("wire discover / context ≡ the typed calls") {
     val disc = wire("""{"query": {"discover": {"target": 0, "context":
       |[{"positive": 1, "negative": 2},
@@ -229,11 +255,12 @@ class QueryRequestSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](QueryRequest.fromJson(
       """{"query": 0, "filter": {"must": [{"key": "x",
         |  "match": {"except": []}}]}}""".stripMargin))
-    // zero-coercion guards: a textual id refuses, never becomes id 0
+    // zero-coercion guards: a textual id refuses, never becomes id 0;
+    // a non-numeric element inside a raw example refuses likewise
     intercept[IllegalArgumentException](
       QueryRequest.fromJson("""{"query": {"nearest": "abc"}}"""))
     intercept[IllegalArgumentException](QueryRequest.fromJson(
-      """{"query": {"recommend": {"positive": [[0.1, 0.2]]}}}"""))
+      """{"query": {"recommend": {"positive": [[0.1, "x"]]}}}"""))
     // bad knob values
     intercept[IllegalArgumentException](
       QueryRequest.fromJson("""{"query": 0, "limit": 0}"""))

@@ -47,3 +47,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreted. Headroom keeps late-session queries compiled.
   "-XX:ReservedCodeCacheSize=512m",
 )
+// Profiling hook: extra JVM flags (e.g. -Dspark.eventLog.enabled=true)
+// for one-off runs without editing this file. Unset = no-op.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

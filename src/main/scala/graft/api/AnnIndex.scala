@@ -589,8 +589,20 @@ object AnnIndex {
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list")
       .fit(feat)
+    // EXPLICIT shuffle-partition count before the dynamic-partition
+    // write (the PayloadIndex.create discipline): without it the write
+    // inherits the scan's task count — ONE task on a small/compacted
+    // corpus — and that task creates every `site=…/list=L` directory's
+    // file SEQUENTIALLY (~15 ms/file × ∏distinct×nlist dirs dominated
+    // the build line). Hash-on-the-partition-axes keeps exactly one
+    // file per directory; the explicit count (config-derived, scales
+    // with the deployment) only restores write parallelism (guide §6
+    // small-files + §2.6 idle-capacity).
+    val writeParts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     model.transform(feat)
       .drop("features")
+      .repartition(writeParts, (keyword :+ "list").map(col): _*)
       .write.mode("overwrite")
       .partitionBy(keyword :+ "list": _*)
       .parquet(path)

@@ -1825,8 +1825,19 @@ object PayloadIndex {
     }.cache()
     val partCols = keyword ++ bool ++ zoned.map { case (f, _) => zoneCol(f) } ++
       geo.map(p => geoColOf(s"${p._1}:${p._2}"))
-    withZones
-      .repartition(partCols.map(col): _*)
+    // EXPLICIT shuffle-partition count (config-derived, so it scales
+    // with the deployment): a bare repartition(cols) lets AQE coalesce
+    // the tiny exchange to ONE task, and a dynamic-partition write from
+    // one task creates every directory's file SEQUENTIALLY — profiled
+    // at ~15 ms/file × |site×lang×zones| directories = the whole build
+    // line's cost. Hash-on-partCols keeps exactly one file per
+    // directory either way; the explicit count only restores write
+    // parallelism (guide §6 small-files + §2.6 idle-capacity).
+    val writeParts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    (if (partCols.nonEmpty)
+       withZones.repartition(writeParts, partCols.map(col): _*)
+     else withZones.repartition(partCols.map(col): _*))
       // sort files by the raw zoned fields: row-group min/max stats
       // then prune INSIDE each zone directory too
       .sortWithinPartitions((partCols ++ zoned.map(_._1)).map(col): _*)

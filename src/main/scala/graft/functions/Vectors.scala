@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingPacked, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, Phash64, SignPack, SqReconstruct}
+import org.apache.spark.sql.graft.{CentroidDistById, CentroidRanks, ColumnBridge, CosineSimilarity, DotProduct, FeatureHashEmbed, HammingPacked, HammingSign, JaccardSorted, L2Distance => L2DistanceExpr, L2Norm, NearestCentroid, Normalize, Phash64, SignPack, SqReconstruct}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,20 @@ object Vectors {
   /** #dims whose sign bit differs — binary-quantization hamming distance
     * over float vectors (integer, engine-exact), one codegen'd loop.
     */
+  /** Ranked (d, cid) structs vs a fixed centroid set — identical to
+    * array_sort over per-centroid (l2Distance, cid) literal structs,
+    * without the nlist×dim literal expression tree (codegen carries the
+    * matrix as one reference object).
+    */
+  def centroidRanks(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    c(CentroidRanks(e(v), cents))
+
+  /** l2 distance from a vector to the centroid named by `cid` —
+    * the assigned-centroid residual kernel (NaN for unknown ids).
+    */
+  def centroidDistById(v: Column, cid: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    c(CentroidDistById(e(v), e(cid), cents))
+
   def hammingSign(a: Column, b: Column): Column = c(HammingSign(e(a), e(b)))
 
   /** Pack a float vector's sign bits into ⌈dim/64⌉ longs — the stored

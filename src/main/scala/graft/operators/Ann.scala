@@ -48,10 +48,23 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** (dist, cid) structs vs each centroid literal — array_sort over
-    * this ranks centroids by (dist asc, cid asc); used only on the tiny
-    * query side (probe selection). Corpus-side assignment uses the
-    * allocation-free native kernel [[nearestCentroidId]].
+  /** Ranked (dist, cid) structs vs the centroid set — (dist asc, cid
+    * asc), the probe-selection order. The previous literal formulation
+    * (array_sort over nlist structs of l2Distance against nlist×dim
+    * LITERAL arrays) made the optimizer fold and Janino compile a
+    * multi-thousand-node constant tree per stage — measured seconds per
+    * job at nlist = √n; [[graft.functions.Vectors.centroidRanks]] is
+    * the same output from one data-driven kernel (element-identical,
+    * EquivalenceSpec-proved).
+    */
+  private[graft] def rankedCentroids(v: org.apache.spark.sql.Column,
+                                     cents: Seq[(Long, Seq[Double])]) =
+    graft.functions.Vectors.centroidRanks(v, cents)
+
+  /** The literal-expression formulation — kept as the equivalence
+    * oracle for [[rankedCentroids]] (same (d, cid) structs in the same
+    * order, but an nlist×dim literal tree the codegen path can't
+    * afford on corpus-side projections).
     */
   private[graft] def centroidStructs(v: org.apache.spark.sql.Column,
                                          cents: Seq[(Long, Seq[Double])]) =
@@ -103,6 +116,63 @@ object Ann {
     cents
   }
 
+  /** Driver-side memo of jointly-trained SUBSPACE quantizer families
+    * (PQ codebooks): one entry per (family, m, k, iters) — the whole
+    * m-codebook set is one model, trained in one batched Lloyd's loop.
+    */
+  private val subMemo = new SessionMemo[(String, Int, Int, Int),
+    Seq[(Int, Seq[(Long, Seq[Double])])]]
+
+  private[operators] def kmeansSubspacesCached(s: SparkSession, d: String,
+                                               family: String,
+                                               corpus: => DataFrame, m: Int,
+                                               sub: Int, k: Int, iters: Int)
+      : Seq[(Int, Seq[(Long, Seq[Double])])] =
+    subMemo.getOrElseUpdate(s, d, (family, m, k, iters))(
+      kmeansSubspaces(corpus, m, sub, k, iters))
+
+  /** Train the `m` PQ subspace quantizers JOINTLY: ONE assignment +
+    * update job per Lloyd's iteration covering every subspace, instead
+    * of m independent [[kmeansCentroids]] loops = m×(iters+1) corpus
+    * passes (guide §1.2/§2.4 — the pass count, not the per-pass work,
+    * is what scales with corpus size). Per-subspace math is IDENTICAL
+    * to `kmeansCentroids(corpus.select(slice(vec, j·sub+1, sub)), k,
+    * iters)`: same first-k-rows-by-vec_id init (slicing commutes with
+    * row selection), same nearest-centroid assignment kernel over the
+    * slice, same per-(cid, dim) means with empty-cluster carry-over —
+    * EquivalenceSpec proves codebook equality against the sequential
+    * formulation.
+    */
+  def kmeansSubspaces(corpus: DataFrame, m: Int, sub: Int, k: Int,
+                      iters: Int): Seq[(Int, Seq[(Long, Seq[Double])])] = {
+    val init = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    var cents: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      init.toSeq.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.slice(j * sub, (j + 1) * sub))
+      })
+    for (_ <- 1 to iters) {
+      // one row per (row × subspace): (j, assigned cid, subvector)
+      val subStructs = (0 until m).map { j =>
+        val sv = slice(col("vec"), j * sub + 1, sub)
+        struct(lit(j).as("j"),
+          nearestCentroidId(sv, cents(j)).as("cid"), sv.as("sv"))
+      }
+      val means = corpus
+        .select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("dim", "v")))
+        .groupBy("j", "cid", "dim").agg(avg("v").as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      cents = (0 until m).map(j => cents(j).map { case (cid, old) =>
+        (cid, means.getOrElse((j, cid), old))
+      })
+    }
+    (0 until m).map(j => j -> cents(j))
+  }
+
   /** IVF top-k: assign corpus to nearest of `nlist` centroids, probe the
     * `nprobe` closest lists per query. Assignment and probe selection
     * are both driver-literal argmin/arg-sort expressions (map-side);
@@ -122,7 +192,7 @@ object Ann {
     // nprobe closest lists per query: sort the centroid structs, slice,
     // explode — still a pure projection over the (tiny) query side
     val probes = queries.select(col("query_id"), col("qvec"),
-        explode(slice(array_sort(centroidStructs(col("qvec"), cents)), 1, nprobe)
+        explode(slice(rankedCentroids(col("qvec"), cents), 1, nprobe)
           .getField("cid")).as("cid"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "cid")
@@ -304,7 +374,7 @@ object Ann {
     val corpus = idx.points
     val cents = idx.centroids.map { case (cid, c) => (cid.toLong, c.toSeq) }.toSeq
     val probeRanks = qs.select(col("query_id"), col("qvec"),
-        posexplode(slice(array_sort(centroidStructs(col("qvec"), cents)), 1, nlist))
+        posexplode(slice(rankedCentroids(col("qvec"), cents), 1, nlist))
           .as(Seq("pr0", "pc")))
       .select(col("query_id"), col("qvec"), (col("pr0") + 1).as("probe_rank"),
         col("pc").getField("cid").as("list"))
@@ -337,14 +407,18 @@ object Ann {
     try {
       val wRank = Window.partitionBy("query_id")
         .orderBy(col("cs").desc, col("vec_id").asc)
-      val cells = filters.flatMap { case (label, pf, pred) =>
+      // the four filter arms are independent (each owns its truth cache
+      // and its five probe cells) — materialize them concurrently
+      // (materializeConcurrently), one 5-row checkpoint per arm
+      val cells = materializeConcurrently(filters.map {
+          case (label, pf, pred) => () =>
         // brute filtered truth ONCE per filter, shared by all five
         // probe cells (the cells differ only in the candidate cut)
         val slice = scored.filter(pred)
         val truth = graft.plans.TopK.perKey(slice,
           Seq(col("query_id")), Seq(col("cs").desc, col("vec_id").asc), k)
           .select("query_id", "vec_id").cache()
-        truthCaches += truth
+        truthCaches.synchronized { truthCaches += truth }
         val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
         Seq[(String, (Long, Seq[Double]) => Int)](
           ("1", (_, _) => 1), ("2", (_, _) => 2), ("4", (_, _) => 4),
@@ -373,10 +447,10 @@ object Ann {
             .select(lit(label).as("filter"), lit(npLabel).as("nprobe"),
               lit(npByQ.map(_._2).max.toLong).as("max_effective_nprobe"),
               col("n_queries"), col("mean_recall"))
-        }
-      }
+        }.reduce(_ unionByName _) // this arm's five probe cells
+      })
       cells.reduce(_ unionByName _).orderBy("filter", "nprobe")
-        .localCheckpoint() // eager 15-row materialization; release the caches
+        .localCheckpoint() // eager 20-row materialization; release the caches
     } finally { scored.unpersist(); truthCaches.foreach(_.unpersist()) }
   }
 
@@ -569,7 +643,7 @@ object Ann {
   private[graft] def descendEdges(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
                            k: Int, rounds: Int, cap: Int): DataFrame = {
     val posts = emb.select(col("vec_id"),
-      explode(slice(array_sort(centroidStructs(col("vec"), cents)), 1, 2)
+      explode(slice(rankedCentroids(col("vec"), cents), 1, 2)
         .getField("cid")).as("cid"))
     // exact-rescore candidates, keep each node's k best (heap operator:
     // only <= k rows per (node x partition) reach the exchange)
@@ -837,6 +911,31 @@ object Ann {
     (result, () => finalVisited.count().toDouble / math.max(queries.count(), 1L))
   }
 
+  /** Materialize independent report arms CONCURRENTLY from a small
+    * driver pool (guide §2.6 — actions are only sequential because the
+    * driver calls them sequentially): each thunk localCheckpoints its
+    * own few-row result, so the per-arm plans optimize/codegen/execute
+    * in parallel and later arms back-fill executor capacity freed by
+    * earlier arms' stragglers. Values are untouched — every arm runs
+    * the exact logical plan the sequential union ran; only the
+    * schedule changes. Exceptions rethrow unwrapped.
+    */
+  private[operators] def materializeConcurrently(
+      arms: Seq[() => DataFrame], parallelism: Int = 4): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, arms.size)))
+    try {
+      val futs = arms.map(f => pool.submit(
+        new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = f().localCheckpoint()
+        }))
+      futs.map(fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause })
+    } finally pool.shutdown()
+  }
+
   /** RECALL@k EVALUATION harness: run EVERY serving tier — the batch
     * methods (graph / IVF / LSH) on the shared query batch AND the
     * quantized single-query tiers (SQ / BQ / MRL / PQ / IVF-PQ) on a
@@ -899,15 +998,19 @@ object Ann {
       def batched(fn: Long => DataFrame): DataFrame = quantQueryIds
         .map(q => fn(q).select(lit(q).as("query_id"), col("vec_id")))
         .reduce(_ unionByName _)
-      Seq(eval("brute", bruteTopK(s, d, k)),
-          eval("graph", graphTopK(s, d, k)),
-          eval("ivf", ivfTopK(s, d, k)),
-          eval("lsh", lshTopK(s, d, k)),
-          evalVs(cosT, cosN)("sq", batched(q => Embeddings.sqRerankSearch(s, d, q, k))),
-          evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
-          evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
-          evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
-          evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k))))
+      // each tier materializes its own 1-row report concurrently
+      // (materializeConcurrently — same per-tier plans, parallel
+      // schedule instead of one monolithic 9-arm union job)
+      materializeConcurrently(Seq(
+          () => eval("brute", bruteTopK(s, d, k)),
+          () => eval("graph", graphTopK(s, d, k)),
+          () => eval("ivf", ivfTopK(s, d, k)),
+          () => eval("lsh", lshTopK(s, d, k)),
+          () => evalVs(cosT, cosN)("sq", batched(q => Embeddings.sqRerankSearch(s, d, q, k))),
+          () => evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
+          () => evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
+          () => evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
+          () => evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k)))))
         .reduce(_ unionByName _).orderBy("method")
         // eager 9-row materialization so the truth caches release NOW
         // (the tuning-operator discipline — repeated evals no longer
@@ -937,7 +1040,7 @@ object Ann {
       nearestCentroidId(col("vec"), cents).as("cid"))
     val maxP = math.min(nprobes.max, nlist)
     val probes = queries.select(col("query_id"), col("qvec"),
-        posexplode(slice(array_sort(centroidStructs(col("qvec"), cents)), 1, maxP))
+        posexplode(slice(rankedCentroids(col("qvec"), cents), 1, maxP))
           .as(Seq("pr0", "pc")))
       .select(col("query_id"), col("qvec"), (col("pr0") + 1).as("probe_rank"),
         col("pc").getField("cid").as("cid"))

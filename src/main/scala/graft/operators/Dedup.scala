@@ -817,7 +817,7 @@ object Dedup {
     val all = nearDupCorpus(s, d).cache()
     val cents = Ann.kmeansCentroidsCached(s, d, "neardup-ivf", all, nlist, iters)
     val posts = all.select(col("vec_id"),
-      explode(slice(array_sort(Ann.centroidStructs(col("vec"), cents)), 1, 2)
+      explode(slice(Ann.rankedCentroids(col("vec"), cents), 1, 2)
         .getField("cid")).as("cid"))
     val cand = posts.as("a").join(posts.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -1000,7 +1000,7 @@ object Dedup {
     val cents = Ann.kmeansCentroidsCached(s, d, quantizerKey, all, nlist, iters)
     val assigned = all
       .select(col("vec_id"), col("vec"),
-        array_sort(Ann.centroidStructs(col("vec"), cents))(0).as("nc"))
+        Ann.rankedCentroids(col("vec"), cents)(0).as("nc"))
       .select(col("vec_id"), col("vec"), col("nc").getField("cid").as("cluster"),
         round(col("nc").getField("d"), 6).as("cdist"))
     val keys = assigned.select(col("vec_id"), col("cluster"), col("cdist"))

@@ -170,10 +170,10 @@ object Embeddings {
     val dim = emb.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = emb.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec"))
-      j -> Ann.kmeansCentroidsCached(s, d, s"pq:$m:$j", sliced, k, iters)
-    }
+    // all m subspace codebooks train JOINTLY — one assignment+update
+    // job per Lloyd's iteration instead of m sequential fits (identical
+    // per-subspace math; see Ann.kmeansSubspaces)
+    Ann.kmeansSubspacesCached(s, d, s"pq:$m", emb, m, sub, k, iters)
   }
 
   /** (vec_id, subspace, code) PQ code rows for the whole corpus. */
@@ -372,16 +372,15 @@ object Embeddings {
         else res.filter(
           pmod(xxhash64(col("vec_id")),
             lit((n + trainCap - 1) / trainCap)) === 0)
-      val books = (0 until m).map { j =>
-        // the memo family carries nlist: the TRAINING INPUT (the
-        // residual frame) depends on the coarse centroids, so a
-        // "pqres:$m:$j" name shared across nlist values would serve a
-        // codebook fit against the WRONG residual distribution to a
-        // later ivfPqModel(nlist != first) call — silent recall loss
-        j -> Ann.kmeansCentroidsCached(s, d, s"pqres:$nlist:$m:$j",
-          train.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
-          nCodes, iters = 3)
-      }
+      // the memo family carries nlist: the TRAINING INPUT (the
+      // residual frame) depends on the coarse centroids, so a
+      // "pqres:$m" name shared across nlist values would serve a
+      // codebook fit against the WRONG residual distribution to a
+      // later ivfPqModel(nlist != first) call — silent recall loss.
+      // All m residual codebooks train jointly (one job per iteration;
+      // see Ann.kmeansSubspaces).
+      val books = Ann.kmeansSubspacesCached(s, d, s"pqres:$nlist:$m",
+        train, m, sub, nCodes, iters = 3)
       (cents, books)
     } finally res.unpersist()
     // cache releases ride finally: a require/fit failure between

@@ -184,6 +184,130 @@ case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Centroid ids with distances, RANKED by (l2 distance asc, cid asc) —
+  * the probe-selection kernel. Returns ARRAY<STRUCT<d: DOUBLE, cid:
+  * BIGINT>>, element-for-element identical to
+  * `array_sort(array(struct(graft_l2(v, lit(c)), lit(cid)), ...))` (the
+  * literal-expression formulation it replaces): d is the SQRT'd l2
+  * distance and ties break by ascending cid via j.l.Double.compare
+  * (sqrt never yields -0.0 on a nonneg sum, and NaN sorts last — the
+  * same total order Spark's struct comparator applies). The literal
+  * form builds an nlist×dim constant expression tree that the
+  * optimizer re-folds and Janino re-compiles PER STAGE (~seconds at
+  * nlist=√n, and past method limits it falls back to interpreted
+  * per-row struct allocation); here the centroid matrix rides along as
+  * one codegen reference object and each row costs one tight loop +
+  * one small argsort.
+  */
+case class CentroidRanks(child: Expression, cents: Seq[(Long, Seq[Double])])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_centroid_ranks"
+
+  @transient private lazy val sorted = cents.sortBy(_._1)
+  @transient private lazy val mat: Array[Array[Double]] = sorted.map(_._2.toArray).toArray
+  @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
+
+  override def nullSafeEval(a: Any): Any =
+    CentroidRanks.ranks(a.asInstanceOf[ArrayData], mat, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("cmat", mat, "double[][]")
+      val idsRef = ctx.addReferenceObj("cids", ids, "long[]")
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.CentroidRanks.ranks(
+         |  $a, $matRef, $idsRef);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CentroidRanks {
+  /** Shared kernel (interpreted + codegen paths). */
+  def ranks(x: ArrayData, mat: Array[Array[Double]], ids: Array[Long]): ArrayData = {
+    val k = mat.length
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = mat(c); val n = math.min(x.numElements(), cv.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d0 = x.getDouble(i) - cv(i); s += d0 * d0; i += 1 }
+      ds(c) = math.sqrt(s)
+      c += 1
+    }
+    // argsort by (d asc, cid asc); ids are pre-sorted ascending, so a
+    // stable sort on d alone preserves the cid tie-break
+    val order = Array.range(0, k).sortWith { (i, j) =>
+      val cmp = java.lang.Double.compare(ds(i), ds(j))
+      if (cmp != 0) cmp < 0 else ids(i) < ids(j)
+    }
+    val rows = new Array[Any](k)
+    c = 0
+    while (c < k) {
+      val o = order(c)
+      rows(c) = InternalRow(ds(o), ids(o))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** l2 distance (sqrt'd, [[L2Distance]]-identical) from a vector to the
+  * centroid NAMED by the row's cid column — the assigned-centroid
+  * residual kernel. Replaces both the `element_at(<literal centroid
+  * matrix>, cid+1)` lookup and the per-cid when-chain of literal
+  * l2Distance terms (nlist× the literal-tree cost of
+  * [[CentroidRanks]]'s rationale). A cid outside the centroid set
+  * yields NaN — the when-chain's `otherwise(NaN)` contract.
+  */
+case class CentroidDistById(left: Expression, right: Expression,
+                            cents: Seq[(Long, Seq[Double])])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_centroid_dist"
+
+  @transient private lazy val byId: java.util.HashMap[java.lang.Long, Array[Double]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Double]]()
+    cents.foreach { case (cid, cv) => m.put(cid, cv.toArray) }
+    m
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CentroidDistById.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], byId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mapRef = ctx.addReferenceObj("cbyid", byId, "java.util.HashMap")
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.CentroidDistById.dist(
+         |  $a, $b, $mapRef);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CentroidDistById {
+  /** Shared kernel (interpreted + codegen paths). */
+  def dist(x: ArrayData, cid: Long,
+           byId: java.util.HashMap[java.lang.Long, Array[Double]]): Double = {
+    val cv = byId.get(cid)
+    if (cv == null) return Double.NaN
+    val n = math.min(x.numElements(), cv.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d0 = x.getDouble(i) - cv(i); s += d0 * d0; i += 1 }
+    math.sqrt(s)
+  }
+}
+
 /** Jaccard similarity of two SORTED, DISTINCT long arrays via a single
   * merge walk — |A∩B| / |A∪B| in O(|A|+|B|) with no allocation. The
   * verify kernel for signature-based dedup when per-doc sorted hash

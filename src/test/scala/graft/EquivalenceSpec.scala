@@ -183,6 +183,73 @@ class EquivalenceSpec extends SparkSpecBase {
     assert(typed === decl)
   }
 
+  test("centroidRanks kernel is element-identical to array_sort over literal structs") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(4242)
+    val dim = 16
+    for (round <- 1 to 3) {
+      val nCents = Seq(3, 16, 45)(round - 1)
+      val cents = Seq.tabulate(nCents)(c =>
+        (c.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      // include exact-centroid vectors (distance 0 rows) and duplicated
+      // centroids (forced d-ties → cid tie-break must engage)
+      val tied = cents.take(2).map(_._2) ++ Seq(cents.head._2)
+      val vecs = (Seq.fill(50)(Seq.fill(dim)(rnd.nextGaussian())) ++ tied)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("vec_id", "vec").cache()
+      def dump(c: org.apache.spark.sql.Column) =
+        df.select(col("vec_id"), c.as("r")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))).toSeq).toMap
+      val kernel = dump(Ann.rankedCentroids(col("vec"), cents))
+      val literal = dump(array_sort(Ann.centroidStructs(col("vec"), cents)))
+      df.unpersist()
+      assert(kernel === literal, s"round $round (nCents=$nCents)")
+    }
+  }
+
+  test("joint subspace k-means equals m sequential per-slice Lloyd's fits") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(77)
+    val (m, sub, k, iters) = (4, 3, 5, 3)
+    val dim = m * sub
+    // 60 vectors incl. duplicated rows (empty-cluster carry-over path)
+    val base = Seq.fill(55)(Seq.fill(dim)(rnd.nextGaussian()))
+    val vecs = (base ++ base.take(5)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "vec").cache()
+    try {
+      val joint = Ann.kmeansSubspaces(df, m, sub, k, iters).toMap
+      for (j <- 0 until m) {
+        val sliced = df.select(col("vec_id"),
+          slice(col("vec"), j * sub + 1, sub).as("vec"))
+        val seq = Ann.kmeansCentroids(sliced, k, iters)
+        assert(joint(j) === seq, s"subspace $j diverged")
+      }
+    } finally df.unpersist()
+  }
+
+  test("centroidDistById kernel matches l2Distance against the named centroid") {
+    val rnd = new scala.util.Random(515)
+    val dim = 8
+    val cents = Seq.tabulate(5)(c => (c.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()), (i % 7).toLong)) // ids 5,6 unknown
+    val df = rows.toDF("vec_id", "vec", "cid")
+    val got = df.select(col("vec_id"),
+        graft.functions.Vectors.centroidDistById(col("vec"), col("cid"), cents).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v, cid) =>
+      val expect = cents.find(_._1 == cid) match {
+        case Some((_, cv)) =>
+          math.sqrt(v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        case None => Double.NaN
+      }
+      val g = got(id)
+      assert((g.isNaN && expect.isNaN) || g === expect, s"vec $id cid $cid")
+    }
+  }
+
   test("fused feature-hash embed kernel is bit-identical to the declarative explode+agg") {
     import graft.operators.VectorStore
     // real corpus plus adversarial tokenization edges: empty text,

@@ -119,6 +119,21 @@ object Bench {
       "w2v_warm" -> (Seq("vs_text_search_semantic", "vs_semantic_recall_eval")
         .exists(selected.contains),
         () => { operators.VectorStore.w2vEmbedder(spark, sfDir); () }),
+      // the memoized trained tokenizer models (BPE / byte-BPE merge
+      // tables, unigram piece table — tokenizerMemo): each training
+      // loop is nMerges×(argmax + fold checkpoint) jobs, previously
+      // re-run by BOTH the train row and the encode row's retrain on
+      // every sample; filled once here so those rows measure pure
+      // model application
+      "bpe_model_warm" -> (Seq("text_bpe_train", "text_bpe_encode")
+        .exists(selected.contains),
+        () => { operators.TextAnalysis.bpeTrain(spark, sfDir).count(); () }),
+      "byte_bpe_model_warm" -> (Seq("text_byte_bpe_train", "text_byte_bpe_encode")
+        .exists(selected.contains),
+        () => { operators.TextAnalysis.byteBpeTrain(spark, sfDir).count(); () }),
+      "unigram_model_warm" -> (Seq("text_unigram_train", "text_unigram_encode")
+        .exists(selected.contains),
+        () => { operators.TextAnalysis.unigramTrain(spark, sfDir).count(); () }),
       // the memoized PQ codebooks (m sub-quantizer trainings) shared by
       // the PQ code/search lines — without this the fill lands on
       // whichever of them runs first (detail ranges showed a 3.8 s max

@@ -921,14 +921,21 @@ object Ann {
     * schedule changes. Exceptions rethrow unwrapped.
     */
   private[operators] def materializeConcurrently(
-      arms: Seq[() => DataFrame], parallelism: Int = 4): Seq[DataFrame] = {
+      arms: Seq[() => DataFrame], parallelism: Int = 4): Seq[DataFrame] =
+    concurrently(arms.map(f => () => f().localCheckpoint()), parallelism)
+
+  /** Run independent driver thunks from a small fixed pool ([[
+    * materializeConcurrently]]'s engine, reusable for non-DataFrame
+    * model fits). Blocks until all complete; exceptions rethrow
+    * unwrapped; results keep input order.
+    */
+  private[operators] def concurrently[T](thunks: Seq[() => T],
+                                         parallelism: Int = 4): Seq[T] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, arms.size)))
+      math.max(1, math.min(parallelism, thunks.size)))
     try {
-      val futs = arms.map(f => pool.submit(
-        new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame = f().localCheckpoint()
-        }))
+      val futs = thunks.map(f => pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = f() }))
       futs.map(fu =>
         try fu.get()
         catch { case e: java.util.concurrent.ExecutionException =>
@@ -1010,7 +1017,8 @@ object Ann {
           () => evalVs(cosT, cosN)("bq", batched(q => Embeddings.bqRerankSearch(s, d, q, k))),
           () => evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
           () => evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
-          () => evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k)))))
+          () => evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k)))),
+        parallelism = 6)
         .reduce(_ unionByName _).orderBy("method")
         // eager 9-row materialization so the truth caches release NOW
         // (the tuning-operator discipline — repeated evals no longer
@@ -1051,7 +1059,10 @@ object Ann {
     try {
       val nTrue = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
       val wRank = Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id").asc)
-      nprobes.map { np =>
+      // each curve point is an independent filter over the shared
+      // scored/truth caches — materialize the five arms concurrently
+      // (materializeConcurrently; 1-row checkpoints, values unchanged)
+      materializeConcurrently(nprobes.map { np => () =>
         val res = scored.filter(col("probe_rank") <= np)
           .withColumn("rank", row_number().over(wRank))
           .filter(col("rank") <= k)
@@ -1063,7 +1074,7 @@ object Ann {
               .as("mean_recall"))
           .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("mean_recall"),
             round(lit(math.min(np, nlist).toDouble / nlist), 4).as("lists_share"))
-      }.reduce(_ unionByName _).orderBy("nprobe")
+      }).reduce(_ unionByName _).orderBy("nprobe")
         // eager |nprobes|-row materialization so the intermediates can
         // be released NOW — without this, repeated tuning calls
         // accumulate executor storage for the session lifetime

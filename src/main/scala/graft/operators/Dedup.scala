@@ -102,6 +102,24 @@ object Dedup {
     */
   private val gramMemo = new SessionMemo[(Int, Int), DataFrame](_.unpersist())
 
+  /** Session memo of the RAW (doc_id, xxhash64(shingle)) stream at
+    * width `w` — the shared tokenize+explode+hash base that the minhash
+    * fill, the exact-gram scaffold, AND every band-tuning execution
+    * each re-derived from the documents scan (one full corpus pass per
+    * consumer; 4+ per session at the default w). CACHED, not
+    * checkpointed: under storage pressure the blocks evict and lineage
+    * recomputes — nothing pins corpus-scale state irrevocably; onEvict
+    * unpersists on snapshot invalidation.
+    */
+  private val shingleHashMemo = new SessionMemo[Int, DataFrame](_.unpersist())
+
+  private[operators] def hashedShingleRows(s: SparkSession, d: String,
+                                           w: Int): DataFrame =
+    shingleHashMemo.getOrElseUpdate(s, d, w)(
+      shingleRows(Tables.documents(s, d), w, distinct = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .cache())
+
   private def candidatePairCounts(s: SparkSession, d: String, w: Int,
                                   dfCap: Int): DataFrame =
     gramMemo.getOrElseUpdate(s, d, (w, dfCap))(
@@ -120,10 +138,15 @@ object Dedup {
     def mat(df: DataFrame): DataFrame = if (eager) df.cache() else df
     // hash BEFORE the set-semantics dedup: the distinct exchange then
     // carries 8-byte hashes instead of w-word strings (same set
-    // semantics under the documented 64-bit reduction)
-    val ex = mat(shingleRows(Tables.documents(s, d), w, distinct = false)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .dropDuplicates("doc_id", "h"))
+    // semantics under the documented 64-bit reduction). The memo path
+    // reads the shared hashed-shingle stream (one corpus pass per
+    // snapshot across the dedup family); eager = false keeps the pure
+    // uncached plan the plan-invariants spec inspects.
+    val baseRows =
+      if (eager) hashedShingleRows(s, d, w)
+      else shingleRows(Tables.documents(s, d), w, distinct = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val ex = mat(baseRows.dropDuplicates("doc_id", "h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // hot grams are df > dfCap — bounded by shingle-volume/dfCap (Σ df
     // over grams = corpus shingle volume, so at most volume/dfCap grams
@@ -133,8 +156,11 @@ object Dedup {
     // the unhinted equi-join on the 8-byte hash lets the engine
     // broadcast when the measured size is small (AQE, at runtime) and
     // degrade gracefully to a shuffle join when it is not.
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("h")
+    // hot is consumed by BOTH `cold` join sides AND hotPerDoc — uncached
+    // (in the eager path) the df aggregate over the full hashed-shingle
+    // relation ran three times; the result is ≤ volume/dfCap rows
+    val hot = mat(ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h"))
     val cold = ex.join(hot, Seq("h"), "left_anti")
     // per-pair COLD intersection count straight off the join — the pair
     // groupBy partial-aggregates, so no candidate row list or per-doc
@@ -162,7 +188,7 @@ object Dedup {
       .select(col("ia"), col("ib"), col("c"), col("na"), col("nb")))
     if (eager) {
       out.count() // the memo hands out a materialized artifact
-      ex.unpersist(); cCold.unpersist()
+      ex.unpersist(); hot.unpersist(); cCold.unpersist()
     }
     out
   }
@@ -334,12 +360,15 @@ object Dedup {
     // only the minhash permutation input is reduced mod P = 2³¹−1
     // (the permutation family needs a prime field — a collision there
     // only perturbs the CANDIDATE signature, never the verified result).
-    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .cache()
+    val ex = hashedShingleRows(s, d, w)
     val sigs = minhashFromHashedRows(
       ex.select(col("doc_id"), pmod(col("h"), lit(P)).as("h")), bands * rows)
-    val buckets = bandBuckets(sigs, bands, rows)
+    // CACHE before the band self-join: both join sides evaluate the
+    // bucket subtree, so an uncached formulation runs the 128-perm
+    // signature aggregation over the full shingle stream TWICE — the
+    // single most expensive subtree of the fill (guide §5 caching:
+    // reused AND expensive to recompute). One row per (doc × band).
+    val buckets = bandBuckets(sigs, bands, rows).cache()
     // the candidate set is pair-list-sized but its LINEAGE carries the
     // whole 128-perm signature pipeline; it feeds the verify path
     // TWICE (candDocs' broadcast side + the verified join) and the
@@ -373,8 +402,8 @@ object Dedup {
       .select(col("ia"), col("ib"), col("jaccard"))
       .cache()
     verified.count() // eager: the memo hands out a materialized artifact
-    ex.unpersist()
-    cand.unpersist()
+    buckets.unpersist()
+    cand.unpersist() // ex stays pinned — it is the shared shingle memo
     verified
   }
 
@@ -807,8 +836,12 @@ object Dedup {
   private[graft] def warmEmbeddingQuantizers(s: SparkSession, d: String): Unit = {
     val all = nearDupCorpus(s, d).cache()
     all.count()
-    Ann.kmeansCentroidsCached(s, d, "neardup-ivf", all, 16, 3)
-    Ann.kmeansCentroidsCached(s, d, "semdedup", all, 16, 3)
+    // the two family fits are independent (same input, separate memo
+    // entries) — run them concurrently (guide §2.6); each fit's own
+    // iteration chain stays sequential
+    Ann.concurrently(Seq(
+      () => { Ann.kmeansCentroidsCached(s, d, "neardup-ivf", all, 16, 3); () },
+      () => { Ann.kmeansCentroidsCached(s, d, "semdedup", all, 16, 3); () }))
     ()
   }
 
@@ -1299,8 +1332,8 @@ object Dedup {
                         w: Int = 5): DataFrame = {
     import s.implicits._
     val configs = Seq((8, 16), (16, 8), (32, 4), (64, 2))
-    val ex = shingleRows(Tables.documents(s, d), w, distinct = false)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+    val ex = hashedShingleRows(s, d, w)
+      .select(col("doc_id"), pmod(col("h"), lit(P)).as("h"))
     val sigs = minhashFromHashedRows(ex, 128).cache()
     // truth MUST use the same shingle width the signatures hash —
     // a w-gram candidate stage scored against default-width Jaccard
@@ -1309,7 +1342,11 @@ object Dedup {
       .withColumn("in_truth", lit(1L)).cache()
     try {
       val nTrue = truth.count()
-      val tagged = configs.map { case (b, r) =>
+      // each (b, r) config's candidate join + stats row is independent
+      // of the others (the groupBy below only ever aggregated a
+      // config's own rows) — materialize the four arms concurrently
+      // (Ann.materializeConcurrently; one 1-row checkpoint per config)
+      Ann.materializeConcurrently(configs.map { case (b, r) => () =>
         val buckets = bandBuckets(sigs, b, r)
         buckets.as("a").join(buckets.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -1318,19 +1355,18 @@ object Dedup {
           .distinct()
           .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
             col("ia"), col("ib"))
-      }.reduce(_ unionByName _)
-      tagged
-        .join(truth, Seq("ia", "ib"), "left")
-        .groupBy("bands", "rows_per_band")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
-        .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
-          col("n_candidates"), col("n_hit"),
-          when(lit(nTrue > 0), bround(col("n_hit").cast("double") / nTrue, 4))
-            .otherwise(1.0).as("recall"),
-          when(col("n_candidates") > 0,
-            bround(col("n_hit").cast("double") / col("n_candidates"), 4))
-            .otherwise(1.0).as("precision"))
+          .join(truth, Seq("ia", "ib"), "left")
+          .groupBy("bands", "rows_per_band")
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum("in_truth"), lit(0L)).as("n_hit"))
+          .select(col("bands").cast("long"), col("rows_per_band").cast("long"),
+            col("n_candidates"), col("n_hit"),
+            when(lit(nTrue > 0), bround(col("n_hit").cast("double") / nTrue, 4))
+              .otherwise(1.0).as("recall"),
+            when(col("n_candidates") > 0,
+              bround(col("n_hit").cast("double") / col("n_candidates"), 4))
+              .otherwise(1.0).as("precision"))
+      }).reduce(_ unionByName _)
         .orderBy("bands")
         // eager |configs|-row materialization so the signature/truth
         // caches release NOW instead of accumulating per tuning call

@@ -97,7 +97,10 @@ object SemanticEval {
     // ---- recall@k / MRR@k per arm ----
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("doc_id").asc)
-    arms.map { case (emb, tr, corpusEmb, queryEmb) =>
+    // the four (embedder × transform) arms are independent filters over
+    // the memoized corpus embeddings — materialize concurrently
+    // (Ann.materializeConcurrently; values unchanged)
+    Ann.materializeConcurrently(arms.map { case (emb, tr, corpusEmb, queryEmb) => () =>
       corpusEmb.join(broadcast(queryEmb
           .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))))
         .withColumn("cs", cosineSim(col("embedding"), col("qvec")))
@@ -112,7 +115,7 @@ object SemanticEval {
           bround(avg("rr"), 4).as("mrr_at_k"))
         .select(lit(emb).as("embedder"), lit(tr).as("transform"),
           col("n_queries"), col("recall_at_k"), col("mrr_at_k"))
-    }.reduce(_ unionByName _).orderBy("embedder", "transform")
+    }).reduce(_ unionByName _).orderBy("embedder", "transform")
       // eager 4-row materialization (the tuning-operator discipline);
       // the memoized corpus embeddings stay for the next consumer
       .localCheckpoint()

@@ -1835,22 +1835,51 @@ object PayloadIndex {
     // parallelism (guide §6 small-files + §2.6 idle-capacity).
     val writeParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    (if (partCols.nonEmpty)
-       withZones.repartition(writeParts, partCols.map(col): _*)
-     else withZones.repartition(partCols.map(col): _*))
-      // sort files by the raw zoned fields: row-group min/max stats
-      // then prune INSIDE each zone directory too
-      .sortWithinPartitions((partCols ++ zoned.map(_._1)).map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(s"$root/data")
+    // the data write, each text field's postings write, and the
+    // per-field zone-manifest aggregates are INDEPENDENT consumers of
+    // the cached `withZones` with disjoint outputs — run them
+    // concurrently (Par.run, guide §2.6). `create` builds a FRESH root
+    // (overwrite refused above), so no reader can observe a partial
+    // ordering; `insertTo`'s postings-before-data ordering is a
+    // LIVE-root discipline and stays sequential there.
+    val dataWrite: () => Unit = () =>
+      (if (partCols.nonEmpty)
+         withZones.repartition(writeParts, partCols.map(col): _*)
+       else withZones.repartition(partCols.map(col): _*))
+        // sort files by the raw zoned fields: row-group min/max stats
+        // then prune INSIDE each zone directory too
+        .sortWithinPartitions((partCols ++ zoned.map(_._1)).map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(s"$root/data")
 
     // text postings: one (token, __pid[, pos]) sub-root per text
     // field — the HybridIndex postings layout (token-partitioned +
     // sorted, so a query's token-IN predicate pushes to the scan and
     // reads only its terms' posting lists)
-    text.foreach(f =>
+    val postingWrites: Seq[() => Unit] = text.map(f => () =>
       writePostings(withZones, idCol, f, textDir(root, f), append = false,
         lowercase = lowercaseText, positions = positionalText,
         prefix = if (prefixText) Some((prefixMinLen, prefixMaxLen)) else None))
+
+    // exact per-zone [min, max] — the pruning map range reads consult
+    // (nulls excluded: they carry no range information and an all-null
+    // zone group would NPE the bound parse); bounds persist as exact
+    // decimal STRINGS so one manifest schema serves long, double and
+    // epoch-micros keys without precision loss
+    val zoneJobs: Seq[() => Seq[(String, Int, String, String)]] =
+      zoned.map { case (f, kind) => () =>
+        val key = keyExpr(f, kind)
+        withZones.filter(statEligible(f, kind))
+          .groupBy(col(zoneCol(f)).as("zone"))
+          .agg(min(key).cast("string").as("zmin"),
+            max(key).cast("string").as("zmax"))
+          .collect().map(r => (f, r.getInt(0), r.getString(1), r.getString(2)))
+          .toSeq
+      }
+    val parResults = graft.plans.Par.run[Any](
+      (dataWrite +: postingWrites) ++ zoneJobs)
+    val zoneRows: Seq[(String, Int, String, String)] = parResults
+      .drop(1 + postingWrites.size)
+      .flatMap(_.asInstanceOf[Seq[(String, Int, String, String)]])
 
     import spark.implicits._
     val fieldRows = keyword.map(_ -> "keyword") ++ bool.map(_ -> "bool") ++
@@ -1865,19 +1894,6 @@ object PayloadIndex {
       s"lowercase=$lowercaseText\npositions=$positionalText\ngeogrid=$geoGrid" +
         (if (prefixText) s"\nprefixmin=$prefixMinLen\nprefixmax=$prefixMaxLen"
          else ""))
-    // exact per-zone [min, max] — the pruning map range reads consult
-    // (nulls excluded: they carry no range information and an all-null
-    // zone group would NPE the bound parse); bounds persist as exact
-    // decimal STRINGS so one manifest schema serves long, double and
-    // epoch-micros keys without precision loss
-    val zoneRows = zoned.flatMap { case (f, kind) =>
-      val key = keyExpr(f, kind)
-      withZones.filter(statEligible(f, kind))
-        .groupBy(col(zoneCol(f)).as("zone"))
-        .agg(min(key).cast("string").as("zmin"),
-          max(key).cast("string").as("zmax"))
-        .collect().map(r => (f, r.getInt(0), r.getString(1), r.getString(2)))
-    }
     // a float field that is entirely NaN/±Inf passes the percentile
     // probe (non-finite bounds, not NULL) yet yields NO manifest rows —
     // a later range read would then surface as a bare

@@ -926,22 +926,11 @@ object Ann {
 
   /** Run independent driver thunks from a small fixed pool ([[
     * materializeConcurrently]]'s engine, reusable for non-DataFrame
-    * model fits). Blocks until all complete; exceptions rethrow
-    * unwrapped; results keep input order.
+    * model fits) — delegates to [[graft.plans.Par.run]].
     */
   private[operators] def concurrently[T](thunks: Seq[() => T],
-                                         parallelism: Int = 4): Seq[T] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, thunks.size)))
-    try {
-      val futs = thunks.map(f => pool.submit(
-        new java.util.concurrent.Callable[T] { def call(): T = f() }))
-      futs.map(fu =>
-        try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause })
-    } finally pool.shutdown()
-  }
+                                         parallelism: Int = 4): Seq[T] =
+    graft.plans.Par.run(thunks, parallelism)
 
   /** RECALL@k EVALUATION harness: run EVERY serving tier — the batch
     * methods (graph / IVF / LSH) on the shared query batch AND the

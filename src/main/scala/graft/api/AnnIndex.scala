@@ -584,7 +584,16 @@ object AnnIndex {
     val spark = corpus.sparkSession
     keyword.foreach(f => require(corpus.columns.contains(f),
       s"keyword field '$f' not in ${corpus.columns.toSeq}"))
+    // CACHE the featurized corpus for the duration of the build: the
+    // MLlib fit alone walks the DataFrame several times OUTSIDE its own
+    // internal RDD persist (dimension probe `first()`, instrumentation,
+    // the training summary's cluster-size job), and the partitioned
+    // data write walks it again — uncached, each walk re-ran the source
+    // scan + featurize (measured ~1.5 s of the multivec build at
+    // sf0.1). Guide §5: reused AND expensive to recompute; unpersisted
+    // before return, so no state outlives the build.
     val feat = corpus.withColumn("features", array_to_vector(col("vec")))
+      .cache()
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list")
@@ -600,24 +609,30 @@ object AnnIndex {
     // small-files + §2.6 idle-capacity).
     val writeParts = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    model.transform(feat)
-      .drop("features")
-      .repartition(writeParts, (keyword :+ "list").map(col): _*)
-      .write.mode("overwrite")
-      .partitionBy(keyword :+ "list": _*)
-      .parquet(path)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }
     import spark.implicits._
-    cents.toSeq.toDF("cid", "centroid")
-      .write.mode("overwrite").parquet(path + "_centroids")
-    // ALWAYS written (possibly empty): an in-place rebuild WITHOUT
-    // keyword axes must not leave a stale manifest from a previous
+    // the data tree and both sidecars depend only on the fitted model
+    // and write DISJOINT paths of a build-fresh root — run the three
+    // output jobs concurrently (Par.run, guide §2.6; the
+    // PayloadIndex.create discipline). The `_fields` sidecar is ALWAYS
+    // written (possibly empty): an in-place rebuild WITHOUT keyword
+    // axes must not leave a stale manifest from a previous
     // keyword-partitioned build — load would then claim axes the new
-    // layout does not have (insert would mix partition depths, eq reads
-    // would claim pruning that never happens)
-    keyword.toDF("field").coalesce(1)
-      .write.mode("overwrite").parquet(path + "_fields")
+    // layout does not have (insert would mix partition depths, eq
+    // reads would claim pruning that never happens).
+    try graft.plans.Par.run[Unit](Seq(
+      () => model.transform(feat)
+        .drop("features")
+        .repartition(writeParts, (keyword :+ "list").map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(keyword :+ "list": _*)
+        .parquet(path),
+      () => cents.toSeq.toDF("cid", "centroid")
+        .write.mode("overwrite").parquet(path + "_centroids"),
+      () => keyword.toDF("field").coalesce(1)
+        .write.mode("overwrite").parquet(path + "_fields")))
+    finally feat.unpersist()
     new AnnIndex(spark, path, cents, keyword)
   }
 

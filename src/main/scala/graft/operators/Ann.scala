@@ -252,9 +252,7 @@ object Ann {
   def annPfilterTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     import graft.api.Filters._
     val idx = annPayloadIndex(s, d)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(toDouble(col("embedding")).as("qvec"))
-      .head().getSeq[Double](0)
+    val q = Embeddings.queryVec(s, d, 0L)
     val res = idx.searchFilter(q, PFilter(
         must = Seq(MatchValue("tag", "t1"),
           IntBounds("vec_id", gte = Some(100L))),
@@ -281,9 +279,7 @@ object Ann {
   def annPfilterAdaptive(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     import graft.api.Filters._
     val idx = annPayloadIndex(s, d)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(toDouble(col("embedding")).as("qvec"))
-      .head().getSeq[Double](0)
+    val q = Embeddings.queryVec(s, d, 0L)
     val f = PFilter(must = Seq(MatchValue("rare", "hot")))
     // threshold scaled to the CORPUS (ADVICE r12): the rare slice is
     // ~nRows/128, so nRows/64 sits at 2× its mass and the full-scan
@@ -712,7 +708,17 @@ object Ann {
           transform(sequence(lit(1), least(lit(cap), col("sz") - 1)),
             o => element_at(col("ids"), pmod(col("p.i") + o, col("sz")) + 1)))
           .otherwise(array())).as("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // BOTH directions from the one pipeline: `fwd ∪ reverse(fwd)` put
+    // the whole bucket-collect + double-explode subtree on each union
+    // branch (no ReuseExchange across differing projections — the plan
+    // evaluated it twice, measured ~40% of the init execution); one
+    // more map-side Generate emits the reverse rows instead. Same
+    // distinct edge set — the trailing distinct is unchanged.
+    fwd.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
   }
 
   /** Driver-side memo of built k-NN graphs (localCheckpointed edge
@@ -1007,7 +1013,9 @@ object Ann {
           () => evalVs(cosT, cosN)("mrl", batched(q => Embeddings.mrlSearch(s, d, q, k))),
           () => evalVs(l2T, l2N)("pq", batched(q => Embeddings.pqSearch(s, d, q, k))),
           () => evalVs(l2T, l2N)("ivfpq", batched(q => Embeddings.ivfPqSearch(s, d, q, k)))),
-        parallelism = 6)
+        // one wave: 9 arms, each a few small jobs — at parallelism 6
+        // the 3 leftovers waited out the first wave's slowest arm
+        parallelism = 9)
         .reduce(_ unionByName _).orderBy("method")
         // eager 9-row materialization so the truth caches release NOW
         // (the tuning-operator discipline — repeated evals no longer

@@ -167,7 +167,7 @@ object Embeddings {
                   iters: Int = 3): Seq[(Int, Seq[(Long, Seq[Double])])] = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    val dim = embDim(s, d)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // all m subspace codebooks train JOINTLY — one assignment+update
@@ -184,7 +184,7 @@ object Embeddings {
                           books: Seq[(Int, Seq[(Long, Seq[Double])])], m: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    val dim = embDim(s, d)
     val sub = dim / m
     val codeCols = books.map { case (j, cents) =>
       nearestCentroidId(slice(col("vec"), j * sub + 1, sub), cents).as(s"c$j")
@@ -210,7 +210,7 @@ object Embeddings {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val sub = qvec.length / m
     val books = pqCodebooks(s, d, m, nCodes)
     val adc = books.flatMap { case (j, cents) =>
@@ -270,7 +270,7 @@ object Embeddings {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val (cents, books) = ivfPqModel(s, d, nlist, m, nCodes)
     val probeIds = cents
       .map { case (cid, c) =>
@@ -348,7 +348,7 @@ object Embeddings {
     val corpus = emb.filter(col("vec_id") >= 10).cache()
     try {
     val cents = Ann.kmeansCentroidsCached(s, d, "ivf", corpus, nlist, iters = 3)
-    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    val dim = embDim(s, d)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // SAMPLE-BOUNDED codebook training (FAISS practice: each k-means
@@ -419,7 +419,7 @@ object Embeddings {
                 rescore: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val qPre = array(qvec.take(prefixDim).map(lit): _*)
     val qFull = array(qvec.map(lit): _*)
     val candidates = emb.filter(col("vec_id") =!= queryId)
@@ -474,9 +474,9 @@ object Embeddings {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val codes = bqCodes(s, d)
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val q = array(qvec.map(lit): _*)
-    val qcode = codes.filter(col("vec_id") === queryId).head().getSeq[Long](1)
+    val qcode = queryCode(s, d, queryId)
     val qc = array(qcode.map(lit): _*)
     val candidates = codes.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))
@@ -521,6 +521,38 @@ object Embeddings {
     */
   private val sqBoundsMemo = new SessionMemo[Unit, (Array[Double], Array[Double])]
 
+  /** Per-snapshot memos of the single-row DRIVER FETCHES every
+    * single-query tier repeats per call — the query vector / packed
+    * query code by id, and the corpus dimension. Each was one tiny
+    * Spark job per search call, sequential on the driver (~40
+    * round-trips per `ann_recall_eval` run across five tiers × five
+    * queries, plus one or two per quantized serving call). The values
+    * are request/model state (a few hundred bytes), re-read from
+    * parquet once per session per snapshot — the [[sqBounds]] memo
+    * discipline, nothing persists across invocations.
+    */
+  private val qvecMemo = new SessionMemo[Long, Seq[Double]]
+
+  private[graft] def queryVec(s: SparkSession, d: String,
+                              queryId: Long): Seq[Double] =
+    qvecMemo.getOrElseUpdate(s, d, queryId)(
+      Tables.embeddings(s, d).filter(col("vec_id") === queryId)
+        .select(toDouble(col("embedding")).as("vec"))
+        .head().getSeq[Double](0))
+
+  private val qcodeMemo = new SessionMemo[Long, Seq[Long]]
+
+  private def queryCode(s: SparkSession, d: String, queryId: Long): Seq[Long] =
+    qcodeMemo.getOrElseUpdate(s, d, queryId)(
+      bqCodes(s, d).filter(col("vec_id") === queryId)
+        .head().getSeq[Long](1))
+
+  private val dimMemo = new SessionMemo[Unit, Int]
+
+  private[graft] def embDim(s: SparkSession, d: String): Int =
+    dimMemo.getOrElseUpdate(s, d, ())(
+      Tables.embeddings(s, d).select(size(col("embedding"))).head().getInt(0))
+
   private def sqBounds(s: SparkSession, d: String,
                        emb: DataFrame): (Array[Double], Array[Double]) =
     sqBoundsMemo.getOrElseUpdate(s, d, ()) {
@@ -542,7 +574,7 @@ object Embeddings {
     // evaluated four interpreted lambdas per row; identical double
     // sequence, so stage-1 scores and the oracle are unchanged)
     val approx = sqReconstruct(col("vec"), lo, rng)
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val q = array(qvec.map(lit): _*)
     // stage-1 ranks on the ROUNDED approx score (ties → vec_id): the
     // candidate set is then engine-portable, which upgrades this op from
@@ -592,7 +624,7 @@ object Embeddings {
       case "none" =>
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-        val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+        val qvec = queryVec(s, d, queryId)
         val q = array(qvec.map(lit): _*)
         emb.filter(col("vec_id") =!= queryId)
           .select(col("vec_id"), round(cosineSim(col("vec"), q), 4).as("cosine"))
@@ -668,9 +700,9 @@ object Embeddings {
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
     val codes = bqCodes(s, d)
     val (lo, rng) = sqBounds(s, d, emb)
-    val qvec = emb.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    val qvec = queryVec(s, d, queryId)
     val q = array(qvec.map(lit): _*)
-    val qcode = codes.filter(col("vec_id") === queryId).head().getSeq[Long](1)
+    val qcode = queryCode(s, d, queryId)
     val qc = array(qcode.map(lit): _*)
     val stage1 = codes.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), hammingPacked(col("code"), qc).as("hamming"))

@@ -430,14 +430,29 @@ object VectorStore {
     * shuffles. Pair terms subtract 4dp-rounded cosines (scalar IEEE ops,
     * engine-portable) so the ranking is oracle-checkable.
     */
+  /** Per-snapshot memo of EXAMPLE-POINT vector lookups (discover /
+    * context / best-score recommend): each call collected the same
+    * bounded id batch from the points scan — one driver job per serving
+    * call for request-resolution state (≤ ~13 vectors). Keyed by the
+    * sorted id set; session-scoped, re-read from parquet per
+    * invocation (the Embeddings.queryVec discipline).
+    */
+  private val exVecMemo = new SessionMemo[Seq[Long], Map[Long, Seq[Double]]]
+
+  private def exampleVecs(s: SparkSession, d: String,
+                          ids: Seq[Long]): Map[Long, Seq[Double]] =
+    exVecMemo.getOrElseUpdate(s, d, ids.distinct.sorted) {
+      Tables.points(s, d).filter(col("id").isin(ids.distinct.map(Long.box): _*))
+        .select(col("id"), col("vector")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+
   def discover(s: SparkSession, d: String, targetId: Long = 0,
                pairs: Seq[(Long, Long)] = Seq((1L, 2L), (3L, 4L)),
                k: Int = 10): DataFrame = {
     val pts = Tables.points(s, d)
     val exIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).map(Long.box)
-    val vecs = pts.filter(col("id").isin(exIds: _*))
-      .select(col("id"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val vecs = exampleVecs(s, d, exIds.map(Long.unbox))
     def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
     val ctx = pairs.map { case (p, n) =>
       least(lit(0.0), round(cosineSim(col("vector"), litVec(p)), 4) -
@@ -470,9 +485,7 @@ object VectorStore {
                     k: Int = 10): DataFrame = {
     val pts = Tables.points(s, d)
     val exIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(Long.box)
-    val vecs = pts.filter(col("id").isin(exIds: _*))
-      .select(col("id"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val vecs = exampleVecs(s, d, exIds.map(Long.unbox))
     exIds.foreach(id => require(vecs.contains(id),
       s"context example point $id is not in the collection"))
     def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
@@ -509,9 +522,7 @@ object VectorStore {
     val pts = Tables.points(s, d)
     require(posIds.nonEmpty, "recommend needs at least one positive example")
     val exIds = (posIds ++ negIds).map(Long.box)
-    val vecs = pts.filter(col("id").isin(exIds: _*))
-      .select(col("id"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val vecs = exampleVecs(s, d, exIds.map(Long.unbox))
     def litVec(id: Long): Column = array(vecs(id).map(lit): _*)
     def bestOf(ids: Seq[Long]): Column =
       greatest(ids.map(i => round(cosineSim(col("vector"), litVec(i)), 4)): _*)
@@ -660,6 +671,8 @@ object VectorStore {
     * classification: categories = one representative embedding per label
     * (min vec_id), every other vector is assigned argmin euclidean.
     */
+  private val classRepsMemo = new SessionMemo[Unit, Seq[(Long, Seq[Double])]]
+
   def classifyNearest(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"), col("label"))
@@ -670,8 +683,11 @@ object VectorStore {
     // and classify with the native argmin kernel: a pure map pass over
     // the corpus instead of a corpus×categories join + per-vector window
     // sort. Ties break (dist asc, cat asc) in both formulations.
-    val cents: Seq[(Long, Seq[Double])] = reps.collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // The representative set is MODEL state (one vector per label per
+    // snapshot) — memoized so repeat classifications skip the lookup job
+    val cents: Seq[(Long, Seq[Double])] =
+      classRepsMemo.getOrElseUpdate(s, d, ())(reps.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))))
     val predicted = emb.select(col("vec_id"), col("vec"),
       nearestCentroidId(col("vec"), cents).as("pred_label"))
     // one broadcast hash join (corpus row → its single predicted rep)

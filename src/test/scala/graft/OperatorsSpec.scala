@@ -11,6 +11,15 @@ class OperatorsSpec extends SparkSpecBase {
     r.foreach(row => assert(row.getLong(7) > 0)) // count_order
   }
 
+  test("memoized query-vector/dim driver fetches equal the direct reads") {
+    import graft.functions.Vectors.toDouble
+    val direct = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(toDouble(col("embedding"))).head().getSeq[Double](0)
+    assert(Embeddings.queryVec(spark, sf, 3L) === direct)
+    assert(Embeddings.queryVec(spark, sf, 3L) === direct) // memo hit, same value
+    assert(Embeddings.embDim(spark, sf) === direct.length)
+  }
+
   test("topk_per_group emits <=5 per priority with contiguous ranks") {
     val r = Relational.topkPerGroup(spark, sf).collect()
     r.groupBy(_.getString(0)).foreach { case (_, rows) =>
